@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: read the Spark parquet result,
+run the matching oracle SQL in DuckDB (tables = parquet files in sfDir),
+sort columns by name, sort rows, and compare values cell-by-cell.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+    oracles = json.load(f)
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp-ish columns to naive UTC strings
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails = 0
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    spark_df = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(os.path.join(d, "*.parquet"))],
+        ignore_index=True) if glob.glob(os.path.join(d, "*.parquet")) else pd.DataFrame()
+    if name not in oracles:
+        print(f"[rows-only] {name}: {len(spark_df)} rows")
+        continue
+    duck_df = con.sql(oracles[name]).df()
+    a, b = norm(spark_df), norm(duck_df)
+    if list(a.columns) != list(b.columns):
+        print(f"[FAIL-cols] {name}: spark={list(a.columns)} duck={list(b.columns)}")
+        fails += 1
+        continue
+    if len(a) != len(b):
+        print(f"[FAIL-rows] {name}: spark={len(a)} duck={len(b)}")
+        fails += 1
+        continue
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        print(f"[OK] {name}: {len(a)} rows")
+    except AssertionError as e:
+        print(f"[FAIL-vals] {name}: {str(e).splitlines()[-1] if str(e) else e}")
+        fails += 1
+sys.exit(1 if fails else 0)
