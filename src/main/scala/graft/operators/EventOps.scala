@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The fork-README query surface over the `events` stream table.
+  *
+  * A5 time-interval count query: reference `README.md:57-69` declares
+  * `get /home/time/start="1:10:2"&end="1:10:5"` → counts in [start, end];
+  * output shape `(timestamp, Int)` per `README.md:29-31`.
+  *
+  * A6 speed-vs-batch difference (lambda reconciliation): reference
+  * `README.md:9` — "Calculates the difference between real time and batch
+  * (in case of data loss) and stores the result for querying".
+  *
+  * Temporal group keys are emitted as formatted strings so the DuckDB
+  * oracle compare is precision-independent (parquet ns vs Spark µs).
+  *
+  * Scale notes: interval predicates push down to the parquet scan
+  * (min/max row-group pruning on `ts`); the window aggregations shuffle
+  * one row per (bucket, type) per partition after partial aggregation —
+  * at 100 TB with a date-partitioned layout the same plan prunes to the
+  * interval's partitions only.
+  */
+object EventOps {
+
+  /** Epoch nanos for a UTC wall-clock literal — interval predicates are
+    * issued against the raw int64 `ts_ns` so they push down to parquet.
+    */
+  private def ns(isoUtc: String): Long = {
+    val i = java.time.LocalDateTime.parse(isoUtc)
+      .toInstant(java.time.ZoneOffset.UTC)
+    i.getEpochSecond * 1000000000L + i.getNano
+  }
+
+  /** A5: counts + value sum per event type within [start, end). */
+  def intervalCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"ts_ns" >= ns("2024-01-10T00:00:00") &&
+              $"ts_ns" <  ns("2024-01-20T00:00:00"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  val intervalCountSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY event_type""".stripMargin
+
+  /** Tumbling 1-hour windows for one day (the batch shape of the
+    * streaming windowed count — final state, `window()`-equivalent).
+    */
+  def hourlyCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"ts_ns" >= ns("2024-01-05T00:00:00") &&
+              $"ts_ns" <  ns("2024-01-06T00:00:00"))
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val hourlyCountsSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |  event_type, count(*) AS cnt
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** A6: lambda reconciliation. The "speed" table simulates data loss
+    * (drops every event_id ≡ 0 mod 97, as a receiver losing messages);
+    * the "batch" table sees everything. Per (day, type): both counts and
+    * their difference, via full-outer join on the group keys.
+    */
+  def lambdaDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+        $"event_type", $"event_id")
+    val batch = ev.groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("batch_cnt"))
+    val speed = ev.filter($"event_id" % 97 =!= 0)
+      .groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("speed_cnt"))
+    batch.join(speed, Seq("day", "event_type"), "full_outer")
+      .select($"day", $"event_type",
+        coalesce($"batch_cnt", lit(0L)).as("batch_cnt"),
+        coalesce($"speed_cnt", lit(0L)).as("speed_cnt"),
+        (coalesce($"batch_cnt", lit(0L)) - coalesce($"speed_cnt", lit(0L))).as("lost"))
+  }
+
+  val lambdaDiffSql: String =
+    """WITH ev AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    event_type, event_id
+      |  FROM events),
+      |batch AS (
+      |  SELECT day, event_type, count(*) AS batch_cnt FROM ev GROUP BY 1, 2),
+      |speed AS (
+      |  SELECT day, event_type, count(*) AS speed_cnt FROM ev
+      |  WHERE event_id % 97 <> 0 GROUP BY 1, 2)
+      |SELECT coalesce(batch.day, speed.day) AS day,
+      |  coalesce(batch.event_type, speed.event_type) AS event_type,
+      |  coalesce(batch_cnt, 0) AS batch_cnt,
+      |  coalesce(speed_cnt, 0) AS speed_cnt,
+      |  coalesce(batch_cnt, 0) - coalesce(speed_cnt, 0) AS lost
+      |FROM batch FULL OUTER JOIN speed
+      |  ON batch.day = speed.day AND batch.event_type = speed.event_type""".stripMargin
+
+  /** Per-user session stats via window lag: a new session starts after a
+    * >30 min gap. Batch analog of `flatMapGroupsWithState` sessionization —
+    * one shuffle on user_id, in-partition sort by ts.
+    */
+  def sessionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_ns")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts_ns")
+      .withColumn("prev_ns", lag($"ts_ns", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ns".isNull ||
+          $"ts_ns" - $"prev_ns" > 1800L * 1000000000L, 1L)
+          .otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val sessionStatsSql: String =
+    """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > 1800000000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_interval_count" -> (intervalCount _),
+    "ev_hourly_counts" -> (hourlyCounts _),
+    "ev_lambda_diff" -> (lambdaDiff _),
+    "ev_session_stats" -> (sessionStats _))
+
+  def oracles: Map[String, String] = Map(
+    "ev_interval_count" -> intervalCountSql,
+    "ev_hourly_counts" -> hourlyCountsSql,
+    "ev_lambda_diff" -> lambdaDiffSql,
+    "ev_session_stats" -> sessionStatsSql)
+}
