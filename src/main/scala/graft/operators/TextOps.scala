@@ -62,13 +62,164 @@ object TextOps {
       |    FROM documents)
       |  WHERE word <> '' GROUP BY word)""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Text-analysis extensions (training-data pipeline ops). All formulas
+  // are expressed identically in Spark SQL and DuckDB so the driver's
+  // exact hash compare holds: integer counts, then IEEE double division
+  // in the same order on both sides.
+  // -------------------------------------------------------------------
+
+  /** Whitespace tokens as an array column (shared sub-expression). */
+  private val tokensExpr =
+    "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+  private val duckTokensExpr =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+  /** Per-document token statistics: token count, distinct count,
+    * type-token ratio, plus a BPE-ish regex token count (letter runs /
+    * digit runs / single punctuation, the shape a byte-pair pretokenizer
+    * produces). Pure narrow map — no shuffle; scales with input splits.
+    */
+  def docTokenStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      s"size($tokensExpr) AS n_tokens",
+      s"size(array_distinct($tokensExpr)) AS n_distinct",
+      s"CAST(size(array_distinct($tokensExpr)) AS DOUBLE) / size($tokensExpr) AS ttr",
+      "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS n_bpe",
+      "length(text) AS len_chars")
+  }
+
+  val docTokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  len($duckTokensExpr) AS n_tokens,
+       |  len(list_distinct($duckTokensExpr)) AS n_distinct,
+       |  CAST(len(list_distinct($duckTokensExpr)) AS DOUBLE) / len($duckTokensExpr) AS ttr,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+       |  length(text) AS len_chars
+       |FROM documents""".stripMargin
+
+  /** Quality scoring: stopword ratio, punctuation ratio, length norm,
+    * and a weighted score — the length/punct/stopword-ratio heuristic
+    * used to filter web corpora before training.
+    */
+  def docQuality(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      s"""CAST(size(filter($tokensExpr, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+         | / size($tokensExpr) AS stop_ratio""".stripMargin,
+      """CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) AS DOUBLE)
+        | / length(text) AS punct_ratio""".stripMargin,
+      "CAST(least(length(text), 500) AS DOUBLE) / 500 AS len_norm")
+      .selectExpr("doc_id", "stop_ratio", "punct_ratio", "len_norm",
+        "0.4 * stop_ratio + 0.3 * (1 - punct_ratio) + 0.3 * len_norm AS quality_score")
+  }
+
+  val docQualitySql: String =
+    s"""SELECT doc_id, stop_ratio, punct_ratio, len_norm,
+       |  0.4 * stop_ratio + 0.3 * (1 - punct_ratio) + 0.3 * len_norm AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter($duckTokensExpr, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+       |      / len($duckTokensExpr) AS stop_ratio,
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS punct_ratio,
+       |    CAST(least(length(text), 500) AS DOUBLE) / 500 AS len_norm
+       |  FROM documents)""".stripMargin
+
+  /** Language-ID heuristic: per-language stopword hit counts with an
+    * ordered-CASE argmax (deterministic tie-break = case order). CJK
+    * presence is checked by unicode range for zh.
+    */
+  def docLangId(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).selectExpr(
+      "doc_id", "lang",
+      s"size(filter($tokensExpr, t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS en_n",
+      s"size(filter($tokensExpr, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS de_n",
+      s"size(filter($tokensExpr, t -> t IN ('le', 'les', 'et', 'est', 'une'))) AS fr_n",
+      s"size(filter($tokensExpr, t -> t IN ('el', 'los', 'y', 'es', 'una'))) AS es_n",
+      "size(regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0)) AS zh_n")
+      .selectExpr("doc_id", "lang",
+        """CASE
+          | WHEN zh_n > 0 THEN 'zh'
+          | WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+          | WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+          | WHEN fr_n >= es_n THEN 'fr'
+          | ELSE 'es' END AS pred_lang""".stripMargin)
+  }
+
+  val docLangIdSql: String =
+    s"""SELECT doc_id, lang,
+       |  CASE
+       |   WHEN zh_n > 0 THEN 'zh'
+       |   WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+       |   WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+       |   WHEN fr_n >= es_n THEN 'fr'
+       |   ELSE 'es' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    len(list_filter($duckTokensExpr, t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS en_n,
+       |    len(list_filter($duckTokensExpr, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS de_n,
+       |    len(list_filter($duckTokensExpr, t -> t IN ('le', 'les', 'et', 'est', 'une'))) AS fr_n,
+       |    len(list_filter($duckTokensExpr, t -> t IN ('el', 'los', 'y', 'es', 'una'))) AS es_n,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh_n
+       |  FROM documents)""".stripMargin
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * characters, mod 1e9+7 (keeps every intermediate below 2^35, so the
+    * arithmetic is overflow-free and portable — Java Long wraparound is
+    * not reproducible in engines that error on BIGINT overflow).
+    * At 100 TB this would graduate to a codegen'd Catalyst Expression;
+    * the higher-order-function form stays whole-stage-codegen-friendly
+    * and shuffle-free.
+    */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      """aggregate(
+        |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+        |  CAST(0 AS BIGINT),
+        |  (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint""".stripMargin)
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text) + 1),
+      |                     i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /** Corpus profile: documents per (lang, source) with length stats. */
+  def langSourceDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+  }
+
+  val langSourceDistSql: String =
+    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |FROM documents GROUP BY lang, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> (wordCount _),
     "global_count" -> (globalCount _),
-    "agg_of_agg" -> (aggOfAgg _))
+    "agg_of_agg" -> (aggOfAgg _),
+    "doc_token_stats" -> (docTokenStats _),
+    "doc_quality" -> (docQuality _),
+    "doc_langid" -> (docLangId _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
     "wordcount" -> wordCountSql,
     "global_count" -> globalCountSql,
-    "agg_of_agg" -> aggOfAggSql)
+    "agg_of_agg" -> aggOfAggSql,
+    "doc_token_stats" -> docTokenStatsSql,
+    "doc_quality" -> docQualitySql,
+    "doc_langid" -> docLangIdSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "lang_source_dist" -> langSourceDistSql)
 }
