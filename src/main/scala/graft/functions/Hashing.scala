@@ -1,0 +1,92 @@
+package graft.functions
+
+/** Deterministic hash kit for the dedup family (MinHash / SimHash).
+  *
+  * Everything here is seeded and pure — the same corpus always produces
+  * the same signatures, on any executor, in any partition order. That is
+  * what makes the signatures safe to compute distributed and join on.
+  */
+object Hashing extends Serializable {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — cheap, well-distributed, portable. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 — used to derive the MinHash permutation parameters. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Number of MinHash components and the LSH banding shape (16 bands of
+    * 4 rows ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard).
+    */
+  val MinhashK = 64
+  val Bands = 16
+  val RowsPerBand: Int = MinhashK / Bands
+
+  /** Per-component affine permutation params (odd multipliers). */
+  val minhashA: Array[Long] =
+    Array.tabulate(MinhashK)(i => splitmix64(0x5eed0001L + i) | 1L)
+  val minhashB: Array[Long] =
+    Array.tabulate(MinhashK)(i => splitmix64(0x5eed1001L + i))
+
+  /** MinHash signature of a set of element hashes. */
+  def minhash(elementHashes: Iterator[Long]): Array[Long] = {
+    val sig = Array.fill(MinhashK)(Long.MaxValue)
+    elementHashes.foreach { x =>
+      var i = 0
+      while (i < MinhashK) {
+        val h = minhashA(i) * x + minhashB(i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Band key: (band index, hash of that band's signature slice). */
+  def bandKeys(sig: Array[Long]): Seq[(Int, Long)] =
+    (0 until Bands).map { b =>
+      var h = 0xcbf29ce484222325L
+      var r = 0
+      while (r < RowsPerBand) {
+        h ^= sig(b * RowsPerBand + r)
+        h *= 0x100000001b3L
+        r += 1
+      }
+      (b, h)
+    }
+
+  /** 64-bit SimHash over (elementHash, weight) pairs. */
+  def simhash(weighted: Iterator[(Long, Int)]): Long = {
+    val acc = new Array[Int](64)
+    weighted.foreach { case (h, w) =>
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashing
+
+/** Deduplication suite over the `documents` table — the operations a
+  * training-data pipeline runs before anything else. Exact dedup and
+  * n-gram Jaccard are oracle-checked; the sketch-based ops (MinHash+LSH,
+  * SimHash) use engine-specific hashes and are rows-only checked by the
+  * driver, with their statistical behavior asserted in ScalaTest.
+  *
+  * Scale design:
+  *   - Exact dedup is one hash shuffle on the normalized text hash.
+  *   - N-gram Jaccard never goes quadratic: the inverted-index join on
+  *     shingles only ever pairs documents that share ≥1 shingle.
+  *   - MinHash compresses each document to a constant 64-long signature
+  *     (shuffle volume O(docs), not O(tokens)); LSH banding makes
+  *     candidate generation a hash join on (band, bandHash) buckets.
+  *   - Frequent-shingle skew (stopword shingles bucketing everything
+  *     together) is the classic hot-key hazard; the band hash of 4
+  *     independent minhashes breaks it.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: normalize whitespace + case, keep the smallest doc_id
+    * per identical normalized text. groupBy on the text itself would ship
+    * full documents through the shuffle — hash first, group on the hash.
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
+      .groupBy(xxhash64($"norm").as("text_hash"))
+      .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .select($"kept_doc_id", $"n_copies")
+  }
+
+  /** Oracle groups on the normalized text directly (DuckDB has no
+    * xxhash64); identical partitioning of rows ⇒ identical output.
+    */
+  val exactDedupSql: String =
+    """SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+      |FROM (SELECT doc_id,
+      |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |      FROM documents)
+      |GROUP BY norm""".stripMargin
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Word-trigram shingle sets, one row per (doc_id, shingle), distinct.
+    * Docs with fewer than 3 tokens have no shingles (guarded — Spark's
+    * `sequence` would otherwise count backwards).
+    */
+  private def shingleExpr: String =
+    """array_distinct(transform(
+      |  sequence(1, size(toks) - 2),
+      |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
+      .where("size(toks) >= 3")
+      .selectExpr("doc_id", s"explode($shingleExpr) AS shingle")
+
+  /** N-gram Jaccard near-dup pairs via inverted-index join: candidates
+    * are generated only for documents sharing a shingle, shared counts
+    * come from the join group sizes, set sizes from a per-doc count.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"), $"a.shingle" === $"b.shingle")
+      .where($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard")
+      .where($"jaccard" >= 0.2)
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |    FROM toks WHERE len(t) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.2""".stripMargin
+
+  // --------------------------------------------------------- minhash+lsh
+
+  /** MinHash signatures: one shuffle of (doc_id, shingleHash), then a
+    * streaming fold to 64 mins per doc.
+    */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingles(s, dir)
+      .select($"doc_id", $"shingle")
+      .as[(Long, String)]
+      .map { case (id, sh) => (id, Hashing.fnv1a64(sh)) }
+      .groupByKey(_._1)
+      .mapGroups { (id, it) => (id, Hashing.minhash(it.map(_._2))) }
+      .toDF("doc_id", "sig")
+  }
+
+  /** MinHash+LSH near-dup candidates, verified with the estimated
+    * Jaccard (matching signature fraction). Banding: 16 bands × 4 rows ⇒
+    * pairs with true Jaccard ≳ 0.5 collide in ≥1 band w.h.p.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = minhashSignatures(s, dir).as[(Long, Array[Long])].cache()
+    val buckets = sigs.flatMap { case (id, sig) =>
+      Hashing.bandKeys(sig).map { case (b, h) => (b, h, id) }
+    }.toDF("band", "bucket", "doc_id")
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        """CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))
+          | AS DOUBLE) / size(sig_a) AS est_jaccard""".stripMargin)
+      .where($"est_jaccard" >= 0.5)
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per document from token-frequency weights. */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "explode(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS tok")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("w"))
+      .as[(Long, String, Long)]
+      .map { case (id, tok, w) => (id, Hashing.fnv1a64(tok), w.toInt) }
+      .groupByKey(_._1)
+      .mapGroups { (id, it) => (id, Hashing.simhash(it.map(t => (t._2, t._3)))) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs: LSH on the four 16-bit chunks (two docs
+    * within Hamming distance 3 of each other must agree on ≥1 chunk),
+    * then exact Hamming verification ≤ 16.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simhashSignatures(s, dir).as[(Long, Long)].cache()
+    val chunks = sigs.flatMap { case (id, sig) =>
+      (0 until 4).map(c => (c, (sig >>> (c * 16)) & 0xffffL, id))
+    }.toDF("chunk", "val", "doc_id")
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        $"a.chunk" === $"b.chunk" && $"a.val" === $"b.val" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val withSigs = cand
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+    val ham = udf((a: Long, b: Long) => Hashing.hamming(a, b))
+    withSigs.select($"doc_a", $"doc_b", ham($"sig_a", $"sig_b").as("hamming"))
+      .where($"hamming" <= 16)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactDedup _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhashPairs _))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactDedupSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql)
+}

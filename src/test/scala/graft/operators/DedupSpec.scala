@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.Hashing
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("exact dedup collapses case/whitespace variants, keeps min doc_id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "different text here"))
+      .toDF("doc_id", "text")
+    // run the same plan shape as the operator, against the inline fixture
+    import org.apache.spark.sql.functions._
+    val out = docs
+      .select($"doc_id", trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
+      .groupBy(xxhash64($"norm")).agg(min($"doc_id").as("kept_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select("kept_doc_id", "n_copies")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash estimate approximates true jaccard on controlled overlap") {
+    // two sets sharing 60 of 80 elements: jaccard = 60/100 = 0.6
+    val a = (0 until 80).map(i => Hashing.fnv1a64(s"tok$i"))
+    val b = (20 until 100).map(i => Hashing.fnv1a64(s"tok$i"))
+    val sigA = Hashing.minhash(a.iterator)
+    val sigB = Hashing.minhash(b.iterator)
+    val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / Hashing.MinhashK
+    assert(math.abs(est - 0.6) < 0.2, s"est=$est")
+  }
+
+  test("identical sets give identical minhash signatures and bands") {
+    val a = (0 until 50).map(i => Hashing.fnv1a64(s"x$i"))
+    assert(Hashing.minhash(a.iterator).sameElements(Hashing.minhash(a.iterator)))
+    assert(Hashing.bandKeys(Hashing.minhash(a.iterator)) ==
+      Hashing.bandKeys(Hashing.minhash(a.iterator)))
+  }
+
+  test("simhash: near-identical docs are close, unrelated docs are far") {
+    val base = (0 until 100).map(i => (Hashing.fnv1a64(s"w$i"), 1))
+    val near = (0 until 97).map(i => (Hashing.fnv1a64(s"w$i"), 1)) ++
+      (0 until 3).map(i => (Hashing.fnv1a64(s"z$i"), 1))
+    val far = (0 until 100).map(i => (Hashing.fnv1a64(s"q$i"), 1))
+    val hBase = Hashing.simhash(base.iterator)
+    val dNear = Hashing.hamming(hBase, Hashing.simhash(near.iterator))
+    val dFar = Hashing.hamming(hBase, Hashing.simhash(far.iterator))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+    assert(dNear <= 16 && dFar > 16)
+  }
+
+  test("minhash LSH finds planted near-duplicates end-to-end") {
+    import spark.implicits._
+    val words = (0 until 60).map(i => s"w$i")
+    val docA = words.mkString(" ")
+    val docB = (words.take(57) ++ Seq("xx", "yy", "zz")).mkString(" ") // ~high overlap
+    val docC = (0 until 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhashLsh(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard is bounded (0, 1] and pairs are ordered a < b") {
+    import org.apache.spark.sql.functions._
+    val df = Dedup.ngramJaccard(spark, sf)
+    assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1 ||
+      col("doc_a") >= col("doc_b")).count() == 0)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("brute-force top-k: 5 neighbors per query, cosine in [-1,1], ranked") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.bruteForceTopK(spark, sf).cache()
+    val counts = df.groupBy("q_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 5L))
+    assert(df.filter(col("cosine") < -1 || col("cosine") > 1).count() == 0)
+    // rank 1 has the highest cosine per query
+    val byQ = df.collect().groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Double]("cosine")).sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      })
+    }
+  }
+
+  test("ANN top-k achieves reasonable recall vs brute force") {
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ann = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    info(s"ANN recall vs brute force on isotropic vectors: $recall")
+    // isotropic random vectors have no neighbor structure for LSH to
+    // exploit — recall is bounded by the ~3.5% scan fraction. Assert the
+    // machinery works (non-empty, some true-neighbor overlap).
+    assert(recall > 0.0, s"recall=$recall")
+    assert(ann.nonEmpty)
+    // every returned neighbor count is bounded by k per query
+    assert(ann.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
+  test("near-dup pairs are symmetric-free (a < b) and above threshold") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.embeddingNearDup(spark, sf)
+    assert(df.filter(col("vec_a") >= col("vec_b") || col("cosine") <= 0.45).count() == 0)
+  }
+}
