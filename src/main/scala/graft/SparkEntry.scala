@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ EventOps.queries ++
-      Pipeline.queries ++ Dedup.queries ++ Similarity.queries
+      Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
+      graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ EventOps.oracles ++
-      Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles
+      Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      graft.streaming.StreamQueries.oracles
 }
