@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ EventOps.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
-      graft.streaming.StreamQueries.queries
+      Multimodal.queries ++ graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ EventOps.oracles ++
       Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      graft.streaming.StreamQueries.oracles
+      Multimodal.oracles ++ graft.streaming.StreamQueries.oracles
 }
