@@ -81,13 +81,17 @@ object TextOps {
     * produces). Pure narrow map — no shuffle; scales with input splits.
     */
   def docTokenStats(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir).selectExpr(
-      "doc_id",
-      s"size($tokensExpr) AS n_tokens",
-      s"size(array_distinct($tokensExpr)) AS n_distinct",
-      s"CAST(size(array_distinct($tokensExpr)) AS DOUBLE) / size($tokensExpr) AS ttr",
-      "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS n_bpe",
-      "length(text) AS len_chars")
+    // tokenize once; every stat references the materialized array
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", s"$tokensExpr AS toks")
+      .selectExpr("doc_id", "text", "toks", "array_distinct(toks) AS dtoks")
+      .selectExpr(
+        "doc_id",
+        "size(toks) AS n_tokens",
+        "size(dtoks) AS n_distinct",
+        "CAST(size(dtoks) AS DOUBLE) / size(toks) AS ttr",
+        "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS n_bpe",
+        "length(text) AS len_chars")
   }
 
   val docTokenStatsSql: String =
@@ -104,13 +108,15 @@ object TextOps {
     * used to filter web corpora before training.
     */
   def docQuality(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir).selectExpr(
-      "doc_id",
-      s"""CAST(size(filter($tokensExpr, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
-         | / size($tokensExpr) AS stop_ratio""".stripMargin,
-      """CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) AS DOUBLE)
-        | / length(text) AS punct_ratio""".stripMargin,
-      "CAST(least(length(text), 500) AS DOUBLE) / 500 AS len_norm")
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", s"$tokensExpr AS toks")
+      .selectExpr(
+        "doc_id",
+        """CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+          | / size(toks) AS stop_ratio""".stripMargin,
+        """CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) AS DOUBLE)
+          | / length(text) AS punct_ratio""".stripMargin,
+        "CAST(least(length(text), 500) AS DOUBLE) / 500 AS len_norm")
       .selectExpr("doc_id", "stop_ratio", "punct_ratio", "len_norm",
         "0.4 * stop_ratio + 0.3 * (1 - punct_ratio) + 0.3 * len_norm AS quality_score")
   }
@@ -132,12 +138,14 @@ object TextOps {
     * presence is checked by unicode range for zh.
     */
   def docLangId(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir).selectExpr(
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang", "text", s"$tokensExpr AS toks")
+      .selectExpr(
       "doc_id", "lang",
-      s"size(filter($tokensExpr, t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS en_n",
-      s"size(filter($tokensExpr, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS de_n",
-      s"size(filter($tokensExpr, t -> t IN ('le', 'les', 'et', 'est', 'une'))) AS fr_n",
-      s"size(filter($tokensExpr, t -> t IN ('el', 'los', 'y', 'es', 'una'))) AS es_n",
+      "size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS en_n",
+      "size(filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS de_n",
+      "size(filter(toks, t -> t IN ('le', 'les', 'et', 'est', 'une'))) AS fr_n",
+      "size(filter(toks, t -> t IN ('el', 'los', 'y', 'es', 'una'))) AS es_n",
       "size(regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0)) AS zh_n")
       .selectExpr("doc_id", "lang",
         """CASE
@@ -174,12 +182,18 @@ object TextOps {
     * and shuffle-free.
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir).selectExpr(
-      "doc_id",
-      """aggregate(
-        |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
-        |  CAST(0 AS BIGINT),
-        |  (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint""".stripMargin)
+    // Same recurrence the oracle's list_reduce computes —
+    // h := (h*31 + codepoint) mod 1e9+7 over characters in order — as a
+    // primitive loop (the per-char higher-order form boxed every
+    // character; ~6× slower at sf0.1).
+    val fp = udf { (text: String) =>
+      var h = 0L
+      val it = text.codePoints().iterator()
+      while (it.hasNext) { h = (h * 31 + it.next()) % 1000000007L }
+      h
+    }
+    Tables.documents(s, dir).select(col("doc_id"),
+      fp(col("text")).as("fingerprint"))
   }
 
   val docFingerprintSql: String =
