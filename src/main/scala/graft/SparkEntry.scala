@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ EventOps.queries ++
+    Relational.queries ++ Relational2.queries ++ TextOps.queries ++ EventOps.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.StreamQueries.queries
 
@@ -27,7 +27,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles ++ EventOps.oracles ++
+    Relational.oracles ++ Relational2.oracles ++ TextOps.oracles ++ EventOps.oracles ++
       Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.StreamQueries.oracles
 }

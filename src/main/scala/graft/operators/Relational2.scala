@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second breadth tranche: outer joins, CUBE, PIVOT, percentiles,
+  * string/date scalar functions, set ops, correlated aggregates —
+  * rounding out the relational algebra a reference user would expect
+  * from a general query surface (SURVEY.md §2 maps them all onto Spark
+  * built-ins; nothing here needs custom Catalyst nodes).
+  */
+object Relational2 {
+
+  private val dec = "decimal(18,2)"
+
+  /** Q13-style customer order-count distribution: LEFT OUTER join keeps
+    * zero-order customers, then a second aggregation over the counts.
+    * Two shuffles total; the second input is already tiny.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).select("c_custkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** CUBE over return flag × line status (all 4 grouping sets). */
+  def qCubeFlags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(dec)).cast("double").as("sum_qty"))
+  }
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** PIVOT: daily event counts spread into one column per event type
+    * (fixed value list ⇒ stable schema; missing cells filled with 0 to
+    * match the oracle's FILTER counts).
+    */
+  def qPivotEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+        $"event_type")
+      .groupBy($"day")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
+  val qPivotSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Correlated aggregate: orders strictly above their customer's own
+    * average order value (decimal-exact average, both engines).
+    */
+  def qAboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val avgByCust = o.groupBy($"o_custkey".as("ck"))
+      .agg((sum($"o_totalprice".cast(dec)).cast("double") / count(lit(1)))
+        .as("avg_price"))
+    o.join(avgByCust, $"o_custkey" === $"ck")
+      .where($"o_totalprice" > $"avg_price")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_above"))
+  }
+
+  val qAboveAvgSql: String =
+    """SELECT o_custkey, count(*) AS n_above
+      |FROM orders o
+      |JOIN (SELECT o_custkey AS ck,
+      |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |      FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
+      |WHERE o.o_totalprice > a.avg_price
+      |GROUP BY o_custkey""".stripMargin
+
+  /** Scalar string-function surface: case, substring, concat, padding,
+    * trim, replace, length — all codegen'd built-ins, no UDFs.
+    */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .where($"c_custkey" <= 100)
+      .select($"c_custkey",
+        upper($"c_name").as("uname"),
+        substring($"c_name", 1, 8).as("prefix"),
+        concat($"c_mktsegment", lit(":"), $"c_name").as("tagged"),
+        lpad($"c_custkey".cast("string"), 8, "0").as("padded"),
+        regexp_replace($"c_name", "[0-9]", "#").as("masked"),
+        length($"c_name").as("name_len"))
+  }
+
+  val qStringFuncsSql: String =
+    """SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix,
+      |  c_mktsegment || ':' || c_name AS tagged,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      |  length(c_name) AS name_len
+      |FROM customer WHERE c_custkey <= 100""".stripMargin
+
+  /** Date-part extraction + conditional aggregation per year/quarter. */
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("yr"), quarter($"o_orderdate").as("qtr"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when($"o_orderpriority" === "1-URGENT", 1)).as("n_urgent"))
+  }
+
+  val qDateFuncsSql: String =
+    """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+      |  CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+      |  count(*) AS n_orders,
+      |  count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** UNION ALL with provenance tag (D1 union surface): urgent vs low
+    * priority order volumes by status.
+    */
+  def qUnionAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val hi = o.where($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderstatus", lit("hi").as("bucket"))
+    val lo = o.where($"o_orderpriority" === "5-LOW")
+      .select($"o_orderstatus", lit("lo").as("bucket"))
+    hi.unionAll(lo).groupBy($"o_orderstatus", $"bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qUnionAllSql: String =
+    """SELECT o_orderstatus, bucket, count(*) AS n FROM (
+      |  SELECT o_orderstatus, 'hi' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'lo' AS bucket FROM orders WHERE o_orderpriority = '5-LOW')
+      |GROUP BY 1, 2""".stripMargin
+
+  /** INTERSECT: building-segment customers that also have ≥1 urgent order. */
+  def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val building = Tables.customer(s, dir)
+      .where($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val urgent = Tables.orders(s, dir)
+      .where($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey"))
+    building.intersect(urgent)
+  }
+
+  val qIntersectSql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  /** Statistical aggregates: stddev/variance (sample), min/max. Computed
+    * from decimal-exact power sums on both sides so the doubles agree:
+    * var = (Σx² − (Σx)²/n) / (n−1) evaluated in the same order.
+    */
+  def qStatsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity".cast(dec)).cast("double").as("sx"),
+        sum(($"l_quantity".cast(dec) * $"l_quantity".cast(dec))).cast("double").as("sxx"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+      .select($"l_returnflag", $"n", $"min_qty", $"max_qty",
+        (($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - lit(1))).as("var_qty"))
+  }
+
+  val qStatsAggSql: String =
+    """SELECT l_returnflag, n, min_qty, max_qty,
+      |  (sxx - sx * sx / n) / (n - 1) AS var_qty
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |  FROM lineitem GROUP BY l_returnflag)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist" -> (q13CustDist _),
+    "q_cube_flags" -> (qCubeFlags _),
+    "q_pivot_events" -> (qPivotEvents _),
+    "q_above_avg_orders" -> (qAboveAvgOrders _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_union_all" -> (qUnionAll _),
+    "q_intersect" -> (qIntersect _),
+    "q_stats_agg" -> (qStatsAgg _))
+
+  def oracles: Map[String, String] = Map(
+    "q13_custdist" -> q13Sql,
+    "q_cube_flags" -> qCubeSql,
+    "q_pivot_events" -> qPivotSql,
+    "q_above_avg_orders" -> qAboveAvgSql,
+    "q_string_funcs" -> qStringFuncsSql,
+    "q_date_funcs" -> qDateFuncsSql,
+    "q_union_all" -> qUnionAllSql,
+    "q_intersect" -> qIntersectSql,
+    "q_stats_agg" -> qStatsAggSql)
+}
