@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ TextOps.queries ++ EventOps.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ graft.streaming.StreamQueries.queries
+      Multimodal.queries ++ AsOfJoin.queries ++
+      graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ TextOps.oracles ++ EventOps.oracles ++
       Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ graft.streaming.StreamQueries.oracles
+      Multimodal.oracles ++ AsOfJoin.oracles ++
+      graft.streaming.StreamQueries.oracles
 }

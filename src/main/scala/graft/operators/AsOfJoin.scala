@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (temporal) join — an operator Spark's DataFrame API lacks.
+  *
+  * Semantics: for each left row, attach the single right row with the
+  * greatest right-time ≤ left-time within the same key (LEFT ASOF JOIN
+  * ≥-semantics, exactly DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND
+  * l.ts >= r.ts`, which is the oracle for this query).
+  *
+  * Implementation = preference (a), composition of built-ins
+  * (SURVEY.md §2 guidance): union both sides tagged, one hash shuffle
+  * on the key, one in-partition sort on (time, side), then
+  * `last(right_value, ignoreNulls)` over an unbounded-preceding window
+  * carries the most recent right row forward into each left row.
+  *
+  * Scale: identical movement to a sort-merge join — shuffle both inputs
+  * by key once, sort once; state per partition is one row of carried
+  * right values. No range explosion, no per-key collect. Skewed keys
+  * shard like any SMJ (AQE skew handling applies to the exchange).
+  */
+object AsOfJoin {
+
+  /** Generic as-of: left(key, t, payloadL) ⨝asof right(key, t, payloadR).
+    * `left`/`right` must each expose `key`, `t` plus their payload
+    * columns; payload column sets must be disjoint.
+    */
+  def asOf(left: DataFrame, right: DataFrame): DataFrame = {
+    val s = left.sparkSession
+    import s.implicits._
+    val rightPayload = right.columns.filterNot(c => c == "key" || c == "t")
+    val leftPayload = left.columns.filterNot(c => c == "key" || c == "t")
+    val lTagged = left.withColumn("is_left", lit(1))
+      .select(Seq(col("key"), col("t"), col("is_left")) ++
+        leftPayload.map(col) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right.withColumn("is_left", lit(0))
+      .select(Seq(col("key"), col("t"), col("is_left")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(col): _*)
+    // right rows sort before left rows at equal t ⇒ `>=` semantics
+    val w = Window.partitionBy($"key")
+      .orderBy($"t".asc, $"is_left".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightPayload.foldLeft(lTagged.unionByName(rTagged)) {
+      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }.withColumn("r_t",
+      last(when($"is_left" === 0, $"t"), ignoreNulls = true).over(w))
+    carried.where($"is_left" === 1).drop("is_left")
+  }
+
+  /** Purchase→click attribution: each purchase matched to the same
+    * user's most recent click at or before it (classic attribution
+    * as-of). `gap_ns` stays integral — exact on both engines.
+    */
+  def purchaseAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("key"), $"ts_ns".as("t"), $"event_id")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("key"), $"ts_ns".as("t"),
+        $"event_id".as("click_event_id"))
+    // gap in µs: DuckDB truncates parquet nanos to µs timestamps on
+    // read, so µs is the finest exactly-comparable granularity
+    asOf(purchases, clicks)
+      .selectExpr("event_id", "key AS user_id", "click_event_id",
+        "(t div 1000) - (r_t div 1000) AS gap_us")
+  }
+
+  val purchaseAttributionSql: String =
+    """SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_purchase_attribution" -> (purchaseAttribution _))
+
+  def oracles: Map[String, String] = Map(
+    "asof_purchase_attribution" -> purchaseAttributionSql)
+}

@@ -120,10 +120,12 @@ object Dedup {
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // shingle hashing runs as a native codegen'd expression — rows stay
+    // inside whole-stage codegen until the single groupByKey shuffle
     shingles(s, dir)
-      .select($"doc_id", $"shingle")
-      .as[(Long, String)]
-      .map { case (id, sh) => (id, Hashing.fnv1a64(sh)) }
+      .select($"doc_id",
+        graft.functions.FnvHash64.fnv_hash64($"shingle").as("h"))
+      .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (id, it) => (id, Hashing.minhash(it.map(_._2))) }
       .toDF("doc_id", "sig")
@@ -163,10 +165,13 @@ object Dedup {
       .selectExpr("doc_id",
         "explode(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS tok")
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("w"))
-      .as[(Long, String, Long)]
-      .map { case (id, tok, w) => (id, Hashing.fnv1a64(tok), w.toInt) }
+      .select($"doc_id",
+        graft.functions.FnvHash64.fnv_hash64($"tok").as("h"), $"w")
+      .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .mapGroups { (id, it) => (id, Hashing.simhash(it.map(t => (t._2, t._3)))) }
+      .mapGroups { (id, it) =>
+        (id, Hashing.simhash(it.map(t => (t._2, t._3.toInt))))
+      }
       .toDF("doc_id", "simhash")
   }
 

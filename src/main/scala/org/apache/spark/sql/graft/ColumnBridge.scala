@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark-4 moved the Column ↔ Expression bridge behind `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); this shim, living
+  * inside the sql package, re-exposes exactly the two calls a library
+  * needs to ship custom Catalyst expressions with a Column API.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
