@@ -22,6 +22,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ TextOps.queries ++ EventOps.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++
+      graft.sources.FileSources.queries ++
       graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ TextOps.oracles ++ EventOps.oracles ++
       Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++
+      graft.sources.FileSources.oracles ++
       graft.streaming.StreamQueries.oracles
 }

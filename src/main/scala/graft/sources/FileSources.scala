@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** File-format source/sink surface beyond parquet: CSV and JSON with
+  * explicit schemas (schema-on-read is never inferred in the engine —
+  * the reference's schemas are compile-time, SURVEY.md §1).
+  *
+  * Each query is a full write→read round-trip: the parquet table is
+  * exported to the format under test, read back with a declared schema,
+  * and aggregated. The oracle runs on the original parquet — so the
+  * round-trip must be lossless for the hash compare to pass (doubles
+  * survive CSV because Spark writes round-trippable shortest-form
+  * decimals; timestamps are excluded — they are format-fragile and
+  * tested in parquet paths).
+  */
+object FileSources {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val eventsLite = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** CSV round-trip: export → schema-on-read import → aggregate. */
+  def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft_csv")
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(eventsLite).option("header", "true").csv(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  val csvRoundTripSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** JSON-lines round-trip: same contract through the JSON reader. */
+  def jsonRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft_json")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    s.read.schema(schema).json(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        countDistinct($"source").as("n_sources"))
+  }
+
+  val jsonRoundTripSql: String =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** JSON extraction from an embedded payload column: `events.props`
+    * holds a JSON object; pull a typed field out with from_json (the
+    * schema-applied decode P2 analog for text payloads).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val props = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, dir)
+      .select($"event_type", from_json($"props", props).getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"k").as("sum_k"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip" -> (csvRoundTrip _),
+    "src_json_roundtrip" -> (jsonRoundTrip _),
+    "src_json_extract" -> (jsonExtract _))
+
+  def oracles: Map[String, String] = Map(
+    "src_csv_roundtrip" -> csvRoundTripSql,
+    "src_json_roundtrip" -> jsonRoundTripSql,
+    "src_json_extract" -> jsonExtractSql)
+}
