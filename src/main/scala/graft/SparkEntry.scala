@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ TextOps.queries ++ EventOps.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ AsOfJoin.queries ++
+      Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       graft.sources.FileSources.queries ++
       graft.streaming.StreamQueries.queries
 
@@ -31,7 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ TextOps.oracles ++ EventOps.oracles ++
       Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ AsOfJoin.oracles ++
+      Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       graft.sources.FileSources.oracles ++
       graft.streaming.StreamQueries.oracles
 }

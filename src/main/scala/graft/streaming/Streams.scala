@@ -75,6 +75,17 @@ object Streams {
     bytes.flatMap(TweetCodec.decode(_))
   }
 
+  /** Streaming deduplication: exact dedup on key columns with state
+    * bounded by the watermark horizon — the incremental form of the
+    * batch `Dedup.exactDedup` (state for a key is dropped once the
+    * watermark passes its event time; a duplicate arriving later than
+    * the lateness bound would be re-admitted, the standard trade).
+    */
+  def dedupStream(df: DataFrame, timeCol: String, lateness: String,
+      keys: String*): DataFrame =
+    df.withWatermark(timeCol, lateness)
+      .dropDuplicates(keys :+ timeCol)
+
   /** A4: observable metric counting rows flowing through the stream —
     * the engine's replacement for the reference's consumed/produced
     * accumulators (`KafkaSparkStreamingSpec.scala:194-197`); surfaced
