@@ -144,13 +144,39 @@ object EventOps {
       |  FROM events)
       |GROUP BY user_id""".stripMargin
 
+  /** Rolling 7-day event volume: frame-bounded window aggregation
+    * (ROWS BETWEEN 6 PRECEDING), integer-exact on both engines. One
+    * shuffle on event_type, sort by day within partition.
+    */
+  def rolling7d(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+        $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-6, 0)
+    daily.withColumn("cnt_7d", sum($"cnt").over(w))
+  }
+
+  val rolling7dSql: String =
+    """SELECT day, event_type, cnt,
+      |  sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt_7d
+      |FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |        event_type, count(*) AS cnt
+      |      FROM events GROUP BY 1, 2)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rolling_7d" -> (rolling7d _),
     "ev_interval_count" -> (intervalCount _),
     "ev_hourly_counts" -> (hourlyCounts _),
     "ev_lambda_diff" -> (lambdaDiff _),
     "ev_session_stats" -> (sessionStats _))
 
   def oracles: Map[String, String] = Map(
+    "ev_rolling_7d" -> rolling7dSql,
     "ev_interval_count" -> intervalCountSql,
     "ev_hourly_counts" -> hourlyCountsSql,
     "ev_lambda_diff" -> lambdaDiffSql,
