@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{FnvHash64, Hamming64}
+
+/** SparkSessionExtensions installer: makes the engine's native
+  * expressions available to ANY session started with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — the supported
+  * mechanism for shipping custom Catalyst code into a cluster without
+  * touching application code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fnv_hash64"),
+      new ExpressionInfo(classOf[FnvHash64].getName, "fnv_hash64"),
+      (exprs: Seq[Expression]) => FnvHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
+      (exprs: Seq[Expression]) => Hamming64(exprs(0), exprs(1))))
+  }
+}

@@ -194,8 +194,8 @@ object Dedup {
     val withSigs = cand
       .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
       .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
-    val ham = udf((a: Long, b: Long) => Hashing.hamming(a, b))
-    withSigs.select($"doc_a", $"doc_b", ham($"sig_a", $"sig_b").as("hamming"))
+    withSigs.select($"doc_a", $"doc_b",
+        graft.functions.Hamming64.hamming64($"sig_a", $"sig_b").as("hamming"))
       .where($"hamming" <= 16)
   }
 
