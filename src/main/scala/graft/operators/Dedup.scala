@@ -35,7 +35,7 @@ object Dedup {
     Tables.documents(s, dir)
       .select($"doc_id",
         trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
-      .groupBy(xxhash64($"norm").as("text_hash"))
+      .groupBy(graft.functions.FnvHash64.fnv_hash64($"norm").as("text_hash"))
       .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
       .select($"kept_doc_id", $"n_copies")
   }
@@ -115,19 +115,42 @@ object Dedup {
 
   // --------------------------------------------------------- minhash+lsh
 
-  /** MinHash signatures: one shuffle of (doc_id, shingleHash), then a
-    * streaming fold to 64 mins per doc.
+  /** Row-local tokenization matching the SQL tokenizer
+    * (lower → split \s+ → drop empties).
+    */
+  private def tokensOf(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** Distinct word-trigram shingle hashes of one document, in one pass. */
+  def shingleHashesOf(text: String): Array[Long] = {
+    val t = tokensOf(text)
+    if (t.length < 3) Array.emptyLongArray
+    else {
+      val seen = new java.util.HashSet[String]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i <= t.length - 3) {
+        val sh = t(i) + " " + t(i + 1) + " " + t(i + 2)
+        if (seen.add(sh)) out += Hashing.fnv1a64(sh)
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** MinHash signatures computed ROW-LOCALLY: a document's shingles are
+    * already colocated in its row, so signature building needs no
+    * explode and no shuffle at all — one narrow map, 64 mins folded in
+    * a single pass. (The earlier explode→groupByKey version shuffled
+    * O(shingles) rows to compute a per-row property.) Docs with <3
+    * tokens have no shingles and are excluded, as in the SQL pipeline.
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // shingle hashing runs as a native codegen'd expression — rows stay
-    // inside whole-stage codegen until the single groupByKey shuffle
-    shingles(s, dir)
-      .select($"doc_id",
-        graft.functions.FnvHash64.fnv_hash64($"shingle").as("h"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (id, it) => (id, Hashing.minhash(it.map(_._2))) }
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, tx) => (id, Hashing.minhash(shingleHashesOf(tx).iterator)) }
+      .filter(_._2.exists(_ != Long.MaxValue))
       .toDF("doc_id", "sig")
   }
 
@@ -158,19 +181,22 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per document from token-frequency weights. */
+  /** 64-bit SimHash per document from token-frequency weights — also
+    * row-local: term frequencies and the 64-bit fold happen in one map
+    * over (doc_id, text); no explode, no shuffle.
+    */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .selectExpr("doc_id",
-        "explode(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS tok")
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("w"))
-      .select($"doc_id",
-        graft.functions.FnvHash64.fnv_hash64($"tok").as("h"), $"w")
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (id, it) =>
-        (id, Hashing.simhash(it.map(t => (t._2, t._3.toInt))))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, tx) =>
+        val freq = new java.util.HashMap[Long, Int]()
+        tokensOf(tx).foreach { t =>
+          freq.merge(Hashing.fnv1a64(t), 1, (a, b) => a + b)
+        }
+        import scala.jdk.CollectionConverters._
+        (id, Hashing.simhash(freq.entrySet().iterator().asScala
+          .map(e => (e.getKey.longValue(), e.getValue.intValue()))))
       }
       .toDF("doc_id", "simhash")
   }
