@@ -31,4 +31,19 @@ class RelationalSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("approximate aggregates: HLL within 5% of exact, approx median near exact") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact_d"),
+      approx_count_distinct(col("l_partkey")).as("approx_d"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_med"))
+      .collect()(0)
+    val (ed, ad) = (row.getAs[Long]("exact_d"), row.getAs[Long]("approx_d"))
+    assert(math.abs(ad - ed).toDouble / ed <= 0.05, s"HLL off: $ad vs $ed")
+    val (em, am) = (row.getAs[Double]("exact_med"), row.getAs[Double]("approx_med"))
+    assert(math.abs(am - em) / em <= 0.02, s"approx median off: $am vs $em")
+  }
 }
