@@ -188,10 +188,108 @@ object Similarity {
       .where($"rn" <= 5)
   }
 
+  // ------------------------------------------------------------ IVF ANN
+
+  /** Deterministic mini-Lloyd's k-means over a driver-side sample — the
+    * coarse-quantizer training step of an IVF index. At 100 TB the
+    * sample is a bounded reservoir (training a 16..4096-centroid
+    * quantizer never needs the full collection); assignment and probing
+    * below stay fully distributed.
+    */
+  def trainCentroids(sample: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    // seeded init: pick k spread samples deterministically
+    var centroids = Array.tabulate(k) { i =>
+      val idx = ((Hashing.splitmix64(0xc311701dL + i) >>> 1) % sample.length).toInt
+      sample(idx).map(_.toDouble)
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      val ct = cs(c)
+      while (i < ct.length && i < v.length) {
+        val diff = v(i) - ct(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def centroidsByDistance(v: Array[Float], cs: Array[Array[Double]],
+      n: Int): Array[Int] =
+    cs.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      while (i < cs(c).length && i < v.length) {
+        val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
+      }
+      (c, d)
+    }.sortBy(t => (t._2, t._1)).take(n).map(_._1).toArray
+
+  /** IVF top-k: vectors are partitioned into centroid lists (the
+    * inverted file); each query probes its nProbe nearest lists only —
+    * candidate generation is an equi-join on centroid id, scanning
+    * ~nProbe/k of the collection instead of all of it.
+    */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val nProbe = 3
+    val v = withNorm(s, dir)
+      .select($"vec_id", $"embedding", $"nrm")
+      .as[(Long, Array[Float], Double)]
+    // training sample: the collection at this SF; a reservoir at scale
+    val sample = v.map(_._2).collect()
+    val centroids = trainCentroids(sample, k, iters = 5)
+    val bc = s.sparkContext.broadcast(centroids)
+    val assigned = v.map { case (id, emb, nrm) =>
+      (nearestCentroid(emb, bc.value), id, emb, nrm)
+    }.toDF("cid", "n_id", "en", "nn")
+    val probes = v.filter(_._1 < 10).flatMap { case (id, emb, nrm) =>
+      centroidsByDistance(emb, bc.value, nProbe)
+        .map(c => (c, id, emb, nrm))
+    }.toDF("cid", "q_id", "eq", "nq")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
+    broadcast(probes).join(assigned, Seq("cid"))
+      .where($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id",
+        (dotUdf($"eq", $"en") / ($"nq" * $"nn")).as("cosine"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_neardup" -> (embeddingNearDup _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
-    "sim_ann_topk" -> (annTopK _))
+    "sim_ann_topk" -> (annTopK _),
+    "sim_ivf_topk" -> (ivfTopK _))
 
   def oracles: Map[String, String] = Map(
     "sim_embedding_neardup" -> embeddingNearDupSql,

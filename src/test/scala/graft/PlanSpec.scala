@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Plan-shape regression tests: the physical plans the 100 TB design
+  * depends on, asserted so a refactor can't silently lose pushdown or
+  * broadcast (the `.explain` loop, frozen as specs).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q06: every predicate reaches the parquet scan (PushedFilters)") {
+    val p = plan(Relational.q06ForecastRevenue(spark, sf))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThanOrEqual(l_shipdate,".take(20)))
+    assert(p.contains("LessThan(l_quantity,24"))
+  }
+
+  test("q06: column pruning - scan reads only the 4 needed columns") {
+    val p = plan(Relational.q06ForecastRevenue(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+  }
+
+  test("q03: dimension joins are broadcast, top-k is TakeOrdered (no global sort)") {
+    val p = plan(Relational.q03ShippingPriority(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("events interval predicate pushes down as int64 on ts (nanos column)") {
+    val p = plan(graft.operators.EventOps.intervalCount(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(ts,17"), p)
+  }
+
+  test("word count aggregation is partial before the shuffle") {
+    val p = plan(graft.operators.TextOps.wordCount(spark, sf))
+    // two HashAggregates (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("hashpartitioning(word"), p)
+  }
+}

@@ -40,6 +40,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("IVF top-k: bounded per-query output, correct cosines, nonzero recall") {
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(s"IVF recall vs brute force (nProbe=3/16): $recall")
+    assert(ivf.nonEmpty && recall > 0.0)
+    assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
+  test("IVF centroid training is deterministic") {
+    val sample = (0 until 100).map(i =>
+      Array.tabulate(8)(j => ((i * 31 + j) % 17).toFloat)).toArray
+    val a = Similarity.trainCentroids(sample, 4, 3)
+    val b = Similarity.trainCentroids(sample, 4, 3)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("near-dup pairs are symmetric-free (a < b) and above threshold") {
     import org.apache.spark.sql.functions._
     val df = Similarity.embeddingNearDup(spark, sf)
