@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
       (exprs: Seq[Expression]) => Hamming64(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -22,6 +22,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ TextOps.queries ++ EventOps.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
+      graft.plans.TopKPerKey.queries ++
       graft.sources.FileSources.queries ++
       graft.streaming.StreamQueries.queries
 
@@ -32,6 +33,7 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ TextOps.oracles ++ EventOps.oracles ++
       Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
+      graft.plans.TopKPerKey.oracles ++
       graft.sources.FileSources.oracles ++
       graft.streaming.StreamQueries.oracles
 }

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class TopKPerKeySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("custom exec matches the window row_number formulation (distinct values)") {
+    import spark.implicits._
+    // distinct (key, value) pairs -> no boundary ties -> unique answer
+    val df = (1 to 5000).map(i => (i % 37L, i * 1.0, s"p$i")).toDF("k", "v", "payload")
+    val custom = TopKPerKey.topKPerKey(df, Seq("k"), "v", 3)
+      .select("k", "v", "payload")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"k").orderBy($"v".desc)
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3).select("k", "v", "payload")
+    assert(custom.count() == windowed.count())
+    assert(custom.exceptAll(windowed).isEmpty && windowed.exceptAll(custom).isEmpty)
+  }
+
+  test("physical plan uses TopKPerKeyExec with a single exchange, no sort") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i % 5L, i * 1.0)).toDF("k", "v")
+    val plan = TopKPerKey.topKPerKey(df, Seq("k"), "v", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan) // exec prints without the Exec suffix
+    assert(!plan.toLowerCase.contains("sortexec") && !plan.contains("Sort "), plan)
+  }
+
+  test("k larger than group size returns the whole group") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 9.0)).toDF("k", "v")
+    assert(TopKPerKey.topKPerKey(df, Seq("k"), "v", 10).count() == 3)
+  }
+
+  test("works on the real orders table against the q_window_top_orders answer") {
+    val orders = graft.Tables.orders(spark, TestSpark.sf)
+    val custom = TopKPerKey.topKPerKey(orders, Seq("o_custkey"), "o_totalprice", 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val windowed = graft.operators.Relational.qWindowTopOrders(spark, TestSpark.sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice").as("o_totalprice"))
+    assert(custom.count() == windowed.count())
+    assert(custom.exceptAll(windowed).isEmpty)
+  }
+}
