@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
       (exprs: Seq[Expression]) => Hamming64(exprs(0), exprs(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushPartialTopK)
   }
 }

@@ -23,20 +23,40 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * EnsureRequirements like any aggregation.
   */
 case class TopKPerKey(keys: Seq[Attribute], ord: Attribute, k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan, partial: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
 
-/** Physical: hash of bounded min-heaps, one pass over the partition. */
+/** Optimizer rule — the map-side combine for top-k: insert a PARTIAL
+  * top-k below the final one. The partial runs in place on whatever
+  * partitioning the child has (no distribution requirement), so the
+  * exchange that the final node requests only ever carries ≤ k rows per
+  * key per input partition — the same trick partial aggregation plays,
+  * correct because each key's global top-k is a subset of the union of
+  * its per-partition top-ks.
+  */
+object PushPartialTopK extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case t @ TopKPerKey(keys, ord, k, child, false)
+        if !child.isInstanceOf[TopKPerKey] =>
+      t.copy(child = TopKPerKey(keys, ord, k, child, partial = true))
+  }
+}
+
+/** Physical: hash of bounded min-heaps, one pass over the partition.
+  * `partial = true` skips the distribution requirement (runs map-side);
+  * the final instance clusters by key via EnsureRequirements.
+  */
 case class TopKPerKeyExec(keys: Seq[Attribute], ord: Attribute, k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan, partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(keys))
+    if (partial) Seq(org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
 
   override def outputPartitioning = child.outputPartitioning
 
@@ -79,8 +99,8 @@ case class TopKPerKeyExec(keys: Seq[Attribute], ord: Attribute, k: Int,
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, ord, k, child) =>
-      TopKPerKeyExec(keys, ord, k, planLater(child)) :: Nil
+    case TopKPerKey(keys, ord, k, child, partial) =>
+      TopKPerKeyExec(keys, ord, k, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }
@@ -97,6 +117,9 @@ object TopKPerKey {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushPartialTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushPartialTopK
     val analyzed = df.queryExecution.analyzed
     val keyAttrs = keyNames.map(n => analyzed.output
       .find(_.name == n)

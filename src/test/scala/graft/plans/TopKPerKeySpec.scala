@@ -21,12 +21,19 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(custom.exceptAll(windowed).isEmpty && windowed.exceptAll(custom).isEmpty)
   }
 
-  test("physical plan uses TopKPerKeyExec with a single exchange, no sort") {
+  test("plan: partial top-k runs map-side below the exchange, final above, no sort") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i % 5L, i * 1.0)).toDF("k", "v")
     val plan = TopKPerKey.topKPerKey(df, Seq("k"), "v", 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerKey"), plan) // exec prints without the Exec suffix
+    // optimizer rule inserts the partial: two TopKPerKey nodes around one exchange
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2, plan)
+    val lines = plan.linesIterator.toList
+    val firstTopK = lines.indexWhere(_.contains("TopKPerKey"))
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    val partialTopK = lines.lastIndexWhere(_.contains("TopKPerKey"))
+    assert(firstTopK < exchange && exchange < partialTopK,
+      s"expected final/Exchange/partial ordering:\n$plan")
     assert(!plan.toLowerCase.contains("sortexec") && !plan.contains("Sort "), plan)
   }
 
