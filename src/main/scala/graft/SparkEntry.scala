@@ -19,7 +19,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Relational2.queries ++ TextOps.queries ++ EventOps.queries ++
+    Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      TextOps.queries ++ EventOps.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       graft.plans.TopKPerKey.queries ++
@@ -30,7 +31,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Relational2.oracles ++ TextOps.oracles ++ EventOps.oracles ++
+    Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
+      TextOps.oracles ++ EventOps.oracles ++
       Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       graft.plans.TopKPerKey.oracles ++

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Third tranche: the remaining classic TPC-H query shapes the schema
+  * supports — nation-pair volumes, product-line profit, promo share,
+  * small-quantity correlated averages, large-order semi joins,
+  * disjunctive pushdown, and scalar-subquery anti joins.
+  */
+object Relational3 {
+
+  private val dec = "decimal(18,2)"
+  private def rev(price: org.apache.spark.sql.Column,
+      disc: org.apache.spark.sql.Column) =
+    sum(price.cast(dec) * (lit(1).cast(dec) - disc.cast(dec))).cast("double")
+
+  /** Q7-shape: shipping volume between two nation pairs by year —
+    * supplier nation vs customer nation, both directions.
+    */
+  def q07NationVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = Tables.nation(s, dir).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sk")
+      .join(broadcast(n2), $"c_nationkey" === $"ck")
+      .where(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+             ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(rev($"l_extendedprice", $"l_discount").as("volume"))
+  }
+
+  val q07Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Q9-shape: profit on red parts by supplier nation and year. */
+  def q09ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).where($"p_name".contains("red"))
+        .select("p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"l_shipdate").as("o_year"))
+      .agg(rev($"l_extendedprice", $"l_discount").as("profit"))
+  }
+
+  val q09Sql: String =
+    """SELECT n_name AS nation, CAST(extract(year FROM l_shipdate) AS INT) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q14-shape: promo revenue share in one month — conditional
+    * aggregation ratio, decimal-exact on both engines.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .where($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+             $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        $"l_partkey" === $"p_partkey")
+      .agg(
+        (sum(when($"p_type" === "PROMO",
+          $"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .otherwise(lit(0).cast(dec))).cast("double") * 100.0 /
+          sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+            .cast("double")).as("promo_pct"))
+  }
+
+  val q14Sql: String =
+    """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+      |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |  AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin
+
+  /** Q17-shape: revenue of small-quantity line items — correlated
+    * per-part average (self-agg join), the "below 20% of this part's
+    * average quantity" filter.
+    */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val avgQty = li.groupBy($"l_partkey".as("pk"))
+      .agg((sum($"l_quantity".cast(dec)).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    li.join(avgQty, $"l_partkey" === $"pk")
+      .where($"l_quantity" < $"avg_qty" * 0.5)
+      .agg((sum($"l_extendedprice".cast(dec)).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey AS pk,
+      |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+      |      FROM lineitem GROUP BY 1) a ON l.l_partkey = a.pk
+      |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin
+
+  /** Q18-shape: large orders — orders whose total quantity exceeds a
+    * threshold (group-having derived table joined back, semi-join
+    * shape).
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val big = li.groupBy($"l_orderkey".as("ok"))
+      .agg(sum($"l_quantity".cast(dec)).cast("double").as("total_qty"))
+      .where($"total_qty" > 180.0)
+    Tables.orders(s, dir)
+      .join(big, $"o_orderkey" === $"ok")
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"o_orderkey", $"total_qty")
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, o_orderkey, total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey AS ok,
+      |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |      FROM lineitem GROUP BY 1
+      |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 180.0) b
+      |  ON o_orderkey = b.ok
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** Q19-shape: disjunction of brand/size/quantity conjunctions — the
+    * OR-of-ANDs predicate that tests disjunctive pushdown.
+    */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")),
+        $"l_partkey" === $"p_partkey")
+      .where(($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+              $"l_quantity".between(1, 20)) ||
+             ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) &&
+              $"l_quantity".between(10, 30)))
+      .agg(rev($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)""".stripMargin
+
+  /** Q22-shape: rich customers with no orders — scalar subquery
+    * (global average) + anti join.
+    */
+  def q22RichNoOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val avgBal = c.where($"c_acctbal" > 0.0)
+      .agg((sum($"c_acctbal".cast(dec)).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .where($"c_acctbal" > $"avg_bal")
+      .join(Tables.orders(s, dir)
+        .where($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"c_acctbal".cast(dec)).cast("double").as("total_bal"))
+  }
+
+  val q22Sql: String =
+    """SELECT c_nationkey, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_nation_volume" -> (q07NationVolume _),
+    "q09_product_profit" -> (q09ProductProfit _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q22_rich_no_orders" -> (q22RichNoOrders _))
+
+  def oracles: Map[String, String] = Map(
+    "q07_nation_volume" -> q07Sql,
+    "q09_product_profit" -> q09Sql,
+    "q14_promo_share" -> q14Sql,
+    "q17_small_quantity" -> q17Sql,
+    "q18_large_orders" -> q18Sql,
+    "q19_disjunctive" -> q19Sql,
+    "q22_rich_no_orders" -> q22Sql)
+}
