@@ -87,13 +87,46 @@ object FileSources {
       |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Hive-style partitioned layout: write events partitioned by day,
+    * read back with a day predicate — the query planner prunes to the
+    * matching directories before any file is opened (`PartitionFilters`
+    * in the scan). This is the layout that turns a 100 TB scan into a
+    * per-day scan; asserted in the spec, oracle-checked for counts.
+    */
+  def partitionedLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft_part")
+    Tables.events(s, dir)
+      .select($"event_id", $"event_type", $"value",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(out)
+    // the partition directory column comes back type-inferred as DATE;
+    // filter on it raw (pruning), cast to string only at the output
+    s.read.parquet(out)
+      .where($"dt" >= "2024-01-05" && $"dt" < "2024-01-08")
+      .groupBy($"dt".cast("string").as("dt"), $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  val partitionedLayoutSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+      |  event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') >= '2024-01-05'
+      |  AND strftime(date_trunc('day', ts), '%Y-%m-%d') < '2024-01-08'
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> (csvRoundTrip _),
     "src_json_roundtrip" -> (jsonRoundTrip _),
-    "src_json_extract" -> (jsonExtract _))
+    "src_json_extract" -> (jsonExtract _),
+    "src_partitioned_layout" -> (partitionedLayout _))
 
   def oracles: Map[String, String] = Map(
     "src_csv_roundtrip" -> csvRoundTripSql,
     "src_json_roundtrip" -> jsonRoundTripSql,
-    "src_json_extract" -> jsonExtractSql)
+    "src_json_extract" -> jsonExtractSql,
+    "src_partitioned_layout" -> partitionedLayoutSql)
 }

@@ -41,6 +41,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(ts,17"), p)
   }
 
+  test("partitioned layout: day predicate prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(out)
+    val q = spark.read.parquet(out).where(col("dt") === "2024-01-05")
+    val p = plan(q)
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("dt")), p)
+  }
+
   test("word count aggregation is partial before the shuffle") {
     val p = plan(graft.operators.TextOps.wordCount(spark, sf))
     // two HashAggregates (partial + final) around one Exchange
