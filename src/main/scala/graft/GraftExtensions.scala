@@ -16,11 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("fnv_hash64"),
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv_hash64"),
-      (exprs: Seq[Expression]) => FnvHash64(exprs.head)))
+      (exprs: Seq[Expression]) => FnvHash64.builder(exprs)))
     ext.injectFunction((
       FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
-      (exprs: Seq[Expression]) => Hamming64(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => Hamming64.builder(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushPartialTopK)
   }

@@ -65,8 +65,17 @@ object FnvHash64 {
   def fnv_hash64(c: Column): Column =
     ColumnBridge.column(FnvHash64(ColumnBridge.expression(c)))
 
+  /** Builder with arity validation (raw Seq indexing would surface as a
+    * bare NoSuchElementException from inside the analyzer).
+    */
+  def builder(exprs: Seq[Expression]): FnvHash64 = exprs match {
+    case Seq(e) => FnvHash64(e)
+    case _ => throw new IllegalArgumentException(
+      s"fnv_hash64 expects exactly 1 argument, got ${exprs.length}")
+  }
+
   /** Register as a SQL function on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv_hash64", exprs => FnvHash64(exprs.head), "scala_udf")
+      "fnv_hash64", builder, "scala_udf")
 }

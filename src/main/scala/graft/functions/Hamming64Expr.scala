@@ -42,7 +42,13 @@ object Hamming64 {
     ColumnBridge.column(
       Hamming64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def builder(exprs: Seq[Expression]): Hamming64 = exprs match {
+    case Seq(a, b) => Hamming64(a, b)
+    case _ => throw new IllegalArgumentException(
+      s"hamming64 expects exactly 2 arguments, got ${exprs.length}")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming64", exprs => Hamming64(exprs(0), exprs(1)), "scala_udf")
+      "hamming64", builder, "scala_udf")
 }

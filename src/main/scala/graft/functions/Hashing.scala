@@ -29,17 +29,23 @@ object Hashing extends Serializable {
     z ^ (z >>> 31)
   }
 
-  /** Number of MinHash components and the LSH banding shape (16 bands of
-    * 4 rows ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard).
+  /** Number of MinHash components and the LSH banding shape (default
+    * 16 bands of 4 rows ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5
+    * Jaccard) — read once per JVM from the layered GraftConfig
+    * (graft.dedup.minhash.k / graft.dedup.lsh.bands), so deployments
+    * tune the sketch without recompiling. Driver-contract queries pin
+    * the defaults; changing them changes signatures (not oracle-checked
+    * — these ops are rows-only verified).
     */
-  val MinhashK = 64
-  val Bands = 16
-  val RowsPerBand: Int = MinhashK / Bands
+  private lazy val config = graft.GraftConfig.load()
+  lazy val MinhashK: Int = config("graft.dedup.minhash.k").toInt
+  lazy val Bands: Int = config("graft.dedup.lsh.bands").toInt
+  lazy val RowsPerBand: Int = MinhashK / Bands
 
   /** Per-component affine permutation params (odd multipliers). */
-  val minhashA: Array[Long] =
+  lazy val minhashA: Array[Long] =
     Array.tabulate(MinhashK)(i => splitmix64(0x5eed0001L + i) | 1L)
-  val minhashB: Array[Long] =
+  lazy val minhashB: Array[Long] =
     Array.tabulate(MinhashK)(i => splitmix64(0x5eed1001L + i))
 
   /** MinHash signature of a set of element hashes. */

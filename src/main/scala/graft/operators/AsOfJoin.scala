@@ -42,15 +42,24 @@ object AsOfJoin {
       .select(Seq(col("key"), col("t"), col("is_left")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightPayload.map(col): _*)
-    // right rows sort before left rows at equal t ⇒ `>=` semantics
+    // right rows sort before left rows at equal t ⇒ `>=` semantics.
+    // The right payload is carried as ONE struct (with r_t inside): a
+    // per-column last(ignoreNulls) would splice fields from different
+    // right rows whenever a payload field is legitimately null — the
+    // struct is non-null per right row, so the match is always a single
+    // actual right row (or null when no right row precedes).
     val w = Window.partitionBy($"key")
       .orderBy($"t".asc, $"is_left".asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightPayload.foldLeft(lTagged.unionByName(rTagged)) {
-      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }.withColumn("r_t",
-      last(when($"is_left" === 0, $"t"), ignoreNulls = true).over(w))
-    carried.where($"is_left" === 1).drop("is_left")
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("_r",
+        last(when($"is_left" === 0,
+          struct(($"t".as("r_t")) +: rightPayload.map(col): _*)),
+          ignoreNulls = true).over(w))
+    carried.where($"is_left" === 1)
+      .select(Seq(col("key"), col("t")) ++ leftPayload.map(col) ++
+        rightPayload.map(c => col(s"_r.$c").as(c)) :+
+        col("_r.r_t").as("r_t"): _*)
   }
 
   /** Purchase→click attribution: each purchase matched to the same

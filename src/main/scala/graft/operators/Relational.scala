@@ -33,14 +33,7 @@ import graft.Tables
   */
 object Relational {
 
-  private val dec = "decimal(18,2)"
-
-  /** Exact sum of a 2-decimal double column, as double. */
-  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
-
-  /** Exact sum of price*(1-discount), as double. */
-  private def revenue(price: Column, disc: Column): Column =
-    sum(price.cast(dec) * (lit(1).cast(dec) - disc.cast(dec))).cast("double")
+  import Exact.{dec, dsum, revenue}
 
   /** Q1-style pricing summary: full-scan hash agg on two low-cardinality
     * keys. At scale: partial aggregation makes the shuffle 6 rows/partition.

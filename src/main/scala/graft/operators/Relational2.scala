@@ -12,7 +12,7 @@ import graft.Tables
   */
 object Relational2 {
 
-  private val dec = "decimal(18,2)"
+  import Exact.dec
 
   /** Q13-style customer order-count distribution: LEFT OUTER join keeps
     * zero-order customers, then a second aggregation over the counts.

@@ -11,10 +11,7 @@ import graft.Tables
   */
 object Relational3 {
 
-  private val dec = "decimal(18,2)"
-  private def rev(price: org.apache.spark.sql.Column,
-      disc: org.apache.spark.sql.Column) =
-    sum(price.cast(dec) * (lit(1).cast(dec) - disc.cast(dec))).cast("double")
+  import Exact.{dec, revenue => rev}
 
   /** Q7-shape: shipping volume between two nation pairs by year —
     * supplier nation vs customer nation, both directions.

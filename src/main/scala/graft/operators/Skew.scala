@@ -21,9 +21,15 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       nSalts: Int): DataFrame = {
-    val leftCols: Seq[Column] = left.columns.toSeq.map(col)
+    // round-robin salt: ANY salt value joins correctly (the right side
+    // is replicated for every salt), so the salt's only job is to
+    // spread rows — a content hash would send identical duplicate rows
+    // of a hot key to one reducer, exactly the case salting exists to
+    // fix. monotonically_increasing_id is distinct per row regardless
+    // of content; correctness under task retry is preserved because the
+    // join matches every salt value.
     val salted = left.withColumn("_salt",
-      pmod(xxhash64(struct(leftCols: _*)), lit(nSalts.toLong)))
+      pmod(monotonically_increasing_id(), lit(nSalts.toLong)))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
     salted.join(replicated,

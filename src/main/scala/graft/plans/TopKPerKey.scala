@@ -63,7 +63,9 @@ case class TopKPerKeyExec(keys: Seq[Attribute], ord: Attribute, k: Int,
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val childOutput = child.output
-    val ordIdx = child.output.indexWhere(_.exprId == ord.exprId)
+    val idx = child.output.indexWhere(_.exprId == ord.exprId)
+    require(idx >= 0,
+      s"order column ${ord.name}#${ord.exprId.id} not found in child output")
     val ordType = ord.dataType
     child.execute().mapPartitions { it =>
       // codegen'd projection is not serializable — build per partition
@@ -75,17 +77,27 @@ case class TopKPerKeyExec(keys: Seq[Attribute], ord: Attribute, k: Int,
       val heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[(Any, InternalRow)]]()
       it.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[(Any, InternalRow)]
-          heaps.put(key.copy(), heap)
-        }
-        val v = row.get(ordIdx, ordType)
-        if (heap.size < k) heap.enqueue((v, row.copy()))
-        else if (cmp.compare(v, heap.head._1) > 0) {
-          heap.dequeue()
-          heap.enqueue((v, row.copy()))
+        // copy FIRST, then extract: for non-primitive order types
+        // (UTF8String, Decimal) the extracted value aliases the row
+        // buffer — extracting from the copy keeps it stable after the
+        // iterator advances. Null order values are skipped (DESC null
+        // ordering ranks them after every non-null value, so they can
+        // only appear when a key has fewer than k non-null rows).
+        if (!row.isNullAt(idx)) {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = scala.collection.mutable.PriorityQueue.empty[(Any, InternalRow)]
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < k) {
+            val copied = row.copy()
+            heap.enqueue((copied.get(idx, ordType), copied))
+          } else if (cmp.compare(row.get(idx, ordType), heap.head._1) > 0) {
+            heap.dequeue()
+            val copied = row.copy()
+            heap.enqueue((copied.get(idx, ordType), copied))
+          }
         }
       }
       import scala.jdk.CollectionConverters._

@@ -19,8 +19,7 @@ import graft.Tables
   */
 object FileSources {
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tmp(prefix: String): String = graft.TempDirs.scoped(prefix)
 
   private val eventsLite = StructType(Seq(
     StructField("event_id", LongType),

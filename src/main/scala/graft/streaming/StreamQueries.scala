@@ -20,8 +20,7 @@ object StreamQueries {
   private def uniq(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
-  private def ckpt(): String =
-    java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+  private def ckpt(): String = graft.TempDirs.scoped("graft_ckpt")
 
   /** Spark's file stream source lists a DIRECTORY; the testdata tables
     * are single parquet files, so stage the file into a temp dir (this
@@ -29,7 +28,7 @@ object StreamQueries {
     */
   private def stageAsDir(file: String): String = {
     import java.nio.file._
-    val d = Files.createTempDirectory("graft_stream_src")
+    val d = Paths.get(graft.TempDirs.scoped("graft_stream_src"))
     val src = Paths.get(file)
     Files.copy(src, d.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
     d.toString

@@ -19,13 +19,14 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("salt actually splits the hot key across multiple salt values") {
+  test("salt splits a hot key of IDENTICAL rows across all salt values") {
     import spark.implicits._
-    val left = (1 to 1000).map(i => (42L, s"l$i")).toDF("k", "lv")
+    // identical duplicate rows — the case a content-derived salt cannot split
+    val left = (1 to 1000).map(_ => (42L, "same")).toDF("k", "lv")
     val salts = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.toSeq.map(col): _*)), lit(8L)))
+      pmod(monotonically_increasing_id(), lit(8L)))
       .select("_salt").distinct().count()
-    assert(salts > 4, s"hot key only spread over $salts salts")
+    assert(salts == 8, s"hot key only spread over $salts salts")
   }
 
   test("bucketed tables co-locate: join has no shuffle exchange") {

@@ -37,6 +37,28 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("sortexec") && !plan.contains("Sort "), plan)
   }
 
+  test("string order column: heap values don't alias the reused row buffer") {
+    import spark.implicits._
+    // regression: non-primitive order values must be copied with the row
+    val df = (1 to 2000).map(i => (i % 7L, f"s$i%05d")).toDF("k", "v")
+    val custom = TopKPerKey.topKPerKey(df, Seq("k"), "v", 2).select("k", "v")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"k").orderBy($"v".desc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 2).select("k", "v")
+    assert(custom.exceptAll(expected).isEmpty && expected.exceptAll(custom).isEmpty)
+  }
+
+  test("null order values are skipped, never crash") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (1L, None), (1L, Some(3.0)), (2L, None))
+      .toDF("k", "v")
+    val out = TopKPerKey.topKPerKey(df, Seq("k"), "v", 2)
+      .select("k", "v").collect()
+    assert(out.length == 2) // key 2 has only a null row -> excluded
+    assert(out.forall(!_.isNullAt(1)))
+  }
+
   test("k larger than group size returns the whole group") {
     import spark.implicits._
     val df = Seq((1L, 1.0), (1L, 2.0), (2L, 9.0)).toDF("k", "v")
