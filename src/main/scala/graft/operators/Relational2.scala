@@ -204,7 +204,65 @@ object Relational2 {
       |    min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
       |  FROM lineitem GROUP BY l_returnflag)""".stripMargin
 
+  /** Exact percentiles per status — Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the p·(n−1) linear-interpolation definition
+    * and agree bit-for-bit (verified before registering).
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+  }
+
+  val qPercentilesSql: String =
+    """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med_price,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_price, count(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Pearson correlation of quantity vs extended price per return flag,
+    * computed from decimal-exact power sums (both engines' native corr()
+    * use different single-pass algorithms → ulp divergence; the explicit
+    * formula over exact sums is bit-identical).
+    */
+  def qCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity".cast(dec)).cast("double").as("sx"),
+        sum($"l_extendedprice".cast(dec)).cast("double").as("sy"),
+        sum(($"l_quantity".cast(dec) * $"l_quantity".cast(dec))).cast("double").as("sxx"),
+        sum(($"l_extendedprice".cast(dec) * $"l_extendedprice".cast(dec))).cast("double").as("syy"),
+        sum(($"l_quantity".cast(dec) * $"l_extendedprice".cast(dec))).cast("double").as("sxy"))
+      .select($"l_returnflag", $"n",
+        // rounded to 6 dp: decimals whose unscaled digits exceed 2^53
+        // (syy here) double-round in DuckDB's decimal→double cast, a
+        // 1-ulp divergence that the cancellation in n·sxy−sx·sy
+        // amplifies; corr ∈ [-1,1] so 6 dp is far above ulp noise
+        round((($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+           sqrt($"n" * $"syy" - $"sy" * $"sy"))), 6).as("corr_qty_price"))
+  }
+
+  val qCorrelationSql: String =
+    """SELECT l_returnflag, n,
+      |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      |    AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> (qPercentiles _),
+    "q_correlation" -> (qCorrelation _),
     "q13_custdist" -> (q13CustDist _),
     "q_cube_flags" -> (qCubeFlags _),
     "q_pivot_events" -> (qPivotEvents _),
@@ -216,6 +274,8 @@ object Relational2 {
     "q_stats_agg" -> (qStatsAgg _))
 
   def oracles: Map[String, String] = Map(
+    "q_percentiles" -> qPercentilesSql,
+    "q_correlation" -> qCorrelationSql,
     "q13_custdist" -> q13Sql,
     "q_cube_flags" -> qCubeSql,
     "q_pivot_events" -> qPivotSql,
