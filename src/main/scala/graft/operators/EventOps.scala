@@ -168,7 +168,27 @@ object EventOps {
       |        event_type, count(*) AS cnt
       |      FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** Array-function surface: the distinct event types per user as a
+    * deterministic sorted-joined string (array columns don't hash
+    * portably in the oracle compare; a canonical string does).
+    */
+  def userEventTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        array_join(sort_array(collect_set($"event_type")), ",").as("types"),
+        size(collect_set($"event_type")).as("n_types"))
+  }
+
+  val userEventTypesSql: String =
+    """SELECT user_id,
+      |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+      |  count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_user_event_types" -> (userEventTypes _),
     "ev_rolling_7d" -> (rolling7d _),
     "ev_interval_count" -> (intervalCount _),
     "ev_hourly_counts" -> (hourlyCounts _),
@@ -176,6 +196,7 @@ object EventOps {
     "ev_session_stats" -> (sessionStats _))
 
   def oracles: Map[String, String] = Map(
+    "ev_user_event_types" -> userEventTypesSql,
     "ev_rolling_7d" -> rolling7dSql,
     "ev_interval_count" -> intervalCountSql,
     "ev_hourly_counts" -> hourlyCountsSql,

@@ -79,12 +79,66 @@ object StreamQueries {
     runToFinal(ev, "complete")
   }
 
+  /** Streaming sessionization through `flatMapGroupsWithState`: per-user
+    * (lastSeen, sessionCount) state, a new session when the gap exceeds
+    * 30 minutes. Events inside a trigger are sorted per group before
+    * folding (micro-batch iterators carry no time order); state carries
+    * across triggers. Final state is oracle-checked against the batch
+    * lag-gap sessionization (`EventOps.sessionStatsSql`) — the arbitrary
+    * -stateful-operator version of the lambda convergence claim.
+    */
+  def streamSessionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val ev = s.readStream.schema(schema).parquet(stageAsDir(path))
+      .select($"user_id", $"ts".as("ts_ns")) // raw nanos long (schema col name is ts)
+      .as[(Long, Long)]
+    val gapNs = 1800L * 1000000000L
+    // state: (lastSeenNs, sessions, events)
+    val out = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          var (lastSeen, sessions, events) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          sorted.foreach { t =>
+            if (lastSeen == Long.MinValue || t - lastSeen > gapNs) sessions += 1
+            lastSeen = t
+            events += 1
+          }
+          state.update((lastSeen, sessions, events))
+          Iterator((user, sessions, events))
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+    val name = uniq("sq")
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // final state per user = last update emitted (update mode may emit
+    // a row per trigger; keep the one with the max event count)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    s.table(name)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "n_sessions", "n_events")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_wordcount" -> (streamWordCount _),
-    "stream_interval_count" -> (streamIntervalCount _))
+    "stream_interval_count" -> (streamIntervalCount _),
+    "stream_session_stats" -> (streamSessionStats _))
 
   def oracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
     "stream_wordcount" -> graft.operators.TextOps.wordCountSql,
-    "stream_interval_count" -> graft.operators.EventOps.intervalCountSql)
+    "stream_interval_count" -> graft.operators.EventOps.intervalCountSql,
+    "stream_session_stats" -> graft.operators.EventOps.sessionStatsSql)
 }
