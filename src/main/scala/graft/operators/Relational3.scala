@@ -204,7 +204,42 @@ object Relational3 {
       |                    AND o_orderpriority = '1-URGENT')
       |GROUP BY c_nationkey""".stripMargin
 
+  /** CDC-style upsert merge (SCD-1): an updates batch overrides the base
+    * table by key, verified by post-merge aggregates. anti-join keeps
+    * base rows without updates; union-all splices the updates in — the
+    * MERGE INTO shape on plain parquet. The updated price arithmetic is
+    * decimal-exact so both engines agree.
+    */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val updates = base.where($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        ($"o_totalprice".cast(dec) * lit(1.1).cast("decimal(2,1)"))
+          .cast("double").as("o_totalprice"))
+    val merged = base.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+    merged.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(28,3)")).cast("double").as("sum_price"))
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH updates AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |merged AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      |  UNION ALL SELECT * FROM updates)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,3))) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q07_nation_volume" -> (q07NationVolume _),
     "q09_product_profit" -> (q09ProductProfit _),
     "q14_promo_share" -> (q14PromoShare _),
@@ -214,6 +249,7 @@ object Relational3 {
     "q22_rich_no_orders" -> (q22RichNoOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q_merge_upsert" -> qMergeUpsertSql,
     "q07_nation_volume" -> q07Sql,
     "q09_product_profit" -> q09Sql,
     "q14_promo_share" -> q14Sql,
