@@ -217,7 +217,77 @@ object TextOps {
     """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
       |FROM documents GROUP BY lang, source""".stripMargin
 
+  /** TF-IDF top terms per document: term frequency × ln(N/df), the
+    * classic retrieval weighting. One shuffle for document frequencies
+    * (broadcast back — vocabulary-sized), one for the per-doc window.
+    * Scores are rounded to 6 dp (libm `ln` may differ in the last ulp
+    * across engines); ranking is robust because exact score ties imply
+    * equal (tf, df) pairs — broken deterministically by term.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tf = tokens(docs).groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(col("tfidf").desc, $"word")
+    tf.join(broadcast(df), "word")
+      .withColumn("tfidf", round($"tf" * log(lit(n.toDouble) / $"df"), 6))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .select($"doc_id", $"word", $"tfidf", $"rn")
+  }
+
+  val tfidfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      |    FROM documents) WHERE word <> '' GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word,
+      |    round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df), 6) AS tfidf
+      |  FROM tf JOIN df ON tf.word = df.word)
+      |SELECT doc_id, word, tfidf, rn FROM (
+      |  SELECT doc_id, word, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+      |  FROM scored)
+      |WHERE rn <= 3""".stripMargin
+
+  /** Corpus bigram counts: adjacent token pairs, top 20 with
+    * deterministic tie-break — the n-gram statistics step of corpus
+    * analysis. Bigrams are built row-locally (zip of the token array
+    * with its tail) before the counting shuffle.
+    */
+  def bigramCounts(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr(s"$tokensExpr AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr(
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(toks[i-1], ' ', toks[i]))) AS bigram""".stripMargin)
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val bigramCountsSql: String =
+    s"""SELECT bigram, count(*) AS cnt FROM (
+       |  SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS bigram
+       |  FROM (SELECT $duckTokensExpr AS t FROM documents)
+       |  WHERE len(t) >= 2)
+       |GROUP BY bigram
+       |ORDER BY cnt DESC, bigram
+       |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_tfidf_top_terms" -> (tfidfTopTerms _),
+    "doc_bigram_counts" -> (bigramCounts _),
     "wordcount" -> (wordCount _),
     "global_count" -> (globalCount _),
     "agg_of_agg" -> (aggOfAgg _),
@@ -228,6 +298,8 @@ object TextOps {
     "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
+    "doc_tfidf_top_terms" -> tfidfSql,
+    "doc_bigram_counts" -> bigramCountsSql,
     "wordcount" -> wordCountSql,
     "global_count" -> globalCountSql,
     "agg_of_agg" -> aggOfAggSql,
