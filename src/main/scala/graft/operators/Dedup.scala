@@ -225,13 +225,83 @@ object Dedup {
       .where($"hamming" <= 16)
   }
 
+  // ------------------------------------------------- cluster resolution
+
+  /** Connected components over the near-duplicate pair graph — the
+    * canonicalization step after fuzzy dedup: every document gets the
+    * smallest doc_id reachable through near-dup edges as its cluster id
+    * (singletons cluster to themselves).
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * edge list and takes the elementwise min; converges in
+    * graph-diameter rounds (near-dup clusters are shallow). Each round
+    * is one shuffle; `localCheckpoint` truncates the growing lineage —
+    * the standard shape for iterative algorithms on DataFrames. The
+    * oracle is a DuckDB recursive CTE computing min-reachable-id.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").cache()
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id", $"doc_id".as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < 20) {
+      val prop = edges.join(labels, $"src" === $"doc_id")
+        .groupBy($"dst").agg(min($"label").as("nl"))
+      val next = labels.join(prop, $"doc_id" === $"dst", "left_outer")
+        .select($"doc_id",
+          least($"label", coalesce($"nl", $"label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .where($"label" =!= $"old").isEmpty
+      labels = next
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  WITH toks AS (
+      |    SELECT doc_id,
+      |      list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+      |    FROM documents),
+      |  sh AS (
+      |    SELECT DISTINCT doc_id, shingle FROM (
+      |      SELECT doc_id,
+      |        unnest(list_transform(range(1, len(t) - 1),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |      FROM toks WHERE len(t) >= 3)),
+      |  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |  shared AS (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b FROM shared
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.2),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+      |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" -> exactDedupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql)
 }

@@ -68,6 +68,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cluster resolution: chained near-dups collapse to one cluster") {
+    import spark.implicits._
+    // doc1≈doc2≈doc3 (chain), doc4 unrelated — clusters {1,2,3} and {4}
+    val words = (0 until 60).map(i => s"w$i")
+    val d1 = words.mkString(" ")
+    val d2 = (words.drop(5) ++ (0 until 5).map(i => s"x$i")).mkString(" ")
+    val d3 = (words.drop(10) ++ (0 until 10).map(i => s"x$i")).mkString(" ")
+    val d4 = (0 until 60).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("cc").toString
+    Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val clusters = Dedup.dedupClusters(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(4L) == 4L)
+  }
+
   test("ngram jaccard is bounded (0, 1] and pairs are ordered a < b") {
     import org.apache.spark.sql.functions._
     val df = Dedup.ngramJaccard(spark, sf)
