@@ -242,10 +242,16 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
+    // only documents touching an edge need propagation — everything
+    // else is a singleton by construction. The iterative loop then runs
+    // on the (tiny) near-dup subgraph, single-partition: per-iteration
+    // job overhead at 32 shuffle partitions would dwarf the microscopic
+    // data. (At scale, partition count follows subgraph size, which is
+    // orders of magnitude below corpus size.)
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
-      .toDF("src", "dst").cache()
-    var labels = Tables.documents(s, dir)
-      .select($"doc_id", $"doc_id".as("label"))
+      .toDF("src", "dst").coalesce(1).localCheckpoint()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label")).coalesce(1)
     var converged = false
     var i = 0
     while (!converged && i < 20) {
@@ -260,7 +266,10 @@ object Dedup {
       labels = next
       i += 1
     }
-    labels.withColumnRenamed("label", "cluster_id")
+    val singletons = Tables.documents(s, dir).select($"doc_id")
+      .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("label"))
+    labels.unionByName(singletons).withColumnRenamed("label", "cluster_id")
   }
 
   val dedupClustersSql: String =
