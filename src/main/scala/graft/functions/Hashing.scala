@@ -40,7 +40,13 @@ object Hashing extends Serializable {
   private lazy val config = graft.GraftConfig.load()
   lazy val MinhashK: Int = config("graft.dedup.minhash.k").toInt
   lazy val Bands: Int = config("graft.dedup.lsh.bands").toInt
-  lazy val RowsPerBand: Int = MinhashK / Bands
+  lazy val RowsPerBand: Int = {
+    require(Bands > 0 && MinhashK > 0 && MinhashK % Bands == 0,
+      s"invalid LSH shape: minhash.k=$MinhashK must be a positive " +
+        s"multiple of lsh.bands=$Bands — non-divisible values silently " +
+        "drop signature components; bands > k degenerates to constant keys")
+    MinhashK / Bands
+  }
 
   /** Per-component affine permutation params (odd multipliers). */
   lazy val minhashA: Array[Long] =

@@ -90,8 +90,12 @@ object Dedup {
       .where($"jaccard" >= 0.2)
   }
 
-  val ngramJaccardSql: String =
-    """WITH toks AS (
+  /** Shared CTE body producing the thresholded near-dup pairs — single
+    * source of truth for tokenization, shingle width, and the 0.2
+    * threshold across the pair oracle AND the cluster oracle.
+    */
+  private val pairCteSql: String =
+    """toks AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
       |  FROM documents),
@@ -102,16 +106,20 @@ object Dedup {
       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |    FROM toks WHERE len(t) >= 3)),
       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |pairs AS (
+      |shared_counts AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
-      |FROM pairs
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.2""".stripMargin
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+      |  FROM shared_counts
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.2)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"WITH $pairCteSql\nSELECT doc_a, doc_b, jaccard FROM pairs"
 
   // --------------------------------------------------------- minhash+lsh
 
@@ -119,7 +127,10 @@ object Dedup {
     * (lower → split \s+ → drop empties).
     */
   private def tokensOf(text: String): Array[String] =
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // Locale.ROOT: default-locale toLowerCase diverges from SQL lower()
+    // under Turkic locales (I → dotless ı) — tokenization must match
+    // the oracle byte-for-byte on any executor locale
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
   /** Distinct word-trigram shingle hashes of one document, in one pass. */
   def shingleHashesOf(text: String): Array[Long] = {
@@ -189,14 +200,20 @@ object Dedup {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, tx) =>
-        val freq = new java.util.HashMap[Long, Int]()
-        tokensOf(tx).foreach { t =>
-          freq.merge(Hashing.fnv1a64(t), 1, (a, b) => a + b)
+      .flatMap { case (id, tx) =>
+        val toks = tokensOf(tx)
+        // zero-token docs have no signature (simhash(∅) = 0 would make
+        // every empty doc a hamming-0 "duplicate" of every other)
+        if (toks.isEmpty) None
+        else {
+          val freq = new java.util.HashMap[Long, Int]()
+          toks.foreach { t =>
+            freq.merge(Hashing.fnv1a64(t), 1, (a, b) => a + b)
+          }
+          import scala.jdk.CollectionConverters._
+          Some((id, Hashing.simhash(freq.entrySet().iterator().asScala
+            .map(e => (e.getKey.longValue(), e.getValue.intValue())))))
         }
-        import scala.jdk.CollectionConverters._
-        (id, Hashing.simhash(freq.entrySet().iterator().asScala
-          .map(e => (e.getKey.longValue(), e.getValue.intValue()))))
       }
       .toDF("doc_id", "simhash")
   }
@@ -252,9 +269,13 @@ object Dedup {
       .toDF("src", "dst").coalesce(1).localCheckpoint()
     var labels = edges.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("label")).coalesce(1)
+    // diameter can't exceed the subgraph node count — iterate to there
+    // and FAIL LOUDLY if somehow unconverged (silently returning partial
+    // labels would split duplicate clusters with no error)
+    val maxIters = math.max(labels.count(), 2L)
     var converged = false
-    var i = 0
-    while (!converged && i < 20) {
+    var i = 0L
+    while (!converged && i < maxIters) {
       val prop = edges.join(labels, $"src" === $"doc_id")
         .groupBy($"dst").agg(min($"label").as("nl"))
       val next = labels.join(prop, $"doc_id" === $"dst", "left_outer")
@@ -266,6 +287,9 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation failed to converge in $maxIters iterations")
     val singletons = Tables.documents(s, dir).select($"doc_id")
       .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"doc_id".as("label"))
@@ -273,34 +297,15 @@ object Dedup {
   }
 
   val dedupClustersSql: String =
-    """WITH RECURSIVE pairs AS (
-      |  WITH toks AS (
-      |    SELECT doc_id,
-      |      list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
-      |    FROM documents),
-      |  sh AS (
-      |    SELECT DISTINCT doc_id, shingle FROM (
-      |      SELECT doc_id,
-      |        unnest(list_transform(range(1, len(t) - 1),
-      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-      |      FROM toks WHERE len(t) >= 3)),
-      |  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |  shared AS (
-      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |    GROUP BY 1, 2)
-      |  SELECT doc_a, doc_b FROM shared
-      |  JOIN sizes sa ON sa.doc_id = doc_a
-      |  JOIN sizes sb ON sb.doc_id = doc_b
-      |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.2),
-      |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-      |reach(a, b) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
-      |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
+    s"""WITH RECURSIVE $pairCteSql,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),

@@ -18,8 +18,7 @@ class PlanSpec extends AnyFunSuite {
   test("q06: every predicate reaches the parquet scan (PushedFilters)") {
     val p = plan(Relational.q06ForecastRevenue(spark, sf))
     assert(p.contains("PushedFilters"))
-    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
-      p.contains("GreaterThanOrEqual(l_shipdate,".take(20)))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
     assert(p.contains("LessThan(l_quantity,24"))
   }
 
