@@ -242,6 +242,81 @@ object Dedup {
       .where($"hamming" <= 16)
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-5-gram with a held-out benchmark set (doc_id < 10 stands in
+    * for the benchmark corpus). Same inverted-index shape as the
+    * Jaccard join — candidates only where a shingle collides, with the
+    * benchmark side broadcast (it is always tiny relative to training
+    * data). Output: contaminated doc + overlap count.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
+      .where("size(toks) >= 5")
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(
+          |  sequence(1, size(toks) - 4),
+          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3]))))
+          | AS gram""".stripMargin)
+    val bench = grams.where($"doc_id" < 10)
+      .select($"gram").distinct()
+    grams.where($"doc_id" >= 10)
+      .join(broadcast(bench), "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  val decontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(t) - 3),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+      |    FROM toks WHERE len(t) >= 5)),
+      |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10)
+      |SELECT g.doc_id, count(*) AS n_shared_grams
+      |FROM grams g JOIN bench b ON g.gram = b.gram
+      |WHERE g.doc_id >= 10
+      |GROUP BY g.doc_id""".stripMargin
+
+  /** Intra-document repetition ratio: 1 − (distinct trigrams / total
+    * trigrams) — high values flag boilerplate/looping text, a standard
+    * pre-training quality gate. Pure narrow map.
+    */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
+      .where("size(toks) >= 3")
+      .selectExpr("doc_id",
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) AS tg""".stripMargin)
+      .selectExpr("doc_id",
+        "size(tg) AS n_trigrams",
+        "1.0 - CAST(size(array_distinct(tg)) AS DOUBLE) / size(tg) AS rep_ratio")
+  }
+
+  val repetitionRatioSql: String =
+    """SELECT doc_id, len(tg) AS n_trigrams,
+      |  1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) AS rep_ratio
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+      |    FROM documents)
+      |  WHERE len(t) >= 3)""".stripMargin
+
   // ------------------------------------------------- cluster resolution
 
   /** Connected components over the near-duplicate pair graph — the
@@ -308,6 +383,8 @@ object Dedup {
        |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_decontaminate" -> (decontaminate _),
+    "doc_repetition_ratio" -> (repetitionRatio _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -315,6 +392,8 @@ object Dedup {
     "dedup_simhash" -> (simhashPairs _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_decontaminate" -> decontaminateSql,
+    "doc_repetition_ratio" -> repetitionRatioSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" -> exactDedupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql)
