@@ -285,6 +285,51 @@ object Similarity {
       .where($"rn" <= 5)
   }
 
+  /** Generated oracle for the LSH ANN query: the 8 hyperplanes are
+    * embedded as double-literal list values (Java's Double.toString is
+    * shortest-round-trip, so DuckDB parses back the identical bits) and
+    * the signature/probe/score pipeline is restated in SQL — bucketing
+    * included, not just the final cosines.
+    */
+  val annTopKSql: String = {
+    val planes = hyperplanes(8, 64)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i}, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH planes(p, pv) AS (VALUES
+       |    $planeRows),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, sum(CASE WHEN
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, len(embedding) + 1),
+       |          i -> CAST(embedding[i] AS DOUBLE) * pv[i])),
+       |        (s, x) -> s + x) > 0
+       |      THEN (1 << p) ELSE 0 END) AS sig
+       |  FROM v CROSS JOIN planes GROUP BY vec_id),
+       |probes AS (
+       |  SELECT s.vec_id AS q_id, s.sig AS psig FROM sigs s WHERE s.vec_id < 10
+       |  UNION ALL
+       |  SELECT s.vec_id, xor(s.sig, (1 << b.b))
+       |  FROM sigs s CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b
+       |  WHERE s.vec_id < 10),
+       |scored AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id AS n_id,
+       |    ${duckDotExpr("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) AS cosine
+       |  FROM probes p
+       |  JOIN sigs c ON c.sig = p.psig AND c.vec_id <> p.q_id
+       |  JOIN v qv ON qv.vec_id = p.q_id
+       |  JOIN v cv ON cv.vec_id = c.vec_id)
+       |SELECT q_id, n_id, cosine, rn FROM (
+       |  SELECT q_id, n_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_neardup" -> (embeddingNearDup _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
@@ -293,5 +338,6 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "sim_embedding_neardup" -> embeddingNearDupSql,
-    "sim_bruteforce_topk" -> bruteForceTopKSql)
+    "sim_bruteforce_topk" -> bruteForceTopKSql,
+    "sim_ann_topk" -> annTopKSql)
 }
