@@ -187,7 +187,68 @@ object EventOps {
       |  count(DISTINCT event_type) AS n_types
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Funnel analysis: users progressing view → click → purchase in
+    * temporal order (first occurrence of each stage must be ordered).
+    * One shuffle on user_id with conditional min aggregates — no
+    * self-joins, no row explosion.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts_ns")).as("t_view"),
+        min(when($"event_type" === "click", $"ts_ns")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts_ns")).as("t_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(when($"t_view".isNotNull, 1)).as("viewed"),
+        count(when($"t_view" < $"t_click", 1)).as("clicked_after_view"),
+        count(when($"t_view" < $"t_click" && $"t_click" < $"t_purchase", 1))
+          .as("purchased_after_funnel"))
+  }
+
+  val funnelSql: String =
+    """SELECT count(*) AS n_users,
+      |  count(*) FILTER (t_view IS NOT NULL) AS viewed,
+      |  count(*) FILTER (t_view < t_click) AS clicked_after_view,
+      |  count(*) FILTER (t_view < t_click AND t_click < t_purchase) AS purchased_after_funnel
+      |FROM (
+      |  SELECT user_id,
+      |    min(epoch_ns(ts)) FILTER (event_type = 'view') AS t_view,
+      |    min(epoch_ns(ts)) FILTER (event_type = 'click') AS t_click,
+      |    min(epoch_ns(ts)) FILTER (event_type = 'purchase') AS t_purchase
+      |  FROM events GROUP BY user_id)""".stripMargin
+
+  /** Cohort retention: for each user's first-seen day, how many users
+    * were active again N days later. Two aggregations; the day math is
+    * integral (epoch days) so both engines agree exactly.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select($"user_id",
+        expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+    val first = days.groupBy($"user_id").agg(min($"day").as("day0"))
+    days.join(first, "user_id")
+      .groupBy(($"day" - $"day0").as("day_offset"))
+      .agg(countDistinct($"user_id").as("active_users"))
+  }
+
+  val retentionSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |first AS (SELECT user_id, min(day) AS day0 FROM days GROUP BY user_id)
+      |SELECT d.day - f.day0 AS day_offset,
+      |  count(DISTINCT d.user_id) AS active_users
+      |FROM days d JOIN first f ON d.user_id = f.user_id
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel" -> (funnel _),
+    "ev_retention" -> (retention _),
     "ev_user_event_types" -> (userEventTypes _),
     "ev_rolling_7d" -> (rolling7d _),
     "ev_interval_count" -> (intervalCount _),
@@ -196,6 +257,8 @@ object EventOps {
     "ev_session_stats" -> (sessionStats _))
 
   def oracles: Map[String, String] = Map(
+    "ev_funnel" -> funnelSql,
+    "ev_retention" -> retentionSql,
     "ev_user_event_types" -> userEventTypesSql,
     "ev_rolling_7d" -> rolling7dSql,
     "ev_interval_count" -> intervalCountSql,
