@@ -70,6 +70,28 @@ object Multimodal {
     }
   }
 
+  /** ======== STUB ========
+    * Resize: recompute metadata for a target bounding box preserving
+    * aspect ratio; the pixel work is the stubbed part (a real decoder
+    * resamples payload bytes here), the metadata/contract is real.
+    */
+  def resizeStub(d: Decoded, maxW: Int, maxH: Int): Decoded = {
+    val scale = math.min(maxW.toDouble / d.width, maxH.toDouble / d.height)
+    if (scale >= 1.0) d
+    else d.copy(
+      width = math.max(1, (d.width * scale).toInt),
+      height = math.max(1, (d.height * scale).toInt))
+  }
+
+  /** Batched resize over decoded assets — same mapPartitions batch shape
+    * as extraction; composes after [[extractFeatures]].
+    */
+  def resizeAll(in: Dataset[Decoded], maxW: Int = 64, maxH: Int = 64,
+      batchSize: Int = 64): Dataset[Decoded] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions(_.grouped(batchSize).flatMap(_.map(resizeStub(_, maxW, maxH))))
+  }
+
   /** Frame sampling for video assets: one row per sampled frame index.
     * The payload is projected away BEFORE the explode so the row
     * multiplication never copies megabyte blobs.
@@ -102,9 +124,42 @@ object Multimodal {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
+  /** Driver-contract query through decode → resize: per-media-type sums
+    * of the resized dimensions. The dimension formulas are integer/
+    * double arithmetic on byte counts, so the oracle restates them in
+    * SQL — a mismatch would mean the batched resize plumbing altered
+    * rows or dropped the aspect-ratio contract.
+    */
+  def resizedDims(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    resizeAll(extractFeatures(assets(s, dir))).toDF()
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_assets"),
+        sum($"width").as("sum_w"), sum($"height").as("sum_h"))
+  }
+
+  val resizedDimsSql: String =
+    """WITH decoded AS (
+      |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    16 + (strlen(text) % 240) AS w, 16 + (strlen(text) % 135) AS h
+      |  FROM documents),
+      |resized AS (
+      |  SELECT media_type,
+      |    CASE WHEN least(64.0 / w, 64.0 / h) >= 1.0 THEN w
+      |         ELSE greatest(1, CAST(trunc(w * least(64.0 / w, 64.0 / h)) AS INT)) END AS w,
+      |    CASE WHEN least(64.0 / w, 64.0 / h) >= 1.0 THEN h
+      |         ELSE greatest(1, CAST(trunc(h * least(64.0 / w, 64.0 / h)) AS INT)) END AS h
+      |  FROM decoded)
+      |SELECT media_type, count(*) AS n_assets,
+      |  sum(w) AS sum_w, sum(h) AS sum_h
+      |FROM resized GROUP BY media_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_asset_stats" -> (assetStats _))
+    "mm_asset_stats" -> (assetStats _),
+    "mm_resized_dims" -> (resizedDims _))
 
   def oracles: Map[String, String] = Map(
-    "mm_asset_stats" -> assetStatsSql)
+    "mm_asset_stats" -> assetStatsSql,
+    "mm_resized_dims" -> resizedDimsSql)
 }

@@ -39,6 +39,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.collect().forall(_.features.length == 8))
   }
 
+  test("resize: aspect ratio preserved, never upscales, bounded by target box") {
+    val d = Multimodal.Decoded(1L, "image", 100L, 200, 100, Array.fill(8)(0f))
+    val r = Multimodal.resizeStub(d, 64, 64)
+    assert(r.width == 64 && r.height == 32) // 200x100 -> 64x32 (ratio kept)
+    val small = Multimodal.Decoded(2L, "image", 10L, 30, 20, Array.fill(8)(0f))
+    assert(Multimodal.resizeStub(small, 64, 64) == small) // no upscale
+    // batched path preserves count
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(d, small))
+    assert(Multimodal.resizeAll(ds).count() == 2)
+  }
+
   test("frame sampling never carries the payload through the explode") {
     val df = Multimodal.sampleFrames(spark, sf)
     assert(!df.columns.contains("payload"))
