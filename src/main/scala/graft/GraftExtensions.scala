@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FnvHash64, Hamming64}
+import graft.functions.{DotF64, FnvHash64, Hamming64}
 
 /** SparkSessionExtensions installer: makes the engine's native
   * expressions available to ANY session started with
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
       (exprs: Seq[Expression]) => Hamming64.builder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      (exprs: Seq[Expression]) => DotF64.builder(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushPartialTopK)
   }

@@ -18,18 +18,14 @@ object Similarity {
 
   /** Sequential dot product in double, identical fold order to the
     * DuckDB oracle's `list_reduce` (left fold over list index) — so the
-    * result is bit-identical. A tight primitive loop instead of the
-    * `aggregate(zip_with(...))` higher-order form: the HOF path boxes
-    * every element through a lambda and was ~50× slower on the all-pairs
-    * join. (Next step at 100 TB: a codegen'd Catalyst Expression.)
+    * result is bit-identical. Runs as the native codegen'd DotF64
+    * expression (reads unsafe array data in place, no UDF SerDe); the
+    * original higher-order `aggregate(zip_with(...))` form was ~50×
+    * slower, the intermediate Scala UDF still paid per-row array copies.
     */
-  private val dotUdf = udf { (a: Array[Float], b: Array[Float]) =>
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  private def dotUdf(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.DotF64.dot_f64(a, b)
 
   /** Embeddings with a precomputed L2 norm (computed once, reused in
     * every pair — at scale this is a stored column, not a recompute).
