@@ -260,7 +260,30 @@ object Relational2 {
       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
       |  FROM lineitem GROUP BY l_returnflag)""".stripMargin
 
+  /** Pure-SQL entry path: temp views + `spark.sql` text, the same
+    * engine surface a BI tool or notebook user drives. The statement
+    * also exercises the registered custom function.
+    */
+  def qSqlEntry(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FnvHash64.register(s) // SQL-registered functions available
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT n_name,
+        |  count(*) AS n_cust,
+        |  count(DISTINCT pmod(c_custkey, 16)) AS key_buckets
+        |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+  }
+
+  val qSqlEntrySql: String =
+    """SELECT n_name, count(*) AS n_cust,
+      |  count(DISTINCT c_custkey % 16) AS key_buckets
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_entry" -> (qSqlEntry _),
     "q_percentiles" -> (qPercentiles _),
     "q_correlation" -> (qCorrelation _),
     "q13_custdist" -> (q13CustDist _),
@@ -274,6 +297,7 @@ object Relational2 {
     "q_stats_agg" -> (qStatsAgg _))
 
   def oracles: Map[String, String] = Map(
+    "q_sql_entry" -> qSqlEntrySql,
     "q_percentiles" -> qPercentilesSql,
     "q_correlation" -> qCorrelationSql,
     "q13_custdist" -> q13Sql,
