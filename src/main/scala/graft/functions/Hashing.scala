@@ -101,4 +101,75 @@ object Hashing extends Serializable {
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ------------------------------------- oracle-reproducible sketch kit
+  //
+  // The FNV/splitmix sketches above are JVM-side only; DuckDB cannot
+  // reproduce 64-bit wraparound multiplication (BIGINT overflow throws).
+  // This kit keeps every step inside non-overflowing signed-64 integer
+  // arithmetic so the EXACT same signatures fall out of both engines:
+  //   - base hash  = first 15 hex chars of md5(s), parsed as a 60-bit
+  //     int (md5 is identical everywhere; DuckDB parses '0x…' casts)
+  //   - minhash    = min over shingles of (a·(x mod p) + b) mod p with
+  //     p = 2^31−1: products stay < 2^62, a classic universal family
+  //   - simhash    = 60-bit sign-aggregate of weighted token-hash bits
+
+  /** Mersenne prime 2^31−1 — the permutation modulus. */
+  val ModP: Long = 2147483647L
+
+  /** First 15 hex chars of md5(s) as a non-negative 60-bit Long —
+    * `CAST('0x' || substring(md5(s),1,15) AS BIGINT)` in DuckDB.
+    */
+  def md5_60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** Affine permutation params in [1,p−1] / [0,p−1], seeded — embedded
+    * verbatim as literals in the generated DuckDB oracle.
+    */
+  lazy val minhashA60: Array[Long] =
+    Array.tabulate(MinhashK)(i => (splitmix64(0x5eed0001L + i) >>> 1) % (ModP - 1) + 1)
+  lazy val minhashB60: Array[Long] =
+    Array.tabulate(MinhashK)(i => (splitmix64(0x5eed1001L + i) >>> 1) % ModP)
+
+  /** MinHash signature over mod-p permutations; component i is
+    * min((a_i·(x mod p) + b_i) mod p). All-ModP signature ⇒ no elements.
+    */
+  def minhash60(elementHashes: Iterator[Long]): Array[Long] = {
+    val sig = Array.fill(MinhashK)(ModP)
+    elementHashes.foreach { x0 =>
+      val x = x0 % ModP
+      var i = 0
+      while (i < MinhashK) {
+        val h = (minhashA60(i) * x + minhashB60(i)) % ModP
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** 60-bit SimHash over (md5_60 hash, weight) pairs. */
+  def simhash60(weighted: Iterator[(Long, Int)]): Long = {
+    val acc = new Array[Int](60)
+    weighted.foreach { case (h, w) =>
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }

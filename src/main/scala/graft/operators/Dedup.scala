@@ -6,10 +6,12 @@ import graft.Tables
 import graft.functions.Hashing
 
 /** Deduplication suite over the `documents` table — the operations a
-  * training-data pipeline runs before anything else. Exact dedup and
-  * n-gram Jaccard are oracle-checked; the sketch-based ops (MinHash+LSH,
-  * SimHash) use engine-specific hashes and are rows-only checked by the
-  * driver, with their statistical behavior asserted in ScalaTest.
+  * training-data pipeline runs before anything else. EVERY query here is
+  * oracle-checked, including the sketches: MinHash+LSH and SimHash build
+  * on md5-based 60-bit hashes and mod-p integer permutations
+  * (graft.functions.Hashing "oracle-reproducible sketch kit"), so the
+  * generated DuckDB SQL rebuilds the identical signatures and the
+  * approximate pipelines are equality-compared end to end.
   *
   * Scale design:
   *   - Exact dedup is one hash shuffle on the normalized text hash.
@@ -132,7 +134,10 @@ object Dedup {
     // the oracle byte-for-byte on any executor locale
     text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
-  /** Distinct word-trigram shingle hashes of one document, in one pass. */
+  /** Distinct word-trigram shingle hashes of one document, in one pass.
+    * Base hash is [[Hashing.md5_60]] — md5 is bit-identical in DuckDB,
+    * which is what lets the generated oracle reproduce the signatures.
+    */
   def shingleHashesOf(text: String): Array[Long] = {
     val t = tokensOf(text)
     if (t.length < 3) Array.emptyLongArray
@@ -142,7 +147,7 @@ object Dedup {
       var i = 0
       while (i <= t.length - 3) {
         val sh = t(i) + " " + t(i + 1) + " " + t(i + 2)
-        if (seen.add(sh)) out += Hashing.fnv1a64(sh)
+        if (seen.add(sh)) out += Hashing.md5_60(sh)
         i += 1
       }
       out.toArray
@@ -160,20 +165,26 @@ object Dedup {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, tx) => (id, Hashing.minhash(shingleHashesOf(tx).iterator)) }
-      .filter(_._2.exists(_ != Long.MaxValue))
+      .map { case (id, tx) => (id, Hashing.minhash60(shingleHashesOf(tx).iterator)) }
+      .filter(_._2.exists(_ != Hashing.ModP))
       .toDF("doc_id", "sig")
   }
 
   /** MinHash+LSH near-dup candidates, verified with the estimated
     * Jaccard (matching signature fraction). Banding: 16 bands × 4 rows ⇒
-    * pairs with true Jaccard ≳ 0.5 collide in ≥1 band w.h.p.
+    * pairs with true Jaccard ≳ 0.5 collide in ≥1 band w.h.p. The band
+    * bucket key is the ':'-joined slice of signature components — a
+    * plain equi-join key both engines build identically.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = minhashSignatures(s, dir).as[(Long, Array[Long])].cache()
+    val bands = Hashing.Bands
+    val rpb = Hashing.RowsPerBand
     val buckets = sigs.flatMap { case (id, sig) =>
-      Hashing.bandKeys(sig).map { case (b, h) => (b, h, id) }
+      (0 until bands).map { b =>
+        (b, sig.slice(b * rpb, (b + 1) * rpb).mkString(":"), id)
+      }
     }.toDF("band", "bucket", "doc_id")
     val cand = buckets.as("a")
       .join(buckets.as("b"),
@@ -190,11 +201,64 @@ object Dedup {
       .where($"est_jaccard" >= 0.5)
   }
 
+  /** Generated oracle restating the ENTIRE MinHash+LSH pipeline in SQL:
+    * md5-60 shingle hashes, the 64 affine mod-p permutations (params
+    * embedded as literals), banding, bucket join, and signature-overlap
+    * verification. Integer arithmetic end-to-end — products are bounded
+    * by (p−1)·(p−1) < 2^62, so DuckDB BIGINT never overflows and the
+    * signatures match the Scala kernel bit-for-bit.
+    */
+  val minhashLshSql: String = {
+    val permRows = (0 until Hashing.MinhashK).map { i =>
+      s"(${i + 1}, ${Hashing.minhashA60(i)}, ${Hashing.minhashB60(i)})"
+    }.mkString(",\n    ")
+    val bandKey = (1 to Hashing.RowsPerBand)
+      .map(r => s"sig[${Hashing.RowsPerBand} * b + $r]")
+      .mkString(" || ':' || ")
+    s"""WITH perms(i, a, bb) AS (VALUES
+       |    $permRows),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |    FROM toks WHERE len(t) >= 3)),
+       |shh AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % ${Hashing.ModP} AS x
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, list(m ORDER BY i) AS sig FROM (
+       |    SELECT doc_id, i, min((a * x + bb) % ${Hashing.ModP}) AS m
+       |    FROM shh CROSS JOIN perms GROUP BY doc_id, i)
+       |  GROUP BY doc_id),
+       |buckets AS (
+       |  SELECT doc_id, b, $bandKey AS bucket
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Hashing.Bands})) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_filter(range(1, ${Hashing.MinhashK} + 1),
+       |    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${Hashing.MinhashK} AS est_jaccard
+       |FROM cand c
+       |JOIN sigs sa ON sa.doc_id = c.doc_a
+       |JOIN sigs sb ON sb.doc_id = c.doc_b
+       |WHERE CAST(len(list_filter(range(1, ${Hashing.MinhashK} + 1),
+       |    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${Hashing.MinhashK} >= 0.5""".stripMargin
+  }
+
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per document from token-frequency weights — also
-    * row-local: term frequencies and the 64-bit fold happen in one map
-    * over (doc_id, text); no explode, no shuffle.
+  /** 60-bit SimHash per document from token-frequency weights — also
+    * row-local: term frequencies and the bit fold happen in one map over
+    * (doc_id, text); no explode, no shuffle. Token hash is md5-60 so the
+    * generated oracle rebuilds the identical signature in SQL.
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -208,17 +272,17 @@ object Dedup {
         else {
           val freq = new java.util.HashMap[Long, Int]()
           toks.foreach { t =>
-            freq.merge(Hashing.fnv1a64(t), 1, (a, b) => a + b)
+            freq.merge(Hashing.md5_60(t), 1, (a, b) => a + b)
           }
           import scala.jdk.CollectionConverters._
-          Some((id, Hashing.simhash(freq.entrySet().iterator().asScala
+          Some((id, Hashing.simhash60(freq.entrySet().iterator().asScala
             .map(e => (e.getKey.longValue(), e.getValue.intValue())))))
         }
       }
       .toDF("doc_id", "simhash")
   }
 
-  /** SimHash near-dup pairs: LSH on the four 16-bit chunks (two docs
+  /** SimHash near-dup pairs: LSH on the four 15-bit chunks (two docs
     * within Hamming distance 3 of each other must agree on ≥1 chunk),
     * then exact Hamming verification ≤ 16.
     */
@@ -226,7 +290,7 @@ object Dedup {
     import s.implicits._
     val sigs = simhashSignatures(s, dir).as[(Long, Long)].cache()
     val chunks = sigs.flatMap { case (id, sig) =>
-      (0 until 4).map(c => (c, (sig >>> (c * 16)) & 0xffffL, id))
+      (0 until 4).map(c => (c, (sig >>> (c * 15)) & 0x7fffL, id))
     }.toDF("chunk", "val", "doc_id")
     val cand = chunks.as("a")
       .join(chunks.as("b"),
@@ -238,9 +302,49 @@ object Dedup {
       .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
       .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
     withSigs.select($"doc_a", $"doc_b",
-        graft.functions.Hamming64.hamming64($"sig_a", $"sig_b").as("hamming"))
+        graft.functions.Hamming64.hamming64($"sig_a", $"sig_b")
+          .cast("long").as("hamming"))
       .where($"hamming" <= 16)
   }
+
+  /** Generated oracle restating the SimHash pipeline: md5-60 token
+    * hashes, per-bit weighted sign aggregation over 60 bits, 15-bit
+    * chunk LSH, xor-popcount Hamming verification — all in integer/bit
+    * SQL that matches the Scala kernel exactly.
+    */
+  val simhashPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS x,
+       |    count(*) AS w
+       |  FROM toks GROUP BY doc_id, t),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN ((x >> j) & 1) = 1 THEN w ELSE -w END) AS acc
+       |  FROM tf CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+       |  GROUP BY doc_id, j),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+       |      AS BIGINT) AS sig
+       |  FROM bits GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, c, (sig >> (c * 15)) & 32767 AS v
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sigs sa ON sa.doc_id = c.doc_a
+       |JOIN sigs sb ON sb.doc_id = c.doc_b
+       |WHERE bit_count(xor(sa.sig, sb.sig)) <= 16""".stripMargin
 
   // ------------------------------------------------- decontamination
 
@@ -396,5 +500,7 @@ object Dedup {
     "doc_repetition_ratio" -> repetitionRatioSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" -> exactDedupSql,
-    "dedup_ngram_jaccard" -> ngramJaccardSql)
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashPairsSql)
 }

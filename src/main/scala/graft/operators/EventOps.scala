@@ -134,7 +134,7 @@ object EventOps {
   }
 
   val sessionStatsSql: String =
-    """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM (
       |  SELECT user_id,
       |    CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -162,8 +162,8 @@ object EventOps {
 
   val rolling7dSql: String =
     """SELECT day, event_type, cnt,
-      |  sum(cnt) OVER (PARTITION BY event_type ORDER BY day
-      |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt_7d
+      |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_7d
       |FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
       |        event_type, count(*) AS cnt
       |      FROM events GROUP BY 1, 2)""".stripMargin

@@ -120,7 +120,7 @@ object Multimodal {
   val assetStatsSql: String =
     """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  count(*) AS n_assets, sum(strlen(text)) AS sum_bytes
+      |  count(*) AS n_assets, CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
       |FROM documents
       |GROUP BY 1""".stripMargin
 
@@ -152,7 +152,7 @@ object Multimodal {
       |         ELSE greatest(1, CAST(trunc(h * least(64.0 / w, 64.0 / h)) AS INT)) END AS h
       |  FROM decoded)
       |SELECT media_type, count(*) AS n_assets,
-      |  sum(w) AS sum_w, sum(h) AS sum_h
+      |  CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h
       |FROM resized GROUP BY media_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -35,12 +35,14 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         sqrt(dotUdf(col("embedding"), col("embedding"))).as("nrm"))
 
-  /** Near-duplicate pairs by cosine > 0.45 (the synthetic vectors are
-    * isotropic random — 0.45 captures only the extreme tail). The small
-    * side is broadcast; at real scale this brute-force form is replaced
-    * by [[annTopK]]'s bucketed join.
+  /** Brute-force near-dup baseline (spec-only, NOT the registered
+    * query): exact all-pairs cosine with one side broadcast. Kept as the
+    * exactness reference that [[embeddingNearDup]]'s LSH-bucketed form is
+    * measured against in SimilaritySpec; at 100 TB this shape is a
+    * non-starter (full-collection broadcast), which is exactly why the
+    * registered query routes through bucketing instead.
     */
-  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+  def bruteNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = withNorm(s, dir)
       .select($"vec_id", $"embedding", $"nrm")
@@ -71,6 +73,63 @@ object Similarity {
     }.toDF("vec_a", "vec_b", "cosine")
   }
 
+  // ------------------------------------------------ LSH-bucketed neardup
+
+  /** Multi-table random-hyperplane LSH for the registered near-dup
+    * query: NdTables independent hash tables of NdPlanes sign-bits each.
+    * A candidate pair must collide in at least one table; candidates are
+    * then exactly verified (cosine > 0.45). This is the 100-TB shape:
+    * the only join is an equi-join on (table, signature) — bucket-local,
+    * never an all-pairs product, no driver-side collect. Recall at the
+    * decision boundary is the standard LSH S-curve: per-plane agreement
+    * p = 1 - θ/π, per-table p^NdPlanes, overall 1-(1-p^NdPlanes)^NdTables
+    * (≈0.46 at cosine exactly 0.45; → 1 as cosine → 1, i.e. true
+    * near-duplicates are found with high probability). The DuckDB oracle
+    * restates the bucketing itself — planes embedded as double literals —
+    * so approximation is part of the checked contract, not slack.
+    */
+  val NdTables = 8
+  val NdPlanesPerTable = 6
+  private def ndPlanes: Array[Array[Double]] =
+    hyperplanes(NdTables * NdPlanesPerTable, 64, seed = 0x7d0bee5L)
+
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bp = s.sparkContext.broadcast(ndPlanes)
+    val nt = NdTables
+    val npt = NdPlanesPerTable
+    val sigsOf = udf { (emb: Seq[Float]) =>
+      val ps = bp.value
+      Array.tabulate(nt) { t =>
+        var sig = 0
+        var b = 0
+        while (b < npt) {
+          val pl = ps(t * npt + b)
+          var dot = 0.0
+          var i = 0
+          while (i < pl.length && i < emb.length) { dot += emb(i) * pl(i); i += 1 }
+          if (dot > 0) sig |= (1 << b)
+          b += 1
+        }
+        sig
+      }
+    }
+    val v = withNorm(s, dir)
+    val sigs = v.select($"vec_id",
+      posexplode(sigsOf($"embedding")).as(Seq("t", "sig")))
+    val pairs = sigs.as("a")
+      .join(sigs.as("b"),
+        $"a.t" === $"b.t" && $"a.sig" === $"b.sig" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .distinct()
+    val va = v.selectExpr("vec_id AS vec_a", "embedding AS ea", "nrm AS na")
+    val vb = v.selectExpr("vec_id AS vec_b", "embedding AS eb", "nrm AS nb")
+    pairs.join(va, "vec_a").join(vb, "vec_b")
+      .select($"vec_a", $"vec_b",
+        (dotUdf($"ea", $"eb") / ($"na" * $"nb")).as("cosine"))
+      .where($"cosine" > 0.45)
+  }
+
   private val duckDot =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |  list_transform(range(1, len(%A%) + 1),
@@ -79,15 +138,37 @@ object Similarity {
   private def duckDotExpr(a: String, b: String): String =
     duckDot.replace("%A%", a).replace("%B%", b)
 
-  val embeddingNearDupSql: String =
-    s"""WITH v AS (
+  /** Oracle restating the full LSH pipeline: the 48 hyperplanes go in as
+    * double literals (shortest-round-trip toString → identical bits on
+    * parse), signatures per (vector, table), bucket-collision pairs,
+    * exact cosine verification — same structure the Spark side runs.
+    */
+  val embeddingNearDupSql: String = {
+    val planeRows = ndPlanes.zipWithIndex.map { case (pv, i) =>
+      s"(${i / NdPlanesPerTable}, ${i % NdPlanesPerTable}, [${pv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH planes(t, p, pv) AS (VALUES
+       |    $planeRows),
+       |v AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm
-       |  FROM embeddings)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ${duckDotExpr("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-       |FROM v a JOIN v b ON a.vec_id < b.vec_id
-       |WHERE ${duckDotExpr("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.45""".stripMargin
+       |  FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, t,
+       |    sum(CASE WHEN ${duckDotExpr("embedding", "pv")} > 0
+       |        THEN (1 << p) ELSE 0 END) AS sig
+       |  FROM v CROSS JOIN planes GROUP BY vec_id, t),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT p.vec_a, p.vec_b,
+       |  ${duckDotExpr("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm) AS cosine
+       |FROM pairs p
+       |JOIN v va ON va.vec_id = p.vec_a
+       |JOIN v vb ON vb.vec_id = p.vec_b
+       |WHERE ${duckDotExpr("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm) > 0.45""".stripMargin
+  }
 
   /** Brute-force cosine top-k: query vectors (vec_id < 10) against the
     * full collection; k=5, ties broken by neighbor id. The query side is
@@ -128,10 +209,11 @@ object Similarity {
   /** Deterministic random hyperplanes (seeded splitmix64 → uniform in
     * [-1, 1]), broadcast to executors as a plain array.
     */
-  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+  def hyperplanes(nPlanes: Int, dim: Int,
+      seed: Long = 0x91a9e5L): Array[Array[Double]] =
     Array.tabulate(nPlanes) { p =>
       Array.tabulate(dim) { d =>
-        val bits = Hashing.splitmix64(0x91a9e5L + p.toLong * 1024 + d)
+        val bits = Hashing.splitmix64(seed + p.toLong * 1024 + d)
         (bits.toDouble / Long.MaxValue.toDouble)
       }
     }
@@ -252,16 +334,44 @@ object Similarity {
     * candidate generation is an equi-join on centroid id, scanning
     * ~nProbe/k of the collection instead of all of it.
     */
+  val IvfK = 16
+  val IvfNProbe = 3
+  val IvfSampleMod = 7
+  val IvfSampleCap = 4096
+
+  /** Trained coarse-quantizer centroids, memoized per data dir so the
+    * registered query and its generated oracle (ivfTopKSql) embed the
+    * exact same doubles. The training sample is BOUNDED and
+    * deterministic: every IvfSampleMod-th vec_id, ordered, capped at
+    * IvfSampleCap rows — a 16..4096-centroid quantizer never needs more,
+    * and the driver-side collect stays O(cap · dim) regardless of
+    * collection size (the full-table collect this replaces was a driver
+    * OOM at 100 TB).
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  @volatile private var ivfLastDir: Option[String] = None
+
+  def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
+    import s.implicits._
+    ivfLastDir = Some(dir)
+    centroidCache.getOrElseUpdate(dir, {
+      val sample = Tables.embeddings(s, dir)
+        .where(col("vec_id") % IvfSampleMod === 0)
+        .orderBy("vec_id")
+        .limit(IvfSampleCap)
+        .select("embedding").as[Array[Float]].collect()
+      trainCentroids(sample, IvfK, iters = 5)
+    })
+  }
+
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = 16
-    val nProbe = 3
+    val nProbe = IvfNProbe
     val v = withNorm(s, dir)
       .select($"vec_id", $"embedding", $"nrm")
       .as[(Long, Array[Float], Double)]
-    // training sample: the collection at this SF; a reservoir at scale
-    val sample = v.map(_._2).collect()
-    val centroids = trainCentroids(sample, k, iters = 5)
+    val centroids = ivfCentroids(s, dir)
     val bc = s.sparkContext.broadcast(centroids)
     val assigned = v.map { case (id, emb, nrm) =>
       (nearestCentroid(emb, bc.value), id, emb, nrm)
@@ -326,14 +436,71 @@ object Similarity {
        |WHERE rn <= 5""".stripMargin
   }
 
+  private def duckSqDistExpr(e: String, c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, len($e) + 1),
+       |    i -> (CAST($e[i] AS DOUBLE) - $c[i]) * (CAST($e[i] AS DOUBLE) - $c[i]))),
+       |  (s, v) -> s + v)""".stripMargin
+
+  /** Generated oracle for the IVF query: the trained centroids (from
+    * [[ivfCentroids]]'s memo, so bit-identical to what the query used)
+    * are embedded as double-literal lists and the full
+    * assign → probe → score → rank pipeline is restated in SQL. Squared
+    * distance folds left in index order with each element cast to double
+    * first — the same order [[nearestCentroid]] accumulates in — so
+    * assignment ties and ranks agree exactly.
+    */
+  def ivfTopKSql(cents: Array[Array[Double]]): String = {
+    val centRows = cents.zipWithIndex.map { case (cv, i) =>
+      s"($i, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH cents(cid, cv) AS (VALUES
+       |    $centRows),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |ranked_c AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crn
+       |  FROM (SELECT vec_id, cid, ${duckSqDistExpr("embedding", "cv")} AS d
+       |        FROM v CROSS JOIN cents)),
+       |assigned AS (SELECT vec_id AS n_id, cid FROM ranked_c WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid FROM ranked_c
+       |  WHERE vec_id < 10 AND crn <= $IvfNProbe),
+       |scored AS (
+       |  SELECT DISTINCT p.q_id, a.n_id,
+       |    ${duckDotExpr("qv.embedding", "nv.embedding")} / (qv.nrm * nv.nrm) AS cosine
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND a.n_id <> p.q_id
+       |  JOIN v qv ON qv.vec_id = p.q_id
+       |  JOIN v nv ON nv.vec_id = a.n_id)
+       |SELECT q_id, n_id, cosine, rn FROM (
+       |  SELECT q_id, n_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_neardup" -> (embeddingNearDup _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_ann_topk" -> (annTopK _),
     "sim_ivf_topk" -> (ivfTopK _))
 
-  def oracles: Map[String, String] = Map(
-    "sim_embedding_neardup" -> embeddingNearDupSql,
-    "sim_bruteforce_topk" -> bruteForceTopKSql,
-    "sim_ann_topk" -> annTopKSql)
+  /** The IVF oracle needs the trained centroids, so its entry appears
+    * once [[ivfCentroids]] has run for some dir (Verify runs every query
+    * before dumping oracle_sql.json, so it is always present there).
+    */
+  def oracles: Map[String, String] = {
+    val base = Map(
+      "sim_embedding_neardup" -> embeddingNearDupSql,
+      "sim_bruteforce_topk" -> bruteForceTopKSql,
+      "sim_ann_topk" -> annTopKSql)
+    ivfLastDir.flatMap(centroidCache.get) match {
+      case Some(cs) => base + ("sim_ivf_topk" -> ivfTopKSql(cs))
+      case None => base
+    }
+  }
 }

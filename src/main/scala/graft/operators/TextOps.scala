@@ -214,7 +214,7 @@ object TextOps {
   }
 
   val langSourceDistSql: String =
-    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang, source""".stripMargin
 
   /** TF-IDF top terms per document: term frequency × ln(N/df), the

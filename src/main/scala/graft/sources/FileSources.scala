@@ -64,7 +64,7 @@ object FileSources {
   }
 
   val jsonRoundTripSql: String =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang""".stripMargin
 
@@ -83,7 +83,7 @@ object FileSources {
 
   val jsonExtractSql: String =
     """SELECT event_type, count(*) AS cnt,
-      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type""".stripMargin
 
   /** Hive-style partitioned layout: write events partitioned by day,
