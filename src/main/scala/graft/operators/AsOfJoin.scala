@@ -34,6 +34,22 @@ object AsOfJoin {
     import s.implicits._
     val rightPayload = right.columns.filterNot(c => c == "key" || c == "t")
     val leftPayload = left.columns.filterNot(c => c == "key" || c == "t")
+    // validate the column contract up front: a colliding payload name
+    // would otherwise surface as an opaque ambiguous-column analysis
+    // error (or silently wrong selection) deep inside the union/window
+    for (side <- Seq("left" -> left, "right" -> right); c <- Seq("key", "t"))
+      require(side._2.columns.contains(c),
+        s"asOf: ${side._1} input must have a '$c' column, " +
+          s"got [${side._2.columns.mkString(", ")}]")
+    val overlap = leftPayload.intersect(rightPayload)
+    require(overlap.isEmpty,
+      s"asOf: payload column names must be disjoint between sides; " +
+        s"both have [${overlap.mkString(", ")}] — rename before joining")
+    val reserved = (leftPayload ++ rightPayload).filter(c =>
+      c == "is_left" || c == "_r" || c == "r_t")
+    require(reserved.isEmpty,
+      s"asOf: [${reserved.mkString(", ")}] collide with columns the " +
+        "operator builds internally (is_left, _r, r_t) — rename them")
     val lTagged = left.withColumn("is_left", lit(1))
       .select(Seq(col("key"), col("t"), col("is_left")) ++
         leftPayload.map(col) ++

@@ -29,15 +29,22 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: normalize whitespace + case, keep the smallest doc_id
-    * per identical normalized text. groupBy on the text itself would ship
-    * full documents through the shuffle — hash first, group on the hash.
+    * per identical normalized text. Grouping key is (hash, norm), not
+    * the hash alone: at billions of documents a 64-bit birthday
+    * collision becomes plausible, and hash-only grouping would silently
+    * merge two distinct documents. The hash leads the key so shuffle
+    * partitioning and map-side combine run on the cheap fixed-width
+    * prefix; the norm rides along purely as the collision tiebreaker
+    * (distinct texts per partition each ship once — same volume any
+    * exact-dedup shuffle fundamentally needs).
     */
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id",
         trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
-      .groupBy(graft.functions.FnvHash64.fnv_hash64($"norm").as("text_hash"))
+      .groupBy(graft.functions.FnvHash64.fnv_hash64($"norm").as("text_hash"),
+        $"norm")
       .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
       .select($"kept_doc_id", $"n_copies")
   }
@@ -439,15 +446,21 @@ object Dedup {
     import s.implicits._
     val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
     // only documents touching an edge need propagation — everything
-    // else is a singleton by construction. The iterative loop then runs
-    // on the (tiny) near-dup subgraph, single-partition: per-iteration
-    // job overhead at 32 shuffle partitions would dwarf the microscopic
-    // data. (At scale, partition count follows subgraph size, which is
-    // orders of magnitude below corpus size.)
-    val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
-      .toDF("src", "dst").coalesce(1).localCheckpoint()
+    // else is a singleton by construction. The iterative loop runs on
+    // the near-dup subgraph at a partition count DERIVED FROM ITS SIZE:
+    // ~1M edges per partition. A tiny subgraph collapses to one
+    // partition (per-iteration job overhead would dwarf the data at 32
+    // partitions); a 100 TB corpus's subgraph fans out to as many
+    // partitions as its edge count warrants, capped at 4096.
+    val staged = pairs.union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").localCheckpoint()
+    val edgesPerPartition = 1L << 20
+    val nParts = math.min(staged.count() / edgesPerPartition + 1, 4096L).toInt
+    val edges =
+      if (nParts == staged.rdd.getNumPartitions) staged
+      else staged.repartition(nParts).localCheckpoint()
     var labels = edges.select($"src".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("label")).coalesce(1)
+      .select($"doc_id", $"doc_id".as("label")).repartition(nParts)
     // diameter can't exceed the subgraph node count — iterate to there
     // and FAIL LOUDLY if somehow unconverged (silently returning partial
     // labels would split duplicate clusters with no error)

@@ -18,9 +18,13 @@ import graft.Tables
   * Scale notes (100 TB design intent):
   *   - Every aggregation is a map-side-combinable `groupBy`; no
   *     driver-side collects anywhere in the query path.
-  *   - Dimension tables (region/nation/customer-filtered) are explicitly
-  *     `broadcast()` so the big fact tables (lineitem/orders) never
-  *     shuffle for those joins.
+  *   - Broadcast policy: explicit `broadcast()` hints ONLY on
+  *     fixed-cardinality tables (region = 5 rows, nation = 25 — they do
+  *     not grow with SF). Customer/supplier/part scale with the data, so
+  *     their joins carry no hint: AQE's size-based selection broadcasts
+  *     them while they fit (it does at every test SF — asserted in
+  *     PlanSpec) and falls back to a shuffled hash join at the scale
+  *     where a forced broadcast would OOM the executors.
   *   - Filters are plain column predicates → Catalyst pushes them into
   *     the parquet scan (`PushedFilters`), prunes columns (`ReadSchema`).
   *
@@ -87,8 +91,9 @@ object Relational {
       |  AND l_quantity < 24""".stripMargin
 
   /** Q3-style shipping priority: broadcast the filtered customer dim into
-    * the orders join (1.5k rows at sf0.01; a few hundred MB at 100 TB —
-    * still broadcastable after the segment filter); orders⋈lineitem stays
+    * the orders join (1.5k rows at sf0.01; AQE broadcasts it while the
+    * segment-filtered set fits and shuffles it when it doesn't — no
+    * forced hint, since customer scales with SF); orders⋈lineitem stays
     * a shuffled hash join on the fact keys. Top-10 with a unique tie-break
     * key and exact decimal revenue so the LIMIT is deterministic.
     */
@@ -103,7 +108,7 @@ object Relational {
       .filter($"l_shipdate" > lit("1996-07-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"o_orderkey", $"o_orderpriority")
       .agg(revenue($"l_extendedprice", $"l_discount").as("revenue"))
       .orderBy($"revenue".desc, $"o_orderkey")
@@ -169,8 +174,8 @@ object Relational {
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" &&
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey" &&
         $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
@@ -206,7 +211,7 @@ object Relational {
       .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
       .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
       .agg(revenue($"l_extendedprice", $"l_discount").as("revenue"))

@@ -23,9 +23,9 @@ object Relational3 {
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
         $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
         $"l_suppkey" === $"s_suppkey")
       .join(broadcast(n1), $"s_nationkey" === $"sk")
       .join(broadcast(n2), $"c_nationkey" === $"ck")
@@ -53,9 +53,9 @@ object Relational3 {
   def q09ProductProfit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).where($"p_name".contains("red"))
-        .select("p_partkey")), $"l_partkey" === $"p_partkey")
-      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+      .join(Tables.part(s, dir).where($"p_name".contains("red"))
+        .select("p_partkey"), $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
         $"l_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name".as("nation"), year($"l_shipdate").as("o_year"))
@@ -80,7 +80,7 @@ object Relational3 {
     Tables.lineitem(s, dir)
       .where($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
              $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
-      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+      .join(Tables.part(s, dir).select("p_partkey", "p_type"),
         $"l_partkey" === $"p_partkey")
       .agg(
         (sum(when($"p_type" === "PROMO",
@@ -136,7 +136,7 @@ object Relational3 {
       .where($"total_qty" > 180.0)
     Tables.orders(s, dir)
       .join(big, $"o_orderkey" === $"ok")
-      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
         $"o_custkey" === $"c_custkey")
       .select($"c_name", $"o_orderkey", $"total_qty")
   }
@@ -157,7 +157,7 @@ object Relational3 {
   def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")),
+      .join(Tables.part(s, dir).select("p_partkey", "p_brand", "p_size"),
         $"l_partkey" === $"p_partkey")
       .where(($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
               $"l_quantity".between(1, 20)) ||

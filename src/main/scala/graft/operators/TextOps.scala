@@ -219,7 +219,8 @@ object TextOps {
 
   /** TF-IDF top terms per document: term frequency × ln(N/df), the
     * classic retrieval weighting. One shuffle for document frequencies
-    * (broadcast back — vocabulary-sized), one for the per-doc window.
+    * (joined back size-based by AQE — vocabulary-sized, which stops
+    * being broadcastable at corpus scale), one for the per-doc window.
     * Scores are rounded to 6 dp (libm `ln` may differ in the last ulp
     * across engines); ranking is robust because exact score ties imply
     * equal (tf, df) pairs — broken deterministically by term.
@@ -234,7 +235,7 @@ object TextOps {
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id")
       .orderBy(col("tfidf").desc, $"word")
-    tf.join(broadcast(df), "word")
+    tf.join(df, "word")
       .withColumn("tfidf", round($"tf" * log(lit(n.toDouble) / $"df"), 6))
       .withColumn("rn", row_number().over(w))
       .where($"rn" <= 3)

@@ -122,6 +122,13 @@ object TopKPerKey {
   /** DataFrame API: top `k` rows per `keys` by `orderBy` descending.
     * Installs the planner strategy on first use (idempotent); also
     * injectable via `graft.GraftExtensions`.
+    *
+    * API CONTRACT: rows whose `orderBy` value is null are FILTERED, not
+    * ranked — a key with fewer than k non-null rows returns fewer than
+    * k rows. (A `row_number() ... DESC` window would rank nulls last
+    * but still emit them; the equivalent formulation of this operator
+    * is that window over `WHERE orderBy IS NOT NULL`, which is exactly
+    * how the registered oracle states it.)
     */
   def topKPerKey(df: DataFrame, keyNames: Seq[String], orderBy: String,
       k: Int): DataFrame = {
@@ -143,9 +150,10 @@ object TopKPerKey {
   }
 
   /** Driver-contract query: top-3 orders per customer through the
-    * custom exec; the oracle is the window-function formulation
-    * (equivalent because (o_custkey, o_totalprice) is tie-free in this
-    * data — verified before registering).
+    * custom exec; the oracle is the window-function formulation over
+    * non-null order values — the operator's exact contract — and is
+    * equivalent rank-wise because (o_custkey, o_totalprice) is tie-free
+    * in this data (verified before registering).
     */
   def topOrdersCustom(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     topKPerKey(graft.Tables.orders(s, dir), Seq("o_custkey"), "o_totalprice", 3)
@@ -156,7 +164,8 @@ object TopKPerKey {
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |        row_number() OVER (PARTITION BY o_custkey
       |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      |      FROM orders)
+      |      FROM orders
+      |      WHERE o_totalprice IS NOT NULL)
       |WHERE rn <= 3""".stripMargin
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =

@@ -102,6 +102,14 @@ object StreamQueries {
       .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          // SINGLE-BATCH ASSUMPTION: timestamps are sorted only within
+          // this micro-batch. The staged input is one file processed in
+          // one AvailableNow trigger, so the whole history is sorted
+          // here; with a multi-file source or maxFilesPerTrigger, events
+          // arriving out of order ACROSS batches would miscount sessions
+          // versus the batch oracle (the gap fold is order-sensitive).
+          // Reusing this with rate-limited sources needs watermark-style
+          // buffering in the state before folding.
           val sorted = rows.map(_._2).toArray.sorted
           var (lastSeen, sessions, events) =
             state.getOption.getOrElse((Long.MinValue, 0L, 0L))
@@ -129,6 +137,42 @@ object StreamQueries {
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .where(col("rn") === 1)
       .select("user_id", "n_sessions", "n_events")
+  }
+
+  /** Start-position / rate control for the file source — the analogs of
+    * the reference spout's earliest/latest start offset and bounded
+    * max-pending knobs
+    * (/root/reference/src/main/scala/com/miguno/kafkastorm/storm/topologies/KafkaStormDemo.scala:31-57):
+    *
+    *   - `maxFilesPerTrigger` bounds every micro-batch; AvailableNow
+    *     still drains all input, but across MULTIPLE triggers — bounded
+    *     in-flight state instead of one unbounded replay batch.
+    *   - `latestFirst = true` starts consumption from the NEWEST files
+    *     (the "latest offset" start position).
+    *
+    * Returns the final word-count state plus the number of non-empty
+    * triggers and their per-trigger input sizes, so specs can assert
+    * genuinely incremental progress and latest-first ordering.
+    */
+  def rateLimitedWordCount(s: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int,
+      latestFirst: Boolean = false): (DataFrame, Array[Long]) = {
+    val schema = s.read.parquet(srcDir).schema
+    val lines = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("latestFirst", latestFirst)
+      .parquet(srcDir)
+      .select(col("text").as("value"))
+    val name = uniq("sq")
+    val q = Streams.wordCount(lines).writeStream
+      .outputMode("complete")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val perTrigger = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    (s.table(name), perTrigger)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -54,6 +54,20 @@ class PlanSpec extends AnyFunSuite {
       l.contains("PartitionFilters") && l.contains("dt")), p)
   }
 
+  test("q05/q10: AQE still broadcasts the un-hinted scaling dims at this SF") {
+    // customer/supplier/part joins carry no broadcast() hint (a forced
+    // build side would OOM at 100× data); size-based selection must
+    // still pick broadcast while they fit. Assert on the FINAL adaptive
+    // plan, after execution.
+    for (df <- Seq(Relational.q05LocalSupplier(spark, sf),
+                   Relational.q10ReturnedItems(spark, sf))) {
+      df.collect()
+      val p = plan(df)
+      assert(p.contains("isFinalPlan=true"), p)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    }
+  }
+
   test("word count aggregation is partial before the shuffle") {
     val p = plan(graft.operators.TextOps.wordCount(spark, sf))
     // two HashAggregates (partial + final) around one Exchange

@@ -27,16 +27,20 @@ class DotF64ExprSpec extends AnyFunSuite {
     }
   }
 
-  test("length mismatch uses the shorter vector; null yields null") {
+  test("length mismatch is null (not a truncated product); null input yields null") {
     import spark.implicits._
     val df = Seq(
       (Some(Array(1f, 2f, 3f)), Some(Array(10f, 20f))),
+      (Some(Array(1f, 2f)), Some(Array(10f, 20f))),
       (None, Some(Array(1f))))
       .toDF("a", "b")
       .select(DotF64.dot_f64($"a", $"b").as("d"))
     val rows = df.collect()
-    assert(rows(0).getDouble(0) == 50.0)
-    assert(rows(1).isNullAt(0))
+    // mismatched lengths must fail loudly-as-null, never silently
+    // truncate to min(len) — a truncated dot product looks plausible
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) == 50.0)
+    assert(rows(2).isNullAt(0))
   }
 
   test("interpreted eval agrees with codegen path") {
