@@ -22,6 +22,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       TextOps.queries ++ EventOps.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
+      Curation.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       graft.plans.TopKPerKey.queries ++
       graft.sources.FileSources.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       TextOps.oracles ++ EventOps.oracles ++
       Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       graft.plans.TopKPerKey.oracles ++
       graft.sources.FileSources.oracles ++

@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators — the sampling/packing/scoring passes a
+  * training-data pipeline runs AFTER dedup and quality gating, over the
+  * `documents` table. Everything is deterministic and restated in a
+  * DuckDB oracle; randomness is hash-derived (md5 over a salted key),
+  * never an RNG, so results are reproducible across engines, retries,
+  * and partitionings — the property that makes sampled pipelines
+  * auditable at 100 TB.
+  *
+  * Scale notes:
+  *   - Sampling/binning/chunking are narrow maps or per-stratum windows
+  *     (strata = lang/source, thousands of groups — never a global
+  *     single-partition window).
+  *   - Packing cumsums partition by source shard; a 100 TB corpus packs
+  *     shard-local, which is exactly how production packers avoid a
+  *     global order dependency.
+  *   - The unigram model is a word-count join; AQE broadcasts the vocab
+  *     while it fits and shuffles when corpus vocabulary outgrows it.
+  */
+object Curation {
+
+  /** 60-bit md5 prefix as a Spark column — the same value
+    * `graft.functions.Hashing.md5_60` computes on the JVM and the
+    * oracle computes as CAST('0x' || substring(md5(x),1,15) AS BIGINT).
+    */
+  private def md560(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val duckMd560 = (x: String) =>
+    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+
+  // ------------------------------------------------- stratified sampling
+
+  /** Deterministic stratified sampling: per-language keep rates (en is
+    * over-represented in the corpus, so it is downsampled harder — the
+    * standard re-balancing move). The keep decision is a salted hash of
+    * doc_id mod 100: reproducible, independent of partitioning, and
+    * restatable in SQL — no RNG, no sampleBy (whose seed semantics are
+    * engine-private).
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = when($"lang" === "en", 20).otherwise(60)
+    Tables.documents(s, dir)
+      .withColumn("h",
+        md560(concat(lit("strat:"), $"doc_id".cast("string"))) % 100)
+      .where($"h" < rate)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE ${duckMd560("'strat:' || CAST(doc_id AS VARCHAR)")} % 100
+       |      < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)""".stripMargin
+
+  // ----------------------------------------------------- quality binning
+
+  /** Decile bins per language by document length (the curriculum /
+    * quality-mixture bucketing step). ntile over (n_chars, doc_id) —
+    * the doc_id tiebreak makes the decile assignment total-order
+    * deterministic in both engines.
+    */
+  def qualityBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        ntile(10).over(w).as("bin"))
+  }
+
+  val qualityBinsSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------ chunking with overlap
+
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Sliding-window chunking: 64-token windows advancing by 48 (16-token
+    * overlap carries context across boundaries). One narrow generator
+    * per row; chunks are fingerprinted (md5-60 of the joined tokens), so
+    * downstream chunk-level dedup needs no re-tokenization.
+    */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
+      .where(size($"toks") > 0)
+      .selectExpr("doc_id", "size(toks) AS n_toks",
+        s"""posexplode(transform(
+           |  sequence(0, CAST((size(toks) - 1) / $ChunkStride AS INT)),
+           |  i -> concat_ws(' ', slice(toks, i * $ChunkStride + 1, $ChunkTokens))))
+           | AS (chunk_idx, chunk_text)""".stripMargin)
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        (least(lit(ChunkTokens),
+          $"n_toks" - $"chunk_idx" * ChunkStride)).as("chunk_tokens"),
+        md560($"chunk_text").as("chunk_fp"))
+  }
+
+  val chunkOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, len(t) AS n_toks, i AS chunk_idx,
+       |    array_to_string(t[(i * $ChunkStride + 1) : (i * $ChunkStride + $ChunkTokens)], ' ') AS chunk_text
+       |  FROM toks
+       |  CROSS JOIN (SELECT unnest(range(0, 100000)) AS i)
+       |  WHERE len(t) > 0 AND i <= (len(t) - 1) // $ChunkStride)
+       |SELECT doc_id, chunk_idx,
+       |  least($ChunkTokens, n_toks - chunk_idx * $ChunkStride) AS chunk_tokens,
+       |  ${duckMd560("chunk_text")} AS chunk_fp
+       |FROM chunks""".stripMargin
+
+  // ------------------------------------------------- sequence packing
+
+  val PackBudget = 512L
+
+  /** Concat-then-split packing stats per source shard: documents are
+    * laid end-to-end in doc_id order within their source, and split into
+    * fixed 512-token training sequences. Emits each document's start
+    * offset and the first/last sequence it lands in — the bookkeeping a
+    * sample-to-sequence mapper needs. The cumulative sum partitions by
+    * source (shard-local packing), never a global single-partition
+    * window.
+    */
+  def packStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "source",
+        "size(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS n_toks")
+      .withColumn("start_tok", coalesce(sum($"n_toks").over(w), lit(0L)))
+      .where($"n_toks" > 0)
+      .select($"doc_id", $"source", $"n_toks", $"start_tok",
+        ($"start_tok" / PackBudget).cast("long").as("seq_first"),
+        (($"start_tok" + $"n_toks" - 1) / PackBudget).cast("long").as("seq_last"))
+  }
+
+  val packStatsSql: String =
+    s"""WITH counted AS (
+       |  SELECT doc_id, source,
+       |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS n_toks
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, source, n_toks,
+       |    CAST(coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |  FROM counted)
+       |SELECT doc_id, source, n_toks, start_tok,
+       |  start_tok // $PackBudget AS seq_first,
+       |  (start_tok + n_toks - 1) // $PackBudget AS seq_last
+       |FROM offs WHERE n_toks > 0""".stripMargin
+
+  // ------------------------------------------------- per-domain quota
+
+  /** Per-source quota: keep each source's 10 longest documents — through
+    * the custom bounded-heap TopKPerKey operator (second production use
+    * beyond the orders query; the window formulation sorts every group
+    * in full, the heap streams). The order key folds doc_id into the
+    * low bits so it is tie-free: n_chars ties would otherwise make
+    * heap-keep vs row_number-keep diverge.
+    */
+  def domainQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        ($"n_chars" * 1000000L + $"doc_id").as("ord"))
+    graft.plans.TopKPerKey.topKPerKey(docs, Seq("source"), "ord", 10)
+      .select("doc_id", "source", "n_chars")
+  }
+
+  val domainQuotaSql: String =
+    """SELECT doc_id, source, n_chars
+      |FROM (SELECT doc_id, source, n_chars,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY n_chars * 1000000 + doc_id DESC) AS rn
+      |      FROM documents
+      |      WHERE n_chars IS NOT NULL)
+      |WHERE rn <= 10""".stripMargin
+
+  // --------------------------------------------- unigram surprisal score
+
+  /** Unigram-LM surprisal per document: mean over tokens of
+    * ln(N / count(word)) — the cheap corpus-statistics stand-in for
+    * perplexity filtering. Token surprisals are rounded to 6 dp and
+    * summed in DECIMAL (exact, associative — immune to double
+    * summation-order drift across engines); only the final mean is cast
+    * back to double. The vocabulary join is size-based (AQE): broadcast
+    * while the vocab fits, shuffle when it doesn't.
+    */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "explode(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS word")
+    val vocab = toks.groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val n = toks.count()
+    toks.join(vocab, "word")
+      .withColumn("surp",
+        round(log(lit(n.toDouble) / $"cnt".cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        (sum($"surp").cast("double") / count(lit(1))).as("mean_surprisal"))
+  }
+
+  val unigramSurprisalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS word
+      |  FROM documents),
+      |vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+      |n AS (SELECT count(*) AS total FROM toks)
+      |SELECT t.doc_id, count(*) AS n_toks,
+      |  CAST(sum(CAST(round(ln(CAST(n.total AS DOUBLE) / CAST(v.cnt AS DOUBLE)), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
+      |FROM toks t JOIN vocab v ON t.word = v.word CROSS JOIN n
+      |GROUP BY t.doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_stratified_sample" -> (stratifiedSample _),
+    "curate_quality_bins" -> (qualityBins _),
+    "curate_chunks" -> (chunkOverlap _),
+    "curate_pack_stats" -> (packStats _),
+    "curate_domain_quota" -> (domainQuota _),
+    "curate_unigram_surprisal" -> (unigramSurprisal _))
+
+  def oracles: Map[String, String] = Map(
+    "curate_stratified_sample" -> stratifiedSampleSql,
+    "curate_quality_bins" -> qualityBinsSql,
+    "curate_chunks" -> chunkOverlapSql,
+    "curate_pack_stats" -> packStatsSql,
+    "curate_domain_quota" -> domainQuotaSql,
+    "curate_unigram_surprisal" -> unigramSurprisalSql)
+}

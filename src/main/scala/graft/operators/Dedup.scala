@@ -470,13 +470,15 @@ object Dedup {
     while (!converged && i < maxIters) {
       val prop = edges.join(labels, $"src" === $"doc_id")
         .groupBy($"dst").agg(min($"label").as("nl"))
+      // carry the previous label through the propagation join so the
+      // convergence check is a filter on the SAME checkpointed frame —
+      // one join per iteration instead of propagation + compare joins
       val next = labels.join(prop, $"doc_id" === $"dst", "left_outer")
-        .select($"doc_id",
+        .select($"doc_id", $"label".as("old"),
           least($"label", coalesce($"nl", $"label")).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .where($"label" =!= $"old").isEmpty
-      labels = next
+      converged = next.where($"label" =!= $"old").isEmpty
+      labels = next.select($"doc_id", $"label")
       i += 1
     }
     if (!converged)

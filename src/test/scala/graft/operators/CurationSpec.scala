@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("stratified sample downsamples en harder and is deterministic") {
+    val docs = graft.Tables.documents(spark, sf)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = Curation.stratifiedSample(spark, sf)
+    val kept = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    val otherKept = (kept - "en").values.sum.toDouble
+    val otherTotal = (total - "en").values.sum.toDouble
+    assert(enRate < otherKept / otherTotal,
+      s"en rate $enRate should be below the others'")
+    // hash-derived decision ⇒ bit-identical on re-run
+    val b = Curation.stratifiedSample(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("quality bins: 10 per lang, balanced within 1, ordered by length") {
+    val bins = Curation.qualityBins(spark, sf).cache()
+    val perLang = bins.groupBy("lang").agg(
+      countDistinct("bin").as("n_bins"),
+      (max("n_chars") - min("n_chars")).as("spread")).collect()
+    assert(perLang.forall(_.getLong(1) == 10L))
+    val sizes = bins.groupBy("lang", "bin").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("d")).collect()
+    assert(sizes.forall(_.getLong(1) <= 1L), "ntile bins must be balanced")
+    // a doc in a higher bin is never shorter than one in a lower bin ± tie
+    val v = bins.as("a").join(bins.as("b"),
+      col("a.lang") === col("b.lang") && col("a.bin") < col("b.bin") &&
+        col("a.n_chars") > col("b.n_chars")).count()
+    assert(v == 0, s"$v cross-bin order violations")
+  }
+
+  test("chunks: bounded windows, correct count and coverage per doc") {
+    val chunks = Curation.chunkOverlap(spark, sf).cache()
+    assert(chunks.where(col("chunk_tokens") < 1 ||
+      col("chunk_tokens") > Curation.ChunkTokens).count() == 0)
+    // every doc's chunk count is 1 + floor((n-1)/stride)
+    val toks = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "size(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS n")
+      .where("n > 0")
+    val got = chunks.groupBy("doc_id").count()
+    val bad = toks.join(got, "doc_id")
+      .where(col("count") =!= (lit(1) +
+        floor((col("n") - 1) / Curation.ChunkStride))).count()
+    assert(bad == 0)
+  }
+
+  test("pack stats: offsets are contiguous within source, sequences ordered") {
+    val p = Curation.packStats(spark, sf).cache()
+    assert(p.where(col("seq_first") > col("seq_last")).count() == 0)
+    // start_tok of each doc equals previous doc's start + its tokens
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val bad = p.withColumn("expected",
+        coalesce(lag(col("start_tok") + col("n_toks"), 1).over(w), lit(0L)))
+      .where(col("start_tok") =!= col("expected")).count()
+    assert(bad == 0)
+  }
+
+  test("domain quota keeps exactly the 10 longest docs per source") {
+    val q = Curation.domainQuota(spark, sf).cache()
+    val counts = q.groupBy("source").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) == 10L))
+    // heap result == window formulation on the same tie-free key
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy((col("n_chars") * 1000000L + col("doc_id")).desc)
+    val ref = graft.Tables.documents(spark, sf)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("doc_id", "source", "n_chars")
+    assert(q.exceptAll(ref).isEmpty && ref.exceptAll(q).isEmpty)
+  }
+
+  test("unigram surprisal: rare-vocabulary docs score above common ones") {
+    val s = Curation.unigramSurprisal(spark, sf).cache()
+    assert(s.where(col("mean_surprisal") <= 0).count() == 0)
+    // every doc with ≥1 token is scored
+    val nDocs = graft.Tables.documents(spark, sf)
+      .selectExpr("size(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS n")
+      .where("n > 0").count()
+    assert(s.count() == nDocs)
+  }
+}
