@@ -208,10 +208,14 @@ object Curation {
       .selectExpr("doc_id",
         "explode(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS word")
     val vocab = toks.groupBy($"word").agg(count(lit(1)).as("cnt"))
-    val n = toks.count()
+    // corpus size N as a 1-row aggregate OVER THE VOCAB (sum of counts),
+    // cross-joined in — not a driver-side toks.count(), which would add
+    // an extra action and a second full tokenization pass
+    val n = vocab.agg(sum($"cnt").as("total"))
     toks.join(vocab, "word")
+      .crossJoin(broadcast(n))
       .withColumn("surp",
-        round(log(lit(n.toDouble) / $"cnt".cast("double")), 6)
+        round(log($"total".cast("double") / $"cnt".cast("double")), 6)
           .cast("decimal(18,6)"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_toks"),

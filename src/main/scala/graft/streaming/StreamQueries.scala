@@ -139,6 +139,28 @@ object StreamQueries {
       .select("user_id", "n_sessions", "n_events")
   }
 
+  /** Streaming exact dedup over `documents`: the batch dedup's
+    * (hash, norm) keep-min aggregation on the incremental engine,
+    * complete mode — per-key aggregation is arrival-order-insensitive
+    * (unlike streaming dropDuplicates, which keeps the first arrival),
+    * so the final state equals the batch `dedup_exact` oracle under any
+    * trigger split. Extends the lambda-convergence claim to the dedup
+    * family.
+    */
+  def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val docs = s.readStream.schema(schema).parquet(stageAsDir(path))
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .groupBy(graft.functions.FnvHash64.fnv_hash64(col("norm")).as("text_hash"),
+        col("norm"))
+      .agg(min(col("doc_id")).as("kept_doc_id"),
+        count(lit(1)).as("n_copies"))
+    runToFinal(docs, "complete")
+      .select("kept_doc_id", "n_copies")
+  }
+
   /** Start-position / rate control for the file source — the analogs of
     * the reference spout's earliest/latest start offset and bounded
     * max-pending knobs
@@ -178,11 +200,13 @@ object StreamQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_wordcount" -> (streamWordCount _),
     "stream_interval_count" -> (streamIntervalCount _),
-    "stream_session_stats" -> (streamSessionStats _))
+    "stream_session_stats" -> (streamSessionStats _),
+    "stream_dedup_exact" -> (streamDedupExact _))
 
   def oracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
     "stream_wordcount" -> graft.operators.TextOps.wordCountSql,
     "stream_interval_count" -> graft.operators.EventOps.intervalCountSql,
-    "stream_session_stats" -> graft.operators.EventOps.sessionStatsSql)
+    "stream_session_stats" -> graft.operators.EventOps.sessionStatsSql,
+    "stream_dedup_exact" -> graft.operators.Dedup.exactDedupSql)
 }
