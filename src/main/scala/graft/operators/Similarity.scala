@@ -483,11 +483,47 @@ object Similarity {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** Per-language embedding centroids: documents ⋈ embeddings on id,
+    * element-explode, mean per (lang, dim). The aggregation is
+    * decimal-exact: each element is rounded to 6 dp (deterministic per
+    * value in both engines) and summed as DECIMAL — associative, so the
+    * result is independent of partition/summation order, which a plain
+    * double sum is not. The join is a fact⋈fact equi-join on the id —
+    * one co-partitioned shuffle at scale; the output is a tiny
+    * (languages × dims) frame.
+    */
+  def langCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang")
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    docs.join(emb, $"doc_id" === $"vec_id")
+      .select($"lang", posexplode($"embedding").as(Seq("dim", "ev")))
+      .groupBy($"lang", $"dim")
+      .agg(count(lit(1)).as("n"),
+        round(sum(round($"ev".cast("double"), 6).cast("decimal(18,9)"))
+          .cast("double") / count(lit(1)), 6).as("mean_v"))
+  }
+
+  val langCentroidsSql: String =
+    """WITH j AS (
+      |  SELECT d.lang, e.embedding
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |ex AS (
+      |  SELECT lang,
+      |    unnest(range(0, len(embedding))) AS dim,
+      |    unnest(embedding) AS ev
+      |  FROM j)
+      |SELECT lang, CAST(dim AS INT) AS dim, count(*) AS n,
+      |  round(CAST(sum(CAST(round(CAST(ev AS DOUBLE), 6) AS DECIMAL(18,9)))
+      |    AS DOUBLE) / count(*), 6) AS mean_v
+      |FROM ex GROUP BY lang, dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_neardup" -> (embeddingNearDup _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_ann_topk" -> (annTopK _),
-    "sim_ivf_topk" -> (ivfTopK _))
+    "sim_ivf_topk" -> (ivfTopK _),
+    "sim_lang_centroids" -> (langCentroids _))
 
   /** The IVF oracle needs the trained centroids, so its entry appears
     * once [[ivfCentroids]] has run for some dir (Verify runs every query
@@ -497,7 +533,8 @@ object Similarity {
     val base = Map(
       "sim_embedding_neardup" -> embeddingNearDupSql,
       "sim_bruteforce_topk" -> bruteForceTopKSql,
-      "sim_ann_topk" -> annTopKSql)
+      "sim_ann_topk" -> annTopKSql,
+      "sim_lang_centroids" -> langCentroidsSql)
     ivfLastDir.flatMap(centroidCache.get) match {
       case Some(cs) => base + ("sim_ivf_topk" -> ivfTopKSql(cs))
       case None => base

@@ -117,15 +117,44 @@ object FileSources {
       |  AND strftime(date_trunc('day', ts), '%Y-%m-%d') < '2024-01-08'
       |GROUP BY 1, 2""".stripMargin
 
+  /** ORC round-trip: the columnar alternative to parquet Spark ships
+    * natively. Decimal money values survive exactly (stored as decimal,
+    * not re-parsed text); DuckDB never reads the ORC — its oracle runs
+    * on the original parquet, which the round-trip must reproduce.
+    */
+  def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft_orc")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_returnflag",
+        $"l_quantity", $"l_extendedprice")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price"),
+        countDistinct($"l_orderkey").as("n_orders"))
+  }
+
+  val orcRoundTripSql: String =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> (csvRoundTrip _),
     "src_json_roundtrip" -> (jsonRoundTrip _),
     "src_json_extract" -> (jsonExtract _),
+    "src_orc_roundtrip" -> (orcRoundTrip _),
     "src_partitioned_layout" -> (partitionedLayout _))
 
   def oracles: Map[String, String] = Map(
     "src_csv_roundtrip" -> csvRoundTripSql,
     "src_json_roundtrip" -> jsonRoundTripSql,
     "src_json_extract" -> jsonExtractSql,
+    "src_orc_roundtrip" -> orcRoundTripSql,
     "src_partitioned_layout" -> partitionedLayoutSql)
 }
