@@ -139,6 +139,45 @@ object StreamQueries {
       .select("user_id", "n_sessions", "n_events")
   }
 
+  /** Stream-stream interval join as a driver-contract query: purchases
+    * join every click by the same user within the preceding hour, both
+    * sides arriving as independent file streams with watermarks (the
+    * state-cleanup contract), append mode. With AvailableNow over the
+    * staged input the emitted set is exactly the batch interval join —
+    * the DuckDB oracle. Timestamps are truncated to µs on BOTH sides
+    * (DuckDB reads the nanos parquet column truncated to µs), so the
+    * interval comparisons are exact integer µs comparisons.
+    */
+  def streamClickAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val staged = stageAsDir(path)
+    def src(): DataFrame = s.readStream.schema(schema).parquet(staged)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("tsu"))
+    val p = src().where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"tsu".as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = src().where($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"tsu".as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = p.join(c,
+      expr("""p_user = c_user AND
+             |c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select($"purchase_id", $"click_id")
+    runToFinal(joined, "append")
+  }
+
+  val streamClickAttributionSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin
+
   /** Streaming exact dedup over `documents`: the batch dedup's
     * (hash, norm) keep-min aggregation on the incremental engine,
     * complete mode — per-key aggregation is arrival-order-insensitive
@@ -201,12 +240,14 @@ object StreamQueries {
     "stream_wordcount" -> (streamWordCount _),
     "stream_interval_count" -> (streamIntervalCount _),
     "stream_session_stats" -> (streamSessionStats _),
-    "stream_dedup_exact" -> (streamDedupExact _))
+    "stream_dedup_exact" -> (streamDedupExact _),
+    "stream_click_attribution" -> (streamClickAttribution _))
 
   def oracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
     "stream_wordcount" -> graft.operators.TextOps.wordCountSql,
     "stream_interval_count" -> graft.operators.EventOps.intervalCountSql,
     "stream_session_stats" -> graft.operators.EventOps.sessionStatsSql,
-    "stream_dedup_exact" -> graft.operators.Dedup.exactDedupSql)
+    "stream_dedup_exact" -> graft.operators.Dedup.exactDedupSql,
+    "stream_click_attribution" -> streamClickAttributionSql)
 }
