@@ -246,7 +246,33 @@ object EventOps {
       |FROM days d JOIN first f ON d.user_id = f.user_id
       |GROUP BY 1""".stripMargin
 
+  /** Trailing-hour event count per event via a RANGE window frame —
+    * the value-based frame Spark plans differently from ROWS (frame
+    * bounds resolved against the µs time value, peers included
+    * regardless of physical order, so the result is deterministic under
+    * ties). Windows at µs because that is the finest granularity both
+    * engines read identically from the nanos parquet column.
+    */
+  def rangeWindowCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"ts_us")
+      .rangeBetween(-3600L * 1000000L, 0)
+    Tables.events(s, dir)
+      .select($"event_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"))
+      .select($"event_id", $"event_type",
+        count(lit(1)).over(w).as("cnt_1h"))
+  }
+
+  val rangeWindowCountSql: String =
+    """SELECT event_id, event_type,
+      |  count(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS cnt_1h
+      |FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_range_window" -> (rangeWindowCount _),
     "ev_funnel" -> (funnel _),
     "ev_retention" -> (retention _),
     "ev_user_event_types" -> (userEventTypes _),
@@ -257,6 +283,7 @@ object EventOps {
     "ev_session_stats" -> (sessionStats _))
 
   def oracles: Map[String, String] = Map(
+    "ev_range_window" -> rangeWindowCountSql,
     "ev_funnel" -> funnelSql,
     "ev_retention" -> retentionSql,
     "ev_user_event_types" -> userEventTypesSql,

@@ -282,7 +282,40 @@ object Relational2 {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** Full analytic ranking-function family over one window: rank,
+    * dense_rank, percent_rank, cume_dist, ntile(4) per nation by
+    * account balance. The order key is made total (acctbal desc,
+    * custkey) so every function is deterministic; percent_rank and
+    * cume_dist are exact small-integer ratios, bit-identical across
+    * engines without rounding.
+    */
+  def qRankFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_nationkey",
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  val qRankFuncsSql: String =
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_funcs" -> (qRankFuncs _),
     "q_sql_entry" -> (qSqlEntry _),
     "q_percentiles" -> (qPercentiles _),
     "q_correlation" -> (qCorrelation _),
@@ -297,6 +330,7 @@ object Relational2 {
     "q_stats_agg" -> (qStatsAgg _))
 
   def oracles: Map[String, String] = Map(
+    "q_rank_funcs" -> qRankFuncsSql,
     "q_sql_entry" -> qSqlEntrySql,
     "q_percentiles" -> qPercentilesSql,
     "q_correlation" -> qCorrelationSql,

@@ -518,12 +518,46 @@ object Similarity {
       |    AS DOUBLE) / count(*), 6) AS mean_v
       |FROM ex GROUP BY lang, dim""".stripMargin
 
+  /** Same centroids through the typed [[graft.functions.VecMeanAgg]]
+    * Aggregator — ONE aggregation pass where [[langCentroids]] explodes
+    * 64 rows per vector before grouping: the shuffle carries a single
+    * 64-long buffer per (lang, partition) instead of 64×|vectors| rows.
+    * Exactness holds because the buffer accumulates exact micro-unit
+    * longs (order-independent), finished with the same two
+    * correctly-rounded double divisions the SQL oracle performs.
+    */
+  def langCentroidsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecMean = udaf(graft.functions.VecMeanAgg)
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang")
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    docs.join(emb, $"doc_id" === $"vec_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"), vecMean($"embedding").as("mv"))
+      .select($"lang", $"n", posexplode($"mv").as(Seq("dim", "mean_v")))
+  }
+
+  val langCentroidsAggSql: String =
+    """WITH j AS (
+      |  SELECT d.lang, e.embedding
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |ex AS (
+      |  SELECT lang,
+      |    unnest(range(0, len(embedding))) AS dim,
+      |    unnest(embedding) AS ev
+      |  FROM j)
+      |SELECT lang, count(*) AS n, CAST(dim AS INT) AS dim,
+      |  CAST(sum(CAST(round(CAST(ev AS DOUBLE), 6) AS DECIMAL(18,6)))
+      |    AS DOUBLE) / count(*) AS mean_v
+      |FROM ex GROUP BY lang, dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_neardup" -> (embeddingNearDup _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_ann_topk" -> (annTopK _),
     "sim_ivf_topk" -> (ivfTopK _),
-    "sim_lang_centroids" -> (langCentroids _))
+    "sim_lang_centroids" -> (langCentroids _),
+    "sim_lang_centroids_agg" -> (langCentroidsAgg _))
 
   /** The IVF oracle needs the trained centroids, so its entry appears
     * once [[ivfCentroids]] has run for some dir (Verify runs every query
@@ -534,7 +568,8 @@ object Similarity {
       "sim_embedding_neardup" -> embeddingNearDupSql,
       "sim_bruteforce_topk" -> bruteForceTopKSql,
       "sim_ann_topk" -> annTopKSql,
-      "sim_lang_centroids" -> langCentroidsSql)
+      "sim_lang_centroids" -> langCentroidsSql,
+      "sim_lang_centroids_agg" -> langCentroidsAggSql)
     ivfLastDir.flatMap(centroidCache.get) match {
       case Some(cs) => base + ("sim_ivf_topk" -> ivfTopKSql(cs))
       case None => base

@@ -154,6 +154,20 @@ object StreamQueries {
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     val staged = stageAsDir(path)
+    // a stream-stream join materializes FOUR state stores per shuffle
+    // partition per trigger; size the partition count to the stream's
+    // state volume, not the batch default (at this volume the store
+    // setup dominates — at production volume this knob goes UP with
+    // keyspace, it is per-query state sizing either way)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamClickAttributionInner(s, staged, schema)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def streamClickAttributionInner(s: SparkSession, staged: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import s.implicits._
     def src(): DataFrame = s.readStream.schema(schema).parquet(staged)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("timestamp_micros(ts div 1000)").as("tsu"))
