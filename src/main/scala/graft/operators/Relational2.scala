@@ -314,7 +314,60 @@ object Relational2 {
       |WINDOW w AS (PARTITION BY c_nationkey
       |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
 
+  /** Null-semantics surface: three-valued logic made explicit —
+    * COALESCE over an outer-join null, null-safe equality (Spark `<=>`
+    * ≡ SQL IS NOT DISTINCT FROM), NULLIF. Customers who never ordered
+    * produce the nulls.
+    */
+  def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+    Tables.customer(s, dir)
+      .join(perCust, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey",
+        coalesce($"n", lit(0L)).as("n_orders"),
+        ($"n" <=> lit(null).cast("long")).as("never_ordered"),
+        nullif($"c_mktsegment", lit("BUILDING")).as("seg_nb"))
+  }
+
+  val qNullSemanticsSql: String =
+    """SELECT c_custkey,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+      |  (n IS NOT DISTINCT FROM NULL) AS never_ordered,
+      |  nullif(c_mktsegment, 'BUILDING') AS seg_nb
+      |FROM customer
+      |LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+      |  ON c_custkey = o_custkey""".stripMargin
+
+  /** Explicit GROUPING SETS with grouping() disambiguation — the
+    * generalization rollup/cube specialize (both already covered); runs
+    * through the SQL entry path.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+        |  coalesce(o_orderstatus, 'ALL') AS st,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        |  count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+      |  coalesce(o_orderstatus, 'ALL') AS st,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+      |  count(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_semantics" -> (qNullSemantics _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_rank_funcs" -> (qRankFuncs _),
     "q_sql_entry" -> (qSqlEntry _),
     "q_percentiles" -> (qPercentiles _),
@@ -330,6 +383,8 @@ object Relational2 {
     "q_stats_agg" -> (qStatsAgg _))
 
   def oracles: Map[String, String] = Map(
+    "q_null_semantics" -> qNullSemanticsSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_rank_funcs" -> qRankFuncsSql,
     "q_sql_entry" -> qSqlEntrySql,
     "q_percentiles" -> qPercentilesSql,

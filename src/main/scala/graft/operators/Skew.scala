@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew-handling join helpers — the hot-key survival kit for 100 TB
   * joins (AQE's skew-join splitting covers sort-merge joins at runtime;
@@ -36,4 +37,36 @@ object Skew {
       salted(key) === replicated(key) && salted("_salt") === replicated("_salt"))
       .drop(replicated(key)).drop("_salt")
   }
+
+  /** Contract query: orders⋈customer through the salted join, then a
+    * segment rollup. The oracle is the PLAIN join — salting must be
+    * result-invariant (row-for-row identical to the unsalted join), and
+    * this query pins that equivalence to the DuckDB gate, not just a
+    * spec.
+    */
+  def qSkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey".as("ck"),
+        $"o_totalprice")
+    val cust = Tables.customer(s, dir)
+      .select($"c_custkey".as("ck"), $"c_mktsegment")
+    saltedJoin(ord, cust, "ck", nSalts = 4)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+  }
+
+  val qSkewSaltedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_join" -> (qSkewSaltedJoin _))
+
+  def oracles: Map[String, String] = Map(
+    "q_skew_salted_join" -> qSkewSaltedJoinSql)
 }
