@@ -64,9 +64,48 @@ object Skew {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Contract query through BUCKETED catalog tables: both join sides are
+    * written `bucketBy(8, key).sortBy(key)` (external tables at scoped
+    * paths) and joined back from the catalog — the ingest-time
+    * co-location layout that makes repeated fact joins shuffle-free at
+    * scale (exchange-freeness itself is asserted in SkewAndBucketSpec;
+    * here the layout's RESULT is pinned to the plain-join oracle).
+    */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.mode("overwrite")
+      .option("path", graft.TempDirs.scoped("graft_bkt_ord"))
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_bkt_orders")
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .write.mode("overwrite")
+      .option("path", graft.TempDirs.scoped("graft_bkt_cust"))
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_bkt_customer")
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_custs,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_skew_salted_join" -> (qSkewSaltedJoin _))
+    "q_skew_salted_join" -> (qSkewSaltedJoin _),
+    "q_bucketed_join" -> (qBucketedJoin _))
 
   def oracles: Map[String, String] = Map(
-    "q_skew_salted_join" -> qSkewSaltedJoinSql)
+    "q_skew_salted_join" -> qSkewSaltedJoinSql,
+    "q_bucketed_join" -> qBucketedJoinSql)
 }
