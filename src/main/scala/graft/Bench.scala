@@ -36,9 +36,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // JVM + codegen warm-up (not reported per-query)
+    // JVM + codegen warm-up (not reported per-query), plus one touch per
+    // bench-SF input table (file listing + parquet footer caches) so the
+    // alphabetically-first query doesn't absorb the cold-start costs
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(name, fn)
