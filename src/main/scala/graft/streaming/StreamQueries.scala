@@ -214,6 +214,49 @@ object StreamQueries {
       .select("kept_doc_id", "n_copies")
   }
 
+  /** Incremental materialized-view maintenance — the lambda serving
+    * layer as a contract query. The events stream is staged as FOUR
+    * files and drained with `maxFilesPerTrigger = 1`, so the update-mode
+    * aggregation genuinely runs across multiple triggers; each trigger's
+    * changed keys (with their cumulative counts from the state store)
+    * are APPENDED to a parquet delta log stamped with the batch id — an
+    * idempotent, replay-safe sink write (re-running a batch rewrites the
+    * same rows). The view is reconstructed as latest-batch-wins per key
+    * and must equal the batch aggregate — the oracle.
+    */
+  def streamMvCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = graft.TempDirs.scoped("graft_mv_src")
+    s.read.parquet(s"$dir/events.parquet")
+      .repartition(4).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val mvLog = graft.TempDirs.scoped("graft_mv_log")
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(mvLog)
+      }
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"batch_id".desc)
+    s.read.parquet(mvLog)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"event_type", $"cnt")
+  }
+
+  val streamMvCountsSql: String =
+    """SELECT event_type, count(*) AS cnt
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Start-position / rate control for the file source — the analogs of
     * the reference spout's earliest/latest start offset and bounded
     * max-pending knobs
@@ -255,7 +298,8 @@ object StreamQueries {
     "stream_interval_count" -> (streamIntervalCount _),
     "stream_session_stats" -> (streamSessionStats _),
     "stream_dedup_exact" -> (streamDedupExact _),
-    "stream_click_attribution" -> (streamClickAttribution _))
+    "stream_click_attribution" -> (streamClickAttribution _),
+    "stream_mv_counts" -> (streamMvCounts _))
 
   def oracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
@@ -263,5 +307,6 @@ object StreamQueries {
     "stream_interval_count" -> graft.operators.EventOps.intervalCountSql,
     "stream_session_stats" -> graft.operators.EventOps.sessionStatsSql,
     "stream_dedup_exact" -> graft.operators.Dedup.exactDedupSql,
-    "stream_click_attribution" -> streamClickAttributionSql)
+    "stream_click_attribution" -> streamClickAttributionSql,
+    "stream_mv_counts" -> streamMvCountsSql)
 }

@@ -59,6 +59,17 @@ class RateControlSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("incremental MV maintenance reconstructs the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val mv = StreamQueries.streamMvCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(mv == batch)
+  }
+
   test("latestFirst=true consumes the newest file in the first trigger") {
     val (dir, counts) = stageSplit(3)
     val (_, perTrigger) = StreamQueries.rateLimitedWordCount(
