@@ -24,7 +24,7 @@ object SparkEntry {
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       Curation.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
-      Skew.queries ++
+      Skew.queries ++ DataQuality.queries ++
       graft.plans.TopKPerKey.queries ++
       graft.sources.FileSources.queries ++
       graft.streaming.StreamQueries.queries
@@ -38,7 +38,7 @@ object SparkEntry {
       Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
-      Skew.oracles ++
+      Skew.oracles ++ DataQuality.oracles ++
       graft.plans.TopKPerKey.oracles ++
       graft.sources.FileSources.oracles ++
       graft.streaming.StreamQueries.oracles

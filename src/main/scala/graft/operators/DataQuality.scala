@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality expectation checks — the admission gate a training-data
+  * pipeline runs before anything is allowed into the corpus: null and
+  * range violations, key uniqueness, domain membership, and
+  * derived-column consistency, each as a single map-side-combinable
+  * aggregation pass (one scan per table, one 1-row result — the shape
+  * that still costs one pass at 100 TB).
+  */
+object DataQuality {
+
+  /** Events expectations: key uniqueness, null/negative rates, event
+    * type domain membership, timestamp bounds sanity.
+    */
+  def dqEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct($"event_id")).as("dup_event_ids"),
+      sum(when($"user_id".isNull, 1L).otherwise(0L)).as("null_user"),
+      sum(when($"value".isNull, 1L).otherwise(0L)).as("null_value"),
+      sum(when($"value" < 0, 1L).otherwise(0L)).as("neg_value"),
+      sum(when($"event_type".isin("click", "view", "purchase", "error"), 0L)
+        .otherwise(1L)).as("bad_type"),
+      // bounds at µs: the finest granularity both engines read
+      // identically from the nanos parquet column
+      min(expr("ts_ns div 1000")).as("min_ts_us"),
+      max(expr("ts_ns div 1000")).as("max_ts_us"))
+  }
+
+  val dqEventsSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS dup_event_ids,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+      |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_value,
+      |  CAST(sum(CASE WHEN event_type IN ('click','view','purchase','error')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS bad_type,
+      |  min(epoch_us(ts)) AS min_ts_us,
+      |  max(epoch_us(ts)) AS max_ts_us
+      |FROM events""".stripMargin
+
+  /** Documents expectations: id uniqueness, empty/whitespace text,
+    * lang-domain membership, and the n_chars = length(text) derived-
+    * column consistency contract.
+    */
+  def dqDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct($"doc_id")).as("dup_doc_ids"),
+      sum(when($"text".isNull || length(trim($"text")) === 0, 1L)
+        .otherwise(0L)).as("blank_text"),
+      sum(when($"lang".isin("en", "de", "fr", "es", "zh"), 0L)
+        .otherwise(1L)).as("bad_lang"),
+      sum(when($"n_chars" =!= length($"text"), 1L).otherwise(0L))
+        .as("n_chars_mismatch"))
+  }
+
+  val dqDocumentsSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_doc_ids,
+      |  CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS blank_text,
+      |  CAST(sum(CASE WHEN lang IN ('en','de','fr','es','zh')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS bad_lang,
+      |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_chars_mismatch
+      |FROM documents""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_events" -> (dqEvents _),
+    "dq_documents" -> (dqDocuments _))
+
+  def oracles: Map[String, String] = Map(
+    "dq_events" -> dqEventsSql,
+    "dq_documents" -> dqDocumentsSql)
+}
