@@ -365,7 +365,68 @@ object Relational2 {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
 
+  /** Multiset difference (EXCEPT ALL — duplicate-preserving, unlike the
+    * set-semantics anti join): priorities of high-value orders minus one
+    * occurrence per BUILDING-segment order, then counted.
+    */
+  def qExceptAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val high = Tables.orders(s, dir)
+      .where($"o_totalprice" > 150000.0)
+      .select($"o_orderpriority")
+    val building = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).where($"c_mktsegment" === "BUILDING")
+        .select("c_custkey"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderpriority")
+    high.exceptAll(building)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val qExceptAllSql: String =
+    """SELECT o_orderpriority, count(*) AS cnt FROM (
+      |  SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000.0
+      |  EXCEPT ALL
+      |  SELECT o_orderpriority FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Value-position window functions (first/last/nth/lead/lag) over each
+    * customer's order timeline — total-ordered by (date, key) so every
+    * value is deterministic; prices pass through untouched (bit-exact).
+    */
+  def qValueWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        first($"o_totalprice").over(wf).as("first_price"),
+        last($"o_totalprice").over(wf).as("last_price"),
+        nth_value($"o_totalprice", 2).over(wf).as("second_price"),
+        lead($"o_orderkey", 1).over(w).as("next_order"),
+        lag($"o_orderkey", 1).over(w).as("prev_order"))
+  }
+
+  val qValueWindowFuncsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  first_value(o_totalprice) OVER wf AS first_price,
+      |  last_value(o_totalprice) OVER wf AS last_price,
+      |  nth_value(o_totalprice, 2) OVER wf AS second_price,
+      |  lead(o_orderkey, 1) OVER w AS next_order,
+      |  lag(o_orderkey, 1) OVER w AS prev_order
+      |FROM orders
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_except_all" -> (qExceptAll _),
+    "q_value_window_funcs" -> (qValueWindowFuncs _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_rank_funcs" -> (qRankFuncs _),
@@ -383,6 +444,8 @@ object Relational2 {
     "q_stats_agg" -> (qStatsAgg _))
 
   def oracles: Map[String, String] = Map(
+    "q_except_all" -> qExceptAllSql,
+    "q_value_window_funcs" -> qValueWindowFuncsSql,
     "q_null_semantics" -> qNullSemanticsSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_rank_funcs" -> qRankFuncsSql,

@@ -214,6 +214,32 @@ object StreamQueries {
       .select("kept_doc_id", "n_copies")
   }
 
+  /** Streaming hourly windowed counts — the time-window aggregation on
+    * the incremental engine (tumbling `window()` + watermark), final
+    * complete-mode state equal to the batch `ev_hourly_counts` oracle.
+    * Complete mode (not append) because the trailing window never closes
+    * under a bounded replay: the watermark stops at max-event-time −
+    * delay, so append would hold back the final hour forever.
+    */
+  def streamHourlyCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val lo = 1704412800000000000L // 2024-01-05T00:00:00Z epoch nanos
+    val hi = 1704499200000000000L // 2024-01-06T00:00:00Z
+    val ev = s.readStream.schema(schema).parquet(stageAsDir(path))
+      .filter(col("ts") >= lo && col("ts") < hi)
+      .select(col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts_t"))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window($"ts_t", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour"),
+        $"event_type", $"cnt")
+    runToFinal(ev, "complete")
+  }
+
   /** Incremental materialized-view maintenance — the lambda serving
     * layer as a contract query. The events stream is staged as FOUR
     * files and drained with `maxFilesPerTrigger = 1`, so the update-mode
@@ -299,7 +325,8 @@ object StreamQueries {
     "stream_session_stats" -> (streamSessionStats _),
     "stream_dedup_exact" -> (streamDedupExact _),
     "stream_click_attribution" -> (streamClickAttribution _),
-    "stream_mv_counts" -> (streamMvCounts _))
+    "stream_mv_counts" -> (streamMvCounts _),
+    "stream_hourly_counts" -> (streamHourlyCounts _))
 
   def oracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
@@ -308,5 +335,6 @@ object StreamQueries {
     "stream_session_stats" -> graft.operators.EventOps.sessionStatsSql,
     "stream_dedup_exact" -> graft.operators.Dedup.exactDedupSql,
     "stream_click_attribution" -> streamClickAttributionSql,
-    "stream_mv_counts" -> streamMvCountsSql)
+    "stream_mv_counts" -> streamMvCountsSql,
+    "stream_hourly_counts" -> graft.operators.EventOps.hourlyCountsSql)
 }
