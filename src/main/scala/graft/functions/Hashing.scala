@@ -48,66 +48,15 @@ object Hashing extends Serializable {
     MinhashK / Bands
   }
 
-  /** Per-component affine permutation params (odd multipliers). */
-  lazy val minhashA: Array[Long] =
-    Array.tabulate(MinhashK)(i => splitmix64(0x5eed0001L + i) | 1L)
-  lazy val minhashB: Array[Long] =
-    Array.tabulate(MinhashK)(i => splitmix64(0x5eed1001L + i))
-
-  /** MinHash signature of a set of element hashes. */
-  def minhash(elementHashes: Iterator[Long]): Array[Long] = {
-    val sig = Array.fill(MinhashK)(Long.MaxValue)
-    elementHashes.foreach { x =>
-      var i = 0
-      while (i < MinhashK) {
-        val h = minhashA(i) * x + minhashB(i)
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-    }
-    sig
-  }
-
-  /** Band key: (band index, hash of that band's signature slice). */
-  def bandKeys(sig: Array[Long]): Seq[(Int, Long)] =
-    (0 until Bands).map { b =>
-      var h = 0xcbf29ce484222325L
-      var r = 0
-      while (r < RowsPerBand) {
-        h ^= sig(b * RowsPerBand + r)
-        h *= 0x100000001b3L
-        r += 1
-      }
-      (b, h)
-    }
-
-  /** 64-bit SimHash over (elementHash, weight) pairs. */
-  def simhash(weighted: Iterator[(Long, Int)]): Long = {
-    val acc = new Array[Int](64)
-    weighted.foreach { case (h, w) =>
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
-        b += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (acc(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
-
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   // ------------------------------------- oracle-reproducible sketch kit
   //
-  // The FNV/splitmix sketches above are JVM-side only; DuckDB cannot
-  // reproduce 64-bit wraparound multiplication (BIGINT overflow throws).
-  // This kit keeps every step inside non-overflowing signed-64 integer
-  // arithmetic so the EXACT same signatures fall out of both engines:
+  // DuckDB cannot reproduce 64-bit wraparound multiplication (BIGINT
+  // overflow throws), so FNV/splitmix-style sketches would be JVM-only.
+  // This kit instead keeps every step inside non-overflowing signed-64
+  // integer arithmetic so the EXACT same signatures fall out of both
+  // engines:
   //   - base hash  = first 15 hex chars of md5(s), parsed as a 60-bit
   //     int (md5 is identical everywhere; DuckDB parses '0x…' casts)
   //   - minhash    = min over shingles of (a·(x mod p) + b) mod p with

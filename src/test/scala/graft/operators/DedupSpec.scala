@@ -26,29 +26,27 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash estimate approximates true jaccard on controlled overlap") {
     // two sets sharing 60 of 80 elements: jaccard = 60/100 = 0.6
-    val a = (0 until 80).map(i => Hashing.fnv1a64(s"tok$i"))
-    val b = (20 until 100).map(i => Hashing.fnv1a64(s"tok$i"))
-    val sigA = Hashing.minhash(a.iterator)
-    val sigB = Hashing.minhash(b.iterator)
+    val a = (0 until 80).map(i => Hashing.md5_60(s"tok$i"))
+    val b = (20 until 100).map(i => Hashing.md5_60(s"tok$i"))
+    val sigA = Hashing.minhash60(a.iterator)
+    val sigB = Hashing.minhash60(b.iterator)
     val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / Hashing.MinhashK
     assert(math.abs(est - 0.6) < 0.2, s"est=$est")
   }
 
-  test("identical sets give identical minhash signatures and bands") {
-    val a = (0 until 50).map(i => Hashing.fnv1a64(s"x$i"))
-    assert(Hashing.minhash(a.iterator).sameElements(Hashing.minhash(a.iterator)))
-    assert(Hashing.bandKeys(Hashing.minhash(a.iterator)) ==
-      Hashing.bandKeys(Hashing.minhash(a.iterator)))
+  test("identical sets give identical minhash signatures") {
+    val a = (0 until 50).map(i => Hashing.md5_60(s"x$i"))
+    assert(Hashing.minhash60(a.iterator).sameElements(Hashing.minhash60(a.iterator)))
   }
 
   test("simhash: near-identical docs are close, unrelated docs are far") {
-    val base = (0 until 100).map(i => (Hashing.fnv1a64(s"w$i"), 1))
-    val near = (0 until 97).map(i => (Hashing.fnv1a64(s"w$i"), 1)) ++
-      (0 until 3).map(i => (Hashing.fnv1a64(s"z$i"), 1))
-    val far = (0 until 100).map(i => (Hashing.fnv1a64(s"q$i"), 1))
-    val hBase = Hashing.simhash(base.iterator)
-    val dNear = Hashing.hamming(hBase, Hashing.simhash(near.iterator))
-    val dFar = Hashing.hamming(hBase, Hashing.simhash(far.iterator))
+    val base = (0 until 100).map(i => (Hashing.md5_60(s"w$i"), 1))
+    val near = (0 until 97).map(i => (Hashing.md5_60(s"w$i"), 1)) ++
+      (0 until 3).map(i => (Hashing.md5_60(s"z$i"), 1))
+    val far = (0 until 100).map(i => (Hashing.md5_60(s"q$i"), 1))
+    val hBase = Hashing.simhash60(base.iterator)
+    val dNear = Hashing.hamming(hBase, Hashing.simhash60(near.iterator))
+    val dFar = Hashing.hamming(hBase, Hashing.simhash60(far.iterator))
     assert(dNear < dFar, s"near=$dNear far=$dFar")
     assert(dNear <= 16 && dFar > 16)
   }

@@ -64,4 +64,16 @@ class SimilaritySpec extends AnyFunSuite {
     val df = Similarity.embeddingNearDup(spark, sf)
     assert(df.filter(col("vec_a") >= col("vec_b") || col("cosine") <= 0.45).count() == 0)
   }
+
+  test("LSH near-dup pairs are a subset of the exact brute-force pairs") {
+    val lsh = Similarity.embeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucketing only prunes CANDIDATES; the exact cosine verify means
+    // every emitted pair must also exist in the all-pairs baseline
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh -- brute}")
+    if (brute.nonEmpty)
+      info(s"LSH recall vs exact pairs: ${lsh.size.toDouble / brute.size}")
+  }
 }
