@@ -34,31 +34,65 @@ object StreamQueries {
     d.toString
   }
 
-  /** Run a streaming aggregation over all available input and return its
-    * final state from the memory sink.
+  /** Stage a table as N parquet files so AvailableNow with
+    * `maxFilesPerTrigger = 1` genuinely drains it across N triggers —
+    * every registered streaming query runs MULTI-trigger, so the state
+    * store carries real cross-batch state, not a single replay batch.
     */
-  private def runToFinal(df: DataFrame, mode: String): DataFrame = {
-    val name = uniq("sq")
+  private def stageAsDirParts(s: SparkSession, path: String, n: Int): String = {
+    val d = graft.TempDirs.scoped("graft_stream_src")
+    s.read.parquet(path).repartition(n).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  /** The scale-safe streaming sink used by EVERY registered streaming
+    * query (the `stream_mv_counts` pattern promoted to the default): each
+    * trigger's emitted rows are APPENDED to a parquet delta log stamped
+    * with the batch id — an idempotent, replay-safe write (re-running a
+    * batch rewrites the same rows) that never materializes final state in
+    * driver memory the way a complete-mode memory sink does. The final
+    * view is reconstructed latest-batch-wins per key (update mode), or as
+    * the plain union of batches (append mode, `keyCols` empty). At 100×
+    * keyspace both the log write and the reconstruction are distributed;
+    * the driver holds nothing.
+    */
+  private def runDeltaLog(df: DataFrame, mode: String,
+      keyCols: Seq[String]): DataFrame = {
+    val s = df.sparkSession
+    val log = graft.TempDirs.scoped("graft_delta_log")
     val q = df.writeStream
       .outputMode(mode)
-      .format("memory").queryName(name)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(log)
+      }
       .option("checkpointLocation", ckpt())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val raw = s.read.parquet(log)
+    if (keyCols.isEmpty) raw.drop("batch_id")
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("batch_id").desc)
+      raw.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .drop("__rn", "batch_id")
+    }
   }
 
-  /** Streaming word count over `documents` (complete mode ⇒ final
-    * per-word totals — the batch word count's answer, via the
-    * incremental engine + state store).
+  /** Streaming word count over `documents`, drained across multiple
+    * triggers (update mode ⇒ each trigger emits only the words it
+    * changed, with their cumulative counts from the state store); the
+    * delta-log reconstruction must equal the batch word count's answer.
     */
   def streamWordCount(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
-    val schema = s.read.parquet(path).schema
-    val lines = s.readStream.schema(schema).parquet(stageAsDir(path))
+    val src = stageAsDirParts(s, path, 2)
+    val schema = s.read.parquet(src).schema
+    val lines = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
       .select(col("text").as("value"))
-    runToFinal(Streams.wordCount(lines), "complete")
+    runDeltaLog(Streams.wordCount(lines), "update", Seq("word"))
       .withColumnRenamed("count", "cnt")
   }
 
@@ -68,75 +102,124 @@ object StreamQueries {
   def streamIntervalCount(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
+    val src = stageAsDirParts(s, path, 2)
+    val schema = s.read.parquet(src).schema
     val lo = 1704844800000000000L // 2024-01-10T00:00:00Z in epoch nanos
     val hi = 1705708800000000000L // 2024-01-20T00:00:00Z
-    val ev = s.readStream.schema(schema).parquet(stageAsDir(path))
+    val ev = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
       .filter(col("ts") >= lo && col("ts") < hi)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-    runToFinal(ev, "complete")
+    runDeltaLog(ev, "update", Seq("event_type"))
+  }
+
+  /** Per-user sessionization state: sessions fully closed by the
+    * watermark (counts only) plus the still-open session intervals
+    * (start, end, nEvents — sorted, disjoint by more than the gap).
+    * State size is O(open sessions per user), the answer's own
+    * granularity — NOT O(buffered events), which is what a
+    * sort-and-fold-per-batch design would need to be order-robust.
+    */
+  case class SessionState(closedSessions: Long, closedEvents: Long,
+      open: List[(Long, Long, Long)])
+
+  /** Merge a batch of event timestamps (any order) into gap-separated
+    * session intervals. Sessionization is connected components on the
+    * time line (adjacent iff gap ≤ 30 min), so interval merging is
+    * ORDER-INDEPENDENT — events may arrive shuffled across triggers and
+    * the result is identical to the batch sorted-gap fold. This is what
+    * makes the streaming query converge to `EventOps.sessionStatsSql`
+    * under any trigger split (the round-2 version sorted only within a
+    * batch and was correct only for single-trigger replays).
+    */
+  private[streaming] def mergeIntervals(open: List[(Long, Long, Long)],
+      batch: Array[Long], gapNs: Long): List[(Long, Long, Long)] = {
+    java.util.Arrays.sort(batch)
+    val all = (open.iterator ++ batch.iterator.map(t => (t, t, 1L)))
+      .toArray.sortBy(iv => (iv._1, iv._2))
+    if (all.isEmpty) return Nil
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    var cur = all(0)
+    var i = 1
+    while (i < all.length) {
+      val nx = all(i)
+      if (nx._1 - cur._2 <= gapNs)
+        cur = (cur._1, math.max(cur._2, nx._2), cur._3 + nx._3)
+      else { out += cur; cur = nx }
+      i += 1
+    }
+    out += cur
+    out.toList
   }
 
   /** Streaming sessionization through `flatMapGroupsWithState`: per-user
-    * (lastSeen, sessionCount) state, a new session when the gap exceeds
-    * 30 minutes. Events inside a trigger are sorted per group before
-    * folding (micro-batch iterators carry no time order); state carries
-    * across triggers. Final state is oracle-checked against the batch
-    * lag-gap sessionization (`EventOps.sessionStatsSql`) — the arbitrary
-    * -stateful-operator version of the lambda convergence claim.
+    * open-session intervals merged incrementally (order-independent, see
+    * [[mergeIntervals]]), with watermark-gated closing — an interval
+    * whose end is more than the session gap below the event-time
+    * watermark can never merge with a future on-time event (all future
+    * events have ts ≥ watermark, and no open interval can extend back
+    * past the watermark either), so it collapses to O(1) closed
+    * counters. `disorderBound` is the watermark delay — the contract for
+    * how out-of-order the input may be; events later than that get the
+    * standard watermark treatment (their session accounting may already
+    * be closed). The registered query uses a delay wider than the
+    * fixture's time span, so the bounded replay is exact under ANY file
+    * order — which the multi-trigger shuffled-order spec pins.
     */
-  def streamSessionStats(s: SparkSession, dir: String): DataFrame = {
+  def sessionStatsStream(s: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      disorderBound: String = "365 days",
+      closedCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
-    val ev = s.readStream.schema(schema).parquet(stageAsDir(path))
-      .select($"user_id", $"ts".as("ts_ns")) // raw nanos long (schema col name is ts)
-      .as[(Long, Long)]
+    val schema = s.read.parquet(srcDir).schema
+    val reader0 = s.readStream.schema(schema)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toLong))
+    val ev = reader.parquet(srcDir)
+      .select($"user_id", $"ts".as("ts_ns"), // raw nanos long (schema col name is ts)
+        expr("timestamp_micros(ts div 1000)").as("ts_t"))
+      .withWatermark("ts_t", disorderBound)
+      .as[(Long, Long, java.sql.Timestamp)]
     val gapNs = 1800L * 1000000000L
-    // state: (lastSeenNs, sessions, events)
     val out = ev.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
-          // SINGLE-BATCH ASSUMPTION: timestamps are sorted only within
-          // this micro-batch. The staged input is one file processed in
-          // one AvailableNow trigger, so the whole history is sorted
-          // here; with a multi-file source or maxFilesPerTrigger, events
-          // arriving out of order ACROSS batches would miscount sessions
-          // versus the batch oracle (the gap fold is order-sensitive).
-          // Reusing this with rate-limited sources needs watermark-style
-          // buffering in the state before folding.
-          val sorted = rows.map(_._2).toArray.sorted
-          var (lastSeen, sessions, events) =
-            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
-          sorted.foreach { t =>
-            if (lastSeen == Long.MinValue || t - lastSeen > gapNs) sessions += 1
-            lastSeen = t
-            events += 1
-          }
-          state.update((lastSeen, sessions, events))
-          Iterator((user, sessions, events))
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          val st = state.getOption.getOrElse(SessionState(0L, 0L, Nil))
+          val merged =
+            mergeIntervals(st.open, rows.map(_._2).toArray, gapNs)
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          val (closed, open) =
+            if (wmNs > 0) merged.partition(_._2 + gapNs < wmNs)
+            else (Nil, merged)
+          closedCounter.foreach(_.add(closed.size))
+          val next = SessionState(
+            st.closedSessions + closed.size,
+            st.closedEvents + closed.map(_._3).sum,
+            open)
+          state.update(next)
+          Iterator((user,
+            next.closedSessions + open.size,
+            next.closedEvents + open.map(_._3).sum))
       }
       .toDF("user_id", "n_sessions", "n_events")
-    val name = uniq("sq")
-    val q = out.writeStream.outputMode("update")
-      .format("memory").queryName(name)
-      .option("checkpointLocation", ckpt())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // final state per user = last update emitted (update mode may emit
-    // a row per trigger; keep the one with the max event count)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    s.table(name)
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-      .where(col("rn") === 1)
+    runDeltaLog(out, "update", Seq("user_id"))
       .select("user_id", "n_sessions", "n_events")
+  }
+
+  /** Driver-contract entry: events staged as 4 shuffled files drained
+    * one per trigger — sessions genuinely accumulate across 4 state-store
+    * updates with arbitrary cross-batch time order, and the final view
+    * still equals the batch lag-gap sessionization oracle.
+    */
+  def streamSessionStats(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+    sessionStatsStream(s, src, maxFilesPerTrigger = Some(1))
   }
 
   /** Stream-stream interval join as a driver-contract query: purchases
@@ -183,7 +266,9 @@ object StreamQueries {
       expr("""p_user = c_user AND
              |c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin))
       .select($"purchase_id", $"click_id")
-    runToFinal(joined, "append")
+    // append mode: each trigger's newly-joinable pairs land in the delta
+    // log once; the final view is the plain union of batches
+    runDeltaLog(joined, "append", Nil)
   }
 
   val streamClickAttributionSql: String =
@@ -202,42 +287,48 @@ object StreamQueries {
     */
   def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
-    val schema = s.read.parquet(path).schema
-    val docs = s.readStream.schema(schema).parquet(stageAsDir(path))
+    val src = stageAsDirParts(s, path, 2)
+    val schema = s.read.parquet(src).schema
+    val docs = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
       .select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
       .groupBy(graft.functions.FnvHash64.fnv_hash64(col("norm")).as("text_hash"),
         col("norm"))
       .agg(min(col("doc_id")).as("kept_doc_id"),
         count(lit(1)).as("n_copies"))
-    runToFinal(docs, "complete")
+    runDeltaLog(docs, "update", Seq("text_hash", "norm"))
       .select("kept_doc_id", "n_copies")
   }
 
   /** Streaming hourly windowed counts — the time-window aggregation on
-    * the incremental engine (tumbling `window()` + watermark), final
-    * complete-mode state equal to the batch `ev_hourly_counts` oracle.
-    * Complete mode (not append) because the trailing window never closes
-    * under a bounded replay: the watermark stops at max-event-time −
-    * delay, so append would hold back the final hour forever.
+    * the incremental engine (tumbling `window()` + watermark). Update
+    * mode (not append) because the trailing window never closes under a
+    * bounded replay: the watermark stops at max-event-time − delay, so
+    * append would hold back the final hour forever; update emits every
+    * changed window each trigger and latest-batch-wins reconstruction
+    * yields the final per-window counts — the batch `ev_hourly_counts`
+    * oracle.
     */
   def streamHourlyCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
+    val src = stageAsDirParts(s, s"$dir/events.parquet", 2)
+    val schema = s.read.parquet(src).schema
     val lo = 1704412800000000000L // 2024-01-05T00:00:00Z epoch nanos
     val hi = 1704499200000000000L // 2024-01-06T00:00:00Z
-    val ev = s.readStream.schema(schema).parquet(stageAsDir(path))
+    val ev = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
       .filter(col("ts") >= lo && col("ts") < hi)
       .select(col("event_type"),
         expr("timestamp_micros(ts div 1000)").as("ts_t"))
-      .withWatermark("ts_t", "1 hour")
+      .withWatermark("ts_t", "365 days") // > fixture span: shuffled-file
+      // replay must not drop the out-of-order tail as late
       .groupBy(window($"ts_t", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("cnt"))
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour"),
         $"event_type", $"cnt")
-    runToFinal(ev, "complete")
+    runDeltaLog(ev, "update", Seq("hour", "event_type"))
   }
 
   /** Incremental materialized-view maintenance — the lambda serving
@@ -257,25 +348,11 @@ object StreamQueries {
     s.read.parquet(s"$dir/events.parquet")
       .repartition(4).write.mode("overwrite").parquet(src)
     val schema = s.read.parquet(src).schema
-    val mvLog = graft.TempDirs.scoped("graft_mv_log")
     val agg = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("cnt"))
-    val q = agg.writeStream.outputMode("update")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(mvLog)
-      }
-      .option("checkpointLocation", ckpt())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"event_type").orderBy($"batch_id".desc)
-    s.read.parquet(mvLog)
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" === 1)
+    runDeltaLog(agg, "update", Seq("event_type"))
       .select($"event_type", $"cnt")
   }
 
