@@ -50,6 +50,20 @@ object Hashing extends Serializable {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  def log2ceil(x: Long): Int =
+    if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+
+  /** LSH bucket-key width as a function of collection size: enough bits
+    * that the EXPECTED bucket population n / 2^bits stays ≈ targetRows —
+    * the round-2 design's one scale gap. A fixed bit width means bucket
+    * population grows linearly with n and within-bucket candidate pairs
+    * grow ~n²/buckets; deriving bits from log₂(n/target) keeps per-bucket
+    * work constant as the collection scales, and radius-1 multiprobe on
+    * the query side compensates the recall lost to the wider keys.
+    */
+  def bucketBits(n: Long, targetRows: Long, minBits: Int, maxBits: Int): Int =
+    math.min(maxBits, math.max(minBits, log2ceil(math.max(1L, n / targetRows))))
+
   // ------------------------------------- oracle-reproducible sketch kit
   //
   // DuckDB cannot reproduce 64-bit wraparound multiplication (BIGINT

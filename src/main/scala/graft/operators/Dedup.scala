@@ -132,67 +132,41 @@ object Dedup {
 
   // --------------------------------------------------------- minhash+lsh
 
-  /** Row-local tokenization matching the SQL tokenizer
-    * (lower → split \s+ → drop empties).
-    */
-  private def tokensOf(text: String): Array[String] =
-    // Locale.ROOT: default-locale toLowerCase diverges from SQL lower()
-    // under Turkic locales (I → dotless ı) — tokenization must match
-    // the oracle byte-for-byte on any executor locale
-    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
-
-  /** Distinct word-trigram shingle hashes of one document, in one pass.
-    * Base hash is [[Hashing.md5_60]] — md5 is bit-identical in DuckDB,
-    * which is what lets the generated oracle reproduce the signatures.
-    */
-  def shingleHashesOf(text: String): Array[Long] = {
-    val t = tokensOf(text)
-    if (t.length < 3) Array.emptyLongArray
-    else {
-      val seen = new java.util.HashSet[String]()
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var i = 0
-      while (i <= t.length - 3) {
-        val sh = t(i) + " " + t(i + 1) + " " + t(i + 2)
-        if (seen.add(sh)) out += Hashing.md5_60(sh)
-        i += 1
-      }
-      out.toArray
-    }
-  }
-
   /** MinHash signatures computed ROW-LOCALLY: a document's shingles are
     * already colocated in its row, so signature building needs no
-    * explode and no shuffle at all — one narrow map, 64 mins folded in
-    * a single pass. (The earlier explode→groupByKey version shuffled
-    * O(shingles) rows to compute a per-row property.) Docs with <3
-    * tokens have no shingles and are excluded, as in the SQL pipeline.
+    * explode and no shuffle at all — the 64-permutation fold runs as the
+    * native `minhash_sig` codegen expression (round 3: replaces the
+    * typed `.map`, whose object SerDe boundary broke WholeStageCodegen).
+    * Docs with <3 tokens have no shingles (null signature) and are
+    * excluded, as in the SQL pipeline.
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, tx) => (id, Hashing.minhash60(shingleHashesOf(tx).iterator)) }
-      .filter(_._2.exists(_ != Hashing.ModP))
-      .toDF("doc_id", "sig")
+      .select($"doc_id",
+        graft.functions.MinHashSigExpr.minhash_sig($"text").as("sig"))
+      .where($"sig".isNotNull)
   }
 
   /** MinHash+LSH near-dup candidates, verified with the estimated
     * Jaccard (matching signature fraction). Banding: 16 bands × 4 rows ⇒
     * pairs with true Jaccard ≳ 0.5 collide in ≥1 band w.h.p. The band
     * bucket key is the ':'-joined slice of signature components — a
-    * plain equi-join key both engines build identically.
+    * plain equi-join key both engines build identically. (Band-key
+    * cardinality grows with the number of distinct signatures, so unlike
+    * fixed-width bit buckets this needs no size-derived parameter.)
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = minhashSignatures(s, dir).as[(Long, Array[Long])].cache()
+    val sigs = minhashSignatures(s, dir).cache()
     val bands = Hashing.Bands
     val rpb = Hashing.RowsPerBand
-    val buckets = sigs.flatMap { case (id, sig) =>
-      (0 until bands).map { b =>
-        (b, sig.slice(b * rpb, (b + 1) * rpb).mkString(":"), id)
-      }
-    }.toDF("band", "bucket", "doc_id")
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws(":",
+        (1 to rpb).map(r => element_at($"sig", b * rpb + r).cast("string")): _*)
+    }: _*)
+    val buckets = sigs.select($"doc_id",
+      posexplode(bandKeys).as(Seq("band", "bucket")))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
@@ -263,45 +237,71 @@ object Dedup {
   // ------------------------------------------------------------- simhash
 
   /** 60-bit SimHash per document from token-frequency weights — also
-    * row-local: term frequencies and the bit fold happen in one map over
-    * (doc_id, text); no explode, no shuffle. Token hash is md5-60 so the
-    * generated oracle rebuilds the identical signature in SQL.
+    * row-local: term frequencies and the bit fold run as the native
+    * `simhash_sig` codegen expression (round 3: replaces the typed
+    * `.flatMap`, whose object SerDe boundary broke WholeStageCodegen).
+    * Zero-token docs have a null signature and are excluded
+    * (simhash(∅) = 0 would make every empty doc a hamming-0 "duplicate"
+    * of every other). Token hash is md5-60 so the generated oracle
+    * rebuilds the identical signature in SQL.
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, tx) =>
-        val toks = tokensOf(tx)
-        // zero-token docs have no signature (simhash(∅) = 0 would make
-        // every empty doc a hamming-0 "duplicate" of every other)
-        if (toks.isEmpty) None
-        else {
-          val freq = new java.util.HashMap[Long, Int]()
-          toks.foreach { t =>
-            freq.merge(Hashing.md5_60(t), 1, (a, b) => a + b)
-          }
-          import scala.jdk.CollectionConverters._
-          Some((id, Hashing.simhash60(freq.entrySet().iterator().asScala
-            .map(e => (e.getKey.longValue(), e.getValue.intValue())))))
-        }
-      }
-      .toDF("doc_id", "simhash")
+      .select($"doc_id",
+        graft.functions.SimHashSigExpr.simhash_sig($"text").as("simhash"))
+      .where($"simhash".isNotNull)
   }
 
-  /** SimHash near-dup pairs: LSH on the four 15-bit chunks (two docs
-    * within Hamming distance 3 of each other must agree on ≥1 chunk),
-    * then exact Hamming verification ≤ 16.
+  /** SimHash chunk width derived from the corpus size (round-3 fix of
+    * the round-2 scale gap): a fixed 15-bit chunk means 32,768 buckets
+    * forever — bucket population grows linearly with N and candidate
+    * pairs ~N²/32k per chunk. Width = log₂(N/target) clamped to
+    * [15, 30]; the number of chunks is 60 ÷ width (4 at 15 bits … 2 at
+    * 30). Radius-1 multiprobe on the chunk values buys the recall back:
+    * exact-chunk matching guarantees candidates within Hamming distance
+    * (chunks − 1); with every 1-bit chunk flip probed the guarantee is
+    * 2·chunks − 1 — so even the 2-chunk shape at the clamp ceiling
+    * guarantees Hamming ≤ 3, the same as the round-2 4-chunk exact form.
+    */
+  val SimhashTargetBucketRows = 32L
+
+  def simhashChunkBits(n: Long): Int = Hashing.bucketBits(n, SimhashTargetBucketRows, 15, 30)
+
+  private val simhashParamCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+  @volatile private var simhashLastDir: Option[String] = None
+
+  /** Per-dir memoized (chunkBits, nChunks) — the oracle generator must
+    * embed the same derived shape the query used.
+    */
+  def simhashParams(s: SparkSession, dir: String): (Int, Int) = {
+    simhashLastDir = Some(dir)
+    simhashParamCache.getOrElseUpdate(dir, {
+      val bits = simhashChunkBits(Tables.documents(s, dir).count())
+      (bits, 60 / bits)
+    })
+  }
+
+  /** SimHash near-dup pairs: LSH on size-derived bit chunks with
+    * radius-1 multiprobe (see [[simhashChunkBits]]), then exact Hamming
+    * verification ≤ 16 via the codegen xor-popcount expression.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = simhashSignatures(s, dir).as[(Long, Long)].cache()
-    val chunks = sigs.flatMap { case (id, sig) =>
-      (0 until 4).map(c => (c, (sig >>> (c * 15)) & 0x7fffL, id))
-    }.toDF("chunk", "val", "doc_id")
-    val cand = chunks.as("a")
+    val (bits, nChunks) = simhashParams(s, dir)
+    val mask = (1L << bits) - 1
+    val sigs = simhashSignatures(s, dir).cache()
+    val chunkVals = array((0 until nChunks).map(c =>
+      shiftrightunsigned($"simhash", c * bits).bitwiseAND(lit(mask))): _*)
+    val chunks = sigs.select($"doc_id",
+      posexplode(chunkVals).as(Seq("chunk", "val")))
+    val probes = chunks.select($"doc_id", $"chunk",
+      explode(array((col("val") +:
+        (0 until bits).map(b => col("val").bitwiseXOR(lit(1L << b)))): _*)).as("pval"))
+    val cand = probes.as("a")
       .join(chunks.as("b"),
-        $"a.chunk" === $"b.chunk" && $"a.val" === $"b.val" &&
+        $"a.chunk" === $"b.chunk" && $"a.pval" === $"b.val" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
@@ -314,12 +314,14 @@ object Dedup {
       .where($"hamming" <= 16)
   }
 
-  /** Generated oracle restating the SimHash pipeline: md5-60 token
-    * hashes, per-bit weighted sign aggregation over 60 bits, 15-bit
-    * chunk LSH, xor-popcount Hamming verification — all in integer/bit
-    * SQL that matches the Scala kernel exactly.
+  /** Generated oracle restating the SimHash pipeline for the derived
+    * chunk shape: md5-60 token hashes, per-bit weighted sign aggregation
+    * over 60 bits, `bits`-wide chunk LSH with radius-1 multiprobe,
+    * xor-popcount Hamming verification — all in integer/bit SQL that
+    * matches the Scala kernel exactly.
     */
-  val simhashPairsSql: String =
+  def simhashPairsSql(bits: Int, nChunks: Int): String = {
+    val mask = (1L << bits) - 1
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS t
@@ -340,18 +342,24 @@ object Dedup {
        |      AS BIGINT) AS sig
        |  FROM bits GROUP BY doc_id),
        |chunks AS (
-       |  SELECT doc_id, c, (sig >> (c * 15)) & 32767 AS v
-       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+       |  SELECT doc_id, c, (sig >> (c * $bits)) & $mask AS v
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $nChunks)) AS c)),
+       |probes AS (
+       |  SELECT doc_id, c, v AS pv FROM chunks
+       |  UNION ALL
+       |  SELECT doc_id, c, xor(v, (CAST(1 AS BIGINT) << b.b))
+       |  FROM chunks CROSS JOIN (SELECT unnest(range(0, $bits)) AS b) b),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM chunks a JOIN chunks b
-       |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+       |  FROM probes a JOIN chunks b
+       |    ON a.c = b.c AND a.pv = b.v AND a.doc_id < b.doc_id)
        |SELECT c.doc_a, c.doc_b,
        |  CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
        |FROM cand c
        |JOIN sigs sa ON sa.doc_id = c.doc_a
        |JOIN sigs sb ON sb.doc_id = c.doc_b
        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 16""".stripMargin
+  }
 
   // ------------------------------------------------- decontamination
 
@@ -510,12 +518,23 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _))
 
-  def oracles: Map[String, String] = Map(
-    "dedup_decontaminate" -> decontaminateSql,
-    "doc_repetition_ratio" -> repetitionRatioSql,
-    "dedup_clusters" -> dedupClustersSql,
-    "dedup_exact" -> exactDedupSql,
-    "dedup_ngram_jaccard" -> ngramJaccardSql,
-    "dedup_minhash_lsh" -> minhashLshSql,
-    "dedup_simhash" -> simhashPairsSql)
+  /** The SimHash oracle embeds the size-derived chunk shape, so its
+    * entry appears once [[simhashParams]] has run for some dir (Verify
+    * runs every query before dumping oracle_sql.json, so it is always
+    * present there).
+    */
+  def oracles: Map[String, String] = {
+    val base = Map(
+      "dedup_decontaminate" -> decontaminateSql,
+      "doc_repetition_ratio" -> repetitionRatioSql,
+      "dedup_clusters" -> dedupClustersSql,
+      "dedup_exact" -> exactDedupSql,
+      "dedup_ngram_jaccard" -> ngramJaccardSql,
+      "dedup_minhash_lsh" -> minhashLshSql)
+    simhashLastDir.flatMap(simhashParamCache.get) match {
+      case Some((bits, nChunks)) =>
+        base + ("dedup_simhash" -> simhashPairsSql(bits, nChunks))
+      case None => base
+    }
+  }
 }

@@ -76,50 +76,68 @@ object Similarity {
   // ------------------------------------------------ LSH-bucketed neardup
 
   /** Multi-table random-hyperplane LSH for the registered near-dup
-    * query: NdTables independent hash tables of NdPlanes sign-bits each.
-    * A candidate pair must collide in at least one table; candidates are
-    * then exactly verified (cosine > 0.45). This is the 100-TB shape:
-    * the only join is an equi-join on (table, signature) — bucket-local,
-    * never an all-pairs product, no driver-side collect. Recall at the
-    * decision boundary is the standard LSH S-curve: per-plane agreement
-    * p = 1 - θ/π, per-table p^NdPlanes, overall 1-(1-p^NdPlanes)^NdTables
-    * (≈0.46 at cosine exactly 0.45; → 1 as cosine → 1, i.e. true
-    * near-duplicates are found with high probability). The DuckDB oracle
-    * restates the bucketing itself — planes embedded as double literals —
-    * so approximation is part of the checked contract, not slack.
+    * query: NdTables independent hash tables of sign-bit signatures,
+    * candidates exactly verified (cosine > 0.45). This is the 100-TB
+    * shape: the only join is an equi-join on (table, signature) —
+    * bucket-local, never an all-pairs product, no driver-side collect.
+    *
+    * The signature WIDTH is derived from the collection size (round-3
+    * fix of the round-2 scale gap): bits = log₂(N / target-bucket-rows),
+    * clamped to [6, 24], so the expected bucket population stays ≈
+    * NdTargetBucketRows no matter how large the collection grows — a
+    * fixed 6-bit width meant 64 buckets per table and ~N²/64
+    * within-bucket pairs, quadratic at 100×. The recall the wider keys
+    * would lose is bought back with radius-1 MULTIPROBE: each vector
+    * probes its own bucket and every 1-bit-flip neighbor, so a pair
+    * colliding within Hamming distance 1 in ANY table is a candidate
+    * (per-table P[candidate] = p^b + b·p^(b-1)(1-p) instead of p^b,
+    * with p = 1 − θ/π the per-plane agreement). Probe volume is
+    * N·tables·(bits+1) rows — linear in N with a log factor. The DuckDB
+    * oracle restates the bucketing itself — derived width, multiprobe,
+    * planes embedded as double literals — so the approximation is part
+    * of the checked contract, not slack.
     */
   val NdTables = 8
-  val NdPlanesPerTable = 6
-  private def ndPlanes: Array[Array[Double]] =
-    hyperplanes(NdTables * NdPlanesPerTable, 64, seed = 0x7d0bee5L)
+  val NdTargetBucketRows = 32L
+  val NdMinPlanes = 6
+  val NdMaxPlanes = 24
+
+  def ndPlanesPerTable(n: Long): Int =
+    Hashing.bucketBits(n, NdTargetBucketRows, NdMinPlanes, NdMaxPlanes)
+
+  /** Per-dir memoized (planesPerTable, planes) — the oracle generator
+    * must embed the exact planes the query used, and the plane count
+    * depends on the collection size (one count() per dir; at production
+    * scale this is a table statistic, not a scan).
+    */
+  private val ndCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Array[Array[Double]])]
+  @volatile private var ndLastDir: Option[String] = None
+
+  def ndParams(s: SparkSession, dir: String): (Int, Array[Array[Double]]) = {
+    ndLastDir = Some(dir)
+    ndCache.getOrElseUpdate(dir, {
+      val n = Tables.embeddings(s, dir).count()
+      val npt = ndPlanesPerTable(n)
+      (npt, hyperplanes(NdTables * npt, 64, seed = 0x7d0bee5L))
+    })
+  }
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bp = s.sparkContext.broadcast(ndPlanes)
-    val nt = NdTables
-    val npt = NdPlanesPerTable
-    val sigsOf = udf { (emb: Seq[Float]) =>
-      val ps = bp.value
-      Array.tabulate(nt) { t =>
-        var sig = 0
-        var b = 0
-        while (b < npt) {
-          val pl = ps(t * npt + b)
-          var dot = 0.0
-          var i = 0
-          while (i < pl.length && i < emb.length) { dot += emb(i) * pl(i); i += 1 }
-          if (dot > 0) sig |= (1 << b)
-          b += 1
-        }
-        sig
-      }
-    }
+    val (npt, planes) = ndParams(s, dir)
     val v = withNorm(s, dir)
     val sigs = v.select($"vec_id",
-      posexplode(sigsOf($"embedding")).as(Seq("t", "sig")))
-    val pairs = sigs.as("a")
+      posexplode(graft.functions.HyperplaneSigs.sigs(
+        $"embedding", planes, NdTables, npt)).as(Seq("t", "sig")))
+    // radius-1 multiprobe: own bucket + every 1-bit flip; probing one
+    // side of the self-join covers Hamming-1 collisions symmetrically
+    val probes = sigs.select($"vec_id", $"t",
+      explode(array((col("sig") +:
+        (0 until npt).map(b => col("sig").bitwiseXOR(lit(1 << b)))): _*)).as("psig"))
+    val pairs = probes.as("a")
       .join(sigs.as("b"),
-        $"a.t" === $"b.t" && $"a.sig" === $"b.sig" && $"a.vec_id" < $"b.vec_id")
+        $"a.t" === $"b.t" && $"a.psig" === $"b.sig" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
       .distinct()
     val va = v.selectExpr("vec_id AS vec_a", "embedding AS ea", "nrm AS na")
@@ -138,14 +156,16 @@ object Similarity {
   private def duckDotExpr(a: String, b: String): String =
     duckDot.replace("%A%", a).replace("%B%", b)
 
-  /** Oracle restating the full LSH pipeline: the 48 hyperplanes go in as
-    * double literals (shortest-round-trip toString → identical bits on
-    * parse), signatures per (vector, table), bucket-collision pairs,
-    * exact cosine verification — same structure the Spark side runs.
+  /** Generated oracle restating the full LSH pipeline for the params the
+    * query actually derived: hyperplanes as double literals
+    * (shortest-round-trip toString → identical bits on parse),
+    * signatures per (vector, table), radius-1 multiprobe, bucket-
+    * collision pairs, exact cosine verification — same structure the
+    * Spark side runs.
     */
-  val embeddingNearDupSql: String = {
-    val planeRows = ndPlanes.zipWithIndex.map { case (pv, i) =>
-      s"(${i / NdPlanesPerTable}, ${i % NdPlanesPerTable}, [${pv.mkString(", ")}]::DOUBLE[])"
+  def embeddingNearDupSql(npt: Int, planes: Array[Array[Double]]): String = {
+    val planeRows = planes.zipWithIndex.map { case (pv, i) =>
+      s"(${i / npt}, ${i % npt}, [${pv.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n    ")
     s"""WITH planes(t, p, pv) AS (VALUES
        |    $planeRows),
@@ -158,10 +178,15 @@ object Similarity {
        |    sum(CASE WHEN ${duckDotExpr("embedding", "pv")} > 0
        |        THEN (1 << p) ELSE 0 END) AS sig
        |  FROM v CROSS JOIN planes GROUP BY vec_id, t),
+       |probes AS (
+       |  SELECT vec_id, t, sig AS psig FROM sigs
+       |  UNION ALL
+       |  SELECT vec_id, t, xor(sig, (1 << b.b))
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $npt)) AS b) b),
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM sigs a JOIN sigs b
-       |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |  FROM probes a JOIN sigs b
+       |    ON a.t = b.t AND a.psig = b.sig AND a.vec_id < b.vec_id)
        |SELECT p.vec_a, p.vec_b,
        |  ${duckDotExpr("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm) AS cosine
        |FROM pairs p
@@ -231,22 +256,9 @@ object Similarity {
     import s.implicits._
     val nPlanes = 8
     val planes = hyperplanes(nPlanes, 64)
-    val bplanes = s.sparkContext.broadcast(planes)
-    val sigOf = udf { (emb: Seq[Float]) =>
-      val ps = bplanes.value
-      var sig = 0
-      var p = 0
-      while (p < ps.length) {
-        var dot = 0.0
-        var i = 0
-        val pl = ps(p)
-        while (i < pl.length && i < emb.length) { dot += emb(i) * pl(i); i += 1 }
-        if (dot > 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    }
-    val v = withNorm(s, dir).withColumn("sig", sigOf($"embedding"))
+    val v = withNorm(s, dir).withColumn("sig",
+      element_at(graft.functions.HyperplaneSigs.sigs(
+        $"embedding", planes, 1, nPlanes), 1))
     // probe set: the query's own bucket plus all 1-bit-flip neighbors
     val probes = v.where($"vec_id" < 10)
       .selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq", "sig")
@@ -559,20 +571,25 @@ object Similarity {
     "sim_lang_centroids" -> (langCentroids _),
     "sim_lang_centroids_agg" -> (langCentroidsAgg _))
 
-  /** The IVF oracle needs the trained centroids, so its entry appears
-    * once [[ivfCentroids]] has run for some dir (Verify runs every query
-    * before dumping oracle_sql.json, so it is always present there).
+  /** The IVF oracle needs the trained centroids and the near-dup oracle
+    * needs the size-derived plane set, so those entries appear once
+    * their query has run for some dir (Verify runs every query before
+    * dumping oracle_sql.json, so they are always present there).
     */
   def oracles: Map[String, String] = {
     val base = Map(
-      "sim_embedding_neardup" -> embeddingNearDupSql,
       "sim_bruteforce_topk" -> bruteForceTopKSql,
       "sim_ann_topk" -> annTopKSql,
       "sim_lang_centroids" -> langCentroidsSql,
       "sim_lang_centroids_agg" -> langCentroidsAggSql)
-    ivfLastDir.flatMap(centroidCache.get) match {
+    val withIvf = ivfLastDir.flatMap(centroidCache.get) match {
       case Some(cs) => base + ("sim_ivf_topk" -> ivfTopKSql(cs))
       case None => base
+    }
+    ndLastDir.flatMap(ndCache.get) match {
+      case Some((npt, planes)) =>
+        withIvf + ("sim_embedding_neardup" -> embeddingNearDupSql(npt, planes))
+      case None => withIvf
     }
   }
 }
