@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotF64, FnvHash64, Hamming64}
+import graft.functions.{DotF64, FnvHash64, Hamming64, MinHashSigExpr, SimHashSigExpr}
 
 /** SparkSessionExtensions installer: makes the engine's native
   * expressions available to ANY session started with
@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       (exprs: Seq[Expression]) => DotF64.builder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSigExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSigExpr].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) => SimHashSigExpr(exprs.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushPartialTopK)
   }

@@ -26,7 +26,11 @@ case class VecMeanBuf(sums: Array[Long], n: Long)
 object VecMeanAgg extends Aggregator[Array[Float], VecMeanBuf, Array[Double]] {
 
   private def micro(f: Float): Long =
-    new java.math.BigDecimal(f.toDouble)
+    // valueOf = shortest-decimal-string construction — the SAME
+    // BigDecimal Spark's round(x, 6) builds; new BigDecimal(double)
+    // would round the exact binary expansion, whose HALF_UP ties can
+    // differ in the last micro-unit
+    java.math.BigDecimal.valueOf(f.toDouble)
       .setScale(6, java.math.RoundingMode.HALF_UP)
       .movePointRight(6).longValueExact()
 

@@ -112,11 +112,13 @@ object Curation {
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
        |  FROM documents),
+       |mx AS (
+       |  SELECT 1 + coalesce(max(len(t)), 0) // $ChunkStride AS m FROM toks),
        |chunks AS (
        |  SELECT doc_id, len(t) AS n_toks, i AS chunk_idx,
        |    array_to_string(t[(i * $ChunkStride + 1) : (i * $ChunkStride + $ChunkTokens)], ' ') AS chunk_text
        |  FROM toks
-       |  CROSS JOIN (SELECT unnest(range(0, 100000)) AS i)
+       |  CROSS JOIN (SELECT unnest(range(0, (SELECT m FROM mx))) AS i)
        |  WHERE len(t) > 0 AND i <= (len(t) - 1) // $ChunkStride)
        |SELECT doc_id, chunk_idx,
        |  least($ChunkTokens, n_toks - chunk_idx * $ChunkStride) AS chunk_tokens,
@@ -170,15 +172,17 @@ object Curation {
   /** Per-source quota: keep each source's 10 longest documents — through
     * the custom bounded-heap TopKPerKey operator (second production use
     * beyond the orders query; the window formulation sorts every group
-    * in full, the heap streams). The order key folds doc_id into the
-    * low bits so it is tie-free: n_chars ties would otherwise make
-    * heap-keep vs row_number-keep diverge.
+    * in full, the heap streams). The order key is the STRUCT
+    * (n_chars, doc_id): lexicographic struct ordering is tie-free on any
+    * id range — the round-2 arithmetic fold n_chars·10⁶ + doc_id
+    * silently assumed doc_id < 10⁶ and would misrank beyond it.
     */
   def domainQuota(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
+      .where($"n_chars".isNotNull)
       .select($"doc_id", $"source", $"n_chars",
-        ($"n_chars" * 1000000L + $"doc_id").as("ord"))
+        struct($"n_chars", $"doc_id").as("ord"))
     graft.plans.TopKPerKey.topKPerKey(docs, Seq("source"), "ord", 10)
       .select("doc_id", "source", "n_chars")
   }
@@ -187,7 +191,7 @@ object Curation {
     """SELECT doc_id, source, n_chars
       |FROM (SELECT doc_id, source, n_chars,
       |        row_number() OVER (PARTITION BY source
-      |                           ORDER BY n_chars * 1000000 + doc_id DESC) AS rn
+      |                           ORDER BY n_chars DESC, doc_id DESC) AS rn
       |      FROM documents
       |      WHERE n_chars IS NOT NULL)
       |WHERE rn <= 10""".stripMargin

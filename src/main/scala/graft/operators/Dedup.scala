@@ -450,6 +450,60 @@ object Dedup {
     * the standard shape for iterative algorithms on DataFrames. The
     * oracle is a DuckDB recursive CTE computing min-reachable-id.
     */
+  /** Min-label connected components over an undirected edge list
+    * (symmetric (src, dst) rows), returning (doc_id, label) for every
+    * node that touches an edge plus the number of rounds taken.
+    *
+    * Each round does TWO label moves before the convergence check:
+    *   1. edge relaxation — label(v) ← min over neighbors' labels (the
+    *      round-2 algorithm's only move: the min id travels ONE hop per
+    *      round, so chains converge in diameter rounds);
+    *   2. pointer jumping — label(v) ← label(label(v)): the label chain
+    *      doubles each round, so the min id reaches everything in
+    *      O(log diameter) rounds (both moves only shrink the label and
+    *      only to ids reachable through edges, so the fixpoint is still
+    *      exactly min-reachable-id).
+    * The convergence check rides the SAME job that materializes the
+    * round's labels: an `observe` metric counts changed rows during
+    * `localCheckpoint`'s materialization, so there is no per-round
+    * driver `isEmpty` re-scan on the critical path (round 2 paid one).
+    */
+  def connectedComponents(edges: DataFrame, nParts: Int,
+      maxIters: Long): (DataFrame, Long) = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label"))
+      .repartition(nParts, $"doc_id").localCheckpoint()
+    var converged = false
+    var i = 0L
+    while (!converged && i < maxIters) {
+      val prop = edges.join(labels, $"src" === $"doc_id")
+        .groupBy($"dst").agg(min($"label").as("nl"))
+      val relaxed = labels.join(prop, $"doc_id" === $"dst", "left_outer")
+        .select($"doc_id", $"label".as("old"),
+          least($"label", coalesce($"nl", $"label")).as("lbl"))
+      val parents = relaxed.select($"doc_id".as("p_id"), $"lbl".as("p_lbl"))
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
+      val next = relaxed.join(parents, relaxed("lbl") === parents("p_id"), "left_outer")
+        .select($"doc_id", $"old",
+          least($"lbl", coalesce($"p_lbl", $"lbl")).as("label"))
+        .observe(obs,
+          sum(when($"label" =!= $"old", 1L).otherwise(0L)).as("changed"))
+        .select($"doc_id", $"label")
+        .localCheckpoint()
+      converged = Option(obs.get("changed")).forall(_ == 0L)
+      labels = next
+      i += 1
+    }
+    if (!converged)
+      // FAIL LOUDLY: silently returning partial labels would split
+      // duplicate clusters with no error
+      throw new IllegalStateException(
+        s"label propagation failed to converge in $maxIters iterations")
+    (labels, i)
+  }
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
@@ -462,36 +516,17 @@ object Dedup {
     // partitions as its edge count warrants, capped at 4096.
     val staged = pairs.union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst").localCheckpoint()
+    val nEdges = staged.count()
     val edgesPerPartition = 1L << 20
-    val nParts = math.min(staged.count() / edgesPerPartition + 1, 4096L).toInt
+    val nParts = math.min(nEdges / edgesPerPartition + 1, 4096L).toInt
     val edges =
       if (nParts == staged.rdd.getNumPartitions) staged
       else staged.repartition(nParts).localCheckpoint()
-    var labels = edges.select($"src".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("label")).repartition(nParts)
-    // diameter can't exceed the subgraph node count — iterate to there
-    // and FAIL LOUDLY if somehow unconverged (silently returning partial
-    // labels would split duplicate clusters with no error)
-    val maxIters = math.max(labels.count(), 2L)
-    var converged = false
-    var i = 0L
-    while (!converged && i < maxIters) {
-      val prop = edges.join(labels, $"src" === $"doc_id")
-        .groupBy($"dst").agg(min($"label").as("nl"))
-      // carry the previous label through the propagation join so the
-      // convergence check is a filter on the SAME checkpointed frame —
-      // one join per iteration instead of propagation + compare joins
-      val next = labels.join(prop, $"doc_id" === $"dst", "left_outer")
-        .select($"doc_id", $"label".as("old"),
-          least($"label", coalesce($"nl", $"label")).as("label"))
-        .localCheckpoint()
-      converged = next.where($"label" =!= $"old").isEmpty
-      labels = next.select($"doc_id", $"label")
-      i += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"label propagation failed to converge in $maxIters iterations")
+    // pointer jumping needs O(log diameter) rounds and nodes ≤ 2·edges,
+    // so 2·log₂(nodes) + 8 is a loose bound — far below the
+    // node-count bound the one-hop round-2 loop needed
+    val maxIters = 2L * Hashing.log2ceil(math.max(2L, 2L * nEdges)) + 8L
+    val (labels, _) = connectedComponents(edges, nParts, maxIters)
     val singletons = Tables.documents(s, dir).select($"doc_id")
       .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"doc_id".as("label"))

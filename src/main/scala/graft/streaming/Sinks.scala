@@ -51,11 +51,14 @@ object Sinks {
     case Sync =>
       rows.foreach { r => conn.send(r); conn.flush() }
     case Async(n) =>
-      var buffered = 0
+      // Long: with Async(Int.MaxValue) an Int counter overflows negative
+      // past 2^31 rows — the threshold never fires and the trailing
+      // flush is skipped, leaving sent records unflushed
+      var buffered = 0L
       rows.foreach { r =>
         conn.send(r)
         buffered += 1
-        if (buffered >= n) { conn.flush(); buffered = 0 }
+        if (buffered >= n.toLong) { conn.flush(); buffered = 0 }
       }
       if (buffered > 0) conn.flush()
   }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.Hashing
+
+/** Recall gate for the ANN family on CLUSTERED data. The driver fixtures
+  * are isotropic random vectors, where angular LSH provably cannot beat
+  * the scan fraction — so the oracle gate proves the bucketing contract
+  * but says nothing about retrieval quality. This spec builds a
+  * clustered synthetic collection (the shape real embeddings have) and
+  * asserts recall@5 ≥ 0.9 for both approximate indexes against the
+  * exact brute-force ranking — quality asserted, not just discussed.
+  */
+class SimilarityRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** 500 vectors in 20 tight angular clusters (center ± 10% noise),
+    * deterministic via seeded splitmix. Queries (vec_id < 10) land in 10
+    * distinct clusters.
+    */
+  private lazy val clusteredDir: String = {
+    import spark.implicits._
+    val dir = graft.TempDirs.scoped("recall_fixture")
+    val nClusters = 20
+    val centers = Array.tabulate(nClusters) { c =>
+      Array.tabulate(64) { d =>
+        Hashing.splitmix64(0xc105e2L + c * 64 + d).toDouble / Long.MaxValue
+      }
+    }
+    (0 until 500).map { id =>
+      val c = id % nClusters // queries 0..9 hit 10 different clusters
+      val emb = Array.tabulate(64) { d =>
+        val noise = Hashing.splitmix64(0x9015e7L + id.toLong * 64 + d)
+          .toDouble / Long.MaxValue
+        (centers(c)(d) + 0.1 * noise).toFloat
+      }
+      (id.toLong, emb)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recallAt5(approx: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("LSH ANN recall@5 >= 0.9 on clustered embeddings") {
+    val exact = topSets(Similarity.bruteForceTopK(spark, clusteredDir))
+    val ann = topSets(Similarity.annTopK(spark, clusteredDir))
+    val r = recallAt5(ann, exact)
+    assert(exact.size == 10)
+    assert(r >= 0.9, s"LSH ANN recall@5 = $r")
+  }
+
+  test("IVF ANN recall@5 >= 0.9 on clustered embeddings") {
+    val exact = topSets(Similarity.bruteForceTopK(spark, clusteredDir))
+    val ivf = topSets(Similarity.ivfTopK(spark, clusteredDir))
+    val r = recallAt5(ivf, exact)
+    assert(r >= 0.9, s"IVF recall@5 = $r")
+  }
+}

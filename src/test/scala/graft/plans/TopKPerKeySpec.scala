@@ -37,6 +37,39 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("sortexec") && !plan.contains("Sort "), plan)
   }
 
+  test("AQE re-optimization: top-k output joins downstream, partial stays below the exchange") {
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val df = (1 to 5000).map(i => (i % 37L, i * 1.0, s"p$i")).toDF("k", "v", "payload")
+    // consume the custom operator's output in a further shuffle stage: an
+    // aggregate on the same key joined back — the shape where AQE
+    // re-plans around runtime stats and EnsureRequirements must keep the
+    // partial heap below the reused exchange
+    val topk = TopKPerKey.topKPerKey(df, Seq("k"), "v", 3)
+    val stats = df.groupBy($"k").agg(avg($"v").as("avg_v"))
+    val joined = topk.join(stats, "k")
+      .groupBy($"k").agg(count(lit(1)).as("n"), max($"v").as("best"),
+        first($"avg_v").as("avg_v"))
+    val got = joined.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: the window formulation through the identical downstream
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"k").orderBy($"v".desc)
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3).drop("rn")
+    val expected = windowed.join(stats, "k")
+      .groupBy($"k").agg(count(lit(1)).as("n"), max($"v").as("best"),
+        first($"avg_v").as("avg_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // plan shape AFTER execution (AQE finalizes the plan at runtime):
+    // both custom nodes survive, partial below the key exchange
+    val plan = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("AdaptiveSparkPlan"), plan)
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("string order column: heap values don't alias the reused row buffer") {
     import spark.implicits._
     // regression: non-primitive order values must be copied with the row
