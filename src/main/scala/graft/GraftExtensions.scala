@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotF64, FnvHash64, Hamming64, MinHashSigExpr, SimHashSigExpr}
+import graft.functions.{DotF64, FnvHash64, Hamming64, MinHashSigExpr, QuantI8Stats, SimHashSigExpr}
 
 /** SparkSessionExtensions installer: makes the engine's native
   * expressions available to ANY session started with
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSigExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("quant_i8_stats"),
+      new ExpressionInfo(classOf[QuantI8Stats].getName, "quant_i8_stats"),
+      (exprs: Seq[Expression]) => QuantI8Stats(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSigExpr].getName, "simhash_sig"),

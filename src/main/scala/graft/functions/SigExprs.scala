@@ -179,6 +179,114 @@ object HyperplaneSigs {
   }
 }
 
+/** Native product-quantization encoder: for a float vector split into
+  * `nBlocks` contiguous subvectors of `blockDim` dims, the index of the
+  * nearest codebook centroid per block (L2, ties to the lowest id —
+  * matching a `row_number() ORDER BY d, cid` restatement). Codebooks are
+  * flattened row-major: `codebooks[((b * k) + c) * blockDim + i]`.
+  * Output ARRAY<INT> of `nBlocks` codes, computed inside
+  * WholeStageCodegen.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Double],
+    nBlocks: Int, k: Int, blockDim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires ARRAY<FLOAT>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val n = emb.numElements()
+    val codes = new Array[Int](nBlocks)
+    var b = 0
+    while (b < nBlocks) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (b * k + c) * blockDim
+        var d = 0.0
+        var i = 0
+        while (i < blockDim) {
+          val idx = b * blockDim + i
+          val v = if (idx < n) emb.getFloat(idx).toDouble else 0.0
+          val diff = v - codebooks(off + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(b) = best
+      b += 1
+    }
+    ArrayData.toArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    nullSafeCodeGen(ctx, ev, emb => {
+      val n = ctx.freshName("n")
+      val codes = ctx.freshName("codes")
+      val b = ctx.freshName("b")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val idx = ctx.freshName("idx")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val d = ctx.freshName("d")
+      val v = ctx.freshName("v")
+      val diff = ctx.freshName("diff")
+      s"""
+         |final int $n = $emb.numElements();
+         |final int[] $codes = new int[$nBlocks];
+         |for (int $b = 0; $b < $nBlocks; $b++) {
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    final int $off = ($b * $k + $c) * $blockDim;
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $blockDim; $i++) {
+         |      final int $idx = $b * $blockDim + $i;
+         |      final double $v = $idx < $n ? (double) $emb.getFloat($idx) : 0.0;
+         |      final double $diff = $v - $cb[$off + $i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $codes[$b] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** `codebooks(b)(c)` is the `blockDim`-dim centroid c of block b. */
+  def pq_encode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val nBlocks = codebooks.length
+    val k = codebooks.head.length
+    val blockDim = codebooks.head.head.length
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(emb),
+      codebooks.flatten.flatten, nBlocks, k, blockDim))
+  }
+}
+
 /** Native MinHash-signature expression (ARRAY<BIGINT>, null for
   * shingle-less docs). The shingling + 64-permutation fold runs as one
   * static kernel call per row inside WholeStageCodegen — replaces the

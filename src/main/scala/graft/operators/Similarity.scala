@@ -495,6 +495,225 @@ object Similarity {
        |WHERE rn <= 5""".stripMargin
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** PQ shape: 8 contiguous blocks of 8 dims, 16 centroids per block —
+    * a 64-dim float32 vector compresses to 8 half-byte codes (64×
+    * smaller). Codebooks are trained per block on the same bounded
+    * deterministic sample the IVF quantizer uses, memoized per dir so
+    * the generated oracle embeds the identical doubles.
+    */
+  val PqBlocks = 8
+  val PqCentsPerBlock = 16
+  val PqBlockDim = 8
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  @volatile private var pqLastDir: Option[String] = None
+
+  def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    pqLastDir = Some(dir)
+    pqCache.getOrElseUpdate(dir, {
+      val sample = Tables.embeddings(s, dir)
+        .where(col("vec_id") % IvfSampleMod === 0)
+        .orderBy("vec_id")
+        .limit(IvfSampleCap)
+        .select("embedding").as[Array[Float]].collect()
+      Array.tabulate(PqBlocks) { b =>
+        trainCentroids(
+          sample.map(_.slice(b * PqBlockDim, (b + 1) * PqBlockDim)),
+          PqCentsPerBlock, iters = 5)
+      }
+    })
+  }
+
+  private def roundTo6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** ADC shortlist size: the exact re-rank scans Shortlist/N of the
+    * collection per query (50/10,000 = 0.5% at sf0.1). Must exceed the
+    * quantization-cell population — vectors encoding to identical codes
+    * are indistinguishable to ADC, so the true neighbors inside a cell
+    * only survive if the whole cell fits the shortlist.
+    */
+  val PqShortlist = 50
+
+  /** PQ top-k — the standard two-stage compressed serving shape:
+    *
+    * 1. ADC scan: every vector is encoded once (native `pq_encode`
+    *    expression — nearest codebook centroid per block); each query
+    *    precomputes an 8×16 lookup table of block distances, and a
+    *    candidate's approximate L2 is the sum of 8 table entries.
+    *    Relationally: explode codes to (vec, block, code),
+    *    broadcast-join the LUT rows, sum per (query, vector) — O(blocks)
+    *    work per candidate instead of O(dims). LUT entries are rounded
+    *    to 6 dp and summed as DECIMAL (associative —
+    *    partition-order-proof); shortlist = top [[PqShortlist]] by
+    *    (adist, n_id), deterministic.
+    * 2. Exact re-rank: full-precision cosine only for shortlist rows
+    *    (Shortlist/N of the collection), final top-5. Pure ADC ranking
+    *    cannot separate vectors inside one quantization cell — the
+    *    re-rank is what makes the compressed scan a usable index, and
+    *    SimilarityRecallSpec gates recall@5 against the uncompressed
+    *    brute force.
+    *
+    * The 10-query LUT is driver-built from a BOUNDED collect
+    * (vec_id < 10), the same boundedness class as the broadcast query
+    * sides above.
+    */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cbs = pqCodebooks(s, dir)
+    val v = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val codes = v.select($"vec_id",
+      posexplode(graft.functions.PqEncode.pq_encode($"embedding", cbs))
+        .as(Seq("b", "code")))
+    val qvecs = v.where($"vec_id" < 10)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val lutRows = for {
+      (qid, emb) <- qvecs.toSeq
+      b <- 0 until PqBlocks
+      c <- 0 until PqCentsPerBlock
+    } yield {
+      var d = 0.0
+      var i = 0
+      while (i < PqBlockDim) {
+        val diff = emb(b * PqBlockDim + i).toDouble - cbs(b)(c)(i)
+        d += diff * diff
+        i += 1
+      }
+      (qid, b, c, roundTo6(d))
+    }
+    pqLutCache.put(dir, lutRows)
+    val lut = lutRows.toDF("q_id", "b", "code", "d6")
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"n_id".asc)
+    val shortlist = codes.join(broadcast(lut), Seq("b", "code"))
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"d6".cast("decimal(18,9)")).cast("double").as("adist"))
+      .withColumnRenamed("vec_id", "n_id")
+      .withColumn("adc_rn", row_number().over(wAdc))
+      .where($"adc_rn" <= PqShortlist)
+      .select($"q_id", $"n_id")
+    val vn = withNorm(s, dir)
+    val qside = vn.selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq")
+    val nside = vn.selectExpr("vec_id AS n_id", "embedding AS en", "nrm AS nn")
+    val wCos = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    shortlist.join(qside, "q_id").join(nside, "n_id")
+      .select($"q_id", $"n_id",
+        (dotUdf($"eq", $"en") / ($"nq" * $"nn")).as("cosine"))
+      .withColumn("rn", row_number().over(wCos))
+      .where($"rn" <= 5)
+      .select($"q_id", $"n_id", $"cosine", $"rn")
+  }
+
+  /** Generated oracle restating the full PQ pipeline: codebooks as
+    * double literals, per-block argmin encoding (`row_number` over
+    * (distance, centroid) — the encoder's ties-to-lowest-id contract),
+    * the rounded LUT as literal rows, decimal ADC sum, deterministic
+    * shortlist, exact-cosine re-rank. Verify runs queries before
+    * oracles, so the memoized codebooks are present.
+    */
+  def pqTopKSql(cbs: Array[Array[Array[Double]]],
+      lutRows: Seq[(Long, Int, Int, Double)]): String = {
+    val centRows = (for {
+      b <- 0 until PqBlocks
+      c <- 0 until PqCentsPerBlock
+    } yield s"($b, $c, [${cbs(b)(c).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n    ")
+    val lutVals = lutRows.map { case (q, b, c, d) => s"($q, $b, $c, $d)" }
+      .mkString(",\n    ")
+    val sliceSqDist = (1 to PqBlockDim).map { i =>
+      s"(CAST(embedding[b * $PqBlockDim + $i] AS DOUBLE) - cv[$i]) * " +
+        s"(CAST(embedding[b * $PqBlockDim + $i] AS DOUBLE) - cv[$i])"
+    }.mkString(" + ")
+    s"""WITH cents(b, cid, cv) AS (VALUES
+       |    $centRows),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |assign AS (
+       |  SELECT vec_id, b, cid,
+       |    row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cid) AS crn
+       |  FROM (SELECT vec_id, c.b, c.cid, $sliceSqDist AS d
+       |        FROM v CROSS JOIN cents c)),
+       |codes AS (SELECT vec_id, b, cid AS code FROM assign WHERE crn = 1),
+       |lut(q_id, b, code, d6) AS (VALUES
+       |    $lutVals),
+       |shortlist AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS adc_rn
+       |    FROM (
+       |      SELECT l.q_id, c.vec_id AS n_id,
+       |        CAST(sum(CAST(l.d6 AS DECIMAL(18,9))) AS DOUBLE) AS adist
+       |      FROM codes c JOIN lut l ON l.b = c.b AND l.code = c.code
+       |      WHERE c.vec_id <> l.q_id
+       |      GROUP BY l.q_id, c.vec_id))
+       |  WHERE adc_rn <= $PqShortlist)
+       |SELECT q_id, n_id, cosine, rn FROM (
+       |  SELECT s.q_id, s.n_id,
+       |    ${duckDotExpr("qv.embedding", "nv.embedding")} / (qv.nrm * nv.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |      ${duckDotExpr("qv.embedding", "nv.embedding")} / (qv.nrm * nv.nrm) DESC,
+       |      s.n_id) AS rn
+       |  FROM shortlist s
+       |  JOIN v qv ON qv.vec_id = s.q_id
+       |  JOIN v nv ON nv.vec_id = s.n_id)
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** LUT rows for the oracle — rebuilt from the memoized codebooks and
+    * the (driver-bounded) query vectors; kept alongside the codebook
+    * memo by [[pqTopK]] via [[pqLut]].
+    */
+  private val pqLutCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Int, Int, Double)]]
+
+  // -------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 scalar quantization of every embedding — the
+    * compression step before ANN serving at scale (4× memory, integer
+    * dot products). Pure narrow map through the native codegen
+    * `quant_i8_stats` expression; emits per-vector scale, quantized
+    * checksum, and reconstruction MSE. The oracle restates the same
+    * index-order folds in SQL, so even the unrounded doubles
+    * hash-match (cosine-query precedent).
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id",
+        graft.functions.QuantI8Stats.quant_i8_stats($"embedding").as("q"))
+      .select($"vec_id", $"q.scale".as("scale"), $"q.q_sum".as("q_sum"),
+        $"q.mse".as("mse"))
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding, len(embedding) AS n,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+      |      (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, scale,
+      |  CAST(CASE WHEN scale = 0 THEN 0 ELSE
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(embedding,
+      |        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))),
+      |      (a, b) -> a + b) END AS BIGINT) AS q_sum,
+      |  CASE WHEN scale = 0 OR n = 0 THEN 0.0 ELSE
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(embedding, x ->
+      |        (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+      |        * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale))),
+      |      (a, b) -> a + b) / n END AS mse
+      |FROM s""".stripMargin
+
   /** Per-language embedding centroids: documents ⋈ embeddings on id,
     * element-explode, mean per (lang, dim). The aggregation is
     * decimal-exact: each element is rounded to 6 dp (deterministic per
@@ -568,6 +787,8 @@ object Similarity {
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_ann_topk" -> (annTopK _),
     "sim_ivf_topk" -> (ivfTopK _),
+    "sim_pq_topk" -> (pqTopK _),
+    "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_lang_centroids" -> (langCentroids _),
     "sim_lang_centroids_agg" -> (langCentroidsAgg _))
 
@@ -580,16 +801,23 @@ object Similarity {
     val base = Map(
       "sim_bruteforce_topk" -> bruteForceTopKSql,
       "sim_ann_topk" -> annTopKSql,
+      "sim_quantize_int8" -> quantizeInt8Sql,
       "sim_lang_centroids" -> langCentroidsSql,
       "sim_lang_centroids_agg" -> langCentroidsAggSql)
     val withIvf = ivfLastDir.flatMap(centroidCache.get) match {
       case Some(cs) => base + ("sim_ivf_topk" -> ivfTopKSql(cs))
       case None => base
     }
-    ndLastDir.flatMap(ndCache.get) match {
+    val withNd = ndLastDir.flatMap(ndCache.get) match {
       case Some((npt, planes)) =>
         withIvf + ("sim_embedding_neardup" -> embeddingNearDupSql(npt, planes))
       case None => withIvf
     }
+    (for {
+      dir <- pqLastDir
+      cbs <- pqCache.get(dir)
+      lut <- pqLutCache.get(dir)
+    } yield withNd + ("sim_pq_topk" -> pqTopKSql(cbs, lut)))
+      .getOrElse(withNd)
   }
 }

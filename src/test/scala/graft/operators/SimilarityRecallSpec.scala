@@ -68,4 +68,15 @@ class SimilarityRecallSpec extends AnyFunSuite {
     val r = recallAt5(ivf, exact)
     assert(r >= 0.9, s"IVF recall@5 = $r")
   }
+
+  test("PQ shortlist + re-rank recall@5 >= 0.9 on clustered embeddings") {
+    // pure ADC ranking collapses inside a quantization cell (all members
+    // share the same codes — measured recall ~0.2 on this fixture); the
+    // registered two-stage form (ADC top-50 shortlist, exact re-rank)
+    // must recover the true neighborhood
+    val exact = topSets(Similarity.bruteForceTopK(spark, clusteredDir))
+    val pq = topSets(Similarity.pqTopK(spark, clusteredDir))
+    val r = recallAt5(pq, exact)
+    assert(r >= 0.9, s"PQ recall@5 = $r")
+  }
 }
