@@ -74,6 +74,32 @@ object EventOps {
       |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
       |GROUP BY 1, 2""".stripMargin
 
+  /** Sliding-window counts: 2-hour windows sliding by 1 hour (each
+    * event lands in exactly two windows). `window(ts, "2 hours",
+    * "1 hour")` is Spark's native sliding window — epoch-aligned starts,
+    * the same enumeration the oracle restates by unioning the two
+    * hour-truncated offsets per event. One shuffle on (window, type).
+    */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"ts_ns" >= ns("2024-01-05T00:00:00") &&
+              $"ts_ns" <  ns("2024-01-06T00:00:00"))
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("win_start"),
+        $"event_type", $"cnt")
+  }
+
+  val slidingCountsSql: String =
+    """SELECT strftime(date_trunc('hour', ts) - (b.b * INTERVAL 1 HOUR),
+      |    '%Y-%m-%d %H:%M') AS win_start,
+      |  event_type, count(*) AS cnt
+      |FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS b) b
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
   /** A6: lambda reconciliation. The "speed" table simulates data loss
     * (drops every event_id ≡ 0 mod 97, as a receiver losing messages);
     * the "batch" table sees everything. Per (day, type): both counts and
@@ -279,6 +305,7 @@ object EventOps {
     "ev_rolling_7d" -> (rolling7d _),
     "ev_interval_count" -> (intervalCount _),
     "ev_hourly_counts" -> (hourlyCounts _),
+    "ev_sliding_counts" -> (slidingCounts _),
     "ev_lambda_diff" -> (lambdaDiff _),
     "ev_session_stats" -> (sessionStats _))
 
@@ -290,6 +317,7 @@ object EventOps {
     "ev_rolling_7d" -> rolling7dSql,
     "ev_interval_count" -> intervalCountSql,
     "ev_hourly_counts" -> hourlyCountsSql,
+    "ev_sliding_counts" -> slidingCountsSql,
     "ev_lambda_diff" -> lambdaDiffSql,
     "ev_session_stats" -> sessionStatsSql)
 }

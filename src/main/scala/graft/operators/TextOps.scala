@@ -258,6 +258,92 @@ object TextOps {
       |  FROM scored)
       |WHERE rn <= 3""".stripMargin
 
+  /** BM25 retrieval scoring (k1 = 1.2, b = 0.75): the 20 best documents
+    * for the corpus's 3 most frequent terms (a deterministic,
+    * data-derived "query" — both engines derive it identically with a
+    * (count, word) tie-break). The retrieval-quality scorer a curation
+    * pipeline uses to pull topic-relevant documents at scale: tf/df/len
+    * aggregations are the word-count shuffles, the query side is a
+    * 3-row broadcast, corpus totals a 1-row broadcast. Per-term scores
+    * round to 6 dp and sum as DECIMAL (associative, partition-order-
+    * proof); every double constant is precomputed once in Scala and
+    * interpolated into the oracle via shortest-round-trip toString, so
+    * the formula trees match bit-for-bit (ln's last-ulp wobble is
+    * absorbed by the 6 dp round — the tfidf precedent).
+    */
+  def bm25TopDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k1p1 = 1.2 + 1.0
+    val k1 = 1.2
+    val oneMinusB = 1.0 - 0.75
+    val b = 0.75
+    val toks = tokens(Tables.documents(s, dir))
+    val tf = toks.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dlen = toks.groupBy($"doc_id").agg(count(lit(1)).as("dlen"))
+    val dfreq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val totals = dlen.agg(sum($"dlen").cast("double").as("len_sum"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val qterms = toks.groupBy($"word").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"word").limit(3).select($"word")
+    val w = Window.partitionBy(lit(1)).orderBy($"bm25".desc, $"doc_id")
+    tf.join(broadcast(qterms), "word")
+      .join(dlen, "doc_id")
+      .join(dfreq, "word")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_t", round(
+        log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
+          ($"tf" * lit(k1p1)) /
+          ($"tf" + lit(k1) *
+            (lit(oneMinusB) + lit(b) * $"dlen" / ($"len_sum" / $"n_docs"))), 6)
+        .cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(sum($"score_t").cast("double").as("bm25"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 20)
+      .select($"doc_id", $"bm25", $"rn")
+  }
+
+  val bm25TopDocsSql: String = {
+    val k1p1 = 1.2 + 1.0
+    val k1 = 1.2
+    val oneMinusB = 1.0 - 0.75
+    val b = 0.75
+    s"""WITH toks AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |    FROM documents) WHERE word <> ''),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dlen AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(sum(dlen) AS DOUBLE) AS len_sum,
+       |    CAST(count(*) AS DOUBLE) AS n_docs FROM dlen),
+       |qterms AS (
+       |  SELECT word FROM (
+       |    SELECT word, count(*) AS c FROM toks GROUP BY 1
+       |    ORDER BY c DESC, word LIMIT 3)),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      ln((t.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+       |        (tf.tf * $k1p1) /
+       |        (tf.tf + $k1 *
+       |          ($oneMinusB + $b * dlen.dlen / (t.len_sum / t.n_docs))), 6)
+       |      AS DECIMAL(18,6)) AS score_t
+       |  FROM tf
+       |  JOIN qterms ON qterms.word = tf.word
+       |  JOIN dlen ON dlen.doc_id = tf.doc_id
+       |  JOIN dfreq ON dfreq.word = tf.word
+       |  CROSS JOIN totals t)
+       |SELECT doc_id, bm25, rn FROM (
+       |  SELECT doc_id, bm25,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+       |  FROM (SELECT doc_id, CAST(sum(score_t) AS DOUBLE) AS bm25
+       |        FROM scored GROUP BY doc_id))
+       |WHERE rn <= 20""".stripMargin
+  }
+
   /** Corpus bigram counts: adjacent token pairs, top 20 with
     * deterministic tie-break — the n-gram statistics step of corpus
     * analysis. Bigrams are built row-locally (zip of the token array
@@ -296,6 +382,7 @@ object TextOps {
     "doc_quality" -> (docQuality _),
     "doc_langid" -> (docLangId _),
     "doc_fingerprint" -> (docFingerprint _),
+    "doc_bm25_topk" -> (bm25TopDocs _),
     "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
@@ -308,5 +395,6 @@ object TextOps {
     "doc_quality" -> docQualitySql,
     "doc_langid" -> docLangIdSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "doc_bm25_topk" -> bm25TopDocsSql,
     "lang_source_dist" -> langSourceDistSql)
 }
