@@ -45,16 +45,32 @@ object StreamQueries {
     d
   }
 
+  /** One delta-log batch write: the micro-batch's rows land in the
+    * `batch_id=<id>` partition via DYNAMIC partition overwrite, so a
+    * replayed batch (failure before the checkpoint commit) REPLACES its
+    * own partition instead of appending a duplicate copy — idempotent
+    * for both update-mode and append-mode logs. Package-visible so the
+    * replay spec can drive it directly.
+    */
+  private[streaming] def appendDeltaBatch(batch: DataFrame, id: Long,
+      log: String): Unit =
+    batch.withColumn("batch_id", lit(id))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(log)
+
   /** The scale-safe streaming sink used by EVERY registered streaming
     * query (the `stream_mv_counts` pattern promoted to the default): each
-    * trigger's emitted rows are APPENDED to a parquet delta log stamped
-    * with the batch id — an idempotent, replay-safe write (re-running a
-    * batch rewrites the same rows) that never materializes final state in
-    * driver memory the way a complete-mode memory sink does. The final
-    * view is reconstructed latest-batch-wins per key (update mode), or as
-    * the plain union of batches (append mode, `keyCols` empty). At 100×
-    * keyspace both the log write and the reconstruction are distributed;
-    * the driver holds nothing.
+    * trigger's emitted rows land in a parquet delta log partitioned by
+    * batch id — an idempotent, replay-safe write ([[appendDeltaBatch]])
+    * that never materializes final state in driver memory the way a
+    * complete-mode memory sink does. The final view is reconstructed
+    * latest-batch-wins per key (update mode), or as the plain union of
+    * batches (append mode, `keyCols` empty). At 100× keyspace both the
+    * log write and the reconstruction are distributed; the driver holds
+    * nothing.
     */
   private def runDeltaLog(df: DataFrame, mode: String,
       keyCols: Seq[String]): DataFrame = {
@@ -63,8 +79,7 @@ object StreamQueries {
     val q = df.writeStream
       .outputMode(mode)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(log)
+        appendDeltaBatch(batch, id, log)
       }
       .option("checkpointLocation", ckpt())
       .trigger(Trigger.AvailableNow())

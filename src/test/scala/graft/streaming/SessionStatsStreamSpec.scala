@@ -23,6 +23,21 @@ class SessionStatsStreamSpec extends AnyFunSuite {
   private def streamed(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
+  test("delta-log batch write is replay-idempotent (retry replaces, never duplicates)") {
+    import spark.implicits._
+    val log = graft.TempDirs.scoped("delta_replay")
+    val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "cnt")
+    StreamQueries.appendDeltaBatch(b0, 0L, log)
+    StreamQueries.appendDeltaBatch(Seq(("a", 3L)).toDF("k", "cnt"), 1L, log)
+    // batch 1 replays after a failure between sink write and checkpoint
+    // commit — the partition must be REPLACED, not appended to
+    StreamQueries.appendDeltaBatch(Seq(("a", 3L)).toDF("k", "cnt"), 1L, log)
+    val rows = spark.read.parquet(log)
+      .select($"k", $"cnt", $"batch_id".cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("a", 1L, 0L), ("b", 2L, 0L), ("a", 3L, 1L)))
+  }
+
   test("mergeIntervals is order-independent and equals the sorted gap fold") {
     val gap = 10L
     val rnd = new scala.util.Random(42)
