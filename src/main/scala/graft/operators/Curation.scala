@@ -196,6 +196,47 @@ object Curation {
       |      WHERE n_chars IS NOT NULL)
       |WHERE rn <= 10""".stripMargin
 
+  // ------------------------------------------------- mixture re-weighting
+
+  /** Training-mixture weights per source: sqrt-scaled token mass,
+    * renormalized — the standard "temper the head, boost the tail"
+    * mixture rule (weight ∝ tokens^0.5 instead of raw token share, so a
+    * dominant crawl source stops drowning small curated ones). Per-source
+    * token counts are one word-count shuffle; the normalizer is a 1-row
+    * broadcast. Per-source sqrt masses round to 6 dp and divide as
+    * exact decimals so the weights match the oracle bit-for-bit, and a
+    * reader can verify they sum to ≈ 1.
+    */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySource = Tables.documents(s, dir)
+      .selectExpr("source",
+        "size(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS n_toks")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+      .withColumn("mass",
+        round(sqrt($"n_tokens".cast("double")), 6).cast("decimal(18,6)"))
+    val total = bySource.agg(sum($"mass").as("total_mass"))
+    bySource.crossJoin(broadcast(total))
+      .select($"source", $"n_docs", $"n_tokens",
+        ($"mass".cast("double") / $"total_mass".cast("double")).as("weight"))
+  }
+
+  val mixWeightsSql: String =
+    """WITH by_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      t -> t <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |massed AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS mass
+      |  FROM by_source),
+      |total AS (SELECT sum(mass) AS total_mass FROM massed)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(mass AS DOUBLE) / CAST(total_mass AS DOUBLE) AS weight
+      |FROM massed CROSS JOIN total""".stripMargin
+
   // --------------------------------------------- unigram surprisal score
 
   /** Unigram-LM surprisal per document: mean over tokens of
@@ -245,6 +286,7 @@ object Curation {
     "curate_chunks" -> (chunkOverlap _),
     "curate_pack_stats" -> (packStats _),
     "curate_domain_quota" -> (domainQuota _),
+    "curate_mix_weights" -> (mixWeights _),
     "curate_unigram_surprisal" -> (unigramSurprisal _))
 
   def oracles: Map[String, String] = Map(
@@ -253,5 +295,6 @@ object Curation {
     "curate_chunks" -> chunkOverlapSql,
     "curate_pack_stats" -> packStatsSql,
     "curate_domain_quota" -> domainQuotaSql,
+    "curate_mix_weights" -> mixWeightsSql,
     "curate_unigram_surprisal" -> unigramSurprisalSql)
 }

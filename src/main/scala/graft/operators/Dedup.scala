@@ -406,6 +406,48 @@ object Dedup {
       |WHERE g.doc_id >= 10
       |GROUP BY g.doc_id""".stripMargin
 
+  /** Cross-source contamination matrix: for every pair of sources, the
+    * number of distinct word-5-grams they share — the corpus-level view
+    * of [[decontaminate]] (which flags single documents against one
+    * held-out set). Same inverted-index shape: the join key is the gram,
+    * so only sources that actually share a gram ever pair, and the
+    * per-gram work is |sources(gram)|² with |sources| small and fixed —
+    * never documents². One distinct-aggregation shuffle on (source,
+    * gram), one gram-keyed join, one count shuffle on the source pair.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .selectExpr("source",
+        "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
+      .where("size(toks) >= 5")
+      .selectExpr("source",
+        """explode(array_distinct(transform(
+          |  sequence(1, size(toks) - 4),
+          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3]))))
+          | AS gram""".stripMargin)
+      .distinct()
+    grams.as("a").join(grams.as("b"),
+        $"a.gram" === $"b.gram" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT source, gram FROM (
+      |    SELECT source,
+      |      unnest(list_transform(range(1, len(t) - 3),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+      |    FROM toks WHERE len(t) >= 5))
+      |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_grams
+      |FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
   /** Intra-document repetition ratio: 1 − (distinct trigrams / total
     * trigrams) — high values flag boilerplate/looping text, a standard
     * pre-training quality gate. Pure narrow map.
@@ -546,6 +588,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_decontaminate" -> (decontaminate _),
+    "dedup_source_overlap" -> (sourceOverlap _),
     "doc_repetition_ratio" -> (repetitionRatio _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (exactDedup _),
@@ -561,6 +604,7 @@ object Dedup {
   def oracles: Map[String, String] = {
     val base = Map(
       "dedup_decontaminate" -> decontaminateSql,
+      "dedup_source_overlap" -> sourceOverlapSql,
       "doc_repetition_ratio" -> repetitionRatioSql,
       "dedup_clusters" -> dedupClustersSql,
       "dedup_exact" -> exactDedupSql,
