@@ -123,6 +123,29 @@ object Similarity {
     })
   }
 
+  /** Memoized (planesPerTable, planes) for the last dir a signature
+    * query ran against — oracle generators (here and in StreamQueries)
+    * read it to embed the identical doubles.
+    */
+  def ndOracleParams: Option[(Int, Array[Array[Double]])] =
+    ndLastDir.flatMap(ndCache.get)
+
+  /** Oracle for the bare signature table (vec_id, t, sig) — the sigs
+    * CTE of [[embeddingNearDupSql]] as a standalone statement, used by
+    * the streaming signature-ingest contract query.
+    */
+  def embeddingSigsSql(npt: Int, planes: Array[Array[Double]]): String = {
+    val planeRows = planes.zipWithIndex.map { case (pv, i) =>
+      s"(${i / npt}, ${i % npt}, [${pv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH planes(t, p, pv) AS (VALUES
+       |    $planeRows)
+       |SELECT vec_id, CAST(t AS INT) AS t,
+       |  CAST(sum(CASE WHEN ${duckDotExpr("embedding", "pv")} > 0
+       |      THEN (1 << p) ELSE 0 END) AS INT) AS sig
+       |FROM embeddings CROSS JOIN planes GROUP BY vec_id, t""".stripMargin
+  }
+
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (npt, planes) = ndParams(s, dir)

@@ -375,6 +375,30 @@ object StreamQueries {
     """SELECT event_type, count(*) AS cnt
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Streaming LSH signature ingest: the vector-pipeline shape where
+    * embeddings stream in and their multi-table hyperplane signatures
+    * are computed AT INGEST (the native `hyperplane_sigs` codegen
+    * expression running inside the micro-batch plan — feature
+    * computation is a stateless narrow map, so the stream needs no state
+    * store at all), landing in the append-mode delta log that a
+    * downstream near-dup/ANN index consumes incrementally. Final log ==
+    * the batch signature table, which the oracle restates with the
+    * size-derived planes as literals.
+    */
+  def streamEmbeddingSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (npt, planes) = graft.operators.Similarity.ndParams(s, dir)
+    val src = stageAsDirParts(s, s"$dir/embeddings.parquet", 2)
+    val schema = s.read.parquet(src).schema
+    val ev = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .select($"vec_id",
+        posexplode(graft.functions.HyperplaneSigs.sigs(
+          $"embedding", planes, graft.operators.Similarity.NdTables, npt))
+          .as(Seq("t", "sig")))
+    runDeltaLog(ev, "append", Nil)
+  }
+
   /** Start-position / rate control for the file source — the analogs of
     * the reference spout's earliest/latest start offset and bounded
     * max-pending knobs
@@ -412,6 +436,7 @@ object StreamQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_embedding_sigs" -> (streamEmbeddingSigs _),
     "stream_wordcount" -> (streamWordCount _),
     "stream_interval_count" -> (streamIntervalCount _),
     "stream_session_stats" -> (streamSessionStats _),
@@ -420,7 +445,20 @@ object StreamQueries {
     "stream_mv_counts" -> (streamMvCounts _),
     "stream_hourly_counts" -> (streamHourlyCounts _))
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    val base = baseOracles
+    // the signature-ingest oracle embeds the size-derived planes, so it
+    // appears once the query has memoized them (Verify runs queries
+    // before dumping oracle_sql.json)
+    graft.operators.Similarity.ndOracleParams match {
+      case Some((npt, planes)) =>
+        base + ("stream_embedding_sigs" ->
+          graft.operators.Similarity.embeddingSigsSql(npt, planes))
+      case None => base
+    }
+  }
+
+  private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
     "stream_wordcount" -> graft.operators.TextOps.wordCountSql,
     "stream_interval_count" -> graft.operators.EventOps.intervalCountSql,
