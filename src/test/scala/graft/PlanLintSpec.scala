@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-hygiene gate over the WHOLE batch registry: no registered query
+  * may plan a CartesianProduct, and BroadcastNestedLoopJoin is allowed
+  * only for the named 1-row-totals broadcasts (corpus size / normalizer
+  * cross joins — the pattern the round-2 audit blessed). Catches the
+  * classic scale regressions (accidental cross join from a dropped join
+  * key, a non-equi join slipping in) for every future query added.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  /** Queries that EXECUTE work on construction (streaming runs, writes,
+    * iterative loops) — their plans are asserted by their own specs; a
+    * lint pass over the final frame would re-run them.
+    */
+  private val constructionRuns: Set[String] = Set(
+    "dedup_clusters", "q_bucketed_join", "q_merge_upsert",
+    "src_csv_roundtrip", "src_json_roundtrip", "src_json_extract",
+    "src_orc_roundtrip", "src_partitioned_layout")
+
+  /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
+    * the build side is a single row by construction, so the nested-loop
+    * join is O(n) — the approved exception.
+    */
+  private val oneRowCross: Set[String] = Set(
+    "curate_unigram_surprisal", "curate_mix_weights", "doc_bm25_topk",
+    "q14_promo_share", "q17_small_quantity", "q22_rich_no_orders",
+    "ev_funnel", "q_above_avg_orders", "dq_documents", "dq_events",
+    // bounded-broadcast exception: the exact-scan baseline joins the
+    // 10-row query side against the collection on a non-equi condition
+    // (q_id <> n_id) — the deliberate brute-force shape
+    "sim_bruteforce_topk")
+
+  test("no registered batch query plans a cartesian product or stray nested-loop join") {
+    val targets = SparkEntry.queries.filterNot { case (n, _) =>
+      n.startsWith("stream_") || constructionRuns(n)
+    }
+    val violations = targets.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !oneRowCross(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unapproved BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}
