@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import java.nio.file.{Files, Paths}
+
 /** Benchmark main — times every SparkEntry query at the given SF and
   * prints ONE JSON line (driver contract).
   *
@@ -51,13 +53,38 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(name, fn)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // failed count is surfaced in the headline line — a broken query must
     // never read as a speedup (its -1 is excluded from the total)
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+
+    // Full per-query map goes to a repo file: the driver's stdout capture
+    // keeps only a ~2KB tail, so a single line with the whole registry
+    // (~6KB at 100+ queries) never survives to BENCH_r{N}.json ("parsed":
+    // null in rounds 1-3). The headline line stays under that window.
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"nQueries":${results.size},"queries":${toJson(results)},"sf":"$sfDir"}"""
+    try Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")), fullJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
+
+    // Headline subset for the one-line contract output: slowest queries
+    // dominate the total, so report the top cost centers plus the
+    // per-family medians — enough for round-over-round comparison inside
+    // the tail window; full numbers are in BENCH_FULL.json.
+    val ok = results.filter(_._2 >= 0)
+    val slowest = ok.sortBy(-_._2).take(24)
+    def family(n: String): String = n.takeWhile(_ != '_')
+    val fams = ok.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1).map {
+      case (f, rs) =>
+        val ts = rs.map(_._2).sorted
+        ("fam_" + f, ts(ts.size / 2))
+    }
+    val headline = (slowest ++ fams).distinct
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"nQueries":${results.size},"full":"BENCH_FULL.json","queries":${toJson(headline)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

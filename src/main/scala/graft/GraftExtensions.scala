@@ -25,18 +25,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       (exprs: Seq[Expression]) => DotF64.builder(exprs)))
+    // arity is validated here, not left to exprs.head: `SELECT
+    // minhash_sig()` must fail analysis with the function's contract,
+    // not a NoSuchElementException, and extra arguments must not be
+    // silently dropped (DotF64.builder pattern)
+    def unary(name: String, mk: Expression => Expression)
+        (exprs: Seq[Expression]): Expression = exprs match {
+      case Seq(e) => mk(e)
+      case _ => throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${exprs.length}")
+    }
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSigExpr(exprs.head)))
+      unary("minhash_sig", MinHashSigExpr(_)) _))
     ext.injectFunction((
       FunctionIdentifier("quant_i8_stats"),
       new ExpressionInfo(classOf[QuantI8Stats].getName, "quant_i8_stats"),
-      (exprs: Seq[Expression]) => QuantI8Stats(exprs.head)))
+      unary("quant_i8_stats", QuantI8Stats(_)) _))
     ext.injectFunction((
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSigExpr].getName, "simhash_sig"),
-      (exprs: Seq[Expression]) => SimHashSigExpr(exprs.head)))
+      unary("simhash_sig", SimHashSigExpr(_)) _))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushPartialTopK)
   }

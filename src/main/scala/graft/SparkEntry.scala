@@ -31,15 +31,24 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Sketch oracles (LSH planes, IVF centroids, PQ codebooks, SimHash
+    * chunk shape) embed parameters derived from the collection at `dir`,
+    * so the dir is threaded explicitly — Verify passes the sfDir it ran
+    * the queries against.
     */
-  def oracleSql: Map[String, String] =
+  def oracleSqlFor(dir: String): Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       TextOps.oracles ++ EventOps.oracles ++
-      Pipeline.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
       Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       Skew.oracles ++ DataQuality.oracles ++
       graft.plans.TopKPerKey.oracles ++
       graft.sources.FileSources.oracles ++
-      graft.streaming.StreamQueries.oracles
+      graft.streaming.StreamQueries.oracles(dir)
+
+  /** Contract alias at the driver's verify SF. */
+  def oracleSql: Map[String, String] =
+    oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
 }

@@ -35,4 +35,28 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Cheap content fingerprint of `$dir/$name.parquet` (file or
+    * directory tree): folds every file's path, size, and mtime. Used to
+    * key the per-dir parameter memos (LSH plane counts, IVF centroids,
+    * PQ codebooks, SimHash chunk shape) so that rewriting a fixture path
+    * within one JVM invalidates the derived parameters instead of
+    * silently reusing the old data's — a driver-side metadata walk, no
+    * data read.
+    */
+  def fingerprint(dir: String, name: String): String = {
+    def fold(f: java.io.File, acc: Long): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).foldLeft(acc)((a, c) => fold(c, a))
+      else {
+        var h = acc
+        h = h * 1000003L ^ f.getPath.hashCode.toLong
+        h = h * 1000003L ^ f.length()
+        h = h * 1000003L ^ f.lastModified()
+        h
+      }
+    val root = new java.io.File(s"$dir/$name.parquet")
+    if (!root.exists()) "absent"
+    else java.lang.Long.toHexString(fold(root, 0xcbf29ce484222325L))
+  }
 }

@@ -87,9 +87,15 @@ object SigKernels {
   * WholeStageCodegen over the unsafe float array, no per-row Seq[Float]
   * materialization.
   */
-case class HyperplaneSigs(child: Expression, planes: Array[Double],
+case class HyperplaneSigs(child: Expression, planes: Seq[Double],
     nTables: Int, planesPerTable: Int, dim: Int)
     extends UnaryExpression {
+
+  // `planes` is a Seq, NOT Array: case-class equality over an Array is
+  // reference identity, so two structurally identical expressions would
+  // never compare semanticEqual — defeating subexpression elimination
+  // and plan canonicalization. The hot loops index the unwrapped array.
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -101,6 +107,7 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
   }
 
   private def compute(emb: ArrayData): ArrayData = {
+    val planes = planesArr
     val n = emb.numElements()
     val sigs = new Array[Int](nTables)
     var t = 0
@@ -126,7 +133,7 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
     compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val pl = ctx.addReferenceObj("planes", planes, "double[]")
+    val pl = ctx.addReferenceObj("planes", planesArr, "double[]")
     nullSafeCodeGen(ctx, ev, emb => {
       val n = ctx.freshName("n")
       val sigs = ctx.freshName("sigs")
@@ -174,8 +181,9 @@ object HyperplaneSigs {
   def sigs(emb: Column, planes: Array[Array[Double]], nTables: Int,
       planesPerTable: Int): Column = {
     val dim = planes.head.length
-    ColumnBridge.column(HyperplaneSigs(
-      ColumnBridge.expression(emb), planes.flatten, nTables, planesPerTable, dim))
+    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(emb),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(planes.flatten),
+      nTables, planesPerTable, dim))
   }
 }
 
@@ -187,9 +195,13 @@ object HyperplaneSigs {
   * Output ARRAY<INT> of `nBlocks` codes, computed inside
   * WholeStageCodegen.
   */
-case class PqEncode(child: Expression, codebooks: Array[Double],
+case class PqEncode(child: Expression, codebooks: Seq[Double],
     nBlocks: Int, k: Int, blockDim: Int)
     extends UnaryExpression {
+
+  // Seq, not Array, for structural case-class equality (see
+  // [[HyperplaneSigs]]); hot loops index the unwrapped array
+  @transient private lazy val codebooksArr: Array[Double] = codebooks.toArray
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -201,6 +213,7 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
   }
 
   override def nullSafeEval(input: Any): Any = {
+    val codebooks = codebooksArr
     val emb = input.asInstanceOf[ArrayData]
     val n = emb.numElements()
     val codes = new Array[Int](nBlocks)
@@ -230,7 +243,7 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cb = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    val cb = ctx.addReferenceObj("codebooks", codebooksArr, "double[]")
     nullSafeCodeGen(ctx, ev, emb => {
       val n = ctx.freshName("n")
       val codes = ctx.freshName("codes")
@@ -283,7 +296,8 @@ object PqEncode {
     val k = codebooks.head.length
     val blockDim = codebooks.head.head.length
     ColumnBridge.column(PqEncode(ColumnBridge.expression(emb),
-      codebooks.flatten.flatten, nBlocks, k, blockDim))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(codebooks.flatten.flatten),
+      nBlocks, k, blockDim))
   }
 }
 

@@ -270,18 +270,17 @@ object Dedup {
 
   private val simhashParamCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
-  @volatile private var simhashLastDir: Option[String] = None
 
   /** Per-dir memoized (chunkBits, nChunks) — the oracle generator must
-    * embed the same derived shape the query used.
+    * embed the same derived shape the query used. Keyed on a data
+    * fingerprint so a rewritten fixture path re-derives the shape, and
+    * read by [[oracles]] for an EXPLICIT dir (no last-dir global).
     */
-  def simhashParams(s: SparkSession, dir: String): (Int, Int) = {
-    simhashLastDir = Some(dir)
-    simhashParamCache.getOrElseUpdate(dir, {
+  def simhashParams(s: SparkSession, dir: String): (Int, Int) =
+    simhashParamCache.getOrElseUpdate(Similarity.dataKey(dir, "documents"), {
       val bits = simhashChunkBits(Tables.documents(s, dir).count())
       (bits, 60 / bits)
     })
-  }
 
   /** SimHash near-dup pairs: LSH on size-derived bit chunks with
     * radius-1 multiprobe (see [[simhashChunkBits]]), then exact Hamming
@@ -511,15 +510,24 @@ object Dedup {
     * driver `isEmpty` re-scan on the critical path (round 2 paid one).
     */
   def connectedComponents(edges: DataFrame, nParts: Int,
-      maxIters: Long): (DataFrame, Long) = {
+      maxIters: Long, hardMaxIters: Long = -1L): (DataFrame, Long) = {
     val s = edges.sparkSession
     import s.implicits._
+    // maxIters is the EXPECTED bound (2·log₂ for the relax+jump hybrid —
+    // empirically ample but not a proven worst case for the hybrid);
+    // hardMaxIters is the PROVEN fallback (node count: even one-hop
+    // relaxation alone converges within it). Overshooting the soft bound
+    // logs and keeps going; only the hard bound is a hard failure.
+    val hardCap = if (hardMaxIters > 0) math.max(hardMaxIters, maxIters) else maxIters
     var labels = edges.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("label"))
       .repartition(nParts, $"doc_id").localCheckpoint()
     var converged = false
     var i = 0L
-    while (!converged && i < maxIters) {
+    while (!converged && i < hardCap) {
+      if (i == maxIters && hardCap > maxIters)
+        System.err.println(s"[graft] connectedComponents: past the expected " +
+          s"$maxIters-round log bound; continuing to the node-count cap $hardCap")
       val prop = edges.join(labels, $"src" === $"doc_id")
         .groupBy($"dst").agg(min($"label").as("nl"))
       val relaxed = labels.join(prop, $"doc_id" === $"dst", "left_outer")
@@ -542,7 +550,7 @@ object Dedup {
       // FAIL LOUDLY: silently returning partial labels would split
       // duplicate clusters with no error
       throw new IllegalStateException(
-        s"label propagation failed to converge in $maxIters iterations")
+        s"label propagation failed to converge in $hardCap iterations")
     (labels, i)
   }
 
@@ -565,10 +573,13 @@ object Dedup {
       if (nParts == staged.rdd.getNumPartitions) staged
       else staged.repartition(nParts).localCheckpoint()
     // pointer jumping needs O(log diameter) rounds and nodes ≤ 2·edges,
-    // so 2·log₂(nodes) + 8 is a loose bound — far below the
-    // node-count bound the one-hop round-2 loop needed
+    // so 2·log₂(nodes) + 8 is a loose EXPECTED bound; the node count
+    // itself is the PROVEN cap (one-hop relaxation alone converges in
+    // ≤ nodes rounds), so a pathological graph that needs a few extra
+    // rounds degrades to more iterations, not a hard failure
     val maxIters = 2L * Hashing.log2ceil(math.max(2L, 2L * nEdges)) + 8L
-    val (labels, _) = connectedComponents(edges, nParts, maxIters)
+    val (labels, _) =
+      connectedComponents(edges, nParts, maxIters, hardMaxIters = 2L * nEdges + 2L)
     val singletons = Tables.documents(s, dir).select($"doc_id")
       .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"doc_id".as("label"))
@@ -596,24 +607,23 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _))
 
-  /** The SimHash oracle embeds the size-derived chunk shape, so its
-    * entry appears once [[simhashParams]] has run for some dir (Verify
-    * runs every query before dumping oracle_sql.json, so it is always
-    * present there).
+  /** Oracles for an EXPLICIT dir — the SimHash entry embeds the chunk
+    * shape derived from THAT dir's corpus size (memo hit or
+    * deterministic recompute), not whichever dir was touched last.
     */
-  def oracles: Map[String, String] = {
-    val base = Map(
+  def oracles(dir: String): Map[String, String] = {
+    val s = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "oracle generation needs an active SparkSession"))
+    val (bits, nChunks) = simhashParams(s, dir)
+    Map(
       "dedup_decontaminate" -> decontaminateSql,
       "dedup_source_overlap" -> sourceOverlapSql,
       "doc_repetition_ratio" -> repetitionRatioSql,
       "dedup_clusters" -> dedupClustersSql,
       "dedup_exact" -> exactDedupSql,
       "dedup_ngram_jaccard" -> ngramJaccardSql,
-      "dedup_minhash_lsh" -> minhashLshSql)
-    simhashLastDir.flatMap(simhashParamCache.get) match {
-      case Some((bits, nChunks)) =>
-        base + ("dedup_simhash" -> simhashPairsSql(bits, nChunks))
-      case None => base
-    }
+      "dedup_minhash_lsh" -> minhashLshSql,
+      "dedup_simhash" -> simhashPairsSql(bits, nChunks))
   }
 }

@@ -108,27 +108,40 @@ object Similarity {
   /** Per-dir memoized (planesPerTable, planes) — the oracle generator
     * must embed the exact planes the query used, and the plane count
     * depends on the collection size (one count() per dir; at production
-    * scale this is a table statistic, not a scan).
+    * scale this is a table statistic, not a scan). Keys include a data
+    * fingerprint ([[Tables.fingerprint]]) so a rewritten fixture path
+    * re-derives its parameters instead of reusing stale ones, and
+    * oracle generation takes the dir EXPLICITLY — no "last dir touched"
+    * global, so interleaved suites / multi-dir use can't cross wires.
     */
   private val ndCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Array[Array[Double]])]
-  @volatile private var ndLastDir: Option[String] = None
 
-  def ndParams(s: SparkSession, dir: String): (Int, Array[Array[Double]]) = {
-    ndLastDir = Some(dir)
-    ndCache.getOrElseUpdate(dir, {
+  private[graft] def dataKey(dir: String, table: String): String =
+    dir + "@" + Tables.fingerprint(dir, table)
+
+  /** Active session for dir-threaded oracle generation: Verify (and any
+    * test that asks for oracles) always runs inside one.
+    */
+  private def activeSession: SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "oracle generation needs an active SparkSession"))
+
+  def ndParams(s: SparkSession, dir: String): (Int, Array[Array[Double]]) =
+    ndCache.getOrElseUpdate(dataKey(dir, "embeddings"), {
       val n = Tables.embeddings(s, dir).count()
       val npt = ndPlanesPerTable(n)
       (npt, hyperplanes(NdTables * npt, 64, seed = 0x7d0bee5L))
     })
-  }
 
-  /** Memoized (planesPerTable, planes) for the last dir a signature
-    * query ran against — oracle generators (here and in StreamQueries)
-    * read it to embed the identical doubles.
+  /** (planesPerTable, planes) for an explicit dir — oracle generators
+    * (here and in StreamQueries) embed the identical doubles the query
+    * for that dir used. Deterministic: a memo miss recomputes the same
+    * values from the data.
     */
-  def ndOracleParams: Option[(Int, Array[Array[Double]])] =
-    ndLastDir.flatMap(ndCache.get)
+  def ndParamsFor(dir: String): (Int, Array[Array[Double]]) =
+    ndParams(activeSession, dir)
 
   /** Oracle for the bare signature table (vec_id, t, sig) — the sigs
     * CTE of [[embeddingNearDupSql]] as a standalone statement, used by
@@ -385,12 +398,10 @@ object Similarity {
     */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-  @volatile private var ivfLastDir: Option[String] = None
 
   def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
     import s.implicits._
-    ivfLastDir = Some(dir)
-    centroidCache.getOrElseUpdate(dir, {
+    centroidCache.getOrElseUpdate(dataKey(dir, "embeddings"), {
       val sample = Tables.embeddings(s, dir)
         .where(col("vec_id") % IvfSampleMod === 0)
         .orderBy("vec_id")
@@ -532,12 +543,10 @@ object Similarity {
 
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
-  @volatile private var pqLastDir: Option[String] = None
 
   def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     import s.implicits._
-    pqLastDir = Some(dir)
-    pqCache.getOrElseUpdate(dir, {
+    pqCache.getOrElseUpdate(dataKey(dir, "embeddings"), {
       val sample = Tables.embeddings(s, dir)
         .where(col("vec_id") % IvfSampleMod === 0)
         .orderBy("vec_id")
@@ -586,6 +595,34 @@ object Similarity {
     * (vec_id < 10), the same boundedness class as the broadcast query
     * sides above.
     */
+  /** ADC lookup table for the bounded (vec_id < 10) query set — rounded
+    * per-block squared distances to every codebook centroid. Memoized on
+    * the same data fingerprint as the codebooks; the oracle generator
+    * rebuilds the identical rows for an explicit dir.
+    */
+  def pqLut(s: SparkSession, dir: String): Seq[(Long, Int, Int, Double)] =
+    pqLutCache.getOrElseUpdate(dataKey(dir, "embeddings"), {
+      import s.implicits._
+      val cbs = pqCodebooks(s, dir)
+      val qvecs = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        .where($"vec_id" < 10)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      for {
+        (qid, emb) <- qvecs.toSeq
+        b <- 0 until PqBlocks
+        c <- 0 until PqCentsPerBlock
+      } yield {
+        var d = 0.0
+        var i = 0
+        while (i < PqBlockDim) {
+          val diff = emb(b * PqBlockDim + i).toDouble - cbs(b)(c)(i)
+          d += diff * diff
+          i += 1
+        }
+        (qid, b, c, roundTo6(d))
+      }
+    })
+
   def pqTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cbs = pqCodebooks(s, dir)
@@ -593,24 +630,7 @@ object Similarity {
     val codes = v.select($"vec_id",
       posexplode(graft.functions.PqEncode.pq_encode($"embedding", cbs))
         .as(Seq("b", "code")))
-    val qvecs = v.where($"vec_id" < 10)
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val lutRows = for {
-      (qid, emb) <- qvecs.toSeq
-      b <- 0 until PqBlocks
-      c <- 0 until PqCentsPerBlock
-    } yield {
-      var d = 0.0
-      var i = 0
-      while (i < PqBlockDim) {
-        val diff = emb(b * PqBlockDim + i).toDouble - cbs(b)(c)(i)
-        d += diff * diff
-        i += 1
-      }
-      (qid, b, c, roundTo6(d))
-    }
-    pqLutCache.put(dir, lutRows)
-    val lut = lutRows.toDF("q_id", "b", "code", "d6")
+    val lut = pqLut(s, dir).toDF("q_id", "b", "code", "d6")
     import org.apache.spark.sql.expressions.Window
     val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"n_id".asc)
     val shortlist = codes.join(broadcast(lut), Seq("b", "code"))
@@ -690,9 +710,8 @@ object Similarity {
        |WHERE rn <= 5""".stripMargin
   }
 
-  /** LUT rows for the oracle — rebuilt from the memoized codebooks and
-    * the (driver-bounded) query vectors; kept alongside the codebook
-    * memo by [[pqTopK]] via [[pqLut]].
+  /** Memo backing [[pqLut]], keyed on the same data fingerprint as the
+    * codebook cache.
     */
   private val pqLutCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Int, Int, Double)]]
@@ -815,32 +834,23 @@ object Similarity {
     "sim_lang_centroids" -> (langCentroids _),
     "sim_lang_centroids_agg" -> (langCentroidsAgg _))
 
-  /** The IVF oracle needs the trained centroids and the near-dup oracle
-    * needs the size-derived plane set, so those entries appear once
-    * their query has run for some dir (Verify runs every query before
-    * dumping oracle_sql.json, so they are always present there).
+  /** Oracles for an EXPLICIT dir: the IVF centroids, near-dup plane
+    * set, and PQ codebooks/LUT are looked up (or deterministically
+    * recomputed) for that dir's data — never for "whichever dir some
+    * caller touched last", so interleaved suites and multi-dir use
+    * can't generate an oracle against the wrong collection size.
     */
-  def oracles: Map[String, String] = {
-    val base = Map(
+  def oracles(dir: String): Map[String, String] = {
+    val s = activeSession
+    val (npt, planes) = ndParams(s, dir)
+    Map(
       "sim_bruteforce_topk" -> bruteForceTopKSql,
       "sim_ann_topk" -> annTopKSql,
       "sim_quantize_int8" -> quantizeInt8Sql,
       "sim_lang_centroids" -> langCentroidsSql,
-      "sim_lang_centroids_agg" -> langCentroidsAggSql)
-    val withIvf = ivfLastDir.flatMap(centroidCache.get) match {
-      case Some(cs) => base + ("sim_ivf_topk" -> ivfTopKSql(cs))
-      case None => base
-    }
-    val withNd = ndLastDir.flatMap(ndCache.get) match {
-      case Some((npt, planes)) =>
-        withIvf + ("sim_embedding_neardup" -> embeddingNearDupSql(npt, planes))
-      case None => withIvf
-    }
-    (for {
-      dir <- pqLastDir
-      cbs <- pqCache.get(dir)
-      lut <- pqLutCache.get(dir)
-    } yield withNd + ("sim_pq_topk" -> pqTopKSql(cbs, lut)))
-      .getOrElse(withNd)
+      "sim_lang_centroids_agg" -> langCentroidsAggSql,
+      "sim_ivf_topk" -> ivfTopKSql(ivfCentroids(s, dir)),
+      "sim_embedding_neardup" -> embeddingNearDupSql(npt, planes),
+      "sim_pq_topk" -> pqTopKSql(pqCodebooks(s, dir), pqLut(s, dir)))
   }
 }

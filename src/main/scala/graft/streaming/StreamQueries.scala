@@ -445,17 +445,13 @@ object StreamQueries {
     "stream_mv_counts" -> (streamMvCounts _),
     "stream_hourly_counts" -> (streamHourlyCounts _))
 
-  def oracles: Map[String, String] = {
-    val base = baseOracles
-    // the signature-ingest oracle embeds the size-derived planes, so it
-    // appears once the query has memoized them (Verify runs queries
-    // before dumping oracle_sql.json)
-    graft.operators.Similarity.ndOracleParams match {
-      case Some((npt, planes)) =>
-        base + ("stream_embedding_sigs" ->
-          graft.operators.Similarity.embeddingSigsSql(npt, planes))
-      case None => base
-    }
+  def oracles(dir: String): Map[String, String] = {
+    // the signature-ingest oracle embeds the size-derived planes for the
+    // EXPLICIT dir (memo hit or deterministic recompute) — same doubles
+    // the ingest query used for that collection
+    val (npt, planes) = graft.operators.Similarity.ndParamsFor(dir)
+    baseOracles + ("stream_embedding_sigs" ->
+      graft.operators.Similarity.embeddingSigsSql(npt, planes))
   }
 
   private def baseOracles: Map[String, String] = Map(

@@ -33,4 +33,21 @@ class Hamming64ExprSpec extends AnyFunSuite {
     assert(reg.functionExists(FunctionIdentifier("fnv_hash64")))
     assert(reg.functionExists(FunctionIdentifier("hamming64")))
   }
+
+  test("injected unary builders validate arity instead of exprs.head-crashing") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    val reg = spark.sessionState.functionRegistry.clone()
+    org.apache.spark.sql.graft.ColumnBridge.applyFunctionInjections(ext, reg)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    for (fn <- Seq("minhash_sig", "quant_i8_stats", "simhash_sig")) {
+      val builder = reg.lookupFunctionBuilder(FunctionIdentifier(fn)).get
+      val zero = intercept[IllegalArgumentException](builder(Seq.empty))
+      assert(zero.getMessage.contains(s"$fn expects exactly 1 argument"))
+      val two = intercept[IllegalArgumentException](
+        builder(Seq(Literal("a"), Literal("b"))))
+      assert(two.getMessage.contains("got 2"))
+    }
+  }
 }

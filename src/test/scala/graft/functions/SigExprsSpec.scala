@@ -66,6 +66,24 @@ class SigExprsSpec extends AnyFunSuite {
     assert(got(2) == List(0, 0))
   }
 
+  test("structurally identical sig expressions are semanticEqual") {
+    // constants are Seq-typed, not Array-typed: Array fields fall back to
+    // reference equality, so two identical expressions would never
+    // canonicalize — defeating subexpression elimination
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val col = AttributeReference("emb", ArrayType(FloatType))()
+    def planes = Array.tabulate(8)(i => i * 0.25 - 1.0).toSeq
+    val h1 = HyperplaneSigs(col, planes, 2, 2, 2)
+    val h2 = HyperplaneSigs(col, planes, 2, 2, 2)
+    assert(h1 == h2)
+    assert(h1.semanticEquals(h2))
+    val p1 = PqEncode(col, planes, 2, 2, 2)
+    val p2 = PqEncode(col, planes, 2, 2, 2)
+    assert(p1 == p2)
+    assert(p1.semanticEquals(p2))
+  }
+
   test("pq_encode interpreted eval agrees with codegen") {
     val cbs = Array.tabulate(4, 4, 2)((b, c, i) => (b + c * 0.7 + i * 0.3))
     val v = Array.tabulate(8)(i => (math.cos(i.toDouble) * 2).toFloat)

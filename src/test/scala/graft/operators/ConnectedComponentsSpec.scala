@@ -35,6 +35,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(Seq(50L, 51L).forall(byNode(_) == 50L))
   }
 
+  test("hard node-count cap rescues an undershot soft bound; exhaustion still throws") {
+    // a 64-node chain can't converge in 2 rounds — the soft (log) bound
+    // is empirical for the relax+jump hybrid, so overshooting it must
+    // degrade to more rounds (up to the proven node-count cap), not fail
+    val chain = symmetric((0L until 63L).map(i => (i, i + 1)))
+    val (labels, iters) =
+      Dedup.connectedComponents(chain, 2, maxIters = 2, hardMaxIters = 128)
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    assert(iters > 2)
+    // with BOTH bounds exhausted the loop must still fail loudly rather
+    // than return split clusters
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, 2, maxIters = 1, hardMaxIters = 2)
+    }
+  }
+
   test("star and triangle converge immediately within the bound") {
     val star = symmetric((1L to 9L).map(i => (0L, i)))
     val (l1, i1) = Dedup.connectedComponents(star, 2, maxIters = 8)

@@ -67,6 +67,25 @@ class LshScaleSpec extends AnyFunSuite {
     (npt, row.getLong(0), row.getDouble(1))
   }
 
+  test("rewriting a dir's data invalidates the derived-parameter memo") {
+    import spark.implicits._
+    // same PATH, different contents: the memo key includes a data
+    // fingerprint, so the second read must re-derive the width from the
+    // new collection size instead of reusing the first's
+    val dir = graft.TempDirs.scoped("lsh_rewrite")
+    def write(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, Array.fill(64)(0.1f)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(500)
+    val (npt1, _) = Similarity.ndParams(spark, dir)
+    write(64000)
+    val (npt2, _) = Similarity.ndParams(spark, dir)
+    assert(npt1 == Similarity.ndPlanesPerTable(500))
+    assert(npt2 == Similarity.ndPlanesPerTable(64000))
+    assert(npt2 > npt1)
+  }
+
   test("10x more embeddings: wider keys hold max bucket population roughly flat") {
     val (bits1, max1, avg1) = bucketStats(writeEmbeddings(1000))
     val (bits2, max2, avg2) = bucketStats(writeEmbeddings(10000))
