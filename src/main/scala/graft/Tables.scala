@@ -44,7 +44,10 @@ object Tables {
     * silently reusing the old data's — a driver-side metadata walk, no
     * data read.
     */
-  def fingerprint(dir: String, name: String): String = {
+  def fingerprint(dir: String, name: String): String =
+    fingerprintPath(s"$dir/$name.parquet")
+
+  def fingerprintPath(path: String): String = {
     def fold(f: java.io.File, acc: Long): Long =
       if (f.isDirectory)
         f.listFiles().sortBy(_.getName).foldLeft(acc)((a, c) => fold(c, a))
@@ -55,7 +58,7 @@ object Tables {
         h = h * 1000003L ^ f.lastModified()
         h
       }
-    val root = new java.io.File(s"$dir/$name.parquet")
+    val root = new java.io.File(path)
     if (!root.exists()) "absent"
     else java.lang.Long.toHexString(fold(root, 0xcbf29ce484222325L))
   }

@@ -38,11 +38,40 @@ object StreamQueries {
     * `maxFilesPerTrigger = 1` genuinely drains it across N triggers —
     * every registered streaming query runs MULTI-trigger, so the state
     * store carries real cross-batch state, not a single replay batch.
+    *
+    * Memoized per (path, n, content fingerprint): several contract
+    * queries drain the same table at the same split, and re-writing the
+    * full staged copy per query is pure setup cost (each query still
+    * gets its own checkpoint, so sharing the source DIRECTORY is safe —
+    * the file-stream source tracks progress per checkpoint, not per
+    * directory).
     */
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), String]
+
   private def stageAsDirParts(s: SparkSession, path: String, n: Int): String = {
-    val d = graft.TempDirs.scoped("graft_stream_src")
-    s.read.parquet(path).repartition(n).write.mode("overwrite").parquet(d)
-    d
+    val fp = graft.Tables.fingerprintPath(path)
+    stagedDirs.getOrElseUpdate((path, n, fp), {
+      val d = graft.TempDirs.scoped("graft_stream_src")
+      s.read.parquet(path).repartition(n).write.mode("overwrite").parquet(d)
+      d
+    })
+  }
+
+  /** Run `body` (which must START its streaming query synchronously —
+    * every caller awaits termination inside) with the shuffle-partition
+    * count sized to the query's STATE volume rather than the session's
+    * batch default: a stateful micro-batch commits one state-store
+    * delta per shuffle partition per trigger, so at contract-fixture
+    * state volume (≤ a few thousand keys) 32 partitions is pure
+    * per-trigger overhead. At production keyspace this knob goes UP —
+    * it is per-query state sizing either way, the same sizing the
+    * stream-stream join documented in round 2.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** One delta-log batch write: the micro-batch's rows land in the
@@ -100,35 +129,37 @@ object StreamQueries {
     * changed, with their cumulative counts from the state store); the
     * delta-log reconstruction must equal the batch word count's answer.
     */
-  def streamWordCount(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/documents.parquet"
-    val src = stageAsDirParts(s, path, 2)
-    val schema = s.read.parquet(src).schema
-    val lines = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
-      .select(col("text").as("value"))
-    runDeltaLog(Streams.wordCount(lines), "update", Seq("word"))
-      .withColumnRenamed("count", "cnt")
-  }
+  def streamWordCount(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      val path = s"$dir/documents.parquet"
+      val src = stageAsDirParts(s, path, 2)
+      val schema = s.read.parquet(src).schema
+      val lines = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select(col("text").as("value"))
+      runDeltaLog(Streams.wordCount(lines), "update", Seq("word"))
+        .withColumnRenamed("count", "cnt")
+    }
 
   /** Streaming interval count over `events` — the A5 query shape on the
     * incremental engine, final state compared against the batch oracle.
     */
-  def streamIntervalCount(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val src = stageAsDirParts(s, path, 2)
-    val schema = s.read.parquet(src).schema
-    val lo = 1704844800000000000L // 2024-01-10T00:00:00Z in epoch nanos
-    val hi = 1705708800000000000L // 2024-01-20T00:00:00Z
-    val ev = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
-      .filter(col("ts") >= lo && col("ts") < hi)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-    runDeltaLog(ev, "update", Seq("event_type"))
-  }
+  def streamIntervalCount(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$dir/events.parquet"
+      val src = stageAsDirParts(s, path, 2)
+      val schema = s.read.parquet(src).schema
+      val lo = 1704844800000000000L // 2024-01-10T00:00:00Z in epoch nanos
+      val hi = 1705708800000000000L // 2024-01-20T00:00:00Z
+      val ev = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(col("ts") >= lo && col("ts") < hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      runDeltaLog(ev, "update", Seq("event_type"))
+    }
 
   /** Per-user sessionization state: sessions fully closed by the
     * watermark (counts only) plus the still-open session intervals
@@ -231,11 +262,12 @@ object StreamQueries {
     * updates with arbitrary cross-batch time order, and the final view
     * still equals the batch lag-gap sessionization oracle.
     */
-  def streamSessionStats(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
-    sessionStatsStream(s, src, maxFilesPerTrigger = Some(1))
-  }
+  def streamSessionStats(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      sessionStatsStream(s, src, maxFilesPerTrigger = Some(1))
+    }
 
   /** Stream-stream interval join as a driver-contract query: purchases
     * join every click by the same user within the preceding hour, both
@@ -253,14 +285,10 @@ object StreamQueries {
     val schema = s.read.parquet(path).schema
     val staged = stageAsDir(path)
     // a stream-stream join materializes FOUR state stores per shuffle
-    // partition per trigger; size the partition count to the stream's
-    // state volume, not the batch default (at this volume the store
-    // setup dominates — at production volume this knob goes UP with
-    // keyspace, it is per-query state sizing either way)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamClickAttributionInner(s, staged, schema)
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // partition per trigger — the sizing helper's worst case
+    withStatePartitions(s, 8) {
+      streamClickAttributionInner(s, staged, schema)
+    }
   }
 
   private def streamClickAttributionInner(s: SparkSession, staged: String,
@@ -300,21 +328,22 @@ object StreamQueries {
     * trigger split. Extends the lambda-convergence claim to the dedup
     * family.
     */
-  def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/documents.parquet"
-    val src = stageAsDirParts(s, path, 2)
-    val schema = s.read.parquet(src).schema
-    val docs = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
-      .select(col("doc_id"),
-        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
-      .groupBy(graft.functions.FnvHash64.fnv_hash64(col("norm")).as("text_hash"),
-        col("norm"))
-      .agg(min(col("doc_id")).as("kept_doc_id"),
-        count(lit(1)).as("n_copies"))
-    runDeltaLog(docs, "update", Seq("text_hash", "norm"))
-      .select("kept_doc_id", "n_copies")
-  }
+  def streamDedupExact(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      val path = s"$dir/documents.parquet"
+      val src = stageAsDirParts(s, path, 2)
+      val schema = s.read.parquet(src).schema
+      val docs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+        .groupBy(graft.functions.FnvHash64.fnv_hash64(col("norm")).as("text_hash"),
+          col("norm"))
+        .agg(min(col("doc_id")).as("kept_doc_id"),
+          count(lit(1)).as("n_copies"))
+      runDeltaLog(docs, "update", Seq("text_hash", "norm"))
+        .select("kept_doc_id", "n_copies")
+    }
 
   /** Streaming hourly windowed counts — the time-window aggregation on
     * the incremental engine (tumbling `window()` + watermark). Update
@@ -325,7 +354,8 @@ object StreamQueries {
     * yields the final per-window counts — the batch `ev_hourly_counts`
     * oracle.
     */
-  def streamHourlyCounts(s: SparkSession, dir: String): DataFrame = {
+  def streamHourlyCounts(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = stageAsDirParts(s, s"$dir/events.parquet", 2)
@@ -344,7 +374,7 @@ object StreamQueries {
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour"),
         $"event_type", $"cnt")
     runDeltaLog(ev, "update", Seq("hour", "event_type"))
-  }
+    }
 
   /** Incremental materialized-view maintenance — the lambda serving
     * layer as a contract query. The events stream is staged as FOUR
@@ -356,20 +386,19 @@ object StreamQueries {
     * same rows). The view is reconstructed as latest-batch-wins per key
     * and must equal the batch aggregate — the oracle.
     */
-  def streamMvCounts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = graft.TempDirs.scoped("graft_mv_src")
-    s.read.parquet(s"$dir/events.parquet")
-      .repartition(4).write.mode("overwrite").parquet(src)
-    val schema = s.read.parquet(src).schema
-    val agg = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(src)
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("cnt"))
-    runDeltaLog(agg, "update", Seq("event_type"))
-      .select($"event_type", $"cnt")
-  }
+  def streamMvCounts(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("cnt"))
+      runDeltaLog(agg, "update", Seq("event_type"))
+        .select($"event_type", $"cnt")
+    }
 
   val streamMvCountsSql: String =
     """SELECT event_type, count(*) AS cnt
