@@ -24,7 +24,7 @@ object SparkEntry {
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       Curation.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
-      Skew.queries ++ DataQuality.queries ++
+      Skew.queries ++ DataQuality.queries ++ Sketches.queries ++
       graft.plans.TopKPerKey.queries ++
       graft.sources.FileSources.queries ++
       graft.streaming.StreamQueries.queries
@@ -43,7 +43,7 @@ object SparkEntry {
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
       Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
-      Skew.oracles ++ DataQuality.oracles ++
+      Skew.oracles ++ DataQuality.oracles ++ Sketches.oracles ++
       graft.plans.TopKPerKey.oracles ++
       graft.sources.FileSources.oracles ++
       graft.streaming.StreamQueries.oracles(dir)

@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sketch operators — the approximate-but-bounded-error primitives a
+  * 100 TB pipeline leans on when exact answers need a shuffle it can't
+  * afford: HyperLogLog distinct counting, Count-Min frequency
+  * estimation, and Bloom-filter join pruning.
+  *
+  * Every sketch here is DETERMINISTIC (md5-based integer hashing — the
+  * same `md5_60` primitive the MinHash/SimHash oracles restate) and its
+  * full pipeline is restated in DuckDB SQL, so the approximation itself
+  * is the oracle-checked contract, not an eyeballed tolerance. The
+  * reference has no sketch surface; this extends its aggregation family
+  * (SURVEY.md §2.3) the way `approx_count_distinct` extends `count` —
+  * but with a spelled-out register/counter pipeline instead of an
+  * opaque binary sketch, because the cross-engine contract IS the
+  * point.
+  */
+object Sketches {
+
+  /** First 15 hex chars of md5 as a non-negative 60-bit long —
+    * `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)` in DuckDB.
+    */
+  private def md5_60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  // -------------------------------------------------------- HyperLogLog
+
+  /** HLL register geometry: p=12 ⇒ m=4096 registers, standard error
+    * ~1.04/√m ≈ 1.6%. The remaining 48 hash bits feed the
+    * leading-zero rank, so register values cap at 49.
+    */
+  val HllP = 12
+  val HllM = 4096
+  private val HllRemBits = 48
+  private val HllRemMod = 1L << HllRemBits
+  /** α₄₀₉₆ = 0.7213 / (1 + 1.079/m) — embedded as the same double
+    * literal in the generated SQL.
+    */
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+
+  /** Distinct users per event type, exactly AND by HyperLogLog:
+    *
+    *   - register index = top 12 bits of the 60-bit row hash; register
+    *     value = max over rows of (leading-zero rank of the low 48
+    *     bits) — ONE narrow map + one (type, idx) aggregation, fixed
+    *     4096-row-per-group state regardless of row count. At 100 TB
+    *     this is the shape that replaces `count(distinct)`'s full
+    *     shuffle of every distinct key: partial maxes combine
+    *     map-side, and register tables of different sources/days union
+    *     by max — mergeability the exact count fundamentally lacks.
+    *   - harmonic estimate with the standard small-range linear
+    *     counting correction; the per-register 2^-M terms are rounded
+    *     to 18 dp and summed as DECIMAL so the fold is
+    *     partition-order-proof, and empty registers contribute their
+    *     exact 1.0 via (m - registers-present) added outside the sum.
+    *
+    * The exact distinct count rides along per group — the contract
+    * exhibits the estimate AND its ground truth side by side.
+    */
+  def hllUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = md5_60($"user_id".cast("string"))
+    val regs = Tables.events(s, dir)
+      .select($"event_type", $"user_id",
+        shiftrightunsigned(h, HllRemBits).as("idx"),
+        (h % HllRemMod).as("rem"))
+      .groupBy($"event_type", $"idx")
+      .agg(max(when($"rem" === 0, lit(49))
+        .otherwise(lit(HllRemBits + 1) - length(bin($"rem")))).as("m_val"))
+    val est = regs.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(round(pow(lit(2.0), -$"m_val"), 18).cast("decimal(38,18)"))
+          .as("s_dec"))
+      .select($"event_type", $"n_regs",
+        ($"s_dec".cast("double") + (lit(HllM) - $"n_regs")).as("s_all"),
+        (lit(HllM) - $"n_regs").as("zeros"))
+      .select($"event_type", $"n_regs", $"zeros",
+        (lit(HllAlpha) * HllM * HllM / $"s_all").as("raw_est"))
+      .select($"event_type", $"n_regs",
+        round(when($"raw_est" <= 2.5 * HllM && $"zeros" > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"zeros"))
+          .otherwise($"raw_est"), 4).as("hll_est"))
+    val exact = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    exact.join(est, "event_type")
+      .select($"event_type", $"exact_users", $"hll_est", $"n_regs")
+  }
+
+  val hllUsersSql: String = {
+    val alpha = HllAlpha.toString
+    s"""WITH h AS (
+       |  SELECT event_type, user_id,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+       |  FROM events),
+       |regs AS (
+       |  SELECT event_type, hv // $HllRemMod AS idx,
+       |    max(CASE WHEN hv % $HllRemMod = 0 THEN 49
+       |        ELSE ${HllRemBits + 1} - length(bin(hv % $HllRemMod)) END) AS m_val
+       |  FROM h GROUP BY 1, 2),
+       |est AS (
+       |  SELECT event_type, count(*) AS n_regs,
+       |    CAST(sum(CAST(round(pow(2.0, -m_val), 18) AS DECIMAL(38,18))) AS DOUBLE)
+       |      + ($HllM - count(*)) AS s_all,
+       |    $HllM - count(*) AS zeros
+       |  FROM regs GROUP BY 1),
+       |fin AS (
+       |  SELECT event_type, n_regs, zeros,
+       |    CAST($alpha AS DOUBLE) * $HllM * $HllM / s_all AS raw_est
+       |  FROM est)
+       |SELECT e.event_type, e.exact_users,
+       |  round(CASE WHEN f.raw_est <= 2.5 * $HllM AND f.zeros > 0
+       |    THEN CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / f.zeros)
+       |    ELSE f.raw_est END, 4) AS hll_est,
+       |  f.n_regs
+       |FROM (SELECT event_type, count(DISTINCT user_id) AS exact_users
+       |      FROM events GROUP BY 1) e
+       |JOIN fin f USING (event_type)""".stripMargin
+  }
+
+  // ---------------------------------------------------------- Count-Min
+
+  /** CMS geometry: 4 hash rows × 1024 counters. Collision overestimate
+    * ≤ total-tokens · e/w with probability 1 − e^-d; the contract
+    * output shows estimate ≥ exact per token, which the oracle checks
+    * value-for-value.
+    */
+  val CmsD = 4
+  val CmsW = 1024
+  val CmsTopK = 20
+
+  /** Count-Min frequency estimates for the corpus's true top-20 tokens.
+    *
+    * The counter table is FIXED-SIZE (d·w = 4096 cells) no matter how
+    * many token occurrences stream through it — the 100 TB shape for
+    * frequency monitoring where an exact per-token count would shuffle
+    * the full vocabulary. Counters partial-aggregate map-side; the
+    * estimate for a token is min over its d cells. The true top-20 (by
+    * exact count, token ascending on ties) makes the probe set
+    * deterministic, so the whole pipeline — tokenize, 4-way hash,
+    * count, min — restates in SQL exactly.
+    */
+  def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(lower($"text"), "\\s+")).as("tok"))
+      .where($"tok" =!= "")
+    val hashed = toks.select($"tok",
+      explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
+      .select($"tok", $"j",
+        (md5_60(concat($"j".cast("string"), lit(":"), $"tok")) % CmsW).as("cell"))
+    val counters = hashed.groupBy($"j", $"cell").agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"tok".asc).limit(CmsTopK)
+    val probes = top.select($"tok", $"exact_cnt",
+      explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
+      .select($"tok", $"exact_cnt", $"j",
+        (md5_60(concat($"j".cast("string"), lit(":"), $"tok")) % CmsW).as("cell"))
+    probes.join(counters, Seq("j", "cell"))
+      .groupBy($"tok", $"exact_cnt")
+      .agg(min($"cnt").as("cms_est"))
+  }
+
+  val cmsHeavySql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |    t -> t <> '')) AS tok
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT tok, j.j,
+       |    CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), 1, 15)
+       |      AS BIGINT) % $CmsW AS cell
+       |  FROM toks CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS j) j),
+       |counters AS (
+       |  SELECT j, cell, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY 1
+       |  ORDER BY exact_cnt DESC, tok ASC LIMIT $CmsTopK),
+       |probes AS (
+       |  SELECT t.tok, t.exact_cnt, j.j,
+       |    CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || t.tok), 1, 15)
+       |      AS BIGINT) % $CmsW AS cell
+       |  FROM top t CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS j) j)
+       |SELECT p.tok, p.exact_cnt, min(c.cnt) AS cms_est
+       |FROM probes p JOIN counters c ON c.j = p.j AND c.cell = p.cell
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------- Bloom pruning
+
+  /** Bloom geometry: 4096 bits × 3 hashes. For the build side used here
+    * (one nation's suppliers) the false-positive rate is well under 1%;
+    * the contract surfaces surviving vs truly-matching row counts, so
+    * the pruning guarantee (no false NEGATIVES — bloom rows ⊇ true
+    * rows) is hash-checked, not asserted.
+    */
+  val BloomBits = 4096
+  val BloomK = 3
+
+  /** Bloom-filter join pruning: lineitem rows are pre-filtered by a
+    * Bloom filter built from one nation's supplier keys before any join —
+    * the runtime-filter shape that turns a fact-dim join at 100 TB into
+    * a scan that drops non-matching rows map-side instead of shuffling
+    * them to the join.
+    *
+    * Relational formulation (scale-honest): the filter's set bit
+    * positions form a TINY table (≤ k·|dim| rows, ≤ 4096 distinct) that
+    * broadcast-joins against the distinct fact keys' positions; a fact
+    * key survives iff all k of its positions are set. Per return flag
+    * the output counts surviving rows vs truly matching rows — bloom ⊇
+    * true is the no-false-negative guarantee, and the overshoot IS the
+    * measured false-positive cost.
+    */
+  def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def positions(key: Column, j: Column): Column =
+      md5_60(concat(j.cast("string"), lit(":"), key.cast("string"))) % BloomBits
+    val nat = Tables.nation(s, dir).where($"n_name" === "NATION_9")
+      .select($"n_nationkey")
+    val dimKeys = Tables.supplier(s, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val js = sequence(lit(0), lit(BloomK - 1))
+    val bits = dimKeys
+      .select(explode(js).as("j"), $"s_suppkey")
+      .select(positions($"s_suppkey", $"j").as("bit")).distinct()
+    val factKeys = Tables.lineitem(s, dir).select($"l_suppkey").distinct()
+    val factPos = factKeys
+      .select($"l_suppkey", explode(js).as("j"))
+      .select($"l_suppkey", positions($"l_suppkey", $"j").as("bit"))
+    val surviving = factPos.join(broadcast(bits), "bit")
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("hits"))
+      .where($"hits" === BloomK)
+      .select($"l_suppkey")
+    val trueKeys = factKeys.join(broadcast(dimKeys),
+      $"l_suppkey" === $"s_suppkey").select($"l_suppkey")
+    val li = Tables.lineitem(s, dir).select($"l_suppkey", $"l_returnflag")
+    val bloomCnt = li.join(broadcast(surviving), "l_suppkey")
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("bloom_rows"))
+    val trueCnt = li.join(broadcast(trueKeys), "l_suppkey")
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("true_rows"))
+    bloomCnt.join(trueCnt, "l_returnflag")
+      .select($"l_returnflag", $"bloom_rows", $"true_rows",
+        ($"bloom_rows" - $"true_rows").as("false_positive_rows"))
+  }
+
+  val bloomPruneSql: String =
+    s"""WITH dim AS (
+       |  SELECT s_suppkey FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_9'),
+       |bits AS (
+       |  SELECT DISTINCT
+       |    CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+       |      CAST(s_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % $BloomBits AS bit
+       |  FROM dim CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS j) j),
+       |fact_keys AS (SELECT DISTINCT l_suppkey FROM lineitem),
+       |fact_pos AS (
+       |  SELECT l_suppkey,
+       |    CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+       |      CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % $BloomBits AS bit
+       |  FROM fact_keys CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS j) j),
+       |surviving AS (
+       |  SELECT l_suppkey FROM fact_pos JOIN bits USING (bit)
+       |  GROUP BY l_suppkey HAVING count(*) = $BloomK),
+       |true_keys AS (
+       |  SELECT l_suppkey FROM fact_keys JOIN dim ON l_suppkey = s_suppkey),
+       |bloom_cnt AS (
+       |  SELECT l_returnflag, count(*) AS bloom_rows
+       |  FROM lineitem JOIN surviving USING (l_suppkey) GROUP BY 1),
+       |true_cnt AS (
+       |  SELECT l_returnflag, count(*) AS true_rows
+       |  FROM lineitem JOIN true_keys USING (l_suppkey) GROUP BY 1)
+       |SELECT l_returnflag, bloom_rows, true_rows,
+       |  bloom_rows - true_rows AS false_positive_rows
+       |FROM bloom_cnt JOIN true_cnt USING (l_returnflag)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_users" -> (hllUsers _),
+    "sketch_cms_heavy" -> (cmsHeavy _),
+    "sketch_bloom_prune" -> (bloomPrune _))
+
+  def oracles: Map[String, String] = Map(
+    "sketch_hll_users" -> hllUsersSql,
+    "sketch_cms_heavy" -> cmsHeavySql,
+    "sketch_bloom_prune" -> bloomPruneSql)
+}

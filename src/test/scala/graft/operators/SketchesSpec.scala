@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Invariants of the deterministic sketch family — the oracle gate
+  * proves cross-engine bit-parity of each full pipeline; these pin the
+  * mathematical guarantees the sketches exist for.
+  */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("HLL estimate lands within the 3-sigma error band of the exact count") {
+    val rows = Sketches.hllUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(2)
+      // p=12 ⇒ σ ≈ 1.04/64; small-range linear counting is tighter, so
+      // 3σ ≈ 4.9% is a conservative gate either way
+      assert(math.abs(est - exact) <= math.max(3.0, 0.049 * exact),
+        s"${r.getString(0)}: exact=$exact est=$est")
+      assert(r.getLong(3) <= Sketches.HllM)
+    }
+  }
+
+  test("CMS never underestimates and stays within the epsilon bound") {
+    val rows = Sketches.cmsHeavy(spark, sf).collect()
+    assert(rows.length == Sketches.CmsTopK)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val totalToks = graft.Tables.documents(spark, sf)
+      .select(explode(split(lower($"text"), "\\s+")).as("t"))
+      .where($"t" =!= "").count()
+    // ε = e/w per the CMS bound; with d=4 rows the min beats it w.h.p. —
+    // use the plain single-row bound as a hard gate
+    val eps = math.E / Sketches.CmsW
+    rows.foreach { r =>
+      val exact = r.getLong(1)
+      val est = r.getLong(2)
+      assert(est >= exact, s"${r.getString(0)}: CMS must never underestimate")
+      assert(est - exact <= (eps * totalToks).ceil.toLong,
+        s"${r.getString(0)}: overestimate ${est - exact} beyond bound")
+    }
+  }
+
+  test("Bloom pruning has no false negatives (bloom rows cover true rows)") {
+    // sf0.001 has no NATION_9 suppliers, so drive the operator at sf0.01
+    // where the build side is non-empty
+    val rows = Sketches.bloomPrune(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        "bloom-surviving rows must be a superset of truly-matching rows")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(r.getLong(2) > 0, "fixture must actually exercise the join")
+    }
+  }
+}
