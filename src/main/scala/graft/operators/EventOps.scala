@@ -170,6 +170,39 @@ object EventOps {
       |  FROM events)
       |GROUP BY user_id""".stripMargin
 
+  /** Same per-user sessionization through Spark's BUILT-IN
+    * `session_window` aggregation — the merging-session-window state
+    * operator, vs [[sessionStats]]'s lag-gap window formulation. Note
+    * the boundary semantics differ: `session_window` windows are
+    * half-open `[ts, ts+gap)`, so an event exactly `gap` after its
+    * predecessor starts a NEW session (the lag form's `>` keeps it);
+    * the oracle restates the `>=` rule at µs precision (the timestamp
+    * resolution Spark compares at after the nanos→µs derivation).
+    */
+  def sessionWindowStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", $"ts")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("evts"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"evts").cast("long").as("n_events"))
+  }
+
+  val sessionWindowStatsSql: String =
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_ns(ts) // 1000)
+      |             OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR (epoch_ns(ts) // 1000) - lag(epoch_ns(ts) // 1000)
+      |             OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin
+
   /** Rolling 7-day event volume: frame-bounded window aggregation
     * (ROWS BETWEEN 6 PRECEDING), integer-exact on both engines. One
     * shuffle on event_type, sort by day within partition.
@@ -307,7 +340,8 @@ object EventOps {
     "ev_hourly_counts" -> (hourlyCounts _),
     "ev_sliding_counts" -> (slidingCounts _),
     "ev_lambda_diff" -> (lambdaDiff _),
-    "ev_session_stats" -> (sessionStats _))
+    "ev_session_stats" -> (sessionStats _),
+    "ev_session_window" -> (sessionWindowStats _))
 
   def oracles: Map[String, String] = Map(
     "ev_range_window" -> rangeWindowCountSql,
@@ -319,5 +353,6 @@ object EventOps {
     "ev_hourly_counts" -> hourlyCountsSql,
     "ev_sliding_counts" -> slidingCountsSql,
     "ev_lambda_diff" -> lambdaDiffSql,
-    "ev_session_stats" -> sessionStatsSql)
+    "ev_session_stats" -> sessionStatsSql,
+    "ev_session_window" -> sessionWindowStatsSql)
 }

@@ -238,7 +238,58 @@ object Relational3 {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,3))) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY o_orderstatus""".stripMargin
 
+  /** Relational unpivot (wide → long): a per-nation metrics table with
+    * three measure columns melts to (nation, metric, value) rows via
+    * the native `unpivot` operator — a narrow map over an
+    * already-aggregated tiny frame, no extra shuffle. Measures are
+    * decimal-summed then cast double, so the melted values hash-match
+    * the oracle's UNION ALL restatement.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).cast("double").as("n_cust"),
+        sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("sum_bal"),
+        max($"c_acctbal".cast("decimal(18,2)")).cast("double").as("max_bal"))
+    wide.unpivot(Array($"n_name"), Array($"n_cust", $"sum_bal", $"max_bal"),
+      "metric", "value")
+  }
+
+  val qUnpivotSql: String =
+    """WITH wide AS (
+      |  SELECT n_name,
+      |    CAST(count(*) AS DOUBLE) AS n_cust,
+      |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+      |    CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, 'n_cust' AS metric, n_cust AS value FROM wide
+      |UNION ALL SELECT n_name, 'sum_bal', sum_bal FROM wide
+      |UNION ALL SELECT n_name, 'max_bal', max_bal FROM wide""".stripMargin
+
+  /** INTERSECT ALL — multiset intersection keeping min multiplicity:
+    * customers ordering in 1995 ∩ customers ordering in 1996, one row
+    * per shared (customer, min yearly order count) occurrence. Spark
+    * plans this as a single aggregate + generate, no repeated scans.
+    */
+  def qIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def custkeysIn(yr: Int) = Tables.orders(s, dir)
+      .where(year($"o_orderdate") === yr)
+      .select($"o_custkey")
+    custkeysIn(1995).intersectAll(custkeysIn(1996))
+  }
+
+  val qIntersectAllSql: String =
+    """SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1995
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (qUnpivot _),
+    "q_intersect_all" -> (qIntersectAll _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q07_nation_volume" -> (q07NationVolume _),
     "q09_product_profit" -> (q09ProductProfit _),
@@ -249,6 +300,8 @@ object Relational3 {
     "q22_rich_no_orders" -> (q22RichNoOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q_unpivot" -> qUnpivotSql,
+    "q_intersect_all" -> qIntersectAllSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q07_nation_volume" -> q07Sql,
     "q09_product_profit" -> q09Sql,

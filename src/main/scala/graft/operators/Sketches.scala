@@ -278,13 +278,105 @@ object Sketches {
        |  bloom_rows - true_rows AS false_positive_rows
        |FROM bloom_cnt JOIN true_cnt USING (l_returnflag)""".stripMargin
 
+  // ------------------------------------------------ histogram quantiles
+
+  /** Histogram geometry: 1000 equi-width buckets between the column's
+    * min and max. Quantile estimate error is bounded by one bucket
+    * width of the value range — the fixed-memory trade an exact sort-
+    * based quantile can't make at scale.
+    */
+  val HistBuckets = 1000
+
+  /** Approximate quantiles of `lineitem.l_extendedprice` from a
+    * fixed-width histogram, next to the exact interpolated percentiles.
+    *
+    * The exact quantile needs a full sort (or all values resident per
+    * group); the histogram needs one min/max pass plus a 1000-cell
+    * count table that partial-aggregates map-side and merges across
+    * sources — the same mergeability argument as the HLL registers. The
+    * estimate for quantile q is the lower edge of the first bucket
+    * whose cumulative count reaches q·N; identical double arithmetic
+    * (width division, floor, edge reconstruction) on both engines makes
+    * the estimate itself hash-checkable.
+    */
+  def histQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.lineitem(s, dir)
+      .select($"l_extendedprice".cast("double").as("v"))
+    val stats = vals.agg(min($"v").as("lo"), max($"v").as("hi"),
+      count(lit(1)).as("n")).collect()(0)
+    val (lo, hi, n) = (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
+    val width = (hi - lo) / HistBuckets
+    val hist = vals
+      .select(least(floor(($"v" - lo) / width), lit(HistBuckets - 1))
+        .cast("int").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist.withColumn("cum",
+      sum($"cnt").over(Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // first bucket whose cumulative count reaches q·N, per quantile —
+    // three conditional MINs over the 1000-row cum table (no non-equi
+    // join; the lint keeps BroadcastNestedLoopJoin out of the registry)
+    cum.agg(
+        min(when($"cum" >= lit(0.25) * n, $"bucket")).as("b25"),
+        min(when($"cum" >= lit(0.5) * n, $"bucket")).as("b50"),
+        min(when($"cum" >= lit(0.9) * n, $"bucket")).as("b90"))
+      .select(explode(map(
+        lit(0.25), $"b25", lit(0.5), $"b50", lit(0.9), $"b90"))
+        .as(Seq("q", "bucket")))
+      .select($"q", $"bucket",
+        round(lit(lo) + $"bucket" * width, 6).as("est"))
+      .join(
+        vals.agg(
+          expr("percentile(v, 0.25)").as("p25"),
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.9)").as("p90"))
+          .select(explode(map(
+            lit(0.25), round($"p25", 6),
+            lit(0.5), round($"p50", 6),
+            lit(0.9), round($"p90", 6))).as(Seq("q", "exact"))),
+        Seq("q"))
+  }
+
+  val histQuantilesSql: String =
+    s"""WITH vals AS (
+       |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+       |st AS (
+       |  SELECT min(v) AS lo, max(v) AS hi, count(*) AS n,
+       |    (max(v) - min(v)) / $HistBuckets AS width
+       |  FROM vals),
+       |hist AS (
+       |  SELECT CAST(least(floor((v - lo) / width), ${HistBuckets - 1}) AS INT)
+       |    AS bucket, count(*) AS cnt
+       |  FROM vals CROSS JOIN st GROUP BY 1),
+       |cum AS (
+       |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |qs(q) AS (VALUES (0.25), (0.5), (0.9)),
+       |est AS (
+       |  SELECT q, min(bucket) AS bucket
+       |  FROM qs JOIN cum ON cum >= q * (SELECT n FROM st)
+       |  GROUP BY q),
+       |ex AS (
+       |  SELECT 0.25 AS q, round(quantile_cont(v, 0.25), 6) AS exact FROM vals
+       |  UNION ALL SELECT 0.5, round(quantile_cont(v, 0.5), 6) FROM vals
+       |  UNION ALL SELECT 0.9, round(quantile_cont(v, 0.9), 6) FROM vals)
+       |SELECT CAST(e.q AS DOUBLE) AS q, e.bucket,
+       |  round((SELECT lo FROM st) + e.bucket * (SELECT width FROM st), 6) AS est,
+       |  ex.exact
+       |FROM est e JOIN ex ON ex.q = e.q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_users" -> (hllUsers _),
     "sketch_cms_heavy" -> (cmsHeavy _),
-    "sketch_bloom_prune" -> (bloomPrune _))
+    "sketch_bloom_prune" -> (bloomPrune _),
+    "sketch_hist_quantiles" -> (histQuantiles _))
 
   def oracles: Map[String, String] = Map(
     "sketch_hll_users" -> hllUsersSql,
     "sketch_cms_heavy" -> cmsHeavySql,
-    "sketch_bloom_prune" -> bloomPruneSql)
+    "sketch_bloom_prune" -> bloomPruneSql,
+    "sketch_hist_quantiles" -> histQuantilesSql)
 }
