@@ -597,7 +597,120 @@ object Dedup {
        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
        |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
+  // ------------------------------------------------- paragraph dedup
+
+  /** Paragraph-level (sub-document) exact dedup — production pipelines
+    * dedup at BOTH granularities: whole documents (exact/fuzzy above)
+    * and repeated passages across documents (boilerplate, licenses,
+    * navigation chrome). Documents are split into aligned 10-token
+    * chunks; a chunk is KEPT only at its first corpus occurrence
+    * (smallest (doc_id, chunk_idx)); output is the per-document
+    * retention profile a curation run uses to rewrite the corpus.
+    *
+    * Scale shape: the explode is narrow; the only shuffle keys on the
+    * chunk text for the first-occurrence window (equivalently a
+    * min-aggregate — no all-pairs anything), then a same-row aggregate
+    * back to doc_id. At 100 TB the chunk column would be a 64-bit hash
+    * instead of the text; the text keys here keep the oracle exact.
+    */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"${TextOps.tokensExpr} AS toks")
+      .where("size(toks) >= 1")
+      .selectExpr("doc_id",
+        "explode(sequence(0, ((size(toks) + 9) div 10) - 1)) AS chunk_idx",
+        "toks")
+      .selectExpr("doc_id", "chunk_idx",
+        "concat_ws(' ', slice(toks, chunk_idx * 10 + 1, 10)) AS chunk")
+    val firstWin = Window.partitionBy($"chunk")
+      .orderBy($"doc_id", $"chunk_idx")
+    chunks
+      .withColumn("rn", row_number().over(firstWin))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac",
+        $"n_kept".cast("double") / $"n_chunks".cast("double"))
+  }
+
+  val paragraphDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextOps.duckTokensExpr} AS t FROM documents),
+       |idx AS (
+       |  SELECT doc_id, t, unnest(range(0, (len(t) + 9) // 10)) AS chunk_idx
+       |  FROM toks WHERE len(t) >= 1),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    array_to_string(list_transform(
+       |      range(chunk_idx * 10 + 1, least(chunk_idx * 10 + 11, len(t) + 1)),
+       |      i -> t[i]), ' ') AS chunk
+       |  FROM idx),
+       |ranked AS (
+       |  SELECT doc_id, chunk_idx,
+       |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx)
+       |      AS rn
+       |  FROM chunks)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS kept_frac
+       |FROM ranked GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------- canonical representatives
+
+  /** Canonical-representative selection — the step AFTER cluster
+    * resolution in a production dedup pipeline: each near-dup cluster
+    * keeps its best member (highest [[TextOps.docQuality]] score, ties
+    * to the smallest doc_id) and drops the rest. Output is one row per
+    * cluster with the kept doc and the member count, i.e. the dedup
+    * decision log a 100 TB curation run would persist.
+    *
+    * Plan shape: the window rank and the per-cluster aggregate both key
+    * on cluster_id, so the window's hash partitioning is reused by the
+    * aggregate — one shuffle total past the cluster labels. Quality
+    * scores are bit-identical doubles on both engines (same arithmetic,
+    * see [[TextOps.docQuality]]), so the rank-1 argmax is deterministic.
+    */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(s, dir) // (doc_id, cluster_id)
+    val quality = TextOps.docQuality(s, dir).select($"doc_id", $"quality_score")
+    val win = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(win))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rn" === 1, $"doc_id")).as("keep_doc_id"))
+  }
+
+  private val canonicalSql: String =
+    s"""WITH RECURSIVE $pairCteSql,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |clusters AS (
+       |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality_score DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN (${TextOps.docQualitySql}) q
+       |    ON c.doc_id = q.doc_id)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id
+       |FROM ranked GROUP BY cluster_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> (dedupCanonical _),
+    "dedup_paragraph" -> (paragraphDedup _),
     "dedup_decontaminate" -> (decontaminate _),
     "dedup_source_overlap" -> (sourceOverlap _),
     "doc_repetition_ratio" -> (repetitionRatio _),
@@ -617,6 +730,8 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_canonical" -> canonicalSql,
+      "dedup_paragraph" -> paragraphDedupSql,
       "dedup_decontaminate" -> decontaminateSql,
       "dedup_source_overlap" -> sourceOverlapSql,
       "doc_repetition_ratio" -> repetitionRatioSql,

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Link-analysis operators over graphs DERIVED from the corpus — the
+  * quality-weighting signal family a web-scale training-data pipeline
+  * computes over its domain/link graph (PageRank-style centrality is a
+  * standard crawl-quality prior). The test corpus has no explicit link
+  * table, so the graph here is the token-transition digraph (an edge
+  * u→v with weight = how often token v follows token u anywhere in the
+  * corpus); the operator itself is graph-generic: any (src, dst, cnt)
+  * edge list plugs in.
+  *
+  * Scale design (Pregel-on-DataFrames):
+  *   - The edge list is built once, aggregated (one shuffle), and
+  *     checkpointed; per-iteration work is one hash join (ranks ⋈ edges
+  *     on src) + one partial-aggregating shuffle on dst. Rank state is
+  *     O(nodes), never collected to the driver.
+  *   - Contributions are summed as DECIMAL(18,9) after a 9-dp round:
+  *     decimal addition is associative, so the result is independent of
+  *     partition order AND engine — that is what makes an ITERATIVE
+  *     double-arithmetic pipeline exactly oracle-checkable (the same
+  *     trick as the centroid means; a raw double sum would drift by
+  *     ulps per iteration and diverge by round 10).
+  *   - `localCheckpoint` per iteration truncates lineage (the standard
+  *     iterative-DataFrame shape, same as [[Dedup.connectedComponents]]).
+  *   - Fixed iteration count (10): deterministic cost, no convergence
+  *     action on the critical path; production runs pick iterations by
+  *     graph diameter, not residual polling.
+  */
+object Graph {
+
+  val Iters = 10
+
+  /** Token-transition edge list: (src, dst, cnt). One explode + one
+    * aggregation; at 100 TB the explode is narrow (no shuffle) and the
+    * aggregate map-side combines to O(vocab²) keys max.
+    */
+  def tokenEdges(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr(s"${TextOps.tokensExpr} AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr(
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i-1] AS src, toks[i] AS dst))) AS e""".stripMargin)
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Weighted PageRank over the token-transition graph, 10 fixed
+    * iterations, damping 0.85, "leaky" dangling handling (nodes with no
+    * out-edges leak their mass — both engines implement the identical
+    * recurrence, which is the checked contract):
+    *
+    *   r₀(v)    = 1/n
+    *   rₜ₊₁(v) = round(0.15/n + 0.85 · Σ_{u→v} round(rₜ(u)·w_uv, 9), 9)
+    *   w_uv     = cnt(u,v) / out_cnt(u)   (double division)
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tokenEdges(s, dir).localCheckpoint()
+    val outW = edges.groupBy($"src").agg(sum($"cnt").as("oc"))
+    val weighted = edges.join(outW, "src")
+      .select($"src", $"dst",
+        ($"cnt".cast("double") / $"oc".cast("double")).as("w"))
+      .localCheckpoint()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst")).distinct().localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.select($"node", lit(1.0 / n).as("rank"))
+    for (_ <- 1 to Iters) {
+      val contribs = weighted.join(ranks, $"src" === $"node")
+        .select($"dst",
+          round($"rank" * $"w", 9).cast("decimal(18,9)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("csum"))
+      ranks = nodes.join(contribs, $"node" === $"dst", "left_outer")
+        .select($"node",
+          round(lit(0.15 / n) +
+            lit(0.85) * coalesce($"csum".cast("double"), lit(0.0)), 9)
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select($"node", $"rank")
+  }
+
+  /** DuckDB restatement: same edge build, the 10 iterations unrolled as
+    * chained CTEs (recursive CTEs disallow aggregates in the recursive
+    * term, and unrolling keeps the recurrence literally identical).
+    */
+  val pagerankSql: String = {
+    val base =
+      s"""WITH toks AS (
+         |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+         |edges AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT
+         |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+         |    FROM toks WHERE len(t) >= 2)
+         |  GROUP BY src, dst),
+         |outw AS (SELECT src, sum(cnt) AS oc FROM edges GROUP BY src),
+         |w AS (
+         |  SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / CAST(o.oc AS DOUBLE) AS w
+         |  FROM edges e JOIN outw o ON e.src = o.src),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (
+         |  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+         |  FROM nodes)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         |      + CAST(0.85 AS DOUBLE)
+         |        * coalesce(CAST(s.csum AS DOUBLE), CAST(0 AS DOUBLE)), 9) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT w.dst, sum(CAST(round(r.rank * w.w, 9) AS DECIMAL(18,9))) AS csum
+         |    FROM w JOIN r${i - 1} r ON w.src = r.node GROUP BY w.dst) s
+         |    ON nd.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT node, rank FROM r$Iters"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (pagerank _))
+
+  def oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql)
+}

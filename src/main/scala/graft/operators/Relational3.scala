@@ -287,7 +287,67 @@ object Relational3 {
       |INTERSECT ALL
       |SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996""".stripMargin
 
+  /** Slowly-changing-dimension type-2 build — the warehouse operator
+    * that turns an event stream into versioned dimension rows: per
+    * customer, collapse consecutive orders with the same priority into
+    * one validity interval [valid_from, valid_to), open-ended (null
+    * valid_to) for the current version. Classic gaps-and-islands:
+    * change-flag via lag, version id via running sum, interval bounds
+    * via min + lead. Three window passes over ONE hash partitioning on
+    * custkey (Catalyst collapses same-key windows into one shuffle),
+    * then a same-key aggregate — scale-safe: state per customer is its
+    * order history, never global.
+    */
+  def qScd2Customer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val versioned = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .withColumn("chg",
+        when(lag($"o_orderpriority", 1).over(byCust).isNull ||
+          lag($"o_orderpriority", 1).over(byCust) =!= $"o_orderpriority", 1L)
+          .otherwise(0L))
+      .withColumn("version", sum($"chg").over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = versioned
+      .groupBy($"o_custkey", $"version", $"o_orderpriority")
+      .agg(min($"o_orderdate").as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    intervals.withColumn("valid_to",
+      lead($"valid_from", 1).over(
+        Window.partitionBy($"o_custkey").orderBy($"version")))
+      .select($"o_custkey", $"version", $"o_orderpriority",
+        $"valid_from", $"valid_to", $"n_orders")
+  }
+
+  val qScd2Sql: String =
+    """WITH versioned AS (
+      |  SELECT o_custkey, o_orderdate, o_orderpriority,
+      |    CAST(sum(chg) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS version
+      |  FROM (
+      |    SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |      CASE WHEN lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate, o_orderkey) IS DISTINCT FROM
+      |          o_orderpriority THEN 1 ELSE 0 END AS chg
+      |    FROM orders)),
+      |intervals AS (
+      |  SELECT o_custkey, version, o_orderpriority,
+      |    min(o_orderdate) AS valid_from,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM versioned GROUP BY 1, 2, 3)
+      |SELECT o_custkey, version, o_orderpriority, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+      |    AS valid_to,
+      |  n_orders
+      |FROM intervals""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_customer" -> (qScd2Customer _),
     "q_unpivot" -> (qUnpivot _),
     "q_intersect_all" -> (qIntersectAll _),
     "q_merge_upsert" -> (qMergeUpsert _),
@@ -300,6 +360,7 @@ object Relational3 {
     "q22_rich_no_orders" -> (q22RichNoOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q_scd2_customer" -> qScd2Sql,
     "q_unpivot" -> qUnpivotSql,
     "q_intersect_all" -> qIntersectAllSql,
     "q_merge_upsert" -> qMergeUpsertSql,

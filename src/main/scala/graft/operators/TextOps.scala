@@ -70,9 +70,9 @@ object TextOps {
   // -------------------------------------------------------------------
 
   /** Whitespace tokens as an array column (shared sub-expression). */
-  private val tokensExpr =
+  private[operators] val tokensExpr =
     "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
-  private val duckTokensExpr =
+  private[operators] val duckTokensExpr =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
 
   /** Per-document token statistics: token count, distinct count,
@@ -372,7 +372,36 @@ object TextOps {
        |ORDER BY cnt DESC, bigram
        |LIMIT 20""".stripMargin
 
+  /** Entity masking / anonymization — the PII-scrub shape: every match
+    * of a sensitive-term pattern is replaced with a fixed mask token and
+    * counted, and the rewritten text is fingerprinted so the rewrite
+    * itself is oracle-checked (not just the counts). The synthetic
+    * corpus has no real PII, so the "sensitive" vocabulary here is the
+    * entity-like tokens (`customer`, `user`, `spark`); a production run
+    * swaps the pattern for email/phone/SSN regexes — same plan, which is
+    * a pure narrow map (regex match + replace + md5), zero shuffles,
+    * trivially parallel at 100 TB. The pattern sticks to RE2-safe
+    * syntax (`\b`, alternation) so Java and DuckDB agree byte-for-byte.
+    */
+  def docAnonymize(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        """CAST(size(regexp_extract_all(text,
+          |  '\\b(customer|user|spark)\\b', 0)) AS BIGINT) AS n_masked""".stripMargin,
+        """md5(regexp_replace(text,
+          |  '\\b(customer|user|spark)\\b', '[ENT]')) AS masked_md5""".stripMargin)
+  }
+
+  val docAnonymizeSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\b(customer|user|spark)\b'))
+      |    AS BIGINT) AS n_masked,
+      |  md5(regexp_replace(text, '\b(customer|user|spark)\b', '[ENT]', 'g'))
+      |    AS masked_md5
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_anonymize" -> (docAnonymize _),
     "doc_tfidf_top_terms" -> (tfidfTopTerms _),
     "doc_bigram_counts" -> (bigramCounts _),
     "wordcount" -> (wordCount _),
@@ -386,6 +415,7 @@ object TextOps {
     "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
+    "doc_anonymize" -> docAnonymizeSql,
     "doc_tfidf_top_terms" -> tfidfSql,
     "doc_bigram_counts" -> bigramCountsSql,
     "wordcount" -> wordCountSql,
