@@ -25,7 +25,7 @@ object SparkEntry {
       Curation.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       Skew.queries ++ DataQuality.queries ++ Sketches.queries ++
-      Graph.queries ++
+      Graph.queries ++ Layout.queries ++
       graft.plans.TopKPerKey.queries ++
       graft.sources.FileSources.queries ++
       graft.streaming.StreamQueries.queries
@@ -45,7 +45,7 @@ object SparkEntry {
       Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       Skew.oracles ++ DataQuality.oracles ++ Sketches.oracles ++
-      Graph.oracles ++
+      Graph.oracles ++ Layout.oracles ++
       graft.plans.TopKPerKey.oracles ++
       graft.sources.FileSources.oracles ++
       graft.streaming.StreamQueries.oracles(dir)

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-layout / data-skipping operators — at 100 TB the scan you SKIP
+  * is the cheapest scan, and multi-dimensional clustering is how a table
+  * queried on two independent keys keeps per-file min/max pruning
+  * effective on BOTH.
+  *
+  * The operator: scale each key to a 16-bit grid, interleave the bits
+  * (Morton / z-order curve), and bucket rows by the top 6 interleaved
+  * bits — exactly the file assignment a z-ordered writer produces with a
+  * 64-file budget. The query then measures what a min/max-pruning reader
+  * (parquet row-group stats, Delta/Iceberg file stats) would scan for a
+  * 2-D range predicate under (a) single-key "linear" clustering = top 6
+  * bits of one key's grid position vs (b) z-order clustering. Linear
+  * clustering leaves the second key unsorted in every file, so its
+  * min/max spans the full range and no file prunes on it; z-order
+  * splits the selectivity across both dimensions.
+  *
+  * Everything is integer arithmetic (grid scaling by `div`, bit
+  * interleave by shift/mask) — bit-identical in DuckDB, so the pruning
+  * counts themselves are the oracle-checked contract. Plan shape: one
+  * 1-row max() broadcast (the approved corpus-total cross join), one
+  * narrow map computing grid/z values, one aggregate on (layout, fid) —
+  * no global sort: file assignment is a pure function of the row, which
+  * is what makes z-order WRITES embarrassingly parallel too.
+  */
+object Layout {
+
+  private val GridBits = 16
+  private val FileBits = 6 // 64 files
+
+  /** Bit-interleave of two GridBits-wide ints, generated per dialect. */
+  private def zSpark(a: String, b: String): String =
+    (0 until GridBits).map { i =>
+      s"shiftleft(shiftright($a, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
+  private def zDuck(a: String, b: String): String =
+    (0 until GridBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
+  def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_partkey", $"l_suppkey")
+    val mx = li.agg(max($"l_partkey").as("pmax"), max($"l_suppkey").as("smax"))
+    val grid = li.crossJoin(broadcast(mx))
+      .selectExpr("l_partkey", "l_suppkey", "pmax", "smax",
+        s"CAST(((l_partkey - 1) * ${1 << GridBits}) div pmax AS BIGINT) AS px",
+        s"CAST(((l_suppkey - 1) * ${1 << GridBits}) div smax AS BIGINT) AS sx")
+      .selectExpr("l_partkey", "l_suppkey", "pmax", "smax",
+        s"px div ${1 << (GridBits - FileBits)} AS fid_lin",
+        s"shiftright(${zSpark("px", "sx")}, ${2 * GridBits - FileBits}) AS fid_z")
+    val long = grid.selectExpr("'linear' AS layout", "fid_lin AS fid",
+        "l_partkey", "l_suppkey", "pmax", "smax")
+      .union(grid.selectExpr("'zorder'", "fid_z",
+        "l_partkey", "l_suppkey", "pmax", "smax"))
+    // the 2-D range predicate a pruning reader evaluates against each
+    // file's min/max stats: partkey ∈ [2/5·pmax, 1/2·pmax], suppkey
+    // likewise (integer `div` so both engines derive identical bounds)
+    val hit = """max_p >= (pmax * 2) div 5 AND min_p <= pmax div 2
+                | AND max_s >= (smax * 2) div 5 AND min_s <= smax div 2"""
+      .stripMargin.replace("\n", "")
+    long.groupBy($"layout", $"fid")
+      .agg(min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"),
+        min($"l_suppkey").as("min_s"), max($"l_suppkey").as("max_s"),
+        count(lit(1)).as("cnt"),
+        min($"pmax").as("pmax"), min($"smax").as("smax"))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(expr(s"CASE WHEN $hit THEN 1 ELSE 0 END")).as("files_hit"),
+        sum(expr(s"CASE WHEN $hit THEN cnt ELSE 0 END")).as("rows_scanned"))
+  }
+
+  val layoutZorderSql: String = {
+    val gridDiv = 1 << (GridBits - FileBits)
+    s"""WITH mx AS (
+       |  SELECT max(l_partkey) AS pmax, max(l_suppkey) AS smax FROM lineitem),
+       |grid AS (
+       |  SELECT l_partkey, l_suppkey, pmax, smax,
+       |    ((l_partkey - 1) * ${1 << GridBits}) // pmax AS px,
+       |    ((l_suppkey - 1) * ${1 << GridBits}) // smax AS sx
+       |  FROM lineitem CROSS JOIN mx),
+       |assigned AS (
+       |  SELECT l_partkey, l_suppkey, pmax, smax,
+       |    px // $gridDiv AS fid_lin,
+       |    ${zDuck("px", "sx")} >> ${2 * GridBits - FileBits} AS fid_z
+       |  FROM grid),
+       |long AS (
+       |  SELECT 'linear' AS layout, fid_lin AS fid, l_partkey, l_suppkey,
+       |    pmax, smax FROM assigned
+       |  UNION ALL
+       |  SELECT 'zorder', fid_z, l_partkey, l_suppkey, pmax, smax
+       |  FROM assigned),
+       |stats AS (
+       |  SELECT layout, fid,
+       |    min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+       |    min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
+       |    count(*) AS cnt, min(pmax) AS pmax, min(smax) AS smax
+       |  FROM long GROUP BY layout, fid)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN max_p >= (pmax * 2) // 5 AND min_p <= pmax // 2
+       |    AND max_s >= (smax * 2) // 5 AND min_s <= smax // 2
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       |  CAST(sum(CASE WHEN max_p >= (pmax * 2) // 5 AND min_p <= pmax // 2
+       |    AND max_s >= (smax * 2) // 5 AND min_s <= smax // 2
+       |    THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned
+       |FROM stats GROUP BY layout""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> (layoutZorder _))
+
+  def oracles: Map[String, String] = Map(
+    "layout_zorder" -> layoutZorderSql)
+}

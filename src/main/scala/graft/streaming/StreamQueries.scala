@@ -428,6 +428,89 @@ object StreamQueries {
     runDeltaLog(ev, "append", Nil)
   }
 
+  /** Stage a table as N IDENTICAL file copies — a duplicated feed (the
+    * at-least-once upstream a streaming dedup exists to absorb). Keyed
+    * negative-n in the memo so it can't collide with the repartition
+    * staging above.
+    */
+  private def stageAsDirCopies(path: String, n: Int): String = {
+    import java.nio.file._
+    val fp = graft.Tables.fingerprintPath(path)
+    stagedDirs.getOrElseUpdate((path, -n, fp), {
+      val d = Paths.get(graft.TempDirs.scoped("graft_stream_src"))
+      val src = Paths.get(path)
+      (1 to n).foreach { i =>
+        Files.copy(src, d.resolve(s"copy_$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      d.toString
+    })
+  }
+
+  /** Stream-static enrichment join — the dimension-lookup shape: the
+    * events stream joins a STATIC per-user profile (computed from the
+    * batch table) each micro-batch, then aggregates enriched counts.
+    * No join state store at all: the static side is re-planned per
+    * trigger and (when small) broadcast — at 100 TB of stream the state
+    * cost is still only the downstream aggregate's keyspace, which is
+    * why enrichment joins should be stream-static, not stream-stream,
+    * whenever the dimension is slowly-changing.
+    */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 2)
+      val schema = s.read.parquet(src).schema
+      val profile = graft.Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg((count(lit(1)) >= 30).as("heavy"))
+      val ev = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .join(profile, Seq("user_id"))
+        .groupBy($"event_type", $"heavy")
+        .agg(count(lit(1)).as("cnt"))
+      runDeltaLog(ev, "update", Seq("event_type", "heavy"))
+    }
+
+  val streamStaticEnrichSql: String =
+    """WITH prof AS (
+      |  SELECT user_id, count(*) >= 30 AS heavy
+      |  FROM events GROUP BY user_id)
+      |SELECT e.event_type, p.heavy, CAST(count(*) AS BIGINT) AS cnt
+      |FROM events e JOIN prof p USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Watermark-bounded streaming dedup: the input is deliberately a
+    * DUPLICATED feed (two identical file copies drained one per
+    * trigger — an at-least-once upstream), and
+    * `dropDuplicatesWithinWatermark` must emit each event exactly once.
+    * Unlike plain `dropDuplicates`, whose key state grows forever, the
+    * within-watermark variant EVICTS state older than the watermark —
+    * the only shape whose state is bounded on an unbounded stream,
+    * which is the difference between a demo and a deployable dedup at
+    * 100 TB/day. The fixture watermark exceeds the replay span, so
+    * bounded-state semantics coincide with exact global dedup and the
+    * batch table is the oracle.
+    */
+  def streamDropdupWatermark(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirCopies(s"$dir/events.parquet", 2)
+      val schema = s.read.parquet(src).schema
+      val deduped = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"event_id", $"event_type",
+          expr("timestamp_micros(ts div 1000)").as("ts_t"))
+        .withWatermark("ts_t", "365 days")
+        .dropDuplicatesWithinWatermark("event_id")
+      runDeltaLog(deduped.select($"event_id", $"event_type"), "append", Nil)
+    }
+
+  val streamDropdupWatermarkSql: String =
+    "SELECT event_id, event_type FROM events"
+
   /** Start-position / rate control for the file source — the analogs of
     * the reference spout's earliest/latest start offset and bounded
     * max-pending knobs
@@ -472,7 +555,9 @@ object StreamQueries {
     "stream_dedup_exact" -> (streamDedupExact _),
     "stream_click_attribution" -> (streamClickAttribution _),
     "stream_mv_counts" -> (streamMvCounts _),
-    "stream_hourly_counts" -> (streamHourlyCounts _))
+    "stream_hourly_counts" -> (streamHourlyCounts _),
+    "stream_static_enrich" -> (streamStaticEnrich _),
+    "stream_dropdup_watermark" -> (streamDropdupWatermark _))
 
   def oracles(dir: String): Map[String, String] = {
     // the signature-ingest oracle embeds the size-derived planes for the
@@ -491,5 +576,7 @@ object StreamQueries {
     "stream_dedup_exact" -> graft.operators.Dedup.exactDedupSql,
     "stream_click_attribution" -> streamClickAttributionSql,
     "stream_mv_counts" -> streamMvCountsSql,
-    "stream_hourly_counts" -> graft.operators.EventOps.hourlyCountsSql)
+    "stream_hourly_counts" -> graft.operators.EventOps.hourlyCountsSql,
+    "stream_static_enrich" -> streamStaticEnrichSql,
+    "stream_dropdup_watermark" -> streamDropdupWatermarkSql)
 }
