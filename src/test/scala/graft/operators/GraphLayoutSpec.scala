@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Invariants of the round-4 operators — the oracle gate proves
+  * cross-engine equality; these pin the properties the operators exist
+  * to deliver.
+  */
+class GraphLayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("pagerank mass stays bounded and ranks are strictly positive") {
+    val rows = Graph.pagerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getDouble(1)).sum
+    // leaky-dangling PR: total ≤ 1 (mass leaks at sinks), and every
+    // node keeps at least its teleport share 0.15/n
+    assert(total <= 1.0 + 1e-6, s"total=$total")
+    val teleport = 0.15 / rows.length
+    rows.foreach(r => assert(r.getDouble(1) >= teleport - 1e-9,
+      s"${r.getString(0)} below teleport floor"))
+  }
+
+  test("pagerank concentrates mass on high-in-degree hubs") {
+    val ranks = Graph.pagerank(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    import org.apache.spark.sql.functions._
+    val inw = Graph.tokenEdges(spark, sf)
+      .groupBy(col("dst")).agg(sum(col("cnt")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val topIn = inw.toSeq.sortBy(-_._2).take(5).map(_._1)
+    val botIn = inw.toSeq.sortBy(_._2).take(5).map(_._1)
+    def mean(xs: Seq[String]) = xs.map(ranks).sum / xs.length
+    // rank follows weighted in-flow, not raw in-degree, so individual
+    // orderings can cross — but the group means must separate
+    assert(mean(topIn) > mean(botIn),
+      "mean rank of top-in-weight tokens should exceed bottom group's")
+  }
+
+  test("z-order layout prunes at least as well as linear on a 2-D predicate") {
+    val rows = Layout.layoutZorder(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (nfZ, hitZ, scanZ) = rows("zorder")
+    val (nfL, hitL, scanL) = rows("linear")
+    assert(nfZ == 64 && nfL == 64)
+    assert(hitZ <= hitL, s"zorder hit $hitZ files vs linear $hitL")
+    assert(scanZ <= scanL, s"zorder scanned $scanZ rows vs linear $scanL")
+    // and the pruning must be real, not vacuous: both layouts skip most files
+    assert(hitZ < 64 && hitL < 64)
+  }
+
+  test("paragraph dedup retention is a valid profile and catches planted boilerplate") {
+    val rows = Dedup.paragraphDedup(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept >= 0 && kept <= n)
+      assert(math.abs(r.getDouble(3) - kept.toDouble / n) < 1e-12)
+    }
+    // the synthetic corpus repeats 10-token windows across documents, so
+    // SOME chunk must be suppressed somewhere (else the query is vacuous)
+    assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum > 0)
+  }
+
+  test("canonical selection keeps exactly one representative per cluster") {
+    val rows = Dedup.dedupCanonical(spark, sf).collect()
+    val members = rows.map(_.getLong(1)).sum
+    assert(members == 500) // every document belongs to exactly one cluster
+    // keep_doc_id must be a member of its own cluster: spot the multi-doc
+    // clusters and check the kept doc maps back to the same cluster id
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(clusters(r.getLong(2)) == r.getLong(0)))
+  }
+}
