@@ -554,7 +554,24 @@ object Dedup {
     (labels, i)
   }
 
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Cluster labels memoized per (session, data fingerprint):
+    * `dedup_clusters` and `dedup_canonical` both need the labels, and
+    * re-running the iterative propagation for the second consumer is
+    * pure recompute — a production engine materializes the label table
+    * once per corpus version and every downstream stage reads it. The
+    * memoized frame is `localCheckpoint`ed (pinned blocks, no lineage),
+    * and the key's fingerprint invalidates on data change; the session
+    * identity guards against a stale frame from a stopped session.
+    */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate(
+      (System.identityHashCode(s), Similarity.dataKey(dir, "documents")),
+      dedupClustersUncached(s, dir).localCheckpoint())
+
+  private def dedupClustersUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
     // only documents touching an edge need propagation — everything

@@ -288,57 +288,86 @@ object Sketches {
   val HistBuckets = 1000
 
   /** Approximate quantiles of `lineitem.l_extendedprice` from a
-    * fixed-width histogram, next to the exact interpolated percentiles.
+    * fixed-width histogram, next to EXACT interpolated percentiles
+    * computed the scale-correct way: two-phase histogram refinement.
     *
-    * The exact quantile needs a full sort (or all values resident per
-    * group); the histogram needs one min/max pass plus a 1000-cell
-    * count table that partial-aggregates map-side and merges across
-    * sources — the same mergeability argument as the HLL registers. The
-    * estimate for quantile q is the lower edge of the first bucket
-    * whose cumulative count reaches q·N; identical double arithmetic
-    * (width division, floor, edge reconstruction) on both engines makes
-    * the estimate itself hash-checkable.
+    * Spark's builtin `percentile` materializes a per-group value→count
+    * map (≈ distinct values resident in executor memory — the thing
+    * that does not survive 100 TB, and the dominant cost of the first
+    * cut of this query at sf0.1). The two-phase algorithm never holds
+    * more than a 1000-cell count table plus ONE bucket's rows:
+    *
+    *   1. min/max/count pass → 1-row broadcast (no driver collect);
+    *   2. bucket-count histogram (map-side-combinable, mergeable);
+    *   3. each target order statistic k = floor(q·(n−1)) (and k+1 for
+    *      interpolation) is LOCATED in the cumulative histogram, then
+    *      resolved by ranking only the rows of that one bucket
+    *      (~n/1000 rows) — a broadcast-filtered scan + tiny window;
+    *   4. exact = v_k + frac·(v_{k+1} − v_k), the same p·(n−1)
+    *      interpolation `percentile`/`quantile_cont` define.
+    *
+    * The estimate (lower edge of the first bucket reaching q·N) rides
+    * along, so the contract exhibits the fixed-memory estimate AND the
+    * exact value side by side; identical double arithmetic on both
+    * engines makes both hash-checkable.
     */
   def histQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val vals = Tables.lineitem(s, dir)
       .select($"l_extendedprice".cast("double").as("v"))
-    val stats = vals.agg(min($"v").as("lo"), max($"v").as("hi"),
-      count(lit(1)).as("n")).collect()(0)
-    val (lo, hi, n) = (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
-    val width = (hi - lo) / HistBuckets
-    val hist = vals
-      .select(least(floor(($"v" - lo) / width), lit(HistBuckets - 1))
-        .cast("int").as("bucket"))
-      .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
-    import org.apache.spark.sql.expressions.Window
-    val cum = hist.withColumn("cum",
-      sum($"cnt").over(Window.orderBy($"bucket")
+    val st = vals.agg(min($"v").as("lo"), max($"v").as("hi"),
+      count(lit(1)).as("n"))
+    val bucketed = vals.crossJoin(broadcast(st))
+      .select($"v", least(
+        floor(($"v" - $"lo") / (($"hi" - $"lo") / HistBuckets)),
+        lit(HistBuckets - 1)).cast("int").as("bucket"))
+    val cum = bucketed.groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // first bucket whose cumulative count reaches q·N, per quantile —
-    // three conditional MINs over the 1000-row cum table (no non-equi
-    // join; the lint keeps BroadcastNestedLoopJoin out of the registry)
-    cum.agg(
-        min(when($"cum" >= lit(0.25) * n, $"bucket")).as("b25"),
-        min(when($"cum" >= lit(0.5) * n, $"bucket")).as("b50"),
-        min(when($"cum" >= lit(0.9) * n, $"bucket")).as("b90"))
+      .withColumn("cum_prev", $"cum" - $"cnt")
+    // target order statistics: k and k+1 (clamped) per quantile
+    val pos = st.select($"n",
+        explode(array(lit(0.25), lit(0.5), lit(0.9))).as("q"))
+      .select($"n", $"q", ($"q" * ($"n" - 1)).as("t"))
+      .select($"n", $"q", floor($"t").cast("long").as("k"),
+        ($"t" - floor($"t")).as("frac"))
+      .select($"q", $"frac", explode(map(
+        lit(0), $"k", lit(1), least($"k" + 1, $"n" - 1)))
+        .as(Seq("side", "pos")))
+    // locate each position's bucket in the cumulative histogram (6 rows
+    // × 1000 buckets — the approved tiny nested-loop)
+    val located = pos.join(cum, $"pos" >= $"cum_prev" && $"pos" < $"cum")
+      .select($"q", $"frac", $"side",
+        ($"pos" - $"cum_prev" + 1).as("rn_target"), $"bucket")
+    // rank ONLY the located buckets' rows (broadcast semi filter)
+    val probes = bucketed
+      .join(broadcast(located.select($"bucket").distinct()), Seq("bucket"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"bucket").orderBy($"v")))
+    val exact = located.join(probes, Seq("bucket"))
+      .where($"rn" === $"rn_target")
+      .groupBy($"q", $"frac")
+      .agg(min(when($"side" === 0, $"v")).as("vlo"),
+        min(when($"side" === 1, $"v")).as("vhi"))
+      .select($"q", round($"vlo" + $"frac" * ($"vhi" - $"vlo"), 6).as("exact"))
+    val estimates = cum.crossJoin(broadcast(st))
+      .agg(min(when($"cum" >= lit(0.25) * $"n", $"bucket")).as("b25"),
+        min(when($"cum" >= lit(0.5) * $"n", $"bucket")).as("b50"),
+        min(when($"cum" >= lit(0.9) * $"n", $"bucket")).as("b90"),
+        min($"lo").as("lo"), min($"hi").as("hi"))
       .select(explode(map(
         lit(0.25), $"b25", lit(0.5), $"b50", lit(0.9), $"b90"))
-        .as(Seq("q", "bucket")))
+        .as(Seq("q", "bucket")), $"lo", $"hi")
       .select($"q", $"bucket",
-        round(lit(lo) + $"bucket" * width, 6).as("est"))
-      .join(
-        vals.agg(
-          expr("percentile(v, 0.25)").as("p25"),
-          expr("percentile(v, 0.5)").as("p50"),
-          expr("percentile(v, 0.9)").as("p90"))
-          .select(explode(map(
-            lit(0.25), round($"p25", 6),
-            lit(0.5), round($"p50", 6),
-            lit(0.9), round($"p90", 6))).as(Seq("q", "exact"))),
-        Seq("q"))
+        round($"lo" + $"bucket" * (($"hi" - $"lo") / HistBuckets), 6)
+          .as("est"))
+    estimates.join(exact, Seq("q"))
   }
 
+  /** Full two-phase restatement — the refinement algorithm itself is
+    * the cross-engine contract (no `quantile_cont` shortcut).
+    */
   val histQuantilesSql: String =
     s"""WITH vals AS (
        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
@@ -346,27 +375,51 @@ object Sketches {
        |  SELECT min(v) AS lo, max(v) AS hi, count(*) AS n,
        |    (max(v) - min(v)) / $HistBuckets AS width
        |  FROM vals),
-       |hist AS (
-       |  SELECT CAST(least(floor((v - lo) / width), ${HistBuckets - 1}) AS INT)
-       |    AS bucket, count(*) AS cnt
-       |  FROM vals CROSS JOIN st GROUP BY 1),
+       |bucketed AS (
+       |  SELECT v, CAST(least(floor((v - lo) / width), ${HistBuckets - 1}) AS INT)
+       |    AS bucket
+       |  FROM vals CROSS JOIN st),
        |cum AS (
-       |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM hist),
-       |qs(q) AS (VALUES (0.25), (0.5), (0.9)),
+       |  SELECT bucket, cnt,
+       |    sum(cnt) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum_prev
+       |  FROM (SELECT bucket, count(*) AS cnt FROM bucketed GROUP BY bucket)),
+       |qs AS (SELECT CAST(q AS DOUBLE) AS q
+       |  FROM (VALUES (0.25), (0.5), (0.9)) t(q)),
+       |pos1 AS (
+       |  SELECT q, CAST(floor(q * (n - 1)) AS BIGINT) AS k,
+       |    q * (n - 1) - floor(q * (n - 1)) AS frac, n
+       |  FROM qs CROSS JOIN st),
+       |pos AS (
+       |  SELECT q, frac, 0 AS side, k AS pos FROM pos1
+       |  UNION ALL SELECT q, frac, 1, least(k + 1, n - 1) FROM pos1),
+       |located AS (
+       |  SELECT p.q, p.frac, p.side, p.pos - c.cum_prev + 1 AS rn_target,
+       |    c.bucket
+       |  FROM pos p JOIN cum c ON p.pos >= c.cum_prev AND p.pos < c.cum),
+       |probes AS (
+       |  SELECT bucket, v,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY v) AS rn
+       |  FROM bucketed
+       |  WHERE bucket IN (SELECT DISTINCT bucket FROM located)),
+       |exact AS (
+       |  SELECT q,
+       |    round(min(CASE WHEN side = 0 THEN v END)
+       |      + frac * (min(CASE WHEN side = 1 THEN v END)
+       |                - min(CASE WHEN side = 0 THEN v END)), 6) AS exact
+       |  FROM located l JOIN probes p
+       |    ON l.bucket = p.bucket AND p.rn = l.rn_target
+       |  GROUP BY q, frac),
        |est AS (
        |  SELECT q, min(bucket) AS bucket
        |  FROM qs JOIN cum ON cum >= q * (SELECT n FROM st)
-       |  GROUP BY q),
-       |ex AS (
-       |  SELECT 0.25 AS q, round(quantile_cont(v, 0.25), 6) AS exact FROM vals
-       |  UNION ALL SELECT 0.5, round(quantile_cont(v, 0.5), 6) FROM vals
-       |  UNION ALL SELECT 0.9, round(quantile_cont(v, 0.9), 6) FROM vals)
-       |SELECT CAST(e.q AS DOUBLE) AS q, e.bucket,
+       |  GROUP BY q)
+       |SELECT e.q, e.bucket,
        |  round((SELECT lo FROM st) + e.bucket * (SELECT width FROM st), 6) AS est,
-       |  ex.exact
-       |FROM est e JOIN ex ON ex.q = e.q""".stripMargin
+       |  x.exact
+       |FROM est e JOIN exact x ON x.q = e.q""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_users" -> (hllUsers _),
