@@ -346,7 +346,37 @@ object Relational3 {
       |  n_orders
       |FROM intervals""".stripMargin
 
+  /** Upsert-log compaction ("latest record per key") — the CDC/changelog
+    * materialization every lakehouse table maintenance job runs: keep
+    * only the newest event per (user_id, event_type), newest by event
+    * time at µs precision with event_id as the deterministic tie-break.
+    * One hash shuffle on the key, per-key state is a single row — the
+    * compaction that keeps an upsert table's read amplification flat as
+    * the log grows. (Ordering compares µs, not raw nanos, because the
+    * oracle engine stores µs-truncated timestamps — the tie-break makes
+    * the winner identical either way.)
+    */
+  def qLatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy(expr("ts_ns div 1000").desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"value")
+  }
+
+  val qLatestPerKeySql: String =
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_latest_per_key" -> (qLatestPerKey _),
     "q_scd2_customer" -> (qScd2Customer _),
     "q_unpivot" -> (qUnpivot _),
     "q_intersect_all" -> (qIntersectAll _),
@@ -360,6 +390,7 @@ object Relational3 {
     "q22_rich_no_orders" -> (q22RichNoOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q_latest_per_key" -> qLatestPerKeySql,
     "q_scd2_customer" -> qScd2Sql,
     "q_unpivot" -> qUnpivotSql,
     "q_intersect_all" -> qIntersectAllSql,

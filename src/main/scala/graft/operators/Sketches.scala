@@ -122,6 +122,93 @@ object Sketches {
        |JOIN fin f USING (event_type)""".stripMargin
   }
 
+  /** Sketch-union mergeability — THE property that makes HLL worth its
+    * error bar at 100 TB: register tables built independently per shard
+    * (here: per event day) merge by elementwise max into exactly the
+    * register table a single global pass would have built, so the
+    * merged estimate EQUALS the direct estimate bit-for-bit. Partial
+    * sketches per day/source/partition + a cheap max-merge is how
+    * distinct counting composes across a fleet without ever shuffling
+    * raw keys; the contract exhibits direct and merged estimates side
+    * by side (equal columns), which the oracle hash-checks.
+    */
+  def hllMerged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = md5_60($"user_id".cast("string"))
+    val rank = when($"rem" === 0, lit(49))
+      .otherwise(lit(HllRemBits + 1) - length(bin($"rem")))
+    // per-shard (event day) register tables — what each day's job ships
+    val dayRegs = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"),
+        shiftrightunsigned(h, HllRemBits).as("idx"), (h % HllRemMod).as("rem"))
+      .groupBy($"event_type", $"day", $"idx")
+      .agg(max(rank).as("m_val"))
+    // the merge: elementwise max across shards
+    val merged = dayRegs.groupBy($"event_type", $"idx")
+      .agg(max($"m_val").as("m_val"))
+    def estimate(regs: DataFrame): DataFrame =
+      regs.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_regs"),
+          sum(round(pow(lit(2.0), -$"m_val"), 18).cast("decimal(38,18)"))
+            .as("s_dec"))
+        .select($"event_type", $"n_regs",
+          ($"s_dec".cast("double") + (lit(HllM) - $"n_regs")).as("s_all"),
+          (lit(HllM) - $"n_regs").as("zeros"))
+        .select($"event_type",
+          (lit(HllAlpha) * HllM * HllM / $"s_all").as("raw_est"), $"zeros")
+        .select($"event_type",
+          round(when($"raw_est" <= 2.5 * HllM && $"zeros" > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"zeros"))
+            .otherwise($"raw_est"), 4).as("est"))
+    val direct = Tables.events(s, dir)
+      .select($"event_type",
+        shiftrightunsigned(h, HllRemBits).as("idx"), (h % HllRemMod).as("rem"))
+      .groupBy($"event_type", $"idx")
+      .agg(max(rank).as("m_val"))
+    estimate(direct).withColumnRenamed("est", "est_direct")
+      .join(estimate(merged).withColumnRenamed("est", "est_merged"),
+        "event_type")
+  }
+
+  val hllMergedSql: String = {
+    val alpha = HllAlpha.toString
+    def estSql(regsCte: String): String =
+      s"""SELECT event_type,
+         |  round(CASE WHEN raw_est <= 2.5 * $HllM AND zeros > 0
+         |    THEN CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / zeros)
+         |    ELSE raw_est END, 4) AS est
+         |FROM (
+         |  SELECT event_type,
+         |    CAST($alpha AS DOUBLE) * $HllM * $HllM /
+         |      (CAST(sum(CAST(round(pow(2.0, -m_val), 18) AS DECIMAL(38,18)))
+         |         AS DOUBLE) + ($HllM - count(*))) AS raw_est,
+         |    $HllM - count(*) AS zeros
+         |  FROM $regsCte GROUP BY event_type)""".stripMargin
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      AS hv
+       |  FROM events),
+       |ranked AS (
+       |  SELECT event_type, day, hv // $HllRemMod AS idx,
+       |    CASE WHEN hv % $HllRemMod = 0 THEN 49
+       |      ELSE ${HllRemBits + 1} - length(bin(hv % $HllRemMod)) END AS r
+       |  FROM h),
+       |day_regs AS (
+       |  SELECT event_type, day, idx, max(r) AS m_val
+       |  FROM ranked GROUP BY 1, 2, 3),
+       |merged_regs AS (
+       |  SELECT event_type, idx, max(m_val) AS m_val
+       |  FROM day_regs GROUP BY 1, 2),
+       |direct_regs AS (
+       |  SELECT event_type, idx, max(r) AS m_val
+       |  FROM ranked GROUP BY 1, 2),
+       |est_direct AS (${estSql("direct_regs")}),
+       |est_merged AS (${estSql("merged_regs")})
+       |SELECT d.event_type, d.est AS est_direct, m.est AS est_merged
+       |FROM est_direct d JOIN est_merged m USING (event_type)""".stripMargin
+  }
+
   // ---------------------------------------------------------- Count-Min
 
   /** CMS geometry: 4 hash rows × 1024 counters. Collision overestimate
@@ -425,11 +512,13 @@ object Sketches {
     "sketch_hll_users" -> (hllUsers _),
     "sketch_cms_heavy" -> (cmsHeavy _),
     "sketch_bloom_prune" -> (bloomPrune _),
-    "sketch_hist_quantiles" -> (histQuantiles _))
+    "sketch_hist_quantiles" -> (histQuantiles _),
+    "sketch_hll_merged" -> (hllMerged _))
 
   def oracles: Map[String, String] = Map(
     "sketch_hll_users" -> hllUsersSql,
     "sketch_cms_heavy" -> cmsHeavySql,
     "sketch_bloom_prune" -> bloomPruneSql,
-    "sketch_hist_quantiles" -> histQuantilesSql)
+    "sketch_hist_quantiles" -> histQuantilesSql,
+    "sketch_hll_merged" -> hllMergedSql)
 }

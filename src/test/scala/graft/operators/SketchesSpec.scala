@@ -25,6 +25,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("per-shard HLL registers merge to exactly the direct estimate") {
+    val rows = Sketches.hllMerged(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"${r.getString(0)}: direct=${r.getDouble(1)} merged=${r.getDouble(2)}")
+    }
+  }
+
+  test("two-phase exact quantiles bound the histogram estimate by one bucket") {
+    val rows = Sketches.histQuantiles(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(2), r.getDouble(3))
+      // est is the lower edge of the bucket holding quantile q, so the
+      // exact value lives within one bucket width above it
+      assert(exact >= est - 1e-9, s"q=${r.getDouble(0)}")
+      assert(exact - est <= 2 * 1e5 / Sketches.HistBuckets,
+        s"q=${r.getDouble(0)}: est=$est exact=$exact")
+    }
+  }
+
   test("CMS never underestimates and stays within the epsilon bound") {
     val rows = Sketches.cmsHeavy(spark, sf).collect()
     assert(rows.length == Sketches.CmsTopK)
