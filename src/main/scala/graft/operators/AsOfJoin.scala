@@ -104,9 +104,53 @@ object AsOfJoin {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** FORWARD as-of: for each left row, the FIRST right row with
+    * right-time ≥ left-time (the "next event after" join — lookahead
+    * attribution, next-quote pricing). Implemented by time negation
+    * over the backward operator: greatest −rt ≤ −lt IS smallest
+    * rt ≥ lt, ties inclusive on both directions — one line, same
+    * single-shuffle SMJ-shaped movement, no second code path to keep
+    * correct.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame): DataFrame =
+    asOf(left.withColumn("t", -col("t")), right.withColumn("t", -col("t")))
+      .withColumn("t", -col("t"))
+      .withColumn("r_t", -col("r_t"))
+
+  /** Purchase → next error follow-up: each purchase matched to the same
+    * user's first error AT OR AFTER it (did the purchase precede a
+    * failure?). Times at µs so the DuckDB comparison is exact; the
+    * oracle drives DuckDB's native ASOF over negated epochs — the same
+    * reduction, asserted cross-engine.
+    */
+  def nextErrorFollowup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("key"), expr("ts_ns div 1000").as("t"),
+        $"event_id")
+    val errors = ev.where($"event_type" === "error")
+      .select($"user_id".as("key"), expr("ts_ns div 1000").as("t"),
+        $"event_id".as("error_event_id"))
+    asOfForward(purchases, errors)
+      .selectExpr("event_id", "key AS user_id", "error_event_id",
+        "r_t - t AS gap_us")
+  }
+
+  val nextErrorFollowupSql: String =
+    """SELECT p.event_id, p.user_id, e.event_id AS error_event_id,
+      |  epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+      |FROM (SELECT user_id, event_id, -epoch_us(ts) AS nt, ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, event_id, -epoch_us(ts) AS nt, ts
+      |      FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id AND p.nt >= e.nt""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_purchase_attribution" -> (purchaseAttribution _))
+    "asof_purchase_attribution" -> (purchaseAttribution _),
+    "asof_next_error" -> (nextErrorFollowup _))
 
   def oracles: Map[String, String] = Map(
-    "asof_purchase_attribution" -> purchaseAttributionSql)
+    "asof_purchase_attribution" -> purchaseAttributionSql,
+    "asof_next_error" -> nextErrorFollowupSql)
 }

@@ -203,6 +203,81 @@ object EventOps {
       |  FROM events)
       |GROUP BY user_id""".stripMargin
 
+  /** Peak session concurrency per day — the sweep-line analytic:
+    * sessionize per user (30-min gap rule at µs), explode each session
+    * to (+1 at start, −1 at end) boundary events, prefix-sum the
+    * boundary stream, and take the per-day max. Concurrency AT a
+    * timestamp counts sessions that have started and not yet ended
+    * BEFORE it (starts inclusive, ends exclusive via the lagged
+    * cumulative), so coincident end+start pairs still register the
+    * overlap — the convention is part of the oracle contract.
+    *
+    * Scale note: the boundary prefix-sum is a classic parallel-scan; a
+    * 100 TB run segments it (per-shard partial sums + broadcast carry
+    * offsets) instead of this single ordered window over the ~2·sessions
+    * boundary rows — the sessionize/explode/aggregate stages before it
+    * are already shuffle-partitioned and unchanged.
+    */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us")
+    val sess = Tables.events(s, dir)
+      .select(expr("ts_ns div 1000").as("ts_us"), $"user_id")
+      .withColumn("prev", lag($"ts_us", 1).over(byUser))
+      .withColumn("new_s", when($"prev".isNull ||
+        $"ts_us" - $"prev" > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"))
+    val perTs = sess.select($"start_us".as("ts_us"), lit(1L).as("delta"))
+      .unionByName(sess.select($"end_us".as("ts_us"), lit(-1L).as("delta")))
+      .groupBy($"ts_us")
+      .agg(sum(when($"delta" === 1L, 1L).otherwise(0L)).as("starts"),
+        sum(when($"delta" === -1L, 1L).otherwise(0L)).as("ends"))
+    val w = Window.orderBy($"ts_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTs
+      .withColumn("conc",
+        sum($"starts").over(w) - (sum($"ends").over(w) - $"ends"))
+      .select(date_format(timestamp_micros($"ts_us"), "yyyy-MM-dd").as("day"), $"conc")
+      .groupBy($"day").agg(max($"conc").as("peak_concurrency"))
+  }
+
+  val peakConcurrencySql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |lagd AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |sess0 AS (
+      |  SELECT user_id, ts_us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM lagd),
+      |sess AS (
+      |  SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us
+      |  FROM sess0 GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT start_us AS ts_us, 1 AS delta FROM sess
+      |  UNION ALL SELECT end_us, -1 FROM sess),
+      |per_ts AS (
+      |  SELECT ts_us,
+      |    sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS starts,
+      |    sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS ends
+      |  FROM bounds GROUP BY 1),
+      |scan AS (
+      |  SELECT ts_us,
+      |    sum(starts) OVER w - (sum(ends) OVER w - ends) AS conc
+      |  FROM per_ts WINDOW w AS (ORDER BY ts_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT strftime(make_timestamp(ts_us), '%Y-%m-%d') AS day,
+      |  CAST(max(conc) AS BIGINT) AS peak_concurrency
+      |FROM scan GROUP BY 1""".stripMargin
+
   /** Rolling 7-day event volume: frame-bounded window aggregation
     * (ROWS BETWEEN 6 PRECEDING), integer-exact on both engines. One
     * shuffle on event_type, sort by day within partition.
@@ -341,7 +416,8 @@ object EventOps {
     "ev_sliding_counts" -> (slidingCounts _),
     "ev_lambda_diff" -> (lambdaDiff _),
     "ev_session_stats" -> (sessionStats _),
-    "ev_session_window" -> (sessionWindowStats _))
+    "ev_session_window" -> (sessionWindowStats _),
+    "ev_peak_concurrency" -> (peakConcurrency _))
 
   def oracles: Map[String, String] = Map(
     "ev_range_window" -> rangeWindowCountSql,
@@ -354,5 +430,6 @@ object EventOps {
     "ev_sliding_counts" -> slidingCountsSql,
     "ev_lambda_diff" -> lambdaDiffSql,
     "ev_session_stats" -> sessionStatsSql,
-    "ev_session_window" -> sessionWindowStatsSql)
+    "ev_session_window" -> sessionWindowStatsSql,
+    "ev_peak_concurrency" -> peakConcurrencySql)
 }

@@ -511,6 +511,40 @@ object StreamQueries {
   val streamDropdupWatermarkSql: String =
     "SELECT event_id, event_type FROM events"
 
+  /** Streaming leaderboard — incrementally maintained top-k: the
+    * per-user counts live in the update-mode state store across
+    * triggers; each trigger's changed users land in the delta log, the
+    * view is reconstructed latest-wins, and the top-10 (deterministic
+    * tie-break on user_id) is taken AT READ. The expensive part —
+    * maintaining millions of per-key counts — is the incremental state;
+    * the top-k is a cheap partial-heap pass over the reconstructed
+    * view. Keeping the rank OUT of the streaming graph is the point:
+    * ranking is not incrementally maintainable in update mode (a key
+    * can leave the top-k when another grows), so the engine keeps the
+    * maintainable state and defers the order-by to the serving read,
+    * which is exactly the lambda-serving split `stream_mv_counts`
+    * established.
+    */
+  def streamTopkUsers(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("cnt"))
+      runDeltaLog(agg, "update", Seq("user_id"))
+        .orderBy($"cnt".desc, $"user_id".asc)
+        .limit(10)
+    }
+
+  val streamTopkUsersSql: String =
+    """SELECT user_id, cnt FROM (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+      |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+
   /** Start-position / rate control for the file source — the analogs of
     * the reference spout's earliest/latest start offset and bounded
     * max-pending knobs
@@ -557,7 +591,8 @@ object StreamQueries {
     "stream_mv_counts" -> (streamMvCounts _),
     "stream_hourly_counts" -> (streamHourlyCounts _),
     "stream_static_enrich" -> (streamStaticEnrich _),
-    "stream_dropdup_watermark" -> (streamDropdupWatermark _))
+    "stream_dropdup_watermark" -> (streamDropdupWatermark _),
+    "stream_topk_users" -> (streamTopkUsers _))
 
   def oracles(dir: String): Map[String, String] = {
     // the signature-ingest oracle embeds the size-derived planes for the
@@ -578,5 +613,6 @@ object StreamQueries {
     "stream_mv_counts" -> streamMvCountsSql,
     "stream_hourly_counts" -> graft.operators.EventOps.hourlyCountsSql,
     "stream_static_enrich" -> streamStaticEnrichSql,
-    "stream_dropdup_watermark" -> streamDropdupWatermarkSql)
+    "stream_dropdup_watermark" -> streamDropdupWatermarkSql,
+    "stream_topk_users" -> streamTopkUsersSql)
 }
