@@ -155,11 +155,47 @@ object Multimodal {
       |  CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h
       |FROM resized GROUP BY media_type""".stripMargin
 
+  /** Image–caption pair mining — the multimodal training-pair
+    * construction step: image assets joined to quality-gated captions
+    * (English, ≥20 tokens), summarized per source. The payload never
+    * enters the join (only its byte length is projected), which is the
+    * rule for any multimodal join at 100 TB: metadata moves, blobs
+    * stay put until the final pair materialization.
+    */
+  def captionPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = assets(s, dir).toDF()
+      .where($"media_type" === "image")
+      .select($"asset_id", length($"payload").as("n_bytes"))
+    val caps = Tables.documents(s, dir)
+      .where($"lang" === "en")
+      .selectExpr("doc_id", "source", s"size(${TextOps.tokensExpr}) AS n_toks")
+      .where($"n_toks" >= 20)
+    imgs.join(caps, $"asset_id" === $"doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"n_bytes").as("sum_bytes"),
+        sum($"n_toks").as("sum_caption_toks"))
+  }
+
+  val captionPairsSql: String =
+    s"""SELECT source, count(*) AS n_pairs,
+       |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+       |  CAST(sum(n_toks) AS BIGINT) AS sum_caption_toks
+       |FROM (
+       |  SELECT doc_id, source, text, len(${TextOps.duckTokensExpr}) AS n_toks
+       |  FROM documents
+       |  WHERE lang = 'en' AND doc_id % 3 = 0)
+       |WHERE n_toks >= 20
+       |GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_asset_stats" -> (assetStats _),
-    "mm_resized_dims" -> (resizedDims _))
+    "mm_resized_dims" -> (resizedDims _),
+    "mm_caption_pairs" -> (captionPairs _))
 
   def oracles: Map[String, String] = Map(
     "mm_asset_stats" -> assetStatsSql,
-    "mm_resized_dims" -> resizedDimsSql)
+    "mm_resized_dims" -> resizedDimsSql,
+    "mm_caption_pairs" -> captionPairsSql)
 }

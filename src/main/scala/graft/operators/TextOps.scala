@@ -400,7 +400,69 @@ object TextOps {
       |    AS masked_md5
       |FROM documents""".stripMargin
 
+  /** Bigram-LM document scoring — the perplexity-filter shape: train an
+    * add-one-smoothed bigram model ON the corpus itself, score every
+    * document by its average per-bigram negative log-likelihood. High
+    * avg-NLL = improbable token transitions = the filtering signal a
+    * real pipeline gets from a small reference LM.
+    *
+    * Scale shape: the model is the (u,v)→p table — O(observed bigrams),
+    * small next to the corpus and broadcastable; the expensive side is
+    * the doc-bigram explode, which is narrow, and the per-doc aggregate
+    * (one shuffle on doc_id). Per-bigram NLLs are rounded to 6 dp and
+    * summed as DECIMAL so the fold is partition-order-proof and the ln
+    * arithmetic cross-engine-stable (the surprisal trick).
+    */
+  def docLmNll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"$tokensExpr AS toks")
+      .where("size(toks) >= 2")
+    val bi = toks.selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i-1] AS u, toks[i] AS v))) AS e""".stripMargin)
+      .select($"doc_id", $"e.u".as("u"), $"e.v".as("v"))
+    val biCnt = bi.groupBy($"u", $"v").agg(count(lit(1)).as("cnt_uv"))
+    val uniCnt = bi.groupBy($"u").agg(count(lit(1)).as("cnt_u"))
+    val vocab = toks.selectExpr("explode(toks) AS w")
+      .agg(countDistinct($"w").as("vsz"))
+    val probs = biCnt.join(uniCnt, "u").crossJoin(broadcast(vocab))
+      .select($"u", $"v",
+        (($"cnt_uv" + 1).cast("double") / ($"cnt_u" + $"vsz").cast("double"))
+          .as("p"))
+    bi.join(probs, Seq("u", "v"))
+      .select($"doc_id", round(-log($"p"), 6).cast("decimal(18,9)").as("nll"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"nll").cast("double") / count(lit(1)), 6).as("avg_nll"))
+  }
+
+  val docLmNllSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckTokensExpr AS t FROM documents),
+       |ftoks AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+       |bi AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS u,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS v
+       |  FROM ftoks),
+       |bic AS (SELECT u, v, count(*) AS cnt_uv FROM bi GROUP BY 1, 2),
+       |unic AS (SELECT u, count(*) AS cnt_u FROM bi GROUP BY 1),
+       |vocab AS (
+       |  SELECT count(DISTINCT w) AS vsz
+       |  FROM (SELECT unnest(t) AS w FROM ftoks)),
+       |probs AS (
+       |  SELECT u, v,
+       |    CAST(cnt_uv + 1 AS DOUBLE) / CAST(cnt_u + vsz AS DOUBLE) AS p
+       |  FROM bic JOIN unic USING (u) CROSS JOIN vocab)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(CAST(sum(CAST(round(-ln(p), 6) AS DECIMAL(18,9))) AS DOUBLE)
+       |    / count(*), 6) AS avg_nll
+       |FROM bi JOIN probs USING (u, v)
+       |GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_lm_nll" -> (docLmNll _),
     "doc_anonymize" -> (docAnonymize _),
     "doc_tfidf_top_terms" -> (tfidfTopTerms _),
     "doc_bigram_counts" -> (bigramCounts _),
@@ -415,6 +477,7 @@ object TextOps {
     "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
+    "doc_lm_nll" -> docLmNllSql,
     "doc_anonymize" -> docAnonymizeSql,
     "doc_tfidf_top_terms" -> tfidfSql,
     "doc_bigram_counts" -> bigramCountsSql,

@@ -31,7 +31,7 @@ class PlanLintSpec extends AnyFunSuite {
     "curate_unigram_surprisal", "curate_mix_weights", "doc_bm25_topk",
     "q14_promo_share", "q17_small_quantity", "q22_rich_no_orders",
     "ev_funnel", "q_above_avg_orders", "dq_documents", "dq_events",
-    "layout_zorder", "sketch_hist_quantiles",
+    "layout_zorder", "sketch_hist_quantiles", "doc_lm_nll",
     // bounded-broadcast exception: the exact-scan baseline joins the
     // 10-row query side against the collection on a non-equi condition
     // (q_id <> n_id) — the deliberate brute-force shape
