@@ -144,7 +144,53 @@ object FileSources {
       |  count(DISTINCT l_orderkey) AS n_orders
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Plain-text round-trip: the corpus exported one document per line
+    * via the text writer, read back with the text source, aggregated.
+    * Line counts and character mass must survive — the ingestion path
+    * for raw text dumps (the most common LLM-corpus landing format).
+    */
+  def textRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft_text")
+    Tables.documents(s, dir).select($"text")
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length($"value")).as("sum_chars"))
+  }
+
+  val textRoundTripSql: String =
+    """SELECT count(*) AS n_lines,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents""".stripMargin
+
+  /** Opaque-file ingestion via the `binaryFile` source — how encoded
+    * media lands in the engine when it arrives as loose object-store
+    * files rather than rows: the corpus is written out as text files,
+    * then scanned back as whole binary blobs (path, length, content).
+    * The byte mass must equal the source text's UTF-8 bytes plus one
+    * newline per document, independent of how many files the writer
+    * produced — which is exactly what makes the check file-layout-proof
+    * and the source suitable for multimodal payload ingestion
+    * ([[graft.operators.Multimodal]] consumes the same shape).
+    */
+  def binaryFileScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft_binfile")
+    Tables.documents(s, dir).select($"text")
+      .write.mode("overwrite").text(out)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(out)
+      .agg(sum($"length").as("total_bytes"))
+  }
+
+  val binaryFileScanSql: String =
+    """SELECT CAST(sum(strlen(text)) + count(*) AS BIGINT) AS total_bytes
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_text_roundtrip" -> (textRoundTrip _),
+    "src_binaryfile_scan" -> (binaryFileScan _),
     "src_csv_roundtrip" -> (csvRoundTrip _),
     "src_json_roundtrip" -> (jsonRoundTrip _),
     "src_json_extract" -> (jsonExtract _),
@@ -152,6 +198,8 @@ object FileSources {
     "src_partitioned_layout" -> (partitionedLayout _))
 
   def oracles: Map[String, String] = Map(
+    "src_text_roundtrip" -> textRoundTripSql,
+    "src_binaryfile_scan" -> binaryFileScanSql,
     "src_csv_roundtrip" -> csvRoundTripSql,
     "src_json_roundtrip" -> jsonRoundTripSql,
     "src_json_extract" -> jsonExtractSql,
