@@ -280,7 +280,59 @@ object Curation {
       |FROM toks t JOIN vocab v ON t.word = v.word CROSS JOIN n
       |GROUP BY t.doc_id""".stripMargin
 
+  /** End-to-end curation pipeline as ONE query — the composition proof:
+    * quality gate (score ≥ 0.5) → exact dedup among survivors (first
+    * doc_id per normalized text) → per-source retention report (docs
+    * in, docs kept, surviving token mass). Each stage is an operator
+    * verified on its own elsewhere in the registry; this entry pins
+    * that they COMPOSE — same plan discipline (narrow maps, one
+    * dedup-key shuffle, one source aggregate), same exact oracle
+    * through the whole chain. This is the query a user of the engine
+    * actually runs nightly.
+    */
+  def curateE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = TextOps.docQuality(s, dir).select($"doc_id", $"quality_score")
+    val docs = Tables.documents(s, dir).join(q, "doc_id")
+    val gated = docs.where($"quality_score" >= 0.5)
+    val kept = gated
+      .withColumn("norm", trim(regexp_replace(lower($"text"), "\\s+", " ")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"norm").orderBy($"doc_id")))
+      .where($"rn" === 1)
+    kept.selectExpr("source", s"size(${TextOps.tokensExpr}) AS n_toks")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_toks").as("sum_toks"))
+      .join(docs.groupBy($"source").agg(count(lit(1)).as("n_in")), "source")
+      .select($"source", $"n_in", $"n_kept", $"sum_toks")
+  }
+
+  val curateE2eSql: String =
+    s"""WITH q AS (${TextOps.docQualitySql}),
+       |docs AS (
+       |  SELECT d.*, q.quality_score FROM documents d
+       |  JOIN q ON d.doc_id = q.doc_id),
+       |gated AS (SELECT * FROM docs WHERE quality_score >= 0.5),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn
+       |    FROM gated)
+       |  WHERE rn = 1),
+       |per_kept AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(sum(len(${TextOps.duckTokensExpr})) AS BIGINT) AS sum_toks
+       |  FROM kept GROUP BY source),
+       |per_in AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_in
+       |  FROM docs GROUP BY source)
+       |SELECT source, n_in, n_kept, sum_toks
+       |FROM per_kept JOIN per_in USING (source)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_e2e_pipeline" -> (curateE2e _),
     "curate_stratified_sample" -> (stratifiedSample _),
     "curate_quality_bins" -> (qualityBins _),
     "curate_chunks" -> (chunkOverlap _),
@@ -290,6 +342,7 @@ object Curation {
     "curate_unigram_surprisal" -> (unigramSurprisal _))
 
   def oracles: Map[String, String] = Map(
+    "curate_e2e_pipeline" -> curateE2eSql,
     "curate_stratified_sample" -> stratifiedSampleSql,
     "curate_quality_bins" -> qualityBinsSql,
     "curate_chunks" -> chunkOverlapSql,
