@@ -331,7 +331,54 @@ object Curation {
        |SELECT source, n_in, n_kept, sum_toks
        |FROM per_kept JOIN per_in USING (source)""".stripMargin
 
+  /** Systematic PPS (probability-proportional-to-size) sampling — the
+    * deterministic way to subsample a corpus so each document's
+    * selection odds are proportional to its token mass: lay documents
+    * on the cumulative-size line (ordered by doc_id), drop k evenly
+    * spaced marks (stride = total/k, integer), keep every document
+    * whose interval contains a mark, with its multiplicity (a document
+    * larger than the stride is hit more than once — the PPS weight).
+    * All-integer arithmetic ⇒ exact on both engines and reproducible
+    * run-to-run, unlike rand()-based weighted sampling.
+    *
+    * Scale note: the cumulative sum is a prefix scan (the
+    * ev_peak_concurrency note applies — segment it per shard with
+    * broadcast carries at 100 TB); everything else is narrow.
+    */
+  val PpsK = 50
+
+  def ppsSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars")
+      .withColumn("cum", sum($"n_chars").over(w))
+    val tot = cum.agg(max($"cum").as("total"))
+    cum.crossJoin(broadcast(tot))
+      .selectExpr("doc_id", "n_chars",
+        s"total div $PpsK AS stride", "cum", "cum - n_chars AS cum_prev")
+      .where(expr("cum div stride > cum_prev div stride"))
+      .selectExpr("doc_id", "n_chars",
+        "CAST(cum div stride - cum_prev div stride AS BIGINT) AS multiplicity")
+  }
+
+  val ppsSampleSql: String =
+    s"""WITH cum AS (
+       |  SELECT doc_id, n_chars,
+       |    sum(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents),
+       |tot AS (SELECT max(cum) AS total FROM cum)
+       |SELECT doc_id, n_chars,
+       |  CAST(cum // (total // $PpsK)
+       |    - (cum - n_chars) // (total // $PpsK) AS BIGINT) AS multiplicity
+       |FROM cum CROSS JOIN tot
+       |WHERE cum // (total // $PpsK) > (cum - n_chars) // (total // $PpsK)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_pps_sample" -> (ppsSample _),
     "curate_e2e_pipeline" -> (curateE2e _),
     "curate_stratified_sample" -> (stratifiedSample _),
     "curate_quality_bins" -> (qualityBins _),
@@ -342,6 +389,7 @@ object Curation {
     "curate_unigram_surprisal" -> (unigramSurprisal _))
 
   def oracles: Map[String, String] = Map(
+    "curate_pps_sample" -> ppsSampleSql,
     "curate_e2e_pipeline" -> curateE2eSql,
     "curate_stratified_sample" -> stratifiedSampleSql,
     "curate_quality_bins" -> qualityBinsSql,

@@ -33,6 +33,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q14_promo_share", "q17_small_quantity", "q22_rich_no_orders",
     "ev_funnel", "q_above_avg_orders", "dq_documents", "dq_events",
     "layout_zorder", "sketch_hist_quantiles", "doc_lm_nll",
+    "curate_pps_sample",
     // bounded-broadcast exception: the exact-scan baseline joins the
     // 10-row query side against the collection on a non-equi condition
     // (q_id <> n_id) — the deliberate brute-force shape
