@@ -72,11 +72,46 @@ object DataQuality {
       |    AS BIGINT) AS n_chars_mismatch
       |FROM documents""".stripMargin
 
+  /** Embedding-table expectations: id uniqueness, vector-dimension
+    * uniformity (every index pipeline assumes ONE dim), null/NaN
+    * element screening, and label-domain size — the gate that runs
+    * before any ANN index build at scale (a single ragged or NaN
+    * vector poisons a distance kernel silently).
+    */
+  def dqEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct($"vec_id")).as("dup_vec_ids"),
+      countDistinct(size($"embedding")).as("n_distinct_dims"),
+      min(size($"embedding")).as("min_dim"),
+      sum(when($"embedding".isNull, 1L).otherwise(0L)).as("null_vecs"),
+      sum(expr(
+        "CASE WHEN exists(embedding, x -> isnan(x) OR x IS NULL) THEN 1 ELSE 0 END"))
+        .as("nan_vecs"),
+      countDistinct($"label").as("n_labels"))
+  }
+
+  val dqEmbeddingsSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS dup_vec_ids,
+      |  count(DISTINCT len(embedding)) AS n_distinct_dims,
+      |  CAST(min(len(embedding)) AS INT) AS min_dim,
+      |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS null_vecs,
+      |  CAST(sum(CASE WHEN len(list_filter(embedding,
+      |      x -> isnan(x) OR x IS NULL)) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS nan_vecs,
+      |  count(DISTINCT label) AS n_labels
+      |FROM embeddings""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_embeddings" -> (dqEmbeddings _),
     "dq_events" -> (dqEvents _),
     "dq_documents" -> (dqDocuments _))
 
   def oracles: Map[String, String] = Map(
+    "dq_embeddings" -> dqEmbeddingsSql,
     "dq_events" -> dqEventsSql,
     "dq_documents" -> dqDocumentsSql)
 }
