@@ -33,13 +33,11 @@ object Layout {
   private val GridBits = 16
   private val FileBits = 6 // 64 files
 
-  /** Bit-interleave of two GridBits-wide ints, generated per dialect. */
-  private def zSpark(a: String, b: String): String =
-    (0 until GridBits).map { i =>
-      s"shiftleft(shiftright($a, $i) & 1, ${2 * i}) + " +
-        s"shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})"
-    }.mkString("(", " + ", ")")
-
+  /** Bit-interleave for the DuckDB oracle: the expanded 32-term
+    * shift/mask expression — an independent formulation of the native
+    * `morton16` codegen expression the Spark side runs
+    * ([[graft.functions.Morton16]], magic-number bit spreading).
+    */
   private def zDuck(a: String, b: String): String =
     (0 until GridBits).map { i =>
       s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
@@ -53,9 +51,10 @@ object Layout {
       .selectExpr("l_partkey", "l_suppkey", "pmax", "smax",
         s"CAST(((l_partkey - 1) * ${1 << GridBits}) div pmax AS BIGINT) AS px",
         s"CAST(((l_suppkey - 1) * ${1 << GridBits}) div smax AS BIGINT) AS sx")
-      .selectExpr("l_partkey", "l_suppkey", "pmax", "smax",
-        s"px div ${1 << (GridBits - FileBits)} AS fid_lin",
-        s"shiftright(${zSpark("px", "sx")}, ${2 * GridBits - FileBits}) AS fid_z")
+      .select(col("l_partkey"), col("l_suppkey"), col("pmax"), col("smax"),
+        expr(s"px div ${1 << (GridBits - FileBits)}").as("fid_lin"),
+        shiftright(graft.functions.Morton16.morton16(col("px"), col("sx")),
+          2 * GridBits - FileBits).as("fid_z"))
     val long = grid.selectExpr("'linear' AS layout", "fid_lin AS fid",
         "l_partkey", "l_suppkey", "pmax", "smax")
       .union(grid.selectExpr("'zorder'", "fid_z",
