@@ -81,7 +81,22 @@ object Dedup {
     * are generated only for documents sharing a shingle, shared counts
     * come from the join group sizes, set sizes from a per-doc count.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Near-dup pair table memoized per (session, corpus fingerprint) —
+    * same materialize-once rationale as [[dedupClusters]]: the pair
+    * query, cluster resolution, and canonical selection all consume it,
+    * and the inverted-index join is the expensive part of all three.
+    */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate(
+      (System.identityHashCode(s), Similarity.dataKey(dir, "documents")), {
+        val r = ngramJaccardUncached(s, dir).localCheckpoint()
+        r
+      })
+
+  private def ngramJaccardUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))

@@ -236,12 +236,17 @@ object Sketches {
     val toks = Tables.documents(s, dir)
       .select(explode(split(lower($"text"), "\\s+")).as("tok"))
       .where($"tok" =!= "")
-    val hashed = toks.select($"tok",
+    // aggregate to (token, count) FIRST: the d hash computations run
+    // once per DISTINCT token, not once per occurrence — the counter
+    // table is identical (cell += cnt), and at 100 TB this is the
+    // difference between hashing the vocabulary and hashing the corpus
+    val tokCnt = toks.groupBy($"tok").agg(count(lit(1)).as("occ"))
+    val hashed = tokCnt.select($"tok", $"occ",
       explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
-      .select($"tok", $"j",
+      .select($"occ", $"j",
         (md5_60(concat($"j".cast("string"), lit(":"), $"tok")) % CmsW).as("cell"))
-    val counters = hashed.groupBy($"j", $"cell").agg(count(lit(1)).as("cnt"))
-    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+    val counters = hashed.groupBy($"j", $"cell").agg(sum($"occ").as("cnt"))
+    val top = tokCnt.withColumnRenamed("occ", "exact_cnt")
       .orderBy($"exact_cnt".desc, $"tok".asc).limit(CmsTopK)
     val probes = top.select($"tok", $"exact_cnt",
       explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
