@@ -461,7 +461,98 @@ object TextOps {
        |FROM bi JOIN probs USING (u, v)
        |GROUP BY doc_id""".stripMargin
 
+  /** Sparse similarity join: top-20 most similar document pairs by
+    * TF-IDF cosine — the SPARSE counterpart to the dense embedding
+    * near-dup path, i.e. lexical near-duplicate / related-document
+    * retrieval without any embedding model.
+    *
+    * Candidate generation is PREFIX-FILTERED: only each document's
+    * top-10 TF-IDF terms enter the inverted index, so candidate pairs
+    * must share a highly-weighted term (the classic prefix-filtering
+    * bound on sparse joins — the full index would pair everything that
+    * shares a stopword). The full vectors then score only the
+    * candidates. Weights are 6-dp-rounded before use and all products
+    * are decimal-summed, so dot products, norms (IEEE sqrt is exactly
+    * rounded), and cosines are bit-identical cross-engine.
+    */
+  def tfidfCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tf = tokens(docs).groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val wgt = tf.join(dfreq, "word")
+      .select($"doc_id", $"word",
+        round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("w"))
+    val norms = wgt.groupBy($"doc_id")
+      .agg(sqrt(sum(round($"w" * $"w", 9).cast("decimal(28,12)"))
+        .cast("double")).as("nrm"))
+    val topIdx = wgt.withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"w".desc, $"word")))
+      .where($"rn" <= 10).select($"doc_id", $"word")
+    val cands = topIdx.as("a").join(topIdx.as("b"),
+        $"a.word" === $"b.word" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val wa = wgt.select($"doc_id".as("doc_a"), $"word", $"w".as("w_a"))
+    val wb = wgt.select($"doc_id".as("doc_b"), $"word", $"w".as("w_b"))
+    val dots = cands.join(wa, "doc_a").join(wb, Seq("doc_b", "word"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum(round($"w_a" * $"w_b", 9).cast("decimal(28,12)"))
+        .cast("double").as("dot"))
+    dots
+      .join(norms.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nrm", "na"), "doc_a")
+      .join(norms.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nrm", "nb"), "doc_b")
+      .select($"doc_a", $"doc_b", round($"dot" / ($"na" * $"nb"), 6).as("cosine"))
+      .orderBy($"cosine".desc, $"doc_a", $"doc_b").limit(20)
+  }
+
+  val tfidfCosineTopkSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      |    FROM documents) WHERE word <> '' GROUP BY 1, 2),
+      |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |wgt AS (
+      |  SELECT tf.doc_id, tf.word,
+      |    round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+      |      / dfreq.df), 6) AS w
+      |  FROM tf JOIN dfreq ON tf.word = dfreq.word),
+      |norms AS (
+      |  SELECT doc_id,
+      |    sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,12))) AS DOUBLE))
+      |      AS nrm
+      |  FROM wgt GROUP BY doc_id),
+      |top_idx AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, word,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, word) AS rn
+      |    FROM wgt)
+      |  WHERE rn <= 10),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM top_idx a JOIN top_idx b
+      |    ON a.word = b.word AND a.doc_id < b.doc_id),
+      |dots AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(sum(CAST(round(wa.w * wb.w, 9) AS DECIMAL(28,12))) AS DOUBLE)
+      |      AS dot
+      |  FROM cands c
+      |  JOIN wgt wa ON wa.doc_id = c.doc_a
+      |  JOIN wgt wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+      |  GROUP BY 1, 2)
+      |SELECT d.doc_a, d.doc_b,
+      |  round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+      |FROM dots d
+      |JOIN norms na ON na.doc_id = d.doc_a
+      |JOIN norms nb ON nb.doc_id = d.doc_b
+      |ORDER BY cosine DESC, d.doc_a, d.doc_b LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
     "doc_lm_nll" -> (docLmNll _),
     "doc_anonymize" -> (docAnonymize _),
     "doc_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -477,6 +568,7 @@ object TextOps {
     "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
+    "doc_tfidf_cosine_topk" -> tfidfCosineTopkSql,
     "doc_lm_nll" -> docLmNllSql,
     "doc_anonymize" -> docAnonymizeSql,
     "doc_tfidf_top_terms" -> tfidfSql,
