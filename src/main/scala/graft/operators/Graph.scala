@@ -33,6 +33,8 @@ import graft.Tables
 object Graph {
 
   val Iters = 10
+  /** Lineage-truncation cadence for the lazy iteration chain. */
+  val CkptEvery = 5
 
   /** Token-transition edge list: (src, dst, cnt). One explode + one
     * aggregation; at 100 TB the explode is narrow (no shuffle) and the
@@ -70,7 +72,14 @@ object Graph {
       .union(edges.select($"dst")).distinct().localCheckpoint()
     val n = nodes.count()
     var ranks = nodes.select($"node", lit(1.0 / n).as("rank"))
-    for (_ <- 1 to Iters) {
+    // the iteration count is FIXED (no convergence action), so the loop
+    // can stay LAZY: one 10-iteration plan, one job at materialization
+    // — vs a per-iteration localCheckpoint, which costs 10 sequential
+    // tiny jobs (measured ~3 s at sf0.1, mostly scheduling). The inputs
+    // (edges/weights/nodes) ARE checkpointed above, so the deep plan
+    // bottoms out in pinned blocks; checkpoint every `CkptEvery` rounds
+    // only to bound analysis depth on much larger iteration budgets.
+    for (i <- 1 to Iters) {
       val contribs = weighted.join(ranks, $"src" === $"node")
         .select($"dst",
           round($"rank" * $"w", 9).cast("decimal(18,9)").as("c"))
@@ -80,7 +89,7 @@ object Graph {
           round(lit(0.15 / n) +
             lit(0.85) * coalesce($"csum".cast("double"), lit(0.0)), 9)
             .as("rank"))
-        .localCheckpoint()
+      if (i % CkptEvery == 0 && i < Iters) ranks = ranks.localCheckpoint()
     }
     ranks.select($"node", $"rank")
   }
