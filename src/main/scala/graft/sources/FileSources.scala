@@ -188,7 +188,34 @@ object FileSources {
     """SELECT CAST(sum(strlen(text)) + count(*) AS BIGINT) AS total_bytes
       |FROM documents""".stripMargin
 
+  /** Parquet zstd round-trip — codec control on the write path (zstd is
+    * the default choice for cold 100 TB corpora: ~30% smaller than
+    * snappy at similar scan cost); the read back must be bit-lossless
+    * including decimals-in-doubles.
+    */
+  def parquetZstdRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft_zstd")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice")
+      .write.mode("overwrite").option("compression", "zstd").parquet(out)
+    s.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        countDistinct($"l_orderkey").as("n_orders"))
+  }
+
+  val parquetZstdRoundTripSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_parquet_zstd_roundtrip" -> (parquetZstdRoundTrip _),
     "src_text_roundtrip" -> (textRoundTrip _),
     "src_binaryfile_scan" -> (binaryFileScan _),
     "src_csv_roundtrip" -> (csvRoundTrip _),
@@ -198,6 +225,7 @@ object FileSources {
     "src_partitioned_layout" -> (partitionedLayout _))
 
   def oracles: Map[String, String] = Map(
+    "src_parquet_zstd_roundtrip" -> parquetZstdRoundTripSql,
     "src_text_roundtrip" -> textRoundTripSql,
     "src_binaryfile_scan" -> binaryFileScanSql,
     "src_csv_roundtrip" -> csvRoundTripSql,

@@ -22,7 +22,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_bucketed_join", "q_merge_upsert",
     "src_csv_roundtrip", "src_json_roundtrip", "src_json_extract",
     "src_orc_roundtrip", "src_partitioned_layout",
-    "src_text_roundtrip", "src_binaryfile_scan")
+    "src_text_roundtrip", "src_binaryfile_scan",
+    "src_parquet_zstd_roundtrip")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
