@@ -278,6 +278,41 @@ object EventOps {
       |  CAST(max(conc) AS BIGINT) AS peak_concurrency
       |FROM scan GROUP BY 1""".stripMargin
 
+  /** DAU / WAU / stickiness — the activity analytics every event
+    * pipeline serves. WAU is a distinct-count over a SLIDING 7-day
+    * window, which does not partial-aggregate directly; the scalable
+    * formulation EXPLODES each (day, user) activity row into the 7
+    * window-days it contributes to, then distinct-counts per window day
+    * — an equi-shuffle (no range join, no per-day re-scan), which is
+    * the 100 TB shape. Stickiness = DAU/WAU.
+    */
+  def dauWau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val dau = du.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select($"day", $"user_id", explode(sequence(lit(0), lit(6))).as("i"))
+      .select(expr("date_add(day, i)").as("wday"), $"user_id").distinct()
+      .groupBy($"wday").agg(count(lit(1)).as("wau"))
+    dau.join(wau, $"day" === $"wday")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau",
+        round($"dau".cast("double") / $"wau", 6).as("stickiness"))
+  }
+
+  val dauWauSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+      |contrib AS (
+      |  SELECT DISTINCT day + CAST(i.i AS INTEGER) AS wday, user_id
+      |  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i),
+      |wau AS (SELECT wday, count(*) AS wau FROM contrib GROUP BY 1)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      |  CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+      |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+      |FROM dau d JOIN wau w ON w.wday = d.day""".stripMargin
+
   /** Rolling 7-day event volume: frame-bounded window aggregation
     * (ROWS BETWEEN 6 PRECEDING), integer-exact on both engines. One
     * shuffle on event_type, sort by day within partition.
@@ -417,7 +452,8 @@ object EventOps {
     "ev_lambda_diff" -> (lambdaDiff _),
     "ev_session_stats" -> (sessionStats _),
     "ev_session_window" -> (sessionWindowStats _),
-    "ev_peak_concurrency" -> (peakConcurrency _))
+    "ev_peak_concurrency" -> (peakConcurrency _),
+    "ev_dau_wau" -> (dauWau _))
 
   def oracles: Map[String, String] = Map(
     "ev_range_window" -> rangeWindowCountSql,
@@ -431,5 +467,6 @@ object EventOps {
     "ev_lambda_diff" -> lambdaDiffSql,
     "ev_session_stats" -> sessionStatsSql,
     "ev_session_window" -> sessionWindowStatsSql,
-    "ev_peak_concurrency" -> peakConcurrencySql)
+    "ev_peak_concurrency" -> peakConcurrencySql,
+    "ev_dau_wau" -> dauWauSql)
 }

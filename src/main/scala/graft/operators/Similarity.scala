@@ -824,7 +824,78 @@ object Similarity {
       |    AS DOUBLE) / count(*) AS mean_v
       |FROM ex GROUP BY lang, dim""".stripMargin
 
+  /** Matryoshka truncation fidelity — how well the FIRST 16 of 64
+    * dimensions preserve the full-dimension neighborhood (the MRL
+    * serving question: can the index run on a prefix of the embedding
+    * and re-rank with the full vector?). For each of 10 query vectors:
+    * |top-10 by full cosine ∩ top-10 by 16-dim-prefix cosine|. Both
+    * rankings ride ONE scored pass (two window ranks over the same
+    * broadcast-join output — no second scan); on isotropic random
+    * vectors the overlap is near-chance, on MRL-trained embeddings it
+    * approaches 10 — the measurement is the operator.
+    */
+  val MatryoshkaDims = 16
+
+  def matryoshkaOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        slice($"embedding", 1, MatryoshkaDims).as("e16"))
+      .select($"vec_id", $"embedding", $"e16",
+        sqrt(dotUdf($"embedding", $"embedding")).as("nrm"),
+        sqrt(dotUdf($"e16", $"e16")).as("nrm16"))
+    val q = v.where($"vec_id" < 10).selectExpr("vec_id AS q_id",
+      "embedding AS eq", "e16 AS eq16", "nrm AS nq", "nrm16 AS nq16")
+    val c = v.selectExpr("vec_id AS n_id",
+      "embedding AS en", "e16 AS en16", "nrm AS nn", "nrm16 AS nn16")
+    val scored = broadcast(q).join(c, $"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id",
+        (dotUdf($"eq", $"en") / ($"nq" * $"nn")).as("cos_full"),
+        (dotUdf($"eq16", $"en16") / ($"nq16" * $"nn16")).as("cos_16"))
+    val wF = Window.partitionBy($"q_id").orderBy($"cos_full".desc, $"n_id")
+    val w16 = Window.partitionBy($"q_id").orderBy($"cos_16".desc, $"n_id")
+    scored
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("r16", row_number().over(w16))
+      .groupBy($"q_id")
+      .agg(sum(when($"rf" <= 10 && $"r16" <= 10, 1L).otherwise(0L))
+        .as("overlap_at_10"))
+  }
+
+  private def duckDot16(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${MatryoshkaDims + 1}),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (s, v) -> s + v)""".stripMargin
+
+  val matryoshkaOverlapSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm,
+       |    sqrt(${duckDot16("embedding", "embedding")}) AS nrm16
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDotExpr("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |      AS cos_full,
+       |    ${duckDot16("q.embedding", "c.embedding")} / (q.nrm16 * c.nrm16)
+       |      AS cos_16
+       |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, n_id)
+       |      AS rf,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_16 DESC, n_id)
+       |      AS r16
+       |  FROM scored)
+       |SELECT q_id,
+       |  CAST(sum(CASE WHEN rf <= 10 AND r16 <= 10 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS overlap_at_10
+       |FROM ranked GROUP BY q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_matryoshka_overlap" -> (matryoshkaOverlap _),
     "sim_embedding_neardup" -> (embeddingNearDup _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_ann_topk" -> (annTopK _),
@@ -844,6 +915,7 @@ object Similarity {
     val s = activeSession
     val (npt, planes) = ndParams(s, dir)
     Map(
+      "sim_matryoshka_overlap" -> matryoshkaOverlapSql,
       "sim_bruteforce_topk" -> bruteForceTopKSql,
       "sim_ann_topk" -> annTopKSql,
       "sim_quantize_int8" -> quantizeInt8Sql,
