@@ -38,7 +38,7 @@ class PlanLintSpec extends AnyFunSuite {
     // bounded-broadcast exception: the exact-scan baseline joins the
     // 10-row query side against the collection on a non-equi condition
     // (q_id <> n_id) — the deliberate brute-force shape
-    "sim_bruteforce_topk")
+    "sim_bruteforce_topk", "sim_matryoshka_overlap")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>
