@@ -278,6 +278,48 @@ object EventOps {
       |  CAST(max(conc) AS BIGINT) AS peak_concurrency
       |FROM scan GROUP BY 1""".stripMargin
 
+  /** Time-constrained conversion — the sequential-pattern query the
+    * unbounded [[funnel]] can't express: for EVERY click (not just the
+    * first), did the same user's next purchase land within one hour?
+    * Built on the forward as-of join ([[AsOfJoin.asOfForward]]) — each
+    * click matched to its next purchase in one shuffle, then a
+    * window-bounded gap predicate; MATCH_RECOGNIZE-style step
+    * constraints reduce to as-of joins plus gap filters, which is how
+    * this engine expresses them at scale.
+    */
+  def timedConversion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("key"), expr("ts_ns div 1000").as("t"),
+        $"event_id")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("key"), expr("ts_ns div 1000").as("t"),
+        $"event_id".as("p_id"))
+    val hit = when($"r_t".isNotNull &&
+      $"r_t" - $"t" <= 3600L * 1000000L, 1L).otherwise(0L)
+    AsOfJoin.asOfForward(clicks, purchases)
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(hit).as("converted_1h"),
+        round(sum(hit).cast("double") / count(lit(1)), 6).as("conv_rate"))
+  }
+
+  val timedConversionSql: String =
+    """WITH j AS (
+      |  SELECT c.event_id,
+      |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |  FROM (SELECT user_id, event_id, -epoch_us(ts) AS nt, ts
+      |        FROM events WHERE event_type = 'click') c
+      |  ASOF LEFT JOIN (SELECT user_id, -epoch_us(ts) AS nt, ts
+      |        FROM events WHERE event_type = 'purchase') p
+      |    ON c.user_id = p.user_id AND c.nt >= p.nt)
+      |SELECT count(*) AS n_clicks,
+      |  CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS converted_1h,
+      |  round(CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS conv_rate
+      |FROM j""".stripMargin
+
   /** DAU / WAU / stickiness — the activity analytics every event
     * pipeline serves. WAU is a distinct-count over a SLIDING 7-day
     * window, which does not partial-aggregate directly; the scalable
@@ -453,7 +495,8 @@ object EventOps {
     "ev_session_stats" -> (sessionStats _),
     "ev_session_window" -> (sessionWindowStats _),
     "ev_peak_concurrency" -> (peakConcurrency _),
-    "ev_dau_wau" -> (dauWau _))
+    "ev_dau_wau" -> (dauWau _),
+    "ev_timed_conversion" -> (timedConversion _))
 
   def oracles: Map[String, String] = Map(
     "ev_range_window" -> rangeWindowCountSql,
@@ -468,5 +511,6 @@ object EventOps {
     "ev_session_stats" -> sessionStatsSql,
     "ev_session_window" -> sessionWindowStatsSql,
     "ev_peak_concurrency" -> peakConcurrencySql,
-    "ev_dau_wau" -> dauWauSql)
+    "ev_dau_wau" -> dauWauSql,
+    "ev_timed_conversion" -> timedConversionSql)
 }
