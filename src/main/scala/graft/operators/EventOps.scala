@@ -278,6 +278,43 @@ object EventOps {
       |  CAST(max(conc) AS BIGINT) AS peak_concurrency
       |FROM scan GROUP BY 1""".stripMargin
 
+  /** Event-type transition matrix — the first-order Markov model of
+    * user journeys (view→click→purchase probabilities): consecutive
+    * event pairs per user (µs order, event_id tie-break), counted and
+    * row-normalized. One user_id shuffle for the lag window, one tiny
+    * aggregate; the model output is |types|² rows regardless of scale.
+    */
+  def typeTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts_us", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = Window.partitionBy($"prev_type")
+    pairs.withColumn("prob",
+      round($"cnt".cast("double") / sum($"cnt").over(totals), 6))
+  }
+
+  val typeTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT prev_type, event_type, count(*) AS cnt FROM (
+      |    SELECT event_type,
+      |      lag(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id) AS prev_type
+      |    FROM events)
+      |  WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT prev_type, event_type, cnt,
+      |  round(CAST(cnt AS DOUBLE)
+      |    / sum(cnt) OVER (PARTITION BY prev_type), 6) AS prob
+      |FROM pairs""".stripMargin
+
   /** Time-constrained conversion — the sequential-pattern query the
     * unbounded [[funnel]] can't express: for EVERY click (not just the
     * first), did the same user's next purchase land within one hour?
@@ -496,7 +533,8 @@ object EventOps {
     "ev_session_window" -> (sessionWindowStats _),
     "ev_peak_concurrency" -> (peakConcurrency _),
     "ev_dau_wau" -> (dauWau _),
-    "ev_timed_conversion" -> (timedConversion _))
+    "ev_timed_conversion" -> (timedConversion _),
+    "ev_type_transitions" -> (typeTransitions _))
 
   def oracles: Map[String, String] = Map(
     "ev_range_window" -> rangeWindowCountSql,
@@ -512,5 +550,6 @@ object EventOps {
     "ev_session_window" -> sessionWindowStatsSql,
     "ev_peak_concurrency" -> peakConcurrencySql,
     "ev_dau_wau" -> dauWauSql,
-    "ev_timed_conversion" -> timedConversionSql)
+    "ev_timed_conversion" -> timedConversionSql,
+    "ev_type_transitions" -> typeTransitionsSql)
 }
