@@ -49,13 +49,24 @@ object Tables {
 
   def fingerprintPath(path: String): String = {
     def fold(f: java.io.File, acc: Long): Long =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).foldLeft(acc)((a, c) => fold(c, a))
-      else {
+      if (f.isDirectory) {
+        // listFiles() returns null (not empty) on IO/permission errors —
+        // fold a distinct marker so an unreadable dir never fingerprints
+        // equal to an empty one
+        val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        val withCount = acc * 1000003L ^ (kids.length + 1).toLong
+        kids.sortBy(_.getName).foldLeft(withCount)((a, c) => fold(c, a))
+      } else {
+        // nanosecond mtime where the filesystem provides it: a same-length
+        // rewrite within one coarse-mtime tick must still change the print
+        val mtimeNanos =
+          try java.nio.file.Files.getLastModifiedTime(f.toPath)
+            .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+          catch { case _: java.io.IOException => f.lastModified() }
         var h = acc
         h = h * 1000003L ^ f.getPath.hashCode.toLong
         h = h * 1000003L ^ f.length()
-        h = h * 1000003L ^ f.lastModified()
+        h = h * 1000003L ^ mtimeNanos
         h
       }
     val root = new java.io.File(path)

@@ -46,10 +46,10 @@ object AsOfJoin {
       s"asOf: payload column names must be disjoint between sides; " +
         s"both have [${overlap.mkString(", ")}] — rename before joining")
     val reserved = (leftPayload ++ rightPayload).filter(c =>
-      c == "is_left" || c == "_r" || c == "r_t")
+      c == "is_left" || c == "_r" || c == "_rv" || c == "r_t")
     require(reserved.isEmpty,
       s"asOf: [${reserved.mkString(", ")}] collide with columns the " +
-        "operator builds internally (is_left, _r, r_t) — rename them")
+        "operator builds internally (is_left, _r, _rv, r_t) — rename them")
     val lTagged = left.withColumn("is_left", lit(1))
       .select(Seq(col("key"), col("t"), col("is_left")) ++
         leftPayload.map(col) ++
@@ -64,14 +64,22 @@ object AsOfJoin {
     // right rows whenever a payload field is legitimately null — the
     // struct is non-null per right row, so the match is always a single
     // actual right row (or null when no right row precedes).
+    //
+    // The struct itself is the final sort key: when two right rows share
+    // (key, t), `last` deterministically picks the field-wise greatest
+    // payload — without it the carried row would depend on partition
+    // file order. Callers whose oracle engine makes its own arbitrary
+    // pick at ties (DuckDB ASOF) should additionally pre-dedup the
+    // right side to one row per (key, t) with the same greatest-payload
+    // rule, as purchaseAttribution/nextErrorFollowup do.
+    val unioned = lTagged.unionByName(rTagged)
+      .withColumn("_rv", when($"is_left" === 0,
+        struct(($"t".as("r_t")) +: rightPayload.map(col): _*)))
     val w = Window.partitionBy($"key")
-      .orderBy($"t".asc, $"is_left".asc)
+      .orderBy($"t".asc, $"is_left".asc, $"_rv".asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = lTagged.unionByName(rTagged)
-      .withColumn("_r",
-        last(when($"is_left" === 0,
-          struct(($"t".as("r_t")) +: rightPayload.map(col): _*)),
-          ignoreNulls = true).over(w))
+    val carried = unioned
+      .withColumn("_r", last($"_rv", ignoreNulls = true).over(w))
     carried.where($"is_left" === 1)
       .select(Seq(col("key"), col("t")) ++ leftPayload.map(col) ++
         rightPayload.map(c => col(s"_r.$c").as(c)) :+
@@ -80,29 +88,34 @@ object AsOfJoin {
 
   /** Purchase→click attribution: each purchase matched to the same
     * user's most recent click at or before it (classic attribution
-    * as-of). `gap_ns` stays integral — exact on both engines.
+    * as-of). Both engines compare at µs (DuckDB truncates parquet nanos
+    * to µs on read), and the click side is pre-deduped to one row per
+    * (user, µs) keeping the max event_id — the stated tie rule, so a
+    * same-µs duplicate click can never make the oracle's arbitrary
+    * ASOF pick diverge from ours.
     */
   def purchaseAttribution(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val purchases = ev.where($"event_type" === "purchase")
-      .select($"user_id".as("key"), $"ts_ns".as("t"), $"event_id")
+      .select($"user_id".as("key"), expr("ts_ns div 1000").as("t"),
+        $"event_id")
     val clicks = ev.where($"event_type" === "click")
-      .select($"user_id".as("key"), $"ts_ns".as("t"),
-        $"event_id".as("click_event_id"))
-    // gap in µs: DuckDB truncates parquet nanos to µs timestamps on
-    // read, so µs is the finest exactly-comparable granularity
+      .groupBy($"user_id".as("key"), expr("ts_ns div 1000").as("t"))
+      .agg(max($"event_id").as("click_event_id"))
     asOf(purchases, clicks)
       .selectExpr("event_id", "key AS user_id", "click_event_id",
-        "(t div 1000) - (r_t div 1000) AS gap_us")
+        "t - r_t AS gap_us")
   }
 
   val purchaseAttributionSql: String =
-    """SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
-      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+    """SELECT p.event_id, p.user_id, c.click_event_id, p.t - c.t AS gap_us
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS t
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS t,
+      |        max(event_id) AS click_event_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+      |  ON p.user_id = c.user_id AND p.t >= c.t""".stripMargin
 
   /** FORWARD as-of: for each left row, the FIRST right row with
     * right-time ≥ left-time (the "next event after" join — lookahead
@@ -129,21 +142,24 @@ object AsOfJoin {
     val purchases = ev.where($"event_type" === "purchase")
       .select($"user_id".as("key"), expr("ts_ns div 1000").as("t"),
         $"event_id")
+    // same tie rule as purchaseAttribution: one error per (user, µs),
+    // max event_id wins — keeps DuckDB's arbitrary ASOF tie pick moot
     val errors = ev.where($"event_type" === "error")
-      .select($"user_id".as("key"), expr("ts_ns div 1000").as("t"),
-        $"event_id".as("error_event_id"))
+      .groupBy($"user_id".as("key"), expr("ts_ns div 1000").as("t"))
+      .agg(max($"event_id").as("error_event_id"))
     asOfForward(purchases, errors)
       .selectExpr("event_id", "key AS user_id", "error_event_id",
         "r_t - t AS gap_us")
   }
 
   val nextErrorFollowupSql: String =
-    """SELECT p.event_id, p.user_id, e.event_id AS error_event_id,
-      |  epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
-      |FROM (SELECT user_id, event_id, -epoch_us(ts) AS nt, ts
+    """SELECT p.event_id, p.user_id, e.error_event_id,
+      |  (-e.nt) - (-p.nt) AS gap_us
+      |FROM (SELECT user_id, event_id, -epoch_us(ts) AS nt
       |      FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT user_id, event_id, -epoch_us(ts) AS nt, ts
-      |      FROM events WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT user_id, -epoch_us(ts) AS nt,
+      |        max(event_id) AS error_event_id
+      |      FROM events WHERE event_type = 'error' GROUP BY 1, 2) e
       |  ON p.user_id = e.user_id AND p.nt >= e.nt""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -83,8 +83,13 @@ object DataQuality {
     Tables.embeddings(s, dir).agg(
       count(lit(1)).as("n_rows"),
       (count(lit(1)) - countDistinct($"vec_id")).as("dup_vec_ids"),
-      countDistinct(size($"embedding")).as("n_distinct_dims"),
-      min(size($"embedding")).as("min_dim"),
+      // dims only over non-null vectors: Spark's size(NULL) is -1 under
+      // the legacy sizeOfNull default while DuckDB's len(NULL) is NULL
+      // (ignored by count/min) — a null vector is null_vecs' job, and it
+      // must not skew the dimension stats on either engine
+      countDistinct(when($"embedding".isNotNull, size($"embedding")))
+        .as("n_distinct_dims"),
+      min(when($"embedding".isNotNull, size($"embedding"))).as("min_dim"),
       sum(when($"embedding".isNull, 1L).otherwise(0L)).as("null_vecs"),
       sum(expr(
         "CASE WHEN exists(embedding, x -> isnan(x) OR x IS NULL) THEN 1 ELSE 0 END"))

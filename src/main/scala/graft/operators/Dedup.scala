@@ -86,12 +86,20 @@ object Dedup {
     * query, cluster resolution, and canonical selection all consume it,
     * and the inverted-index join is the expensive part of all three.
     */
+  /** Stable unique session id for memo keys: `identityHashCode` can
+    * collide after a stopped session is GC'd (a new session reusing the
+    * hash would receive checkpointed blocks of a dead context), while
+    * `sessionUUID` is unique for the JVM's lifetime.
+    */
+  private[operators] def sessionKey(s: SparkSession): String =
+    org.apache.spark.sql.graft.ColumnBridge.sessionUUID(s)
+
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(
-      (System.identityHashCode(s), Similarity.dataKey(dir, "documents")), {
+      (sessionKey(s), Similarity.dataKey(dir, "documents")), {
         val r = ngramJaccardUncached(s, dir).localCheckpoint()
         r
       })
@@ -579,11 +587,11 @@ object Dedup {
     * identity guards against a stale frame from a stopped session.
     */
   private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate(
-      (System.identityHashCode(s), Similarity.dataKey(dir, "documents")),
+      (sessionKey(s), Similarity.dataKey(dir, "documents")),
       dedupClustersUncached(s, dir).localCheckpoint())
 
   private def dedupClustersUncached(s: SparkSession, dir: String): DataFrame = {

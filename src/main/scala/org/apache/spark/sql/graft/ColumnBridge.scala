@@ -21,6 +21,13 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Stable unique id of a session (`sessionUUID` is private[sql]) —
+    * memo-cache keys need it because `identityHashCode` can repeat after
+    * a stopped session is collected.
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Apply a SparkSessionExtensions' injected functions to a registry
     * (the session-bootstrap step, exposed for tests).
     */
