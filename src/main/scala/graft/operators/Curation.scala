@@ -331,6 +331,183 @@ object Curation {
        |SELECT source, n_in, n_kept, sum_toks
        |FROM per_kept JOIN per_in USING (source)""".stripMargin
 
+  /** The FULL pretraining-corpus build as ONE composed plan — the chain a
+    * production run executes nightly, with every stage an operator already
+    * verified on its own elsewhere in the registry:
+    *
+    *   quality gate (score ≥ 0.5, [[TextOps.docQuality]] formula)
+    *   → exact dedup (first doc_id per normalized text, [[curateE2e]])
+    *   → near-dup canonical dedup (best-quality member per MinHash/Jaccard
+    *     cluster, [[Dedup.dedupCanonical]] rule, labels from the MEMOIZED
+    *     [[Dedup.dedupClusters]] table — zero re-computation, zero scans)
+    *   → decontamination (drop training docs sharing any word-5-gram with
+    *     the doc_id < 10 benchmark set, [[Dedup.decontaminate]] rule)
+    *   → chunk (64-token windows, 48 stride — [[chunkOverlap]] geometry)
+    *   → pack (512-token sequences per source — [[packStats]] budget).
+    *
+    * Output is the per-source decision log: how many documents entered,
+    * survived each gate, and how many chunks/tokens/training sequences the
+    * survivors yield. Stage survival is computed as FLAGS over one scanned
+    * frame (window partitions include the previous stage's flag, so each
+    * window ranks only among survivors) rather than as chained filters —
+    * that is what keeps the whole chain ONE plan with no join back to a
+    * re-scanned `documents` per stage.
+    *
+    * Plan shape (pinned by CompositionSpec): exactly THREE `documents`
+    * file scans — the main flag chain, the training-side 5-gram explode
+    * (which must re-derive the canonical-survivor set: Spark subtrees
+    * referenced twice re-execute unless materialized), and the tiny
+    * benchmark-gram side. The expensive stage — near-dup label
+    * propagation — contributes NO scan: it arrives as the checkpointed
+    * memo table. At 100 TB the production move is to materialize the
+    * flagged frame once before the gram stage (the memoization pattern
+    * [[Dedup.dedupClusters]] already exhibits); kept lazy here so the
+    * registered query stays a pure one-plan composition.
+    *
+    * Everything is integer arithmetic past the quality gate, so the
+    * oracle restates the entire chain exactly (the cluster labels via the
+    * same recursive-reachability CTE the dedup oracles use).
+    */
+  def fullPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val clusters = Dedup.dedupClusters(s, dir) // memoized (doc_id, cluster_id)
+    val base = Tables.documents(s, dir)
+      .selectExpr("doc_id", "source", "text", s"${TextOps.tokensExpr} AS toks")
+      .selectExpr("doc_id", "source", "text", "toks", "size(toks) AS n_toks",
+        """CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+          | / size(toks) AS stop_ratio""".stripMargin,
+        """CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) AS DOUBLE)
+          | / length(text) AS punct_ratio""".stripMargin,
+        "CAST(least(length(text), 500) AS DOUBLE) / 500 AS len_norm")
+      .withColumn("norm", trim(regexp_replace(lower($"text"), "\\s+", " ")))
+      .selectExpr("doc_id", "source", "toks", "n_toks", "norm",
+        "0.4 * stop_ratio + 0.3 * (1 - punct_ratio) + 0.3 * len_norm AS quality_score")
+      .withColumn("q_keep", $"quality_score" >= 0.5)
+    // exact dedup among quality survivors: q_keep in the partition key
+    // restricts the rank to survivor rows without a filter+join-back
+    val wExact = Window.partitionBy($"norm", $"q_keep").orderBy($"doc_id")
+    val wCanon = Window.partitionBy($"cluster_id", $"exact_keep")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    val flagged = base
+      .withColumn("exact_keep", $"q_keep" && row_number().over(wExact) === 1)
+      .join(clusters, Seq("doc_id"))
+      .withColumn("canon_keep", $"exact_keep" && row_number().over(wCanon) === 1)
+    def grams5(df: DataFrame): DataFrame = df
+      .where("size(toks) >= 5")
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(
+          |  sequence(1, size(toks) - 4),
+          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3]))))
+          | AS gram""".stripMargin)
+    val bench = grams5(base.where($"doc_id" < 10)).select($"gram").distinct()
+    val contam = grams5(flagged.where($"canon_keep" && $"doc_id" >= 10))
+      .join(broadcast(bench), "gram")
+      .select($"doc_id").distinct()
+    val chunked = flagged
+      .join(contam.withColumn("contam", lit(true)), Seq("doc_id"), "left")
+      .withColumn("clean_keep",
+        $"canon_keep" && $"doc_id" >= 10 && $"contam".isNull)
+      .withColumn("n_chunks", expr(
+        s"""CASE WHEN clean_keep AND n_toks > 0
+           |  THEN (n_toks - 1) div $ChunkStride + 1 ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .withColumn("chunk_toks", expr(
+        s"""CASE WHEN clean_keep AND n_toks > 0
+           |  THEN aggregate(
+           |    sequence(0, CAST((n_toks - 1) div $ChunkStride AS INT)),
+           |    CAST(0 AS BIGINT),
+           |    (acc, i) -> acc + least($ChunkTokens, n_toks - i * $ChunkStride))
+           |  ELSE CAST(0 AS BIGINT) END""".stripMargin))
+    chunked.groupBy($"source").agg(
+        count(lit(1)).as("n_in"),
+        sum(when($"q_keep", 1L).otherwise(0L)).as("n_quality"),
+        sum(when($"exact_keep", 1L).otherwise(0L)).as("n_exact"),
+        sum(when($"canon_keep", 1L).otherwise(0L)).as("n_canonical"),
+        sum(when($"clean_keep", 1L).otherwise(0L)).as("n_clean"),
+        sum($"n_chunks").as("n_chunks"),
+        sum($"chunk_toks").as("n_chunk_tokens"))
+      .selectExpr("source", "n_in", "n_quality", "n_exact", "n_canonical",
+        "n_clean", "n_chunks", "n_chunk_tokens",
+        s"(n_chunk_tokens + ${PackBudget - 1}) div $PackBudget AS n_sequences",
+        s"""CASE WHEN n_chunk_tokens > 0
+           |  THEN n_chunk_tokens
+           |    - ((n_chunk_tokens + ${PackBudget - 1}) div $PackBudget - 1) * $PackBudget
+           |  ELSE CAST(0 AS BIGINT) END AS last_seq_fill""".stripMargin)
+  }
+
+  val fullPipelineSql: String =
+    s"""WITH RECURSIVE ${Dedup.pairCteSql},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |clusters AS (
+       |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |base AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, source, toks, len(toks) AS n_toks,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+       |    0.4 * (CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len(toks))
+       |      + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+       |      + 0.3 * (CAST(least(length(text), 500) AS DOUBLE) / 500) AS quality_score
+       |  FROM base),
+       |flags0 AS (SELECT *, quality_score >= 0.5 AS q_keep FROM feat),
+       |flags1 AS (
+       |  SELECT *, q_keep AND row_number() OVER (
+       |    PARTITION BY norm, q_keep ORDER BY doc_id) = 1 AS exact_keep
+       |  FROM flags0),
+       |flags2 AS (
+       |  SELECT f.*, c.cluster_id,
+       |    f.exact_keep AND row_number() OVER (
+       |      PARTITION BY c.cluster_id, f.exact_keep
+       |      ORDER BY f.quality_score DESC, f.doc_id) = 1 AS canon_keep
+       |  FROM flags1 f JOIN clusters c ON f.doc_id = c.doc_id),
+       |bench AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+       |    FROM base WHERE doc_id < 10 AND len(toks) >= 5)),
+       |contam AS (
+       |  SELECT DISTINCT g.doc_id FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+       |    FROM flags2 WHERE canon_keep AND doc_id >= 10 AND len(toks) >= 5) g
+       |  JOIN bench b ON g.gram = b.gram),
+       |cleanf AS (
+       |  SELECT f.*,
+       |    (f.canon_keep AND f.doc_id >= 10 AND co.doc_id IS NULL) AS clean_keep
+       |  FROM flags2 f LEFT JOIN contam co ON f.doc_id = co.doc_id),
+       |chunked AS (
+       |  SELECT *,
+       |    CASE WHEN clean_keep AND n_toks > 0
+       |      THEN (n_toks - 1) // $ChunkStride + 1 ELSE 0 END AS n_chunks,
+       |    CASE WHEN clean_keep AND n_toks > 0
+       |      THEN CAST(list_sum(list_transform(
+       |        range(0, (n_toks - 1) // $ChunkStride + 1),
+       |        i -> least($ChunkTokens, n_toks - i * $ChunkStride))) AS BIGINT)
+       |      ELSE 0 END AS chunk_toks
+       |  FROM cleanf)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_in,
+       |  CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN canon_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       |  CAST(sum(CASE WHEN clean_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       |  CAST(sum(chunk_toks) AS BIGINT) AS n_chunk_tokens,
+       |  (CAST(sum(chunk_toks) AS BIGINT) + ${PackBudget - 1}) // $PackBudget AS n_sequences,
+       |  CASE WHEN CAST(sum(chunk_toks) AS BIGINT) > 0
+       |    THEN CAST(sum(chunk_toks) AS BIGINT)
+       |      - ((CAST(sum(chunk_toks) AS BIGINT) + ${PackBudget - 1}) // $PackBudget - 1) * $PackBudget
+       |    ELSE 0 END AS last_seq_fill
+       |FROM chunked GROUP BY source""".stripMargin
+
   /** Systematic PPS (probability-proportional-to-size) sampling — the
     * deterministic way to subsample a corpus so each document's
     * selection odds are proportional to its token mass: lay documents
@@ -380,6 +557,7 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pps_sample" -> (ppsSample _),
     "curate_e2e_pipeline" -> (curateE2e _),
+    "curate_full_pipeline" -> (fullPipeline _),
     "curate_stratified_sample" -> (stratifiedSample _),
     "curate_quality_bins" -> (qualityBins _),
     "curate_chunks" -> (chunkOverlap _),
@@ -391,6 +569,7 @@ object Curation {
   def oracles: Map[String, String] = Map(
     "curate_pps_sample" -> ppsSampleSql,
     "curate_e2e_pipeline" -> curateE2eSql,
+    "curate_full_pipeline" -> fullPipelineSql,
     "curate_stratified_sample" -> stratifiedSampleSql,
     "curate_quality_bins" -> qualityBinsSql,
     "curate_chunks" -> chunkOverlapSql,

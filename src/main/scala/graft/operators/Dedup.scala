@@ -126,7 +126,7 @@ object Dedup {
     * source of truth for tokenization, shingle width, and the 0.2
     * threshold across the pair oracle AND the cluster oracle.
     */
-  private val pairCteSql: String =
+  private[operators] val pairCteSql: String =
     """toks AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t

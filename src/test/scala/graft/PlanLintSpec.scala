@@ -18,7 +18,8 @@ class PlanLintSpec extends AnyFunSuite {
     * lint pass over the final frame would re-run them.
     */
   private val constructionRuns: Set[String] = Set(
-    "dedup_clusters", "dedup_canonical", "graph_pagerank",
+    "dedup_clusters", "dedup_canonical", "curate_full_pipeline",
+    "graph_pagerank",
     "q_bucketed_join", "q_merge_upsert",
     "src_csv_roundtrip", "src_json_roundtrip", "src_json_extract",
     "src_orc_roundtrip", "src_partitioned_layout",
