@@ -8,74 +8,209 @@ import graft.Tables
   * payloads with a typed metadata struct, and batch-shaped decode /
   * feature-extract / frame-sample operators.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image or
-  * audio libraries exist in this container); everything around it — the
-  * schema, the binary column handling, the `mapPartitions` batch shape
-  * (the Scala analog of a vectorized/arrow UDF: process fixed-size
-  * batches, amortize per-batch model setup), the partitioning — is real
-  * and tested. Swapping the stub for a JNI/ONNX decoder changes one
-  * function.
+  * Image assets are REAL BMP binaries (24-bit uncompressed BI_RGB,
+  * little-endian headers, 4-byte-aligned bottom-up rows) built
+  * deterministically from the documents table, and [[decode]] is a
+  * genuine byte-level decoder: it parses the BITMAPFILEHEADER /
+  * BITMAPINFOHEADER fields, validates magic/bpp/compression/bounds, and
+  * walks the padded bottom-up pixel array to produce dimension and pixel
+  * statistics. A corrupt payload (bad magic, truncated array, wrong
+  * header) is dropped-and-counted, the same contract as the Avro
+  * drop-malformed path (reference semantics: kafka-storm-starter
+  * AvroDecoderBolt ignoring undecodable tuples). Audio/video payloads
+  * stay opaque (no container format in scope) — their decode is the
+  * byte-length metadata pass.
+  *
+  * Because the BMP bytes are a closed-form function of (doc_id, text
+  * byte-length), every decoded statistic — dimensions, file size, pixel
+  * sums including row padding and the bottom-up flip — is restated
+  * exactly in the DuckDB oracles; a decoder that mis-handled stride
+  * alignment or row order would hash-mismatch.
   *
   * Scale notes: payloads never enter a shuffle (all ops are narrow maps
-  * before aggregation); frame sampling explodes rows but projects the
+  * before aggregation); decode runs in fixed-size batches inside
+  * `mapPartitions` (the Scala analog of a vectorized/arrow UDF —
+  * per-batch decoder setup amortized, peak memory bounded by the batch,
+  * not the partition); frame sampling explodes rows but projects the
   * payload away first.
   */
 object Multimodal {
 
-  /** A decoded media record: fixed metadata + a small feature vector. */
-  case class Decoded(asset_id: Long, media_type: String, n_bytes: Long,
-      width: Int, height: Int, features: Array[Float])
+  /** A decoded media record: `ok=false` marks a corrupt payload (kept as
+    * a counted tombstone through the batch so drop-and-count is one
+    * pass; downstream consumers filter on `ok`). Pixel fields are zero
+    * for non-image media and for corrupt rows.
+    */
+  case class Decoded(asset_id: Long, media_type: String, ok: Boolean,
+      n_bytes: Long, width: Int, height: Int,
+      luma_sum: Long, top_row_sum: Long, features: Array[Float])
 
   case class Asset(asset_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Deterministic synthetic asset table derived from `documents`:
-    * payload = UTF-8 bytes of the text (standing in for encoded media),
-    * media_type cycles image/audio/video by doc_id.
+  // ------------------------------------------------------- BMP codec
+
+  /** Channel byte value at LOGICAL byte index j (row-major top-down,
+    * BGR interleaved): the deterministic pixel fill both the encoder
+    * and the oracle restate.
+    */
+  @inline private def channelByte(seed: Int, j: Int): Int = (seed + 31 * j) % 256
+
+  /** Row stride: 24-bit rows padded to a 4-byte boundary. */
+  @inline def bmpStride(w: Int): Int = ((3 * w + 3) / 4) * 4
+
+  /** Build a real 24-bit BI_RGB BMP: 54-byte header, positive height
+    * (= bottom-up row order), padded rows. Logical pixels are laid
+    * top-down by [[channelByte]]; the encoder writes file rows
+    * bottom-up, so decoding must un-flip to recover them.
+    */
+  def encodeBmp(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val stride = bmpStride(w)
+    val imageSize = stride * h
+    val fileSize = 54 + imageSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize).putShort(0).putShort(0).putInt(54) // offset
+    buf.putInt(40).putInt(w).putInt(h)                      // BITMAPINFOHEADER
+    buf.putShort(1).putShort(24).putInt(0).putInt(imageSize)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // bottom-up: first stored row is the last logical one
+      var xb = 0
+      while (xb < 3 * w) {
+        buf.put(channelByte(seed, y * 3 * w + xb).toByte)
+        xb += 1
+      }
+      var pad = 3 * w
+      while (pad < stride) { buf.put(0.toByte); pad += 1 }
+      fileRow += 1
+    }
+    buf.array()
+  }
+
+  /** Genuine BMP parse: header fields, validation, padded bottom-up
+    * pixel walk. Returns (width, height, luma_sum over every channel
+    * byte, channel sum of the logical TOP row — an order-sensitive stat
+    * that fails if the bottom-up flip is skipped), or None when the
+    * payload is not a well-formed 24-bit BI_RGB BMP.
+    */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+      return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val fileSize = buf.getInt(2)
+    val pixelOffset = buf.getInt(10)
+    val dibSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (fileSize != bytes.length || dibSize != 40 || planes != 1 ||
+      bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
+    val stride = bmpStride(w)
+    if (pixelOffset < 54 || pixelOffset + stride.toLong * h > bytes.length)
+      return None
+    var luma = 0L
+    var topRow = 0L
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow
+      val rowStart = pixelOffset + fileRow * stride
+      var xb = 0
+      while (xb < 3 * w) { // padding bytes excluded from the stats
+        val v = bytes(rowStart + xb) & 0xff
+        luma += v
+        if (y == 0) topRow += v
+        xb += 1
+      }
+      fileRow += 1
+    }
+    Some((w, h, luma, topRow))
+  }
+
+  /** Image geometry derived from the document: text BYTE length drives
+    * the dimensions (mirrors real corpora where asset size varies with
+    * the record), doc_id seeds the pixel fill. Every term is restated in
+    * the oracles.
+    */
+  @inline private def imgW(nTextBytes: Int): Int = 4 + nTextBytes % 29
+  @inline private def imgH(nTextBytes: Int): Int = 4 + nTextBytes % 13
+  @inline private def imgSeed(docId: Long): Int = (docId % 251).toInt
+
+  /** Every 17th image asset is corrupted (magic overwritten) — the
+    * drop-malformed fixture, like the flipped-bit Avro blobs in
+    * codec_corrupt_drop.
+    */
+  val CorruptEvery = 17
+
+  /** Deterministic asset table derived from `documents`: media_type
+    * cycles image/audio/video by doc_id; image payloads are real encoded
+    * BMPs (with the deterministic corrupt fraction), audio/video stay
+    * opaque UTF-8 bytes of the text.
     */
   def assets(s: SparkSession, dir: String): Dataset[Asset] = {
     import s.implicits._
     Tables.documents(s, dir)
-      .selectExpr("doc_id AS asset_id",
+      .selectExpr("doc_id",
         "element_at(array('image', 'audio', 'video'), CAST(doc_id % 3 AS INT) + 1) AS media_type",
-        "CAST(text AS BINARY) AS payload")
-      .as[Asset]
+        "text")
+      .as[(Long, String, String)]
+      .map { case (id, mt, text) =>
+        val tb = text.getBytes("UTF-8")
+        if (mt == "image") {
+          val bmp = encodeBmp(imgW(tb.length), imgH(tb.length), imgSeed(id))
+          if (id % CorruptEvery == 0) bmp(0) = 'X'.toByte
+          Asset(id, mt, bmp)
+        } else Asset(id, mt, tb)
+      }
   }
 
-  /** ======== STUB ========
-    * Deterministic fake decode: derives metadata + an 8-dim "feature
-    * vector" from the payload bytes. A real implementation decodes the
-    * image/audio here (e.g. via JNI); the signature and batch contract
-    * are what the pipeline depends on.
+  /** Full decode of one asset: BMP parse for images (corrupt → counted
+    * tombstone), byte-length metadata for opaque audio/video.
     */
-  def decodeStub(a: Asset): Decoded = {
-    val n = a.payload.length
-    val head = a.payload.take(16).map(_ & 0xff)
-    val feats = Array.tabulate(8)(i =>
-      (head.lift(i * 2).getOrElse(0) * 31 + head.lift(i * 2 + 1).getOrElse(0)).toFloat / 255f)
-    Decoded(a.asset_id, a.media_type, n.toLong,
-      width = 16 + (n % 240), height = 16 + (n % 135), feats)
+  def decode(a: Asset): Decoded = a.media_type match {
+    case "image" => decodeBmp(a.payload) match {
+      case Some((w, h, luma, topRow)) =>
+        val feats = Array.tabulate(8)(i =>
+          (a.payload.lift(54 + i).map(_ & 0xff).getOrElse(0)).toFloat / 255f)
+        Decoded(a.asset_id, a.media_type, ok = true, a.payload.length.toLong,
+          w, h, luma, topRow, feats)
+      case None =>
+        Decoded(a.asset_id, a.media_type, ok = false, 0L, 0, 0, 0L, 0L,
+          Array.empty[Float])
+    }
+    case _ =>
+      val head = a.payload.take(16).map(_ & 0xff)
+      val feats = Array.tabulate(8)(i =>
+        (head.lift(i * 2).getOrElse(0) * 31 + head.lift(i * 2 + 1).getOrElse(0)).toFloat / 255f)
+      Decoded(a.asset_id, a.media_type, ok = true, a.payload.length.toLong,
+        0, 0, 0L, 0L, feats)
   }
 
-  /** Batched feature extraction: mapPartitions over fixed-size batches —
-    * the Spark-side shape of a vectorized decode UDF. `batchSize` bounds
-    * peak memory per task (batch of payloads, not the whole partition).
+  /** Batched decode: mapPartitions over fixed-size batches — the Spark
+    * shape of a vectorized decode UDF. `batchSize` bounds peak memory
+    * per task (a batch of payloads, not the whole partition); per-batch
+    * decoder setup would amortize here.
     */
   def extractFeatures(in: Dataset[Asset], batchSize: Int = 64): Dataset[Decoded] = {
     import in.sparkSession.implicits._
     in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would happen here (model session, decoder ctx)
-        batch.map(decodeStub)
+        // per-batch setup would happen here (decoder ctx, model session)
+        batch.map(decode)
       }
     }
   }
 
-  /** ======== STUB ========
-    * Resize: recompute metadata for a target bounding box preserving
-    * aspect ratio; the pixel work is the stubbed part (a real decoder
-    * resamples payload bytes here), the metadata/contract is real.
+  /** Resize metadata for a target bounding box preserving aspect ratio,
+    * from the REAL decoded dimensions; never upscales. (Pixel resampling
+    * is out of scope — dims are what the packing/indexing stages
+    * consume.)
     */
-  def resizeStub(d: Decoded, maxW: Int, maxH: Int): Decoded = {
+  def resizeDims(d: Decoded, maxW: Int, maxH: Int): Decoded = {
     val scale = math.min(maxW.toDouble / d.width, maxH.toDouble / d.height)
     if (scale >= 1.0) d
     else d.copy(
@@ -86,10 +221,10 @@ object Multimodal {
   /** Batched resize over decoded assets — same mapPartitions batch shape
     * as extraction; composes after [[extractFeatures]].
     */
-  def resizeAll(in: Dataset[Decoded], maxW: Int = 64, maxH: Int = 64,
+  def resizeAll(in: Dataset[Decoded], maxW: Int = 16, maxH: Int = 16,
       batchSize: Int = 64): Dataset[Decoded] = {
     import in.sparkSession.implicits._
-    in.mapPartitions(_.grouped(batchSize).flatMap(_.map(resizeStub(_, maxW, maxH))))
+    in.mapPartitions(_.grouped(batchSize).flatMap(_.map(resizeDims(_, maxW, maxH))))
   }
 
   /** Frame sampling for video assets: one row per sampled frame index.
@@ -105,68 +240,119 @@ object Multimodal {
       s"explode(sequence(0, CAST(n_bytes / 100 AS INT), $everyNth)) AS frame_idx")
   }
 
+  // -------------------------------------------- oracle helper fragments
+
+  /** DuckDB restatement of the image geometry (w/h/stride/file size from
+    * the text byte length; strlen = BYTES in DuckDB).
+    */
+  private val duckGeom =
+    """SELECT doc_id,
+      |    4 + strlen(text) % 29 AS w, 4 + strlen(text) % 13 AS h,
+      |    CAST(doc_id % 251 AS INTEGER) AS seed,
+      |    doc_id % 17 = 0 AS corrupt
+      |  FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   /** Driver-contract query: per-media-type stats AFTER the binary
-    * round-trip + batched decode. n_bytes comes out of the decoded
-    * payload, so the oracle (strlen on the source text) only matches if
-    * the binary plumbing is lossless.
+    * round-trip + batched decode, with corrupt images dropped-and-
+    * counted. For images, sum_bytes is the DECODED file size (header +
+    * padded rows), so the oracle only matches if the encoder, the
+    * stride/padding arithmetic, and the validation all agree byte-for-
+    * byte; audio/video sum_bytes is the opaque byte length.
     */
   def assetStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     extractFeatures(assets(s, dir)).toDF()
       .groupBy($"media_type")
-      .agg(count(lit(1)).as("n_assets"), sum($"n_bytes").as("sum_bytes"))
+      .agg(sum(when($"ok", 1L).otherwise(0L)).as("n_assets"),
+        sum(when(!$"ok", 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when($"ok", $"n_bytes").otherwise(0L)).as("sum_bytes"))
   }
 
   val assetStatsSql: String =
-    """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-      |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  count(*) AS n_assets, CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
-      |FROM documents
-      |GROUP BY 1""".stripMargin
+    s"""WITH geom AS (
+       |  $duckGeom),
+       |img AS (
+       |  SELECT CAST(sum(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_assets,
+       |    CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       |    CAST(sum(CASE WHEN NOT corrupt
+       |      THEN 54 + ((3 * w + 3) // 4 * 4) * h ELSE 0 END) AS BIGINT) AS sum_bytes
+       |  FROM geom),
+       |av AS (
+       |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    CAST(count(*) AS BIGINT) AS n_assets, CAST(0 AS BIGINT) AS n_corrupt,
+       |    CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
+       |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1)
+       |SELECT 'image' AS media_type, n_assets, n_corrupt, sum_bytes FROM img
+       |UNION ALL SELECT media_type, n_assets, n_corrupt, sum_bytes FROM av""".stripMargin
 
-  /** Driver-contract query through decode → resize: per-media-type sums
-    * of the resized dimensions. The dimension formulas are integer/
-    * double arithmetic on byte counts, so the oracle restates them in
-    * SQL — a mismatch would mean the batched resize plumbing altered
-    * rows or dropped the aspect-ratio contract.
+  /** Driver-contract query through decode → resize: sums of the resized
+    * dimensions over decodable images, target box 16×16. Real decoded
+    * dims feed the aspect-ratio arithmetic; the oracle restates both.
     */
   def resizedDims(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    resizeAll(extractFeatures(assets(s, dir))).toDF()
+    resizeAll(extractFeatures(assets(s, dir)).filter(d => d.ok && d.media_type == "image"))
+      .toDF()
       .groupBy($"media_type")
       .agg(count(lit(1)).as("n_assets"),
         sum($"width").as("sum_w"), sum($"height").as("sum_h"))
   }
 
   val resizedDimsSql: String =
-    """WITH decoded AS (
-      |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-      |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |    16 + (strlen(text) % 240) AS w, 16 + (strlen(text) % 135) AS h
-      |  FROM documents),
-      |resized AS (
-      |  SELECT media_type,
-      |    CASE WHEN least(64.0 / w, 64.0 / h) >= 1.0 THEN w
-      |         ELSE greatest(1, CAST(trunc(w * least(64.0 / w, 64.0 / h)) AS INT)) END AS w,
-      |    CASE WHEN least(64.0 / w, 64.0 / h) >= 1.0 THEN h
-      |         ELSE greatest(1, CAST(trunc(h * least(64.0 / w, 64.0 / h)) AS INT)) END AS h
-      |  FROM decoded)
-      |SELECT media_type, count(*) AS n_assets,
-      |  CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h
-      |FROM resized GROUP BY media_type""".stripMargin
+    s"""WITH geom AS (
+       |  $duckGeom),
+       |resized AS (
+       |  SELECT
+       |    CASE WHEN least(16.0 / w, 16.0 / h) >= 1.0 THEN w
+       |         ELSE greatest(1, CAST(trunc(w * least(16.0 / w, 16.0 / h)) AS INT)) END AS w,
+       |    CASE WHEN least(16.0 / w, 16.0 / h) >= 1.0 THEN h
+       |         ELSE greatest(1, CAST(trunc(h * least(16.0 / w, 16.0 / h)) AS INT)) END AS h
+       |  FROM geom WHERE NOT corrupt)
+       |SELECT 'image' AS media_type, count(*) AS n_assets,
+       |  CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h
+       |FROM resized""".stripMargin
+
+  /** Pixel-level proof query: corpus-wide sums of the decoded pixel
+    * statistics. `sum_luma` is every channel byte of every decodable
+    * image; `sum_top_row` is the channel sum of each image's logical TOP
+    * row — the stored BOTTOM row of the file, so this hash-matches only
+    * if the decoder honors BMP's bottom-up row order and skips the
+    * per-row padding. The oracle recomputes both from the closed-form
+    * pixel fill.
+    */
+  def pixelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(assets(s, dir)).toDF()
+      .where($"ok" && $"media_type" === "image")
+      .agg(count(lit(1)).as("n_images"),
+        sum($"luma_sum").as("sum_luma"),
+        sum($"top_row_sum").as("sum_top_row"))
+  }
+
+  val pixelStatsSql: String =
+    s"""WITH geom AS (
+       |  $duckGeom)
+       |SELECT CAST(count(*) AS BIGINT) AS n_images,
+       |  CAST(sum(list_sum(list_transform(range(0, 3 * w * h),
+       |    j -> (seed + 31 * j) % 256))) AS BIGINT) AS sum_luma,
+       |  CAST(sum(list_sum(list_transform(range(0, 3 * w),
+       |    j -> (seed + 31 * j) % 256))) AS BIGINT) AS sum_top_row
+       |FROM geom WHERE NOT corrupt""".stripMargin
 
   /** Image–caption pair mining — the multimodal training-pair
-    * construction step: image assets joined to quality-gated captions
-    * (English, ≥20 tokens), summarized per source. The payload never
-    * enters the join (only its byte length is projected), which is the
-    * rule for any multimodal join at 100 TB: metadata moves, blobs
-    * stay put until the final pair materialization.
+    * construction step: decodable image assets joined to quality-gated
+    * captions (English, ≥20 tokens), summarized per source. The payload
+    * never enters the join (only its decoded byte length is projected),
+    * which is the rule for any multimodal join at 100 TB: metadata
+    * moves, blobs stay put until the final pair materialization.
+    * Corrupt images drop out of the pairing, as they would in
+    * production.
     */
   def captionPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val imgs = assets(s, dir).toDF()
-      .where($"media_type" === "image")
-      .select($"asset_id", length($"payload").as("n_bytes"))
+    val imgs = extractFeatures(assets(s, dir)).toDF()
+      .where($"ok" && $"media_type" === "image")
+      .select($"asset_id", $"n_bytes")
     val caps = Tables.documents(s, dir)
       .where($"lang" === "en")
       .selectExpr("doc_id", "source", s"size(${TextOps.tokensExpr}) AS n_toks")
@@ -180,22 +366,25 @@ object Multimodal {
 
   val captionPairsSql: String =
     s"""SELECT source, count(*) AS n_pairs,
-       |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+       |  CAST(sum(54 + ((3 * (4 + strlen(text) % 29) + 3) // 4 * 4)
+       |    * (4 + strlen(text) % 13)) AS BIGINT) AS sum_bytes,
        |  CAST(sum(n_toks) AS BIGINT) AS sum_caption_toks
        |FROM (
        |  SELECT doc_id, source, text, len(${TextOps.duckTokensExpr}) AS n_toks
        |  FROM documents
-       |  WHERE lang = 'en' AND doc_id % 3 = 0)
+       |  WHERE lang = 'en' AND doc_id % 3 = 0 AND doc_id % 17 <> 0)
        |WHERE n_toks >= 20
        |GROUP BY source""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_asset_stats" -> (assetStats _),
     "mm_resized_dims" -> (resizedDims _),
+    "mm_pixel_stats" -> (pixelStats _),
     "mm_caption_pairs" -> (captionPairs _))
 
   def oracles: Map[String, String] = Map(
     "mm_asset_stats" -> assetStatsSql,
     "mm_resized_dims" -> resizedDimsSql,
+    "mm_pixel_stats" -> pixelStatsSql,
     "mm_caption_pairs" -> captionPairsSql)
 }

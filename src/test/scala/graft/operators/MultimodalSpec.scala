@@ -15,22 +15,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ds.count() == graft.Tables.documents(spark, sf).count())
   }
 
-  test("decode stub is deterministic and feature shape is fixed") {
-    val a = Multimodal.Asset(7L, "image", "hello world".getBytes("UTF-8"))
-    val d1 = Multimodal.decodeStub(a)
-    val d2 = Multimodal.decodeStub(a)
-    assert(d1.features.toSeq == d2.features.toSeq)
-    assert(d1.features.length == 8)
-    assert(d1.n_bytes == 11L)
+  test("bmp round-trip: hand-computed 2x2 image decodes exactly") {
+    // w=2 → row bytes 6, stride 8 (2 pad bytes per row); h=2, seed=10.
+    // Logical channel bytes j=0..11: (10+31j)%256 =
+    //   10,41,72,103,134,165 (top row)  196,227,2,33,64,95 (bottom row)
+    val bytes = Multimodal.encodeBmp(2, 2, 10)
+    assert(bytes.length == 54 + 8 * 2)
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    // file stores bottom-up: first stored row is the logical BOTTOM row
+    assert((bytes(54) & 0xff) == 196)
+    assert((bytes(54 + 8) & 0xff) == 10) // second stored row = top row
+    assert(bytes(54 + 6) == 0 && bytes(54 + 7) == 0) // row padding
+    val Some((w, h, luma, top)) = Multimodal.decodeBmp(bytes)
+    assert(w == 2 && h == 2)
+    assert(luma == 10 + 41 + 72 + 103 + 134 + 165 + 196 + 227 + 2 + 33 + 64 + 95)
+    assert(top == 10 + 41 + 72 + 103 + 134 + 165) // un-flipped top row
+  }
+
+  test("decoder rejects corrupt payloads: bad magic, truncation, wrong bpp") {
+    val good = Multimodal.encodeBmp(5, 3, 77)
+    assert(Multimodal.decodeBmp(good).isDefined)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeBmp(badMagic).isEmpty)
+    assert(Multimodal.decodeBmp(good.take(40)).isEmpty)
+    assert(Multimodal.decodeBmp(good.take(good.length - 1)).isEmpty)
+    val badBpp = good.clone(); badBpp(28) = 8.toByte
+    assert(Multimodal.decodeBmp(badBpp).isEmpty)
+    val d = Multimodal.decode(Multimodal.Asset(1L, "image", badMagic))
+    assert(!d.ok && d.luma_sum == 0L)
   }
 
   test("batched extraction preserves every row and respects batch bound") {
     import spark.implicits._
     val n = 200
     val in = spark.createDataset((1 to n).map(i =>
-      Multimodal.Asset(i.toLong, "image", s"payload$i".getBytes("UTF-8"))))
-    // batch bound: a partition iterator grouped by 64 must never see a
-    // larger group — verified via mapPartitions with the same grouping
+      Multimodal.Asset(i.toLong, "audio", s"payload$i".getBytes("UTF-8"))))
     val maxBatch = in.mapPartitions(_.grouped(64).map(_.size))
       .collect().max
     assert(maxBatch <= 64)
@@ -39,23 +58,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.collect().forall(_.features.length == 8))
   }
 
+  test("corpus decode: corrupt images dropped-and-counted, dims real") {
+    import spark.implicits._
+    val decoded = Multimodal.extractFeatures(Multimodal.assets(spark, sf))
+    val imgs = decoded.filter(d => d.media_type == "image").collect()
+    val (ok, bad) = imgs.partition(_.ok)
+    assert(bad.nonEmpty && bad.forall(_.asset_id % Multimodal.CorruptEvery == 0))
+    assert(ok.forall(d => d.width >= 4 && d.width <= 32 &&
+      d.height >= 4 && d.height <= 16))
+    assert(ok.forall(_.luma_sum > 0))
+    // non-image media decode to metadata-only rows, never corrupt
+    assert(decoded.filter(d => d.media_type != "image").collect()
+      .forall(d => d.ok && d.width == 0))
+  }
+
   test("resize: aspect ratio preserved, never upscales, bounded by target box") {
-    val d = Multimodal.Decoded(1L, "image", 100L, 200, 100, Array.fill(8)(0f))
-    val r = Multimodal.resizeStub(d, 64, 64)
+    val d = Multimodal.Decoded(1L, "image", true, 100L, 200, 100, 0L, 0L,
+      Array.fill(8)(0f))
+    val r = Multimodal.resizeDims(d, 64, 64)
     assert(r.width == 64 && r.height == 32) // 200x100 -> 64x32 (ratio kept)
-    val small = Multimodal.Decoded(2L, "image", 10L, 30, 20, Array.fill(8)(0f))
-    assert(Multimodal.resizeStub(small, 64, 64) == small) // no upscale
-    // batched path preserves count
+    val small = Multimodal.Decoded(2L, "image", true, 10L, 30, 20, 0L, 0L,
+      Array.fill(8)(0f))
+    assert(Multimodal.resizeDims(small, 64, 64) == small) // no upscale
     import spark.implicits._
     val ds = spark.createDataset(Seq(d, small))
-    assert(Multimodal.resizeAll(ds).count() == 2)
+    assert(Multimodal.resizeAll(ds, 64, 64).count() == 2)
   }
 
   test("frame sampling never carries the payload through the explode") {
     val df = Multimodal.sampleFrames(spark, sf)
     assert(!df.columns.contains("payload"))
     assert(df.count() > 0)
-    // video assets only
     val vids = Multimodal.assets(spark, sf).filter(_.media_type == "video").count()
     assert(df.select("asset_id").distinct().count() == vids)
   }
