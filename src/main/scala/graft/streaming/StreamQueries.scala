@@ -428,6 +428,95 @@ object StreamQueries {
     runDeltaLog(ev, "append", Nil)
   }
 
+  /** Per-bucket LSH state: the (doc_id, signature) members seen so far
+    * in one band bucket. Bounded by construction — LSH band keys spread
+    * the corpus across O(distinct signatures) buckets, so membership is
+    * the bucket's collision count, not the corpus; [[NearDupMaxBucket]]
+    * hard-caps it as backpressure against a degenerate key (at which
+    * point the bucket is saturated and further members are compared but
+    * not retained — production would also TTL members by event-time
+    * watermark once the upstream guarantees bounded disorder).
+    */
+  case class NearDupState(members: List[(Long, Array[Long])])
+
+  val NearDupMaxBucket = 4096
+
+  /** Streaming MinHash-LSH near-dup dedup — the keep/drop decision made
+    * AT INGEST, across triggers, with per-bucket bounded state:
+    * signatures are computed in the micro-batch plan (the same native
+    * `minhash_sig` codegen expression the batch pipeline uses — a
+    * stateless narrow map), each document fans out to its 16 band-bucket
+    * keys, and a `flatMapGroupsWithState` keyed on the bucket compares
+    * each arrival against the bucket's members, emitting a DROP decision
+    * (victim = larger doc_id, witness = smaller) whenever the full-
+    * signature estimated Jaccard clears the batch pipeline's 0.5 bar.
+    *
+    * Drop decisions are MONOTONE facts (a near-dup pair, once both sides
+    * have arrived, stays a near-dup forever), so they append to the
+    * delta log and the final keep set — every document minus the
+    * distinct victims — is arrival-order-independent and equals the
+    * batch [[graft.operators.Dedup.minhashLsh]] keep set exactly: same
+    * shingles, same 64 permutations, same banding, same verification
+    * threshold, which is what the DuckDB oracle restates.
+    */
+  def streamNearDup(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val path = s"$dir/documents.parquet"
+      val src = stageAsDirParts(s, path, 4)
+      val schema = s.read.parquet(src).schema
+      val bands = graft.functions.Hashing.Bands
+      val rpb = graft.functions.Hashing.RowsPerBand
+      val sigs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"doc_id",
+          graft.functions.MinHashSigExpr.minhash_sig($"text").as("sig"))
+        .where($"sig".isNotNull)
+      // band index folded into the key so cross-band value collisions
+      // can't alias (the batch join keys on (band, bucket) identically)
+      val bandKeys = array((0 until bands).map { b =>
+        concat_ws(":", lit(b.toString) +:
+          (1 to rpb).map(r => element_at($"sig", b * rpb + r).cast("string")): _*)
+      }: _*)
+      val keyed = sigs
+        .select($"doc_id", $"sig", explode(bandKeys).as("bkey"))
+        .select($"bkey", $"doc_id", $"sig")
+        .as[(String, Long, Array[Long])]
+      def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+        var m = 0; var i = 0
+        while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
+        m.toDouble / a.length
+      }
+      val drops = keyed.groupByKey(_._1)
+        .flatMapGroupsWithState[NearDupState, (Long, Long, Double)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: String, rows: Iterator[(String, Long, Array[Long])],
+              state: GroupState[NearDupState]) =>
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+            rows.foreach { case (_, docId, sig) =>
+              members.foreach { case (mId, mSig) =>
+                if (mId != docId) {
+                  val e = estJaccard(sig, mSig)
+                  if (e >= 0.5)
+                    out += ((math.max(docId, mId), math.min(docId, mId), e))
+                }
+              }
+              if (members.size < NearDupMaxBucket)
+                members = (docId, sig) :: members
+            }
+            state.update(NearDupState(members))
+            out.iterator
+        }
+        .toDF("victim_doc_id", "witness_doc_id", "est_jaccard")
+      val victims = runDeltaLog(drops, "append", Nil)
+        .select($"victim_doc_id").distinct()
+      graft.Tables.documents(s, dir).select($"doc_id")
+        .join(victims, $"doc_id" === $"victim_doc_id", "left_anti")
+        .select($"doc_id".as("kept_doc_id"))
+    }
+
   /** Stage a table as N IDENTICAL file copies — a duplicated feed (the
     * at-least-once upstream a streaming dedup exists to absorb). Keyed
     * negative-n in the memo so it can't collide with the repartition
@@ -587,6 +676,7 @@ object StreamQueries {
     "stream_interval_count" -> (streamIntervalCount _),
     "stream_session_stats" -> (streamSessionStats _),
     "stream_dedup_exact" -> (streamDedupExact _),
+    "stream_neardup" -> (streamNearDup _),
     "stream_click_attribution" -> (streamClickAttribution _),
     "stream_mv_counts" -> (streamMvCounts _),
     "stream_hourly_counts" -> (streamHourlyCounts _),
@@ -609,6 +699,12 @@ object StreamQueries {
     "stream_interval_count" -> graft.operators.EventOps.intervalCountSql,
     "stream_session_stats" -> graft.operators.EventOps.sessionStatsSql,
     "stream_dedup_exact" -> graft.operators.Dedup.exactDedupSql,
+    // keep set = documents minus the larger side of every verified
+    // near-dup pair — the batch MinHash-LSH pipeline restated whole
+    "stream_neardup" ->
+      s"""SELECT d.doc_id AS kept_doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT doc_b FROM (${graft.operators.Dedup.minhashLshSql}) p)""".stripMargin,
     "stream_click_attribution" -> streamClickAttributionSql,
     "stream_mv_counts" -> streamMvCountsSql,
     "stream_hourly_counts" -> graft.operators.EventOps.hourlyCountsSql,
