@@ -29,6 +29,60 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(salts == 8, s"hot key only spread over $salts salts")
   }
 
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    // The runtime half of the skew story: salting (above) is the
+    // plan-level tool; AQE's skew-join split is what handles a hot key
+    // discovered only at execution. Force a sort-merge join over a
+    // power-law key with test-scale skew thresholds and assert the
+    // FINAL adaptive plan actually marked the join skewed — i.e. the
+    // hot partition was split instead of landing on one reducer.
+    import spark.implicits._
+    val s = spark
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // production defaults (256 MB / 64 MB) scaled to fixture bytes;
+    // the 5x-of-median skew factor is left at its default — the hot
+    // key must clear it on its own
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // 80% of left rows share key 1; the rest spread over 40k keys.
+      // The payload must be INCOMPRESSIBLE (sha2, not a repeated pad
+      // string — lz4 crushed a padded hot partition to 60 KB, under the
+      // 5x-of-median factor) and must flow THROUGH the join (a
+      // projection that drops it before the shuffle leaves only 8-byte
+      // keys moving, and the skew disappears with it) — both found
+      // empirically; map-stats bytes, not row counts, are what AQE
+      // judges skew on.
+      val left = s.range(0, 200000)
+        .select(when($"id" % 5 =!= 0, lit(1L)).otherwise($"id").as("k"),
+          concat(sha2($"id".cast("string"), 256),
+            sha2(concat($"id".cast("string"), lit("x")), 256)).as("lv"))
+      val right = s.range(0, 2000).select($"id".as("k"), ($"id" * 2).as("rv"))
+      // collect() executes THIS QueryExecution (count() would plan a
+      // separate one and the final adaptive plan would never form here)
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length($"lv")).as("b"))
+      val row = joined.collect()(0)
+      assert(row.getLong(0) == 160000L + 400L)
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the sort-merge join skewed:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   test("bucketed tables co-locate: join has no shuffle exchange") {
     import spark.implicits._
     val s = spark
