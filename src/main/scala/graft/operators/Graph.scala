@@ -60,9 +60,16 @@ object Graph {
     *   rₜ₊₁(v) = round(0.15/n + 0.85 · Σ_{u→v} round(rₜ(u)·w_uv, 9), 9)
     *   w_uv     = cnt(u,v) / out_cnt(u)   (double division)
     */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankOnEdges(tokenEdges(s, dir))
+
+  /** Graph-generic core: any (src, dst, cnt) edge list plugs in (the
+    * scale-growth spec drives it with synthetic graphs at 1× and 10×).
+    */
+  def pagerankOnEdges(rawEdges: DataFrame, iters: Int = Iters): DataFrame = {
+    val s = rawEdges.sparkSession
     import s.implicits._
-    val edges = tokenEdges(s, dir).localCheckpoint()
+    val edges = rawEdges.localCheckpoint()
     val outW = edges.groupBy($"src").agg(sum($"cnt").as("oc"))
     val weighted = edges.join(outW, "src")
       .select($"src", $"dst",
@@ -79,7 +86,7 @@ object Graph {
     // (edges/weights/nodes) ARE checkpointed above, so the deep plan
     // bottoms out in pinned blocks; checkpoint every `CkptEvery` rounds
     // only to bound analysis depth on much larger iteration budgets.
-    for (i <- 1 to Iters) {
+    for (i <- 1 to iters) {
       val contribs = weighted.join(ranks, $"src" === $"node")
         .select($"dst",
           round($"rank" * $"w", 9).cast("decimal(18,9)").as("c"))
@@ -89,7 +96,7 @@ object Graph {
           round(lit(0.15 / n) +
             lit(0.85) * coalesce($"csum".cast("double"), lit(0.0)), 9)
             .as("rank"))
-      if (i % CkptEvery == 0 && i < Iters) ranks = ranks.localCheckpoint()
+      if (i % CkptEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select($"node", $"rank")
   }
