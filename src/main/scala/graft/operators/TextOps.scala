@@ -561,6 +561,85 @@ object TextOps {
       |JOIN norms nb ON nb.doc_id = d.doc_b
       |ORDER BY cosine DESC, d.doc_a, d.doc_b LIMIT 20""".stripMargin
 
+  // ----------------------------------- unbounded all-pairs cosine (AllPairs)
+
+  /** L2-normalize sparse vectors (doc_id, term, w) to unit norm. */
+  private def l2normalize(vectors: DataFrame): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val norms = vectors.groupBy($"doc_id")
+      .agg(sqrt(sum($"w" * $"w")).as("nrm"))
+    vectors.join(norms, "doc_id")
+      .select($"doc_id", $"term", ($"w" / $"nrm").as("w"))
+  }
+
+  /** AllPairs / positional prefix-filter candidate generation (Bayardo,
+    * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW'07;
+    * maxweight suffix bound) — the HONEST unbounded form of the sparse
+    * similarity join, for corpora whose vocabulary actually prunes
+    * (Zipfian df): [[tfidfCosineTopk]] documents why the registered
+    * contract query is the QUERY-BOUNDED crossover instead (this
+    * corpus's ~40-word flat vocabulary defeats any prefix filter — every
+    * pair shares every high-weight term, so the candidate set IS n²
+    * and no algorithm avoids it; on a Zipf vocabulary this operator's
+    * candidate count is near-linear, which AllPairsCosineSpec pins).
+    *
+    * Soundness: unit-norm vectors, canonical term order = (df ASC,
+    * term) — rare terms first, so prefixes hold rare terms. With
+    * suffix bound S_i = Σ_{j≥i} w_j·maxw(t_j) (positions in canonical
+    * order within the doc), position i is INDEXED iff S_i ≥ t. If a
+    * pair's shared terms all fall outside doc a's prefix, then
+    * cos(a,b) ≤ Σ_shared w_a·maxw ≤ S_{p_a+1} < t — so every pair at
+    * or above threshold shares at least one term indexed by each side;
+    * joining prefix(a) × full(b) is therefore a complete candidate set.
+    *
+    * Scale shape: df/maxweight is one vocab aggregate; suffix bounds
+    * are per-doc windows (doc-sized partitions); candidates come from
+    * ONE inverted-index equi-join on the term whose left side only
+    * carries prefix entries. No driver state, no n² stage — the
+    * candidate count is data-adaptive.
+    */
+  def allPairsCandidates(vectors: DataFrame, threshold: Double): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vecs = l2normalize(vectors).localCheckpoint()
+    val stats = vecs.groupBy($"term")
+      .agg(count(lit(1)).as("df"), max($"w").as("mw"))
+    val win = Window.partitionBy($"doc_id").orderBy($"df".asc, $"term".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefixIdx = vecs.join(stats, "term")
+      .withColumn("sfx", sum($"w" * $"mw").over(win))
+      .where($"sfx" >= threshold)
+      .select($"doc_id".as("p_doc"), $"term")
+    prefixIdx
+      .join(vecs.select($"doc_id".as("f_doc"), $"term"), "term")
+      .where($"p_doc" =!= $"f_doc")
+      .select(least($"p_doc", $"f_doc").as("doc_a"),
+        greatest($"p_doc", $"f_doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact all-pairs cosine ≥ threshold: prefix-filtered candidates
+    * verified with the full dot product (each doc's vector carried once
+    * as a map column — candidate verification is two map lookups, never
+    * a re-join through the inverted index).
+    */
+  def allPairsCosine(vectors: DataFrame, threshold: Double): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val maps = l2normalize(vectors).groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"term", $"w"))).as("vec"))
+    allPairsCandidates(vectors, threshold)
+      .join(maps.select($"doc_id".as("doc_a"), $"vec".as("va")), "doc_a")
+      .join(maps.select($"doc_id".as("doc_b"), $"vec".as("vb")), "doc_b")
+      .withColumn("cosine", expr(
+        """aggregate(map_entries(va), CAST(0 AS DOUBLE),
+          |  (acc, e) -> acc + e.value * coalesce(vb[e.key], CAST(0 AS DOUBLE)))""".stripMargin))
+      .where($"cosine" >= threshold)
+      .select($"doc_a", $"doc_b", $"cosine")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
     "doc_lm_nll" -> (docLmNll _),
