@@ -14,12 +14,13 @@ import graft.Tables
   * genuine byte-level decoder: it parses the BITMAPFILEHEADER /
   * BITMAPINFOHEADER fields, validates magic/bpp/compression/bounds, and
   * walks the padded bottom-up pixel array to produce dimension and pixel
-  * statistics. A corrupt payload (bad magic, truncated array, wrong
-  * header) is dropped-and-counted, the same contract as the Avro
-  * drop-malformed path (reference semantics: kafka-storm-starter
-  * AvroDecoderBolt ignoring undecodable tuples). Audio/video payloads
-  * stay opaque (no container format in scope) — their decode is the
-  * byte-length metadata pass.
+  * statistics. Audio assets are REAL RIFF/WAVE PCM16 binaries and their
+  * decode is a genuine chunk parse + sample walk. A corrupt payload
+  * (bad magic, truncated array, wrong header) is dropped-and-counted,
+  * the same contract as the Avro drop-malformed path (reference
+  * semantics: kafka-storm-starter AvroDecoderBolt ignoring undecodable
+  * tuples). Video payloads stay opaque (no container format in scope)
+  * — their decode is the byte-length metadata pass.
   *
   * Because the BMP bytes are a closed-form function of (doc_id, text
   * byte-length), every decoded statistic — dimensions, file size, pixel
@@ -43,7 +44,8 @@ object Multimodal {
     */
   case class Decoded(asset_id: Long, media_type: String, ok: Boolean,
       n_bytes: Long, width: Int, height: Int,
-      luma_sum: Long, top_row_sum: Long, features: Array[Float])
+      luma_sum: Long, top_row_sum: Long,
+      n_samples: Int, amp_sum: Long, features: Array[Float])
 
   case class Asset(asset_id: Long, media_type: String, payload: Array[Byte])
 
@@ -140,16 +142,75 @@ object Multimodal {
   @inline private def imgH(nTextBytes: Int): Int = 4 + nTextBytes % 13
   @inline private def imgSeed(docId: Long): Int = (docId % 251).toInt
 
-  /** Every 17th image asset is corrupted (magic overwritten) — the
-    * drop-malformed fixture, like the flipped-bit Avro blobs in
-    * codec_corrupt_drop.
+  /** Every 17th image / 23rd audio asset is corrupted (magic
+    * overwritten) — the drop-malformed fixture, like the flipped-bit
+    * Avro blobs in codec_corrupt_drop.
     */
   val CorruptEvery = 17
+  val CorruptEveryAudio = 23
+
+  // ------------------------------------------------------- WAV codec
+
+  /** PCM16 sample value at index i — the deterministic fill both the
+    * encoder and the oracle restate.
+    */
+  @inline private def sampleVal(seed: Int, i: Int): Int =
+    (seed + 31 * i) % 65536 - 32768
+
+  @inline private def audN(nTextBytes: Int): Int = 50 + nTextBytes % 211
+  @inline private def audSeed(docId: Long): Int = (docId % 9973).toInt
+
+  /** Build a real canonical 44-byte-header RIFF/WAVE file: PCM (format
+    * 1), mono, 8 kHz, 16-bit little-endian samples.
+    */
+  def encodeWav(n: Int, seed: Int): Array[Byte] = {
+    val dataSize = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1).putInt(8000).putInt(16000)
+    buf.putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { buf.putShort(sampleVal(seed, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Genuine WAV parse: RIFF/WAVE magics, fmt chunk validation (PCM,
+    * mono, 16-bit), data chunk bounds, then the sample walk. Returns
+    * (n_samples, sum of |amplitude|) or None for malformed payloads.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Long)] = {
+    if (bytes.length < 44) return None
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE" || tag(12) != "fmt " ||
+      tag(36) != "data") return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val chunkSize = buf.getInt(4)
+    val fmtSize = buf.getInt(16)
+    val fmt = buf.getShort(20)
+    val channels = buf.getShort(22)
+    val bits = buf.getShort(34)
+    val dataSize = buf.getInt(40)
+    if (chunkSize != bytes.length - 8 || fmtSize != 16 || fmt != 1 ||
+      channels != 1 || bits != 16 || dataSize < 0 ||
+      44L + dataSize != bytes.length || dataSize % 2 != 0) return None
+    val n = dataSize / 2
+    var amp = 0L
+    var i = 0
+    while (i < n) { amp += math.abs(buf.getShort(44 + 2 * i).toLong); i += 1 }
+    Some((n, amp))
+  }
 
   /** Deterministic asset table derived from `documents`: media_type
     * cycles image/audio/video by doc_id; image payloads are real encoded
-    * BMPs (with the deterministic corrupt fraction), audio/video stay
-    * opaque UTF-8 bytes of the text.
+    * BMPs, audio payloads real encoded PCM16 WAVs (each with its
+    * deterministic corrupt fraction); video stays opaque UTF-8 bytes
+    * (no container format in scope — its decode is the byte-length
+    * metadata pass).
     */
   def assets(s: SparkSession, dir: String): Dataset[Asset] = {
     import s.implicits._
@@ -160,16 +221,23 @@ object Multimodal {
       .as[(Long, String, String)]
       .map { case (id, mt, text) =>
         val tb = text.getBytes("UTF-8")
-        if (mt == "image") {
-          val bmp = encodeBmp(imgW(tb.length), imgH(tb.length), imgSeed(id))
-          if (id % CorruptEvery == 0) bmp(0) = 'X'.toByte
-          Asset(id, mt, bmp)
-        } else Asset(id, mt, tb)
+        mt match {
+          case "image" =>
+            val bmp = encodeBmp(imgW(tb.length), imgH(tb.length), imgSeed(id))
+            if (id % CorruptEvery == 0) bmp(0) = 'X'.toByte
+            Asset(id, mt, bmp)
+          case "audio" =>
+            val wav = encodeWav(audN(tb.length), audSeed(id))
+            if (id % CorruptEveryAudio == 0) wav(0) = 'X'.toByte
+            Asset(id, mt, wav)
+          case _ => Asset(id, mt, tb)
+        }
       }
   }
 
-  /** Full decode of one asset: BMP parse for images (corrupt → counted
-    * tombstone), byte-length metadata for opaque audio/video.
+  /** Full decode of one asset: BMP parse for images, WAV parse for
+    * audio (corrupt → counted tombstone either way), byte-length
+    * metadata for opaque video.
     */
   def decode(a: Asset): Decoded = a.media_type match {
     case "image" => decodeBmp(a.payload) match {
@@ -177,18 +245,28 @@ object Multimodal {
         val feats = Array.tabulate(8)(i =>
           (a.payload.lift(54 + i).map(_ & 0xff).getOrElse(0)).toFloat / 255f)
         Decoded(a.asset_id, a.media_type, ok = true, a.payload.length.toLong,
-          w, h, luma, topRow, feats)
-      case None =>
-        Decoded(a.asset_id, a.media_type, ok = false, 0L, 0, 0, 0L, 0L,
-          Array.empty[Float])
+          w, h, luma, topRow, 0, 0L, feats)
+      case None => corrupt(a)
+    }
+    case "audio" => decodeWav(a.payload) match {
+      case Some((n, amp)) =>
+        val feats = Array.tabulate(8)(i =>
+          (a.payload.lift(44 + i).map(_ & 0xff).getOrElse(0)).toFloat / 255f)
+        Decoded(a.asset_id, a.media_type, ok = true, a.payload.length.toLong,
+          0, 0, 0L, 0L, n, amp, feats)
+      case None => corrupt(a)
     }
     case _ =>
       val head = a.payload.take(16).map(_ & 0xff)
       val feats = Array.tabulate(8)(i =>
         (head.lift(i * 2).getOrElse(0) * 31 + head.lift(i * 2 + 1).getOrElse(0)).toFloat / 255f)
       Decoded(a.asset_id, a.media_type, ok = true, a.payload.length.toLong,
-        0, 0, 0L, 0L, feats)
+        0, 0, 0L, 0L, 0, 0L, feats)
   }
+
+  private def corrupt(a: Asset): Decoded =
+    Decoded(a.asset_id, a.media_type, ok = false, 0L, 0, 0, 0L, 0L, 0, 0L,
+      Array.empty[Float])
 
   /** Batched decode: mapPartitions over fixed-size batches — the Spark
     * shape of a vectorized decode UDF. `batchSize` bounds peak memory
@@ -277,13 +355,19 @@ object Multimodal {
        |    CAST(sum(CASE WHEN NOT corrupt
        |      THEN 54 + ((3 * w + 3) // 4 * 4) * h ELSE 0 END) AS BIGINT) AS sum_bytes
        |  FROM geom),
-       |av AS (
-       |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       |    CAST(count(*) AS BIGINT) AS n_assets, CAST(0 AS BIGINT) AS n_corrupt,
+       |aud AS (
+       |  SELECT CAST(sum(CASE WHEN doc_id % $CorruptEveryAudio <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_assets,
+       |    CAST(sum(CASE WHEN doc_id % $CorruptEveryAudio = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       |    CAST(sum(CASE WHEN doc_id % $CorruptEveryAudio <> 0
+       |      THEN 44 + 2 * (50 + strlen(text) % 211) ELSE 0 END) AS BIGINT) AS sum_bytes
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |vid AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_assets, CAST(0 AS BIGINT) AS n_corrupt,
        |    CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
-       |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1)
+       |  FROM documents WHERE doc_id % 3 = 2)
        |SELECT 'image' AS media_type, n_assets, n_corrupt, sum_bytes FROM img
-       |UNION ALL SELECT media_type, n_assets, n_corrupt, sum_bytes FROM av""".stripMargin
+       |UNION ALL SELECT 'audio', n_assets, n_corrupt, sum_bytes FROM aud
+       |UNION ALL SELECT 'video', n_assets, n_corrupt, sum_bytes FROM vid""".stripMargin
 
   /** Driver-contract query through decode → resize: sums of the resized
     * dimensions over decodable images, target box 16×16. Real decoded
@@ -339,6 +423,34 @@ object Multimodal {
        |    j -> (seed + 31 * j) % 256))) AS BIGINT) AS sum_top_row
        |FROM geom WHERE NOT corrupt""".stripMargin
 
+  /** Audio proof query: corpus-wide sums over decodable WAV assets —
+    * sample counts from the parsed data chunk and the |amplitude| sum
+    * from the genuine PCM16 little-endian sample walk; both restated
+    * closed-form by the oracle. Corrupt WAVs (every
+    * [[CorruptEveryAudio]]th) are dropped here and counted in
+    * `mm_asset_stats`.
+    */
+  def audioStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(assets(s, dir)).toDF()
+      .where($"ok" && $"media_type" === "audio")
+      .agg(count(lit(1)).as("n_audio"),
+        sum($"n_samples").as("sum_samples"),
+        sum($"amp_sum").as("sum_abs_amp"))
+  }
+
+  val audioStatsSql: String =
+    s"""WITH aud AS (
+       |  SELECT 50 + strlen(text) % 211 AS n,
+       |    CAST(doc_id % 9973 AS INTEGER) AS seed
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id % $CorruptEveryAudio <> 0)
+       |SELECT CAST(count(*) AS BIGINT) AS n_audio,
+       |  CAST(sum(n) AS BIGINT) AS sum_samples,
+       |  CAST(sum(list_sum(list_transform(range(0, n),
+       |    i -> abs((seed + 31 * i) % 65536 - 32768)))) AS BIGINT) AS sum_abs_amp
+       |FROM aud""".stripMargin
+
   /** Image–caption pair mining — the multimodal training-pair
     * construction step: decodable image assets joined to quality-gated
     * captions (English, ≥20 tokens), summarized per source. The payload
@@ -380,11 +492,13 @@ object Multimodal {
     "mm_asset_stats" -> (assetStats _),
     "mm_resized_dims" -> (resizedDims _),
     "mm_pixel_stats" -> (pixelStats _),
+    "mm_audio_stats" -> (audioStats _),
     "mm_caption_pairs" -> (captionPairs _))
 
   def oracles: Map[String, String] = Map(
     "mm_asset_stats" -> assetStatsSql,
     "mm_resized_dims" -> resizedDimsSql,
     "mm_pixel_stats" -> pixelStatsSql,
+    "mm_audio_stats" -> audioStatsSql,
     "mm_caption_pairs" -> captionPairsSql)
 }

@@ -45,11 +45,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!d.ok && d.luma_sum == 0L)
   }
 
+  test("wav round-trip: hand-computed 3-sample file decodes exactly") {
+    // n=3, seed=65500: samples (65500+31i)%65536-32768 = 32732, 32763, -32742
+    val bytes = Multimodal.encodeWav(3, 65500)
+    assert(bytes.length == 44 + 6)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(bytes, 36, 4, "US-ASCII") == "data")
+    val Some((n, amp)) = Multimodal.decodeWav(bytes)
+    assert(n == 3)
+    assert(amp == 32732L + 32763L + 32742L)
+  }
+
+  test("wav decoder rejects corrupt payloads") {
+    val good = Multimodal.encodeWav(10, 7)
+    assert(Multimodal.decodeWav(good).isDefined)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeWav(badMagic).isEmpty)
+    assert(Multimodal.decodeWav(good.take(43)).isEmpty)
+    assert(Multimodal.decodeWav(good.take(good.length - 2)).isEmpty)
+    val badBits = good.clone(); badBits(34) = 8.toByte
+    assert(Multimodal.decodeWav(badBits).isEmpty)
+    val d = Multimodal.decode(Multimodal.Asset(1L, "audio", badMagic))
+    assert(!d.ok && d.amp_sum == 0L)
+  }
+
   test("batched extraction preserves every row and respects batch bound") {
     import spark.implicits._
     val n = 200
     val in = spark.createDataset((1 to n).map(i =>
-      Multimodal.Asset(i.toLong, "audio", s"payload$i".getBytes("UTF-8"))))
+      Multimodal.Asset(i.toLong, "video", s"payload$i".getBytes("UTF-8"))))
     val maxBatch = in.mapPartitions(_.grouped(64).map(_.size))
       .collect().max
     assert(maxBatch <= 64)
@@ -67,18 +91,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ok.forall(d => d.width >= 4 && d.width <= 32 &&
       d.height >= 4 && d.height <= 16))
     assert(ok.forall(_.luma_sum > 0))
-    // non-image media decode to metadata-only rows, never corrupt
-    assert(decoded.filter(d => d.media_type != "image").collect()
-      .forall(d => d.ok && d.width == 0))
+    // audio decodes through the WAV parse: corrupt fraction dropped,
+    // survivors carry real sample stats
+    val auds = decoded.filter(d => d.media_type == "audio").collect()
+    val (aok, abad) = auds.partition(_.ok)
+    assert(abad.nonEmpty &&
+      abad.forall(_.asset_id % Multimodal.CorruptEveryAudio == 0))
+    assert(aok.forall(d => d.n_samples >= 50 && d.amp_sum > 0))
+    // video decodes to metadata-only rows, never corrupt
+    assert(decoded.filter(d => d.media_type == "video").collect()
+      .forall(d => d.ok && d.width == 0 && d.n_samples == 0))
   }
 
   test("resize: aspect ratio preserved, never upscales, bounded by target box") {
     val d = Multimodal.Decoded(1L, "image", true, 100L, 200, 100, 0L, 0L,
-      Array.fill(8)(0f))
+      0, 0L, Array.fill(8)(0f))
     val r = Multimodal.resizeDims(d, 64, 64)
     assert(r.width == 64 && r.height == 32) // 200x100 -> 64x32 (ratio kept)
     val small = Multimodal.Decoded(2L, "image", true, 10L, 30, 20, 0L, 0L,
-      Array.fill(8)(0f))
+      0, 0L, Array.fill(8)(0f))
     assert(Multimodal.resizeDims(small, 64, 64) == small) // no upscale
     import spark.implicits._
     val ds = spark.createDataset(Seq(d, small))
