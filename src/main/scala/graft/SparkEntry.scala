@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      Relational4.queries ++
       TextOps.queries ++ EventOps.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       Curation.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
     */
   def oracleSqlFor(dir: String): Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
+      Relational4.oracles ++
       TextOps.oracles ++ EventOps.oracles ++
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
       Curation.oracles ++

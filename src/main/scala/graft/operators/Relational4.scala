@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** TPC-H tail shapes (q02/q08/q12/q15/q16/q21 families), adapted to the
+  * driver schema — the synthetic tables have no partsupp, shipmode, or
+  * commit/receipt dates (TESTDATA.md), so each query keeps the *shape*
+  * (the join/subquery/aggregation structure that matters for the
+  * engine) and swaps the missing column for an available stand-in, the
+  * same convention q04 established (l_shipdate > o_orderdate replacing
+  * the commitdate predicate).
+  *
+  * Shapes covered here and nowhere else in the registry:
+  *   - conditional ratio-of-sums over a 6-way join (q08)
+  *   - late/priority CASE aggregation (q12)
+  *   - aggregated view + scalar-max join-back (q15)
+  *   - groupwise-min join-back (q02's essence minus partsupp)
+  *   - count(DISTINCT) with a NOT IN exclusion subquery (q16)
+  *   - EXISTS + NOT EXISTS on the same fact table (q21)
+  *
+  * Scale notes: every subquery decorrelates to a semi/anti/broadcast
+  * join; the only fact-fact shuffles are keyed on l_orderkey/l_partkey
+  * (the natural co-partition keys); scalar aggregates (max revenue)
+  * broadcast as 1-row frames. Decimal-exact money math per Exact.scala.
+  */
+object Relational4 {
+
+  import Exact.revenue
+
+  /** Q8-style national market share: within ASIA-region customers buying
+    * PROMO parts, the revenue share supplied from NATION_3, per order
+    * year. Numerator is a CASE-guarded sum (NULL when no match — sum
+    * skips nulls identically on both engines); the ratio divides the two
+    * exact decimal sums only after each is cast to double, so the IEEE
+    * division is bit-identical to the oracle's.
+    */
+  def q08MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asiaNat = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("asia_nationkey"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(asiaNat), $"c_nationkey" === $"asia_nationkey")
+      .select("c_custkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"sn_key")
+      .select("s_suppkey", "supp_nation")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val promoParts = Tables.part(s, dir).filter($"p_type" === "PROMO")
+      .select("p_partkey")
+    val vol = $"l_extendedprice".cast(Exact.dec) *
+      (lit(1).cast(Exact.dec) - $"l_discount".cast(Exact.dec))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(promoParts, $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg((sum(when($"supp_nation" === "NATION_3", vol)).cast("double") /
+            sum(vol).cast("double")).as("mkt_share"))
+  }
+
+  val q08Sql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+      |                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY year(o_orderdate)""".stripMargin
+
+  /** Q12-style shipping-priority split: for lineitems shipped >60 days
+    * after the order date (the "late" stand-in for receipt-vs-commit),
+    * count urgent/high-priority vs other orders per linestatus (the
+    * shipmode stand-in). count(CASE WHEN … THEN 1 END) on both engines —
+    * bigint on both, no integer-sum type skew.
+    */
+  def q12LatePriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY"))
+      .groupBy($"l_linestatus".as("ship_class"))
+      .agg(
+        count(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1)).as("high_line_count"),
+        count(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus AS ship_class,
+      |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+      |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** Q15-style top supplier: revenue-per-supplier view over one quarter,
+    * then the supplier(s) achieving the global max. The max is a 1-row
+    * aggregate joined back by exact equality — the doubles on both sides
+    * come from the same exact decimal sums, so equality is bit-safe.
+    * At scale: the view is one partial+final agg keyed on l_suppkey; the
+    * scalar max broadcasts.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(revenue($"l_extendedprice", $"l_discount").as("total_revenue"))
+    val maxRev = rev.agg(max($"total_revenue").as("max_rev"))
+    rev.join(broadcast(maxRev), $"total_revenue" === $"max_rev")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+  }
+
+  val q15Sql: String =
+    """WITH revenue0 AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue0 ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)""".stripMargin
+
+  /** Q2-style groupwise-min join-back (the partsupp-free essence of
+    * "minimum-cost supplier"): for each ECONOMY part in a size band, the
+    * supplier(s) whose shipment hit the minimum extended price. Min is
+    * exact (no arithmetic), the join-back predicate is raw-value
+    * equality, and DISTINCT collapses repeat shipments at the min price.
+    * At scale: part prunes early and broadcasts; the groupwise min is a
+    * partial+final agg on l_partkey; no window, no global sort.
+    */
+  def q02MinPriceSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir)
+      .filter($"p_type" === "ECONOMY" && $"p_size".between(10, 15))
+      .select("p_partkey", "p_name")
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+    val minp = li.groupBy($"l_partkey".as("mp_partkey"))
+      .agg(min($"l_extendedprice").as("min_price"))
+    li.join(minp, $"l_partkey" === $"mp_partkey" &&
+        $"l_extendedprice" === $"min_price")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"p_partkey", $"p_name", $"s_suppkey", $"s_name", $"s_acctbal", $"min_price")
+      .distinct()
+  }
+
+  val q02Sql: String =
+    """WITH mp AS (
+      |  SELECT l_partkey, min(l_extendedprice) AS min_price
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 15
+      |  GROUP BY l_partkey)
+      |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal, min_price
+      |FROM lineitem
+      |JOIN mp ON lineitem.l_partkey = mp.l_partkey AND l_extendedprice = min_price
+      |JOIN part ON lineitem.l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
+
+  /** Q16-style supplier diversity: distinct suppliers per part
+    * (brand, type, size) bucket, excluding a "complaints" supplier set
+    * via NOT IN (decorrelated to a left-anti join — s_suppkey is
+    * non-null so NOT IN ≡ anti join). countDistinct expands to Spark's
+    * two-phase distinct-agg; the anti join broadcasts the tiny
+    * exclusion list.
+    */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val excluded = Tables.supplier(s, dir)
+      .filter($"s_name".like("%7%")).select($"s_suppkey".as("x_suppkey"))
+    val p = Tables.part(s, dir)
+      .filter($"p_brand" =!= "Brand#45" && $"p_type" =!= "MEDIUM" &&
+        $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(broadcast(excluded), $"l_suppkey" === $"x_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+      |  AND p_size IN (1,4,9,14,19,23,36,45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  /** Q21-style waiting suppliers: suppliers from NATION_1 who were the
+    * only late shipper (>45 days after order date, the receipt/commit
+    * stand-in) on a multi-supplier finalized order. The EXISTS
+    * decorrelates to a left-semi join (another supplier touched the
+    * order) and the NOT EXISTS to a left-anti join (no *other* supplier
+    * was late) — both keyed on l_orderkey, the fact table's natural
+    * partitioning, so the three passes over lineitem co-shuffle on one
+    * key. Top-20 with a name tie-break for a deterministic LIMIT.
+    */
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ordF = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ordF, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 45 DAY"))
+      .select("l_orderkey", "l_suppkey")
+    val allLi = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("l2_orderkey"), $"l_suppkey".as("l2_suppkey"))
+    val lateOther = late
+      .select($"l_orderkey".as("l3_orderkey"), $"l_suppkey".as("l3_suppkey"))
+    val natSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter($"n_name" === "NATION_1")),
+        $"s_nationkey" === $"n_nationkey")
+      .select("s_suppkey", "s_name")
+    late
+      .join(allLi, $"l_orderkey" === $"l2_orderkey" &&
+        $"l_suppkey" =!= $"l2_suppkey", "left_semi")
+      .join(lateOther, $"l_orderkey" === $"l3_orderkey" &&
+        $"l_suppkey" =!= $"l3_suppkey", "left_anti")
+      .join(natSupp, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
+  val q21Sql: String =
+    """WITH late AS (
+      |  SELECT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late l1
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_1'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q02_min_price_supplier" -> (q02MinPriceSupplier _),
+    "q08_market_share" -> (q08MarketShare _),
+    "q12_late_priority" -> (q12LatePriority _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _))
+
+  def oracles: Map[String, String] = Map(
+    "q02_min_price_supplier" -> q02Sql,
+    "q08_market_share" -> q08Sql,
+    "q12_late_priority" -> q12Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q16_supplier_cnt" -> q16Sql,
+    "q21_waiting_supplier" -> q21Sql)
+}

@@ -513,7 +513,121 @@ object Sketches {
        |  x.exact
        |FROM est e JOIN exact x ON x.q = e.q""".stripMargin
 
+  // -------------------------------------------------------- KMV
+
+  /** KMV sketch size: k=64 minima ⇒ relative error ~1/√(k-2) ≈ 12.6%.
+    * Hash space is the md5_60 range [0, 2^60); 2^60 is exactly
+    * representable as a double, so the estimator arithmetic is
+    * bit-identical across engines.
+    */
+  val KmvK = 64
+  private val KmvSpace: Double = 1152921504606846976.0 // 2^60
+
+  /** Distinct users per event type by K-minimum-values, direct AND
+    * merged from per-day shards — the *other* classic mergeable
+    * distinct sketch, complementing HLL with a different trade-off
+    * (unbiased (k-1)/F estimator from the k-th smallest distinct hash,
+    * exact below k, and the minima set doubles as a uniform sample of
+    * the key space).
+    *
+    * Scale shape: the k smallest distinct hashes per key are computed
+    * as a rank-≤-k filter, which Spark 4 rewrites to WindowGroupLimit —
+    * a PARTIAL group-limit runs before the exchange, so each map task
+    * forwards at most k rows per key no matter how many billions it
+    * scanned: bounded state, map-side combinable, exactly the property
+    * that makes the sketch worth shipping. Mergeability is exhibited
+    * the same way as `sketch_hll_merged`: per-day k-minima union into a
+    * global re-take, and because every global top-k minimum is also a
+    * top-k minimum within its own day, the merged estimate EQUALS the
+    * direct estimate bit-for-bit — the oracle hash-checks the equality.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    def estimate(minima: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"event_type").orderBy($"hv")
+      minima
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= KmvK)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_min"), max($"hv").as("kth"))
+        .select($"event_type", $"n_min",
+          when($"n_min" < KmvK, $"n_min".cast("double"))
+            .otherwise(round(
+              lit((KmvK - 1).toDouble) * lit(KmvSpace) / $"kth".cast("double"),
+              4)).as("est"))
+    }
+
+    val ev = Tables.events(s, dir)
+    val hv = md5_60($"user_id".cast("string"))
+    val direct = estimate(
+      ev.select($"event_type", hv.as("hv")).distinct())
+    // per-day shard minima -> union -> global re-take
+    val shardMinima = {
+      val wd = Window.partitionBy($"event_type", $"d").orderBy($"hv")
+      ev.select($"event_type",
+          date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("d"),
+          hv.as("hv"))
+        .distinct()
+        .withColumn("rn", row_number().over(wd))
+        .filter($"rn" <= KmvK)
+        .select($"event_type", $"hv")
+        .distinct()
+    }
+    val merged = estimate(shardMinima)
+      .select($"event_type", $"est".as("merged_est"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    exact
+      .join(direct, "event_type")
+      .join(merged, "event_type")
+      .select($"event_type", $"exact_users", $"n_min",
+        $"est".as("kmv_est"), $"merged_est")
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+       |  FROM events),
+       |direct AS (
+       |  SELECT event_type, count(*) AS n_min, max(hv) AS kth
+       |  FROM (SELECT event_type, hv,
+       |          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+       |        FROM h)
+       |  WHERE rn <= $KmvK GROUP BY event_type),
+       |hd AS (
+       |  SELECT DISTINCT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+       |  FROM events),
+       |shard AS (
+       |  SELECT DISTINCT event_type, hv
+       |  FROM (SELECT event_type, hv,
+       |          row_number() OVER (PARTITION BY event_type, d ORDER BY hv) AS rn
+       |        FROM hd)
+       |  WHERE rn <= $KmvK),
+       |merged AS (
+       |  SELECT event_type, count(*) AS n_min, max(hv) AS kth
+       |  FROM (SELECT event_type, hv,
+       |          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+       |        FROM shard)
+       |  WHERE rn <= $KmvK GROUP BY event_type),
+       |x AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+       |  FROM events GROUP BY event_type)
+       |SELECT x.event_type, x.exact_users, direct.n_min,
+       |  CASE WHEN direct.n_min < $KmvK THEN CAST(direct.n_min AS DOUBLE)
+       |       ELSE round(${KmvK - 1}.0 * 1152921504606846976.0 / CAST(direct.kth AS DOUBLE), 4)
+       |  END AS kmv_est,
+       |  CASE WHEN merged.n_min < $KmvK THEN CAST(merged.n_min AS DOUBLE)
+       |       ELSE round(${KmvK - 1}.0 * 1152921504606846976.0 / CAST(merged.kth AS DOUBLE), 4)
+       |  END AS merged_est
+       |FROM x JOIN direct ON x.event_type = direct.event_type
+       |JOIN merged ON x.event_type = merged.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_hll_users" -> (hllUsers _),
     "sketch_cms_heavy" -> (cmsHeavy _),
     "sketch_bloom_prune" -> (bloomPrune _),
@@ -521,6 +635,7 @@ object Sketches {
     "sketch_hll_merged" -> (hllMerged _))
 
   def oracles: Map[String, String] = Map(
+    "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_hll_users" -> hllUsersSql,
     "sketch_cms_heavy" -> cmsHeavySql,
     "sketch_bloom_prune" -> bloomPruneSql,

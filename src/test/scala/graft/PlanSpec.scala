@@ -78,4 +78,28 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("hashpartitioning(word"), p)
   }
+
+  test("q21: EXISTS/NOT EXISTS decorrelate to one semi and one anti join on l_orderkey") {
+    val p = plan(graft.operators.Relational4.q21WaitingSupplier(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // top-k stays a TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q16: NOT IN exclusion is a broadcast anti join; distinct agg is two-phase") {
+    val p = plan(graft.operators.Relational4.q16SupplierCnt(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // countDistinct expands: >=2 HashAggregate levels
+    assert("HashAggregate".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q15: scalar max joins back as a broadcast of the 1-row aggregate") {
+    val df = graft.operators.Relational4.q15TopSupplier(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
