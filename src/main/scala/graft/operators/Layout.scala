@@ -112,9 +112,97 @@ object Layout {
        |FROM stats GROUP BY layout""".stripMargin
   }
 
+  // ---------------------------------------------------------- compaction
+
+  /** Target compacted-file size and the small-file threshold (same
+    * value — files at or above target pass through untouched, the
+    * OPTIMIZE convention).
+    */
+  private val CompactTarget = 2048L
+
+  /** Small-file compaction planner — the other chronic layout problem
+    * at 100 TB: a streaming or highly-parallel writer leaves thousands
+    * of under-sized files per partition, and every later scan pays per-
+    * file open/footer cost. The planner takes a file inventory
+    * (partition key, file id, bytes), passes large files through, and
+    * packs small files into target-size bins with a NEXT-FIT sweep: bin
+    * id = (running byte total before this file) div target. The running
+    * sum is a per-partition window — planning is one shuffle on the
+    * partition key, never a driver-side loop, so the planner itself
+    * scales with the table. Output per partition: file counts before /
+    * after, bytes to rewrite (the I/O bill of executing the plan —
+    * large files cost nothing), and the bin count.
+    *
+    * The inventory here is derived deterministically from `documents`
+    * (file = 3-doc block, bytes = n_chars scaled by a doc-dependent
+    * factor so both the small and large branches populate); in
+    * production the same plan runs over the table's real file manifest.
+    * All integer arithmetic — the whole plan is the oracle contract.
+    */
+  def layoutCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(s, dir)
+      .select($"source", expr("doc_id div 3").as("file_id"),
+        expr("CAST(n_chars AS BIGINT) * (1 + doc_id % 9)").as("doc_bytes"))
+      .groupBy($"source", $"file_id")
+      .agg(sum($"doc_bytes").as("bytes"))
+    val w = Window.partitionBy($"source").orderBy($"file_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = f.filter($"bytes" < CompactTarget)
+      .withColumn("cum", sum($"bytes").over(w))
+      .withColumn("bin", expr(s"(cum - bytes) div $CompactTarget"))
+    val sm = binned.groupBy($"source").agg(
+      count(lit(1)).as("small_files"),
+      countDistinct($"bin").as("bins"),
+      sum($"bytes").as("bytes_rewritten"))
+    val lg = f.filter($"bytes" >= CompactTarget).groupBy($"source")
+      .agg(count(lit(1)).as("large_files"))
+    f.groupBy($"source")
+      .agg(count(lit(1)).as("files_before"), sum($"bytes").as("bytes_total"))
+      .join(sm, Seq("source"), "left")
+      .join(lg, Seq("source"), "left")
+      .select($"source", $"files_before", $"bytes_total",
+        coalesce($"small_files", lit(0L)).as("small_files"),
+        (coalesce($"bins", lit(0L)) + coalesce($"large_files", lit(0L)))
+          .as("files_after"),
+        coalesce($"bytes_rewritten", lit(0L)).as("bytes_rewritten"))
+  }
+
+  val layoutCompactionSql: String =
+    s"""WITH f AS (
+       |  SELECT source, doc_id // 3 AS file_id,
+       |    CAST(sum(CAST(n_chars AS BIGINT) * (1 + doc_id % 9)) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2),
+       |binned AS (
+       |  SELECT source, bytes,
+       |    (CAST(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+       |       ROWS UNBOUNDED PRECEDING) AS BIGINT) - bytes) // $CompactTarget AS bin
+       |  FROM f WHERE bytes < $CompactTarget),
+       |sm AS (
+       |  SELECT source, count(*) AS small_files, count(DISTINCT bin) AS bins,
+       |    CAST(sum(bytes) AS BIGINT) AS bytes_rewritten
+       |  FROM binned GROUP BY 1),
+       |lg AS (
+       |  SELECT source, count(*) AS large_files
+       |  FROM f WHERE bytes >= $CompactTarget GROUP BY 1),
+       |tot AS (
+       |  SELECT source, count(*) AS files_before,
+       |    CAST(sum(bytes) AS BIGINT) AS bytes_total
+       |  FROM f GROUP BY 1)
+       |SELECT tot.source, files_before, bytes_total,
+       |  COALESCE(small_files, 0) AS small_files,
+       |  COALESCE(bins, 0) + COALESCE(large_files, 0) AS files_after,
+       |  COALESCE(bytes_rewritten, 0) AS bytes_rewritten
+       |FROM tot
+       |LEFT JOIN sm ON tot.source = sm.source
+       |LEFT JOIN lg ON tot.source = lg.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> (layoutZorder _))
+    "layout_zorder" -> (layoutZorder _),
+    "layout_compaction" -> (layoutCompaction _))
 
   def oracles: Map[String, String] = Map(
-    "layout_zorder" -> layoutZorderSql)
+    "layout_zorder" -> layoutZorderSql,
+    "layout_compaction" -> layoutCompactionSql)
 }

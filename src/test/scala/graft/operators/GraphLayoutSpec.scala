@@ -75,4 +75,26 @@ class GraphLayoutSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(clusters(r.getLong(2)) == r.getLong(0)))
   }
+
+  test("compaction plan shrinks file counts, spares large files, fills bins near target") {
+    val rows = Layout.layoutCompaction(spark, sf).collect()
+    assert(rows.length == 20, s"one plan row per source, got ${rows.length}")
+    val target = 2048L
+    var sawLarge = false
+    rows.foreach { r =>
+      val (before, total, small, after, rewritten) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(after <= before, s"${r.getString(0)}: plan must never add files")
+      assert(after < before || small <= 1,
+        s"${r.getString(0)}: >1 small file must compact")
+      assert(rewritten <= total)
+      if (before > small) { sawLarge = true; assert(rewritten < total,
+        s"${r.getString(0)}: large files must not be rewritten") }
+      // next-fit: every bin except possibly the last holds >= target bytes
+      val bins = after - (before - small)
+      if (small > 0) assert(bins <= rewritten / target + 1,
+        s"${r.getString(0)}: bins=$bins underfilled for $rewritten bytes")
+    }
+    assert(sawLarge, "fixture must exercise the large-file passthrough branch")
+  }
 }

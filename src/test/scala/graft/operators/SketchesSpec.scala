@@ -67,6 +67,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV: merged shards equal direct bit-for-bit; estimate exact below k, banded above") {
+    val rows = Sketches.kmvDistinct(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val nMin = r.getLong(2)
+      val (est, mergedEst) = (r.getDouble(3), r.getDouble(4))
+      assert(est == mergedEst,
+        s"${r.getString(0)}: direct=$est merged=$mergedEst")
+      if (nMin < Sketches.KmvK) assert(est == exact)
+      // k=64 ⇒ σ ≈ 1/√62 ≈ 12.7%; 3σ gate
+      else assert(math.abs(est - exact) <= 3.0 * exact / math.sqrt(Sketches.KmvK - 2.0),
+        s"${r.getString(0)}: exact=$exact est=$est")
+    }
+  }
+
+  test("KMV: the rank filter compiles to WindowGroupLimit (bounded pre-shuffle state)") {
+    val p = Sketches.kmvDistinct(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("Bloom pruning has no false negatives (bloom rows cover true rows)") {
     // sf0.001 has no NATION_9 suppliers, so drive the operator at sf0.01
     // where the build side is non-empty
