@@ -214,7 +214,38 @@ object FileSources {
       |  count(DISTINCT l_orderkey) AS n_orders
       |FROM lineitem""".stripMargin
 
+  /** Schema evolution across parquet batches — the 100 TB lake reality
+    * that a static-schema reader breaks on: an early writer produced
+    * (event_id, user_id), a later one added event_type, and one scan
+    * must read both vintages. `mergeSchema` unions the footers into the
+    * widest schema; rows from the old vintage surface the added column
+    * as NULL. The aggregate pins exactly that contract: total rows,
+    * NULL-backfilled old rows, and the distinct types contributed only
+    * by the new vintage. The oracle restates the vintage split from the
+    * source table (even event_ids were written old-style).
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft_evolve")
+    val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"event_type")
+    ev.filter($"event_id" % 2 === 0).select($"event_id", $"user_id")
+      .write.mode("overwrite").parquet(s"$out/v1")
+    ev.filter($"event_id" % 2 === 1)
+      .write.mode("overwrite").parquet(s"$out/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when($"event_type".isNull, 1)).as("n_backfilled"),
+        countDistinct($"event_type").as("n_types"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_backfilled,
+      |  count(DISTINCT CASE WHEN event_id % 2 = 1 THEN event_type END) AS n_types
+      |FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_schema_evolution" -> (schemaEvolution _),
     "src_parquet_zstd_roundtrip" -> (parquetZstdRoundTrip _),
     "src_text_roundtrip" -> (textRoundTrip _),
     "src_binaryfile_scan" -> (binaryFileScan _),
@@ -225,6 +256,7 @@ object FileSources {
     "src_partitioned_layout" -> (partitionedLayout _))
 
   def oracles: Map[String, String] = Map(
+    "src_schema_evolution" -> schemaEvolutionSql,
     "src_parquet_zstd_roundtrip" -> parquetZstdRoundTripSql,
     "src_text_roundtrip" -> textRoundTripSql,
     "src_binaryfile_scan" -> binaryFileScanSql,
