@@ -320,6 +320,70 @@ object StreamQueries {
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin
 
+  /** Stream-stream LEFT OUTER join — the subtle half of streaming join
+    * semantics: matched pairs emit immediately (the inner results), but
+    * a NULL-padded row for an unmatched purchase can only emit once the
+    * watermark proves no future click can still match (all future
+    * c_ts ≥ wm > p_ts), i.e. on state eviction. Under AvailableNow the
+    * final no-data batch advances the watermark to max-event-time − 2 h
+    * and flushes exactly the evictable unmatched rows; purchases
+    * younger than that horizon remain in state and legitimately never
+    * emit — the oracle restates that boundary explicitly
+    * (click IS NOT NULL OR p_ts below the final watermark), which is
+    * the contract a downstream consumer of an outer streaming join must
+    * understand at any scale.
+    */
+  def streamAttributionOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val staged = stageAsDir(path)
+    withStatePartitions(s, 8) {
+      def src(): DataFrame = s.readStream.schema(schema).parquet(staged)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts div 1000)").as("tsu"))
+      val p = src().where($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"tsu".as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val c = src().where($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+          $"tsu".as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = p.join(c,
+        expr("""p_user = c_user AND
+               |c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin),
+        "left_outer")
+        .select($"purchase_id", $"click_id")
+      runDeltaLog(joined, "append", Nil)
+    }
+  }
+
+  /** The oracle's watermark term restates Spark's exactly: each side's
+    * watermark tracks the max event time OF THAT FILTERED SIDE (the
+    * `withWatermark` sits after the type filter), the global watermark
+    * is the min of the two, and event-time stats are floored to
+    * milliseconds before the delay is subtracted. An oracle written
+    * against max(ts) over ALL events would over-evict — the global max
+    * is usually a non-purchase/non-click event the stream never saw.
+    */
+  val streamAttributionOuterSql: String =
+    """WITH purch AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |clk AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT (least(
+      |      (SELECT max(epoch_ns(ts)) FROM purch),
+      |      (SELECT max(epoch_ns(ts)) FROM clk)
+      |    ) // 1000000 - 7200000) * 1000 AS wm_us)
+      |SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM purch p LEFT JOIN clk c ON p.user_id = c.user_id
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |WHERE c.event_id IS NOT NULL
+      |   OR epoch_ns(p.ts) // 1000 < (SELECT wm_us FROM wm)""".stripMargin
+
   /** Streaming exact dedup over `documents`: the batch dedup's
     * (hash, norm) keep-min aggregation on the incremental engine,
     * complete mode — per-key aggregation is arrival-order-insensitive
@@ -678,6 +742,7 @@ object StreamQueries {
     "stream_dedup_exact" -> (streamDedupExact _),
     "stream_neardup" -> (streamNearDup _),
     "stream_click_attribution" -> (streamClickAttribution _),
+    "stream_attribution_outer" -> (streamAttributionOuter _),
     "stream_mv_counts" -> (streamMvCounts _),
     "stream_hourly_counts" -> (streamHourlyCounts _),
     "stream_static_enrich" -> (streamStaticEnrich _),
@@ -706,6 +771,7 @@ object StreamQueries {
          |WHERE d.doc_id NOT IN (
          |  SELECT doc_b FROM (${graft.operators.Dedup.minhashLshSql}) p)""".stripMargin,
     "stream_click_attribution" -> streamClickAttributionSql,
+    "stream_attribution_outer" -> streamAttributionOuterSql,
     "stream_mv_counts" -> streamMvCountsSql,
     "stream_hourly_counts" -> graft.operators.EventOps.hourlyCountsSql,
     "stream_static_enrich" -> streamStaticEnrichSql,
