@@ -554,7 +554,52 @@ object Curation {
        |FROM cum CROSS JOIN tot
        |WHERE cum // (total // $PpsK) > (cum - n_chars) // (total // $PpsK)""".stripMargin
 
+  /** Curriculum / epoch ordering: a global training order that
+    * round-robins across sources (so no source floods any contiguous
+    * span of the epoch) WITHOUT a global sort — each row's position is
+    * a pure function: pos = rank_within_source × n_sources + source
+    * index. The only shuffle is the per-source rank window (the same
+    * key the curation aggregates already use); the source-index dim and
+    * the 1-row source count broadcast. Shard = pos mod n_shards gives
+    * every worker an interleaved, near-equal slice — at 100 TB this is
+    * how an epoch order ships to 1000 readers with zero coordination:
+    * any reader reconstructs its slice from (rank, source) alone.
+    */
+  def curateCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val srcs = docs.select($"source").distinct()
+      .withColumn("sidx",
+        row_number().over(Window.orderBy($"source")) - lit(1))
+    val n = srcs.agg(count(lit(1)).as("ns"))
+    val ranked = docs.select($"doc_id", $"source")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"doc_id")) - lit(1))
+    ranked
+      .join(broadcast(srcs), "source")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"source",
+        ($"rn" * $"ns" + $"sidx").as("pos"),
+        (($"rn" * $"ns" + $"sidx") % 8).as("shard"))
+  }
+
+  val curateCurriculumSql: String =
+    """WITH srcs AS (
+      |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |n AS (SELECT count(*) AS ns FROM srcs),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn
+      |  FROM documents)
+      |SELECT r.doc_id, r.source,
+      |  rn * ns + sidx AS pos,
+      |  (rn * ns + sidx) % 8 AS shard
+      |FROM r JOIN srcs ON r.source = srcs.source CROSS JOIN n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_curriculum" -> (curateCurriculum _),
     "curate_pps_sample" -> (ppsSample _),
     "curate_e2e_pipeline" -> (curateE2e _),
     "curate_full_pipeline" -> (fullPipeline _),
@@ -567,6 +612,7 @@ object Curation {
     "curate_unigram_surprisal" -> (unigramSurprisal _))
 
   def oracles: Map[String, String] = Map(
+    "curate_curriculum" -> curateCurriculumSql,
     "curate_pps_sample" -> ppsSampleSql,
     "curate_e2e_pipeline" -> curateE2eSql,
     "curate_full_pipeline" -> fullPipelineSql,
