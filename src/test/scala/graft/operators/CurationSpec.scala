@@ -92,4 +92,21 @@ class CurationSpec extends AnyFunSuite {
       .where("n > 0").count()
     assert(s.count() == nDocs)
   }
+
+  test("curriculum: unique interleaved positions, balanced shards, no source floods a span") {
+    val rows = Curation.curateCurriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // positions are a permutation of 0..N-1 (equal-sized sources here)
+    assert(rows.map(_._3).toSet == (0L until rows.length).toSet)
+    // shards balanced within 1
+    val shardCounts = rows.groupBy(_._4).values.map(_.length)
+    assert(shardCounts.max - shardCounts.min <= 1)
+    // round-robin: within any window of n_sources consecutive positions,
+    // every source appears exactly once
+    val nSrc = rows.map(_._2).distinct.length
+    rows.sortBy(_._3).grouped(nSrc).foreach { w =>
+      assert(w.map(_._2).distinct.length == w.length,
+        s"source repeats inside one round: ${w.map(_._2).mkString(",")}")
+    }
+  }
 }
