@@ -626,8 +626,127 @@ object Sketches {
        |FROM x JOIN direct ON x.event_type = direct.event_type
        |JOIN merged ON x.event_type = merged.event_type""".stripMargin
 
+  /** KMV set algebra — the capability HLL registers fundamentally lack:
+    * from each side's k-minima alone, estimate |A∪B| (re-take k over
+    * the merged minima — exactly the union sketch), Jaccard
+    * (fraction of the union's k-minima present in BOTH sides' minima —
+    * the k smallest union hashes are a uniform sample of A∪B), and
+    * |A∩B| = J × |A∪B|. This is how cross-source / cross-shard user
+    * overlap is answered at 100 TB without ever co-shuffling raw keys:
+    * ship 64 longs per (side), intersect driver-free. Per event-type
+    * pair the exact intersection rides along for calibration; when the
+    * union holds fewer than k distinct hashes the sketch IS the exact
+    * answer (jaccard from full sets) — both branches restated in the
+    * oracle.
+    */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame =
+    kmvOverlapOn(s, Tables.events(s, dir).select(
+      org.apache.spark.sql.functions.col("event_type"),
+      org.apache.spark.sql.functions.col("user_id")))
+
+  /** Core of the overlap sketch over any (event_type, user_id) frame —
+    * exposed so specs can drive it with planted partial-overlap sets
+    * (the driver fixture's types share all users, J = 1 everywhere).
+    */
+  def kmvOverlapOn(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hv = md5_60($"user_id".cast("string"))
+    // k smallest distinct hashes per type (WindowGroupLimit shape)
+    val m = ev.select($"event_type", hv.as("hv")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"hv")))
+      .filter($"rn" <= KmvK)
+      .select($"event_type", $"hv")
+    val types = m.select($"event_type").distinct()
+    val pairs = types.select($"event_type".as("ta"))
+      .join(types.select($"event_type".as("tb")), $"ta" < $"tb")
+    // union minima per pair: re-take k over the merged minima sets
+    val unionMinima = pairs
+      .join(m, $"event_type" === $"ta" || $"event_type" === $"tb")
+      .select($"ta", $"tb", $"hv").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"ta", $"tb").orderBy($"hv")))
+      .filter($"rn" <= KmvK)
+    val ma = m.select($"event_type".as("xa"), $"hv".as("ha"))
+    val mb = m.select($"event_type".as("xb"), $"hv".as("hb"))
+    val marked = unionMinima
+      .join(ma, $"xa" === $"ta" && $"ha" === $"hv", "left")
+      .join(mb, $"xb" === $"tb" && $"hb" === $"hv", "left")
+      .groupBy($"ta", $"tb")
+      .agg(count(lit(1)).as("n_min"), max($"hv").as("kth"),
+        count(when($"ha".isNotNull && $"hb".isNotNull, 1)).as("shared"))
+    val est = marked.select($"ta", $"tb", $"shared",
+      when($"n_min" < KmvK, $"n_min".cast("double"))
+        .otherwise(round(
+          lit((KmvK - 1).toDouble) * lit(KmvSpace) / $"kth".cast("double"), 4))
+        .as("union_est"),
+      ($"shared".cast("double") / $"n_min".cast("double")).as("jaccard_est"))
+      .select($"ta", $"tb", $"union_est",
+        round($"jaccard_est", 4).as("jaccard_est"),
+        round($"jaccard_est" * $"union_est", 4).as("inter_est"))
+    val du = ev.select($"event_type", $"user_id").distinct()
+    val exact = du.select($"event_type".as("ea"), $"user_id".as("ua"))
+      .join(du.select($"event_type".as("eb"), $"user_id".as("ub")),
+        $"ua" === $"ub" && $"ea" < $"eb")
+      .groupBy($"ea".as("ta2"), $"eb".as("tb2"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est.join(exact, $"ta" === $"ta2" && $"tb" === $"tb2")
+      .select($"ta", $"tb", $"exact_inter", $"inter_est",
+        $"union_est", $"jaccard_est")
+  }
+
+  val kmvOverlapSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type, hv
+       |  FROM (SELECT event_type, hv,
+       |          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+       |        FROM h)
+       |  WHERE rn <= $KmvK),
+       |pairs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb
+       |  FROM (SELECT DISTINCT event_type FROM m) a
+       |  JOIN (SELECT DISTINCT event_type FROM m) b ON a.event_type < b.event_type),
+       |um AS (
+       |  SELECT ta, tb, hv FROM (
+       |    SELECT u.ta, u.tb, u.hv,
+       |      row_number() OVER (PARTITION BY u.ta, u.tb ORDER BY u.hv) AS rn
+       |    FROM (SELECT DISTINCT p.ta, p.tb, mm.hv
+       |          FROM pairs p JOIN m mm
+       |            ON mm.event_type = p.ta OR mm.event_type = p.tb) u)
+       |  WHERE rn <= $KmvK),
+       |marked AS (
+       |  SELECT um.ta, um.tb, count(*) AS n_min, max(um.hv) AS kth,
+       |    count(CASE WHEN ma.hv IS NOT NULL AND mb.hv IS NOT NULL THEN 1 END) AS shared
+       |  FROM um
+       |  LEFT JOIN m ma ON ma.event_type = um.ta AND ma.hv = um.hv
+       |  LEFT JOIN m mb ON mb.event_type = um.tb AND mb.hv = um.hv
+       |  GROUP BY um.ta, um.tb),
+       |est AS (
+       |  SELECT ta, tb,
+       |    CASE WHEN n_min < $KmvK THEN CAST(n_min AS DOUBLE)
+       |         ELSE round(${KmvK - 1}.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE), 4)
+       |    END AS union_est,
+       |    CAST(shared AS DOUBLE) / CAST(n_min AS DOUBLE) AS jacc
+       |  FROM marked),
+       |x AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS exact_inter
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+       |  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT est.ta, est.tb, x.exact_inter,
+       |  round(jacc * union_est, 4) AS inter_est,
+       |  union_est, round(jacc, 4) AS jaccard_est
+       |FROM est JOIN x ON est.ta = x.ta AND est.tb = x.tb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> (kmvDistinct _),
+    "sketch_kmv_overlap" -> (kmvOverlap _),
     "sketch_hll_users" -> (hllUsers _),
     "sketch_cms_heavy" -> (cmsHeavy _),
     "sketch_bloom_prune" -> (bloomPrune _),
@@ -636,6 +755,7 @@ object Sketches {
 
   def oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvDistinctSql,
+    "sketch_kmv_overlap" -> kmvOverlapSql,
     "sketch_hll_users" -> hllUsersSql,
     "sketch_cms_heavy" -> cmsHeavySql,
     "sketch_bloom_prune" -> bloomPruneSql,

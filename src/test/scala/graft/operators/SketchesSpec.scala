@@ -89,6 +89,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("KMV overlap discriminates planted partial-overlap sets within the error band") {
+    import spark.implicits._
+    // A = 0..999, B = 500..1499 (J = 1/3), C = 0..99 ⊂ A (J(A,C) = 0.1)
+    val ev = ((0L until 1000L).map(("A", _)) ++
+      (500L until 1500L).map(("B", _)) ++
+      (0L until 100L).map(("C", _))).toDF("event_type", "user_id")
+    val rows = Sketches.kmvOverlapOn(spark, ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(5))).toMap
+    val (abExact, abInter, abJacc) = rows(("A", "B"))
+    assert(abExact == 500)
+    // k=64 ⇒ σ_J ≈ √(J(1-J)/k) ≈ 0.059; 3σ band on the Jaccard estimate
+    assert(math.abs(abJacc - 1.0 / 3.0) <= 0.18, s"J(A,B)=$abJacc")
+    assert(math.abs(abInter - 500.0) <= 0.45 * 500.0, s"inter=$abInter")
+    val (acExact, _, acJacc) = rows(("A", "C"))
+    assert(acExact == 100)
+    assert(acJacc < abJacc, "smaller true overlap must estimate smaller")
+    // disjoint sanity: B∩C is empty — the exact-calibration inner join
+    // drops the pair (no exact row), so it must be absent from the output
+    assert(!rows.contains(("B", "C")), "disjoint pair must not fabricate overlap")
+  }
+
   test("Bloom pruning has no false negatives (bloom rows cover true rows)") {
     // sf0.001 has no NATION_9 suppliers, so drive the operator at sf0.01
     // where the build side is non-empty
