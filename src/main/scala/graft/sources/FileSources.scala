@@ -47,6 +47,57 @@ object FileSources {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Malformed-record handling at the file-source boundary — the
+    * reference's P1 (drop-and-count) vs P2 (surface the failure)
+    * dichotomy applied to schema-on-read sources
+    * (reference `storm/bolts/AvroDecoderBolt.scala:58-77` vs
+    * `storm/serialization/AvroScheme.scala:35-80`): a staged CSV dir
+    * holds the valid export PLUS a planted file of 3 unparseable lines.
+    * PERMISSIVE mode keeps every row and routes failures to the
+    * `_corrupt_record` column (counted, never failing the job);
+    * DROPMALFORMED re-reads the same dir and must yield exactly the
+    * valid rows. Both modes' counts land in one result so the oracle
+    * pins the full contract: n_valid from the source table, n_bad = 3,
+    * dropmalformed == n_valid, and the value sum proves corrupt rows
+    * contribute nothing to aggregates.
+    */
+  def csvBadRecords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft_badcsv")
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").csv(out)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-99999-planted-bad.csv"),
+      "bad,bad,planted,bad\nbad,bad,planted,bad\nbad,bad,planted,bad\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val withCorrupt = StructType(eventsLite.fields :+
+      StructField("_corrupt_record", StringType))
+    val permissive = s.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out)
+      .agg(count(when($"_corrupt_record".isNull, 1)).as("n_valid"),
+        count(when($"_corrupt_record".isNotNull, 1)).as("n_bad"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+    // the aggregate MUST touch a typed column: CSV column pruning means a
+    // bare count(*) parses nothing, so malformed fields are never seen
+    // and DROPMALFORMED drops nothing — the planted rows fail on the
+    // double-typed value field only when it is actually parsed
+    val dropped = s.read.schema(eventsLite)
+      .option("mode", "DROPMALFORMED").csv(out)
+      .agg(count(lit(1)).as("n_dropmalformed"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("drop_sum"))
+    permissive.crossJoin(dropped)
+  }
+
+  val csvBadRecordsSql: String =
+    """SELECT count(*) AS n_valid, CAST(3 AS BIGINT) AS n_bad,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(*) AS n_dropmalformed,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS drop_sum
+      |FROM events""".stripMargin
+
   /** JSON-lines round-trip: same contract through the JSON reader. */
   def jsonRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -250,6 +301,7 @@ object FileSources {
     "src_text_roundtrip" -> (textRoundTrip _),
     "src_binaryfile_scan" -> (binaryFileScan _),
     "src_csv_roundtrip" -> (csvRoundTrip _),
+    "src_csv_badrecords" -> (csvBadRecords _),
     "src_json_roundtrip" -> (jsonRoundTrip _),
     "src_json_extract" -> (jsonExtract _),
     "src_orc_roundtrip" -> (orcRoundTrip _),
@@ -261,6 +313,7 @@ object FileSources {
     "src_text_roundtrip" -> textRoundTripSql,
     "src_binaryfile_scan" -> binaryFileScanSql,
     "src_csv_roundtrip" -> csvRoundTripSql,
+    "src_csv_badrecords" -> csvBadRecordsSql,
     "src_json_roundtrip" -> jsonRoundTripSql,
     "src_json_extract" -> jsonExtractSql,
     "src_orc_roundtrip" -> orcRoundTripSql,

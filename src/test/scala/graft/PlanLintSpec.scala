@@ -24,7 +24,8 @@ class PlanLintSpec extends AnyFunSuite {
     "src_csv_roundtrip", "src_json_roundtrip", "src_json_extract",
     "src_orc_roundtrip", "src_partitioned_layout",
     "src_text_roundtrip", "src_binaryfile_scan",
-    "src_parquet_zstd_roundtrip")
+    "src_parquet_zstd_roundtrip", "src_schema_evolution",
+    "src_csv_badrecords")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
@@ -39,7 +40,12 @@ class PlanLintSpec extends AnyFunSuite {
     // bounded-broadcast exception: the exact-scan baseline joins the
     // 10-row query side against the collection on a non-equi condition
     // (q_id <> n_id) — the deliberate brute-force shape
-    "sim_bruteforce_topk", "sim_matryoshka_overlap")
+    "sim_bruteforce_topk", "sim_matryoshka_overlap",
+    // 1-row source-count broadcast (epoch ordering normalizer)
+    "curate_curriculum",
+    // fixed-cardinality type-pair enumeration (≤ |event_type|² rows) and
+    // the OR-keyed minima fan-in — both sides bounded by k·|types|
+    "sketch_kmv_overlap")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>
