@@ -318,6 +318,240 @@ object Multimodal {
       s"explode(sequence(0, CAST(n_bytes / 100 AS INT), $everyNth)) AS frame_idx")
   }
 
+  // ------------------------------------------------------- PNG codec
+
+  /** PNG geometry/seed derivation — a separate population from the BMP
+    * images (own cadence, own fill seed) so the existing image oracles
+    * stay byte-stable.
+    */
+  @inline private def pngW(nTextBytes: Int): Int = 3 + nTextBytes % 31
+  @inline private def pngH(nTextBytes: Int): Int = 3 + nTextBytes % 11
+  @inline private def pngSeed(docId: Long): Int = (docId % 241).toInt
+  val CorruptEveryPng = 19
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    .map(_.toByte)
+
+  /** Paeth predictor (PNG spec §9.4) — shared by encode and decode. */
+  @inline private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val t = tpe.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+      .array()
+  }
+
+  /** Build a real 8-bit RGB PNG: signature, IHDR, one zlib-deflated
+    * IDAT, IEND — each chunk CRC32-stamped. Scanline y uses filter type
+    * y % 5, FORWARD-filtered per the spec (Sub/Up/Average/Paeth against
+    * the raw previous row), so a decoder that mis-implements any filter
+    * or skips CRC/inflate cannot reproduce the pixel fill. Logical
+    * pixels are the same closed-form channel fill convention as BMP:
+    * byte j of row-major RGB = (seed + 31·j) mod 256.
+    */
+  def encodePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val rowLen = 3 * w
+    val raw = Array.tabulate(h, rowLen)((y, x) =>
+      ((seed + 31 * (y * rowLen + x)) % 256).toByte)
+    val filtered = new Array[Byte](h * (rowLen + 1))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered(y * (rowLen + 1)) = ft.toByte
+      var x = 0
+      while (x < rowLen) {
+        val cur = raw(y)(x) & 0xff
+        val left = if (x >= 3) raw(y)(x - 3) & 0xff else 0
+        val up = if (y > 0) raw(y - 1)(x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) raw(y - 1)(x - 3) & 0xff else 0
+        val out = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        filtered(y * (rowLen + 1) + 1 + x) = (out & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Genuine PNG decode: signature check, chunk walk with per-chunk
+    * CRC32 verification, IHDR parse (8-bit RGB non-interlaced only),
+    * zlib inflate of the concatenated IDAT stream, and full scanline
+    * UNfiltering (None/Sub/Up/Average/Paeth against the reconstructed
+    * previous row). Returns (width, height, luma_sum over every
+    * unfiltered channel byte, top-row channel sum); None on any
+    * malformed byte — a flipped IDAT byte fails the CRC, a truncated
+    * stream fails the inflate or the row count.
+    */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (bytes.length < 8 + 12 * 3 + 13) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+    var pos = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      if (pos + 12 > bytes.length) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes, pos, 8)
+      val len = bb.getInt
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      val stored = java.nio.ByteBuffer.wrap(bytes, pos + 8 + len, 4).getInt
+      if (crc.getValue.toInt != stored) return None
+      tpe match {
+        case "IHDR" =>
+          if (len != 13) return None
+          val ib = java.nio.ByteBuffer.wrap(bytes, pos + 8, 13)
+          w = ib.getInt; h = ib.getInt
+          val bitDepth = ib.get(); val colorType = ib.get()
+          val compression = ib.get(); val filterM = ib.get(); val interlace = ib.get()
+          if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 ||
+            compression != 0 || filterM != 0 || interlace != 0) return None
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped (CRC still verified)
+      }
+      pos += 12 + len
+    }
+    if (w < 0) return None
+    val rowLen = 3 * w
+    val expected = h * (rowLen + 1)
+    val inflated = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val k = inf.inflate(inflated, off, expected - off)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated or dictionary-requiring stream
+        off += k
+      }
+      // exact size: short stream and over-long stream are both malformed.
+      // The trailer (adler32) may need one more inflate call to consume —
+      // a real extra output byte means the stream is over-long.
+      if (off != expected) return None
+      if (!inf.finished()) {
+        val scratch = new Array[Byte](1)
+        if (inf.inflate(scratch) > 0 || !inf.finished()) return None
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    val prev = new Array[Int](rowLen)
+    val cur = new Array[Int](rowLen)
+    var luma = 0L; var topRow = 0L
+    var y = 0
+    while (y < h) {
+      val ft = inflated(y * (rowLen + 1)) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < rowLen) {
+        val f = inflated(y * (rowLen + 1) + 1 + x) & 0xff
+        val left = if (x >= 3) cur(x - 3) else 0
+        val up = if (y > 0) prev(x) else 0
+        val ul = if (y > 0 && x >= 3) prev(x - 3) else 0
+        cur(x) = ft match {
+          case 0 => f
+          case 1 => (f + left) & 0xff
+          case 2 => (f + up) & 0xff
+          case 3 => (f + (left + up) / 2) & 0xff
+          case 4 => (f + paeth(left, up, ul)) & 0xff
+        }
+        luma += cur(x)
+        if (y == 0) topRow += cur(x)
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowLen)
+      y += 1
+    }
+    Some((w, h, luma, topRow))
+  }
+
+  /** PNG asset population: one per document, corrupt every 19th by
+    * XOR-ing a byte INSIDE the IDAT payload — the CRC check (not a
+    * magic-byte test) must catch it.
+    */
+  def pngAssets(s: SparkSession, dir: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val png = encodePng(pngW(tb.length), pngH(tb.length), pngSeed(id))
+        if (id % CorruptEveryPng == 0) {
+          val mid = 8 + 12 + 13 + 8 + 4 // a byte inside the IDAT data
+          png(mid) = (png(mid) ^ 0x5a).toByte
+        }
+        Asset(id, "png", png)
+      }
+  }
+
+  /** PNG proof query: decode every asset through the batched shape,
+    * drop-and-count corrupt payloads, and sum the unfiltered pixel
+    * stats. The oracle recomputes luma/top-row from the closed-form
+    * fill — a decoder that mis-handles any of the five scanline filters,
+    * the zlib stream, or the chunk CRCs cannot hash-match.
+    */
+  def pngStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoded = pngAssets(s, dir).mapPartitions {
+      _.grouped(64).flatMap(_.map { a =>
+        decodePng(a.payload) match {
+          case Some((w, h, luma, top)) =>
+            Decoded(a.asset_id, a.media_type, ok = true, a.payload.length.toLong,
+              w, h, luma, top, 0, 0L, Array.empty[Float])
+          case None => corrupt(a)
+        }
+      })
+    }.toDF()
+    decoded.agg(
+      count(when($"ok", 1)).as("n_png"),
+      count(when(!$"ok", 1)).as("n_corrupt"),
+      sum(when($"ok", $"luma_sum")).as("sum_luma"),
+      sum(when($"ok", $"top_row_sum")).as("sum_top_row"))
+  }
+
+  val pngStatsSql: String =
+    s"""WITH png AS (
+       |  SELECT doc_id, 3 + strlen(text) % 31 AS w, 3 + strlen(text) % 11 AS h,
+       |    CAST(doc_id % 241 AS INTEGER) AS seed,
+       |    doc_id % $CorruptEveryPng = 0 AS corrupt
+       |  FROM documents)
+       |SELECT count(CASE WHEN NOT corrupt THEN 1 END) AS n_png,
+       |  count(CASE WHEN corrupt THEN 1 END) AS n_corrupt,
+       |  CAST(sum(CASE WHEN NOT corrupt THEN list_sum(list_transform(
+       |    range(0, 3 * w * h), j -> (seed + 31 * j) % 256)) END) AS BIGINT)
+       |    AS sum_luma,
+       |  CAST(sum(CASE WHEN NOT corrupt THEN list_sum(list_transform(
+       |    range(0, 3 * w), j -> (seed + 31 * j) % 256)) END) AS BIGINT)
+       |    AS sum_top_row
+       |FROM png""".stripMargin
+
   // -------------------------------------------- oracle helper fragments
 
   /** DuckDB restatement of the image geometry (w/h/stride/file size from
@@ -492,6 +726,7 @@ object Multimodal {
     "mm_asset_stats" -> (assetStats _),
     "mm_resized_dims" -> (resizedDims _),
     "mm_pixel_stats" -> (pixelStats _),
+    "mm_png_stats" -> (pngStats _),
     "mm_audio_stats" -> (audioStats _),
     "mm_caption_pairs" -> (captionPairs _))
 
@@ -499,6 +734,7 @@ object Multimodal {
     "mm_asset_stats" -> assetStatsSql,
     "mm_resized_dims" -> resizedDimsSql,
     "mm_pixel_stats" -> pixelStatsSql,
+    "mm_png_stats" -> pngStatsSql,
     "mm_audio_stats" -> audioStatsSql,
     "mm_caption_pairs" -> captionPairsSql)
 }

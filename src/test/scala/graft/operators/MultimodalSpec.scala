@@ -123,4 +123,39 @@ class MultimodalSpec extends AnyFunSuite {
     val vids = Multimodal.assets(spark, sf).filter(_.media_type == "video").count()
     assert(df.select("asset_id").distinct().count() == vids)
   }
+
+  test("png round-trip: all five scanline filters reconstruct the exact pixel fill") {
+    // h >= 5 exercises None/Sub/Up/Average/Paeth; w=1 hits the no-left
+    // edge of Sub/Average/Paeth on every row
+    for ((w, h, seed) <- Seq((4, 7, 13), (1, 6, 200), (33, 5, 0), (3, 11, 240))) {
+      val bytes = Multimodal.encodePng(w, h, seed)
+      val Some((dw, dh, luma, top)) = Multimodal.decodePng(bytes)
+      assert((dw, dh) == (w, h))
+      val expLuma = (0 until 3 * w * h).map(j => (seed + 31 * j) % 256).sum.toLong
+      val expTop = (0 until 3 * w).map(j => (seed + 31 * j) % 256).sum.toLong
+      assert(luma == expLuma, s"($w,$h,$seed): luma $luma != $expLuma")
+      assert(top == expTop, s"($w,$h,$seed): top $top != $expTop")
+    }
+  }
+
+  test("png decoder rejects corruption: flipped IDAT byte (CRC), truncation, bad signature") {
+    val good = Multimodal.encodePng(5, 5, 42)
+    assert(Multimodal.decodePng(good).isDefined)
+    val crcFlip = good.clone()
+    crcFlip(45) = (crcFlip(45) ^ 0x5a).toByte
+    assert(Multimodal.decodePng(crcFlip).isEmpty, "CRC check must catch a flipped IDAT byte")
+    assert(Multimodal.decodePng(good.take(good.length - 13)).isEmpty, "truncated file")
+    val badSig = good.clone(); badSig(0) = 'X'.toByte
+    assert(Multimodal.decodePng(badSig).isEmpty, "bad signature")
+    assert(Multimodal.decodePng(Array.empty[Byte]).isEmpty)
+  }
+
+  test("png corpus stats: corrupt-every-19th dropped and counted") {
+    val rows = Multimodal.pngStats(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val total = r.getLong(0) + r.getLong(1)
+    assert(r.getLong(1) == (0L until total).count(_ % Multimodal.CorruptEveryPng == 0))
+    assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+  }
 }
