@@ -110,12 +110,56 @@ object DataQuality {
       |  count(DISTINCT label) AS n_labels
       |FROM embeddings""".stripMargin
 
+  /** ANALYZE-style table profile — the stats-collection pass a
+    * cost-based optimizer (and every data catalog) needs, as ONE scan:
+    * per column of `lineitem`, null count, exact distinct count, and
+    * min/max (stringified into one uniform schema). All per-column
+    * aggregates compute in a single wide aggregation (Spark plans the
+    * multi-distinct via expand — still one scan, map-side partial), then
+    * unpivot to one row per column via a literal stack. At 100 TB the
+    * exact distincts swap for the KMV/HLL sketches above — same one-scan
+    * shape, bounded state; the oracle here pins the exact contract.
+    */
+  def dqTableProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+    val li = Tables.lineitem(s, dir)
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).minus(count(col(c))).cast("long").as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__ndv`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+  }
+
+  val dqTableProfileSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_table_profile" -> (dqTableProfile _),
     "dq_embeddings" -> (dqEmbeddings _),
     "dq_events" -> (dqEvents _),
     "dq_documents" -> (dqDocuments _))
 
   def oracles: Map[String, String] = Map(
+    "dq_table_profile" -> dqTableProfileSql,
     "dq_embeddings" -> dqEmbeddingsSql,
     "dq_events" -> dqEventsSql,
     "dq_documents" -> dqDocumentsSql)
