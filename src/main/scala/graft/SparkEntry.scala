@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++
-      TextOps.queries ++ EventOps.queries ++
+      TextOps.queries ++ EventOps.queries ++ TimeSeries.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       Curation.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
@@ -42,7 +42,7 @@ object SparkEntry {
   def oracleSqlFor(dir: String): Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Relational4.oracles ++
-      TextOps.oracles ++ EventOps.oracles ++
+      TextOps.oracles ++ EventOps.oracles ++ TimeSeries.oracles ++
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
       Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series analytics over the event stream: gap-filled resampling,
+  * per-series trend fitting, and an A/B contingency test — the
+  * reporting layer a production event pipeline runs downstream of the
+  * interval counts (reference semantics: the same "count events over
+  * aligned time buckets" family as kafka-storm-starter's rolling-count
+  * bolts, extended to the dense/aligned form analytic consumers need).
+  *
+  * Scale notes:
+  *   - The calendar scaffold (series keys × days) is |keys|·|span|
+  *     rows — a metadata-sized frame built from a 1-row min/max
+  *     aggregate broadcast (the approved 1-row cross-join pattern, see
+  *     PlanLintSpec), NEVER a per-event explode. The raw events are
+  *     touched exactly once, by the map-side-combinable daily count.
+  *   - Regression reduces each series to five integer sums
+  *     (n, Σx, Σy, Σxx, Σxy) — partial-aggregated before the one
+  *     shuffle on the series key; the closed-form OLS division happens
+  *     on the final |keys|-row frame. Integer sums keep both engines
+  *     bit-identical until the final double division (round 6).
+  *   - The chi-square test aggregates users (one shuffle on user_id,
+  *     map-side combinable), then 2 variant rows, then 1 output row.
+  */
+object TimeSeries {
+
+  /** Gap-filled daily counts per event type over the global day span:
+    * missing (type, day) cells become explicit zeros, plus a running
+    * cumulative count per type. The dense/aligned series every
+    * downstream chart or forecast consumer requires — a groupBy alone
+    * silently drops empty days.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val scaffold = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select($"event_type",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val byType = Window.partitionBy($"event_type").orderBy($"day")
+    scaffold.join(counts, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce($"cnt", lit(0L)))
+      .withColumn("cum_cnt", sum($"cnt").over(byType))
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"cnt", $"cum_cnt")
+  }
+
+  val gapFillSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |counts AS (
+      |  SELECT event_type, day, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |scaffold AS (
+      |  SELECT t.event_type, d.day
+      |  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN days d)
+      |SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+      |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+      |  CAST(sum(coalesce(c.cnt, 0)) OVER (PARTITION BY s.event_type
+      |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum_cnt
+      |FROM scaffold s LEFT JOIN counts c
+      |  ON s.event_type = c.event_type AND s.day = c.day""".stripMargin
+
+  /** Per-type linear trend (OLS) of the gap-filled daily series:
+    * y = daily count, x = day index from the global span start. The
+    * five sufficient statistics are exact integer sums; slope and
+    * intercept come from the closed forms
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+    *   intercept = (Σy·Σxx − Σx·Σxy) / (n·Σxx − Σx²)
+    * with ONE double division each (round 6) — no iterative fit, no
+    * double accumulation, engine-exact by construction. Gap days count
+    * as zeros (a present-days-only fit would bias the slope upward).
+    */
+  def trendRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val series = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select($"event_type", $"d0",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select($"event_type", datediff($"day", $"d0").cast("long").as("x"),
+        coalesce($"cnt", lit(0L)).as("y"))
+    series.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .select($"event_type", $"n_days",
+        round(($"n_days" * $"sxy" - $"sx" * $"sy").cast("double")
+          / ($"n_days" * $"sxx" - $"sx" * $"sx").cast("double"), 6).as("slope"),
+        round(($"sy" * $"sxx" - $"sx" * $"sxy").cast("double")
+          / ($"n_days" * $"sxx" - $"sx" * $"sx").cast("double"), 6)
+          .as("intercept"))
+  }
+
+  val trendRegressionSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |counts AS (
+      |  SELECT event_type, day, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day,
+      |    d0
+      |  FROM span),
+      |series AS (
+      |  SELECT t.event_type,
+      |    CAST(datediff('day', d.d0, d.day) AS BIGINT) AS x,
+      |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS y
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN days d
+      |  LEFT JOIN counts c ON t.event_type = c.event_type AND d.day = c.day),
+      |sums AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM series GROUP BY 1)
+      |SELECT event_type, n AS n_days,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+      |FROM sums""".stripMargin
+
+  /** A/B contingency test: users split by a deterministic assignment
+    * (user_id parity — the stand-in for a hash-bucketed experiment
+    * arm), "converted" = any purchase above the value threshold; the
+    * 2×2 chi-square statistic (no continuity correction) decides
+    * whether arm and conversion are independent. Counts stay integer
+    * through the contingency table; the statistic is one double
+    * expression evaluated identically by both engines (round 6).
+    */
+  def abChisquare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" > 180.0, 1L)
+        .otherwise(0L)).as("conv"))
+      .select(($"user_id" % 2 === 0).as("is_a"), $"conv")
+    val cells = users.groupBy($"is_a")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("c"))
+    cells.agg(
+        sum(when($"is_a", $"n").otherwise(0L)).as("n_a"),
+        sum(when($"is_a", $"c").otherwise(0L)).as("conv_a"),
+        sum(when(!$"is_a", $"n").otherwise(0L)).as("n_b"),
+        sum(when(!$"is_a", $"c").otherwise(0L)).as("conv_b"))
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+        "round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a",
+        "round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b",
+        """round(CASE WHEN conv_a + conv_b = 0
+          |         OR (n_a - conv_a) + (n_b - conv_b) = 0 THEN NULL
+          |  ELSE CAST(n_a + n_b AS DOUBLE)
+          |    * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE)
+          |    * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE)
+          |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+          |       * CAST(conv_a + conv_b AS DOUBLE)
+          |       * CAST((n_a - conv_a) + (n_b - conv_b) AS DOUBLE))
+          |  END, 6) AS chi2""".stripMargin)
+  }
+
+  val abChisquareSql: String =
+    """WITH users AS (
+      |  SELECT user_id % 2 = 0 AS is_a,
+      |    max(CASE WHEN event_type = 'purchase' AND "value" > 180.0
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT is_a, count(*) AS n, sum(conv) AS c FROM users GROUP BY 1),
+      |tbl AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN is_a THEN n ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN is_a THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN NOT is_a THEN n ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN NOT is_a THEN c ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM cells)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |  round(CASE WHEN conv_a + conv_b = 0
+      |           OR (n_a - conv_a) + (n_b - conv_b) = 0 THEN NULL
+      |    ELSE CAST(n_a + n_b AS DOUBLE)
+      |      * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE)
+      |      * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE)
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |         * CAST(conv_a + conv_b AS DOUBLE)
+      |         * CAST((n_a - conv_a) + (n_b - conv_b) AS DOUBLE))
+      |    END, 6) AS chi2
+      |FROM tbl""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gap_fill" -> (gapFill _),
+    "ev_trend_regression" -> (trendRegression _),
+    "ev_ab_chisquare" -> (abChisquare _))
+
+  def oracles: Map[String, String] = Map(
+    "ev_gap_fill" -> gapFillSql,
+    "ev_trend_regression" -> trendRegressionSql,
+    "ev_ab_chisquare" -> abChisquareSql)
+}

@@ -43,6 +43,8 @@ class PlanLintSpec extends AnyFunSuite {
     "sim_bruteforce_topk", "sim_matryoshka_overlap",
     // 1-row source-count broadcast (epoch ordering normalizer)
     "curate_curriculum",
+    // 1-row day-span broadcast (calendar scaffold for gap filling)
+    "ev_gap_fill", "ev_trend_regression",
     // fixed-cardinality type-pair enumeration (≤ |event_type|² rows) and
     // the OR-keyed minima fan-in — both sides bounded by k·|types|
     "sketch_kmv_overlap")
