@@ -372,6 +372,71 @@ object TextOps {
        |ORDER BY cnt DESC, bigram
        |LIMIT 20""".stripMargin
 
+  /** Collocation mining via pointwise mutual information — the
+    * phrase-discovery pass a tokenizer-training / n-gram-merge pipeline
+    * runs over the corpus: PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with
+    * p(x,y) from bigram counts and p(·) from unigram counts, min
+    * support 5, top collocations by (PMI, bigram).
+    *
+    * All counts are exact integer aggregates (map-side combinable
+    * wordcount shapes); the two corpus totals ride the approved 1-row
+    * broadcast cross join; the single ln() is evaluated on an
+    * identically-structured double expression in both engines and
+    * rounded to 6 dp (same determinism contract as
+    * [[Curation.unigramSurprisal]]). Top-k is orderBy+limit →
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uni = Tables.documents(s, dir)
+      .selectExpr(s"explode($tokensExpr) AS w")
+      .groupBy($"w").agg(count(lit(1)).as("ucnt"))
+    val tu = uni.agg(sum($"ucnt").as("tu"))
+    val bi = Tables.documents(s, dir)
+      .selectExpr(s"$tokensExpr AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr(
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))) AS b""".stripMargin)
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
+    val tb = bi.agg(sum($"cnt").as("tb"))
+    bi.where($"cnt" >= 5)
+      .join(uni.select($"w".as("w1"), $"ucnt".as("cx")), "w1")
+      .join(uni.select($"w".as("w2"), $"ucnt".as("cy")), "w2")
+      .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+      .select(concat($"w1", lit(" "), $"w2").as("bigram"), $"cnt",
+        round(log(($"cnt".cast("double") * $"tu" * $"tu")
+          / ($"tb".cast("double") * $"cx" * $"cy")), 6).as("pmi"))
+      .orderBy($"pmi".desc, $"bigram")
+      .limit(40)
+  }
+
+  val pmiBigramsSql: String =
+    s"""WITH toks AS (SELECT $duckTokensExpr AS t FROM documents),
+       |uni AS (
+       |  SELECT w, count(*) AS ucnt FROM (SELECT unnest(t) AS w FROM toks)
+       |  GROUP BY w),
+       |tu AS (SELECT CAST(sum(ucnt) AS BIGINT) AS tu FROM uni),
+       |bi AS (
+       |  SELECT w1, w2, count(*) AS cnt FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY w1, w2),
+       |tb AS (SELECT CAST(sum(cnt) AS BIGINT) AS tb FROM bi)
+       |SELECT b.w1 || ' ' || b.w2 AS bigram, CAST(b.cnt AS BIGINT) AS cnt,
+       |  round(ln((CAST(b.cnt AS DOUBLE) * tu.tu * tu.tu)
+       |    / (CAST(tb.tb AS DOUBLE) * u1.ucnt * u2.ucnt)), 6) AS pmi
+       |FROM bi b
+       |JOIN uni u1 ON b.w1 = u1.w
+       |JOIN uni u2 ON b.w2 = u2.w
+       |CROSS JOIN tu CROSS JOIN tb
+       |WHERE b.cnt >= 5
+       |ORDER BY pmi DESC, bigram
+       |LIMIT 40""".stripMargin
+
   /** Entity masking / anonymization — the PII-scrub shape: every match
     * of a sensitive-term pattern is replaced with a fixed mask token and
     * counted, and the rewritten text is fingerprinted so the rewrite
@@ -646,6 +711,7 @@ object TextOps {
     "doc_anonymize" -> (docAnonymize _),
     "doc_tfidf_top_terms" -> (tfidfTopTerms _),
     "doc_bigram_counts" -> (bigramCounts _),
+    "doc_pmi_bigrams" -> (pmiBigrams _),
     "wordcount" -> (wordCount _),
     "global_count" -> (globalCount _),
     "agg_of_agg" -> (aggOfAgg _),
@@ -662,6 +728,7 @@ object TextOps {
     "doc_anonymize" -> docAnonymizeSql,
     "doc_tfidf_top_terms" -> tfidfSql,
     "doc_bigram_counts" -> bigramCountsSql,
+    "doc_pmi_bigrams" -> pmiBigramsSql,
     "wordcount" -> wordCountSql,
     "global_count" -> globalCountSql,
     "agg_of_agg" -> aggOfAggSql,

@@ -33,6 +33,7 @@ class PlanLintSpec extends AnyFunSuite {
     */
   private val oneRowCross: Set[String] = Set(
     "curate_unigram_surprisal", "curate_mix_weights", "doc_bm25_topk",
+    "doc_pmi_bigrams",
     "q14_promo_share", "q17_small_quantity", "q22_rich_no_orders",
     "ev_funnel", "q_above_avg_orders", "dq_documents", "dq_events",
     "layout_zorder", "sketch_hist_quantiles", "doc_lm_nll",
