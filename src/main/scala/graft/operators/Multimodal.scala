@@ -552,6 +552,184 @@ object Multimodal {
        |    AS sum_top_row
        |FROM png""".stripMargin
 
+  // ------------------------------------------------------ JPEG codec
+
+  /** JPEG geometry — own population (all docs), own cadences. Dims are
+    * 16-bit big-endian fields in the frame header, so they get a range
+    * that exercises both bytes.
+    */
+  @inline private def jpgW(nTextBytes: Int): Int = 16 + nTextBytes % 500
+  @inline private def jpgH(nTextBytes: Int): Int = 16 + nTextBytes % 300
+  /** COM-segment filler length — varies the SOF offset per record so a
+    * "decoder" reading dims from a fixed offset cannot match the oracle;
+    * only a real marker walk (skip segments by their length fields)
+    * finds the frame header.
+    */
+  @inline private def jpgComLen(docId: Long): Int = (docId % 37).toInt
+  val CorruptEveryJpeg = 21
+  val TruncateEveryJpeg = 33
+
+  /** Build a structurally-real JFIF byte stream: SOI, APP0, a
+    * variable-length COM, DQT, SOF0 (baseline) or SOF2 (progressive,
+    * every 5th doc), SOS, entropy filler with spec-correct 0xFF 0x00
+    * byte stuffing, EOI. (Entropy bytes are deterministic filler, not a
+    * Huffman stream — dimension/structure extraction is the operator;
+    * full IDCT decode is out of scope, per the brief's stub rule, but
+    * every HEADER byte here is spec-shaped and the parser is genuine.)
+    */
+  def encodeJpeg(w: Int, h: Int, docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xfe, Array.tabulate(jpgComLen(docId))(i => ((docId + 7 * i) % 256).toByte))
+    seg(0xdb, Array[Byte](0) ++ Array.tabulate(64)(i => ((3 + i) % 256).toByte))
+    val sof = java.nio.ByteBuffer.allocate(15)
+      .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      .put(1.toByte).put(0x22.toByte).put(0.toByte)
+      .put(2.toByte).put(0x11.toByte).put(0.toByte)
+      .put(3.toByte).put(0x11.toByte).put(0.toByte).array()
+    seg(if (docId % 5 == 0) 0xc2 else 0xc0, sof)
+    seg(0xda, Array[Byte](3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0))
+    // entropy filler with byte stuffing: raw 0xFF becomes 0xFF 0x00
+    val n = 20 + (docId % 50).toInt
+    var i = 0
+    while (i < n) {
+      val b = ((docId * 31 + i * 97) % 256).toInt
+      out.write(b)
+      if (b == 0xff) out.write(0x00)
+      i += 1
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Genuine JPEG structure parse: SOI check, marker walk (fill-byte
+    * tolerant, 16-bit BE segment lengths, bounds-checked), SOF0/SOF2
+    * frame-header extraction (dims, component count, progressive flag),
+    * then an entropy-scan honoring 0xFF00 byte stuffing and RST markers
+    * that must terminate at EOI inside the buffer. Returns
+    * (width, height, n_components, progressive, n_segments); None on
+    * bad magic, a length field running past the buffer, SOS before any
+    * SOF, or a missing EOI — each a distinct real-world failure mode.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Int, Boolean, Int)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+      (bytes(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    var w = -1; var h = -1; var ncomp = -1
+    var progressive = false
+    var nSegments = 0
+    var sawSos = false
+    while (!sawSos) {
+      // marker prefix: one or more 0xFF fill bytes, then the code
+      if (pos >= bytes.length) return None
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      while (pos < bytes.length && (bytes(pos) & 0xff) == 0xff) pos += 1
+      if (pos >= bytes.length) return None
+      val m = bytes(pos) & 0xff; pos += 1
+      if (m == 0xd9) return None // EOI before SOS: no image data
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { nSegments += 1 }
+      else {
+        if (pos + 2 > bytes.length) return None
+        val len = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff)
+        if (len < 2 || pos + len > bytes.length) return None
+        if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+          if (len < 8) return None
+          h = ((bytes(pos + 3) & 0xff) << 8) | (bytes(pos + 4) & 0xff)
+          w = ((bytes(pos + 5) & 0xff) << 8) | (bytes(pos + 6) & 0xff)
+          ncomp = bytes(pos + 7) & 0xff
+          progressive = m == 0xc2
+          if (w <= 0 || h <= 0 || ncomp <= 0) return None
+        }
+        if (m == 0xda) sawSos = true
+        pos += len
+        nSegments += 1
+      }
+    }
+    if (w < 0) return None // SOS with no preceding frame header
+    // entropy scan: data bytes until a real marker; 0xFF00 is a stuffed
+    // data byte, RST0-7 continue the scan, EOI ends the stream
+    while (pos < bytes.length) {
+      if ((bytes(pos) & 0xff) == 0xff && pos + 1 < bytes.length) {
+        val m = bytes(pos + 1) & 0xff
+        if (m == 0xd9)
+          return Some((w, h, ncomp, progressive, nSegments + 1))
+        if (m != 0x00 && !(m >= 0xd0 && m <= 0xd7)) return None
+        pos += 2
+      } else pos += 1
+    }
+    None // ran off the end without EOI (truncation)
+  }
+
+  def jpegAssets(s: SparkSession, dir: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val jpg = encodeJpeg(jpgW(tb.length), jpgH(tb.length), id)
+        if (id % CorruptEveryJpeg == 0) { jpg(1) = 'X'.toByte; Asset(id, "jpeg", jpg) }
+        else if (id % TruncateEveryJpeg == 0)
+          Asset(id, "jpeg", jpg.dropRight(4)) // kills the EOI
+        else Asset(id, "jpeg", jpg)
+      }
+  }
+
+  /** JPEG proof query: structure-parse every asset through the batched
+    * shape; corrupt magic and truncated streams are dropped-and-counted
+    * separately from the closed-form dimension sums the oracle
+    * restates. The variable-offset COM segment means only a real marker
+    * walk reproduces these numbers.
+    */
+  def jpegDims(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoded = jpegAssets(s, dir).mapPartitions {
+      _.grouped(64).flatMap(_.map { a =>
+        decodeJpeg(a.payload) match {
+          case Some((w, h, nc, prog, _)) =>
+            (a.asset_id, true, w, h, nc, prog)
+          case None => (a.asset_id, false, 0, 0, 0, false)
+        }
+      })
+    }.toDF("asset_id", "ok", "w", "h", "ncomp", "progressive")
+    decoded.agg(
+      count(when($"ok", 1)).as("n_jpeg"),
+      count(when(!$"ok", 1)).as("n_corrupt"),
+      count(when($"ok" && $"progressive", 1)).as("n_progressive"),
+      sum(when($"ok", $"w".cast("long"))).as("sum_w"),
+      sum(when($"ok", $"h".cast("long"))).as("sum_h"),
+      sum(when($"ok", $"w".cast("long") * $"h")).as("sum_px"),
+      max(when($"ok", $"w")).as("max_w"),
+      max(when($"ok", $"h")).as("max_h"))
+  }
+
+  val jpegDimsSql: String =
+    s"""WITH jpg AS (
+       |  SELECT doc_id,
+       |    16 + strlen(text) % 500 AS w, 16 + strlen(text) % 300 AS h,
+       |    doc_id % 5 = 0 AS progressive,
+       |    doc_id % $CorruptEveryJpeg = 0 OR doc_id % $TruncateEveryJpeg = 0
+       |      AS corrupt
+       |  FROM documents)
+       |SELECT count(CASE WHEN NOT corrupt THEN 1 END) AS n_jpeg,
+       |  count(CASE WHEN corrupt THEN 1 END) AS n_corrupt,
+       |  count(CASE WHEN NOT corrupt AND progressive THEN 1 END)
+       |    AS n_progressive,
+       |  CAST(sum(CASE WHEN NOT corrupt THEN w END) AS BIGINT) AS sum_w,
+       |  CAST(sum(CASE WHEN NOT corrupt THEN h END) AS BIGINT) AS sum_h,
+       |  CAST(sum(CASE WHEN NOT corrupt THEN w * h END) AS BIGINT) AS sum_px,
+       |  CAST(max(CASE WHEN NOT corrupt THEN w END) AS INTEGER) AS max_w,
+       |  CAST(max(CASE WHEN NOT corrupt THEN h END) AS INTEGER) AS max_h
+       |FROM jpg""".stripMargin
+
   // -------------------------------------------- oracle helper fragments
 
   /** DuckDB restatement of the image geometry (w/h/stride/file size from
@@ -727,6 +905,7 @@ object Multimodal {
     "mm_resized_dims" -> (resizedDims _),
     "mm_pixel_stats" -> (pixelStats _),
     "mm_png_stats" -> (pngStats _),
+    "mm_jpeg_dims" -> (jpegDims _),
     "mm_audio_stats" -> (audioStats _),
     "mm_caption_pairs" -> (captionPairs _))
 
@@ -735,6 +914,7 @@ object Multimodal {
     "mm_resized_dims" -> resizedDimsSql,
     "mm_pixel_stats" -> pixelStatsSql,
     "mm_png_stats" -> pngStatsSql,
+    "mm_jpeg_dims" -> jpegDimsSql,
     "mm_audio_stats" -> audioStatsSql,
     "mm_caption_pairs" -> captionPairsSql)
 }

@@ -158,4 +158,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getLong(1) == (0L until total).count(_ % Multimodal.CorruptEveryPng == 0))
     assert(r.getLong(2) > 0 && r.getLong(3) > 0)
   }
+
+  test("jpeg structure parse: dims via marker walk at varying SOF offsets, progressive flag") {
+    // COM filler length varies with docId, so the SOF offset moves —
+    // each case only passes if the walk skips segments by length field
+    for (docId <- Seq(1L, 2L, 5L, 36L, 37L, 73L)) {
+      val (w, h) = (16 + 123 % 500, 16 + 123 % 300)
+      val jpg = Multimodal.encodeJpeg(w, h, docId)
+      val Some((dw, dh, nc, prog, nseg)) = Multimodal.decodeJpeg(jpg)
+      assert((dw, dh, nc) == (w, h, 3), s"docId=$docId")
+      assert(prog == (docId % 5 == 0), s"progressive flag docId=$docId")
+      assert(nseg == 6, s"SOI-less segment count docId=$docId") // APP0 COM DQT SOF SOS EOI
+    }
+    // 16-bit dims: both bytes of each field must be read big-endian
+    val wide = Multimodal.encodeJpeg(515, 315, 3L)
+    assert(Multimodal.decodeJpeg(wide).map(t => (t._1, t._2)).contains((515, 315)))
+  }
+
+  test("jpeg decoder rejects each failure mode distinctly") {
+    val good = Multimodal.encodeJpeg(100, 50, 7L)
+    assert(Multimodal.decodeJpeg(good).isDefined)
+    val badMagic = good.clone(); badMagic(1) = 'X'.toByte
+    assert(Multimodal.decodeJpeg(badMagic).isEmpty, "bad SOI")
+    assert(Multimodal.decodeJpeg(good.dropRight(4)).isEmpty, "missing EOI (truncated entropy)")
+    // a length field running past the buffer: truncate inside the DQT
+    assert(Multimodal.decodeJpeg(good.take(30)).isEmpty, "segment length past buffer")
+    // SOS before SOF: strip the SOF segment (19 bytes: marker+len+15)
+    val sofAt = {
+      var p = 2; var found = -1
+      while (found < 0) {
+        val m = good(p + 1) & 0xff
+        val len = ((good(p + 2) & 0xff) << 8) | (good(p + 3) & 0xff)
+        if (m == 0xc0 || m == 0xc2) found = p else p += 2 + len
+      }
+      found
+    }
+    val noSof = good.take(sofAt) ++ good.drop(sofAt + 19)
+    assert(Multimodal.decodeJpeg(noSof).isEmpty, "SOS with no frame header")
+    assert(Multimodal.decodeJpeg(Array.empty[Byte]).isEmpty)
+  }
+
+  test("jpeg corpus dims: two corruption cadences dropped and counted") {
+    val r = Multimodal.jpegDims(spark, sf).collect().head
+    val total = r.getLong(0) + r.getLong(1)
+    val expCorrupt = (0L until total).count(id =>
+      id % Multimodal.CorruptEveryJpeg == 0 || id % Multimodal.TruncateEveryJpeg == 0)
+    assert(r.getLong(1) == expCorrupt)
+    assert(r.getLong(2) > 0, "progressive frames present")
+    assert(r.getLong(5) >= r.getLong(3), "sum_px >= sum_w for h >= 1")
+  }
 }
