@@ -278,7 +278,123 @@ object Relational4 {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  /** Hierarchy rollup via a genuine RECURSIVE CTE (Spark 4's
+    * `WITH RECURSIVE`, the org-chart / bill-of-materials shape): the
+    * implicit forest parent(k) = k div 2 over customers, each chain
+    * walked to the root accumulating integer-cent balances, tips
+    * aggregated by chain length. Depth is log₂(max key) by
+    * construction, so the recursion's per-level frontier join runs
+    * O(log n) times — the engine-level contract (iterate-until-fixpoint
+    * with a level barrier) that distinguishes this from the unrolled
+    * iteration in [[Graph.pagerank]]. Balances ride as exact integer
+    * cents (round(bal·100) at the leaf; both engines see identical
+    * doubles, so the rounding input is identical) — no float drift
+    * across recursion levels.
+    */
+  def qRecursiveChain(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_rc")
+    s.sql(
+      """WITH RECURSIVE chain(root, cur, depth, cents) AS (
+        |  SELECT c_custkey, c_custkey, 0,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT)
+        |  FROM customer_rc
+        |  UNION ALL
+        |  SELECT ch.root, c.c_custkey, ch.depth + 1,
+        |    ch.cents + CAST(round(c.c_acctbal * 100, 0) AS BIGINT)
+        |  FROM chain ch JOIN customer_rc c ON c.c_custkey = ch.cur div 2
+        |  WHERE ch.cur > 0),
+        |tips AS (
+        |  SELECT root, max(depth) AS chain_len,
+        |    max_by(cents, depth) AS chain_cents
+        |  FROM chain GROUP BY root)
+        |SELECT chain_len, count(*) AS n_chains,
+        |  sum(chain_cents) AS sum_cents
+        |FROM tips GROUP BY chain_len""".stripMargin)
+  }
+
+  val qRecursiveChainSql: String =
+    """WITH RECURSIVE chain(root, cur, depth, cents) AS (
+      |  SELECT c_custkey, c_custkey, 0,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT ch.root, c.c_custkey, ch.depth + 1,
+      |    ch.cents + CAST(round(c.c_acctbal * 100, 0) AS BIGINT)
+      |  FROM chain ch JOIN customer c ON c.c_custkey = ch.cur // 2
+      |  WHERE ch.cur > 0),
+      |tips AS (
+      |  SELECT root, max(depth) AS chain_len,
+      |    max_by(cents, depth) AS chain_cents
+      |  FROM chain GROUP BY root)
+      |SELECT CAST(chain_len AS INT) AS chain_len,
+      |  count(*) AS n_chains,
+      |  CAST(sum(chain_cents) AS BIGINT) AS sum_cents
+      |FROM tips GROUP BY chain_len""".stripMargin
+
+  /** Spearman rank correlation of part size vs retail price WITHIN each
+    * brand — the rank-based (outlier-robust) dependence statistic, and
+    * the reason it is scale-clean: ranks are computed inside the brand
+    * partition (a partitioned window, one shuffle on p_brand), never a
+    * global sort. Average ranks for ties are kept exact by doubling:
+    * 2·avgrank = 2·rank + ties − 1 stays integer, so all six Pearson
+    * sufficient statistics over the doubled ranks are exact longs; the
+    * only doubles are the two sqrt's and one division at the end
+    * (identical expression order on both engines, round 6; degenerate
+    * constant columns → NULL via the same CASE).
+    */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byBrand = Window.partitionBy($"p_brand")
+    val ranked = Tables.part(s, dir)
+      .select($"p_brand", $"p_size", $"p_retailprice")
+      .withColumn("rx", rank().over(byBrand.orderBy($"p_size")))
+      .withColumn("tx", count(lit(1)).over(Window.partitionBy($"p_brand", $"p_size")))
+      .withColumn("ry", rank().over(byBrand.orderBy($"p_retailprice")))
+      .withColumn("ty", count(lit(1)).over(Window.partitionBy($"p_brand", $"p_retailprice")))
+      .select($"p_brand",
+        (lit(2L) * $"rx" + $"tx" - 1L).as("x"),
+        (lit(2L) * $"ry" + $"ty" - 1L).as("y"))
+    ranked.groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .selectExpr("p_brand", "n_parts",
+        """round(CASE WHEN n_parts * sxx - sx * sx = 0
+          |         OR n_parts * syy - sy * sy = 0 THEN NULL
+          |  ELSE CAST(n_parts * sxy - sx * sy AS DOUBLE)
+          |    / (sqrt(CAST(n_parts * sxx - sx * sx AS DOUBLE))
+          |       * sqrt(CAST(n_parts * syy - sy * sy AS DOUBLE)))
+          |  END, 6) AS rho""".stripMargin)
+  }
+
+  val qSpearmanSql: String =
+    """WITH ranked AS (
+      |  SELECT p_brand,
+      |    2 * rank() OVER (PARTITION BY p_brand ORDER BY p_size)
+      |      + count(*) OVER (PARTITION BY p_brand, p_size) - 1 AS x,
+      |    2 * rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice)
+      |      + count(*) OVER (PARTITION BY p_brand, p_retailprice) - 1 AS y
+      |  FROM part),
+      |sums AS (
+      |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM ranked GROUP BY p_brand)
+      |SELECT p_brand, n_parts,
+      |  round(CASE WHEN n_parts * sxx - sx * sx = 0
+      |           OR n_parts * syy - sy * sy = 0 THEN NULL
+      |    ELSE CAST(n_parts * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(n_parts * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(n_parts * syy - sy * sy AS DOUBLE)))
+      |    END, 6) AS rho
+      |FROM sums""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive_chain" -> (qRecursiveChain _),
+    "q_spearman" -> (qSpearman _),
     "q02_min_price_supplier" -> (q02MinPriceSupplier _),
     "q08_market_share" -> (q08MarketShare _),
     "q12_late_priority" -> (q12LatePriority _),
@@ -287,6 +403,8 @@ object Relational4 {
     "q21_waiting_supplier" -> (q21WaitingSupplier _))
 
   def oracles: Map[String, String] = Map(
+    "q_recursive_chain" -> qRecursiveChainSql,
+    "q_spearman" -> qSpearmanSql,
     "q02_min_price_supplier" -> q02Sql,
     "q08_market_share" -> q08Sql,
     "q12_late_priority" -> q12Sql,
