@@ -152,13 +152,101 @@ object DataQuality {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** Referential-integrity audit across the star schema's foreign keys
+    * — the pre-flight check a pipeline runs before trusting joins:
+    * per FK edge, child rows, orphaned child rows (no matching parent),
+    * and distinct orphaned keys. Each edge is ONE left-anti-shaped
+    * aggregate: a child-side partial aggregate on the FK (shuffle
+    * bounded by distinct keys, not rows) left-joined to the parent key
+    * set, so the fact table is never shuffled whole; edges union into
+    * one small report frame. Clean fixtures report zeros — the value is
+    * the contract (the 10× replica harness and any real ingest run the
+    * same audit, where nonzero rows mean key-offset bugs).
+    */
+  def dqReferential(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val keyed = child.groupBy(col(fk).as("k"))
+        .agg(count(lit(1)).as("child_rows"))
+      keyed.join(parent.select(col(pk).as("k"), lit(1).as("hit")),
+          Seq("k"), "left")
+        .agg(sum($"child_rows").as("n_child"),
+          coalesce(sum(when($"hit".isNull, $"child_rows")), lit(0L))
+            .as("n_orphan_rows"),
+          // null FKs count as orphan ROWS, but a null key is not a
+          // distinct orphan KEY (mirrors count(DISTINCT CASE...) which
+          // ignores NULL on the oracle side)
+          coalesce(count(when($"hit".isNull && $"k".isNotNull, 1)), lit(0L))
+            .as("n_orphan_keys"))
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_orphan_rows",
+          $"n_orphan_keys")
+    }
+    val (c, o, l, su, p, n) = (Tables.customer(s, dir), Tables.orders(s, dir),
+      Tables.lineitem(s, dir), Tables.supplier(s, dir), Tables.part(s, dir),
+      Tables.nation(s, dir))
+    edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey")
+      .unionAll(edge("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey"))
+      .unionAll(edge("lineitem.l_partkey->part", l, "l_partkey", p, "p_partkey"))
+      .unionAll(edge("lineitem.l_suppkey->supplier", l, "l_suppkey", su, "s_suppkey"))
+      .unionAll(edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"))
+      .unionAll(edge("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"))
+  }
+
+  val dqReferentialSql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders.o_custkey->customer' AS fk_edge,
+      |    CAST(count(*) AS BIGINT) AS n_child,
+      |    CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+      |      AS n_orphan_rows,
+      |    CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+      |      THEN o.o_custkey END) AS BIGINT) AS n_orphan_keys
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey->orders',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT),
+      |    CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+      |      THEN l.l_orderkey END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT),
+      |    CAST(count(DISTINCT CASE WHEN p.p_partkey IS NULL
+      |      THEN l.l_partkey END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS BIGINT),
+      |    CAST(count(DISTINCT CASE WHEN s.s_suppkey IS NULL
+      |      THEN l.l_suppkey END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  UNION ALL
+      |  SELECT 'customer.c_nationkey->nation',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS BIGINT),
+      |    CAST(count(DISTINCT CASE WHEN n.n_nationkey IS NULL
+      |      THEN c.c_nationkey END) AS BIGINT)
+      |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  UNION ALL
+      |  SELECT 'supplier.s_nationkey->nation',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS BIGINT),
+      |    CAST(count(DISTINCT CASE WHEN n.n_nationkey IS NULL
+      |      THEN s.s_nationkey END) AS BIGINT)
+      |  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_referential" -> (dqReferential _),
     "dq_table_profile" -> (dqTableProfile _),
     "dq_embeddings" -> (dqEmbeddings _),
     "dq_events" -> (dqEvents _),
     "dq_documents" -> (dqDocuments _))
 
   def oracles: Map[String, String] = Map(
+    "dq_referential" -> dqReferentialSql,
     "dq_table_profile" -> dqTableProfileSql,
     "dq_embeddings" -> dqEmbeddingsSql,
     "dq_events" -> dqEventsSql,
