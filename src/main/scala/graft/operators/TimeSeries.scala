@@ -200,12 +200,66 @@ object TimeSeries {
       |    END, 6) AS chi2
       |FROM tbl""".stripMargin
 
+  /** Weekly cohort-retention matrix — the classic growth-analytics
+    * triangle [[EventOps.retention]] does NOT give (that one merges all
+    * cohorts into a single day-offset curve): users are cohorted by
+    * first-active ISO week, and each (cohort, week-offset) cell reports
+    * distinct active users plus the rate against the cohort's size.
+    * Both engines truncate to Monday-start weeks, and the offset is an
+    * exact integer day-difference div 7.
+    *
+    * Scale: one distinct over (user, week) — the only user-keyed
+    * shuffle; cohorts come from a partial-aggregated min; the matrix is
+    * |weeks|² cells regardless of event volume.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weeks = Tables.events(s, dir)
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("week"))
+      .distinct()
+    val first = weeks.groupBy($"user_id").agg(min($"week").as("cohort"))
+    val sizes = first.groupBy($"cohort").agg(count(lit(1)).as("cohort_size"))
+    weeks.join(first, "user_id")
+      .select($"cohort", expr("datediff(week, cohort) div 7").as("week_offset"),
+        $"user_id")
+      .groupBy($"cohort", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(sizes, "cohort")
+      .select(date_format($"cohort", "yyyy-MM-dd").as("cohort"),
+        $"week_offset".cast("int").as("week_offset"), $"n_active",
+        $"cohort_size",
+        round($"n_active".cast("double") / $"cohort_size", 6).as("retention"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |first AS (
+      |  SELECT user_id, min(week) AS cohort FROM weeks GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM first GROUP BY cohort),
+      |cells AS (
+      |  SELECT f.cohort,
+      |    CAST(datediff('day', f.cohort, w.week) // 7 AS INT) AS week_offset,
+      |    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+      |  FROM weeks w JOIN first f ON w.user_id = f.user_id
+      |  GROUP BY 1, 2)
+      |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort, c.week_offset,
+      |  c.n_active, s.cohort_size,
+      |  round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+      |FROM cells c JOIN sizes s ON c.cohort = s.cohort""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cohort_retention" -> (cohortRetention _),
     "ev_gap_fill" -> (gapFill _),
     "ev_trend_regression" -> (trendRegression _),
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_cohort_retention" -> cohortRetentionSql,
     "ev_gap_fill" -> gapFillSql,
     "ev_trend_regression" -> trendRegressionSql,
     "ev_ab_chisquare" -> abChisquareSql)
