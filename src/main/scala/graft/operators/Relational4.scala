@@ -292,6 +292,11 @@ object Relational4 {
     * across recursion levels.
     */
   def qRecursiveChain(s: SparkSession, dir: String): DataFrame = {
+    // the default 1M-row valve trips at the 10× replica (rows = roots ×
+    // depth); recursion here is bounded by DEPTH (log₂ max key, level
+    // limit stays at its default 100), so the row valve can safely
+    // scale with input size
+    s.conf.set("spark.sql.cteRecursionRowLimit", 1000000000)
     Tables.customer(s, dir).createOrReplaceTempView("customer_rc")
     s.sql(
       """WITH RECURSIVE chain(root, cur, depth, cents) AS (

@@ -15,7 +15,9 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # ScaleUp replicas are Spark-written DIRECTORIES named table.parquet/
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 with open(os.path.join(out_dir, "oracle_sql.json")) as f:
     oracles = json.load(f)
