@@ -252,13 +252,126 @@ object TimeSeries {
       |  round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
       |FROM cells c JOIN sizes s ON c.cohort = s.cohort""".stripMargin
 
+  /** Rolling z-score anomaly flags over the gap-filled daily series —
+    * the alerting pass on top of [[gapFill]]: each day scored against
+    * its trailing 7-day window (inclusive), anomalous when |z| > 2.
+    * The z-score algebra is arranged so EVERYTHING except one sqrt and
+    * one division is exact integer arithmetic:
+    *   z = (n·y − S) / √(n·(n·Q − S²))  ... × √n / √n, with S=Σy, Q=Σy²
+    * (derivation: (y−S/n) / (√(nQ−S²)/n) — population std over the
+    * frame). Zero-variance frames → NULL z, non-anomalous. Same single
+    * event_type shuffle as the gap fill; the window is ROWS-bounded so
+    * state per series is 7 rows regardless of history length.
+    */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val scaffold = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select($"event_type",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val series = scaffold.join(counts, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce($"cnt", lit(0L)))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-6, 0)
+    series
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum($"cnt").over(w))
+      .withColumn("q", sum($"cnt" * $"cnt").over(w))
+      .selectExpr("event_type", "date_format(day, 'yyyy-MM-dd') AS day", "cnt",
+        """round(CASE WHEN n * q - s * s = 0 THEN NULL
+          |  ELSE CAST(n * cnt - s AS DOUBLE)
+          |    / sqrt(CAST(n * (n * q - s * s) AS DOUBLE))
+          |  END, 6) AS z""".stripMargin)
+      .selectExpr("event_type", "day", "cnt", "z",
+        "CASE WHEN z IS NULL THEN false ELSE abs(z) > 2.0 END AS is_anomaly")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |counts AS (
+      |  SELECT event_type, day, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |series AS (
+      |  SELECT t.event_type, d.day,
+      |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN days d
+      |  LEFT JOIN counts c ON t.event_type = c.event_type AND d.day = c.day),
+      |winstats AS (
+      |  SELECT event_type, day, cnt,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    CAST(sum(cnt) OVER w AS BIGINT) AS s,
+      |    CAST(sum(cnt * cnt) OVER w AS BIGINT) AS q
+      |  FROM series
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |scored AS (
+      |  SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+      |    round(CASE WHEN n * q - s * s = 0 THEN NULL
+      |      ELSE CAST(n * cnt - s AS DOUBLE)
+      |        / sqrt(CAST(n * (n * q - s * s) AS DOUBLE))
+      |      END, 6) AS z
+      |  FROM winstats)
+      |SELECT event_type, day, cnt, z,
+      |  CASE WHEN z IS NULL THEN false ELSE abs(z) > 2.0 END AS is_anomaly
+      |FROM scored""".stripMargin
+
+  /** Semi-structured property extraction through Spark 4's VARIANT type
+    * — `parse_json` once into the binary variant encoding, then typed
+    * path access (`variant_get`), the schema-on-read shape for ragged
+    * event properties. Narrow map + one aggregate; variant decode is
+    * columnar and never reparses the JSON text per access at scale
+    * (parse once, extract many). The oracle restates the same paths
+    * with DuckDB's JSON accessors.
+    */
+  def variantProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .selectExpr("event_type",
+        "variant_get(try_parse_json(props), '$.k', 'int') AS k")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum($"k".cast("long")).as("sum_k"),
+        sum(when($"k" >= 50, 1L).otherwise(0L)).as("n_high"))
+      .withColumn("avg_k",
+        round($"sum_k".cast("double") / ($"n" - $"n_missing"), 6))
+  }
+
+  val variantPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  round(CAST(sum(k) AS DOUBLE)
+      |    / (count(*) - sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)), 6)
+      |    AS avg_k
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |  FROM events)
+      |GROUP BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly_zscore" -> (anomalyZscore _),
+    "ev_variant_props" -> (variantProps _),
     "ev_cohort_retention" -> (cohortRetention _),
     "ev_gap_fill" -> (gapFill _),
     "ev_trend_regression" -> (trendRegression _),
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_anomaly_zscore" -> anomalyZscoreSql,
+    "ev_variant_props" -> variantPropsSql,
     "ev_cohort_retention" -> cohortRetentionSql,
     "ev_gap_fill" -> gapFillSql,
     "ev_trend_regression" -> trendRegressionSql,
