@@ -50,9 +50,75 @@ object RangeJoin {
       |WHERE e.event_type = 'error'
       |GROUP BY e.event_id""".stripMargin
 
+  /** Point-in-interval join for VARIABLE-length intervals — the second
+    * range-join shape (the 5-minute band above has fixed width; session
+    * intervals don't): per 30-min-gap user session, how many error
+    * events land inside [start, end] (inclusive, inner-join semantics).
+    *
+    * Scale form: each session explodes to the W-wide buckets it COVERS
+    * (W = the sessionization gap, so a session of length L costs
+    * ⌈L/W⌉+1 rows — bounded by duration, not data volume), each point
+    * maps to exactly one bucket, and the join is an equi-join on
+    * (user, bucket) with the exact containment as a residual. A point
+    * matches at most one exploded bucket row of a given session, so no
+    * dedup is needed. The oracle runs DuckDB's IEJoin on the literal
+    * inequality — same rows, opposite plan strategy.
+    */
+  def sessionErrors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 1800000000L // 30 min, the sessionization gap AND bucket width
+    val ev = Tables.events(s, dir)
+      .selectExpr("user_id", "(ts_ns div 1000) AS t_us", "event_type")
+    val byUser = Window.partitionBy($"user_id").orderBy($"t_us")
+    val sessions = ev
+      .withColumn("prev", lag($"t_us", 1).over(byUser))
+      .withColumn("new_s",
+        when($"prev".isNull || $"t_us" - $"prev" > GapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"t_us").as("start_us"), max($"t_us").as("end_us"))
+      .withColumn("bucket", explode(expr(
+        s"sequence(start_us div $GapUs, end_us div $GapUs)")))
+    val errors = ev.where($"event_type" === "error")
+      .select($"user_id", $"t_us".as("et"))
+      .withColumn("bucket", expr(s"et div $GapUs"))
+    sessions.join(errors, Seq("user_id", "bucket"))
+      .where($"et" >= $"start_us" && $"et" <= $"end_us")
+      .groupBy($"user_id", $"start_us")
+      .agg(count(lit(1)).as("n_errors"))
+  }
+
+  val sessionErrorsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_type FROM events),
+      |lagd AS (
+      |  SELECT user_id, t_us, event_type,
+      |    CASE WHEN lag(t_us) OVER w IS NULL
+      |           OR t_us - lag(t_us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+      |sess0 AS (
+      |  SELECT user_id, t_us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM lagd),
+      |sess AS (
+      |  SELECT user_id, sid, min(t_us) AS start_us, max(t_us) AS end_us
+      |  FROM sess0 GROUP BY 1, 2)
+      |SELECT s.user_id, s.start_us, count(*) AS n_errors
+      |FROM sess s JOIN ev e
+      |  ON e.user_id = s.user_id
+      | AND e.t_us >= s.start_us AND e.t_us <= s.end_us
+      |WHERE e.event_type = 'error'
+      |GROUP BY s.user_id, s.start_us""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "range_error_followups" -> (errorFollowups _))
+    "range_error_followups" -> (errorFollowups _),
+    "range_session_errors" -> (sessionErrors _))
 
   def oracles: Map[String, String] = Map(
-    "range_error_followups" -> errorFollowupsSql)
+    "range_error_followups" -> errorFollowupsSql,
+    "range_session_errors" -> sessionErrorsSql)
 }

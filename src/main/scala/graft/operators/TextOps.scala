@@ -437,6 +437,58 @@ object TextOps {
        |ORDER BY pmi DESC, bigram
        |LIMIT 40""".stripMargin
 
+  /** Corpus-level duplicated-substring mass — the signal behind exact
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"), in its scalable token-n-gram form:
+    * for every document, what fraction of its 8-token windows also
+    * appears in at least one OTHER document. High-mass docs are
+    * boilerplate/templates that pairwise near-dup (which needs a
+    * whole-doc similarity bar) never flags.
+    *
+    * Plan: one narrow rolling-window explode per doc, one
+    * map-side-combinable gram aggregate (distinct-doc count per gram),
+    * one gram-keyed join back — wordcount-shaped end to end; no pair
+    * enumeration anywhere, so cost is O(total tokens), not O(docs²).
+    * The 8-gram strings themselves are the keys on both engines (no
+    * hashing to go wrong).
+    */
+  def dupNgramMass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"$tokensExpr AS toks")
+      .where("size(toks) >= 8")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0, size(toks) - 8),
+          |  i -> array_join(slice(toks, i + 1, 8), ' '))) AS gram""".stripMargin)
+    val gramDocs = grams.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    grams.join(gramDocs, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_mass",
+        round($"n_dup_grams".cast("double") / $"n_grams", 6))
+  }
+
+  val dupNgramMassSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckTokensExpr AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, len(t) - 7),
+       |      i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+       |  FROM toks WHERE len(t) >= 8),
+       |gd AS (
+       |  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM grams
+       |  GROUP BY gram)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_grams,
+       |  round(CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS dup_mass
+       |FROM grams g JOIN gd ON g.gram = gd.gram
+       |GROUP BY g.doc_id""".stripMargin
+
   /** Entity masking / anonymization — the PII-scrub shape: every match
     * of a sensitive-term pattern is replaced with a fixed mask token and
     * counted, and the rewritten text is fingerprinted so the rewrite
@@ -712,6 +764,7 @@ object TextOps {
     "doc_tfidf_top_terms" -> (tfidfTopTerms _),
     "doc_bigram_counts" -> (bigramCounts _),
     "doc_pmi_bigrams" -> (pmiBigrams _),
+    "doc_dup_ngram_mass" -> (dupNgramMass _),
     "wordcount" -> (wordCount _),
     "global_count" -> (globalCount _),
     "agg_of_agg" -> (aggOfAgg _),
@@ -729,6 +782,7 @@ object TextOps {
     "doc_tfidf_top_terms" -> tfidfSql,
     "doc_bigram_counts" -> bigramCountsSql,
     "doc_pmi_bigrams" -> pmiBigramsSql,
+    "doc_dup_ngram_mass" -> dupNgramMassSql,
     "wordcount" -> wordCountSql,
     "global_count" -> globalCountSql,
     "agg_of_agg" -> aggOfAggSql,
