@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -489,6 +489,68 @@ object TextOps {
        |FROM grams g JOIN gd ON g.gram = gd.gram
        |GROUP BY g.doc_id""".stripMargin
 
+  /** Spell-variant mining over the corpus vocabulary — the fuzzy
+    * SELF-join none of the other dedup operators exhibit (they compare
+    * documents; this compares the VOCABULARY to itself): word pairs at
+    * edit distance ≤ 2, found by BLOCKED candidate generation. The
+    * blocking predicate — shared first OR last character, AND length
+    * within ±1 — is part of the operator's declared contract (restated
+    * identically by the oracle), which is how fuzzy joins ship at
+    * scale: an exact all-pairs edit-distance pass is O(|V|²) and dies
+    * at a 100M-word vocabulary, while multi-pass blocking (the classic
+    * record-linkage technique: one pass per block key, union, dedup)
+    * bounds each equi-join bucket to a character-partition of one
+    * length band. The ±1 length band rides the same explode-two-buckets
+    * trick as the 5-minute band join ([[RangeJoin]]); levenshtein runs
+    * only on in-block candidates. Pairs are canonical (a < b), counted
+    * with their corpus frequencies so a downstream normalizer can pick
+    * the canonical spelling by weight.
+    */
+  def spellVariants(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = tokens(Tables.documents(s, dir))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .where(length($"word") >= 3)
+    // two block passes (first char / last char), each over the word's
+    // own length and the next (covers ±1 after a<b canonicalization); a
+    // pair caught by both passes dedups below
+    def keyed(w: Column, c: Column, side: String) = {
+      val blocks = array(
+        concat(lit("F"), substring(w, 1, 1)),
+        concat(lit("L"), substring(w, -1, 1)))
+      vocab.select(w.as(side), c.as(s"cnt_$side"),
+        explode(blocks).as("blk"), length(w).as("len"))
+    }
+    val anchors = keyed($"word", $"cnt", "a")
+      .withColumn("lb", explode(array($"len", $"len" + 1))).drop("len")
+    val probes = keyed($"word", $"cnt", "b")
+      .withColumnRenamed("len", "lb")
+    anchors.join(probes, Seq("blk", "lb"))
+      .where($"a" < $"b" &&
+        abs(length($"a") - length($"b")) <= 1 &&
+        levenshtein($"a", $"b") <= 2)
+      .select($"a", $"b", $"cnt_a", $"cnt_b",
+        levenshtein($"a", $"b").as("edit_dist"))
+      .distinct()
+  }
+
+  val spellVariantsSql: String =
+    """WITH vocab AS (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+      |    FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |v AS (SELECT word, cnt FROM vocab WHERE length(word) >= 3)
+      |SELECT va.word AS a, vb.word AS b,
+      |  va.cnt AS cnt_a, vb.cnt AS cnt_b,
+      |  CAST(levenshtein(va.word, vb.word) AS INT) AS edit_dist
+      |FROM v va JOIN v vb
+      |  ON va.word < vb.word
+      | AND (substring(va.word, 1, 1) = substring(vb.word, 1, 1)
+      |      OR substring(va.word, -1, 1) = substring(vb.word, -1, 1))
+      | AND abs(length(va.word) - length(vb.word)) <= 1
+      | AND levenshtein(va.word, vb.word) <= 2""".stripMargin
+
   /** Entity masking / anonymization — the PII-scrub shape: every match
     * of a sensitive-term pattern is replaced with a fixed mask token and
     * counted, and the rewritten text is fingerprinted so the rewrite
@@ -765,6 +827,7 @@ object TextOps {
     "doc_bigram_counts" -> (bigramCounts _),
     "doc_pmi_bigrams" -> (pmiBigrams _),
     "doc_dup_ngram_mass" -> (dupNgramMass _),
+    "doc_spell_variants" -> (spellVariants _),
     "wordcount" -> (wordCount _),
     "global_count" -> (globalCount _),
     "agg_of_agg" -> (aggOfAgg _),
@@ -783,6 +846,7 @@ object TextOps {
     "doc_bigram_counts" -> bigramCountsSql,
     "doc_pmi_bigrams" -> pmiBigramsSql,
     "doc_dup_ngram_mass" -> dupNgramMassSql,
+    "doc_spell_variants" -> spellVariantsSql,
     "wordcount" -> wordCountSql,
     "global_count" -> globalCountSql,
     "agg_of_agg" -> aggOfAggSql,
