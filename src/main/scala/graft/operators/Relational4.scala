@@ -397,7 +397,36 @@ object Relational4 {
       |    END, 6) AS rho
       |FROM sums""".stripMargin
 
+  /** Correlated LATERAL subquery — per-nation top-2 customers by
+    * balance, written as the dependent-join SQL surface. The interest
+    * is the DECORRELATION: Spark compiles the per-row ORDER BY/LIMIT
+    * subquery into `WindowGroupLimit` (partial before the exchange,
+    * final after — each map task forwards ≤2 rows per nation) + one
+    * broadcast hash join, i.e. exactly the window-top-k plan a user
+    * would hand-write, not a nested loop. DuckDB executes the same
+    * LATERAL text natively as the oracle. Raw column values only — no
+    * arithmetic to drift.
+    */
+  def qLateralTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation_lt")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_lt")
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation_lt n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer_lt c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
+  }
+
+  val qLateralTopkSql: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateral_topk" -> (qLateralTopk _),
     "q_recursive_chain" -> (qRecursiveChain _),
     "q_spearman" -> (qSpearman _),
     "q02_min_price_supplier" -> (q02MinPriceSupplier _),
@@ -408,6 +437,7 @@ object Relational4 {
     "q21_waiting_supplier" -> (q21WaitingSupplier _))
 
   def oracles: Map[String, String] = Map(
+    "q_lateral_topk" -> qLateralTopkSql,
     "q_recursive_chain" -> qRecursiveChainSql,
     "q_spearman" -> qSpearmanSql,
     "q02_min_price_supplier" -> q02Sql,

@@ -361,7 +361,39 @@ object TimeSeries {
       |  FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** MapType round-trip — the per-entity feature-map shape (entity →
+    * {feature: value}) built with map_from_entries over a
+    * DETERMINISTICALLY ORDERED entry list (sort_array before the map
+    * build: collect_list order is partition-dependent, and a map built
+    * from an unordered list would make the query nondeterministic even
+    * though map lookup semantics wouldn't care), then consumed by typed
+    * lookups. The oracle restates the lookups as conditional
+    * aggregates — proving the map plumbing preserves exactly the
+    * underlying group-by.
+    */
+  def typeMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct($"event_type", $"cnt")))).as("m"))
+      .select($"user_id", size($"m").as("n_types"),
+        coalesce(element_at($"m", "click"), lit(0L)).as("clicks"),
+        coalesce(element_at($"m", "purchase"), lit(0L)).as("purchases"))
+  }
+
+  val typeMapSql: String =
+    """SELECT user_id,
+      |  CAST(count(DISTINCT event_type) AS INT) AS n_types,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS clicks,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS purchases
+      |FROM events GROUP BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_type_map" -> (typeMap _),
     "ev_anomaly_zscore" -> (anomalyZscore _),
     "ev_variant_props" -> (variantProps _),
     "ev_cohort_retention" -> (cohortRetention _),
@@ -370,6 +402,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_type_map" -> typeMapSql,
     "ev_anomaly_zscore" -> anomalyZscoreSql,
     "ev_variant_props" -> variantPropsSql,
     "ev_cohort_retention" -> cohortRetentionSql,
