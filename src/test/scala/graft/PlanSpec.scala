@@ -102,4 +102,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("isFinalPlan=true"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("LATERAL top-k decorrelates to WindowGroupLimit + hash join, not a nested loop") {
+    val p = plan(graft.operators.Relational4.qLateralTopk(spark, sf))
+    // the per-row ORDER BY/LIMIT subquery becomes a rank window with a
+    // group-limit pushdown: each map task forwards <=2 rows per nation
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
