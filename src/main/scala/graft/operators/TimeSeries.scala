@@ -392,7 +392,53 @@ object TimeSeries {
       |    AS BIGINT) AS purchases
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Cumulative distinct users to date — the growth curve. The naive
+    * form (COUNT(DISTINCT user) OVER an expanding frame) re-scans every
+    * prefix and holds per-frame distinct state; the scalable identity
+    * is: distinct-to-date(d) = #users whose FIRST day ≤ d. One
+    * user-keyed min, one tiny per-day count, one running sum over the
+    * gap-filled calendar (so days with no new users still emit the
+    * carried total). This is the textbook rewrite every metrics
+    * pipeline ships.
+    */
+  def cumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+    val firstDay = ev.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val days = span.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firstDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce($"new_users", lit(0L)))
+      .withColumn("users_to_date", sum($"new_users").over(w))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"new_users",
+        $"users_to_date")
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |fd AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM (
+      |    SELECT user_id, min(day) AS day FROM ev GROUP BY user_id)
+      |  GROUP BY day),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      |  CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS users_to_date
+      |FROM days d LEFT JOIN fd f ON d.day = f.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cumulative_users" -> (cumulativeUsers _),
     "ev_type_map" -> (typeMap _),
     "ev_anomaly_zscore" -> (anomalyZscore _),
     "ev_variant_props" -> (variantProps _),
@@ -402,6 +448,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_cumulative_users" -> cumulativeUsersSql,
     "ev_type_map" -> typeMapSql,
     "ev_anomaly_zscore" -> anomalyZscoreSql,
     "ev_variant_props" -> variantPropsSql,
