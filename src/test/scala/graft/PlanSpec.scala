@@ -103,6 +103,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("runtime bloom-filter injection engages on a selective fact-dim shuffle join") {
+    // the engine-level 100 TB lever beyond this repo's manual
+    // sketch_bloom_prune: with a selective creation side, Spark injects
+    // bloom_filter_agg on the dim and might_contain on the FACT scan
+    // side, pruning shuffle input at runtime. Thresholds are tuned for
+    // the local fixture (the defaults assume a 10 GB application side).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables.lineitem(spark, sf)
+      val ord = graft.Tables.orders(spark, sf)
+        .where("o_orderpriority = '1-URGENT'")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        "runtime bloom filter not injected:\n" + p.take(2000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("LATERAL top-k decorrelates to WindowGroupLimit + hash join, not a nested loop") {
     val p = plan(graft.operators.Relational4.qLateralTopk(spark, sf))
     // the per-row ORDER BY/LIMIT subquery becomes a rank window with a
