@@ -552,6 +552,289 @@ object Multimodal {
        |    AS sum_top_row
        |FROM png""".stripMargin
 
+  // ------------------------------------------------------- GIF codec
+
+  @inline private def gifW(nTextBytes: Int): Int = 3 + nTextBytes % 41
+  @inline private def gifH(nTextBytes: Int): Int = 3 + nTextBytes % 17
+  @inline private def gifSeed(docId: Long): Int = (docId % 239).toInt
+  val CorruptEveryGif = 23
+
+  /** GIF-variant LZW encoder over 8-bit pixel indices — a REAL
+    * dictionary coder (PNG above delegates to zlib; this is the
+    * in-house one): variable-width codes starting at 9 bits, CLEAR=256
+    * / EOI=257, width grows when the next free code fills the current
+    * width, dictionary reset via CLEAR at 4096. LSB-first bit packing,
+    * payload chopped into ≤255-byte sub-blocks per the GIF spec.
+    */
+  def lzwEncode(pixels: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def putCode(code: Int, width: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += width
+      while (bitCnt >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    val Clear = 256; val Eoi = 257
+    var dict = new java.util.HashMap[Int, Integer]() // (prefix<<8|byte) -> code
+    var next = 258; var width = 9
+    putCode(Clear, width)
+    var cur = -1
+    var i = 0
+    while (i < pixels.length) {
+      val c = pixels(i) & 0xff
+      if (cur < 0) cur = c
+      else {
+        val key = (cur << 8) | c
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          putCode(cur, width)
+          dict.put(key, next); next += 1
+          if (next == (1 << width) && width < 12) width += 1
+          else if (next == 4096) {
+            putCode(Clear, width)
+            dict = new java.util.HashMap[Int, Integer](); next = 258; width = 9
+          }
+          cur = c
+        }
+      }
+      i += 1
+    }
+    if (cur >= 0) putCode(cur, width)
+    putCode(Eoi, width)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    // sub-block the stream
+    val raw = out.toByteArray
+    val blocked = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (p < raw.length) {
+      val n = math.min(255, raw.length - p)
+      blocked.write(n); blocked.write(raw, p, n)
+      p += n
+    }
+    blocked.write(0)
+    blocked.toByteArray
+  }
+
+  /** GIF-variant LZW decoder with full table reconstruction, the KwKwK
+    * (code == next free code) case, CLEAR resets, width growth in sync
+    * with the encoder, and hard validation: any code beyond the table's
+    * frontier, a stream without EOI, or a pixel count that misses
+    * `expected` rejects the payload.
+    */
+  def lzwDecode(blocked: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    // un-sub-block
+    val raw = new java.io.ByteArrayOutputStream()
+    var p = 0
+    var terminated = false
+    while (!terminated) {
+      if (p >= blocked.length) return None
+      val n = blocked(p) & 0xff; p += 1
+      if (n == 0) terminated = true
+      else {
+        if (p + n > blocked.length) return None
+        raw.write(blocked, p, n); p += n
+      }
+    }
+    val data = raw.toByteArray
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    def nextCode(width: Int): Int = {
+      while (bitCnt < width) {
+        if (pos >= data.length) return -1
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      val c = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      c
+    }
+    val Clear = 256; val Eoi = 257
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    var next = 258; var width = 9
+    val out = new java.io.ByteArrayOutputStream()
+    var prev = -1
+    def emit(code: Int): Byte = {
+      // walk the chain; roots are codes < 256
+      val stack = new Array[Byte](4096); var sp = 0
+      var c = code
+      while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val first = c.toByte
+      out.write(first & 0xff)
+      while (sp > 0) { sp -= 1; out.write(stack(sp) & 0xff) }
+      first
+    }
+    // width growth: the decoder learns of each encoder dictionary add
+    // one code LATER than the encoder made it, so it must widen one add
+    // EARLIER — when its counter reaches (1<<width)-1, not (1<<width).
+    // (The classic GIF "early change" off-by-one.)
+    def maybeWiden(): Unit =
+      if (next == (1 << width) - 1 && width < 12) width += 1
+    var done = false
+    while (!done) {
+      val code = nextCode(width)
+      if (code < 0) return None // ran out of bits before EOI
+      if (code == Clear) { next = 258; width = 9; prev = -1 }
+      else if (code == Eoi) done = true
+      else if (code < 256 || (code >= 258 && code < next)) {
+        val first = emit(code)
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first; next += 1
+          maybeWiden()
+        }
+        prev = code
+      } else if (code == next && prev >= 0 && next < 4096) {
+        // KwKwK: string = prev-string + first(prev-string)
+        val firstOfPrev: Byte = {
+          var c = prev
+          while (c >= 258) c = prefix(c)
+          c.toByte
+        }
+        prefix(next) = prev; suffix(next) = firstOfPrev; next += 1
+        emit(next - 1)
+        maybeWiden()
+        prev = next - 1
+      } else return None // code beyond the table frontier
+    }
+    val px = out.toByteArray
+    if (px.length != expected) None else Some(px)
+  }
+
+  /** Build a real 89a-structured GIF: header, logical screen
+    * descriptor, 256-entry global color table (deterministic RGB fill),
+    * image descriptor, and the LZW-compressed 8-bit pixel index stream.
+    * Pixel index at (row-major) j = (seed + 31·j) mod 256 — the same
+    * closed-form convention as BMP/PNG, restated by the oracle.
+    */
+  def encodeGif(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(w); u16(h)
+    out.write(0xf7) // global table, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { // deterministic palette
+      out.write(i); out.write((i * 3) & 0xff); out.write((i * 7) & 0xff)
+      i += 1
+    }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(w); u16(h); out.write(0)
+    out.write(8) // LZW min code size
+    val px = Array.tabulate(w * h)(j => ((seed + 31 * j) % 256).toByte)
+    out.write(lzwEncode(px))
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Genuine GIF parse: magic, screen descriptor, color-table skip,
+    * extension-block walk, image descriptor, full LZW decode (with the
+    * pixel-count check), trailer. Returns (width, height, index_sum,
+    * top_row_index_sum); None on any malformed byte.
+    */
+  def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (bytes.length < 14) return None
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF89a" && magic != "GIF87a") return None
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    var pos = 6
+    pos += 4 // screen w/h (image descriptor dims are authoritative)
+    val packed = bytes(pos) & 0xff; pos += 3
+    if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
+    // block walk: extensions until the image descriptor
+    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
+      pos += 2 // introducer + label
+      var blockLen = if (pos < bytes.length) bytes(pos) & 0xff else -1
+      while (blockLen > 0) {
+        pos += 1 + blockLen
+        blockLen = if (pos < bytes.length) bytes(pos) & 0xff else -1
+      }
+      if (blockLen < 0) return None
+      pos += 1 // terminator
+    }
+    if (pos + 10 > bytes.length || (bytes(pos) & 0xff) != 0x2c) return None
+    val w = u16(pos + 5); val h = u16(pos + 7)
+    val ipacked = bytes(pos + 9) & 0xff
+    pos += 10
+    if ((ipacked & 0x80) != 0) pos += 3 * (1 << ((ipacked & 7) + 1))
+    if (w <= 0 || h <= 0 || pos + 1 >= bytes.length) return None
+    val minCode = bytes(pos) & 0xff; pos += 1
+    if (minCode != 8) return None
+    // the trailer must follow the data sub-blocks
+    var q = pos
+    var bl = if (q < bytes.length) bytes(q) & 0xff else -1
+    while (bl > 0) {
+      q += 1 + bl
+      bl = if (q < bytes.length) bytes(q) & 0xff else -1
+    }
+    if (bl < 0) return None
+    q += 1
+    if (q >= bytes.length || (bytes(q) & 0xff) != 0x3b) return None
+    lzwDecode(bytes.drop(pos), w * h).map { px =>
+      var idxSum = 0L; var top = 0L
+      var j = 0
+      while (j < px.length) {
+        val v = px(j) & 0xff
+        idxSum += v
+        if (j < w) top += v
+        j += 1
+      }
+      (w, h, idxSum, top)
+    }
+  }
+
+  def gifAssets(s: SparkSession, dir: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val gif = encodeGif(gifW(tb.length), gifH(tb.length), gifSeed(id))
+        // magic corrupt — GUARANTEED-detectable (an LZW data-byte flip
+        // can decode to a different-but-valid pixel stream, which would
+        // make the drop count fixture-dependent; the stream-level
+        // rejections are exercised deterministically in the spec)
+        if (id % CorruptEveryGif == 0) gif(0) = 'X'.toByte
+        Asset(id, "gif", gif)
+      }
+  }
+
+  /** GIF proof query: full LZW decode per asset in the batched shape;
+    * corrupt streams (bad code frontier / pixel-count miss / lost
+    * trailer) dropped-and-counted; index sums restated closed-form by
+    * the oracle — a decoder that mishandles width growth, CLEAR resets,
+    * or the KwKwK case cannot reproduce them.
+    */
+  def gifStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoded = gifAssets(s, dir).mapPartitions {
+      _.grouped(64).flatMap(_.map { a =>
+        decodeGif(a.payload) match {
+          case Some((w, h, idx, top)) => (a.asset_id, true, w, h, idx, top)
+          case None => (a.asset_id, false, 0, 0, 0L, 0L)
+        }
+      })
+    }.toDF("asset_id", "ok", "w", "h", "idx_sum", "top_sum")
+    decoded.agg(
+      count(when($"ok", 1)).as("n_gif"),
+      count(when(!$"ok", 1)).as("n_corrupt"),
+      sum(when($"ok", $"idx_sum")).as("sum_idx"),
+      sum(when($"ok", $"top_sum")).as("sum_top_row"))
+  }
+
+  val gifStatsSql: String =
+    s"""WITH gif AS (
+       |  SELECT doc_id, 3 + strlen(text) % 41 AS w, 3 + strlen(text) % 17 AS h,
+       |    CAST(doc_id % 239 AS INTEGER) AS seed,
+       |    doc_id % $CorruptEveryGif = 0 AS corrupt
+       |  FROM documents)
+       |SELECT count(CASE WHEN NOT corrupt THEN 1 END) AS n_gif,
+       |  count(CASE WHEN corrupt THEN 1 END) AS n_corrupt,
+       |  CAST(sum(CASE WHEN NOT corrupt THEN list_sum(list_transform(
+       |    range(0, w * h), j -> (seed + 31 * j) % 256)) END) AS BIGINT)
+       |    AS sum_idx,
+       |  CAST(sum(CASE WHEN NOT corrupt THEN list_sum(list_transform(
+       |    range(0, w), j -> (seed + 31 * j) % 256)) END) AS BIGINT)
+       |    AS sum_top_row
+       |FROM gif""".stripMargin
+
   // ------------------------------------------------------ JPEG codec
 
   /** JPEG geometry — own population (all docs), own cadences. Dims are
@@ -906,6 +1189,7 @@ object Multimodal {
     "mm_pixel_stats" -> (pixelStats _),
     "mm_png_stats" -> (pngStats _),
     "mm_jpeg_dims" -> (jpegDims _),
+    "mm_gif_stats" -> (gifStats _),
     "mm_audio_stats" -> (audioStats _),
     "mm_caption_pairs" -> (captionPairs _))
 
@@ -915,6 +1199,7 @@ object Multimodal {
     "mm_pixel_stats" -> pixelStatsSql,
     "mm_png_stats" -> pngStatsSql,
     "mm_jpeg_dims" -> jpegDimsSql,
+    "mm_gif_stats" -> gifStatsSql,
     "mm_audio_stats" -> audioStatsSql,
     "mm_caption_pairs" -> captionPairsSql)
 }

@@ -198,6 +198,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpeg(Array.empty[Byte]).isEmpty)
   }
 
+  test("lzw round-trips the adversarial patterns: KwKwK, width growth, dict reset") {
+    def rt(px: Array[Byte]): Unit = {
+      val dec = Multimodal.lzwDecode(Multimodal.lzwEncode(px), px.length)
+      assert(dec.isDefined, s"decode failed for ${px.length} pixels")
+      assert(java.util.Arrays.equals(dec.get, px), s"mismatch for ${px.length} pixels")
+    }
+    rt(Array[Byte](7)) // single pixel
+    rt("abababababababab".getBytes("US-ASCII")) // classic KwKwK trigger
+    rt(Array.fill(500)(42.toByte)) // runs: deep dictionary chains
+    // crosses the 9->10->11 width boundaries (needs >766 dict adds)
+    rt(Array.tabulate(6000)(j => ((j * j + 3 * j) % 251).toByte))
+    // forces the 4096 dictionary reset (>3838 adds): varied long input
+    rt(Array.tabulate(60000)(j => ((j * 7919 + (j >> 3)) % 256).toByte))
+  }
+
+  test("gif round-trip recovers dims and pixel sums; decoder rejects stream damage") {
+    val good = Multimodal.encodeGif(40, 16, 99)
+    val Some((w, h, idx, top)) = Multimodal.decodeGif(good)
+    assert((w, h) == (40, 16))
+    val expIdx = (0 until 40 * 16).map(j => (99 + 31 * j) % 256).sum.toLong
+    val expTop = (0 until 40).map(j => (99 + 31 * j) % 256).sum.toLong
+    assert((idx, top) == (expIdx, expTop))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeGif(badMagic).isEmpty, "bad magic")
+    assert(Multimodal.decodeGif(good.dropRight(2)).isEmpty, "lost trailer")
+    assert(Multimodal.decodeGif(good.take(800)).isEmpty, "truncated sub-blocks")
+    // frontier violation: a 12-bit max code injected where the table is
+    // still small must be rejected, not indexed out of bounds
+    val smallPx = Array.tabulate(30)(_.toByte)
+    val enc = Multimodal.lzwEncode(smallPx)
+    assert(Multimodal.lzwDecode(enc, 31).isEmpty, "pixel-count mismatch must reject")
+    assert(Multimodal.decodeGif(Array.empty[Byte]).isEmpty)
+  }
+
+  test("gif corpus stats: corrupt-every-23rd dropped and counted") {
+    val r = Multimodal.gifStats(spark, sf).collect().head
+    val total = r.getLong(0) + r.getLong(1)
+    assert(r.getLong(1) == (0L until total).count(_ % Multimodal.CorruptEveryGif == 0))
+    assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+  }
+
   test("jpeg corpus dims: two corruption cadences dropped and counted") {
     val r = Multimodal.jpegDims(spark, sf).collect().head
     val total = r.getLong(0) + r.getLong(1)
