@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed Lloyd's k-means over the embedding collection — the
+  * iterative ML operator proper (IVF training in [[Similarity]] fits a
+  * codebook on a bounded SAMPLE; this is the full-collection fixed-
+  * iteration fit, the shape MLlib's KMeans runs):
+  *
+  *   - ASSIGNMENT is fully distributed: each vector joins the k-row
+  *     broadcast centroid table, squared-L2 computed by a sequential
+  *     double fold (`aggregate(zip_with(...))` — the same fold order
+  *     DuckDB's list_sum uses, which is what makes double distances
+  *     engine-exact), argmin by `row_number() over (d, k)` so ties
+  *     break deterministically.
+  *   - UPDATE is distributed: per (cluster, dim) mean with the
+  *     decimal-summed 6-dp-rounded convention ([[Similarity
+  *     .langCentroids]]) — partition-order-proof, so five chained
+  *     iterations cannot drift between engines.
+  *   - Only the k×dim centroid table (512 doubles) round-trips through
+  *     the driver per iteration — exactly what MLlib collects; data
+  *     rows never leave the cluster. Empty clusters keep their previous
+  *     centroid (coalesce against the prior table) on BOTH engines.
+  *
+  * Init = the first k vectors by vec_id (deterministic, restated by the
+  * oracle); [[Iters]] fixed iterations, no convergence polling on the
+  * critical path. Output = final centroids (exploded to (cluster, dim,
+  * mean_v)) joined with final-assignment cluster sizes — 512 rows that
+  * pin every arithmetic step of the whole fit.
+  */
+object KMeans {
+
+  val K = 8
+  val Iters = 5
+
+  /** Squared-L2 between the embedding column and a centroid array
+    * column, as a sequential double fold (matches DuckDB list_sum).
+    */
+  private val distExpr =
+    """aggregate(
+      |  zip_with(embedding, cvec,
+      |    (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+      |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+
+  /** One assignment pass against a k-row centroid frame. */
+  private def assign(emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cdf = cents.toDF("k", "cvec")
+    emb.crossJoin(broadcast(cdf))
+      .withColumn("d", expr(distExpr))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"vec_id").orderBy($"d", $"k")))
+      .where($"rn" === 1)
+      .select($"vec_id", $"k", $"embedding")
+  }
+
+  /** One update pass: decimal-exact per-(cluster, dim) means, with the
+    * previous centroid carried for any cluster that lost all members.
+    */
+  private def update(assigned: DataFrame,
+      prev: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    // rounding via floor(x*1e6 + 0.5)/1e6, NOT round(): the engines'
+    // native round(double, 6) implementations disagree within an ulp of
+    // the .5 boundary (Spark goes through exact BigDecimal, DuckDB
+    // multiplies in double first) — observed as a single last-digit
+    // centroid diff after 5 iterations. The floor form is the same IEEE
+    // op sequence on both engines, so it cannot diverge.
+    val means = assigned
+      .select($"k", posexplode($"embedding").as(Seq("dim", "ev")))
+      .groupBy($"k", $"dim")
+      .agg((floor((sum(floor($"ev".cast("double") * 1e6 + 0.5)
+          .cast("decimal(18,0)")).cast("double") / count(lit(1))) + 0.5)
+        / 1e6).as("mv"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    prev.map { case (k, old) => (k, means.getOrElse(k, old)) }
+  }
+
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    var cents: Seq[(Int, Seq[Double])] =
+      emb.where($"vec_id" < K).as[(Long, Array[Float])].collect()
+        .sortBy(_._1)
+        .map { case (id, v) => (id.toInt, v.map(_.toDouble).toSeq) }.toSeq
+    var lastAssign: DataFrame = null
+    for (_ <- 1 to Iters) {
+      lastAssign = assign(emb, cents)
+      cents = update(lastAssign, cents)
+    }
+    val sizes = lastAssign.groupBy($"k").agg(count(lit(1)).as("n_vecs"))
+    val centRows = cents
+      .flatMap { case (k, v) => v.zipWithIndex.map { case (mv, d) => (k, d, mv) } }
+      .toDF("k", "dim", "mean_v")
+    centRows.join(sizes, Seq("k"), "left")
+      .select($"k".as("cluster"), $"dim", $"mean_v",
+        coalesce($"n_vecs", lit(0L)).as("n_vecs"))
+  }
+
+  /** DuckDB restatement: init from the first k vectors, the five
+    * iterations unrolled as chained CTEs (assignment via the same
+    * list_sum fold + (d, k) row_number, update via the same decimal
+    * means with previous-centroid coalesce), sizes from the final
+    * assignment.
+    */
+  val kmeansSql: String = {
+    val init =
+      s"""WITH c0 AS (
+         |  SELECT CAST(vec_id AS INT) AS k,
+         |    CAST(rv.i - 1 AS INT) AS dim,
+         |    CAST(embedding[rv.i] AS DOUBLE) AS mv
+         |  FROM embeddings, LATERAL (
+         |    SELECT unnest(range(1, len(embedding) + 1)) AS i) rv
+         |  WHERE vec_id < $K)""".stripMargin
+    def iter(i: Int): String = {
+      val p = i - 1
+      s"""cv$p AS (
+         |  SELECT k, list(mv ORDER BY dim) AS cvec FROM c$p GROUP BY k),
+         |a$i AS (
+         |  SELECT vec_id, k, embedding FROM (
+         |    SELECT e.vec_id, c.k, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(range(1, len(e.embedding) + 1),
+         |            j -> (CAST(e.embedding[j] AS DOUBLE) - c.cvec[j])
+         |               * (CAST(e.embedding[j] AS DOUBLE) - c.cvec[j]))),
+         |          (s, v) -> s + v),
+         |        c.k) AS rn
+         |    FROM embeddings e CROSS JOIN cv$p c)
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT k, CAST(rv.i - 1 AS INT) AS dim,
+         |    floor(CAST(sum(CAST(floor(CAST(embedding[rv.i] AS DOUBLE) * 1e6 + 0.5)
+         |      AS DECIMAL(18,0))) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mv
+         |  FROM a$i, LATERAL (
+         |    SELECT unnest(range(1, len(embedding) + 1)) AS i) rv
+         |  GROUP BY k, rv.i),
+         |c$i AS (
+         |  SELECT p.k, p.dim, coalesce(m.mv, p.mv) AS mv
+         |  FROM c$p p LEFT JOIN m$i m ON m.k = p.k AND m.dim = p.dim)""".stripMargin
+    }
+    val iters = (1 to Iters).map(iter).mkString(",\n")
+    s"""$init,
+       |$iters,
+       |sizes AS (SELECT k, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM a$Iters GROUP BY k)
+       |SELECT c.k AS cluster, c.dim, c.mv AS mean_v,
+       |  coalesce(s.n_vecs, 0) AS n_vecs
+       |FROM c$Iters c LEFT JOIN sizes s ON s.k = c.k""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans" -> (kmeans _))
+
+  def oracles: Map[String, String] = Map(
+    "sim_kmeans" -> kmeansSql)
+}
