@@ -131,6 +131,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
+    // the third runtime lever next to AQE-skew and bloom injection: the
+    // dim-side filter prunes fact PARTITIONS at runtime via a reused
+    // broadcast subquery on the partition column
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"value",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dim = graft.Tables.events(spark, sf)
+      .select(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("dt"),
+        $"event_type").distinct()
+      .where($"event_type" === "purchase" && $"dt" < "2024-01-03")
+    val j = fact.join(dim, Seq("dt")).groupBy("dt").count()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      "dynamic partition pruning subquery missing:\n" + p.take(2000))
+  }
+
   test("LATERAL top-k decorrelates to WindowGroupLimit + hash join, not a nested loop") {
     val p = plan(graft.operators.Relational4.qLateralTopk(spark, sf))
     // the per-row ORDER BY/LIMIT subquery becomes a rank window with a
