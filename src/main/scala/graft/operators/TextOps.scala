@@ -454,15 +454,22 @@ object TextOps {
     */
   def dupNgramMass(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // grams ride as md5-60 longs, not strings: the gram aggregate and
+    // join-back shuffle 8-byte keys instead of ~50-byte text (the same
+    // signature convention as the MinHash shingles); the hash is
+    // identical in both engines, so any 60-bit collision affects both
+    // sides equally and the oracle still matches exactly
     val grams = Tables.documents(s, dir)
       .selectExpr("doc_id", s"$tokensExpr AS toks")
       .where("size(toks) >= 8")
       .selectExpr("doc_id",
         """explode(transform(sequence(0, size(toks) - 8),
           |  i -> array_join(slice(toks, i + 1, 8), ' '))) AS gram""".stripMargin)
-    val gramDocs = grams.groupBy($"gram")
+      .select($"doc_id",
+        conv(substring(md5($"gram"), 1, 15), 16, 10).cast("long").as("h"))
+    val gramDocs = grams.groupBy($"h")
       .agg(countDistinct($"doc_id").as("n_docs"))
-    grams.join(gramDocs, "gram")
+    grams.join(gramDocs, "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
@@ -475,18 +482,21 @@ object TextOps {
        |  SELECT doc_id, $duckTokensExpr AS t FROM documents),
        |grams AS (
        |  SELECT doc_id,
-       |    unnest(list_transform(range(0, len(t) - 7),
-       |      i -> array_to_string(t[i+1:i+8], ' '))) AS gram
-       |  FROM toks WHERE len(t) >= 8),
+       |    CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, len(t) - 7),
+       |        i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+       |    FROM toks WHERE len(t) >= 8)),
        |gd AS (
-       |  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM grams
-       |  GROUP BY gram)
+       |  SELECT h, count(DISTINCT doc_id) AS n_docs FROM grams
+       |  GROUP BY h)
        |SELECT g.doc_id, count(*) AS n_grams,
        |  CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_dup_grams,
        |  round(CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END)
        |    AS DOUBLE) / count(*), 6) AS dup_mass
-       |FROM grams g JOIN gd ON g.gram = gd.gram
+       |FROM grams g JOIN gd ON g.h = gd.h
        |GROUP BY g.doc_id""".stripMargin
 
   /** Spell-variant mining over the corpus vocabulary — the fuzzy

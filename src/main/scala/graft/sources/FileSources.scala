@@ -215,6 +215,35 @@ object FileSources {
       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
       |FROM documents""".stripMargin
 
+  /** Gzip-compressed text round-trip — raw crawl corpora (WET-style
+    * dumps) arrive exactly like this. Gzip is NOT splittable: each
+    * .txt.gz is one task regardless of size, so the writer's file count
+    * IS the read parallelism — the operational reason a 100 TB pipeline
+    * re-containers gzip text into parquet/zstd on first touch (the
+    * `src_parquet_zstd_roundtrip` path). Verified by an
+    * order-independent CONTENT fingerprint (sum of per-line md5-60 over
+    * a 38-digit decimal), not just counts — a dropped or duplicated
+    * line anywhere in the compressed stream fails the oracle.
+    */
+  def textGzip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("graft_textgz")
+    Tables.documents(s, dir).select($"text")
+      .write.option("compression", "gzip").mode("overwrite").text(out)
+    s.read.text(out)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length($"value")).as("sum_chars"),
+        sum(conv(substring(md5($"value"), 1, 15), 16, 10)
+          .cast("decimal(38,0)")).cast("string").as("content_fp"))
+  }
+
+  val textGzipSql: String =
+    """SELECT count(*) AS n_lines,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(CAST(sum(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT))
+      |    AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+      |FROM documents""".stripMargin
+
   /** Opaque-file ingestion via the `binaryFile` source — how encoded
     * media lands in the engine when it arrives as loose object-store
     * files rather than rows: the corpus is written out as text files,
@@ -305,7 +334,8 @@ object FileSources {
     "src_json_roundtrip" -> (jsonRoundTrip _),
     "src_json_extract" -> (jsonExtract _),
     "src_orc_roundtrip" -> (orcRoundTrip _),
-    "src_partitioned_layout" -> (partitionedLayout _))
+    "src_partitioned_layout" -> (partitionedLayout _),
+    "src_text_gzip" -> (textGzip _))
 
   def oracles: Map[String, String] = Map(
     "src_schema_evolution" -> schemaEvolutionSql,
@@ -317,5 +347,6 @@ object FileSources {
     "src_json_roundtrip" -> jsonRoundTripSql,
     "src_json_extract" -> jsonExtractSql,
     "src_orc_roundtrip" -> orcRoundTripSql,
-    "src_partitioned_layout" -> partitionedLayoutSql)
+    "src_partitioned_layout" -> partitionedLayoutSql,
+    "src_text_gzip" -> textGzipSql)
 }
