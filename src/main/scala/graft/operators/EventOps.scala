@@ -519,7 +519,62 @@ object EventOps {
       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS cnt_1h
       |FROM events""".stripMargin
 
+  /** Top user-journey paths — sequence mining lite: each 30-min-gap
+    * session becomes its ordered event-type string (µs order, event_id
+    * tie-break — fully deterministic), then the corpus-wide top-20
+    * paths by frequency. The per-session list is bounded by session
+    * length (the sessionization gap bounds it in practice); the path
+    * aggregate is a plain map-side-combinable wordcount over path
+    * strings; top-k is TakeOrderedAndProject. The query every product
+    * team runs on the funnel the Markov matrix ([[typeTransitions]])
+    * models one step at a time.
+    */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev", lag($"ts_us", 1).over(byUser))
+      .withColumn("new_s",
+        when($"prev".isNull || $"ts_us" - $"prev" > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct($"ts_us", $"event_id",
+          $"event_type"))), x => x.getField("event_type"))).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(20)
+  }
+
+  val sessionPathsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |lagd AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM lagd),
+      |paths AS (
+      |  SELECT user_id, sid,
+      |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT path, count(*) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_session_paths" -> (sessionPaths _),
     "ev_range_window" -> (rangeWindowCount _),
     "ev_funnel" -> (funnel _),
     "ev_retention" -> (retention _),
@@ -537,6 +592,7 @@ object EventOps {
     "ev_type_transitions" -> (typeTransitions _))
 
   def oracles: Map[String, String] = Map(
+    "ev_session_paths" -> sessionPathsSql,
     "ev_range_window" -> rangeWindowCountSql,
     "ev_funnel" -> funnelSql,
     "ev_retention" -> retentionSql,
