@@ -235,11 +235,98 @@ object Graph {
        |  round(CAST(3 AS DOUBLE) * n_triangles / n_wedges, 6) AS global_cc
        |FROM es CROSS JOIN ds CROSS JOIN tri""".stripMargin
 
+  /** Neighbor-overlap similarity (co-occurrence / co-citation Jaccard)
+    * — the "related items" measure over any graph: two nodes are
+    * similar when their neighborhoods overlap. Exact all-pairs overlap
+    * is the d²-per-node wedge enumeration, so the operator's declared
+    * contract caps the WITNESS role: only nodes of degree ≤ maxDeg
+    * generate neighbor pairs. That is the graph analog of stopword
+    * removal — an ultra-hub connected to everything witnesses nothing
+    * about relatedness while costing d² — and it is what bounds the
+    * wedge join at any scale (work per witness ≤ maxDeg²). Degrees in
+    * the Jaccard denominator stay UNcapped, so scores are conservative
+    * (never inflated) under the cap; the oracle restates the identical
+    * capped semantics.
+    */
+  def neighborSimilarity(s: SparkSession, dir: String): DataFrame =
+    neighborSimilarityOnEdges(tokenEdges(s, dir))
+
+  val MaxWitnessDeg = 1024
+
+  def neighborSimilarityOnEdges(rawEdges: DataFrame,
+      maxDeg: Int = MaxWitnessDeg): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val und = rawEdges.where($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select($"u".as("node")).union(und.select($"v"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    // adjacency rows (witness, neighbor), witness capped
+    val adj = und.select($"u".as("w"), $"v".as("n"))
+      .union(und.select($"v".as("w"), $"u".as("n")))
+      .join(deg.select($"node".as("w"), $"deg".as("wdeg")), "w")
+      .where($"wdeg" <= maxDeg)
+      .select($"w", $"n")
+    val commons = adj.select($"w", $"n".as("a"))
+      .join(adj.select($"w", $"n".as("b")), "w")
+      .where($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+    commons
+      .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
+      .where($"common" >= 2)
+      .select($"a", $"b", $"common",
+        round($"common".cast("double") / ($"da" + $"db" - $"common"), 6)
+          .as("jaccard"))
+      .orderBy($"jaccard".desc, $"a", $"b")
+      .limit(30)
+  }
+
+  val neighborSimilaritySql: String =
+    s"""WITH toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |tedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY src, dst),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM tedges WHERE src <> dst),
+       |deg AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY node),
+       |adj AS (
+       |  SELECT x.w, x.n FROM (
+       |    SELECT u AS w, v AS n FROM und
+       |    UNION ALL SELECT v, u FROM und) x
+       |  JOIN deg d ON d.node = x.w WHERE d.deg <= $MaxWitnessDeg),
+       |commons AS (
+       |  SELECT l.n AS a, r.n AS b, CAST(count(*) AS BIGINT) AS common
+       |  FROM adj l JOIN adj r ON l.w = r.w AND l.n < r.n
+       |  GROUP BY 1, 2)
+       |SELECT c.a, c.b, c.common,
+       |  round(CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common), 6)
+       |    AS jaccard
+       |FROM commons c
+       |JOIN deg da ON da.node = c.a
+       |JOIN deg db ON db.node = c.b
+       |WHERE c.common >= 2
+       |ORDER BY jaccard DESC, a, b
+       |LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
-    "graph_triangles" -> (triangles _))
+    "graph_triangles" -> (triangles _),
+    "graph_neighbor_jaccard" -> (neighborSimilarity _))
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
-    "graph_triangles" -> trianglesSql)
+    "graph_triangles" -> trianglesSql,
+    "graph_neighbor_jaccard" -> neighborSimilaritySql)
 }

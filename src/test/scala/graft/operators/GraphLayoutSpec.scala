@@ -117,6 +117,33 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("global_cc") - 15.0 / 23) < 1e-6)
   }
 
+  test("neighbor jaccard: witness cap silences hubs, scores are exact below it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two hubs each joined to the same 50 leaves: every leaf pair has
+    // exactly the two hubs as common neighbors
+    val edges = (0 until 50).flatMap(i => Seq((s"leaf_$i", "h1"), (s"leaf_$i", "h2")))
+      .toDF("src", "dst").withColumn("cnt", lit(1L))
+    val open = Graph.neighborSimilarityOnEdges(edges, maxDeg = 64).collect()
+    assert(open.length == 30) // top-k of 1225 leaf pairs + the hub pair
+    // ties all score 1.0; (h1, h2) sorts first — witnessed by 50 leaves
+    val first = open.head
+    assert((first.getAs[String]("a"), first.getAs[String]("b")) == ("h1", "h2"))
+    assert(first.getAs[Long]("common") == 50L)
+    open.foreach { r =>
+      // leaf pairs: common=2 (both hubs), deg 2 each: 2/(2+2-2) = 1.0;
+      // hub pair: 50/(50+50-50) = 1.0
+      assert(math.abs(r.getAs[Double]("jaccard") - 1.0) < 1e-9)
+    }
+    // cap below the hub degree: hubs no longer witness, so every
+    // leaf-leaf pair disappears; the (h1, h2) pair survives because its
+    // WITNESSES are the deg-2 leaves — exactly the cap's semantics
+    val capped = Graph.neighborSimilarityOnEdges(edges, maxDeg = 10).collect()
+    assert(capped.length == 1)
+    assert((capped.head.getAs[String]("a"), capped.head.getAs[String]("b")) == ("h1", "h2"))
+    assert(capped.head.getAs[Long]("common") == 50L)
+  }
+
   test("degree orientation bounds wedge work at the hub") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
