@@ -114,11 +114,76 @@ object RangeJoin {
       |WHERE e.event_type = 'error'
       |GROUP BY s.user_id, s.start_us""".stripMargin
 
+  /** Interval × interval overlap join — the third join geometry
+    * (fixed-width band and point-in-interval are above): cross-USER
+    * session pairs that overlap in time, with total concurrent
+    * duration. Both interval sets explode to their covered W-buckets;
+    * a pair overlapping anywhere shares at least one bucket, so the
+    * theta join becomes an equi-join on the bucket + an exact residual.
+    * A pair can co-occur in SEVERAL shared buckets — the distinct on
+    * the pair identity (before aggregation) is load-bearing, and the
+    * reason the aggregate can't ride the join directly.
+    */
+  def concurrentSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 1800000000L
+    val byUser = Window.partitionBy($"user_id").orderBy($"t_us")
+    val sess = Tables.events(s, dir)
+      .selectExpr("user_id", "(ts_ns div 1000) AS t_us")
+      .withColumn("prev", lag($"t_us", 1).over(byUser))
+      .withColumn("new_s",
+        when($"prev".isNull || $"t_us" - $"prev" > GapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"t_us").as("start_us"), max($"t_us").as("end_us"))
+    val bucketed = sess.withColumn("bucket",
+      explode(expr(s"sequence(start_us div $GapUs, end_us div $GapUs)")))
+    val a = bucketed.select($"bucket", $"user_id".as("ua"), $"sid".as("sa"),
+      $"start_us".as("sta"), $"end_us".as("ena"))
+    val b = bucketed.select($"bucket", $"user_id".as("ub"), $"sid".as("sb"),
+      $"start_us".as("stb"), $"end_us".as("enb"))
+    a.join(b, Seq("bucket"))
+      .where($"ua" < $"ub" && $"sta" <= $"enb" && $"stb" <= $"ena")
+      .select($"ua", $"sa", $"ub", $"sb",
+        (least($"ena", $"enb") - greatest($"sta", $"stb")).as("overlap_us"))
+      .distinct()
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"overlap_us").as("sum_overlap_us"))
+  }
+
+  val concurrentSessionsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us FROM events),
+      |lagd AS (
+      |  SELECT user_id, t_us,
+      |    CASE WHEN lag(t_us) OVER w IS NULL
+      |           OR t_us - lag(t_us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+      |sess0 AS (
+      |  SELECT user_id, t_us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM lagd),
+      |sess AS (
+      |  SELECT user_id, sid, min(t_us) AS start_us, max(t_us) AS end_us
+      |  FROM sess0 GROUP BY 1, 2)
+      |SELECT count(*) AS n_pairs,
+      |  CAST(sum(least(a.end_us, b.end_us)
+      |    - greatest(a.start_us, b.start_us)) AS BIGINT) AS sum_overlap_us
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id
+      | AND a.start_us <= b.end_us AND b.start_us <= a.end_us""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_error_followups" -> (errorFollowups _),
-    "range_session_errors" -> (sessionErrors _))
+    "range_session_errors" -> (sessionErrors _),
+    "range_concurrent_sessions" -> (concurrentSessions _))
 
   def oracles: Map[String, String] = Map(
     "range_error_followups" -> errorFollowupsSql,
-    "range_session_errors" -> sessionErrorsSql)
+    "range_session_errors" -> sessionErrorsSql,
+    "range_concurrent_sessions" -> concurrentSessionsSql)
 }
