@@ -162,11 +162,75 @@ object AsOfJoin {
       |      FROM events WHERE event_type = 'error' GROUP BY 1, 2) e
       |  ON p.user_id = e.user_id AND p.nt >= e.nt""".stripMargin
 
+  /** NEAREST as-of — the third direction (backward and forward above):
+    * each left row matched to the time-CLOSEST right row in either
+    * direction, ties to the backward match. Where the composed form
+    * would run two as-of joins plus a re-join, this is ONE shuffled
+    * sort with BOTH window directions over the same partition:
+    * `last(ignoreNulls)` over the preceding frame carries the most
+    * recent right row (≤ t), `first(ignoreNulls)` over the strictly-
+    * following frame the next one (> t — same-µs rights sort before the
+    * left row, so they are backward matches, never double-counted).
+    * Right side pre-dedup'd to one row per (key, µs) (max event_id),
+    * the family's tie rule.
+    *
+    * Query: each click matched to its nearest purchase; gap_us is
+    * SIGNED (negative = purchase before the click).
+    */
+  def nearestPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("key"), expr("ts_ns div 1000").as("t"),
+        $"event_id")
+    val purchases = ev.where($"event_type" === "purchase")
+      .groupBy($"user_id".as("key"), expr("ts_ns div 1000").as("t"))
+      .agg(max($"event_id").as("pid"))
+    val lTagged = clicks.withColumn("is_left", lit(1))
+      .select($"key", $"t", $"is_left", $"event_id",
+        lit(null).cast("struct<r_t:bigint,pid:bigint>").as("_rv"))
+    val rTagged = purchases.withColumn("is_left", lit(0))
+      .select($"key", $"t", $"is_left", lit(null).cast("long").as("event_id"),
+        struct($"t".as("r_t"), $"pid").as("_rv"))
+    val sorted = Window.partitionBy($"key").orderBy($"t".asc, $"is_left".asc)
+    val prevW = sorted.rowsBetween(Window.unboundedPreceding, 0)
+    val nextW = sorted.rowsBetween(1, Window.unboundedFollowing)
+    lTagged.unionByName(rTagged)
+      .withColumn("prev", last($"_rv", ignoreNulls = true).over(prevW))
+      .withColumn("next", first($"_rv", ignoreNulls = true).over(nextW))
+      .where($"is_left" === 1)
+      .withColumn("pick",
+        when($"prev".isNull, $"next")
+          .when($"next".isNull, $"prev")
+          .when($"t" - $"prev.r_t" <= $"next.r_t" - $"t", $"prev")
+          .otherwise($"next"))
+      .select($"event_id".as("click_id"), $"pick.pid".as("purchase_id"),
+        ($"pick.r_t" - $"t").as("gap_us"))
+  }
+
+  val nearestPurchaseSql: String =
+    """WITH c AS (
+      |  SELECT event_id AS cid, user_id, epoch_us(ts) AS ct
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS pt, max(event_id) AS pid
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT c.cid, p.pid, p.pt - c.ct AS gap_us,
+      |    row_number() OVER (PARTITION BY c.cid ORDER BY
+      |      abs(p.pt - c.ct),
+      |      CASE WHEN p.pt <= c.ct THEN 0 ELSE 1 END) AS rn
+      |  FROM c JOIN p ON p.user_id = c.user_id)
+      |SELECT c.cid AS click_id, r.pid AS purchase_id, r.gap_us
+      |FROM c LEFT JOIN ranked r ON r.cid = c.cid AND r.rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_purchase_attribution" -> (purchaseAttribution _),
-    "asof_next_error" -> (nextErrorFollowup _))
+    "asof_next_error" -> (nextErrorFollowup _),
+    "asof_nearest_purchase" -> (nearestPurchase _))
 
   def oracles: Map[String, String] = Map(
     "asof_purchase_attribution" -> purchaseAttributionSql,
-    "asof_next_error" -> nextErrorFollowupSql)
+    "asof_next_error" -> nextErrorFollowupSql,
+    "asof_nearest_purchase" -> nearestPurchaseSql)
 }
