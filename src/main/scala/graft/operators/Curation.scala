@@ -554,6 +554,47 @@ object Curation {
        |FROM cum CROSS JOIN tot
        |WHERE cum // (total // $PpsK) > (cum - n_chars) // (total // $PpsK)""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    * exponential keys — the named algorithm behind every
+    * "sample k documents proportionally to token mass, no duplicates"
+    * pipeline stage, and the complement to [[ppsSample]] (systematic
+    * PPS samples WITH multiplicity; A-ES guarantees distinct rows and
+    * composes with streaming/distributed top-k): each document draws
+    * u ∈ (0,1) DETERMINISTICALLY from its md5-60 hash (53-bit mantissa
+    * fraction — both engines compute the identical double), and the
+    * k largest keys u^(1/w) win. Ranking uses ln(u)/w (monotone in
+    * u^(1/w), one ln + one division — cheaper and the identical IEEE
+    * expression both engines evaluate); ties (impossible in practice,
+    * defined anyway) break by doc_id. Plan: narrow map + one
+    * TakeOrderedAndProject — no shuffle beyond the top-k.
+    */
+  val AesK = 100
+
+  def aesSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars",
+        conv(substring(md5(concat(lit("aes:"), $"doc_id")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      // u in (0,1): 53-bit fraction, +1 so u is never 0 (ln(0) = -inf)
+      .withColumn("u",
+        (($"h" % 9007199254740992L) + 1.0) / 9007199254740993.0)
+      .withColumn("es_key", log($"u") / $"n_chars")
+      .orderBy($"es_key".desc, $"doc_id")
+      .limit(AesK)
+      .select($"doc_id", $"n_chars", round($"es_key", 9).as("es_key"))
+  }
+
+  val aesSampleSql: String =
+    s"""SELECT doc_id, n_chars, round(es_key, 9) AS es_key FROM (
+       |  SELECT doc_id, n_chars,
+       |    ln(((CAST(('0x' || substring(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 9007199254740992) + 1.0) / 9007199254740993.0)
+       |      / n_chars AS es_key
+       |  FROM documents)
+       |ORDER BY es_key DESC, doc_id
+       |LIMIT $AesK""".stripMargin
+
   /** Curriculum / epoch ordering: a global training order that
     * round-robins across sources (so no source floods any contiguous
     * span of the epoch) WITHOUT a global sort — each row's position is
@@ -601,6 +642,7 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_curriculum" -> (curateCurriculum _),
     "curate_pps_sample" -> (ppsSample _),
+    "curate_aes_sample" -> (aesSample _),
     "curate_e2e_pipeline" -> (curateE2e _),
     "curate_full_pipeline" -> (fullPipeline _),
     "curate_stratified_sample" -> (stratifiedSample _),
@@ -614,6 +656,7 @@ object Curation {
   def oracles: Map[String, String] = Map(
     "curate_curriculum" -> curateCurriculumSql,
     "curate_pps_sample" -> ppsSampleSql,
+    "curate_aes_sample" -> aesSampleSql,
     "curate_e2e_pipeline" -> curateE2eSql,
     "curate_full_pipeline" -> fullPipelineSql,
     "curate_stratified_sample" -> stratifiedSampleSql,
