@@ -595,6 +595,77 @@ object Curation {
        |ORDER BY es_key DESC, doc_id
        |LIMIT $AesK""".stripMargin
 
+  /** Per-source dataset card — the one-row-per-source "datasheet" a
+    * corpus release ships: volume, token mass, exact-duplicate rate,
+    * mean quality score, and dominant language, COMPOSED from the
+    * registry's own stage definitions (the quality formula of
+    * [[TextOps.docQuality]], the hash-keyed duplicate groups of the
+    * exact-dedup family, the lang distribution) in one plan. Mean
+    * quality rides the 6-dp-round→decimal-sum convention so the double
+    * mean is partition-order-proof; dominant language is a windowed
+    * argmax with (count desc, lang) determinism.
+    */
+  def sourceReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "source", "lang",
+        "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks",
+        "text")
+      .selectExpr("doc_id", "source", "lang", "size(toks) AS n_toks",
+        """0.4 * (CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+          |   / size(toks))
+          | + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) AS DOUBLE)
+          |   / length(text))
+          | + 0.3 * (CAST(least(length(text), 500) AS DOUBLE) / 500)
+          | AS quality_score""".stripMargin,
+        "conv(substring(md5(text), 1, 15), 16, 10) AS th")
+    val dupSizes = docs.groupBy($"th").agg(count(lit(1)).as("grp"))
+    val langTop = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"lc".desc, $"lang")))
+      .where($"rn" === 1)
+      .select($"source", $"lang".as("top_lang"))
+    docs.join(dupSizes, "th")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("sum_tokens"),
+        sum(when($"grp" >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+        round(sum(round($"quality_score", 6).cast("decimal(18,9)"))
+          .cast("double") / count(lit(1)), 6).as("mean_quality"))
+      .join(langTop, "source")
+  }
+
+  val sourceReportSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, lang,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS n_toks,
+      |    0.4 * (CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''),
+      |        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |      / len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')))
+      |    + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+      |      / length(text))
+      |    + 0.3 * (CAST(least(length(text), 500) AS DOUBLE) / 500) AS quality_score,
+      |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS th
+      |  FROM documents),
+      |grp AS (SELECT th, count(*) AS grp FROM docs GROUP BY th),
+      |lt AS (
+      |  SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY count(*) DESC, lang) AS rn
+      |    FROM docs GROUP BY source, lang)
+      |  WHERE rn = 1)
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(sum(d.n_toks) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(CASE WHEN g.grp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  round(CAST(sum(CAST(round(d.quality_score, 6) AS DECIMAL(18,9)))
+      |    AS DOUBLE) / count(*), 6) AS mean_quality,
+      |  any_value(lt.top_lang) AS top_lang
+      |FROM docs d JOIN grp g ON g.th = d.th
+      |JOIN lt ON lt.source = d.source
+      |GROUP BY d.source""".stripMargin
+
   /** Curriculum / epoch ordering: a global training order that
     * round-robins across sources (so no source floods any contiguous
     * span of the epoch) WITHOUT a global sort — each row's position is
@@ -643,6 +714,7 @@ object Curation {
     "curate_curriculum" -> (curateCurriculum _),
     "curate_pps_sample" -> (ppsSample _),
     "curate_aes_sample" -> (aesSample _),
+    "curate_source_report" -> (sourceReport _),
     "curate_e2e_pipeline" -> (curateE2e _),
     "curate_full_pipeline" -> (fullPipeline _),
     "curate_stratified_sample" -> (stratifiedSample _),
@@ -657,6 +729,7 @@ object Curation {
     "curate_curriculum" -> curateCurriculumSql,
     "curate_pps_sample" -> ppsSampleSql,
     "curate_aes_sample" -> aesSampleSql,
+    "curate_source_report" -> sourceReportSql,
     "curate_e2e_pipeline" -> curateE2eSql,
     "curate_full_pipeline" -> fullPipelineSql,
     "curate_stratified_sample" -> stratifiedSampleSql,
