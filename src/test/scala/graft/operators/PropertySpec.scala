@@ -46,6 +46,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: LZW round-trips arbitrary byte arrays (skewed, runs, random)") {
+    // three generator regimes: low-entropy runs (deep dictionary
+    // chains + KwKwK), skewed small alphabets (fast dict growth →
+    // width boundaries), and full-range noise (mostly literals)
+    val regimes = Seq(
+      Gen.chooseNum(0, 3).map(_.toByte),                   // tiny alphabet
+      Gen.oneOf(Gen.const(7.toByte), Gen.chooseNum(0, 255).map(_.toByte)), // runs + noise
+      Gen.chooseNum(0, 255).map(_.toByte))                 // uniform
+    for ((g, r) <- regimes.zipWithIndex; i <- 1 to 6) {
+      val len = 1 + (i * i * 137) % 9000
+      val px = Gen.listOfN(len, g)
+        .pureApply(Gen.Parameters.default, Seed(r * 100L + i)).toArray
+      val dec = Multimodal.lzwDecode(Multimodal.lzwEncode(px), px.length)
+      assert(dec.isDefined, s"regime $r iter $i len $len: decode failed")
+      assert(java.util.Arrays.equals(dec.get, px),
+        s"regime $r iter $i len $len: bytes differ")
+    }
+  }
+
   test("property: Exact.dsum equals BigDecimal ground truth on 2-decimal doubles") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
