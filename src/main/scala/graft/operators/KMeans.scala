@@ -82,13 +82,35 @@ object KMeans {
     prev.map { case (k, old) => (k, means.getOrElse(k, old)) }
   }
 
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+
+  /** Final centroids of the 5-iteration fit, memoized per corpus
+    * fingerprint — the trained MODEL artifact the streaming scorer
+    * ([[graft.streaming.StreamQueries]] `stream_kmeans_assign`) applies
+    * at ingest: train batch, score stream.
+    */
+  def trainedCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    centCache.getOrElseUpdate(Similarity.dataKey(dir, "embeddings"), {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      var cents = initCentroids(s, dir)
+      for (_ <- 1 to Iters) cents = update(assign(emb, cents), cents)
+      cents
+    })
+
+  private def initCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
+    import s.implicits._
+    Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      .where($"vec_id" < K).as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+      .map { case (id, v) => (id.toInt, v.map(_.toDouble).toSeq) }.toSeq
+  }
+
   def kmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-    var cents: Seq[(Int, Seq[Double])] =
-      emb.where($"vec_id" < K).as[(Long, Array[Float])].collect()
-        .sortBy(_._1)
-        .map { case (id, v) => (id.toInt, v.map(_.toDouble).toSeq) }.toSeq
+    var cents: Seq[(Int, Seq[Double])] = initCentroids(s, dir)
     var lastAssign: DataFrame = null
     for (_ <- 1 to Iters) {
       lastAssign = assign(emb, cents)
@@ -109,50 +131,72 @@ object KMeans {
     * means with previous-centroid coalesce), sizes from the final
     * assignment.
     */
+  private val sqlInit =
+    s"""WITH c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS k,
+       |    CAST(rv.i - 1 AS INT) AS dim,
+       |    CAST(embedding[rv.i] AS DOUBLE) AS mv
+       |  FROM embeddings, LATERAL (
+       |    SELECT unnest(range(1, len(embedding) + 1)) AS i) rv
+       |  WHERE vec_id < $K)""".stripMargin
+
+  /** One assignment CTE: every vector to its nearest `cvName` centroid. */
+  private def sqlAssign(cvName: String, outName: String): String =
+    s"""$outName AS (
+       |  SELECT vec_id, k, embedding FROM (
+       |    SELECT e.vec_id, c.k, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, len(e.embedding) + 1),
+       |            j -> (CAST(e.embedding[j] AS DOUBLE) - c.cvec[j])
+       |               * (CAST(e.embedding[j] AS DOUBLE) - c.cvec[j]))),
+       |          (s, v) -> s + v),
+       |        c.k) AS rn
+       |    FROM embeddings e CROSS JOIN $cvName c)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def sqlIter(i: Int): String = {
+    val p = i - 1
+    s"""cv$p AS (
+       |  SELECT k, list(mv ORDER BY dim) AS cvec FROM c$p GROUP BY k),
+       |${sqlAssign(s"cv$p", s"a$i")},
+       |m$i AS (
+       |  SELECT k, CAST(rv.i - 1 AS INT) AS dim,
+       |    floor(CAST(sum(CAST(floor(CAST(embedding[rv.i] AS DOUBLE) * 1e6 + 0.5)
+       |      AS DECIMAL(18,0))) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mv
+       |  FROM a$i, LATERAL (
+       |    SELECT unnest(range(1, len(embedding) + 1)) AS i) rv
+       |  GROUP BY k, rv.i),
+       |c$i AS (
+       |  SELECT p.k, p.dim, coalesce(m.mv, p.mv) AS mv
+       |  FROM c$p p LEFT JOIN m$i m ON m.k = p.k AND m.dim = p.dim)""".stripMargin
+  }
+
   val kmeansSql: String = {
-    val init =
-      s"""WITH c0 AS (
-         |  SELECT CAST(vec_id AS INT) AS k,
-         |    CAST(rv.i - 1 AS INT) AS dim,
-         |    CAST(embedding[rv.i] AS DOUBLE) AS mv
-         |  FROM embeddings, LATERAL (
-         |    SELECT unnest(range(1, len(embedding) + 1)) AS i) rv
-         |  WHERE vec_id < $K)""".stripMargin
-    def iter(i: Int): String = {
-      val p = i - 1
-      s"""cv$p AS (
-         |  SELECT k, list(mv ORDER BY dim) AS cvec FROM c$p GROUP BY k),
-         |a$i AS (
-         |  SELECT vec_id, k, embedding FROM (
-         |    SELECT e.vec_id, c.k, e.embedding,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |          list_transform(range(1, len(e.embedding) + 1),
-         |            j -> (CAST(e.embedding[j] AS DOUBLE) - c.cvec[j])
-         |               * (CAST(e.embedding[j] AS DOUBLE) - c.cvec[j]))),
-         |          (s, v) -> s + v),
-         |        c.k) AS rn
-         |    FROM embeddings e CROSS JOIN cv$p c)
-         |  WHERE rn = 1),
-         |m$i AS (
-         |  SELECT k, CAST(rv.i - 1 AS INT) AS dim,
-         |    floor(CAST(sum(CAST(floor(CAST(embedding[rv.i] AS DOUBLE) * 1e6 + 0.5)
-         |      AS DECIMAL(18,0))) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mv
-         |  FROM a$i, LATERAL (
-         |    SELECT unnest(range(1, len(embedding) + 1)) AS i) rv
-         |  GROUP BY k, rv.i),
-         |c$i AS (
-         |  SELECT p.k, p.dim, coalesce(m.mv, p.mv) AS mv
-         |  FROM c$p p LEFT JOIN m$i m ON m.k = p.k AND m.dim = p.dim)""".stripMargin
-    }
-    val iters = (1 to Iters).map(iter).mkString(",\n")
-    s"""$init,
+    val iters = (1 to Iters).map(sqlIter).mkString(",\n")
+    s"""$sqlInit,
        |$iters,
        |sizes AS (SELECT k, CAST(count(*) AS BIGINT) AS n_vecs
        |  FROM a$Iters GROUP BY k)
        |SELECT c.k AS cluster, c.dim, c.mv AS mean_v,
        |  coalesce(s.n_vecs, 0) AS n_vecs
        |FROM c$Iters c LEFT JOIN sizes s ON s.k = c.k""".stripMargin
+  }
+
+  /** Oracle for the streaming scorer (`stream_kmeans_assign`): the same
+    * unrolled fit, then ONE more assignment of the whole collection
+    * against the final centroids, counted per cluster — what the
+    * stream's drained delta log must equal.
+    */
+  val streamAssignSql: String = {
+    val iters = (1 to Iters).map(sqlIter).mkString(",\n")
+    s"""$sqlInit,
+       |$iters,
+       |cv$Iters AS (
+       |  SELECT k, list(mv ORDER BY dim) AS cvec FROM c$Iters GROUP BY k),
+       |${sqlAssign(s"cv$Iters", "a_final")}
+       |SELECT k AS cluster, count(*) AS n_vecs
+       |FROM a_final GROUP BY k""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

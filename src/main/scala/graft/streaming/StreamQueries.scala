@@ -492,6 +492,40 @@ object StreamQueries {
     runDeltaLog(ev, "append", Nil)
   }
 
+  /** Train batch, score stream — the model-apply-at-ingest contract:
+    * the k-means centroids come from the BATCH fit
+    * ([[graft.operators.KMeans.trainedCentroids]], memoized per corpus
+    * fingerprint — the model artifact), and every streamed vector is
+    * scored by a STATELESS narrow map (k literal centroid arrays, k
+    * sequential-fold distances, argmin via `array_min` over
+    * (d, k) structs — deterministic ties, no state store, no window).
+    * Only the 8-key cluster-count aggregate holds state. Drained log ==
+    * one batch assignment of the whole collection against the final
+    * centroids, which the oracle restates by unrolling the fit plus one
+    * extra assignment pass.
+    */
+  def streamKmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = graft.operators.KMeans.trainedCentroids(s, dir)
+    val src = stageAsDirParts(s, s"$dir/embeddings.parquet", 2)
+    val schema = s.read.parquet(src).schema
+    val scored = cents.map { case (k, c) =>
+      struct(
+        aggregate(
+          zip_with($"embedding", typedlit(c),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        lit(k).as("k"))
+    }
+    val counts = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .select(array_min(array(scored: _*)).getField("k").as("cluster"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_vecs"))
+    runDeltaLog(counts, "update", Seq("cluster"))
+      .select($"cluster", $"n_vecs")
+  }
+
   /** Per-bucket LSH state: the (doc_id, signature) members seen so far
     * in one band bucket. Bounded by construction — LSH band keys spread
     * the corpus across O(distinct signatures) buckets, so membership is
@@ -736,6 +770,7 @@ object StreamQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_embedding_sigs" -> (streamEmbeddingSigs _),
+    "stream_kmeans_assign" -> (streamKmeansAssign _),
     "stream_wordcount" -> (streamWordCount _),
     "stream_interval_count" -> (streamIntervalCount _),
     "stream_session_stats" -> (streamSessionStats _),
@@ -761,6 +796,7 @@ object StreamQueries {
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
     "stream_wordcount" -> graft.operators.TextOps.wordCountSql,
+    "stream_kmeans_assign" -> graft.operators.KMeans.streamAssignSql,
     "stream_interval_count" -> graft.operators.EventOps.intervalCountSql,
     "stream_session_stats" -> graft.operators.EventOps.sessionStatsSql,
     "stream_dedup_exact" -> graft.operators.Dedup.exactDedupSql,
