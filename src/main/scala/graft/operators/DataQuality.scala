@@ -241,7 +241,76 @@ object DataQuality {
       |      THEN s.s_nationkey END) AS BIGINT)
       |  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey)""".stripMargin
 
+  /** Distribution drift between time periods — the PSI (population
+    * stability index) monitor every production pipeline runs on its
+    * numeric features: event values binned into 10 fixed-width buckets,
+    * reference period (first half of the timeline) vs current period
+    * (second half), per-bin PSI terms (p−q)·ln(p/q) with add-one
+    * smoothing so empty bins stay defined and the arithmetic stays a
+    * pure function of the integer counts. Fixed-width bins (not
+    * quantile edges) keep the bin assignment an exact integer map on
+    * both engines. Two pushdown-friendly ts_ns range filters feed two
+    * map-side-combinable bin counts; the 10-row scaffold closes empty
+    * bins on both sides.
+    */
+  def dqValueDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val SplitNs = 1705276800000000000L // 2024-01-15T00:00:00Z
+    val BinW = 40.0
+    val ev = Tables.events(s, dir)
+      .select($"ts_ns", least(lit(9L),
+        floor($"value" / BinW).cast("long")).as("bin"))
+    def cnts(f: org.apache.spark.sql.Column, name: String) =
+      ev.where(f).groupBy($"bin").agg(count(lit(1)).as(name))
+    val bins = s.range(0, 10).select($"id".as("bin"))
+    bins
+      .join(cnts($"ts_ns" < SplitNs, "n_ref"), Seq("bin"), "left")
+      .join(cnts($"ts_ns" >= SplitNs, "n_cur"), Seq("bin"), "left")
+      .select($"bin", coalesce($"n_ref", lit(0L)).as("n_ref"),
+        coalesce($"n_cur", lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(ev.agg(
+        sum(when($"ts_ns" < SplitNs, 1L).otherwise(0L)).as("tr"),
+        sum(when($"ts_ns" >= SplitNs, 1L).otherwise(0L)).as("tc"))))
+      .selectExpr("bin", "n_ref", "n_cur",
+        """round((CAST(n_ref + 1 AS DOUBLE) / (tr + 10)
+          |      - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+          |  * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+          |      / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))), 9)
+          | AS psi_term""".stripMargin)
+  }
+
+  val dqValueDriftSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) * 1000 AS ts_ns,
+      |    least(9, CAST(floor("value" / 40.0) AS BIGINT)) AS bin
+      |  FROM events),
+      |ref AS (
+      |  SELECT bin, count(*) AS n_ref FROM ev
+      |  WHERE ts_ns < 1705276800000000000 GROUP BY bin),
+      |cur AS (
+      |  SELECT bin, count(*) AS n_cur FROM ev
+      |  WHERE ts_ns >= 1705276800000000000 GROUP BY bin),
+      |tot AS (
+      |  SELECT CAST(sum(CASE WHEN ts_ns < 1705276800000000000
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+      |    CAST(sum(CASE WHEN ts_ns >= 1705276800000000000
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS tc
+      |  FROM ev),
+      |bins AS (SELECT unnest(range(0, 10)) AS bin)
+      |SELECT b.bin, CAST(coalesce(r.n_ref, 0) AS BIGINT) AS n_ref,
+      |  CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur,
+      |  round((CAST(coalesce(r.n_ref, 0) + 1 AS DOUBLE) / (t.tr + 10)
+      |       - CAST(coalesce(c.n_cur, 0) + 1 AS DOUBLE) / (t.tc + 10))
+      |    * ln((CAST(coalesce(r.n_ref, 0) + 1 AS DOUBLE) / (t.tr + 10))
+      |        / (CAST(coalesce(c.n_cur, 0) + 1 AS DOUBLE) / (t.tc + 10))), 9)
+      |    AS psi_term
+      |FROM bins b
+      |LEFT JOIN ref r ON r.bin = b.bin
+      |LEFT JOIN cur c ON c.bin = b.bin
+      |CROSS JOIN tot t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_value_drift" -> (dqValueDrift _),
     "dq_referential" -> (dqReferential _),
     "dq_table_profile" -> (dqTableProfile _),
     "dq_embeddings" -> (dqEmbeddings _),
@@ -249,6 +318,7 @@ object DataQuality {
     "dq_documents" -> (dqDocuments _))
 
   def oracles: Map[String, String] = Map(
+    "dq_value_drift" -> dqValueDriftSql,
     "dq_referential" -> dqReferentialSql,
     "dq_table_profile" -> dqTableProfileSql,
     "dq_embeddings" -> dqEmbeddingsSql,
