@@ -437,7 +437,105 @@ object TimeSeries {
       |    AS users_to_date
       |FROM days d LEFT JOIN fd f ON d.day = f.day""".stripMargin
 
+  /** Kaplan–Meier survival for time-to-first-purchase with right
+    * censoring — the survival-analysis shape (churn, conversion-latency,
+    * reliability) none of the other analytics cover: each user either
+    * converts on their first purchase day (event) or is censored at
+    * their last-seen day; S(t) = Π_{s≤t} (1 − d_s/n_s) with n_s = users
+    * still at risk (reverse running sum over the calendar).
+    *
+    * Determinism: the product is computed as exp(Σ ln(1 − d/n)) with
+    * each ln term rounded to 9 dp and summed as DECIMAL (the pagerank
+    * convention for iterated float arithmetic) — identical on both
+    * engines; a day with d = n absorbs S to exactly 0 via a CASE, never
+    * through ln(0). Everything upstream is integer counts over one
+    * user-keyed aggregate plus the day scaffold.
+    */
+  def survivalKm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", to_date($"ts").as("day"))
+    val users = ev.groupBy($"user_id")
+      .agg(min(when($"event_type" === "purchase", $"day")).as("fp_day"),
+        max($"day").as("last_day"))
+      .select(coalesce($"fp_day", $"last_day").as("obs_day"),
+        when($"fp_day".isNotNull, 1L).otherwise(0L).as("event"))
+    val daily = users.groupBy($"obs_day")
+      .agg(sum($"event").as("d"), sum(lit(1L) - $"event").as("c"))
+    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val days = span.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("obs_day"))
+    val riskW = Window.orderBy($"obs_day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cumW = Window.orderBy($"obs_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(daily, Seq("obs_day"), "left")
+      .select($"obs_day", coalesce($"d", lit(0L)).as("d"),
+        coalesce($"c", lit(0L)).as("c"))
+      .withColumn("n_at_risk", sum($"d" + $"c").over(riskW))
+      .withColumn("lnterm",
+        when($"n_at_risk" > 0 && $"d" < $"n_at_risk",
+          round(log(lit(1.0) - $"d".cast("double") / $"n_at_risk"), 9)
+            .cast("decimal(18,9)"))
+          .otherwise(lit(0).cast("decimal(18,9)")))
+      .withColumn("absorbed",
+        max(when($"d" > 0 && $"d" === $"n_at_risk", 1L).otherwise(0L))
+          .over(cumW))
+      .withColumn("survival",
+        when($"absorbed" === 1L, lit(0.0)).otherwise(
+          round(exp(sum($"lnterm").over(cumW).cast("double")), 6)))
+      .select(date_format($"obs_day", "yyyy-MM-dd").as("day"),
+        $"n_at_risk", $"d", $"c", $"survival")
+  }
+
+  val survivalKmSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+      |users AS (
+      |  SELECT coalesce(fp_day, last_day) AS obs_day,
+      |    CASE WHEN fp_day IS NOT NULL THEN 1 ELSE 0 END AS event
+      |  FROM (
+      |    SELECT user_id,
+      |      min(CASE WHEN event_type = 'purchase' THEN day END) AS fp_day,
+      |      max(day) AS last_day
+      |    FROM ev GROUP BY user_id)),
+      |daily AS (
+      |  SELECT obs_day, CAST(sum(event) AS BIGINT) AS d,
+      |    CAST(sum(1 - event) AS BIGINT) AS c
+      |  FROM users GROUP BY obs_day),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |    AS obs_day FROM span),
+      |base AS (
+      |  SELECT dy.obs_day, coalesce(da.d, 0) AS d, coalesce(da.c, 0) AS c
+      |  FROM days dy LEFT JOIN daily da ON da.obs_day = dy.obs_day),
+      |risk AS (
+      |  SELECT obs_day, d, c,
+      |    CAST(sum(d + c) OVER (ORDER BY obs_day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |      AS n_at_risk
+      |  FROM base),
+      |scored AS (
+      |  SELECT obs_day, d, c, n_at_risk,
+      |    CASE WHEN n_at_risk > 0 AND d < n_at_risk
+      |      THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk), 9)
+      |        AS DECIMAL(18,9))
+      |      ELSE CAST(0 AS DECIMAL(18,9)) END AS lnterm,
+      |    max(CASE WHEN d > 0 AND d = n_at_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY obs_day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS absorbed
+      |  FROM risk)
+      |SELECT strftime(obs_day, '%Y-%m-%d') AS day,
+      |  n_at_risk, d, c,
+      |  CASE WHEN absorbed = 1 THEN 0.0
+      |    ELSE round(exp(CAST(sum(lnterm) OVER (ORDER BY obs_day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+      |  END AS survival
+      |FROM scored""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_survival_km" -> (survivalKm _),
     "ev_cumulative_users" -> (cumulativeUsers _),
     "ev_type_map" -> (typeMap _),
     "ev_anomaly_zscore" -> (anomalyZscore _),
@@ -448,6 +546,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_survival_km" -> survivalKmSql,
     "ev_cumulative_users" -> cumulativeUsersSql,
     "ev_type_map" -> typeMapSql,
     "ev_anomaly_zscore" -> anomalyZscoreSql,
