@@ -23,7 +23,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, factorS) = args.take(3)
-    val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -31,6 +30,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, inDir, outDir, factorS.toInt)
+    finally spark.stop()
+  }
+
+  /** Session-borrowing core (the spec drives this; `main` owns its own
+    * session lifecycle for CLI use).
+    */
+  def run(spark: SparkSession, inDir: String, outDir: String,
+      factor: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     new java.io.File(outDir).mkdirs()
 
     def read(t: String): DataFrame =
@@ -98,6 +107,5 @@ object ScaleUp {
       .drop("rep"), "embeddings", factor)
 
     println(s"SCALEUP done: $inDir x$factor -> $outDir")
-    spark.stop()
   }
 }
