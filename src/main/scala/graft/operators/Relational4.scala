@@ -425,7 +425,50 @@ object Relational4 {
       |  WHERE c.c_nationkey = n.n_nationkey
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin
 
+  /** 2-D skyline (Pareto frontier): parts not dominated on
+    * (maximize p_size, minimize p_retailprice). The naive formulation
+    * is an O(n²) self-anti-join; the 2-D case collapses to one sort:
+    * per size group take the min price, scan size groups in descending
+    * order carrying the strict running min of price — a point survives
+    * iff it holds its size group's min AND beats every larger size's
+    * min. One size-keyed aggregate + one |distinct sizes|-row window +
+    * one join back: O(n log n), no pair enumeration. The oracle states
+    * the DECLARATIVE semantics (NOT EXISTS a dominator with ≥ size,
+    * ≤ price, strict in one) — two independent formulations meeting on
+    * the same rows is the point of the check.
+    */
+  def qSkylineParts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val parts = Tables.part(s, dir)
+      .select($"p_partkey", $"p_size", $"p_retailprice")
+    val bySize = parts.groupBy($"p_size")
+      .agg(min($"p_retailprice").as("grp_min"))
+    // strict running min over LARGER sizes only (rows preceding in the
+    // size-desc order, excluding the current group)
+    val desc = Window.orderBy($"p_size".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bySize
+      .withColumn("larger_min", min($"grp_min").over(desc))
+      .where($"larger_min".isNull || $"grp_min" < $"larger_min")
+      .select($"p_size", $"grp_min")
+    parts.join(frontier, "p_size")
+      .where($"p_retailprice" === $"grp_min")
+      .select($"p_partkey", $"p_size", $"p_retailprice")
+  }
+
+  val qSkylinePartsSql: String =
+    """SELECT p_partkey, p_size, p_retailprice
+      |FROM part p1
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part p2
+      |  WHERE p2.p_size >= p1.p_size
+      |    AND p2.p_retailprice <= p1.p_retailprice
+      |    AND (p2.p_size > p1.p_size
+      |         OR p2.p_retailprice < p1.p_retailprice))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline_parts" -> (qSkylineParts _),
     "q_lateral_topk" -> (qLateralTopk _),
     "q_recursive_chain" -> (qRecursiveChain _),
     "q_spearman" -> (qSpearman _),
@@ -437,6 +480,7 @@ object Relational4 {
     "q21_waiting_supplier" -> (q21WaitingSupplier _))
 
   def oracles: Map[String, String] = Map(
+    "q_skyline_parts" -> qSkylinePartsSql,
     "q_lateral_topk" -> qLateralTopkSql,
     "q_recursive_chain" -> qRecursiveChainSql,
     "q_spearman" -> qSpearmanSql,
