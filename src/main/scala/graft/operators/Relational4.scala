@@ -467,7 +467,52 @@ object Relational4 {
       |    AND (p2.p_size > p1.p_size
       |         OR p2.p_retailprice < p1.p_retailprice))""".stripMargin
 
+  /** Exact weighted median — the weighted order statistic
+    * (q_percentiles covers the unweighted family): the smallest retail
+    * price whose cumulative size-weight reaches half the total. Stated
+    * identically in both engines as the crossing point of an integer
+    * cumulative-weight scan (cum·2 ≥ total — no division, no doubles in
+    * the decision), ties broken by (price, partkey). The scan is a
+    * price-ordered window like every exact order statistic; at 100 TB
+    * this uses the same two-phase histogram-locate trick as
+    * `sketch_hist_quantiles` (documented there), the exact form here is
+    * the semantic contract.
+    */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.orderBy($"p_retailprice", $"p_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Tables.part(s, dir)
+      .select($"p_partkey", $"p_retailprice", $"p_size".cast("long").as("wt"))
+      .withColumn("cum", sum($"wt").over(w))
+    val tot = cum.agg(max($"cum").as("total"))
+    cum.crossJoin(broadcast(tot))
+      .where($"cum" * 2 >= $"total")
+      .orderBy($"p_retailprice", $"p_partkey")
+      .limit(1)
+      .select($"total".as("total_weight"),
+        $"p_retailprice".as("weighted_median_price"))
+  }
+
+  val qWeightedMedianSql: String =
+    """WITH cum AS (
+      |  SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS wt,
+      |    CAST(sum(CAST(p_size AS BIGINT)) OVER (
+      |      ORDER BY p_retailprice, p_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM part),
+      |tot AS (SELECT max(cum) AS total FROM cum)
+      |SELECT CAST(total AS BIGINT) AS total_weight,
+      |  p_retailprice AS weighted_median_price
+      |FROM cum CROSS JOIN tot
+      |WHERE cum * 2 >= total
+      |ORDER BY p_retailprice, p_partkey
+      |LIMIT 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_median" -> (qWeightedMedian _),
     "q_skyline_parts" -> (qSkylineParts _),
     "q_lateral_topk" -> (qLateralTopk _),
     "q_recursive_chain" -> (qRecursiveChain _),
@@ -480,6 +525,7 @@ object Relational4 {
     "q21_waiting_supplier" -> (q21WaitingSupplier _))
 
   def oracles: Map[String, String] = Map(
+    "q_weighted_median" -> qWeightedMedianSql,
     "q_skyline_parts" -> qSkylinePartsSql,
     "q_lateral_topk" -> qLateralTopkSql,
     "q_recursive_chain" -> qRecursiveChainSql,
