@@ -534,7 +534,179 @@ object TimeSeries {
       |  END AS survival
       |FROM scored""".stripMargin
 
+  /** Rolling 7-day Pearson correlation between two event series (daily
+    * clicks vs daily purchases) — the co-movement monitor a metrics
+    * pipeline runs next to the per-series z-scores: all six sufficient
+    * statistics are integer sums over the ROWS-bounded window (gap
+    * days as explicit zeros, same scaffold as [[gapFill]]), so the only
+    * doubles are two sqrts and one division in the same expression
+    * order both engines evaluate (round 6; degenerate zero-variance
+    * windows → NULL).
+    */
+  def movingCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"event_type", to_date($"ts").as("day"))
+    val counts = ev.groupBy($"day")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+    val span = Tables.events(s, dir)
+      .agg(min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1"))
+    val days = span.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.orderBy($"day").rowsBetween(-6, 0)
+    days.join(counts, Seq("day"), "left")
+      .select($"day", coalesce($"x", lit(0L)).as("x"),
+        coalesce($"y", lit(0L)).as("y"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x").over(w))
+      .withColumn("sy", sum($"y").over(w))
+      .withColumn("sxx", sum($"x" * $"x").over(w))
+      .withColumn("syy", sum($"y" * $"y").over(w))
+      .withColumn("sxy", sum($"x" * $"y").over(w))
+      .selectExpr("date_format(day, 'yyyy-MM-dd') AS day", "x", "y",
+        """round(CASE WHEN n * sxx - sx * sx = 0
+          |         OR n * syy - sy * sy = 0 THEN NULL
+          |  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+          |  END, 6) AS rolling_corr""".stripMargin)
+  }
+
+  val movingCorrSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+      |  WHERE event_type IN ('click', 'purchase')),
+      |counts AS (
+      |  SELECT day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM ev GROUP BY day),
+      |span AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      |  FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |    AS day FROM span),
+      |series AS (
+      |  SELECT d.day, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+      |  FROM days d LEFT JOIN counts c ON c.day = d.day),
+      |winstats AS (
+      |  SELECT day, x, y,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+      |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+      |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+      |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+      |  FROM series
+      |  WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT strftime(day, '%Y-%m-%d') AS day, x, y,
+      |  round(CASE WHEN n * sxx - sx * sx = 0
+      |           OR n * syy - sy * sy = 0 THEN NULL
+      |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |    END, 6) AS rolling_corr
+      |FROM winstats""".stripMargin
+
+  /** CUPED variance reduction for the A/B test — the covariate
+    * adjustment every mature experimentation platform applies before
+    * the significance test ([[abChisquare]] is the raw test; this is
+    * the power upgrade): pre-period purchase counts as the covariate x,
+    * experiment-period counts as the metric y,
+    * θ = cov(x,y)/var(x) pooled, y_adj = y − θ·(x − x̄). Per arm the
+    * report derives mean/variance of both raw and adjusted metrics FROM
+    * INTEGER SUFFICIENT STATISTICS only (n, Σx, Σy, Σxx, Σyy, Σxy per
+    * arm + global) — θ and the algebra run as one identical double
+    * expression on both engines; var(y_adj) uses the closed form
+    * var(y) − 2θ·cov + θ²·var(x), never a second data pass.
+    */
+  def abCuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val SplitNs = 1705276800000000000L // 2024-01-15T00:00:00Z
+    val users = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase" && $"ts_ns" < SplitNs, 1L)
+        .otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase" && $"ts_ns" >= SplitNs, 1L)
+          .otherwise(0L)).as("y"))
+      .select(($"user_id" % 2).cast("int").as("arm"), $"x", $"y")
+    val g = users.agg(count(lit(1)).as("ng"), sum($"x").as("sxg"),
+      sum($"y").as("syg"), sum($"x" * $"x").as("sxxg"),
+      sum($"x" * $"y").as("sxyg"))
+    users.groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .crossJoin(broadcast(g))
+      .selectExpr("arm", "n",
+        "round(CAST(sy AS DOUBLE) / n, 6) AS mean_y",
+        """round(CAST(sy AS DOUBLE) / n
+          | - (CAST(ng * sxyg - sxg * syg AS DOUBLE)
+          |    / CAST(ng * sxxg - sxg * sxg AS DOUBLE))
+          |   * (CAST(sx AS DOUBLE) / n - CAST(sxg AS DOUBLE) / ng), 6)
+          | AS mean_y_adj""".stripMargin,
+        "round(CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS var_y",
+        """round(CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+          | - 2 * (CAST(ng * sxyg - sxg * syg AS DOUBLE)
+          |        / CAST(ng * sxxg - sxg * sxg AS DOUBLE))
+          |     * (CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+          | + (CAST(ng * sxyg - sxg * syg AS DOUBLE)
+          |    / CAST(ng * sxxg - sxg * sxg AS DOUBLE))
+          |   * (CAST(ng * sxyg - sxg * syg AS DOUBLE)
+          |      / CAST(ng * sxxg - sxg * sxg AS DOUBLE))
+          |   * (CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6)
+          | AS var_y_adj""".stripMargin)
+  }
+
+  val abCupedSql: String =
+    """WITH users AS (
+      |  SELECT CAST(user_id % 2 AS INT) AS arm,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      AND epoch_us(ts) * 1000 < 1705276800000000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      AND epoch_us(ts) * 1000 >= 1705276800000000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS ng, CAST(sum(x) AS BIGINT) AS sxg,
+      |    CAST(sum(y) AS BIGINT) AS syg, CAST(sum(x * x) AS BIGINT) AS sxxg,
+      |    CAST(sum(x * y) AS BIGINT) AS sxyg
+      |  FROM users),
+      |arms AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM users GROUP BY arm)
+      |SELECT arm, n,
+      |  round(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+      |  round(CAST(sy AS DOUBLE) / n
+      |    - (CAST(ng * sxyg - sxg * syg AS DOUBLE)
+      |       / CAST(ng * sxxg - sxg * sxg AS DOUBLE))
+      |      * (CAST(sx AS DOUBLE) / n - CAST(sxg AS DOUBLE) / ng), 6)
+      |    AS mean_y_adj,
+      |  round(CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS var_y,
+      |  round(CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+      |    - 2 * (CAST(ng * sxyg - sxg * syg AS DOUBLE)
+      |           / CAST(ng * sxxg - sxg * sxg AS DOUBLE))
+      |        * (CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+      |    + (CAST(ng * sxyg - sxg * syg AS DOUBLE)
+      |       / CAST(ng * sxxg - sxg * sxg AS DOUBLE))
+      |      * (CAST(ng * sxyg - sxg * syg AS DOUBLE)
+      |         / CAST(ng * sxxg - sxg * sxg AS DOUBLE))
+      |      * (CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6)
+      |    AS var_y_adj
+      |FROM arms CROSS JOIN g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_cuped" -> (abCuped _),
+    "ev_moving_corr" -> (movingCorr _),
     "ev_survival_km" -> (survivalKm _),
     "ev_cumulative_users" -> (cumulativeUsers _),
     "ev_type_map" -> (typeMap _),
@@ -546,6 +718,8 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_ab_cuped" -> abCupedSql,
+    "ev_moving_corr" -> movingCorrSql,
     "ev_survival_km" -> survivalKmSql,
     "ev_cumulative_users" -> cumulativeUsersSql,
     "ev_type_map" -> typeMapSql,
