@@ -894,7 +894,125 @@ object Similarity {
        |    AS BIGINT) AS overlap_at_10
        |FROM ranked GROUP BY q_id""".stripMargin
 
+  // ------------------------------------------------ MMR re-ranking
+
+  val MmrLambda = 0.7
+  val MmrCandidates = 20
+  val MmrK = 5
+
+  /** Maximal-marginal-relevance re-ranking — the diversity-aware final
+    * stage of a retrieval pipeline (plain top-k returns near-duplicate
+    * neighbors; MMR trades relevance against similarity to what is
+    * ALREADY selected): candidates = top-[[MmrCandidates]] by cosine to
+    * the query (vec_id 0, the registry's bounded-query convention),
+    * then [[MmrK]] greedy rounds of
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), ties by vec_id.
+    *
+    * Shape: candidate generation and scoring are the distributed part
+    * (one broadcast-query scan + top-k); the greedy loop runs on the
+    * COLLECTED 20-candidate shortlist (k·c² driver arithmetic over 20
+    * vectors — the same boundedness class as the PQ query LUT), with
+    * every double op in the identical sequence the oracle's unrolled
+    * five steps evaluate. At production k this shortlist stays a
+    * shortlist — MMR is definitionally a re-RANKER, never a scan.
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = withNorm(s, dir)
+    val q = v.where($"vec_id" === 0)
+      .selectExpr("embedding AS eq", "nrm AS nq")
+    import org.apache.spark.sql.expressions.Window
+    val cands = v.where($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"embedding",
+        (dotUdf($"embedding", $"eq") / ($"nrm" * $"nq")).as("rel"))
+      .orderBy($"rel".desc, $"vec_id")
+      .limit(MmrCandidates)
+      .as[(Long, Array[Float], Double)].collect()
+      .sortBy(t => (-t._3, t._1))
+    // driver-side pairwise cosines over the shortlist, sequential fold
+    // per dimension — the same op order as dot_f64 and the oracle fold
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nrm = cands.map(c => math.sqrt(dot(c._2, c._2)))
+    def sim(i: Int, j: Int): Double =
+      dot(cands(i)._2, cands(j)._2) / (nrm(i) * nrm(j))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    while (selected.size < MmrK) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity
+      for (i <- cands.indices if !selected.exists(_._1 == i)) {
+        val score =
+          if (selected.isEmpty) cands(i)._3
+          else {
+            val maxSim = selected.map(sel => sim(i, sel._1)).max
+            MmrLambda * cands(i)._3 - (1 - MmrLambda) * maxSim
+          }
+        // tie rule identical to the oracle's ORDER BY score DESC,
+        // vec_id: equal scores resolve to the lowest candidate id
+        if (score > bestScore ||
+          (score == bestScore && bestIdx >= 0 &&
+            cands(i)._1 < cands(bestIdx)._1)) {
+          bestScore = score; bestIdx = i
+        }
+      }
+      selected += ((bestIdx, bestScore))
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((idx, score), r) =>
+        (r + 1, cands(idx)._1, math.floor(score * 1e6 + 0.5) / 1e6) }
+      .toDF("rank", "vec_id", "mmr_score")
+  }
+
+  /** Oracle: candidate CTE + five unrolled greedy steps, each an
+    * ORDER BY … LIMIT 1 argmax with the max-sim-to-selected correlated
+    * from a symmetric pairwise-cosine table — identical doubles, same
+    * floor-based rounding as the Spark side.
+    */
+  val mmrRerankSql: String = {
+    val lam = MmrLambda
+    val base =
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT embedding, nrm FROM v WHERE vec_id = 0),
+         |cands AS (
+         |  SELECT c.vec_id, c.embedding, c.nrm,
+         |    ${duckDotExpr("c.embedding", "q.embedding")} / (c.nrm * q.nrm)
+         |      AS rel
+         |  FROM v c CROSS JOIN q WHERE c.vec_id <> 0
+         |  ORDER BY rel DESC, c.vec_id LIMIT $MmrCandidates),
+         |sims AS (
+         |  SELECT a.vec_id AS ca, b.vec_id AS cb,
+         |    ${duckDotExpr("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |      AS sim
+         |  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+         |s1 AS (
+         |  SELECT vec_id, rel AS score FROM cands
+         |  ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+    val steps = (2 to MmrK).map { k =>
+      val selUnion = (1 until k).map(i => s"SELECT vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""s$k AS (
+         |  SELECT c.vec_id,
+         |    $lam * c.rel - ${1 - lam} * (
+         |      SELECT max(sim) FROM sims
+         |      WHERE ca = c.vec_id AND cb IN ($selUnion)) AS score
+         |  FROM cands c
+         |  WHERE c.vec_id NOT IN ($selUnion)
+         |  ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(k =>
+      s"SELECT $k AS rank, vec_id, floor(score * 1e6 + 0.5) / 1e6 AS mmr_score FROM s$k")
+      .mkString("\nUNION ALL\n")
+    s"$base,\n$steps\n$out"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr_rerank" -> (mmrRerank _),
     "sim_matryoshka_overlap" -> (matryoshkaOverlap _),
     "sim_embedding_neardup" -> (embeddingNearDup _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
@@ -915,6 +1033,7 @@ object Similarity {
     val s = activeSession
     val (npt, planes) = ndParams(s, dir)
     Map(
+      "sim_mmr_rerank" -> mmrRerankSql,
       "sim_matryoshka_overlap" -> matryoshkaOverlapSql,
       "sim_bruteforce_topk" -> bruteForceTopKSql,
       "sim_ann_topk" -> annTopKSql,
