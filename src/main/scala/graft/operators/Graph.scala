@@ -139,6 +139,120 @@ object Graph {
     s"$base,\n$iters\nSELECT node, rank FROM r$Iters"
   }
 
+  /** HITS hubs & authorities — the second classic link-analysis
+    * recurrence (PageRank above scores global centrality; HITS scores
+    * the DUAL roles: a good hub points at good authorities, a good
+    * authority is pointed at by good hubs — the directory-vs-content
+    * distinction on a web/citation graph):
+    *
+    *   aₜ(v) = Σ_{u→v} hₜ₋₁(u)   then L1-normalize, round 9
+    *   hₜ(v) = Σ_{v→w} aₜ(w)     then L1-normalize, round 9
+    *
+    * (Classic HITS normalizes L2; the L1 contract keeps every total an
+    * associative DECIMAL sum, which is what lets five chained
+    * iterations stay bit-equal to the unrolled oracle — same rationale
+    * as the pagerank decimal trick. Rankings are unaffected by the
+    * norm choice.) Per iteration: two join+partial-agg shuffles on the
+    * edge keys, rank state O(nodes) — the Pregel-on-DataFrames shape.
+    */
+  val HitsIters = 5
+
+  def hits(s: SparkSession, dir: String): DataFrame =
+    hitsOnEdges(tokenEdges(s, dir))
+
+  def hitsOnEdges(rawEdges: DataFrame, iters: Int = HitsIters): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val edges = rawEdges.select($"src", $"dst").distinct().localCheckpoint()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst")).distinct().localCheckpoint()
+    val n = nodes.count()
+    var scores = nodes.select($"node",
+      lit(1.0 / n).as("hub"), lit(1.0 / n).as("auth"))
+    def l1Normalized(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(
+        sum(round(col(c), 9).cast("decimal(18,9)")).as("tot"))
+      df.crossJoin(broadcast(tot))
+        .withColumn(c,
+          round(col(c) / col("tot").cast("double"), 9))
+        .drop("tot")
+    }
+    for (i <- 1 to iters) {
+      val auth = nodes.join(
+        edges.join(scores.select($"node", $"hub"), $"src" === $"node")
+          .select($"dst", round($"hub", 9).cast("decimal(18,9)").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("araw")),
+        $"node" === $"dst", "left_outer")
+        .select($"node",
+          coalesce($"araw".cast("double"), lit(0.0)).as("auth"))
+      val authN = l1Normalized(auth, "auth").localCheckpoint()
+      val hub = nodes.join(
+        edges.join(authN.select($"node".as("an"), $"auth"), $"dst" === $"an")
+          .select($"src", round($"auth", 9).cast("decimal(18,9)").as("c"))
+          .groupBy($"src").agg(sum($"c").as("hraw")),
+        $"node" === $"src", "left_outer")
+        .select($"node",
+          coalesce($"hraw".cast("double"), lit(0.0)).as("hub"))
+      val hubN = l1Normalized(hub, "hub").localCheckpoint()
+      scores = hubN.join(authN.withColumnRenamed("node", "n2"),
+        $"node" === $"n2")
+        .select($"node", $"hub", $"auth")
+    }
+    scores
+  }
+
+  /** DuckDB restatement: iterations unrolled, each normalization the
+    * same decimal-sum → double division → round 9.
+    */
+  val hitsSql: String = {
+    val base =
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT
+         |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+         |    FROM toks WHERE len(t) >= 2)),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |s0 AS (
+         |  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS hub,
+         |    CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS auth
+         |  FROM nodes)""".stripMargin
+    val iters = (1 to HitsIters).map { i =>
+      val p = i - 1
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    coalesce(CAST(x.araw AS DOUBLE), CAST(0 AS DOUBLE)) AS auth
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst, sum(CAST(round(s.hub, 9) AS DECIMAL(18,9))) AS araw
+         |    FROM edges e JOIN s$p s ON e.src = s.node GROUP BY e.dst) x
+         |    ON nd.node = x.dst),
+         |at$i AS (
+         |  SELECT CAST(sum(CAST(round(auth, 9) AS DECIMAL(18,9))) AS DOUBLE)
+         |    AS tot FROM ar$i),
+         |an$i AS MATERIALIZED (
+         |  SELECT node, round(auth / (SELECT tot FROM at$i), 9) AS auth
+         |  FROM ar$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    coalesce(CAST(x.hraw AS DOUBLE), CAST(0 AS DOUBLE)) AS hub
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.src, sum(CAST(round(a.auth, 9) AS DECIMAL(18,9))) AS hraw
+         |    FROM edges e JOIN an$i a ON e.dst = a.node GROUP BY e.src) x
+         |    ON nd.node = x.src),
+         |ht$i AS (
+         |  SELECT CAST(sum(CAST(round(hub, 9) AS DECIMAL(18,9))) AS DOUBLE)
+         |    AS tot FROM hr$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT h.node, round(h.hub / (SELECT tot FROM ht$i), 9) AS hub,
+         |    a.auth
+         |  FROM hr$i h JOIN an$i a ON a.node = h.node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT node, hub, auth FROM s$HitsIters"
+  }
+
   /** Triangle census + global clustering coefficient over the
     * (undirected) token-transition graph — the standard graph-quality
     * summary (community density / spam-farm signal on a link graph).
@@ -323,10 +437,12 @@ object Graph {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
     "graph_triangles" -> (triangles _),
-    "graph_neighbor_jaccard" -> (neighborSimilarity _))
+    "graph_neighbor_jaccard" -> (neighborSimilarity _),
+    "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
     "graph_triangles" -> trianglesSql,
-    "graph_neighbor_jaccard" -> neighborSimilaritySql)
+    "graph_neighbor_jaccard" -> neighborSimilaritySql,
+    "graph_hits" -> hitsSql)
 }
