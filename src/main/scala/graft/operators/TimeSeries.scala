@@ -704,7 +704,61 @@ object TimeSeries {
       |    AS var_y_adj
       |FROM arms CROSS JOIN g""".stripMargin
 
+  /** Day-of-week seasonal indices — the decomposition-lite profile
+    * behind every "weekday vs weekend" capacity/alerting adjustment:
+    * per (event_type, ISO weekday), the mean daily volume relative to
+    * the type's overall mean daily volume. Both means are exact
+    * integer ratios (events on that weekday / occurrences of that
+    * weekday in the span), so the index is one identical double
+    * expression (round 6). The calendar scaffold counts weekday
+    * occurrences including zero-event days — a groupBy over event days
+    * alone would bias the index up.
+    */
+  def seasonalityDow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val dowDays = span
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .select(dayofweek($"day").as("dow"))
+      .groupBy($"dow").agg(count(lit(1)).as("n_days"))
+    val total = ev.groupBy($"event_type").agg(count(lit(1)).as("tot"))
+    val totalDays = span.selectExpr("datediff(d1, d0) + 1 AS span_days")
+    ev.select($"event_type", dayofweek($"day").as("dow"))
+      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("cnt"))
+      .join(dowDays, "dow")
+      .join(total, "event_type")
+      .crossJoin(broadcast(totalDays))
+      .selectExpr("event_type", "dow", "cnt", "n_days",
+        """round((CAST(cnt AS DOUBLE) / n_days)
+          | / (CAST(tot AS DOUBLE) / span_days), 6) AS seasonal_index""".stripMargin)
+  }
+
+  val seasonalityDowSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |dd AS (
+      |  SELECT dayofweek(day) + 1 AS dow, CAST(count(*) AS BIGINT) AS n_days
+      |  FROM (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+      |    AS DATE) AS day FROM span)
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS tot FROM ev GROUP BY 1),
+      |sd AS (SELECT datediff('day', d0, d1) + 1 AS span_days FROM span)
+      |SELECT e.event_type, CAST(dayofweek(e.day) + 1 AS INT) AS dow,
+      |  CAST(count(*) AS BIGINT) AS cnt, d.n_days,
+      |  round((CAST(count(*) AS DOUBLE) / d.n_days)
+      |    / (CAST(t.tot AS DOUBLE) / sd.span_days), 6) AS seasonal_index
+      |FROM ev e
+      |JOIN dd d ON d.dow = dayofweek(e.day) + 1
+      |JOIN tot t ON t.event_type = e.event_type
+      |CROSS JOIN sd
+      |GROUP BY e.event_type, dayofweek(e.day) + 1, d.n_days, t.tot, sd.span_days""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_seasonality_dow" -> (seasonalityDow _),
     "ev_ab_cuped" -> (abCuped _),
     "ev_moving_corr" -> (movingCorr _),
     "ev_survival_km" -> (survivalKm _),
@@ -718,6 +772,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_seasonality_dow" -> seasonalityDowSql,
     "ev_ab_cuped" -> abCupedSql,
     "ev_moving_corr" -> movingCorrSql,
     "ev_survival_km" -> survivalKmSql,
