@@ -511,7 +511,111 @@ object Relational4 {
       |ORDER BY p_retailprice, p_partkey
       |LIMIT 1""".stripMargin
 
+  /** Q11-style important stock: per-part supplied value from one
+    * region's suppliers, kept when it exceeds a fixed fraction of the
+    * region's total — TPC-H q11's HAVING-against-scalar-subquery shape
+    * with (l_partkey, l_suppkey) lineitem aggregates standing in for
+    * the absent partsupp table (module convention, header). The filter
+    * is region-level, not nation-level: at sf0.001 the 10-supplier
+    * table may have zero rows for any single nation, and a correctness
+    * query that can go empty at a driver SF checks nothing. Value sums
+    * are decimal-exact; the one double comparison multiplies the same
+    * two doubles in the same order on both engines. The per-part
+    * aggregate shuffles once on l_partkey; suppliers and the 1-row
+    * total broadcast.
+    */
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asiaNat = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val asiaSupp = Tables.supplier(s, dir)
+      .join(broadcast(asiaNat), $"s_nationkey" === $"n_nationkey")
+      .select("s_suppkey")
+    val value = $"l_extendedprice".cast(Exact.dec) *
+      (lit(1).cast(Exact.dec) - $"l_discount".cast(Exact.dec))
+    val ps = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(asiaSupp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey".as("ps_partkey"))
+      .agg(sum(value).as("value_dec"))
+    val thr = ps.agg((sum($"value_dec").cast("double") * lit(0.001))
+      .as("threshold"))
+    ps.crossJoin(broadcast(thr))
+      .where($"value_dec".cast("double") > $"threshold")
+      .select($"ps_partkey", $"value_dec".cast("double").as("value"))
+  }
+
+  val q11Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY 1)
+      |SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value
+      |FROM ps
+      |WHERE CAST(value_dec AS DOUBLE) >
+      |  (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM ps)""".stripMargin
+
+  /** Q20-style potential promotion: suppliers who supplied more than
+    * half of some PROMO part's 1996 volume — TPC-H q20's nested
+    * IN-subquery chain decorrelated to two stacked aggregates and a
+    * join-back. The majority test is `sq * 2 > tq` on exact decimals
+    * (no division, no doubles anywhere in the decision — the weighted-
+    * median convention). Both aggregates share the l_partkey shuffle
+    * key (partial agg on (part, supp) feeds the per-part total without
+    * a second scan); the supplier name join broadcasts. No nation
+    * filter: the qualifying-supplier set at sf0.001 is 10 rows and a
+    * nation cut could legitimately empty it (q11 note).
+    */
+  def q20PotentialPromotion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val promo = Tables.part(s, dir).filter($"p_type" === "PROMO")
+      .select("p_partkey")
+    val agg = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast(Exact.dec)).as("sq"))
+    val tot = agg.groupBy($"l_partkey").agg(sum($"sq").as("tq"))
+    agg.join(tot, "l_partkey")
+      .where($"sq" * 2 > $"tq")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_parts"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"n_parts")
+  }
+
+  val q20Sql: String =
+    """WITH agg AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'PROMO'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey, sum(sq) AS tq FROM agg GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_parts
+      |FROM agg
+      |JOIN tot USING (l_partkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE sq * 2 > tq
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q20_potential_promotion" -> (q20PotentialPromotion _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_skyline_parts" -> (qSkylineParts _),
     "q_lateral_topk" -> (qLateralTopk _),
@@ -525,6 +629,8 @@ object Relational4 {
     "q21_waiting_supplier" -> (q21WaitingSupplier _))
 
   def oracles: Map[String, String] = Map(
+    "q11_important_stock" -> q11Sql,
+    "q20_potential_promotion" -> q20Sql,
     "q_weighted_median" -> qWeightedMedianSql,
     "q_skyline_parts" -> qSkylinePartsSql,
     "q_lateral_topk" -> qLateralTopkSql,
