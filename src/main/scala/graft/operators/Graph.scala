@@ -440,13 +440,94 @@ object Graph {
        |ORDER BY jaccard DESC, a, b
        |LIMIT 30""".stripMargin
 
+  /** Bounded-hop BFS shortest paths — the reachability/distance
+    * primitive (supply-chain blast radius, account-linking rings,
+    * contamination spread). The graph is the customer↔supplier trade
+    * bipartite graph thinned to high-quantity lineitems: unlike the
+    * 31-token transition graph (diameter ~2 — every node a hub
+    * neighbor), this one has measured eccentricity ≥ 6 at both driver
+    * SFs, so every iteration actually moves the frontier.
+    *
+    * Frontier-only expansion: level h joins ONLY rows at dist h-1
+    * against the edge list (keyed on src), then folds into the visited
+    * set with a min-aggregate — the Pregel BFS shape. Each level's
+    * frame is doubly consumed (filter-join + union), so levels are
+    * eagerly localCheckpoint'ed like HITS (the lazy chain would
+    * re-evaluate the doubled subtree per level). Per-level cost is one
+    * |frontier|-row join + one |visited| min-agg; at 100 TB the edge
+    * list partitioning on src is reused across all levels.
+    *
+    * Oracle: DuckDB recursive CTE (UNION-dedup'd (node, d) walk,
+    * d < maxHops) with min(d) per node — an independent formulation of
+    * the same bounded-hop distances.
+    */
+  val BfsHops = 6
+  val BfsMinQty = 48
+
+  def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val trade = Tables.lineitem(s, dir)
+      .where($"l_quantity" >= BfsMinQty)
+      .select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("C"), $"o_custkey".cast("string")).as("c"),
+        concat(lit("S"), $"l_suppkey".cast("string")).as("s"))
+      .distinct()
+    trade.select($"c".as("src"), $"s".as("dst"))
+      .union(trade.select($"s", $"c")).distinct()
+  }
+
+  def bfs(s: SparkSession, dir: String): DataFrame =
+    bfsOnEdges(tradeEdges(s, dir), BfsHops)
+
+  /** Graph-generic core: any (src, dst) edge list plugs in; seed is the
+    * lexicographic min source node (deterministic on both engines).
+    */
+  def bfsOnEdges(rawEdges: DataFrame, maxHops: Int = BfsHops): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val edges = rawEdges.select($"src", $"dst").localCheckpoint()
+    val seed = edges.agg(min($"src").as("node"))
+    var dist = seed.select($"node", lit(0L).as("dist")).localCheckpoint()
+    for (h <- 1 to maxHops) {
+      val next = dist.where($"dist" === (h - 1))
+        .join(edges, $"node" === $"src")
+        .select($"dst".as("node"), lit(h.toLong).as("dist"))
+      dist = dist.union(next)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.select($"node", $"dist")
+  }
+
+  val bfsSql: String =
+    s"""WITH RECURSIVE trade AS (
+       |  SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_quantity >= $BfsMinQty),
+       |e AS (
+       |  SELECT c AS src, s AS dst FROM trade
+       |  UNION
+       |  SELECT s, c FROM trade),
+       |seed AS (SELECT min(src) AS node FROM e),
+       |w AS (
+       |  SELECT node, 0 AS d FROM seed
+       |  UNION
+       |  SELECT e.dst AS node, w.d + 1 AS d
+       |  FROM w JOIN e ON e.src = w.node WHERE w.d < $BfsHops)
+       |SELECT node, CAST(min(d) AS BIGINT) AS dist
+       |FROM w GROUP BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs" -> (bfs _),
     "graph_pagerank" -> (pagerank _),
     "graph_triangles" -> (triangles _),
     "graph_neighbor_jaccard" -> (neighborSimilarity _),
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_bfs" -> bfsSql,
     "graph_pagerank" -> pagerankSql,
     "graph_triangles" -> trianglesSql,
     "graph_neighbor_jaccard" -> neighborSimilaritySql,

@@ -20,7 +20,7 @@ class PlanLintSpec extends AnyFunSuite {
   private val constructionRuns: Set[String] = Set(
     "dedup_clusters", "dedup_canonical", "curate_full_pipeline",
     "graph_pagerank", "graph_triangles", "graph_neighbor_jaccard",
-    "graph_hits",
+    "graph_hits", "graph_bfs",
     "sim_mmr_rerank",
     "sim_kmeans",
     "q_bucketed_join", "q_merge_upsert",

@@ -85,6 +85,23 @@ class IterativeScaleSpec extends AnyFunSuite {
     }.toDF("src", "dst", "cnt")
   }
 
+  test("bfs: frontier expansion visits each edge once per direction, not per level") {
+    // path graph, seed at node 0 (the lexicographic min when labeled):
+    // distances must be exact hop counts, and total shuffle volume must
+    // track edges × O(1), not edges × levels² (re-expanding closed nodes)
+    import spark.implicits._
+    val n = 12
+    val labeled = pathEdges(n).select(
+      org.apache.spark.sql.functions.format_string("n%02d", $"src").as("src"),
+      org.apache.spark.sql.functions.format_string("n%02d", $"dst").as("dst"))
+    val dist = Graph.bfsOnEdges(labeled, maxHops = n).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist.size == n)
+    (0 until n).foreach { i =>
+      assert(dist(f"n$i%02d") == i.toLong, s"node $i at ${dist(f"n$i%02d")}")
+    }
+  }
+
   test("pagerank: per-iteration shuffle volume grows linearly with edges") {
     val n1 = 2000
     val r1 = shuffleRecords {
