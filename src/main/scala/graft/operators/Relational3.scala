@@ -375,7 +375,66 @@ object Relational3 {
       |  FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Market-basket co-purchase pairs (the A-priori first pass): part
+    * pairs appearing together in ≥ 2 orders, with lift against the
+    * independence assumption. The pair enumeration is the basket
+    * self-join keyed on l_orderkey — both sides share the orderkey
+    * shuffle partitioning, and work per basket is bounded by the
+    * basket size squared (single-digit items per order), NOT by the
+    * part catalog: this is what makes the pass linear in baskets at
+    * 100 TB where a part×part frame would be 10¹² rows. The p1 < p2
+    * ordering halves the pairs and makes each undirected pair unique.
+    * Lift's one double expression (support · n_baskets / (pc1 · pc2))
+    * is stated in the identical operation order on both engines; all
+    * inputs are exact counts.
+    */
+  def qCopurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val pairs = items.select($"l_orderkey", $"l_partkey".as("p1"))
+      .join(items.select($"l_orderkey", $"l_partkey".as("p2")), "l_orderkey")
+      .where($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("support"))
+      .where($"support" >= 2)
+    val partCnt = items.groupBy($"l_partkey").agg(count(lit(1)).as("pc"))
+    val nb = items.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(partCnt.select($"l_partkey".as("p1"), $"pc".as("pc1")), "p1")
+      .join(partCnt.select($"l_partkey".as("p2"), $"pc".as("pc2")), "p2")
+      .crossJoin(broadcast(nb))
+      .select($"p1", $"p2", $"support",
+        round($"support".cast("double") * $"n_baskets" / ($"pc1" * $"pc2"), 6)
+          .as("lift"))
+  }
+
+  val qCopurchaseSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+      |    CAST(count(*) AS BIGINT) AS support
+      |  FROM items a
+      |  JOIN items b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 2),
+      |pc AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS pc
+      |  FROM items GROUP BY 1),
+      |nb AS (
+      |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+      |  FROM items)
+      |SELECT p1, p2, support,
+      |  round(CAST(support AS DOUBLE) * n_baskets / (c1.pc * c2.pc), 6)
+      |    AS lift
+      |FROM pairs
+      |JOIN pc c1 ON c1.l_partkey = p1
+      |JOIN pc c2 ON c2.l_partkey = p2
+      |CROSS JOIN nb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_copurchase_pairs" -> (qCopurchasePairs _),
     "q_latest_per_key" -> (qLatestPerKey _),
     "q_scd2_customer" -> (qScd2Customer _),
     "q_unpivot" -> (qUnpivot _),
@@ -390,6 +449,7 @@ object Relational3 {
     "q22_rich_no_orders" -> (q22RichNoOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q_copurchase_pairs" -> qCopurchaseSql,
     "q_latest_per_key" -> qLatestPerKeySql,
     "q_scd2_customer" -> qScd2Sql,
     "q_unpivot" -> qUnpivotSql,
