@@ -748,7 +748,52 @@ object Dedup {
        |  max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id
        |FROM ranked GROUP BY cluster_id""".stripMargin
 
+  // --------------------------------------------------- edit distance
+  /** Exact Levenshtein verification of the near-dup candidates — the
+    * last stage of a production fuzzy-dedup chain (sketches propose,
+    * exact distance disposes). The O(|a|·|b|) DP kernel is quadratic in
+    * document length, so it must NEVER see all pairs: it runs only on
+    * the inverted-index candidate set (the memoized [[ngramJaccard]]
+    * table — bucket-bounded at any corpus size, LshScaleSpec), and each
+    * pair's texts are joined in via two doc_id-keyed hash joins. Kept
+    * when the edit distance is within 30% of the longer text — the
+    * decision `dist·10 ≤ max_len·3` is integer-only; the reported
+    * similarity is one identical double expression on both engines
+    * (both implement unit-cost Levenshtein — same integers).
+    */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
+    val txt = Tables.documents(s, dir).select($"doc_id", $"text")
+    cand
+      .join(txt.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
+      .join(txt.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
+        greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
+      .where($"edit_dist" * 10 <= $"max_len" * 3)
+      .select($"doc_a", $"doc_b", $"edit_dist",
+        round(lit(1.0) - $"edit_dist".cast("double") / $"max_len", 6)
+          .as("edit_sim"))
+  }
+
+  val editDistanceSql: String =
+    s"""WITH $pairCteSql,
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       |    CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+       |      AS max_len
+       |  FROM pairs
+       |  JOIN documents da ON da.doc_id = doc_a
+       |  JOIN documents db ON db.doc_id = doc_b)
+       |SELECT doc_a, doc_b, edit_dist,
+       |  round(1.0 - CAST(edit_dist AS DOUBLE) / max_len, 6) AS edit_sim
+       |FROM scored
+       |WHERE edit_dist * 10 <= max_len * 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit_distance" -> (editDistancePairs _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_paragraph" -> (paragraphDedup _),
     "dedup_decontaminate" -> (decontaminate _),
@@ -770,6 +815,7 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_edit_distance" -> editDistanceSql,
       "dedup_canonical" -> canonicalSql,
       "dedup_paragraph" -> paragraphDedupSql,
       "dedup_decontaminate" -> decontaminateSql,
