@@ -757,7 +757,74 @@ object TimeSeries {
       |CROSS JOIN sd
       |GROUP BY e.event_type, dayofweek(e.day) + 1, d.n_days, t.tot, sd.span_days""".stripMargin
 
+  /** Zero-initialized EWMA of daily event volume per type:
+    * e(t) = Σ_{k≥0} 0.5^(k+1) · cnt(t-k), truncated at 20 days back
+    * (0.5^21 < 5·10⁻⁷ — the bounded-state form a streaming engine holds
+    * anyway). The smoothing is time-aware: the exponent is the CALENDAR
+    * day gap, so a quiet day genuinely halves the average rather than
+    * being skipped over.
+    *
+    * Cross-engine exactness WITHOUT per-term rounding: 0.5^k has an
+    * exact 20-digit decimal expansion, so the weights ship as decimal
+    * LITERALS (one Scala BigDecimal source generates both the Spark
+    * array and the oracle's list) and every term is
+    * DECIMAL(8,0)·DECIMAL(28,20) → DECIMAL(37,20), exact on both
+    * engines; only the final per-cell sum is rounded (scale 9, the
+    * pagerank convention) and cast to double. The plan is one
+    * daily-count aggregate, a constant ×20 narrow explode of the
+    * |types|·|days| count table (NOT of raw events), and one re-keyed
+    * aggregate — no window over doubles, no pow(), no double sums.
+    */
+  val EwmaLookback = 20
+
+  private val ewmaWeights: Seq[String] = (1 to EwmaLookback).map(k =>
+    (BigDecimal(1) / BigDecimal(2).pow(k)).bigDecimal.toPlainString)
+
+  def ewmaDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wArr = array(ewmaWeights.map(w => lit(w).cast("decimal(28,20)")): _*)
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).cast("decimal(8,0)").as("cnt"))
+    val mx = ev.agg(max($"day").as("dmax"))
+    ev.select($"event_type", $"day", $"cnt",
+        explode(sequence(lit(0), lit(EwmaLookback - 1))).as("k"))
+      .select($"event_type", expr("date_add(day, k)").as("day2"),
+        ($"cnt" * element_at(wArr, $"k" + 1)).as("term"))
+      .crossJoin(broadcast(mx))
+      .where($"day2" <= $"dmax")
+      .groupBy($"event_type", $"day2")
+      // the exact decimal sum is rounded to scale 9 BEFORE the double
+      // cast: scale-20 decimals convert to double through a hugeint
+      // multiply in DuckDB (off-by-one-ulp vs Spark's BigDecimal
+      // conversion), while scale ≤ 9 conversions are the proven-green
+      // pagerank convention
+      .agg(round(sum($"term"), 9).cast("double").as("ewma_cnt"))
+      .select($"event_type",
+        date_format($"day2", "yyyy-MM-dd").as("day"), $"ewma_cnt")
+  }
+
+  val ewmaDailySql: String = {
+    val wList = ewmaWeights.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS DECIMAL(8,0)) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |mx AS (SELECT max(day) AS dmax FROM ev),
+       |contrib AS (
+       |  SELECT event_type, day + CAST(k AS INTEGER) AS day2,
+       |    cnt * CAST($wList[k + 1] AS DECIMAL(28,20)) AS term
+       |  FROM ev CROSS JOIN (SELECT unnest(range(0, $EwmaLookback)) AS k) o)
+       |SELECT event_type, strftime(day2, '%Y-%m-%d') AS day,
+       |  CAST(round(sum(term), 9) AS DOUBLE) AS ewma_cnt
+       |FROM contrib CROSS JOIN mx
+       |WHERE day2 <= dmax
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ewma" -> (ewmaDaily _),
     "ev_seasonality_dow" -> (seasonalityDow _),
     "ev_ab_cuped" -> (abCuped _),
     "ev_moving_corr" -> (movingCorr _),
@@ -772,6 +839,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_ewma" -> ewmaDailySql,
     "ev_seasonality_dow" -> seasonalityDowSql,
     "ev_ab_cuped" -> abCupedSql,
     "ev_moving_corr" -> movingCorrSql,
