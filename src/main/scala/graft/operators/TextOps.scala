@@ -829,7 +829,87 @@ object TextOps {
       .select($"doc_a", $"doc_b", $"cosine")
   }
 
+  /** Reciprocal-rank fusion (k = 60) of two retrieval systems over the
+    * same derived 3-term query: the BM25 top-20 ([[bm25TopDocs]]) and a
+    * plain TF-IDF term-match top-20 — the hybrid-search merge step
+    * every production retrieval stack runs (lexical + second scorer,
+    * fused by rank, scores never compared across systems). Rank lists
+    * are top-k-bounded frames, so the fusion join is k-row work
+    * regardless of corpus size; RRF arithmetic is two double divisions
+    * by integer ranks and ONE two-term addition stated in the same
+    * order on both engines (two-operand IEEE addition has no
+    * order-of-summation ambiguity).
+    */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val a = bm25TopDocs(s, dir).select($"doc_id", $"rn".as("rank_bm25"))
+    val toks = tokens(Tables.documents(s, dir))
+    val tf = toks.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val nDocs = toks.select($"doc_id").distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val qterms = toks.groupBy($"word").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"word").limit(3).select($"word")
+    val wb = Window.partitionBy(lit(1)).orderBy($"tscore".desc, $"doc_id")
+    val b = tf.join(broadcast(qterms), "word")
+      .join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("st",
+        round($"tf" * log($"n_docs" / $"df"), 6).cast("decimal(18,6)"))
+      .groupBy($"doc_id").agg(sum($"st").cast("double").as("tscore"))
+      .withColumn("rank_tfidf", row_number().over(wb))
+      .where($"rank_tfidf" <= 20)
+      .select($"doc_id", $"rank_tfidf")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        $"rank_bm25".cast("long").as("rank_bm25"),
+        $"rank_tfidf".cast("long").as("rank_tfidf"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + $"rank_bm25"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"rank_tfidf"), lit(0.0)), 6)
+          .as("rrf"))
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH a AS (SELECT doc_id, rn AS rank_bm25 FROM ($bm25TopDocsSql)),
+       |toks AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |    FROM documents) WHERE word <> ''),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |nd AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks),
+       |qterms AS (
+       |  SELECT word FROM (
+       |    SELECT word, count(*) AS c FROM toks GROUP BY 1
+       |    ORDER BY c DESC, word LIMIT 3)),
+       |b AS (
+       |  SELECT doc_id, rank_tfidf FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY tscore DESC, doc_id) AS rank_tfidf
+       |    FROM (
+       |      SELECT tf.doc_id, CAST(sum(st) AS DOUBLE) AS tscore FROM (
+       |        SELECT tf.doc_id,
+       |          CAST(round(tf.tf * ln(nd.n_docs / dfreq.df), 6)
+       |            AS DECIMAL(18,6)) AS st
+       |        FROM tf
+       |        JOIN qterms ON qterms.word = tf.word
+       |        JOIN dfreq ON dfreq.word = tf.word
+       |        CROSS JOIN nd) tf
+       |      GROUP BY doc_id))
+       |  WHERE rank_tfidf <= 20)
+       |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |  CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+       |  CAST(rank_tfidf AS BIGINT) AS rank_tfidf,
+       |  round(
+       |    coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_bm25), 0.0) +
+       |    coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_tfidf), 0.0), 6) AS rrf
+       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_rrf_fusion" -> (rrfFusion _),
     "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
     "doc_lm_nll" -> (docLmNll _),
     "doc_anonymize" -> (docAnonymize _),
@@ -849,6 +929,7 @@ object TextOps {
     "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
+    "doc_rrf_fusion" -> rrfFusionSql,
     "doc_tfidf_cosine_topk" -> tfidfCosineTopkSql,
     "doc_lm_nll" -> docLmNllSql,
     "doc_anonymize" -> docAnonymizeSql,

@@ -38,6 +38,7 @@ class PlanLintSpec extends AnyFunSuite {
     "curate_unigram_surprisal", "curate_mix_weights", "doc_bm25_topk",
     "doc_pmi_bigrams",
     "q14_promo_share", "q17_small_quantity", "q22_rich_no_orders",
+    "doc_rrf_fusion",
     "ev_funnel", "q_above_avg_orders", "dq_documents", "dq_events",
     "layout_zorder", "sketch_hist_quantiles", "doc_lm_nll",
     "curate_pps_sample",
