@@ -744,7 +744,105 @@ object Sketches {
        |  union_est, round(jacc, 4) AS jaccard_est
        |FROM est JOIN x ON est.ta = x.ta AND est.tb = x.tb""".stripMargin
 
+  /** Rolling 7-day distinct users from day-sharded HLL registers — the
+    * windowed form of [[hllMerged]]'s union property, and the way a
+    * fleet actually reports rolling reach: each day's job ships a
+    * fixed-size register table ONCE; every trailing window then merges
+    * 7 register tables by elementwise max (here: a ×7 narrow explode of
+    * the register rows re-keyed to each target day — constant fan-out
+    * of metadata-sized state, NOT of raw events) and estimates. The
+    * exact rolling distinct rides along as ground truth, same contract
+    * as [[hllUsers]]. At 100 TB the exact side is the thing this
+    * replaces: a 7-day re-shuffle of every user key per report day vs
+    * 7 × 4096 register rows.
+    */
+  def hllSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = md5_60($"user_id".cast("string"))
+    val rank = when($"rem" === 0, lit(49))
+      .otherwise(lit(HllRemBits + 1) - length(bin($"rem")))
+    val base = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id",
+        shiftrightunsigned(h, HllRemBits).as("idx"), (h % HllRemMod).as("rem"))
+    val dayRegs = base.groupBy($"day", $"idx").agg(max(rank).as("m_val"))
+    val mx = dayRegs.agg(max($"day").as("dmax"))
+    val winRegs = dayRegs
+      .select($"day", $"idx", $"m_val",
+        explode(sequence(lit(0), lit(6))).as("k"))
+      .select(expr("date_add(day, k)").as("wday"), $"idx", $"m_val")
+      .crossJoin(broadcast(mx)).where($"wday" <= $"dmax")
+      .groupBy($"wday", $"idx").agg(max($"m_val").as("m_val"))
+    val est = winRegs.groupBy($"wday")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(round(pow(lit(2.0), -$"m_val"), 18).cast("decimal(38,18)"))
+          .as("s_dec"))
+      .select($"wday", $"n_regs",
+        ($"s_dec".cast("double") + (lit(HllM) - $"n_regs")).as("s_all"),
+        (lit(HllM) - $"n_regs").as("zeros"))
+      .select($"wday", $"n_regs", $"zeros",
+        (lit(HllAlpha) * HllM * HllM / $"s_all").as("raw_est"))
+      .select($"wday", $"n_regs",
+        round(when($"raw_est" <= 2.5 * HllM && $"zeros" > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"zeros"))
+          .otherwise($"raw_est"), 4).as("hll_est"))
+    val exact = base.select($"day", $"user_id").distinct()
+      .select($"day", $"user_id", explode(sequence(lit(0), lit(6))).as("k"))
+      .select(expr("date_add(day, k)").as("wday"), $"user_id")
+      .crossJoin(broadcast(mx)).where($"wday" <= $"dmax")
+      .groupBy($"wday").agg(countDistinct($"user_id").as("exact_users"))
+    exact.join(est, "wday")
+      .select(date_format($"wday", "yyyy-MM-dd").as("day"),
+        $"exact_users", $"hll_est", $"n_regs")
+  }
+
+  val hllSlidingSql: String = {
+    val alpha = HllAlpha.toString
+    s"""WITH base AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      AS hv
+       |  FROM events),
+       |day_regs AS (
+       |  SELECT day, hv // $HllRemMod AS idx,
+       |    max(CASE WHEN hv % $HllRemMod = 0 THEN 49
+       |        ELSE ${HllRemBits + 1} - length(bin(hv % $HllRemMod)) END)
+       |      AS m_val
+       |  FROM base GROUP BY 1, 2),
+       |mx AS (SELECT max(day) AS dmax FROM day_regs),
+       |win_regs AS (
+       |  SELECT day + CAST(k AS INTEGER) AS wday, idx, max(m_val) AS m_val
+       |  FROM day_regs
+       |  CROSS JOIN (SELECT unnest(range(0, 7)) AS k) o
+       |  CROSS JOIN mx
+       |  WHERE day + CAST(k AS INTEGER) <= dmax
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT wday, n_regs,
+       |    round(CASE WHEN raw_est <= 2.5 * $HllM AND zeros > 0
+       |      THEN CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / zeros)
+       |      ELSE raw_est END, 4) AS hll_est
+       |  FROM (
+       |    SELECT wday, count(*) AS n_regs,
+       |      CAST($alpha AS DOUBLE) * $HllM * $HllM /
+       |        (CAST(sum(CAST(round(pow(2.0, -m_val), 18) AS DECIMAL(38,18)))
+       |           AS DOUBLE) + ($HllM - count(*))) AS raw_est,
+       |      $HllM - count(*) AS zeros
+       |    FROM win_regs GROUP BY wday)),
+       |exact AS (
+       |  SELECT day + CAST(k AS INTEGER) AS wday,
+       |    count(DISTINCT user_id) AS exact_users
+       |  FROM (SELECT DISTINCT day, user_id FROM base) du
+       |  CROSS JOIN (SELECT unnest(range(0, 7)) AS k) o
+       |  CROSS JOIN mx
+       |  WHERE day + CAST(k AS INTEGER) <= dmax
+       |  GROUP BY 1)
+       |SELECT strftime(e.wday, '%Y-%m-%d') AS day, e.exact_users,
+       |  f.hll_est, f.n_regs
+       |FROM exact e JOIN est f USING (wday)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_sliding" -> (hllSliding _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_kmv_overlap" -> (kmvOverlap _),
     "sketch_hll_users" -> (hllUsers _),
@@ -754,6 +852,7 @@ object Sketches {
     "sketch_hll_merged" -> (hllMerged _))
 
   def oracles: Map[String, String] = Map(
+    "sketch_hll_sliding" -> hllSlidingSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_overlap" -> kmvOverlapSql,
     "sketch_hll_users" -> hllUsersSql,
