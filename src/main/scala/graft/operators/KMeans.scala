@@ -199,9 +199,92 @@ object KMeans {
        |FROM a_final GROUP BY k""".stripMargin
   }
 
+  /** Nearest-centroid classifier evaluation — the eval step every
+    * training-data pipeline runs on its labeled slice: fit one centroid
+    * per TRUE label (single distributed pass, the [[update]] decimal
+    * convention, no driver collect — the centroid frame stays a
+    * |labels|-row DataFrame), classify every vector to its nearest
+    * centroid (same broadcast + sequential-fold distance + (d, k)
+    * tie-break as [[assign]]), and report the per-class confusion
+    * metrics. Precision/recall/F1 all derive from three INTEGER counts
+    * (true, predicted, true-positive) per class — F1 via the harmonic
+    * identity 2·tp/(n_pred+n_true), so no rounded quantity ever feeds
+    * another rounded quantity. A class never predicted gets NULL
+    * precision (0/0) on both engines.
+    */
+  def centroidEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding")
+    val cvec = e.select($"label", posexplode($"embedding").as(Seq("dim", "ev")))
+      .groupBy($"label", $"dim")
+      .agg((floor((sum(floor($"ev".cast("double") * 1e6 + 0.5)
+          .cast("decimal(18,0)")).cast("double") / count(lit(1))) + 0.5)
+        / 1e6).as("mv"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"mv"))),
+        c => c("mv")).as("cvec"))
+      .select($"label".as("k"), $"cvec")
+    val pred = e.crossJoin(broadcast(cvec))
+      .withColumn("d", expr(distExpr))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"vec_id").orderBy($"d", $"k")))
+      .where($"rn" === 1)
+      .select($"vec_id", $"label", $"k")
+    val trueN = pred.groupBy($"label").agg(count(lit(1)).as("n_true"))
+    val predN = pred.groupBy($"k").agg(count(lit(1)).as("n_pred"))
+    val tp = pred.where($"label" === $"k")
+      .groupBy($"label").agg(count(lit(1)).as("tp"))
+    trueN
+      .join(predN.withColumnRenamed("k", "label"), Seq("label"), "left")
+      .join(tp, Seq("label"), "left")
+      .select($"label", $"n_true",
+        coalesce($"n_pred", lit(0L)).as("n_pred"),
+        coalesce($"tp", lit(0L)).as("tp"))
+      .select($"label", $"n_true", $"n_pred", $"tp",
+        when($"n_pred" === 0, lit(null).cast("double"))
+          .otherwise(round($"tp".cast("double") / $"n_pred", 6))
+          .as("precision"),
+        round($"tp".cast("double") / $"n_true", 6).as("recall"),
+        round(lit(2.0) * $"tp" / ($"n_pred" + $"n_true"), 6).as("f1"))
+  }
+
+  val centroidEvalSql: String =
+    s"""WITH cm AS (
+       |  SELECT label, CAST(rv.i - 1 AS INT) AS dim,
+       |    floor(CAST(sum(CAST(floor(CAST(embedding[rv.i] AS DOUBLE) * 1e6 + 0.5)
+       |      AS DECIMAL(18,0))) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mv
+       |  FROM embeddings, LATERAL (
+       |    SELECT unnest(range(1, len(embedding) + 1)) AS i) rv
+       |  GROUP BY label, rv.i),
+       |cv AS (SELECT label AS k, list(mv ORDER BY dim) AS cvec
+       |  FROM cm GROUP BY label),
+       |${sqlAssign("cv", "a")},
+       |pred AS (
+       |  SELECT a.vec_id, e.label, a.k
+       |  FROM a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |tn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM pred GROUP BY 1),
+       |pn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pred
+       |  FROM pred GROUP BY 1),
+       |tp AS (SELECT label, CAST(count(*) AS BIGINT) AS tp
+       |  FROM pred WHERE label = k GROUP BY 1)
+       |SELECT tn.label, tn.n_true,
+       |  coalesce(pn.n_pred, 0) AS n_pred, coalesce(tp.tp, 0) AS tp,
+       |  CASE WHEN coalesce(pn.n_pred, 0) = 0 THEN NULL
+       |    ELSE round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / pn.n_pred, 6)
+       |    END AS precision,
+       |  round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / tn.n_true, 6) AS recall,
+       |  round(CAST(2.0 AS DOUBLE) * coalesce(tp.tp, 0)
+       |    / (coalesce(pn.n_pred, 0) + tn.n_true), 6) AS f1
+       |FROM tn
+       |LEFT JOIN pn ON pn.k = tn.label
+       |LEFT JOIN tp ON tp.label = tn.label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_kmeans" -> (kmeans _))
+    "sim_kmeans" -> (kmeans _),
+    "sim_centroid_eval" -> (centroidEval _))
 
   def oracles: Map[String, String] = Map(
-    "sim_kmeans" -> kmeansSql)
+    "sim_kmeans" -> kmeansSql,
+    "sim_centroid_eval" -> centroidEvalSql)
 }

@@ -46,6 +46,8 @@ class PlanLintSpec extends AnyFunSuite {
     // 10-row query side against the collection on a non-equi condition
     // (q_id <> n_id) — the deliberate brute-force shape
     "sim_bruteforce_topk", "sim_matryoshka_overlap",
+    // |labels|-row centroid-frame broadcast (the k-means assignment shape)
+    "sim_centroid_eval",
     // 1-row source-count broadcast (epoch ordering normalizer)
     "curate_curriculum",
     // 1-row day-span broadcast (calendar scaffold for gap filling)
