@@ -710,7 +710,70 @@ object Curation {
       |  (rn * ns + sidx) % 8 AS shard
       |FROM r JOIN srcs ON r.source = srcs.source CROSS JOIN n""".stripMargin
 
+  /** Per-source winsorization of document lengths — the outlier-robust
+    * normalization a mixing/weighting stage applies before any
+    * mean-based statistic (a single 100 MB crawl artifact would
+    * otherwise dominate its source's mean length). Clip bounds are the
+    * values at rank ⌈n/20⌉ and ⌈19n/20⌉ within each source — positions
+    * computed in INTEGER arithmetic ((n+19) div 20), values picked by a
+    * deterministic (n_chars, doc_id) rank, so both engines select the
+    * identical bound rows with no percentile-interpolation ambiguity.
+    * One window over the source partition + one aggregate — the
+    * |sources|-row bounds frame joins back by key (equi join, no
+    * broadcast-nested-loop). Means are decimal-exact.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"source", $"doc_id", $"n_chars")
+    val ranked = d.withColumn("rn", row_number().over(
+      Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")))
+    val counts = d.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val bounds = ranked.join(counts, "source")
+      .where($"rn" === expr("(n_docs + 19) div 20") ||
+             $"rn" === expr("(n_docs * 19 + 19) div 20"))
+      .groupBy($"source")
+      .agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+    d.join(bounds, "source")
+      .select($"source", $"n_chars", $"lo", $"hi",
+        greatest(least($"n_chars", $"hi"), $"lo").as("w_chars"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"lo").as("lo"), min($"hi").as("hi"),
+        sum(when($"n_chars" < $"lo", 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when($"n_chars" > $"hi", 1L).otherwise(0L)).as("n_clip_high"),
+        round(Exact.davg($"n_chars"), 6).as("mean_raw"),
+        round(Exact.davg($"w_chars"), 6).as("mean_winsorized"))
+  }
+
+  val winsorizeSql: String =
+    """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+      |ranked AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rn
+      |  FROM d),
+      |counts AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+      |bounds AS (
+      |  SELECT r.source, min(r.n_chars) AS lo, max(r.n_chars) AS hi
+      |  FROM ranked r JOIN counts c ON c.source = r.source
+      |  WHERE r.rn = (c.n + 19) // 20 OR r.rn = (c.n * 19 + 19) // 20
+      |  GROUP BY 1)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(b.lo) AS lo, min(b.hi) AS hi,
+      |  CAST(sum(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_low,
+      |  CAST(sum(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_high,
+      |  round(CAST(sum(CAST(d.n_chars AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*), 6) AS mean_raw,
+      |  round(CAST(sum(CAST(greatest(least(d.n_chars, b.hi), b.lo)
+      |      AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_winsorized
+      |FROM d JOIN bounds b ON b.source = d.source
+      |GROUP BY d.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_winsorize" -> (winsorize _),
     "curate_curriculum" -> (curateCurriculum _),
     "curate_pps_sample" -> (ppsSample _),
     "curate_aes_sample" -> (aesSample _),
@@ -726,6 +789,7 @@ object Curation {
     "curate_unigram_surprisal" -> (unigramSurprisal _))
 
   def oracles: Map[String, String] = Map(
+    "curate_winsorize" -> winsorizeSql,
     "curate_curriculum" -> curateCurriculumSql,
     "curate_pps_sample" -> ppsSampleSql,
     "curate_aes_sample" -> aesSampleSql,
