@@ -573,7 +573,49 @@ object EventOps {
       |ORDER BY n_sessions DESC, path
       |LIMIT 20""".stripMargin
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands idiom (engagement streaks, SLA uptime runs): a
+    * user's active days minus their per-user rank collapse to one
+    * constant date per unbroken run, so islands fall out of ONE window
+    * and ONE aggregate, entirely in date/integer arithmetic. The
+    * window partitions by user_id (the natural shuffle key); streak
+    * length and island count are exact bigints.
+    */
+  def userStreaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("island", expr("date_sub(day, rn)"))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("streak"))
+      .groupBy($"user_id")
+      .agg(sum($"streak").as("n_active_days"),
+        max($"streak").as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+  }
+
+  val userStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |islands AS (
+      |  SELECT user_id,
+      |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS INTEGER) AS island
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak
+      |  FROM islands GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(streak) AS BIGINT) AS n_active_days,
+      |  max(streak) AS longest_streak,
+      |  CAST(count(*) AS BIGINT) AS n_streaks
+      |FROM streaks GROUP BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_user_streaks" -> (userStreaks _),
     "ev_session_paths" -> (sessionPaths _),
     "ev_range_window" -> (rangeWindowCount _),
     "ev_funnel" -> (funnel _),
@@ -592,6 +634,7 @@ object EventOps {
     "ev_type_transitions" -> (typeTransitions _))
 
   def oracles: Map[String, String] = Map(
+    "ev_user_streaks" -> userStreaksSql,
     "ev_session_paths" -> sessionPathsSql,
     "ev_range_window" -> rangeWindowCountSql,
     "ev_funnel" -> funnelSql,

@@ -613,7 +613,39 @@ object Relational4 {
       |WHERE sq * 2 > tq
       |GROUP BY 1, 2""".stripMargin
 
+  /** Relational division (set containment): customers who placed
+    * orders in EVERY order-priority class — the "for all" quantifier,
+    * the one classic join geometry the breadth list still lacked.
+    * Rewritten as count-distinct equality against the 1-row universe
+    * count (the standard decorrelation: division = |distinct classes
+    * per customer| = |classes|), so the plan is two hash aggregates and
+    * a broadcast of one row — no double-anti-join nesting. Output also
+    * carries each qualifying customer's order count — raw columns
+    * only, nothing to drift.
+    */
+  def qRelationalDivision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir).select($"o_custkey", $"o_orderpriority")
+    val universe = ord.select($"o_orderpriority").distinct()
+      .agg(count(lit(1)).as("n_classes"))
+    ord.groupBy($"o_custkey")
+      .agg(countDistinct($"o_orderpriority").as("n_cust_classes"),
+        count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(universe))
+      .where($"n_cust_classes" === $"n_classes")
+      .select($"o_custkey", $"n_orders")
+  }
+
+  val qRelationalDivisionSql: String =
+    """WITH u AS (
+      |  SELECT count(DISTINCT o_orderpriority) AS n_classes FROM orders)
+      |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders CROSS JOIN u
+      |GROUP BY o_custkey, n_classes
+      |HAVING count(DISTINCT o_orderpriority) = n_classes""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_relational_division" -> (qRelationalDivision _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q20_potential_promotion" -> (q20PotentialPromotion _),
     "q_weighted_median" -> (qWeightedMedian _),
@@ -629,6 +661,7 @@ object Relational4 {
     "q21_waiting_supplier" -> (q21WaitingSupplier _))
 
   def oracles: Map[String, String] = Map(
+    "q_relational_division" -> qRelationalDivisionSql,
     "q11_important_stock" -> q11Sql,
     "q20_potential_promotion" -> q20Sql,
     "q_weighted_median" -> qWeightedMedianSql,

@@ -54,7 +54,7 @@ class PlanLintSpec extends AnyFunSuite {
     "ev_gap_fill", "ev_trend_regression", "ev_anomaly_zscore",
     "dq_value_drift", "q_weighted_median", "ev_ab_cuped",
     "ev_seasonality_dow", "q11_important_stock", "q_copurchase_pairs",
-    "ev_ewma", "sketch_hll_sliding",
+    "ev_ewma", "sketch_hll_sliding", "q_relational_division",
     // fixed-cardinality type-pair enumeration (≤ |event_type|² rows) and
     // the OR-keyed minima fan-in — both sides bounded by k·|types|
     "sketch_kmv_overlap")
