@@ -97,26 +97,36 @@ object Dedup {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+  /** UNthresholded shared-shingle pair table (doc_a, doc_b, shared,
+    * n_a, n_b) — ONE inverted-index join memoized per (session, corpus)
+    * feeds every set-overlap measure downstream: Jaccard
+    * ([[ngramJaccard]], symmetric) and containment
+    * ([[containmentPairs]], asymmetric) are just different final
+    * expressions over the same counts.
+    */
+  private def sharedPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(
       (sessionKey(s), Similarity.dataKey(dir, "documents")), {
-        val r = ngramJaccardUncached(s, dir).localCheckpoint()
+        import s.implicits._
+        val sh = shingles(s, dir).cache()
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.as("a").join(sh.as("b"), $"a.shingle" === $"b.shingle")
+          .where($"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+        val r = pairs
+          .join(sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("n_sh", "n_a"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n_sh", "n_b"), "doc_b")
+          .localCheckpoint()
+        sh.unpersist()
         r
       })
 
-  private def ngramJaccardUncached(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"), $"a.shingle" === $"b.shingle")
-      .where($"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    sharedPairs(s, dir)
       .selectExpr("doc_a", "doc_b",
         "CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard")
       .where($"jaccard" >= 0.2)
@@ -748,6 +758,48 @@ object Dedup {
        |  max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id
        |FROM ranked GROUP BY cluster_id""".stripMargin
 
+  /** Asymmetric shingle containment — |A∩B| / |A| per direction: the
+    * measure that catches SUBSET duplication (a document quoted or
+    * wholesale-embedded inside a larger one), which symmetric Jaccard
+    * structurally under-scores (a 50-shingle doc inside a 1000-shingle
+    * doc has jaccard ≈ 0.05 but containment 1.0 — invisible to the 0.2
+    * pair threshold, caught here). Same memoized [[sharedPairs]] counts,
+    * different final expression; kept when either direction ≥ 0.5.
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sharedPairs(s, dir)
+      .selectExpr("doc_a", "doc_b",
+        "round(CAST(shared AS DOUBLE) / n_a, 6) AS contain_a_in_b",
+        "round(CAST(shared AS DOUBLE) / n_b, 6) AS contain_b_in_a")
+      .where($"contain_a_in_b" >= 0.5 || $"contain_b_in_a" >= 0.5)
+  }
+
+  val containmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |    FROM toks WHERE len(t) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |shared_counts AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(shared AS DOUBLE) / sa.n_sh, 6) AS contain_a_in_b,
+      |  round(CAST(shared AS DOUBLE) / sb.n_sh, 6) AS contain_b_in_a
+      |FROM shared_counts
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(CAST(shared AS DOUBLE) / sa.n_sh, 6) >= 0.5
+      |   OR round(CAST(shared AS DOUBLE) / sb.n_sh, 6) >= 0.5""".stripMargin
+
   // --------------------------------------------------- edit distance
   /** Exact Levenshtein verification of the near-dup candidates — the
     * last stage of a production fuzzy-dedup chain (sketches propose,
@@ -793,6 +845,7 @@ object Dedup {
        |WHERE edit_dist * 10 <= max_len * 3""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (containmentPairs _),
     "dedup_edit_distance" -> (editDistancePairs _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_paragraph" -> (paragraphDedup _),
@@ -815,6 +868,7 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_containment" -> containmentSql,
       "dedup_edit_distance" -> editDistanceSql,
       "dedup_canonical" -> canonicalSql,
       "dedup_paragraph" -> paragraphDedupSql,
