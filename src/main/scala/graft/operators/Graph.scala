@@ -519,7 +519,85 @@ object Graph {
        |SELECT node, CAST(min(d) AS BIGINT) AS dist
        |FROM w GROUP BY node""".stripMargin
 
+  /** k-core decomposition (fixed k): iteratively peel nodes whose
+    * degree among SURVIVORS drops below k until fixpoint — the standard
+    * corpus/graph-cleaning primitive (spam rings and isolated tendrils
+    * fall out; the dense interaction core remains). Peeling cascades:
+    * removing a node can drop a neighbor below k, so the loop re-derives
+    * degrees among survivors each round — one edges⋈survivors⋈survivors
+    * hash join + one count aggregate per round, the edge list
+    * partitioned once on src and reused every round (the BFS idiom).
+    * Rounds are eagerly localCheckpoint'ed because each round's
+    * survivor frame is consumed twice (both join sides — the HITS
+    * doubly-consumed rationale). `KcoreRounds` = 8 is a fixpoint bound
+    * for this graph, not a truncation: both driver SFs reach fixpoint
+    * in ≤ 3 rounds (KcoreSpec asserts the last round removes nothing
+    * and every member keeps ≥ k in-core neighbors), and extra rounds
+    * are idempotent, so the 8-round unrolled oracle computes the same
+    * core. At 100 TB the peel is O(rounds) shuffles on a shrinking
+    * node set — the shape that matters is that no round ever touches
+    * more than the surviving edges.
+    *
+    * Output: core members with their in-core degree.
+    */
+  val KcoreK = 3
+  val KcoreRounds = 8
+
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreOnEdges(tradeEdges(s, dir), KcoreK, KcoreRounds)
+
+  /** Graph-generic core: any symmetrized (src, dst) edge list plugs in. */
+  def kcoreOnEdges(rawEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val edges = rawEdges.select($"src", $"dst").distinct().localCheckpoint()
+    var surv = edges.select($"src".as("node")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      surv = edges
+        .join(surv.select($"node".as("_a")), $"src" === $"_a")
+        .join(surv.select($"node".as("_b")), $"dst" === $"_b")
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+        .where($"deg" >= k)
+        .select($"src".as("node"))
+        .localCheckpoint()
+    }
+    edges
+      .join(surv.select($"node".as("_a")), $"src" === $"_a")
+      .join(surv.select($"node".as("_b")), $"dst" === $"_b")
+      .groupBy($"src")
+      .agg(count(lit(1)).as("deg"))
+      .select($"src".as("node"), $"deg")
+  }
+
+  val kcoreSql: String = {
+    val header =
+      s"""WITH trade AS (
+         |  SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_quantity >= $BfsMinQty),
+         |e AS (
+         |  SELECT c AS src, s AS dst FROM trade
+         |  UNION
+         |  SELECT s, c FROM trade),
+         |n0 AS (SELECT DISTINCT src AS node FROM e)""".stripMargin
+    val stages = (1 to KcoreRounds).map { i =>
+      s"""n$i AS (
+         |  SELECT e.src AS node FROM e
+         |  JOIN n${i - 1} a ON e.src = a.node
+         |  JOIN n${i - 1} b ON e.dst = b.node
+         |  GROUP BY e.src HAVING count(*) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""$header,
+       |$stages
+       |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM e
+       |JOIN n$KcoreRounds a ON e.src = a.node
+       |JOIN n$KcoreRounds b ON e.dst = b.node
+       |GROUP BY e.src""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (kcore _),
     "graph_bfs" -> (bfs _),
     "graph_pagerank" -> (pagerank _),
     "graph_triangles" -> (triangles _),
@@ -527,6 +605,7 @@ object Graph {
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcoreSql,
     "graph_bfs" -> bfsSql,
     "graph_pagerank" -> pagerankSql,
     "graph_triangles" -> trianglesSql,

@@ -841,7 +841,144 @@ object Sketches {
        |FROM exact e JOIN est f USING (wday)""".stripMargin
   }
 
+  // ------------------------------------------------- Bitmap distinct
+
+  /** Exact distinct users per day via OR-mergeable bitmap words — the
+    * EXACT counterpart to the HLL family for dense integer key spaces
+    * (a user-id dimension is exactly that). Each word covers 63 ids
+    * (bits 0..62 — bit 63 stays clear because a 64th bit would need the
+    * sign bit, which DuckDB's checked `<<` refuses to set):
+    * bucket = user_id div 63, bit = user_id % 63; per (day, bucket) the
+    * word is `bit_or(1L << bit)` — an 8-byte, map-side-combinable
+    * partial regardless of how many events hit the bucket. DAU =
+    * Σ popcount(word). The period-total column exhibits the property
+    * that pays at 100 TB: per-day words OR-merge into exactly the
+    * all-period words (associativity), so shards/days combine without
+    * ever reshuffling raw ids — `count(distinct)`'s full key shuffle
+    * becomes a word-table merge, and the answer stays EXACT (the
+    * bitmap's edge over HLL when ids are dense enough that
+    * words-per-distinct stays small). Exact countDistinct columns ride
+    * along as the oracle-checked ground truth, equal by construction.
+    */
+  def bitmapDau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayWords = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"),
+        expr("user_id div 63").as("bucket"),
+        expr("shiftleft(1L, CAST(user_id % 63 AS INT))").as("b"))
+      .groupBy($"day", $"bucket")
+      .agg(expr("bit_or(b)").as("word"))
+    val perDay = dayWords.groupBy($"day")
+      .agg(sum(bit_count($"word")).cast("long").as("dau_bitmap"))
+    // OR of per-day words per bucket == OR over all events per bucket
+    val total = dayWords.groupBy($"bucket")
+      .agg(expr("bit_or(word)").as("w"))
+      .agg(sum(bit_count($"w")).cast("long").as("total_bitmap"))
+    val exactDay = Tables.events(s, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(countDistinct($"user_id").as("dau_exact"))
+    val exactTotal = Tables.events(s, dir)
+      .agg(countDistinct($"user_id").as("total_exact"))
+    exactDay.join(perDay, "day")
+      .crossJoin(broadcast(total))      // 1-row scalar frame
+      .crossJoin(broadcast(exactTotal)) // 1-row scalar frame
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"dau_exact", $"dau_bitmap", $"total_exact", $"total_bitmap")
+  }
+
+  val bitmapDauSql: String =
+    """WITH w AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id // 63 AS bucket,
+      |    bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS word
+      |  FROM events GROUP BY 1, 2),
+      |per_day AS (
+      |  SELECT day, CAST(sum(bit_count(word)) AS BIGINT) AS dau_bitmap
+      |  FROM w GROUP BY 1),
+      |total AS (
+      |  SELECT CAST(sum(bit_count(mw)) AS BIGINT) AS total_bitmap
+      |  FROM (SELECT bucket, bit_or(word) AS mw FROM w GROUP BY 1)),
+      |exact_day AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    count(DISTINCT user_id) AS dau_exact
+      |  FROM events GROUP BY 1),
+      |exact_total AS (
+      |  SELECT count(DISTINCT user_id) AS total_exact FROM events)
+      |SELECT strftime(e.day, '%Y-%m-%d') AS day, e.dau_exact,
+      |  p.dau_bitmap, t.total_exact, b.total_bitmap
+      |FROM exact_day e JOIN per_day p USING (day)
+      |CROSS JOIN total b CROSS JOIN exact_total t""".stripMargin
+
+  // ------------------------------------------------------ AMS / F2
+
+  /** Number of independent tug-of-war estimators. 16 keeps the
+    * per-group sketch state at 16 longs while the ×16 row fanout stays
+    * a narrow constant-factor explode (the HLL-sliding re-key idiom).
+    */
+  val AmsK = 16
+
+  /** AMS "tug-of-war" second-moment sketch per event type: estimates
+    * F2 = Σ_u cnt(u)² — the self-join size on user_id, THE statistic a
+    * cost-based planner wants before committing to a join strategy and
+    * exactly what's unaffordable to compute exactly at 100 TB (it needs
+    * the full per-key distinct aggregation the sketch exists to avoid).
+    * Estimator j's sign for user u is the parity of md5_60(u:j) —
+    * deterministic, restated in SQL — and its counter is just
+    * Σ sign over events: a (type, j) sum with 16 cells per group,
+    * map-side combinable, merge = add (the linear-sketch property; the
+    * bitmap/HLL merge is OR/max, this one is +). E[c_j²] = F2; the
+    * estimate averages the 16 squares. All arithmetic is integer until
+    * one final divide; the exact F2 rides along as ground truth, and
+    * the relative error is bounded by the oracle-checked contract
+    * itself rather than an eyeballed tolerance.
+    */
+  def amsF2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val signed = Tables.events(s, dir)
+      .select($"event_type", $"user_id")
+      .withColumn("j", explode(sequence(lit(0), lit(AmsK - 1))))
+      .withColumn("sgn",
+        lit(1L) - lit(2L) * (md5_60(concat($"user_id".cast("string"),
+          lit(":"), $"j".cast("string"))) % 2))
+    val counters = signed.groupBy($"event_type", $"j")
+      .agg(sum($"sgn").as("c"))
+    val est = counters.groupBy($"event_type")
+      .agg((sum($"c" * $"c") / AmsK.toDouble).as("f2_raw"))
+      .select($"event_type", round($"f2_raw", 4).as("f2_est"))
+    val exact = Tables.events(s, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"event_type")
+      .agg(sum($"cnt" * $"cnt").as("f2_exact"))
+    exact.join(est, "event_type")
+      .select($"event_type", $"f2_exact", $"f2_est")
+  }
+
+  val amsF2Sql: String =
+    s"""WITH signed AS (
+       |  SELECT event_type,
+       |    1 - 2 * (CAST('0x' || substr(md5(
+       |      CAST(user_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+       |      1, 15) AS BIGINT) % 2) AS sgn, j
+       |  FROM events
+       |  CROSS JOIN (SELECT unnest(range(0, $AmsK)) AS j) ks),
+       |counters AS (
+       |  SELECT event_type, j, sum(sgn) AS c
+       |  FROM signed GROUP BY 1, 2),
+       |est AS (
+       |  SELECT event_type,
+       |    round(CAST(sum(c * c) AS DOUBLE) / $AmsK, 4) AS f2_est
+       |  FROM counters GROUP BY 1),
+       |exact AS (
+       |  SELECT event_type, sum(cnt * cnt) AS f2_exact
+       |  FROM (SELECT event_type, user_id, count(*) AS cnt
+       |        FROM events GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT e.event_type, e.f2_exact, f.f2_est
+       |FROM exact e JOIN est f USING (event_type)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_bitmap_dau" -> (bitmapDau _),
+    "sketch_ams_f2" -> (amsF2 _),
     "sketch_hll_sliding" -> (hllSliding _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_kmv_overlap" -> (kmvOverlap _),
@@ -852,6 +989,8 @@ object Sketches {
     "sketch_hll_merged" -> (hllMerged _))
 
   def oracles: Map[String, String] = Map(
+    "sketch_bitmap_dau" -> bitmapDauSql,
+    "sketch_ams_f2" -> amsF2Sql,
     "sketch_hll_sliding" -> hllSlidingSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_overlap" -> kmvOverlapSql,

@@ -908,7 +908,102 @@ object TextOps {
        |    coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_tfidf), 0.0), 6) AS rrf
        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
 
+  /** Maximal duplicated-substring SPANS per document — the exact
+    * substring-level dedup decision (which character ranges to CUT, not
+    * just how duplicated a doc is): `doc_dup_ngram_mass` scores grams
+    * individually; this operator merges the duplicated 8-gram start
+    * positions into maximal contiguous regions, which is what a
+    * suffix-array pass produces and what an excision step consumes.
+    *
+    * Pipeline: positional 8-grams (narrow explode) → gram→distinct-doc
+    * counts (one map-side-combinable aggregate on 8-byte md5-60 keys)
+    * → join back → keep positions whose gram repeats across docs →
+    * gaps-and-islands per doc (lag + running break-count windows, both
+    * on the SAME doc_id-keyed exchange) → one span row per island →
+    * per-doc rollup. Two kept starts belong to one span iff they are
+    * ≤ 8 apart (their 8-token windows overlap or touch), so a span of
+    * starts [i_first..i_last] covers i_last − i_first + 8 tokens.
+    * Per-doc window state is bounded by the doc's own gram count and
+    * every shuffle key is either an 8-byte hash or doc_id — the same
+    * O(total tokens) shape as the gram-mass scorer, nothing pairwise.
+    * Docs with no duplicated span surface with zeros via the left join
+    * (the excision step must see "keep whole doc" rows too).
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"$tokensExpr AS toks")
+    val grams = toks.where("size(toks) >= 8")
+      .selectExpr("doc_id", "size(toks) AS n_tokens",
+        """posexplode(transform(sequence(0, size(toks) - 8),
+          |  i -> array_join(slice(toks, i + 1, 8), ' ')))
+          |  AS (i, gram)""".stripMargin)
+      .select($"doc_id", $"n_tokens", $"i",
+        conv(substring(md5($"gram"), 1, 15), 16, 10).cast("long").as("h"))
+    val gramDocs = grams.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"i")
+    val spans = grams.join(gramDocs.where($"n_docs" >= 2), "h")
+      .withColumn("brk",
+        when(lag($"i", 1).over(byPos).isNull ||
+          $"i" - lag($"i", 1).over(byPos) > 8, 1L).otherwise(0L))
+      .withColumn("island", sum($"brk").over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"n_tokens", $"island")
+      .agg((max($"i") - min($"i") + 8).as("span_len"))
+      .groupBy($"doc_id", $"n_tokens")
+      .agg(count(lit(1)).as("n_spans"), sum($"span_len").as("dup_tokens"))
+    toks.select($"doc_id", size($"toks").as("n_tokens"))
+      .join(spans.drop("n_tokens"), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac", round(
+        $"dup_tokens".cast("double") / greatest($"n_tokens", lit(1L)), 6))
+  }
+
+  val dupSpansSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckTokensExpr AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, len(t) AS n_tokens, i,
+       |    CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+       |    FROM toks WHERE len(t) >= 8) p
+       |  CROSS JOIN LATERAL
+       |    (SELECT array_to_string(t[i+1:i+8], ' ') AS gram) g),
+       |gd AS (
+       |  SELECT h FROM grams GROUP BY h
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |kept AS (
+       |  SELECT g.doc_id, g.n_tokens, g.i,
+       |    CASE WHEN lag(g.i) OVER w IS NULL
+       |      OR g.i - lag(g.i) OVER w > 8 THEN 1 ELSE 0 END AS brk
+       |  FROM grams g JOIN gd USING (h)
+       |  WINDOW w AS (PARTITION BY g.doc_id ORDER BY g.i)),
+       |islands AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS UNBOUNDED PRECEDING) AS island, i
+       |  FROM kept),
+       |spans AS (
+       |  SELECT doc_id, n_tokens, island,
+       |    max(i) - min(i) + 8 AS span_len
+       |  FROM islands GROUP BY 1, 2, 3),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_spans, sum(span_len) AS dup_tokens
+       |  FROM spans GROUP BY 1)
+       |SELECT tk.doc_id, len(tk.t) AS n_tokens,
+       |  coalesce(p.n_spans, 0) AS n_spans,
+       |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
+       |    / greatest(len(tk.t), 1), 6) AS dup_frac
+       |FROM toks tk LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_dup_spans" -> (dupSpans _),
     "doc_rrf_fusion" -> (rrfFusion _),
     "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
     "doc_lm_nll" -> (docLmNll _),
@@ -929,6 +1024,7 @@ object TextOps {
     "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
+    "doc_dup_spans" -> dupSpansSql,
     "doc_rrf_fusion" -> rrfFusionSql,
     "doc_tfidf_cosine_topk" -> tfidfCosineTopkSql,
     "doc_lm_nll" -> docLmNllSql,

@@ -160,4 +160,37 @@ class GraphLayoutSpec extends AnyFunSuite {
     // out-degree(h)=0 and the only wedge is at leaf_0/leaf_1
     assert(r.getAs[Long]("n_edges") == 201)
   }
+
+  test("kcore reaches a true fixpoint: every member keeps >= k in-core degree") {
+    val core = Graph.kcore(spark, sf).collect()
+    assert(core.nonEmpty, "fixture must have a non-empty 3-core")
+    core.foreach { r =>
+      assert(r.getAs[Long]("deg") >= Graph.KcoreK,
+        s"${r.getString(0)}: deg ${r.getLong(1)} < ${Graph.KcoreK}")
+    }
+    // fixpoint: one more peel round removes nothing
+    val again = Graph.kcoreOnEdges(Graph.tradeEdges(spark, sf),
+      Graph.KcoreK, Graph.KcoreRounds + 1).collect()
+    assert(again.map(_.getString(0)).sorted.sameElements(
+      core.map(_.getString(0)).sorted))
+  }
+
+  test("kcore peel cascades along planted chains") {
+    import spark.implicits._
+    // K4 clique {a,b,c,d} with a 4-node tail d-e-f-g: the tail peels
+    // one node per round (g first, then f, then e — degree drops to 1
+    // only AFTER the outer node goes), so a one-shot degree filter
+    // (deg >= 2) would wrongly keep e and f; the clique survives as the
+    // whole 2-core
+    val und = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),
+      ("c","d"),("d","e"),("e","f"),("f","g"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core = Graph.kcoreOnEdges(edges, k = 2, rounds = 8).collect()
+    assert(core.map(_.getString(0)).sorted.sameElements(
+      Array("a", "b", "c", "d")))
+    // fewer rounds than the cascade depth must NOT reach the fixpoint —
+    // proves the fixture actually exercises iteration, not one filter
+    val shallow = Graph.kcoreOnEdges(edges, k = 2, rounds = 1).collect()
+    assert(shallow.length > 4, "1-round peel must still hold tail nodes")
+  }
 }

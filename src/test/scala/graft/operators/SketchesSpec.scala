@@ -111,6 +111,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(!rows.contains(("B", "C")), "disjoint pair must not fabricate overlap")
   }
 
+  test("bitmap distinct is EXACT per day and OR-merges to the exact total") {
+    val rows = Sketches.bitmapDau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau_exact") == r.getAs[Long]("dau_bitmap"),
+        s"day ${r.getString(0)}")
+      assert(r.getAs[Long]("total_exact") == r.getAs[Long]("total_bitmap"))
+    }
+  }
+
+  test("AMS F2 estimate lands in the k=16 tug-of-war error band") {
+    val rows = Sketches.amsF2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("f2_exact").toDouble
+      val est = r.getAs[Double]("f2_est")
+      // Var ≈ 2·F2²/k ⇒ relative σ ≈ √(2/16) ≈ 0.354; 3σ band (the
+      // hard contract is the oracle — the estimator pipeline itself is
+      // hash-checked — this gates that the statistic is a real estimate)
+      assert(est > 0.0 && math.abs(est - exact) <= 1.1 * exact,
+        s"${r.getString(0)}: exact=$exact est=$est")
+    }
+  }
+
   test("Bloom pruning has no false negatives (bloom rows cover true rows)") {
     // sf0.001 has no NATION_9 suppliers, so drive the operator at sf0.01
     // where the build side is non-empty

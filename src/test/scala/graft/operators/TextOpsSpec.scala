@@ -30,4 +30,30 @@ class TextOpsSpec extends AnyFunSuite {
     val n = TextOps.globalCount(spark, sf).collect()(0).getAs[Long]("total")
     assert(n == graft.Tables.documents(spark, sf).count())
   }
+
+  test("dup spans: one row per doc, disjoint spans bounded by doc length") {
+    val rows = TextOps.dupSpans(spark, sf).collect()
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    var withSpans = 0
+    rows.foreach { r =>
+      val (nTok, nSpans, dupTok) =
+        (r.getAs[Int]("n_tokens").toLong, r.getAs[Long]("n_spans"),
+          r.getAs[Long]("dup_tokens"))
+      // islands are ≥ 9 apart in start position, so their 8-token
+      // windows cover disjoint ranges: total dup mass can't exceed doc
+      assert(dupTok <= nTok, s"doc ${r.getLong(0)}: $dupTok > $nTok")
+      if (nSpans > 0) { withSpans += 1; assert(dupTok >= 8 * nSpans) }
+      else assert(dupTok == 0L)
+    }
+    assert(withSpans > 0, "fixture must contain cross-doc duplication")
+  }
+
+  test("dup spans agree with gram mass on which docs are duplicated") {
+    val spanDocs = TextOps.dupSpans(spark, sf).collect()
+      .filter(_.getAs[Long]("n_spans") > 0).map(_.getLong(0)).toSet
+    val massDocs = TextOps.dupNgramMass(spark, sf).collect()
+      .filter(_.getAs[Long]("n_dup_grams") > 0).map(_.getLong(0)).toSet
+    // same 8-gram, same ≥2-docs threshold ⇒ identical positive sets
+    assert(spanDocs == massDocs)
+  }
 }
