@@ -280,11 +280,89 @@ object KMeans {
        |LEFT JOIN pn ON pn.k = tn.label
        |LEFT JOIN tp ON tp.label = tn.label""".stripMargin
 
+  /** Univariate feature screening by rank-based ROC AUC — the other
+    * half of the labeled-slice eval toolkit ([[centroidEval]] scores a
+    * CLASSIFIER; this scores individual FEATURES): for each of the
+    * first [[AucDims]] embedding dimensions, the AUC of that raw
+    * coordinate separating label 0 from the rest, via the Mann–Whitney
+    * rank-sum identity AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+    * Ties are handled exactly with the doubled-average-rank trick from
+    * `q_spearman` (2·avgrank = 2·rank + ties − 1 — integer arithmetic,
+    * no 0.5 fractions), so every sufficient statistic is an exact long
+    * and the single double division happens once at the end under the
+    * floor(x·1e6+0.5) cross-engine rounding convention.
+    *
+    * Scale shape: one narrow posexplode (constant ×[[AucDims]] fanout),
+    * one rank window per dim partition (the per-dim sort — at 100 TB
+    * this is the standard sort-based AUC, one shuffle keyed on dim,
+    * skew-free because dims are uniform by construction), one final
+    * 8-row aggregate. Nothing driver-side; no per-pair comparison —
+    * the rank identity is exactly what makes AUC affordable where the
+    * O(n⁺·n⁻) definition is not.
+    */
+  val AucDims = 8
+
+  def featureAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    aucByDim(Tables.embeddings(s, dir)
+      .select($"label", posexplode(slice($"embedding", 1, AucDims)).as(Seq("p", "score")))
+      .select(($"p" + 1).cast("int").as("dim"),
+        when($"label" === 0, 1L).otherwise(0L).as("pos"), $"score"))
+  }
+
+  /** Rank-sum AUC per `dim` group over (dim, pos ∈ {0,1} long, score)
+    * rows — the engine behind [[featureAuc]], factored so specs can
+    * plant separable / constant / inverted features.
+    */
+  def aucByDim(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored
+      .withColumn("r", rank().over(Window.partitionBy($"dim").orderBy($"score")))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy($"dim", $"score")))
+      .select($"dim", $"pos", (lit(2L) * $"r" + $"t" - 1L).as("dr"))
+      .groupBy($"dim")
+      .agg(sum($"pos").as("n_pos"),
+        (count(lit(1)) - sum($"pos")).as("n_neg"),
+        sum(when($"pos" === 1L, $"dr")).as("s2"))
+      .selectExpr("dim", "n_pos", "n_neg",
+        """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          |  ELSE floor(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+          |    / CAST(2 * n_pos * n_neg AS DOUBLE) * 1e6 + 0.5) / 1e6
+          |  END AS auc""".stripMargin)
+  }
+
+  val featureAucSql: String =
+    s"""WITH ex AS (
+       |  SELECT CAST(d.dim AS INT) AS dim,
+       |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+       |    embedding[d.dim] AS score
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, $AucDims + 1)) AS dim) d),
+       |r AS (
+       |  SELECT dim, pos,
+       |    2 * rank() OVER (PARTITION BY dim ORDER BY score)
+       |      + count(*) OVER (PARTITION BY dim, score) - 1 AS dr
+       |  FROM ex),
+       |g AS (
+       |  SELECT dim, CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+       |    CAST(sum(CASE WHEN pos = 1 THEN dr END) AS BIGINT) AS s2
+       |  FROM r GROUP BY dim)
+       |SELECT dim, n_pos, n_neg,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |    ELSE floor(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |      / CAST(2 * n_pos * n_neg AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |    END AS auc
+       |FROM g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans" -> (kmeans _),
-    "sim_centroid_eval" -> (centroidEval _))
+    "sim_centroid_eval" -> (centroidEval _),
+    "sim_feature_auc" -> (featureAuc _))
 
   def oracles: Map[String, String] = Map(
     "sim_kmeans" -> kmeansSql,
-    "sim_centroid_eval" -> centroidEvalSql)
+    "sim_centroid_eval" -> centroidEvalSql,
+    "sim_feature_auc" -> featureAucSql)
 }

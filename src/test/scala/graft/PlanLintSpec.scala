@@ -55,6 +55,8 @@ class PlanLintSpec extends AnyFunSuite {
     "dq_value_drift", "q_weighted_median", "ev_ab_cuped",
     "ev_seasonality_dow", "q11_important_stock", "q_copurchase_pairs",
     "ev_ewma", "sketch_hll_sliding", "q_relational_division",
+    // two 1-row scalar totals (all-period bitmap popcount + exact total)
+    "sketch_bitmap_dau",
     // fixed-cardinality type-pair enumeration (≤ |event_type|² rows) and
     // the OR-keyed minima fan-in — both sides bounded by k·|types|
     "sketch_kmv_overlap")

@@ -76,4 +76,29 @@ class SimilaritySpec extends AnyFunSuite {
     if (brute.nonEmpty)
       info(s"LSH recall vs exact pairs: ${lsh.size.toDouble / brute.size}")
   }
+
+  test("rank-sum AUC: separating=1, inverted=0, constant=0.5, known ties case exact") {
+    import spark.implicits._
+    // dim 1: positives strictly above negatives; dim 2: inverted;
+    // dim 3: constant score (all ties -> 0.5 exactly);
+    // dim 4: known hand-computed tied case:
+    //   pos scores {2, 3}, neg scores {1, 3} -> pairs: (2>1)=1, (2vs3)=0,
+    //   (3>1)=1, (3=3)=0.5 -> AUC = 2.5/4 = 0.625
+    val rows =
+      (1 to 5).map(i => (1, 1L, 10.0 + i)) ++ (1 to 5).map(i => (1, 0L, i.toDouble)) ++
+      (1 to 5).map(i => (2, 1L, i.toDouble)) ++ (1 to 5).map(i => (2, 0L, 10.0 + i)) ++
+      (1 to 5).map(_ => (3, 1L, 7.0)) ++ (1 to 5).map(_ => (3, 0L, 7.0)) ++
+      Seq((4, 1L, 2.0), (4, 1L, 3.0), (4, 0L, 1.0), (4, 0L, 3.0))
+    val got = KMeans.aucByDim(rows.toDF("dim", "pos", "score"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(got(1) == 1.0 && got(2) == 0.0 && got(3) == 0.5 && got(4) == 0.625)
+  }
+
+  test("feature AUC over embeddings: one row per dim, counts partition the table") {
+    val df = KMeans.featureAuc(spark, sf).collect()
+    assert(df.length == KMeans.AucDims)
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(df.forall(r => r.getLong(1) + r.getLong(2) == n))
+    assert(df.forall(r => !r.isNullAt(3) && r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
 }
