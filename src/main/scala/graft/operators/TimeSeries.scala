@@ -823,7 +823,172 @@ object TimeSeries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** CUSUM changepoint detection per event-type daily series — the
+    * level-shift locator every pipeline-health dashboard runs when a
+    * source starts over- or under-delivering. The statistic stays
+    * EXACT integers until the final normalization: for counts x_1..x_n
+    * with total T, the cumulative deviation Σ_{i≤k}(x_i − T/n) scaled
+    * by n is n·prefix_k − k·T — two longs per row from one running-sum
+    * window over the zero-filled calendar scaffold ([[anomalyZscore]]'s
+    * shape: the scaffold is |types|·|days| metadata-sized rows, the raw
+    * events are touched once by a map-side-combinable count). The
+    * changepoint is argmax_k |scaled_k| over interior prefixes
+    * (k < n — the full-series prefix is identically 0), earliest day on
+    * ties, via one row_number window; the reported magnitude divides by
+    * n only at the end (floor-round 6 — the cross-engine convention).
+    * At 100 TB: one count aggregate + two windows per type partition —
+    * no pass is ever quadratic in days and nothing leaves the cluster.
+    */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val scaffold = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select($"event_type",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val series = scaffold.join(counts, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce($"cnt", lit(0L)))
+    cusumPeak(series)
+  }
+
+  /** CUSUM argmax over a zero-filled (event_type, day, cnt) series —
+    * the engine behind [[changepoint]], factored so specs can plant a
+    * known level shift.
+    */
+  def cusumPeak(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val byType = Window.partitionBy($"event_type")
+    val ordered = byType.orderBy($"day")
+    val scored = series
+      .withColumn("k", row_number().over(ordered))
+      .withColumn("prefix", sum($"cnt").over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("total", sum($"cnt").over(byType))
+      .withColumn("scaled", $"n" * $"prefix" - $"k" * $"total")
+      .where($"k" < $"n")
+    scored
+      .withColumn("rn", row_number().over(byType.orderBy(
+        abs($"scaled").desc, $"day".asc)))
+      .where($"rn" === 1)
+      .selectExpr("event_type",
+        "date_format(day, 'yyyy-MM-dd') AS cp_day",
+        "n", "total", "abs(scaled) AS peak_scaled",
+        "floor(CAST(abs(scaled) AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS peak_cusum")
+  }
+
+  val changepointSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |counts AS (
+      |  SELECT event_type, day, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |series AS (
+      |  SELECT t.event_type, d.day,
+      |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN days d
+      |  LEFT JOIN counts c ON t.event_type = c.event_type AND d.day = c.day),
+      |scored AS (
+      |  SELECT event_type, day,
+      |    CAST(row_number() OVER w AS BIGINT) AS k,
+      |    CAST(sum(cnt) OVER w AS BIGINT) AS prefix,
+      |    CAST(count(*) OVER t AS BIGINT) AS n,
+      |    CAST(sum(cnt) OVER t AS BIGINT) AS total
+      |  FROM series
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         t AS (PARTITION BY event_type)),
+      |interior AS (
+      |  SELECT event_type, day, n, total,
+      |    abs(n * prefix - k * total) AS a
+      |  FROM scored WHERE k < n),
+      |best AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY a DESC, day ASC) AS rn
+      |  FROM interior)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+      |  n, total, a AS peak_scaled,
+      |  floor(CAST(a AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |    AS peak_cusum
+      |FROM best WHERE rn = 1""".stripMargin
+
+  /** Gini coefficient of per-user activity within each event type — the
+    * concentration measure behind "is this source dominated by a few
+    * power users / scraper accounts". Uses the sorted-rank identity
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i), but never materializes
+    * per-user ranks: equal counts share a contiguous rank block, so
+    * Σ i·x_i collapses to Σ_c c·(m_c·below_c + m_c(m_c+1)/2) over the
+    * (type, count-value) TIE BLOCKS — the window input shrinks from
+    * |users| rows to |distinct activity levels| rows per type (a
+    * few hundred no matter the corpus), which is what makes the exact
+    * statistic affordable at 100 TB where a per-user rank window would
+    * funnel each type into one sort partition. All sums are exact
+    * longs (m(m+1) is even, so the /2 is exact); the one double
+    * division lands at the end under floor-round 6. The oracle
+    * deliberately states the per-user row_number formulation — two
+    * independent derivations, same rows (the `q_skyline_parts`
+    * pattern), which is itself the proof of tie-order invariance.
+    */
+  def giniUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    giniOfCounts(Tables.events(s, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** Tie-block Gini per `event_type` group over (event_type, user_id,
+    * cnt) rows — factored for planted-fixture specs.
+    */
+  def giniOfCounts(perUser: DataFrame): DataFrame = {
+    val s = perUser.sparkSession
+    import s.implicits._
+    val blocks = perUser.groupBy($"event_type", $"cnt")
+      .agg(count(lit(1)).as("m"))
+    val cumW = Window.partitionBy($"event_type").orderBy($"cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocks
+      .withColumn("below", sum($"m").over(cumW) - $"m")
+      .withColumn("wblk",
+        $"cnt" * ($"m" * $"below" + $"m" * ($"m" + 1) / 2))
+      .groupBy($"event_type")
+      .agg(sum($"m").as("n_users"), sum($"cnt" * $"m").as("total"),
+        sum($"wblk").as("w"))
+      .selectExpr("event_type", "n_users", "total",
+        """floor(CAST(2 * w - (n_users + 1) * total AS DOUBLE)
+          |  / CAST(n_users * total AS DOUBLE) * 1e6 + 0.5) / 1e6
+          |  AS gini""".stripMargin)
+  }
+
+  val giniUsersSql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, cnt,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cnt ASC, user_id ASC) AS BIGINT) AS i
+      |  FROM pu),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(cnt) AS BIGINT) AS total,
+      |    CAST(sum(i * cnt) AS BIGINT) AS w
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n_users, total,
+      |  floor(CAST(2 * w - (n_users + 1) * total AS DOUBLE)
+      |    / CAST(n_users * total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
+      |FROM g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_changepoint" -> (changepoint _),
+    "ev_gini_users" -> (giniUsers _),
     "ev_ewma" -> (ewmaDaily _),
     "ev_seasonality_dow" -> (seasonalityDow _),
     "ev_ab_cuped" -> (abCuped _),
@@ -839,6 +1004,8 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_changepoint" -> changepointSql,
+    "ev_gini_users" -> giniUsersSql,
     "ev_ewma" -> ewmaDailySql,
     "ev_seasonality_dow" -> seasonalityDowSql,
     "ev_ab_cuped" -> abCupedSql,

@@ -32,4 +32,31 @@ class EventOpsSpec extends AnyFunSuite {
     assert(df.filter(col("n_sessions") > col("n_events") ||
       col("n_sessions") < 1).count() == 0)
   }
+
+  test("CUSUM changepoint locates a planted level shift at its boundary day") {
+    import spark.implicits._
+    import java.sql.Date
+    // 10 days at 5/day then 10 days at 100/day: |CUSUM| peaks at the
+    // last low day. Flat series: every interior prefix ties at the max,
+    // earliest-day tie-break picks day 1.
+    val shifted = (1 to 10).map(d => ("shift", Date.valueOf(f"2024-01-$d%02d"), 5L)) ++
+      (11 to 20).map(d => ("shift", Date.valueOf(f"2024-01-$d%02d"), 100L))
+    val flat = (1 to 20).map(d => ("flat", Date.valueOf(f"2024-01-$d%02d"), 7L))
+    val got = TimeSeries.cusumPeak((shifted ++ flat).toDF("event_type", "day", "cnt"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(4))).toMap
+    assert(got("shift")._1 == "2024-01-10")
+    // n=20, total=1050; at k=10: |20*50 - 10*1050| = 9500
+    assert(got("shift")._2 == 9500L)
+    assert(got("flat") == ("2024-01-01", 0L))
+  }
+
+  test("Gini: equal counts -> 0, hand-computed skewed case -> 0.45") {
+    import spark.implicits._
+    val counts = (1 to 4).map(u => ("eq", u.toLong, 3L)) ++
+      // {1,1,1,7}: G = (2*34 - 5*10) / (4*10) = 0.45
+      Seq(("skew", 1L, 1L), ("skew", 2L, 1L), ("skew", 3L, 1L), ("skew", 4L, 7L))
+    val got = TimeSeries.giniOfCounts(counts.toDF("event_type", "user_id", "cnt"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("eq") == 0.0 && got("skew") == 0.45)
+  }
 }
