@@ -1002,7 +1002,154 @@ object TextOps {
        |    / greatest(len(tk.t), 1), 6) AS dup_frac
        |FROM toks tk LEFT JOIN per_doc p USING (doc_id)""".stripMargin
 
+  /** Per-document unigram (Shannon) entropy in nats — the vocabulary-
+    * concentration quality signal that separates natural prose from
+    * keyword stuffing / boilerplate loops, complementing
+    * [[docTokenStats]]'s type-token ratio (TTR says HOW MANY distinct
+    * tokens; entropy says how evenly mass spreads over them). Computed
+    * as H = ln(n) − (Σ c·ln c)/n so the data-dependent part is one sum
+    * over per-(doc, token) counts; each c·ln c term is 6-dp-rounded
+    * into DECIMAL(18,9) before summing (the [[docLmNll]] convention —
+    * partition-order-proof, which raw double summation is not), and the
+    * closing expression is the same IEEE op sequence on both engines.
+    * Shape: one explode + one (doc, word) count aggregate + one doc
+    * aggregate — everything map-side-combinable, nothing pairwise.
+    */
+  def docEntropy(s: SparkSession, dir: String): DataFrame =
+    entropyOf(Tables.documents(s, dir))
+
+  /** Entropy over any (doc_id, text) frame — factored for
+    * planted-fixture specs.
+    */
+  def entropyOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .selectExpr("doc_id", s"$tokensExpr AS toks")
+      .where("size(toks) > 0")
+      .selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS n", "explode(toks) AS w")
+      .groupBy($"doc_id", $"n", $"w").agg(count(lit(1)).as("c"))
+      .select($"doc_id", $"n",
+        round($"c".cast("double") * log($"c".cast("double")), 6)
+          .cast("decimal(18,9)").as("clc"))
+      .groupBy($"doc_id", $"n")
+      .agg(count(lit(1)).as("n_distinct"), sum($"clc").as("s"))
+      .selectExpr("doc_id", "n AS n_tokens", "n_distinct",
+        """floor((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |  * 1e6 + 0.5) / 1e6 AS entropy""".stripMargin)
+  }
+
+  val docEntropySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckTokensExpr AS t FROM documents),
+       |f AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n, unnest(t) AS w
+       |  FROM toks WHERE len(t) > 0),
+       |c AS (
+       |  SELECT doc_id, n, w, count(*) AS c FROM f GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_distinct,
+       |    sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6)
+       |      AS DECIMAL(18,9))) AS s
+       |  FROM c GROUP BY 1, 2)
+       |SELECT doc_id, n AS n_tokens, n_distinct,
+       |  floor((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * 1e6 + 0.5) / 1e6 AS entropy
+       |FROM s""".stripMargin
+
+  /** Zipf rank-frequency fit over the corpus vocabulary: least-squares
+    * slope/intercept of ln(freq) on ln(rank) for the top [[ZipfK]]
+    * terms — the corpus-health scalar (natural text ≈ −1; a flat or
+    * cliff-shaped curve flags templated/synthetic sources). The
+    * wordcount is the map-side-combinable aggregate; only the
+    * [[ZipfK]]-row head (deterministic (freq desc, word) order) enters
+    * the regression, so the rank window and the five regression sums
+    * run on a bounded frame. Each ln-space term is 6-dp-rounded into
+    * DECIMAL(18,9) before summing (partition-order-proof); the
+    * closed-form slope/intercept are stated with the same IEEE op
+    * sequence on both engines.
+    */
+  val ZipfK = 100
+
+  def zipfFit(s: SparkSession, dir: String): DataFrame =
+    zipfFitOf(Tables.documents(s, dir))
+
+  /** Zipf fit over any frame with a `text` column — factored for
+    * planted-fixture specs.
+    */
+  def zipfFitOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val freq = docs
+      .selectExpr(s"explode($tokensExpr) AS w")
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .orderBy($"f".desc, $"w".asc).limit(ZipfK)
+    val terms = freq
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"f".desc, $"w".asc)))
+      .selectExpr(
+        "CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,9)) AS x",
+        "CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(18,9)) AS y")
+      .selectExpr("x", "y",
+        "CAST(round(CAST(x * y AS DOUBLE), 6) AS DECIMAL(18,9)) AS xy",
+        "CAST(round(CAST(x * x AS DOUBLE), 6) AS DECIMAL(18,9)) AS xx")
+    terms.agg(count(lit(1)).as("k"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"xy").as("sxy"), sum($"xx").as("sxx"))
+      .selectExpr("k",
+        """floor((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |  * 1e6 + 0.5) / 1e6 AS slope""".stripMargin,
+        """floor((CAST(sy AS DOUBLE)
+          |    - (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |      * CAST(sx AS DOUBLE))
+          |  / CAST(k AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept""".stripMargin)
+  }
+
+  val zipfFitSql: String =
+    s"""WITH wc AS (
+       |  SELECT w, count(*) AS f
+       |  FROM (SELECT unnest($duckTokensExpr) AS w FROM documents)
+       |  GROUP BY 1),
+       |head AS (
+       |  SELECT w, f, row_number() OVER (ORDER BY f DESC, w ASC) AS r
+       |  FROM wc ORDER BY f DESC, w ASC LIMIT $ZipfK),
+       |t0 AS (
+       |  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,9)) AS x,
+       |    CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(18,9)) AS y
+       |  FROM head),
+       |t AS (
+       |  SELECT x, y,
+       |    CAST(round(CAST(x * y AS DOUBLE), 6) AS DECIMAL(18,9)) AS xy,
+       |    CAST(round(CAST(x * x AS DOUBLE), 6) AS DECIMAL(18,9)) AS xx
+       |  FROM t0),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx
+       |  FROM t)
+       |SELECT k,
+       |  floor((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    * 1e6 + 0.5) / 1e6 AS slope,
+       |  floor((CAST(sy AS DOUBLE)
+       |      - (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |        / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * CAST(sx AS DOUBLE))
+       |    / CAST(k AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept
+       |FROM g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_entropy" -> (docEntropy _),
+    "doc_zipf_fit" -> (zipfFit _),
     "doc_dup_spans" -> (dupSpans _),
     "doc_rrf_fusion" -> (rrfFusion _),
     "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
@@ -1024,6 +1171,8 @@ object TextOps {
     "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
+    "doc_entropy" -> docEntropySql,
+    "doc_zipf_fit" -> zipfFitSql,
     "doc_dup_spans" -> dupSpansSql,
     "doc_rrf_fusion" -> rrfFusionSql,
     "doc_tfidf_cosine_topk" -> tfidfCosineTopkSql,

@@ -56,4 +56,29 @@ class TextOpsSpec extends AnyFunSuite {
     // same 8-gram, same ≥2-docs threshold ⇒ identical positive sets
     assert(spanDocs == massDocs)
   }
+
+  test("entropy: constant doc -> 0, uniform doc -> ln(k), real docs bounded by ln(n_distinct)") {
+    import spark.implicits._
+    val planted = Seq((1L, "a a a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextOps.entropyOf(planted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - math.log(4.0)) < 1e-5)
+    val real = TextOps.docEntropy(spark, sf).collect()
+    assert(real.forall { r =>
+      val h = r.getDouble(3)
+      h >= 0.0 && h <= math.log(r.getLong(2).toDouble) + 1e-6
+    })
+  }
+
+  test("zipf fit: planted exact power law recovers slope -1 and intercept ln(fmax)") {
+    import spark.implicits._
+    // freqs 4 and 2 at ranks 1 and 2: ln-ln line through (0, ln4),
+    // (ln2, ln2) has slope -1, intercept ln4
+    val planted = Seq((1L, "aa aa aa aa bb bb")).toDF("doc_id", "text")
+    val row = TextOps.zipfFitOf(planted).collect().head
+    assert(row.getLong(0) == 2L)
+    assert(math.abs(row.getDouble(1) + 1.0) < 1e-5)
+    assert(math.abs(row.getDouble(2) - math.log(4.0)) < 1e-5)
+  }
 }
