@@ -596,12 +596,91 @@ object Graph {
        |GROUP BY e.src""".stripMargin
   }
 
+  /** Adamic–Adar link prediction — [[neighborSimilarity]]'s weighted
+    * sibling: a shared neighbor contributes 1/ln(deg(witness)) instead
+    * of 1, so rare witnesses count more (sharing an obscure
+    * acquaintance predicts a link; sharing a celebrity predicts
+    * nothing). Same capped-witness wedge join bounds the work (per
+    * witness ≤ maxDeg² pairs); witnesses of degree 1 generate no pairs,
+    * so ln(deg) ≥ ln 2 and the reciprocal never divides by zero. Each
+    * witness's contribution is pinned to integer micro-units
+    * (floor(1e6/ln(deg) + 0.5) — the identical IEEE sequence in both
+    * engines), summed as exact longs; the one double division happens
+    * on the 30 output rows. Degrees and the common count ride along
+    * uncapped, so the score is conservative under the cap exactly as
+    * the Jaccard form is.
+    */
+  def adamicAdar(s: SparkSession, dir: String): DataFrame =
+    adamicAdarOnEdges(tokenEdges(s, dir))
+
+  def adamicAdarOnEdges(rawEdges: DataFrame,
+      maxDeg: Int = MaxWitnessDeg): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val und = rawEdges.where($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select($"u".as("node")).union(und.select($"v"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val adj = und.select($"u".as("w"), $"v".as("n"))
+      .union(und.select($"v".as("w"), $"u".as("n")))
+      .join(deg.select($"node".as("w"), $"deg".as("wdeg")), "w")
+      .where($"wdeg" <= maxDeg)
+      .selectExpr("w", "n",
+        "CAST(floor(1e6 / ln(CAST(wdeg AS DOUBLE)) + 0.5) AS BIGINT) AS wt")
+    val pairs = adj.select($"w", $"n".as("a"), $"wt")
+      .join(adj.select($"w", $"n".as("b")), "w")
+      .where($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("common"), sum($"wt").as("aa_micro"))
+    pairs
+      .where($"common" >= 2)
+      .selectExpr("a", "b", "common",
+        "CAST(aa_micro AS DOUBLE) / 1e6 AS adamic_adar")
+      .orderBy($"adamic_adar".desc, $"a", $"b")
+      .limit(30)
+  }
+
+  val adamicAdarSql: String =
+    s"""WITH toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |tedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY src, dst),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM tedges WHERE src <> dst),
+       |deg AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY node),
+       |adj AS (
+       |  SELECT x.w, x.n,
+       |    CAST(floor(1e6 / ln(CAST(d.deg AS DOUBLE)) + 0.5) AS BIGINT) AS wt
+       |  FROM (
+       |    SELECT u AS w, v AS n FROM und
+       |    UNION ALL SELECT v, u FROM und) x
+       |  JOIN deg d ON d.node = x.w WHERE d.deg <= $MaxWitnessDeg)
+       |SELECT l.n AS a, r.n AS b, CAST(count(*) AS BIGINT) AS common,
+       |  CAST(sum(l.wt) AS DOUBLE) / 1e6 AS adamic_adar
+       |FROM adj l JOIN adj r ON l.w = r.w AND l.n < r.n
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 2
+       |ORDER BY adamic_adar DESC, a, b
+       |LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_kcore" -> (kcore _),
     "graph_bfs" -> (bfs _),
     "graph_pagerank" -> (pagerank _),
     "graph_triangles" -> (triangles _),
     "graph_neighbor_jaccard" -> (neighborSimilarity _),
+    "graph_adamic_adar" -> (adamicAdar _),
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
@@ -610,5 +689,6 @@ object Graph {
     "graph_pagerank" -> pagerankSql,
     "graph_triangles" -> trianglesSql,
     "graph_neighbor_jaccard" -> neighborSimilaritySql,
+    "graph_adamic_adar" -> adamicAdarSql,
     "graph_hits" -> hitsSql)
 }

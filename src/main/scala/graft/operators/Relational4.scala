@@ -644,7 +644,122 @@ object Relational4 {
       |GROUP BY o_custkey, n_classes
       |HAVING count(DISTINCT o_orderpriority) = n_classes""".stripMargin
 
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quintile scores, the classical marketing-analytics cut of an
+    * orders fact. Each metric needs the customer's EXACT global rank;
+    * the naive `ntile(5)` is an unpartitioned window (one sort
+    * partition — a non-starter at scale), so ranks are built with the
+    * two-phase histogram-shard technique promoted from
+    * `sketch_hist_quantiles`: shard customers by a VALUE-bounded bucket
+    * (recency in days and order count are naturally discrete; monetary
+    * shards on fixed 10k-wide price bands), take per-bucket counts (a
+    * tiny value-bounded frame whose prefix sum is the below-bucket
+    * offset), and rank inside each bucket with a PARTITIONED
+    * row_number — rank = offset + intra-bucket position, exact and
+    * deterministic under the (value, custkey) total order. Quintile
+    * arithmetic stays in integers ((rank−1)·5 div n); recency is
+    * reverse-scored (recent = 5). Money stays decimal-exact until the
+    * two output casts (Exact convention).
+    */
+  def qRfmSegments(s: SparkSession, dir: String): DataFrame =
+    qRfmSegmentsOf(Tables.orders(s, dir))
+
+  /** RFM over any orders-shaped frame — factored for planted-fixture
+    * specs.
+    */
+  def qRfmSegmentsOf(o: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = o.sparkSession
+    import s.implicits._
+    val anchor = o.agg(max($"o_orderdate".cast("date")).as("anchor"))
+    val cust = o.groupBy($"o_custkey")
+      .agg(max($"o_orderdate".cast("date")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum($"o_totalprice".cast(Exact.dec)).as("mon"))
+      .crossJoin(broadcast(anchor))
+      .select($"o_custkey",
+        datediff($"anchor", $"last_d").cast("long").as("recency"),
+        $"freq", $"mon",
+        expr("CAST(floor(CAST(mon AS DOUBLE) / 10000.0) AS BIGINT)").as("mb"))
+      .localCheckpoint() // consumed six times below (3 histograms + 3 joins)
+    def rank(df: DataFrame, bucket: String, ord: Seq[org.apache.spark.sql.Column],
+        out: String): DataFrame = {
+      val off = df.groupBy(col(bucket)).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(
+          sum($"c").over(Window.orderBy(col(bucket))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(bucket), $"off")
+      df.join(off, Seq(bucket))
+        .withColumn(out, $"off" + row_number().over(
+          Window.partitionBy(col(bucket)).orderBy(ord: _*)))
+        .drop("off")
+    }
+    val ranked = rank(
+      rank(
+        rank(cust, "recency", Seq($"o_custkey"), "r_rnk"),
+        "freq", Seq($"o_custkey"), "f_rnk"),
+      "mb", Seq($"mon", $"o_custkey"), "m_rnk")
+    val n = cust.agg(count(lit(1)).as("n_cust"))
+    ranked.crossJoin(broadcast(n))
+      .selectExpr("mon",
+        "5 - (r_rnk - 1) * 5 div n_cust AS r_score",
+        "(f_rnk - 1) * 5 div n_cust + 1 AS f_score",
+        "(m_rnk - 1) * 5 div n_cust + 1 AS m_score")
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"mon").cast("double").as("sum_monetary"),
+        round(sum($"mon").cast("double") / count(lit(1)), 6).as("avg_monetary"))
+  }
+
+  val qRfmSegmentsSql: String =
+    """WITH anchor AS (
+      |  SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+      |cust AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+      |      (SELECT anchor FROM anchor)) AS BIGINT) AS recency,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon,
+      |    CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      / 10000.0) AS BIGINT) AS mb
+      |  FROM orders GROUP BY 1),
+      |roff AS (
+      |  SELECT recency, CAST(coalesce(sum(c) OVER (ORDER BY recency
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM (SELECT recency, count(*) AS c FROM cust GROUP BY 1)),
+      |foff AS (
+      |  SELECT freq, CAST(coalesce(sum(c) OVER (ORDER BY freq
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM (SELECT freq, count(*) AS c FROM cust GROUP BY 1)),
+      |moff AS (
+      |  SELECT mb, CAST(coalesce(sum(c) OVER (ORDER BY mb
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM (SELECT mb, count(*) AS c FROM cust GROUP BY 1)),
+      |ranked AS (
+      |  SELECT c.o_custkey, c.mon,
+      |    r.off + row_number() OVER (PARTITION BY c.recency
+      |      ORDER BY c.o_custkey) AS r_rnk,
+      |    f.off + row_number() OVER (PARTITION BY c.freq
+      |      ORDER BY c.o_custkey) AS f_rnk,
+      |    m.off + row_number() OVER (PARTITION BY c.mb
+      |      ORDER BY c.mon, c.o_custkey) AS m_rnk
+      |  FROM cust c
+      |  JOIN roff r ON r.recency = c.recency
+      |  JOIN foff f ON f.freq = c.freq
+      |  JOIN moff m ON m.mb = c.mb),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM cust)
+      |SELECT
+      |  CAST(5 - (r_rnk - 1) * 5 // n_cust AS BIGINT) AS r_score,
+      |  CAST((f_rnk - 1) * 5 // n_cust + 1 AS BIGINT) AS f_score,
+      |  CAST((m_rnk - 1) * 5 // n_cust + 1 AS BIGINT) AS m_score,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(mon) AS DOUBLE) AS sum_monetary,
+      |  round(CAST(sum(mon) AS DOUBLE) / count(*), 6) AS avg_monetary
+      |FROM ranked CROSS JOIN nn
+      |GROUP BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> (qRfmSegments _),
     "q_relational_division" -> (qRelationalDivision _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q20_potential_promotion" -> (q20PotentialPromotion _),
@@ -661,6 +776,7 @@ object Relational4 {
     "q21_waiting_supplier" -> (q21WaitingSupplier _))
 
   def oracles: Map[String, String] = Map(
+    "q_rfm_segments" -> qRfmSegmentsSql,
     "q_relational_division" -> qRelationalDivisionSql,
     "q11_important_stock" -> q11Sql,
     "q20_potential_promotion" -> q20Sql,

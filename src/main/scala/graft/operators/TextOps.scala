@@ -1147,9 +1147,177 @@ object TextOps {
        |    / CAST(k AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept
        |FROM g""".stripMargin
 
+  /** Per-source discriminative terms by chi-square — the "what makes
+    * this source different" report (and the classical feature-selection
+    * statistic for text classifiers). For each (term, source) cell with
+    * the term PRESENT in the source (the report form — absent cells
+    * measure anti-association, not what characterizes the source) the
+    * 2×2 contingency table over DOCUMENT frequencies is
+    * a = df(term, source), b = df(term) − a, c = docs(source) − a,
+    * d = N − df(term) − docs(source) + a, and
+    * χ² = N·(ad − bc)² / (df·(N−df)·docs·(N−docs)).
+    * Scale shape: one distinct (doc, term) explode → one vocab-bounded
+    * (term, source) count (map-side combinable) → joins against three
+    * SMALL frames (per-term totals: |vocab| rows; per-source totals and
+    * the 1-row N: broadcast). Terms present in every document are
+    * excluded (zero discrimination, and the d/N−df factors vanish).
+    * The statistic is evaluated in DOUBLE with the identical IEEE op
+    * sequence in both engines and pinned to integer micro-units for
+    * ordering; top-5 per source rides the custom bounded-heap
+    * TopKPerKey operator (third production use) with the struct
+    * (χ²-micros, term) order key — heap-streamed, never a full
+    * per-source sort.
+    */
+  def chi2Terms(s: SparkSession, dir: String): DataFrame =
+    chi2TermsOf(Tables.documents(s, dir))
+
+  /** Chi-square terms over any (doc_id, source, text) frame — factored
+    * for planted-fixture specs.
+    */
+  def chi2TermsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val docTerm = docs
+      .selectExpr("doc_id", "source", s"explode($tokensExpr) AS term")
+      .distinct()
+    val dfts = docTerm.groupBy($"term", $"source")
+      .agg(count(lit(1)).as("a"))
+    val dft = docTerm.groupBy($"term").agg(count(lit(1)).as("df_total"))
+    val docsPerSource = docs.groupBy($"source").agg(count(lit(1)).as("docs_s"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = dfts
+      .join(dft, "term")
+      .join(docsPerSource, "source")
+      .crossJoin(broadcast(n))
+      .where($"df_total" < $"n_docs")
+      .selectExpr("source", "term", "a", "df_total",
+        """CAST(floor(
+          |  CAST(n_docs AS DOUBLE)
+          |    * (CAST(a AS DOUBLE) * CAST(n_docs - df_total - docs_s + a AS DOUBLE)
+          |       - CAST(df_total - a AS DOUBLE) * CAST(docs_s - a AS DOUBLE))
+          |    * (CAST(a AS DOUBLE) * CAST(n_docs - df_total - docs_s + a AS DOUBLE)
+          |       - CAST(df_total - a AS DOUBLE) * CAST(docs_s - a AS DOUBLE))
+          |    / (CAST(df_total AS DOUBLE) * CAST(n_docs - df_total AS DOUBLE)
+          |       * CAST(docs_s AS DOUBLE) * CAST(n_docs - docs_s AS DOUBLE))
+          |  * 1e6 + 0.5) AS BIGINT) AS chi2_micro""".stripMargin)
+      .withColumn("ord", struct($"chi2_micro", $"term"))
+    graft.plans.TopKPerKey.topKPerKey(scored, Seq("source"), "ord", 5)
+      .selectExpr("source", "term", "a AS df_in_source", "df_total",
+        "CAST(chi2_micro AS DOUBLE) / 1e6 AS chi2")
+  }
+
+  val chi2TermsSql: String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, source, unnest($duckTokensExpr) AS term
+       |  FROM documents),
+       |dfts AS (
+       |  SELECT term, source, CAST(count(*) AS BIGINT) AS a
+       |  FROM dt GROUP BY 1, 2),
+       |dft AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df_total
+       |  FROM dt GROUP BY 1),
+       |ds AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS docs_s
+       |  FROM documents GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT f.source, f.term, f.a, t.df_total,
+       |    CAST(floor(
+       |      CAST(n.n_docs AS DOUBLE)
+       |        * (CAST(f.a AS DOUBLE)
+       |             * CAST(n.n_docs - t.df_total - s.docs_s + f.a AS DOUBLE)
+       |           - CAST(t.df_total - f.a AS DOUBLE)
+       |             * CAST(s.docs_s - f.a AS DOUBLE))
+       |        * (CAST(f.a AS DOUBLE)
+       |             * CAST(n.n_docs - t.df_total - s.docs_s + f.a AS DOUBLE)
+       |           - CAST(t.df_total - f.a AS DOUBLE)
+       |             * CAST(s.docs_s - f.a AS DOUBLE))
+       |        / (CAST(t.df_total AS DOUBLE)
+       |             * CAST(n.n_docs - t.df_total AS DOUBLE)
+       |           * CAST(s.docs_s AS DOUBLE)
+       |             * CAST(n.n_docs - s.docs_s AS DOUBLE))
+       |      * 1e6 + 0.5) AS BIGINT) AS chi2_micro
+       |  FROM dfts f
+       |  JOIN dft t ON t.term = f.term
+       |  JOIN ds s ON s.source = f.source
+       |  CROSS JOIN nn n
+       |  WHERE t.df_total < n.n_docs)
+       |SELECT source, term, a AS df_in_source, df_total,
+       |  CAST(chi2_micro AS DOUBLE) / 1e6 AS chi2
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY chi2_micro DESC, term DESC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5""".stripMargin
+
+  /** Flesch readability — reading ease + Flesch–Kincaid grade from
+    * three regex counts (words, sentence terminators, vowel groups as
+    * the classic syllable heuristic). Pure per-row map over codegen'd
+    * regexp functions — zero shuffles, the cheapest quality signal in
+    * the family. Both engines count with the same patterns ([.!?]+
+    * terminator runs, [aeiouy]+ vowel groups — greedy runs, identical
+    * under Java regex and RE2), take the two ratios in DOUBLE with the
+    * identical op sequence, and pin 6 dp via the floor convention.
+    * Sentence count floors at 1 so terminator-free text (all of the
+    * synthetic corpus) degrades to words-per-doc rather than dividing
+    * by zero; the planted-prose spec exercises real multi-sentence
+    * arithmetic.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables.documents(s, dir))
+
+  def readabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id",
+        s"CAST(size($tokensExpr) AS BIGINT) AS n_words",
+        """CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))
+          |  AS BIGINT) AS n_sentences""".stripMargin,
+        """CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))
+          |  AS BIGINT) AS n_syllables""".stripMargin)
+      .where("n_words > 0")
+      .selectExpr("doc_id", "n_words", "n_sentences", "n_syllables",
+        """floor((CAST(206.835 AS DOUBLE)
+          |  - CAST(1.015 AS DOUBLE)
+          |    * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          |  - CAST(84.6 AS DOUBLE)
+          |    * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+          |  * 1e6 + 0.5) / 1e6 AS flesch_ease""".stripMargin,
+        """floor((CAST(0.39 AS DOUBLE)
+          |    * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          |  + CAST(11.8 AS DOUBLE)
+          |    * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+          |  - CAST(15.59 AS DOUBLE))
+          |  * 1e6 + 0.5) / 1e6 AS fk_grade""".stripMargin)
+
+  val readabilitySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len($duckTokensExpr) AS BIGINT) AS n_words,
+       |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+       |      AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |      AS BIGINT) AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  floor((CAST(206.835 AS DOUBLE)
+       |    - CAST(1.015 AS DOUBLE)
+       |      * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       |    - CAST(84.6 AS DOUBLE)
+       |      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+       |    * 1e6 + 0.5) / 1e6 AS flesch_ease,
+       |  floor((CAST(0.39 AS DOUBLE)
+       |      * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       |    + CAST(11.8 AS DOUBLE)
+       |      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       |    - CAST(15.59 AS DOUBLE))
+       |    * 1e6 + 0.5) / 1e6 AS fk_grade
+       |FROM base WHERE n_words > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_entropy" -> (docEntropy _),
     "doc_zipf_fit" -> (zipfFit _),
+    "doc_chi2_terms" -> (chi2Terms _),
+    "doc_readability" -> (readability _),
     "doc_dup_spans" -> (dupSpans _),
     "doc_rrf_fusion" -> (rrfFusion _),
     "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
@@ -1173,6 +1341,8 @@ object TextOps {
   def oracles: Map[String, String] = Map(
     "doc_entropy" -> docEntropySql,
     "doc_zipf_fit" -> zipfFitSql,
+    "doc_chi2_terms" -> chi2TermsSql,
+    "doc_readability" -> readabilitySql,
     "doc_dup_spans" -> dupSpansSql,
     "doc_rrf_fusion" -> rrfFusionSql,
     "doc_tfidf_cosine_topk" -> tfidfCosineTopkSql,

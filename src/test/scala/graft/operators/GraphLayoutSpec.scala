@@ -193,4 +193,27 @@ class GraphLayoutSpec extends AnyFunSuite {
     val shallow = Graph.kcoreOnEdges(edges, k = 2, rounds = 1).collect()
     assert(shallow.length > 4, "1-round peel must still hold tail nodes")
   }
+
+  test("adamic-adar: rare witnesses outrank hubs at equal common count") {
+    import spark.implicits._
+    // a-b share two degree-2 witnesses (score 2/ln2 = 2.885390);
+    // c-d share two degree-6 hubs (score 2/ln6 = 1.116244). Jaccard
+    // treats both pairs alike at common=2 — the weighting must not.
+    val edges = Seq(
+      ("a", "w1"), ("b", "w1"), ("a", "w2"), ("b", "w2"),
+      ("c", "h1"), ("d", "h1"), ("e1", "h1"), ("e2", "h1"), ("e3", "h1"), ("e4", "h1"),
+      ("c", "h2"), ("d", "h2"), ("e1", "h2"), ("e2", "h2"), ("e3", "h2"), ("e4", "h2")
+    ).toDF("src", "dst").withColumn("cnt", org.apache.spark.sql.functions.lit(1L))
+    val rows = Graph.adamicAdarOnEdges(edges).collect()
+    // (h1,h2) share SIX degree-2 witnesses (c,d,e1..e4) and earn the
+    // global top: 6/ln2
+    val top = rows.head
+    assert(top.getString(0) == "h1" && top.getString(1) == "h2")
+    assert(top.getDouble(3) == 8.656170) // floor(1e6/ln2+0.5)*6/1e6
+    val ab = rows.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getDouble(3) == 2.885390) // floor(1e6/ln2+0.5)*2/1e6
+    val cd = rows.find(r => r.getString(0) == "c" && r.getString(1) == "d").get
+    assert(cd.getLong(2) == ab.getLong(2), "equal common-neighbor count")
+    assert(cd.getDouble(3) < ab.getDouble(3), "hub witnesses must score lower")
+  }
 }

@@ -46,4 +46,42 @@ class RelationalSpec extends AnyFunSuite {
     val (em, am) = (row.getAs[Double]("exact_med"), row.getAs[Double]("approx_med"))
     assert(math.abs(am - em) / em <= 0.02, s"approx median off: $am vs $em")
   }
+
+  test("rfm planted: 5 distinct customers land on the diagonal segments") {
+    import spark.implicits._
+    // customer i: one order of 100*i on day i (anchor = day 5). All
+    // frequencies tie at 1 -> the (value, custkey) total order assigns
+    // f_score = i; monetary and recency rank naturally -> every
+    // customer sits in segment (i, i, i) alone.
+    val orders = (1 to 5).map { i =>
+      (100L + i, i.toLong, f"2020-01-0$i 00:00:00", 100.0 * i)
+    }.toDF("o_orderkey", "o_custkey", "ts", "o_totalprice")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(ts AS TIMESTAMP) AS o_orderdate", "o_totalprice")
+    val rows = Relational4.qRfmSegmentsOf(orders).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(rs == fs && fs == ms, s"off-diagonal segment ($rs,$fs,$ms)")
+      assert(r.getLong(3) == 1L)
+      assert(r.getDouble(4) == 100.0 * rs)
+    }
+  }
+
+  test("rfm real data: scores in 1..5, quintiles balanced, customers conserved") {
+    val segs = Relational4.qRfmSegments(spark, sf).collect()
+    val n = segs.map(_.getLong(3)).sum
+    val nCust = graft.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(n == nCust, "every ordering customer lands in exactly one segment")
+    // per-dimension quintile sizes: exact rank arithmetic keeps each
+    // fifth within one customer of n/5
+    for (dim <- 0 to 2) {
+      val byScore = segs.groupBy(_.getLong(dim)).view.mapValues(_.map(_.getLong(3)).sum)
+      assert(byScore.keys.forall(s => s >= 1 && s <= 5))
+      byScore.foreach { case (s, c) =>
+        assert(math.abs(c - n / 5.0) <= 1.0 + 1e-9, s"dim $dim score $s size $c vs ${n / 5.0}")
+      }
+    }
+  }
 }

@@ -81,4 +81,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) + 1.0) < 1e-5)
     assert(math.abs(row.getDouble(2) - math.log(4.0)) < 1e-5)
   }
+
+  test("chi2 terms: perfect discriminator scores N, everywhere-term excluded") {
+    import spark.implicits._
+    // "the" in every doc (df = N = 4) must be excluded; "zebra" splits
+    // exactly along source A: a=2, b=0, c=0, d=2 -> chi2 = N
+    val planted = Seq(
+      (1L, "A", "the zebra runs"), (2L, "A", "the zebra sleeps"),
+      (3L, "B", "the cow runs"), (4L, "B", "the cow sleeps")
+    ).toDF("doc_id", "source", "text")
+    val rows = TextOps.chi2TermsOf(planted).collect()
+    assert(!rows.exists(_.getString(1) == "the"))
+    val aZebra = rows.find(r => r.getString(0) == "A" && r.getString(1) == "zebra").get
+    assert(aZebra.getLong(2) == 2L && aZebra.getLong(3) == 2L)
+    assert(aZebra.getDouble(4) == 4.0)
+    // B's own perfect discriminator scores the same symmetric table;
+    // only PRESENT (term, source) cells are reported, so (B, zebra)
+    // does not appear
+    assert(!rows.exists(r => r.getString(0) == "B" && r.getString(1) == "zebra"))
+    val bCow = rows.find(r => r.getString(0) == "B" && r.getString(1) == "cow").get
+    assert(bCow.getDouble(4) == 4.0)
+    // an evenly-spread term carries zero signal
+    val aRuns = rows.find(r => r.getString(0) == "A" && r.getString(1) == "runs").get
+    assert(aRuns.getDouble(4) == 0.0)
+  }
+
+  test("readability: planted prose recovers hand-computed Flesch scores") {
+    import spark.implicits._
+    // 6 words, 2 sentences, 6 single-vowel-group syllables:
+    // ease = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    // grade = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    val planted = Seq((1L, "The cat sat. The dog ran!")).toDF("doc_id", "text")
+    val r = TextOps.readabilityOf(planted).collect().head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L && r.getLong(3) == 6L)
+    assert(math.abs(r.getDouble(4) - 119.19) < 1e-9)
+    assert(math.abs(r.getDouble(5) + 2.62) < 1e-9)
+    // terminator-free text floors sentences at 1 instead of dividing by 0
+    val flat = Seq((2L, "no punctuation here at all")).toDF("doc_id", "text")
+    assert(TextOps.readabilityOf(flat).collect().head.getLong(2) == 1L)
+  }
 }
