@@ -614,7 +614,91 @@ object EventOps {
       |  CAST(count(*) AS BIGINT) AS n_streaks
       |FROM streaks GROUP BY user_id""".stripMargin
 
+  /** Multi-touch attribution — the fractional-credit generalization of
+    * the as-of LAST-touch family ([[AsOfJoin]] queries give the whole
+    * conversion to one click; real marketing mixes need every touch
+    * paid). For each purchase, the user's clicks in the strict 7-day
+    * lookback window are the touch set, ordered by (ts, event_id);
+    * credit is assigned two ways at once: LINEAR (1/n each) and
+    * POSITION-BASED / U-shaped (40% first, 40% last, 20% spread over
+    * the middle; n=2 splits 50/50, n=1 takes all). Credits are pinned
+    * to integer micro-units (floor(1e6·x + 0.5), same IEEE sequence
+    * both engines) so the per-channel rollup is an exact long sum.
+    * Channel = props.k mod 5, decoded once through the VARIANT path
+    * (parse once, extract many).
+    * Scale shape: purchases⋈clicks equi-join on user_id (per-user
+    * activity is human-bounded, the sessionization-family rationale);
+    * ONE exchange on conv_id carries both the position window and the
+    * per-conversion count; the channel rollup is a 6-key map-side
+    * combinable aggregate with an exact distinct over conversions.
+    */
+  def attributionMultitouch(s: SparkSession, dir: String): DataFrame =
+    attributionMultitouchOf(Tables.events(s, dir)
+      .selectExpr("event_id", "user_id", "event_type", "(ts_ns div 1000) AS t_us",
+        "CAST(variant_get(try_parse_json(props), '$.k', 'int') AS BIGINT) % 5 AS channel"))
+
+  /** Attribution over any (event_id, user_id, event_type, t_us,
+    * channel) frame — factored for planted-fixture specs.
+    */
+  def attributionMultitouchOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = ev.sparkSession
+    import s.implicits._
+    val WeekUs = 7L * 86400L * 1000000L
+    val purch = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"t_us".as("pt"), $"event_id".as("conv_id"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"t_us".as("ct"), $"event_id".as("click_id"), $"channel")
+    val w = Window.partitionBy($"conv_id")
+    purch.join(clicks, Seq("user_id"))
+      .where($"ct" < $"pt" && $"ct" >= $"pt" - WeekUs)
+      .withColumn("pos", row_number().over(w.orderBy($"ct".asc, $"click_id".asc)))
+      .withColumn("n", count(lit(1)).over(w))
+      .selectExpr("channel", "conv_id",
+        "CAST(floor(1e6 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS lin_micro",
+        """CASE WHEN n = 1 THEN CAST(1000000 AS BIGINT)
+          |  WHEN pos = 1 OR pos = n THEN
+          |    CASE WHEN n = 2 THEN CAST(500000 AS BIGINT)
+          |         ELSE CAST(400000 AS BIGINT) END
+          |  ELSE CAST(floor(200000.0 / CAST(n - 2 AS DOUBLE) + 0.5) AS BIGINT)
+          |END AS pos_micro""".stripMargin)
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct($"conv_id").as("n_conversions"),
+        (sum($"lin_micro").cast("double") / lit(1e6)).as("linear_credit"),
+        (sum($"pos_micro").cast("double") / lit(1e6)).as("position_credit"))
+  }
+
+  val attributionMultitouchSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS channel
+      |  FROM events),
+      |p AS (SELECT user_id, t_us AS pt, event_id AS conv_id
+      |      FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, t_us AS ct, event_id AS click_id, channel
+      |      FROM ev WHERE event_type = 'click'),
+      |t AS (
+      |  SELECT p.conv_id, c.channel,
+      |    row_number() OVER (PARTITION BY p.conv_id
+      |      ORDER BY c.ct, c.click_id) AS pos,
+      |    count(*) OVER (PARTITION BY p.conv_id) AS n
+      |  FROM p JOIN c ON c.user_id = p.user_id
+      |   AND c.ct < p.pt AND c.ct >= p.pt - 604800000000)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+      |  CAST(sum(CAST(floor(1e6 / CAST(n AS DOUBLE) + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 1e6 AS linear_credit,
+      |  CAST(sum(CASE WHEN n = 1 THEN CAST(1000000 AS BIGINT)
+      |    WHEN pos = 1 OR pos = n THEN
+      |      CASE WHEN n = 2 THEN CAST(500000 AS BIGINT)
+      |           ELSE CAST(400000 AS BIGINT) END
+      |    ELSE CAST(floor(200000.0 / CAST(n - 2 AS DOUBLE) + 0.5) AS BIGINT)
+      |  END) AS DOUBLE) / 1e6 AS position_credit
+      |FROM t GROUP BY channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_attribution_multitouch" -> (attributionMultitouch _),
     "ev_user_streaks" -> (userStreaks _),
     "ev_session_paths" -> (sessionPaths _),
     "ev_range_window" -> (rangeWindowCount _),
@@ -634,6 +718,7 @@ object EventOps {
     "ev_type_transitions" -> (typeTransitions _))
 
   def oracles: Map[String, String] = Map(
+    "ev_attribution_multitouch" -> attributionMultitouchSql,
     "ev_user_streaks" -> userStreaksSql,
     "ev_session_paths" -> sessionPathsSql,
     "ev_range_window" -> rangeWindowCountSql,

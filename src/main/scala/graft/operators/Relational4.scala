@@ -661,6 +661,30 @@ object Relational4 {
     * reverse-scored (recent = 5). Money stays decimal-exact until the
     * two output casts (Exact convention).
     */
+  /** Exact global (or per-group) rank WITHOUT an unpartitioned sort —
+    * the two-phase histogram-shard rank shared by [[qRfmSegments]] and
+    * [[qRobustStats]]: per-(group, bucket) counts (a tiny value-bounded
+    * frame), prefix-summed per group into below-bucket offsets, plus an
+    * intra-bucket row_number PARTITIONED by (group, bucket). Requires a
+    * VALUE-bounded bucket column; rank = offset + intra-bucket
+    * position is exact under the caller's total order.
+    */
+  private[operators] def shardRank(df: DataFrame, groups: Seq[String],
+      bucket: String, ord: Seq[org.apache.spark.sql.Column],
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gc = groups.map(col)
+    val off = df.groupBy((gc :+ col(bucket)): _*).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.partitionBy(gc: _*).orderBy(col(bucket))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((gc :+ col(bucket) :+ col("off")): _*)
+    df.join(off, groups :+ bucket)
+      .withColumn(out, col("off") + row_number().over(
+        Window.partitionBy((gc :+ col(bucket)): _*).orderBy(ord: _*)))
+      .drop("off")
+  }
+
   def qRfmSegments(s: SparkSession, dir: String): DataFrame =
     qRfmSegmentsOf(Tables.orders(s, dir))
 
@@ -682,23 +706,11 @@ object Relational4 {
         $"freq", $"mon",
         expr("CAST(floor(CAST(mon AS DOUBLE) / 10000.0) AS BIGINT)").as("mb"))
       .localCheckpoint() // consumed six times below (3 histograms + 3 joins)
-    def rank(df: DataFrame, bucket: String, ord: Seq[org.apache.spark.sql.Column],
-        out: String): DataFrame = {
-      val off = df.groupBy(col(bucket)).agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(
-          sum($"c").over(Window.orderBy(col(bucket))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col(bucket), $"off")
-      df.join(off, Seq(bucket))
-        .withColumn(out, $"off" + row_number().over(
-          Window.partitionBy(col(bucket)).orderBy(ord: _*)))
-        .drop("off")
-    }
-    val ranked = rank(
-      rank(
-        rank(cust, "recency", Seq($"o_custkey"), "r_rnk"),
-        "freq", Seq($"o_custkey"), "f_rnk"),
-      "mb", Seq($"mon", $"o_custkey"), "m_rnk")
+    val ranked = shardRank(
+      shardRank(
+        shardRank(cust, Nil, "recency", Seq($"o_custkey"), "r_rnk"),
+        Nil, "freq", Seq($"o_custkey"), "f_rnk"),
+      Nil, "mb", Seq($"mon", $"o_custkey"), "m_rnk")
     val n = cust.agg(count(lit(1)).as("n_cust"))
     ranked.crossJoin(broadcast(n))
       .selectExpr("mon",
@@ -758,7 +770,117 @@ object Relational4 {
       |FROM ranked CROSS JOIN nn
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Robust statistics per order priority — exact median, quartiles/
+    * IQR, median absolute deviation, and a 5% trimmed mean, the
+    * outlier-resistant profile of a money column ([[qWeightedMedian]]'s
+    * unweighted cousins, here computed per group and WITHOUT an
+    * unpartitioned sort: every rank comes from [[shardRank]] on fixed
+    * 10k-wide price bands / 1k-wide deviation bands). All order
+    * statistics are ACTUAL data values selected at deterministic
+    * (value, orderkey) rank positions — lower-median convention,
+    * q1 = rank (n+1) div 4 floored at 1, q3 = rank 3(n+1) div 4 — so
+    * no interpolation arithmetic exists to reconcile across engines.
+    * MAD re-ranks |v − median| (the deviation is one IEEE subtraction,
+    * identical both sides); the trimmed mean drops rank ≤ n·5 div 100
+    * from each tail and decimal-averages the rest (Exact convention).
+    */
+  def qRobustStats(s: SparkSession, dir: String): DataFrame =
+    qRobustStatsOf(Tables.orders(s, dir))
+
+  /** Robust stats over any orders-shaped frame — factored for
+    * planted-fixture specs.
+    */
+  def qRobustStatsOf(o: DataFrame): DataFrame = {
+    val s = o.sparkSession
+    import s.implicits._
+    val base = o
+      .selectExpr("o_orderpriority AS prio", "o_orderkey",
+        "o_totalprice AS v",
+        "CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS vb")
+    val ranked = shardRank(base, Seq("prio"), "vb",
+      Seq($"v", $"o_orderkey"), "rnk")
+      .localCheckpoint() // consumed by the order-stat pick AND the trimmed mean
+    val counts = ranked.groupBy($"prio").agg(count(lit(1)).as("n"))
+    val picks = ranked.join(counts, "prio")
+      .groupBy($"prio")
+      .agg(
+        max(when($"rnk" === expr("(n + 1) div 2"), $"v")).as("median"),
+        max(when($"rnk" === expr("greatest(1, (n + 1) div 4)"), $"v")).as("q1"),
+        max(when($"rnk" === expr("(3 * (n + 1)) div 4"), $"v")).as("q3"))
+    val trimmed = ranked.join(counts, "prio")
+      .where($"rnk" > expr("n * 5 div 100") &&
+             $"rnk" <= expr("n - n * 5 div 100"))
+      .groupBy($"prio")
+      .agg(round(Exact.davg($"v"), 6).as("trimmed_mean"))
+    val devs = base.join(broadcast(picks.select($"prio", $"median")), "prio")
+      .selectExpr("prio", "o_orderkey", "abs(v - median) AS dev",
+        "CAST(floor(abs(v - median) / 1000.0) AS BIGINT) AS db")
+    val mad = shardRank(devs, Seq("prio"), "db",
+      Seq($"dev", $"o_orderkey"), "drnk")
+      .join(counts, "prio")
+      .groupBy($"prio")
+      .agg(max(when($"drnk" === expr("(n + 1) div 2"), $"dev")).as("mad"))
+    counts.join(picks, "prio").join(mad, "prio").join(trimmed, "prio")
+      .select($"prio", $"n", $"median", $"q1", $"q3",
+        ($"q3" - $"q1").as("iqr"), $"mad", $"trimmed_mean")
+  }
+
+  val qRobustStatsSql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS prio, o_orderkey, o_totalprice AS v,
+      |    CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS vb
+      |  FROM orders),
+      |voff AS (
+      |  SELECT prio, vb, CAST(coalesce(sum(c) OVER (PARTITION BY prio
+      |    ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS off
+      |  FROM (SELECT prio, vb, count(*) AS c FROM base GROUP BY 1, 2)),
+      |ranked AS (
+      |  SELECT b.prio, b.o_orderkey, b.v,
+      |    o.off + row_number() OVER (PARTITION BY b.prio, b.vb
+      |      ORDER BY b.v, b.o_orderkey) AS rnk
+      |  FROM base b JOIN voff o ON o.prio = b.prio AND o.vb = b.vb),
+      |counts AS (SELECT prio, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+      |picks AS (
+      |  SELECT r.prio,
+      |    max(CASE WHEN r.rnk = (c.n + 1) // 2 THEN r.v END) AS median,
+      |    max(CASE WHEN r.rnk = greatest(1, (c.n + 1) // 4) THEN r.v END) AS q1,
+      |    max(CASE WHEN r.rnk = (3 * (c.n + 1)) // 4 THEN r.v END) AS q3
+      |  FROM ranked r JOIN counts c ON c.prio = r.prio GROUP BY 1),
+      |trimmed AS (
+      |  SELECT r.prio,
+      |    round(CAST(sum(CAST(r.v AS DECIMAL(18,2))) AS DOUBLE)
+      |      / count(*), 6) AS trimmed_mean
+      |  FROM ranked r JOIN counts c ON c.prio = r.prio
+      |  WHERE r.rnk > c.n * 5 // 100 AND r.rnk <= c.n - c.n * 5 // 100
+      |  GROUP BY 1),
+      |devs AS (
+      |  SELECT b.prio, b.o_orderkey, abs(b.v - p.median) AS dev,
+      |    CAST(floor(abs(b.v - p.median) / 1000.0) AS BIGINT) AS db
+      |  FROM base b JOIN picks p ON p.prio = b.prio),
+      |doff AS (
+      |  SELECT prio, db, CAST(coalesce(sum(c) OVER (PARTITION BY prio
+      |    ORDER BY db ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS off
+      |  FROM (SELECT prio, db, count(*) AS c FROM devs GROUP BY 1, 2)),
+      |dranked AS (
+      |  SELECT d.prio, d.dev,
+      |    o.off + row_number() OVER (PARTITION BY d.prio, d.db
+      |      ORDER BY d.dev, d.o_orderkey) AS drnk
+      |  FROM devs d JOIN doff o ON o.prio = d.prio AND o.db = d.db),
+      |mad AS (
+      |  SELECT d.prio,
+      |    max(CASE WHEN d.drnk = (c.n + 1) // 2 THEN d.dev END) AS mad
+      |  FROM dranked d JOIN counts c ON c.prio = d.prio GROUP BY 1)
+      |SELECT c.prio, c.n, p.median, p.q1, p.q3, p.q3 - p.q1 AS iqr,
+      |  m.mad, t.trimmed_mean
+      |FROM counts c
+      |JOIN picks p ON p.prio = c.prio
+      |JOIN mad m ON m.prio = c.prio
+      |JOIN trimmed t ON t.prio = c.prio""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robust_stats" -> (qRobustStats _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_relational_division" -> (qRelationalDivision _),
     "q11_important_stock" -> (q11ImportantStock _),
@@ -776,6 +898,7 @@ object Relational4 {
     "q21_waiting_supplier" -> (q21WaitingSupplier _))
 
   def oracles: Map[String, String] = Map(
+    "q_robust_stats" -> qRobustStatsSql,
     "q_rfm_segments" -> qRfmSegmentsSql,
     "q_relational_division" -> qRelationalDivisionSql,
     "q11_important_stock" -> q11Sql,

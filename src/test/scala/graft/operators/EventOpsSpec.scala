@@ -59,4 +59,36 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(got("eq") == 0.0 && got("skew") == 0.45)
   }
+
+  test("multitouch attribution: planted U-shape splits 40/20/40, n=1 takes all") {
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    // user 1: purchase at t=10h, clicks at 7h/8h/9h on channels 2,1,0
+    //   -> linear 1/3 each; position: first(7h,ch2)=0.4, mid(8h,ch1)=0.2,
+    //      last(9h,ch0)=0.4
+    // user 2: purchase at 10h, single click at 5h on ch 3 -> full credit
+    // user 3: click OUTSIDE the 7-day lookback -> no credit at all
+    val ev = Seq(
+      (100L, 1L, "purchase", 10L * h, 0L),
+      (101L, 1L, "click", 7L * h, 2L),
+      (102L, 1L, "click", 8L * h, 1L),
+      (103L, 1L, "click", 9L * h, 0L),
+      (200L, 2L, "purchase", 10L * h, 0L),
+      (201L, 2L, "click", 5L * h, 3L),
+      (300L, 3L, "purchase", 200L * 24L * h, 0L),
+      (301L, 3L, "click", 1L * h, 4L)
+    ).toDF("event_id", "user_id", "event_type", "t_us", "channel")
+    val got = EventOps.attributionMultitouchOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(!got.contains(4L), "out-of-window click must earn nothing")
+    assert(got(2L) == ((1L, 0.333333, 0.4)))
+    assert(got(1L) == ((1L, 0.333333, 0.2)))
+    assert(got(0L) == ((1L, 0.333333, 0.4)))
+    assert(got(3L) == ((1L, 1.0, 1.0)))
+    // micro-unit credit conservation: each attributed conversion pays
+    // out 1.0 (+/- one micro per touch from rounding)
+    val lin = got.values.map(_._2).sum
+    assert(math.abs(lin - 2.0) < 3e-6)
+  }
 }

@@ -68,6 +68,32 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("robust stats planted: 1..100 gives median 50, IQR 50, MAD 25, trimmed mean 50.5") {
+    import spark.implicits._
+    val orders = (1 to 100).map(i => (i.toLong, "P", i.toDouble))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val r = Relational4.qRobustStatsOf(orders).collect().head
+    assert(r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 50.0) // lower median at rank (101) div 2
+    assert(r.getDouble(3) == 25.0 && r.getDouble(4) == 75.0)
+    assert(r.getDouble(5) == 50.0) // IQR
+    // devs {0, 1,1, ..., 49,49, 50}: rank-50 value is 25
+    assert(r.getDouble(6) == 25.0)
+    assert(r.getDouble(7) == 50.5) // mean of ranks 6..95
+  }
+
+  test("robust stats real data: ordering invariants hold per priority") {
+    val rows = Relational4.qRobustStats(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (q1, med, q3) = (r.getDouble(3), r.getDouble(2), r.getDouble(4))
+      assert(q1 <= med && med <= q3)
+      assert(r.getDouble(6) >= 0.0) // mad
+      assert(r.getDouble(7) >= q1 && r.getDouble(7) <= q3,
+        "5% trimmed mean must land inside the IQR on this unimodal data")
+    }
+  }
+
   test("rfm real data: scores in 1..5, quintiles balanced, customers conserved") {
     val segs = Relational4.qRfmSegments(spark, sf).collect()
     val n = segs.map(_.getLong(3)).sum
