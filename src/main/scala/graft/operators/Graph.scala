@@ -674,7 +674,95 @@ object Graph {
        |ORDER BY adamic_adar DESC, a, b
        |LIMIT 30""".stripMargin
 
+  /** Per-node local clustering coefficient — [[trianglesOnEdges]]'s
+    * node-level refinement: lcc(v) = 2·t(v) / (deg(v)·(deg(v)−1)),
+    * the "how clique-like is this node's neighborhood" score (ego-net
+    * density; the building block of small-world statistics). Same
+    * degree-oriented wedge join (work bounded by the SMALLER-degree
+    * endpoint, never d² at a hub); each closed triangle then explodes
+    * to its three corners — a constant ×3 fanout — and a corner count
+    * per node joins back to the uncapped degrees. Integer arithmetic
+    * end-to-end except the one floor-pinned division on the 30-row
+    * output head (deterministic (lcc desc, node) order).
+    */
+  def localClustering(s: SparkSession, dir: String): DataFrame =
+    localClusteringOnEdges(tokenEdges(s, dir))
+
+  def localClusteringOnEdges(rawEdges: DataFrame): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val und = rawEdges.where($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select($"u".as("node")).union(und.select($"v"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+    val uFirst = struct($"du", $"u") < struct($"dv", $"v")
+    val oriented = withDeg.select(
+      when(uFirst, $"u").otherwise($"v").as("src"),
+      when(uFirst, $"v").otherwise($"u").as("dst"),
+      when(uFirst, struct($"dv".as("d"), $"v".as("n")))
+        .otherwise(struct($"du".as("d"), $"u".as("n"))).as("dk"))
+      .localCheckpoint()
+    val wedges = oriented.select($"src", $"dst".as("b"), $"dk".as("bk"))
+      .join(oriented.select($"src", $"dst".as("c"), $"dk".as("ck")), "src")
+      .where($"bk" < $"ck")
+      .select($"src".as("a"), $"b", $"c")
+    val corners = wedges
+      .join(oriented.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"))
+      .selectExpr("explode(array(a, b, c)) AS node")
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("node"), "left")
+      .where($"deg" >= 2)
+      .selectExpr("node", "deg", "coalesce(n_tri, 0) AS n_tri",
+        """floor(CAST(2 * coalesce(n_tri, 0) AS DOUBLE)
+          |  / CAST(deg * (deg - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6
+          |  AS lcc""".stripMargin)
+      .orderBy($"lcc".desc, $"node")
+      .limit(30)
+  }
+
+  val localClusteringSql: String =
+    s"""WITH toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |tedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY src, dst),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM tedges WHERE src <> dst),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY node),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e2.u = e1.v
+       |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |corners AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY node)
+       |SELECT d.node, d.deg, coalesce(c.n_tri, 0) AS n_tri,
+       |  floor(CAST(2 * coalesce(c.n_tri, 0) AS DOUBLE)
+       |    / CAST(d.deg * (d.deg - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lcc
+       |FROM deg d LEFT JOIN corners c ON c.node = d.node
+       |WHERE d.deg >= 2
+       |ORDER BY lcc DESC, d.node
+       |LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_local_clustering" -> (localClustering _),
     "graph_kcore" -> (kcore _),
     "graph_bfs" -> (bfs _),
     "graph_pagerank" -> (pagerank _),
@@ -684,6 +772,7 @@ object Graph {
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_local_clustering" -> localClusteringSql,
     "graph_kcore" -> kcoreSql,
     "graph_bfs" -> bfsSql,
     "graph_pagerank" -> pagerankSql,

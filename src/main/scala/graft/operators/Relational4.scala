@@ -879,7 +879,100 @@ object Relational4 {
       |JOIN mad m ON m.prio = c.prio
       |JOIN trimmed t ON t.prio = c.prio""".stripMargin
 
+  /** Poisson-bootstrap confidence interval for the mean order value —
+    * THE distributed bootstrap (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): classical
+    * resampling needs a shared sample of size n per replicate
+    * (unshardable); weighting each ROW independently with
+    * Poisson(1) multiplicities is exchangeable with it at large n and
+    * runs as ONE narrow ×B explode + ONE (replicate)-keyed map-side-
+    * combinable aggregate. The multiplicity is the inverse-CDF walk of
+    * a salted md5-60 uniform (identical literal cut points both
+    * engines, capped at 5 — P(X>5) ≈ 6e-4 at λ=1); replicate means are
+    * exact-decimal weighted sums over exact integer weight totals; the
+    * percentile CI picks ranks 3 and 98 of the B=100 sorted means
+    * (deterministic (mean, replicate) order on a B-row frame).
+    */
+  val BootB = 100
+
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame =
+    qBootstrapCiOf(Tables.orders(s, dir))
+
+  /** Bootstrap over any orders-shaped frame — factored for
+    * planted-fixture specs.
+    */
+  def qBootstrapCiOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = orders.sparkSession
+    import s.implicits._
+    val o = orders.select($"o_orderkey", $"o_totalprice")
+    val reps = o
+      .selectExpr("o_orderkey", "o_totalprice",
+        s"explode(sequence(1, $BootB)) AS b")
+      .selectExpr("b", "o_totalprice",
+        """CAST(CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING),
+          |  '_boot_', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)
+          |  AS DOUBLE) / 1152921504606846976.0 AS u""".stripMargin)
+      .selectExpr("b", "o_totalprice",
+        """CASE WHEN u < 0.36787944117144233 THEN 0
+          |     WHEN u < 0.73575888234288466 THEN 1
+          |     WHEN u < 0.91969860292860583 THEN 2
+          |     WHEN u < 0.98101184312384615 THEN 3
+          |     WHEN u < 0.99634015317265628 THEN 4
+          |     ELSE 5 END AS w""".stripMargin)
+    val means = reps.groupBy($"b")
+      .agg((sum($"o_totalprice".cast(Exact.dec) * $"w").cast("double")
+        / sum($"w")).as("m"))
+    val ranked = means.withColumn("r",
+      row_number().over(Window.orderBy($"m", $"b")))
+    val point = o.agg(count(lit(1)).as("n"),
+      expr("floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)" +
+        " / count(1) * 1e6 + 0.5) / 1e6").as("point_mean"))
+    point
+      .crossJoin(broadcast(ranked.where($"r" === 3)
+        .selectExpr("floor(m * 1e6 + 0.5) / 1e6 AS ci_lo")))
+      .crossJoin(broadcast(ranked.where($"r" === BootB - 2)
+        .selectExpr("floor(m * 1e6 + 0.5) / 1e6 AS ci_hi")))
+      .select($"n", $"point_mean", $"ci_lo", $"ci_hi")
+  }
+
+  val qBootstrapCiSql: String =
+    s"""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+       |reps AS (
+       |  SELECT b, o_totalprice,
+       |    CASE WHEN u < 0.36787944117144233 THEN 0
+       |         WHEN u < 0.73575888234288466 THEN 1
+       |         WHEN u < 0.91969860292860583 THEN 2
+       |         WHEN u < 0.98101184312384615 THEN 3
+       |         WHEN u < 0.99634015317265628 THEN 4
+       |         ELSE 5 END AS w
+       |  FROM (
+       |    SELECT o_totalprice, b,
+       |      CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+       |        || '_boot_' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        AS DOUBLE) / 1152921504606846976.0 AS u
+       |    FROM o, (SELECT unnest(generate_series(1, $BootB)) AS b))),
+       |means AS (
+       |  SELECT b, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * w)
+       |    AS DOUBLE) / sum(w) AS m
+       |  FROM reps GROUP BY b),
+       |ranked AS (
+       |  SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means),
+       |pt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      / count(*) * 1e6 + 0.5) / 1e6 AS point_mean
+       |  FROM o)
+       |SELECT pt.n, pt.point_mean,
+       |  lo.ci_lo, hi.ci_hi
+       |FROM pt
+       |CROSS JOIN (SELECT floor(m * 1e6 + 0.5) / 1e6 AS ci_lo
+       |            FROM ranked WHERE r = 3) lo
+       |CROSS JOIN (SELECT floor(m * 1e6 + 0.5) / 1e6 AS ci_hi
+       |            FROM ranked WHERE r = ${BootB - 2}) hi""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_robust_stats" -> (qRobustStats _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_relational_division" -> (qRelationalDivision _),
@@ -898,6 +991,7 @@ object Relational4 {
     "q21_waiting_supplier" -> (q21WaitingSupplier _))
 
   def oracles: Map[String, String] = Map(
+    "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_robust_stats" -> qRobustStatsSql,
     "q_rfm_segments" -> qRfmSegmentsSql,
     "q_relational_division" -> qRelationalDivisionSql,

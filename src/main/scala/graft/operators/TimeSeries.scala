@@ -986,7 +986,82 @@ object TimeSeries {
       |    / CAST(n_users * total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
       |FROM g""".stripMargin
 
+  /** Difference-in-differences — the third member of the causal-
+    * inference family ([[abChisquare]] tests independence,
+    * [[abCuped]] tightens variance; DiD estimates a treatment effect
+    * when assignment isn't randomized over TIME): split purchase
+    * revenue into the 2×2 (arm × pre/post) design — arm by the same
+    * deterministic user_id parity as the A/B tests, period at the
+    * mid-month boundary — and report each cell's exact-decimal mean
+    * plus the interaction did = (treat_post − treat_pre) −
+    * (ctrl_post − ctrl_pre). One map-side-combinable 4-cell aggregate;
+    * the estimator is five two-operand IEEE ops on four exact-decimal
+    * means, floor-pinned at 6 dp.
+    */
+  def didEstimator(s: SparkSession, dir: String): DataFrame =
+    didOf(Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .selectExpr("user_id % 2 = 0 AS treat",
+        "ts >= TIMESTAMP '2024-01-16 00:00:00' AS post", "value"))
+
+  /** DiD over any (treat, post, value) frame — factored for
+    * planted-fixture specs.
+    */
+  def didOf(obs: DataFrame): DataFrame = {
+    val s = obs.sparkSession
+    import s.implicits._
+    val cells = obs
+      .groupBy($"treat", $"post")
+      .agg(count(lit(1)).as("n"), Exact.dsum($"value").as("sv"))
+    cells.agg(
+        sum(when($"treat" && $"post", $"n")).as("n_tp"),
+        sum(when($"treat" && $"post", $"sv")).as("s_tp"),
+        sum(when($"treat" && !$"post", $"n")).as("n_tr"),
+        sum(when($"treat" && !$"post", $"sv")).as("s_tr"),
+        sum(when(!$"treat" && $"post", $"n")).as("n_cp"),
+        sum(when(!$"treat" && $"post", $"sv")).as("s_cp"),
+        sum(when(!$"treat" && !$"post", $"n")).as("n_cr"),
+        sum(when(!$"treat" && !$"post", $"sv")).as("s_cr"))
+      .selectExpr("n_tp", "n_tr", "n_cp", "n_cr",
+        "floor(s_tp / n_tp * 1e6 + 0.5) / 1e6 AS mean_treat_post",
+        "floor(s_tr / n_tr * 1e6 + 0.5) / 1e6 AS mean_treat_pre",
+        "floor(s_cp / n_cp * 1e6 + 0.5) / 1e6 AS mean_ctrl_post",
+        "floor(s_cr / n_cr * 1e6 + 0.5) / 1e6 AS mean_ctrl_pre",
+        """floor(((s_tp / n_tp - s_tr / n_tr) - (s_cp / n_cp - s_cr / n_cr))
+          |  * 1e6 + 0.5) / 1e6 AS did""".stripMargin)
+  }
+
+  val didEstimatorSql: String =
+    """WITH cells AS (
+      |  SELECT user_id % 2 = 0 AS treat,
+      |    ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT
+      |    sum(CASE WHEN treat AND post THEN n END) AS n_tp,
+      |    sum(CASE WHEN treat AND post THEN sv END) AS s_tp,
+      |    sum(CASE WHEN treat AND NOT post THEN n END) AS n_tr,
+      |    sum(CASE WHEN treat AND NOT post THEN sv END) AS s_tr,
+      |    sum(CASE WHEN NOT treat AND post THEN n END) AS n_cp,
+      |    sum(CASE WHEN NOT treat AND post THEN sv END) AS s_cp,
+      |    sum(CASE WHEN NOT treat AND NOT post THEN n END) AS n_cr,
+      |    sum(CASE WHEN NOT treat AND NOT post THEN sv END) AS s_cr
+      |  FROM cells)
+      |SELECT CAST(n_tp AS BIGINT) AS n_tp, CAST(n_tr AS BIGINT) AS n_tr,
+      |  CAST(n_cp AS BIGINT) AS n_cp, CAST(n_cr AS BIGINT) AS n_cr,
+      |  floor(s_tp / n_tp * 1e6 + 0.5) / 1e6 AS mean_treat_post,
+      |  floor(s_tr / n_tr * 1e6 + 0.5) / 1e6 AS mean_treat_pre,
+      |  floor(s_cp / n_cp * 1e6 + 0.5) / 1e6 AS mean_ctrl_post,
+      |  floor(s_cr / n_cr * 1e6 + 0.5) / 1e6 AS mean_ctrl_pre,
+      |  floor(((s_tp / n_tp - s_tr / n_tr) - (s_cp / n_cp - s_cr / n_cr))
+      |    * 1e6 + 0.5) / 1e6 AS did
+      |FROM w""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_did_estimator" -> (didEstimator _),
     "ev_changepoint" -> (changepoint _),
     "ev_gini_users" -> (giniUsers _),
     "ev_ewma" -> (ewmaDaily _),
@@ -1004,6 +1079,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_did_estimator" -> didEstimatorSql,
     "ev_changepoint" -> changepointSql,
     "ev_gini_users" -> giniUsersSql,
     "ev_ewma" -> ewmaDailySql,

@@ -91,4 +91,20 @@ class EventOpsSpec extends AnyFunSuite {
     val lin = got.values.map(_._2).sum
     assert(math.abs(lin - 2.0) < 3e-6)
   }
+
+  test("difference-in-differences: planted 2x2 recovers the interaction") {
+    import spark.implicits._
+    // treat: 5 -> 10; control: 2 -> 4. Parallel-trends counterfactual
+    // would be 5 -> 7, so did = (10-5) - (4-2) = 3
+    val obs = Seq(
+      (true, false, 5.0), (true, false, 5.0), (true, true, 10.0),
+      (false, false, 2.0), (false, true, 4.0), (false, true, 4.0)
+    ).toDF("treat", "post", "value")
+    val r = TimeSeries.didOf(obs).collect().head
+    assert(r.getAs[Double]("mean_treat_post") == 10.0)
+    assert(r.getAs[Double]("mean_treat_pre") == 5.0)
+    assert(r.getAs[Double]("mean_ctrl_post") == 4.0)
+    assert(r.getAs[Double]("mean_ctrl_pre") == 2.0)
+    assert(r.getAs[Double]("did") == 3.0)
+  }
 }

@@ -216,4 +216,17 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(cd.getLong(2) == ab.getLong(2), "equal common-neighbor count")
     assert(cd.getDouble(3) < ab.getDouble(3), "hub witnesses must score lower")
   }
+
+  test("local clustering: triangle corners score 1, bridge scores 1/3, pendants drop") {
+    import spark.implicits._
+    // a-b-c triangle, d pendant on a: lcc(b)=lcc(c)=1 (closed ego-net),
+    // lcc(a)=2*1/(3*2)=1/3 (d breaks a's neighborhood), deg(d)=1 excluded
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"))
+      .toDF("src", "dst").withColumn("cnt", org.apache.spark.sql.functions.lit(1L))
+    val got = Graph.localClusteringOnEdges(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!got.contains("d"))
+    assert(got("b") == ((2L, 1L, 1.0)) && got("c") == ((2L, 1L, 1.0)))
+    assert(got("a") == ((3L, 1L, 0.333333)))
+  }
 }

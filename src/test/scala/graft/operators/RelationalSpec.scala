@@ -94,6 +94,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap CI: constant column collapses to a point; real CI brackets the mean") {
+    import spark.implicits._
+    // weighted mean of a constant is the constant for ANY nonzero
+    // weight vector -> every replicate mean is 42 and the CI is a point
+    val const = (1 to 100).map(i => (i.toLong, 42.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val c = Relational4.qBootstrapCiOf(const).collect().head
+    assert(c.getDouble(1) == 42.0 && c.getDouble(2) == 42.0 && c.getDouble(3) == 42.0)
+    val r = Relational4.qBootstrapCi(spark, sf).collect().head
+    val (pm, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo < pm && pm < hi, s"CI [$lo, $hi] must bracket the mean $pm")
+    // sanity: a mean over thousands of orders is tight, not degenerate
+    assert((hi - lo) / pm < 0.2)
+  }
+
   test("rfm real data: scores in 1..5, quintiles balanced, customers conserved") {
     val segs = Relational4.qRfmSegments(spark, sf).collect()
     val n = segs.map(_.getLong(3)).sum
