@@ -697,7 +697,60 @@ object EventOps {
       |  END) AS DOUBLE) / 1e6 AS position_credit
       |FROM t GROUP BY channel""".stripMargin
 
+  /** Per-event temporal feature assembly — the feature-engineering
+    * shape that turns an event log into training rows: for every
+    * purchase, the previous purchase value (lag), microseconds since
+    * it (inter-arrival gap), the running 3-event mean (trailing ROWS
+    * frame), and the per-user sequence number. ONE exchange on user_id
+    * carries all four window computations (same partitioning + the
+    * same (t_us, event_id) total order — Spark plans a single sort);
+    * per-user history is human-bounded, so no partition outgrows an
+    * executor at any corpus scale. The trailing mean sums
+    * exact-decimal values over the 3-row frame and divides by the
+    * frame's actual row count (1 or 2 at the head), floor-pinned.
+    */
+  def lagFeatures(s: SparkSession, dir: String): DataFrame =
+    lagFeaturesOf(Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .selectExpr("event_id", "user_id", "(ts_ns div 1000) AS t_us", "value"))
+
+  /** Lag features over any (event_id, user_id, t_us, value) frame —
+    * factored for planted-fixture specs.
+    */
+  def lagFeaturesOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = ev.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t_us".asc, $"event_id".asc)
+    val w3 = w.rowsBetween(-2, 0)
+    ev
+      .withColumn("seq", row_number().over(w))
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("gap_us", $"t_us" - lag($"t_us", 1).over(w))
+      .withColumn("roll3_sum", sum($"value".cast(Exact.dec)).over(w3))
+      .withColumn("roll3_n", count(lit(1)).over(w3))
+      .selectExpr("event_id", "user_id", "seq", "value", "prev_value", "gap_us",
+        "floor(CAST(roll3_sum AS DOUBLE) / roll3_n * 1e6 + 0.5) / 1e6 AS roll3_mean")
+  }
+
+  val lagFeaturesSql: String =
+    """SELECT event_id, user_id,
+      |  row_number() OVER w AS seq,
+      |  value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+      |  floor(CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |    * 1e6 + 0.5) / 1e6 AS roll3_mean
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_lag_features" -> (lagFeatures _),
     "ev_attribution_multitouch" -> (attributionMultitouch _),
     "ev_user_streaks" -> (userStreaks _),
     "ev_session_paths" -> (sessionPaths _),
@@ -718,6 +771,7 @@ object EventOps {
     "ev_type_transitions" -> (typeTransitions _))
 
   def oracles: Map[String, String] = Map(
+    "ev_lag_features" -> lagFeaturesSql,
     "ev_attribution_multitouch" -> attributionMultitouchSql,
     "ev_user_streaks" -> userStreaksSql,
     "ev_session_paths" -> sessionPathsSql,

@@ -761,7 +761,99 @@ object Graph {
        |ORDER BY lcc DESC, d.node
        |LIMIT 30""".stripMargin
 
+  /** Degree assortativity — the Pearson correlation of endpoint
+    * degrees over edges, THE one-number mixing summary of a network
+    * (positive: hubs link hubs, social-graph-like; negative: hubs link
+    * leaves, hub-and-spoke/technological — Newman 2002). The
+    * symmetrized edge list (each undirected edge contributes both
+    * orientations, so the correlation is exchange-symmetric by
+    * construction) carries (deg(src), deg(dst)) from one broadcast-
+    * sized degree frame; the five sufficient statistics are exact
+    * integer sums (one map-side-combinable aggregate — degrees on a
+    * token-transition graph are vocabulary-bounded, so no overflow),
+    * and r is one double expression with the identical IEEE sequence
+    * in both engines, NULL when a variance vanishes (regular graph).
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityOnEdges(tokenEdges(s, dir))
+
+  def assortativityOnEdges(rawEdges: DataFrame): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val und = rawEdges.where($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select($"u".as("node")).union(und.select($"v"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val sym = und.select($"u".as("a"), $"v".as("b"))
+      .union(und.select($"v".as("a"), $"u".as("b")))
+      .join(deg.select($"node".as("a"), $"deg".as("x")), "a")
+      .join(deg.select($"node".as("b"), $"deg".as("y")), "b")
+    sym.agg(count(lit(1)).as("m"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .selectExpr("m div 2 AS n_edges",
+        """CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |    * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+          |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0.0 THEN NULL
+          |  ELSE floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |    / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |      * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+          |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |    * 1e6 + 0.5) / 1e6 END AS assortativity""".stripMargin)
+  }
+
+  val assortativitySql: String =
+    s"""WITH toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |tedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY src, dst),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM tedges WHERE src <> dst),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY node),
+       |sym AS (
+       |  SELECT da.deg AS x, db.deg AS y
+       |  FROM (SELECT u AS a, v AS b FROM und
+       |        UNION ALL SELECT v, u FROM und) e
+       |  JOIN deg da ON da.node = e.a
+       |  JOIN deg db ON db.node = e.b),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM sym)
+       |SELECT m // 2 AS n_edges,
+       |  CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0.0 THEN NULL
+       |    ELSE floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |      * 1e6 + 0.5) / 1e6 END AS assortativity
+       |FROM g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity _),
     "graph_local_clustering" -> (localClustering _),
     "graph_kcore" -> (kcore _),
     "graph_bfs" -> (bfs _),
@@ -772,6 +864,7 @@ object Graph {
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_assortativity" -> assortativitySql,
     "graph_local_clustering" -> localClusteringSql,
     "graph_kcore" -> kcoreSql,
     "graph_bfs" -> bfsSql,

@@ -887,11 +887,19 @@ object Relational4 {
     * Poisson(1) multiplicities is exchangeable with it at large n and
     * runs as ONE narrow ×B explode + ONE (replicate)-keyed map-side-
     * combinable aggregate. The multiplicity is the inverse-CDF walk of
-    * a salted md5-60 uniform (identical literal cut points both
-    * engines, capped at 5 — P(X>5) ≈ 6e-4 at λ=1); replicate means are
-    * exact-decimal weighted sums over exact integer weight totals; the
-    * percentile CI picks ranks 3 and 98 of the B=100 sorted means
-    * (deterministic (mean, replicate) order on a B-row frame).
+    * a uniform (identical literal cut points both engines, capped at
+    * 5 — P(X>5) ≈ 6e-4 at λ=1). Hashing per (row × replicate) would
+    * put an md5 on every exploded row — measured 24.6 s at sf0.1,
+    * 6× the next-slowest query — so each ROW draws two md5-60 seeds
+    * ONCE and the per-replicate uniforms are the affine stream
+    * (x1 + b·x2) mod p, p = 2³¹−1 (Lehmer-style; the bootstrap only
+    * needs across-ROW independence, which the seeds provide — within-
+    * row decorrelation across replicates is the affine step). After
+    * the explode everything is codegen'd integer arithmetic.
+    * Replicate means are exact-decimal weighted sums over exact
+    * integer weight totals; the percentile CI picks ranks 3 and 98 of
+    * the B=100 sorted means (deterministic (mean, replicate) order on
+    * a B-row frame).
     */
   val BootB = 100
 
@@ -907,22 +915,28 @@ object Relational4 {
     import s.implicits._
     val o = orders.select($"o_orderkey", $"o_totalprice")
     val reps = o
-      .selectExpr("o_orderkey", "o_totalprice",
+      .selectExpr(
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents",
+        """CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING),
+          |  '_bootA')), 1, 15), 16, 10) AS BIGINT) % 2147483647 AS x1""".stripMargin,
+        """1 + CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING),
+          |  '_bootB')), 1, 15), 16, 10) AS BIGINT) % 2147483646 AS x2""".stripMargin)
+      .selectExpr("cents", "x1", "x2",
         s"explode(sequence(1, $BootB)) AS b")
-      .selectExpr("b", "o_totalprice",
-        """CAST(CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING),
-          |  '_boot_', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)
-          |  AS DOUBLE) / 1152921504606846976.0 AS u""".stripMargin)
-      .selectExpr("b", "o_totalprice",
+      .selectExpr("b", "cents",
+        "CAST((x1 + b * x2) % 2147483647 AS DOUBLE) / 2147483647.0 AS u")
+      .selectExpr("b", "cents",
         """CASE WHEN u < 0.36787944117144233 THEN 0
           |     WHEN u < 0.73575888234288466 THEN 1
           |     WHEN u < 0.91969860292860583 THEN 2
           |     WHEN u < 0.98101184312384615 THEN 3
           |     WHEN u < 0.99634015317265628 THEN 4
           |     ELSE 5 END AS w""".stripMargin)
+    // all-long hot path: 2-dp prices are exact in cents, so the
+    // replicate mean is (Σ w·cents / Σ w) / 100 with zero decimal ops
+    // on the B×n exploded rows (measured 9.0 → 1.6 s at sf0.1; the original per-exploded-row md5 form was 24.6 s)
     val means = reps.groupBy($"b")
-      .agg((sum($"o_totalprice".cast(Exact.dec) * $"w").cast("double")
-        / sum($"w")).as("m"))
+      .agg((sum($"cents" * $"w").cast("double") / sum($"w") / lit(100.0)).as("m"))
     val ranked = means.withColumn("r",
       row_number().over(Window.orderBy($"m", $"b")))
     val point = o.agg(count(lit(1)).as("n"),
@@ -939,7 +953,7 @@ object Relational4 {
   val qBootstrapCiSql: String =
     s"""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
        |reps AS (
-       |  SELECT b, o_totalprice,
+       |  SELECT b, cents,
        |    CASE WHEN u < 0.36787944117144233 THEN 0
        |         WHEN u < 0.73575888234288466 THEN 1
        |         WHEN u < 0.91969860292860583 THEN 2
@@ -947,14 +961,18 @@ object Relational4 {
        |         WHEN u < 0.99634015317265628 THEN 4
        |         ELSE 5 END AS w
        |  FROM (
-       |    SELECT o_totalprice, b,
-       |      CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
-       |        || '_boot_' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
-       |        AS DOUBLE) / 1152921504606846976.0 AS u
-       |    FROM o, (SELECT unnest(generate_series(1, $BootB)) AS b))),
+       |    SELECT cents, b,
+       |      CAST((x1 + b * x2) % 2147483647 AS DOUBLE) / 2147483647.0 AS u
+       |    FROM (
+       |      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+       |        CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+       |          || '_bootA'), 1, 15)) AS BIGINT) % 2147483647 AS x1,
+       |        1 + CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+       |          || '_bootB'), 1, 15)) AS BIGINT) % 2147483646 AS x2
+       |      FROM o),
+       |      (SELECT unnest(generate_series(1, $BootB)) AS b))),
        |means AS (
-       |  SELECT b, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * w)
-       |    AS DOUBLE) / sum(w) AS m
+       |  SELECT b, CAST(sum(cents * w) AS DOUBLE) / sum(w) / 100.0 AS m
        |  FROM reps GROUP BY b),
        |ranked AS (
        |  SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means),

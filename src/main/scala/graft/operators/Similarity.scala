@@ -1011,7 +1011,67 @@ object Similarity {
     s"$base,\n$steps\n$out"
   }
 
+  /** Per-dimension moment profile of the embedding collection — the
+    * whitening/standardization statistics (mean, std, min, max per
+    * coordinate) every vector pipeline computes before normalizing,
+    * and the fastest detector of a dead or exploding dimension
+    * (std ≈ 0 / extreme range). One posexplode (constant ×dim fanout)
+    * into ONE map-side-combinable aggregate keyed on the 64 dims; sums
+    * ride the 6-dp-round → DECIMAL(18,9) convention so partition order
+    * can't leak into the doubles, variance is the closed two-moment
+    * form with a greatest(0, ·) guard against rounding-negative, and
+    * min/max are exact float comparisons.
+    */
+  def dimStats(s: SparkSession, dir: String): DataFrame =
+    dimStatsOf(Tables.embeddings(s, dir))
+
+  /** Dim stats over any frame with an `embedding` array column —
+    * factored for planted-fixture specs.
+    */
+  def dimStatsOf(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    vecs
+      .select(posexplode($"embedding"))
+      .selectExpr("CAST(pos AS INT) AS dim", "CAST(col AS DOUBLE) AS v")
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"v", 6).cast("decimal(18,9)")).as("sv"),
+        sum(round($"v" * $"v", 6).cast("decimal(18,9)")).as("sv2"),
+        min($"v").as("vmin"), max($"v").as("vmax"))
+      .selectExpr("dim", "n",
+        "floor(CAST(sv AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean",
+        """floor(sqrt(greatest(0.0,
+          |  (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE)
+          |   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+          |  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+          |  * 1e6 + 0.5) / 1e6 AS std""".stripMargin,
+        "vmin", "vmax")
+  }
+
+  val dimStatsSql: String =
+    """WITH ex AS (
+      |  SELECT CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |g AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(round(v, 6) AS DECIMAL(18,9))) AS sv,
+      |    sum(CAST(round(v * v, 6) AS DECIMAL(18,9))) AS sv2,
+      |    min(v) AS vmin, max(v) AS vmax
+      |  FROM ex GROUP BY dim)
+      |SELECT dim, n,
+      |  floor(CAST(sv AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean,
+      |  floor(sqrt(greatest(0.0,
+      |    (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE)
+      |     - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+      |    * 1e6 + 0.5) / 1e6 AS std,
+      |  vmin, vmax
+      |FROM g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_dim_stats" -> (dimStats _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_matryoshka_overlap" -> (matryoshkaOverlap _),
     "sim_embedding_neardup" -> (embeddingNearDup _),
@@ -1033,6 +1093,7 @@ object Similarity {
     val s = activeSession
     val (npt, planes) = ndParams(s, dir)
     Map(
+      "sim_dim_stats" -> dimStatsSql,
       "sim_mmr_rerank" -> mmrRerankSql,
       "sim_matryoshka_overlap" -> matryoshkaOverlapSql,
       "sim_bruteforce_topk" -> bruteForceTopKSql,

@@ -1313,11 +1313,64 @@ object TextOps {
        |    * 1e6 + 0.5) / 1e6 AS fk_grade
        |FROM base WHERE n_words > 0""".stripMargin
 
+  /** Per-document 8-gram novelty — what fraction of a document's
+    * distinct shingles appear in NO earlier document (doc_id order =
+    * ingestion order). The corpus-freshness signal dual to
+    * [[dupNgramMass]]: dup-mass asks "is this text repeated anywhere",
+    * novelty asks "did this document add anything new" — the curve of
+    * per-source novelty over ingestion is how corpus builders detect a
+    * crawl going stale. First-seer = min(doc_id) per gram: one
+    * map-side-combinable MIN over the same md5-60 gram keys the dup
+    * family ships (8-byte shuffle rows), one join back, one per-doc
+    * count — O(total grams), nothing pairwise, no ordering dependence
+    * (MIN is associative; "earlier" never needs a sort).
+    */
+  def docNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"$tokensExpr AS toks")
+      .where("size(toks) >= 8")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0, size(toks) - 8),
+          |  i -> array_join(slice(toks, i + 1, 8), ' '))) AS gram""".stripMargin)
+      .select($"doc_id",
+        conv(substring(md5($"gram"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val firstSeen = grams.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+    grams.join(firstSeen, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", expr(
+        "floor(CAST(n_novel AS DOUBLE) / n_distinct_grams * 1e6 + 0.5) / 1e6"))
+  }
+
+  val docNoveltySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckTokensExpr AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, len(t) - 7),
+       |        i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+       |    FROM toks WHERE len(t) >= 8)),
+       |fs AS (SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h)
+       |SELECT g.doc_id, count(*) AS n_distinct_grams,
+       |  CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  floor(CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS novelty
+       |FROM grams g JOIN fs ON fs.h = g.h
+       |GROUP BY g.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_entropy" -> (docEntropy _),
     "doc_zipf_fit" -> (zipfFit _),
     "doc_chi2_terms" -> (chi2Terms _),
     "doc_readability" -> (readability _),
+    "doc_novelty" -> (docNovelty _),
     "doc_dup_spans" -> (dupSpans _),
     "doc_rrf_fusion" -> (rrfFusion _),
     "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
@@ -1343,6 +1396,7 @@ object TextOps {
     "doc_zipf_fit" -> zipfFitSql,
     "doc_chi2_terms" -> chi2TermsSql,
     "doc_readability" -> readabilitySql,
+    "doc_novelty" -> docNoveltySql,
     "doc_dup_spans" -> dupSpansSql,
     "doc_rrf_fusion" -> rrfFusionSql,
     "doc_tfidf_cosine_topk" -> tfidfCosineTopkSql,

@@ -107,4 +107,22 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_ctrl_pre") == 2.0)
     assert(r.getAs[Double]("did") == 3.0)
   }
+
+  test("lag features: planted sequence recovers lags, gaps, and trailing means") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, 1000000L, 10.0), (2L, 7L, 2000000L, 20.0), (3L, 7L, 3000000L, 30.0),
+      (9L, 8L, 5000000L, 99.0) // second user: windows must not leak across
+    ).toDF("event_id", "user_id", "t_us", "value")
+    val rows = EventOps.lagFeaturesOf(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(4) && rows(1L).isNullAt(5))
+    assert(rows(2L).getDouble(4) == 10.0 && rows(2L).getLong(5) == 1000000L)
+    assert(rows(3L).getDouble(4) == 20.0 && rows(3L).getLong(5) == 1000000L)
+    // trailing 3-mean divides by the ACTUAL frame size at the head
+    assert(rows(1L).getDouble(6) == 10.0)
+    assert(rows(2L).getDouble(6) == 15.0)
+    assert(rows(3L).getDouble(6) == 20.0)
+    assert(rows(9L).getInt(2) == 1 && rows(9L).isNullAt(4), "no cross-user leak")
+  }
 }

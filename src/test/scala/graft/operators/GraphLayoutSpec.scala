@@ -229,4 +229,18 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(got("b") == ((2L, 1L, 1.0)) && got("c") == ((2L, 1L, 1.0)))
     assert(got("a") == ((3L, 1L, 0.333333)))
   }
+
+  test("assortativity: star is perfectly disassortative, regular graph is undefined") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val star = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"))
+      .toDF("src", "dst").withColumn("cnt", lit(1L))
+    val rStar = Graph.assortativityOnEdges(star).collect().head
+    assert(rStar.getLong(0) == 3L)
+    assert(rStar.getDouble(1) == -1.0)
+    // triangle: every degree is 2 -> zero variance -> NULL, not NaN
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+      .toDF("src", "dst").withColumn("cnt", lit(1L))
+    assert(Graph.assortativityOnEdges(tri).collect().head.isNullAt(1))
+  }
 }

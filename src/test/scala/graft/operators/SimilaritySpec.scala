@@ -101,4 +101,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.forall(r => r.getLong(1) + r.getLong(2) == n))
     assert(df.forall(r => !r.isNullAt(3) && r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
+
+  test("dim stats: planted 2-vector collection recovers hand moments; real dims are sane") {
+    import spark.implicits._
+    val planted = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimStatsOf(planted).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getDouble(2) == 2.0 && got(1).getDouble(2) == 3.0) // means
+    assert(got(0).getDouble(3) == 1.414214 && got(1).getDouble(3) == 1.414214)
+    assert(got(0).getDouble(4) == 1.0 && got(0).getDouble(5) == 3.0) // min/max
+    val real = Similarity.dimStats(spark, sf).collect()
+    assert(real.length == 64)
+    real.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(5),
+        "mean inside [min, max]")
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
 }

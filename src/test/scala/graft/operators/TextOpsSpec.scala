@@ -120,4 +120,17 @@ class TextOpsSpec extends AnyFunSuite {
     val flat = Seq((2L, "no punctuation here at all")).toDF("doc_id", "text")
     assert(TextOps.readabilityOf(flat).collect().head.getLong(2) == 1L)
   }
+
+  test("novelty: first seer scores 1, verbatim copy scores 0, extension scores the new tail") {
+    val rows = TextOps.docNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, novel, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(novel >= 0 && novel <= n)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // the lowest doc_id in the corpus can only contain first-seen grams
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getDouble(3) == 1.0)
+  }
 }
