@@ -27,7 +27,7 @@ object SparkEntry {
       Curation.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       Skew.queries ++ DataQuality.queries ++ Sketches.queries ++
-      Graph.queries ++ Layout.queries ++
+      Graph.queries ++ Layout.queries ++ Pca.queries ++
       graft.plans.TopKPerKey.queries ++
       graft.sources.FileSources.queries ++
       graft.streaming.StreamQueries.queries
@@ -49,7 +49,7 @@ object SparkEntry {
       Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       Skew.oracles ++ DataQuality.oracles ++ Sketches.oracles ++
-      Graph.oracles ++ Layout.oracles ++
+      Graph.oracles ++ Layout.oracles ++ Pca.oracles ++
       graft.plans.TopKPerKey.oracles ++
       graft.sources.FileSources.oracles ++
       graft.streaming.StreamQueries.oracles(dir)

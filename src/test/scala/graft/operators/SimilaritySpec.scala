@@ -119,4 +119,22 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getDouble(3) >= 0.0)
     }
   }
+
+  test("pca power iteration: planted rank-1 data recovers axis and eigenvalue exactly") {
+    import spark.implicits._
+    // data {a, -a} with a = (3,4,0,...): mean 0, C = 2aa', so the top
+    // component is a/|a| = (0.6, 0.8, 0...) with eigenvalue 2|a|^2 = 50
+    val a = Seq(3.0f, 4.0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val planted = Seq((1L, a), (2L, a.map(x => -x))).toDF("vec_id", "embedding")
+    val r = Pca.pcaOf(planted).collect().head
+    assert(r.getDouble(0) == 50.0)
+    assert(r.getDouble(1) == 0.6 && r.getDouble(2) == 0.8)
+    (3 to 8).foreach(i => assert(r.getDouble(i) == 0.0))
+    // real data: unit-norm output, positive eigenvalue, sign convention
+    val real = Pca.pca(spark, sf).collect().head
+    assert(real.getDouble(0) > 0.0)
+    assert(real.getDouble(1) >= 0.0, "sign normalized on first component")
+    val norm2 = (1 to 8).map(real.getDouble).map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"unit norm, got $norm2")
+  }
 }
