@@ -852,7 +852,80 @@ object Graph {
        |      * 1e6 + 0.5) / 1e6 END AS assortativity
        |FROM g""".stripMargin
 
+  /** Modularity of a node labeling — Newman's Q = Σ_c (e_c/m −
+    * (d_c/2m)²): how much more intra-community mass the partition
+    * captures than a degree-preserving random graph would. Modularity
+    * is a function of (graph, labeling) — the quality score every
+    * community detector optimizes and every partition report prints;
+    * the registered query evaluates the deterministic first-character
+    * labeling of the token graph (any labeling column plugs in).
+    * Everything reduces to three exact integer statistics — m, intra
+    * (edges with both ends in one community) and Σ_c d_c² — via two
+    * bounded map-side-combinable aggregates (communities ≤ alphabet);
+    * Q is one double expression, floor-pinned, identical both engines:
+    * Q = intra/m − Σd_c²/(4m²).
+    */
+  def modularity(s: SparkSession, dir: String): DataFrame =
+    modularityOnEdges(tokenEdges(s, dir))
+
+  def modularityOnEdges(rawEdges: DataFrame): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val und = rawEdges.where($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val lab = (c: String) => expr(s"substring($c, 1, 1)")
+    val edgeStats = und.agg(count(lit(1)).as("m"),
+      sum(when(lab("u") === lab("v"), 1L).otherwise(0L)).as("intra"))
+    val dc = und.select(lab("u").as("c")).union(und.select(lab("v").as("c")))
+      .groupBy($"c").agg(count(lit(1)).as("d_c"))
+    val dcStats = dc.agg(count(lit(1)).as("n_communities"),
+      sum($"d_c" * $"d_c").as("sdc2"))
+    edgeStats.crossJoin(broadcast(dcStats))
+      .selectExpr("m", "intra", "n_communities",
+        """floor((CAST(intra AS DOUBLE) / m
+          |  - CAST(sdc2 AS DOUBLE)
+          |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+          |  * 1e6 + 0.5) / 1e6 AS modularity""".stripMargin)
+  }
+
+  val modularitySql: String =
+    s"""WITH toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |tedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY src, dst),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM tedges WHERE src <> dst),
+       |es AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(CASE WHEN substring(u, 1, 1) = substring(v, 1, 1)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS intra
+       |  FROM und),
+       |dc AS (
+       |  SELECT c, CAST(count(*) AS BIGINT) AS d_c FROM (
+       |    SELECT substring(u, 1, 1) AS c FROM und
+       |    UNION ALL SELECT substring(v, 1, 1) FROM und)
+       |  GROUP BY c),
+       |ds AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |    CAST(sum(d_c * d_c) AS BIGINT) AS sdc2
+       |  FROM dc)
+       |SELECT m, intra, n_communities,
+       |  floor((CAST(intra AS DOUBLE) / m
+       |    - CAST(sdc2 AS DOUBLE)
+       |      / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+       |    * 1e6 + 0.5) / 1e6 AS modularity
+       |FROM es CROSS JOIN ds""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> (modularity _),
     "graph_assortativity" -> (assortativity _),
     "graph_local_clustering" -> (localClustering _),
     "graph_kcore" -> (kcore _),
@@ -864,6 +937,7 @@ object Graph {
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     "graph_local_clustering" -> localClusteringSql,
     "graph_kcore" -> kcoreSql,

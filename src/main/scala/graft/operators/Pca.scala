@@ -97,7 +97,15 @@ object Pca {
     * SAME expression templates, so the arithmetic text is identical.
     * DuckDB lists are 1-indexed, hence `embedding[j+1]`.
     */
-  val pcaSql: String = {
+  private val outCols: String = (
+    Seq("floor(nw * 1e6 + 0.5) / 1e6 AS eigenvalue") ++
+    (0 until D).map(j => s"floor(sgn * v$j * 1e6 + 0.5) / 1e6 AS ev$j")
+    ).mkString(", ")
+
+  /** All CTEs through `signed` — shared by [[pcaSql]] and the
+    * projection oracle.
+    */
+  private val pcaCtes: String = {
     val eCols = (0 until D)
       .map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) AS e$j").mkString(", ")
     val momCols = (
@@ -129,11 +137,7 @@ object Pca {
          |it${i}_n AS (SELECT $nSel FROM it${i}_w),
          |it${i}_v AS (SELECT $vSel FROM it${i}_n)""".stripMargin
     }.mkString(",\n")
-    val outCols = (
-      Seq("floor(nw * 1e6 + 0.5) / 1e6 AS eigenvalue") ++
-      (0 until D).map(j => s"floor(sgn * v$j * 1e6 + 0.5) / 1e6 AS ev$j")
-      ).mkString(", ")
-    s"""WITH e AS (SELECT $eCols FROM embeddings),
+    s"""e AS (SELECT $eCols FROM embeddings),
        |mom AS (SELECT $momCols FROM e),
        |m AS (SELECT $mCols FROM mom),
        |cov AS (SELECT $cCols FROM m),
@@ -142,13 +146,77 @@ object Pca {
        |signed AS (
        |  SELECT nw, CASE WHEN v0 < 0 THEN -1.0 ELSE 1.0 END AS sgn,
        |    ${(0 until D).map(j => s"v$j").mkString(", ")}
-       |  FROM it${Iters}_v)
-       |SELECT $outCols FROM signed""".stripMargin
+       |  FROM it${Iters}_v)""".stripMargin
+  }
+
+  val pcaSql: String =
+    s"WITH $pcaCtes\nSELECT $outCols FROM signed"
+
+  /** Fit-then-transform — the second pass every PCA deployment runs:
+    * project each vector onto the fitted component and report, per
+    * class label, the mean score and the mean squared residual
+    * (‖e‖² − proj², the energy the top component fails to explain —
+    * between-class separation of mean scores is the 1-D LDA-style
+    * readout). The component arrives as the 1-row [[pca]] result
+    * CROSS-JOINED (broadcast) onto the data — the fitted model is
+    * floor-pinned at 6 dp FIRST, so both engines project with
+    * bit-identical coefficients and the dot products are the same
+    * left-folded IEEE sequence. One narrow map over the collection,
+    * one label-keyed aggregate under the decimal-sum convention.
+    */
+  def pcaProject(s: SparkSession, dir: String): DataFrame =
+    pcaProjectOf(Tables.embeddings(s, dir))
+
+  def pcaProjectOf(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val comp = pcaOf(vecs)
+    val projExpr = fold((0 until D).map(j => s"e$j * ev$j"))
+    val norm2Expr = fold((0 until D).map(j => s"e$j * e$j"))
+    vecs.selectExpr(Seq("label") ++
+        (0 until D).map(j => s"CAST(embedding[$j] AS DOUBLE) AS e$j"): _*)
+      .crossJoin(broadcast(comp))
+      .selectExpr("label", s"$projExpr AS proj", s"$norm2Expr AS norm2")
+      .selectExpr("label",
+        "CAST(round(proj, 6) AS DECIMAL(18,9)) AS pterm",
+        "CAST(round(norm2 - proj * proj, 6) AS DECIMAL(18,9)) AS rterm")
+      .groupBy("label")
+      .agg(
+        org.apache.spark.sql.functions.expr("count(1) AS n"),
+        org.apache.spark.sql.functions.expr(
+          "floor(CAST(sum(pterm) AS DOUBLE) / count(1) * 1e6 + 0.5) / 1e6 AS mean_proj"),
+        org.apache.spark.sql.functions.expr(
+          "floor(CAST(sum(rterm) AS DOUBLE) / count(1) * 1e6 + 0.5) / 1e6 AS mean_residual2"))
+  }
+
+  val pcaProjectSql: String = {
+    val projExpr = fold((0 until D).map(j => s"e$j * ev$j"))
+    val norm2Expr = fold((0 until D).map(j => s"e$j * e$j"))
+    val eCols = (0 until D)
+      .map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) AS e$j").mkString(", ")
+    s"""WITH $pcaCtes,
+       |pc AS (SELECT $outCols FROM signed),
+       |ex AS (SELECT label, $eCols FROM embeddings),
+       |proj AS (
+       |  SELECT label, $projExpr AS proj, $norm2Expr AS norm2
+       |  FROM ex CROSS JOIN pc),
+       |terms AS (
+       |  SELECT label,
+       |    CAST(round(proj, 6) AS DECIMAL(18,9)) AS pterm,
+       |    CAST(round(norm2 - proj * proj, 6) AS DECIMAL(18,9)) AS rterm
+       |  FROM proj)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |  floor(CAST(sum(pterm) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+       |    AS mean_proj,
+       |  floor(CAST(sum(rterm) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+       |    AS mean_residual2
+       |FROM terms GROUP BY label""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_pca_power" -> (pca _))
+    "sim_pca_power" -> (pca _),
+    "sim_pca_project" -> (pcaProject _))
 
   def oracles: Map[String, String] = Map(
-    "sim_pca_power" -> pcaSql)
+    "sim_pca_power" -> pcaSql,
+    "sim_pca_project" -> pcaProjectSql)
 }

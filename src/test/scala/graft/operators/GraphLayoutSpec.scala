@@ -243,4 +243,23 @@ class GraphLayoutSpec extends AnyFunSuite {
       .toDF("src", "dst").withColumn("cnt", lit(1L))
     assert(Graph.assortativityOnEdges(tri).collect().head.isNullAt(1))
   }
+
+  test("modularity: two perfect first-letter cliques score 1/2, mixed graph scores lower") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // two triangles whose nodes share first letters -> all 6 edges
+    // intra, d_a = d_b = 6: Q = 1 - 2*36/(4*36) = 0.5 (the max for 2
+    // equal communities)
+    val cliques = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"))
+      .toDF("src", "dst").withColumn("cnt", lit(1L))
+    val q = Graph.modularityOnEdges(cliques).collect().head
+    assert(q.getLong(0) == 6L && q.getLong(1) == 6L && q.getLong(2) == 2L)
+    assert(q.getDouble(3) == 0.5)
+    // rewire one edge across communities: intra drops, Q must drop
+    val mixed = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "a3"))
+      .toDF("src", "dst").withColumn("cnt", lit(1L))
+    assert(Graph.modularityOnEdges(mixed).collect().head.getDouble(3) < 0.5)
+  }
 }

@@ -137,4 +137,18 @@ class SimilaritySpec extends AnyFunSuite {
     val norm2 = (1 to 8).map(real.getDouble).map(x => x * x).sum
     assert(math.abs(norm2 - 1.0) < 1e-4, s"unit norm, got $norm2")
   }
+
+  test("pca projection: rank-1 data projects to +/-|a| with zero residual") {
+    import spark.implicits._
+    // {a, -a}, a = (3,4,0...): component is a/5, so projections are
+    // +5 and -5 (labels split them) and the residual energy is 0
+    val a = Seq(3.0f, 4.0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val planted = Seq((1L, a, 1), (2L, a.map(x => -x), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Pca.pcaProjectOf(planted).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1) == ((1L, 5.0, 0.0)))
+    assert(got(2) == ((1L, -5.0, 0.0)))
+  }
 }
