@@ -222,26 +222,24 @@ object Dedup {
     * by (p−1)·(p−1) < 2^62, so DuckDB BIGINT never overflows and the
     * signatures match the Scala kernel bit-for-bit.
     */
-  val minhashLshSql: String = {
+  private val minhashPermsCte: String = {
     val permRows = (0 until Hashing.MinhashK).map { i =>
       s"(${i + 1}, ${Hashing.minhashA60(i)}, ${Hashing.minhashB60(i)})"
     }.mkString(",\n    ")
+    s"""perms(i, a, bb) AS (VALUES
+       |    $permRows)""".stripMargin
+  }
+
+  /** MinHash CTE chain from the shared `sh` shingle CTE (the same
+    * definition [[pairCteSql]] carries) down to the banded candidate
+    * set — factored so the evaluation oracle can compose both
+    * pipelines over ONE pair of toks/sh CTEs.
+    */
+  private val minhashCtesAfterSh: String = {
     val bandKey = (1 to Hashing.RowsPerBand)
       .map(r => s"sig[${Hashing.RowsPerBand} * b + $r]")
       .mkString(" || ':' || ")
-    s"""WITH perms(i, a, bb) AS (VALUES
-       |    $permRows),
-       |toks AS (
-       |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
-       |  FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, shingle FROM (
-       |    SELECT doc_id,
-       |      unnest(list_transform(range(1, len(t) - 1),
-       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-       |    FROM toks WHERE len(t) >= 3)),
-       |shh AS (
+    s"""shh AS (
        |  SELECT doc_id,
        |    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % ${Hashing.ModP} AS x
        |  FROM sh),
@@ -256,8 +254,11 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM buckets a JOIN buckets b
-       |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-       |SELECT c.doc_a, c.doc_b,
+       |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val minhashPredSelect: String =
+    s"""SELECT c.doc_a, c.doc_b,
        |  CAST(len(list_filter(range(1, ${Hashing.MinhashK} + 1),
        |    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${Hashing.MinhashK} AS est_jaccard
        |FROM cand c
@@ -265,7 +266,21 @@ object Dedup {
        |JOIN sigs sb ON sb.doc_id = c.doc_b
        |WHERE CAST(len(list_filter(range(1, ${Hashing.MinhashK} + 1),
        |    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${Hashing.MinhashK} >= 0.5""".stripMargin
-  }
+
+  val minhashLshSql: String =
+    s"""WITH $minhashPermsCte,
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |    FROM toks WHERE len(t) >= 3)),
+       |$minhashCtesAfterSh
+       |$minhashPredSelect""".stripMargin
 
   // ------------------------------------------------------------- simhash
 
@@ -844,7 +859,76 @@ object Dedup {
        |FROM scored
        |WHERE edit_dist * 10 <= max_len * 3""".stripMargin
 
+  /** Precision/recall of the deployed MinHash+LSH near-dup detector
+    * against exact n-gram Jaccard ground truth — the "measure, don't
+    * guess" query for the dedup stack: the predicted set is
+    * [[minhashLsh]]'s banded, estimate-thresholded pairs; the truth
+    * set is the memoized exact shared-shingle table at the same 0.5
+    * Jaccard bar. TP/FP/FN come from ONE full-outer join of the two
+    * bounded pair tables (both already candidate-pruned — never n²),
+    * and precision/recall/F1 are the standard count ratios
+    * (F1 = 2tp/(2tp+fp+fn) — computed from counts directly so no
+    * intermediate ratio rounding compounds), floor-pinned. At scale
+    * this runs EXACTLY as the production recall audit would: on the
+    * same inverted-index + LSH machinery, no extra shuffles.
+    */
+  def evalPr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = sharedPairs(s, dir)
+      .where(expr("CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5"))
+      .select($"doc_a", $"doc_b", lit(1L).as("t"))
+    val pred = minhashLsh(s, dir)
+      .select($"doc_a", $"doc_b", lit(1L).as("p"))
+    pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when($"p" === 1L && $"t" === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when($"p" === 1L && $"t".isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when($"p".isNull && $"t" === 1L, 1L).otherwise(0L)).as("fn"))
+      .selectExpr("tp", "fp", "fn",
+        """CASE WHEN tp + fp = 0 THEN NULL ELSE
+          |  floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) / 1e6
+          |END AS precision""".stripMargin,
+        """CASE WHEN tp + fn = 0 THEN NULL ELSE
+          |  floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6
+          |END AS recall""".stripMargin,
+        """CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
+          |  floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1e6 + 0.5) / 1e6
+          |END AS f1""".stripMargin)
+  }
+
+  val evalPrSql: String =
+    s"""WITH $minhashPermsCte,
+       |$pairCteSql,
+       |$minhashCtesAfterSh,
+       |pred AS (
+       |$minhashPredSelect),
+       |truth AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+       |j AS (
+       |  SELECT
+       |    CASE WHEN p.doc_a IS NOT NULL AND t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_tp,
+       |    CASE WHEN p.doc_a IS NOT NULL AND t.doc_a IS NULL THEN 1 ELSE 0 END AS is_fp,
+       |    CASE WHEN p.doc_a IS NULL AND t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_fn
+       |  FROM pred p FULL OUTER JOIN truth t
+       |    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+       |c AS (
+       |  SELECT CAST(sum(is_tp) AS BIGINT) AS tp,
+       |    CAST(sum(is_fp) AS BIGINT) AS fp,
+       |    CAST(sum(is_fn) AS BIGINT) AS fn
+       |  FROM j)
+       |SELECT tp, fp, fn,
+       |  CASE WHEN tp + fp = 0 THEN NULL ELSE
+       |    floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) / 1e6
+       |  END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN NULL ELSE
+       |    floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6
+       |  END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
+       |    floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1e6 + 0.5) / 1e6
+       |  END AS f1
+       |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_eval_pr" -> (evalPr _),
     "dedup_containment" -> (containmentPairs _),
     "dedup_edit_distance" -> (editDistancePairs _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -868,6 +952,7 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_eval_pr" -> evalPrSql,
       "dedup_containment" -> containmentSql,
       "dedup_edit_distance" -> editDistanceSql,
       "dedup_canonical" -> canonicalSql,

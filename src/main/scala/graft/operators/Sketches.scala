@@ -61,29 +61,47 @@ object Sketches {
     * The exact distinct count rides along per group — the contract
     * exhibits the estimate AND its ground truth side by side.
     */
-  def hllUsers(s: SparkSession, dir: String): DataFrame = {
+  /** Per-row register signals (idx, m_val) for a 60-bit hash of the
+    * given key column — factored so the STREAMING register maintenance
+    * ([[graft.streaming.StreamQueries]]) builds bit-identical sketches.
+    */
+  private[graft] def hllRowSignals(key: Column): (Column, Column) = {
+    val h = md5_60(key.cast("string"))
+    val rem = h % HllRemMod
+    (shiftrightunsigned(h, HllRemBits),
+      when(rem === 0, lit(49)).otherwise(lit(HllRemBits + 1) - length(bin(rem))))
+  }
+
+  /** Harmonic estimate (+ linear-counting correction) from a finished
+    * (keys..., idx, m_val) register table — the same closing expression
+    * for batch and streaming forms.
+    */
+  private[graft] def hllFinalize(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val s = regs.sparkSession
     import s.implicits._
-    val h = md5_60($"user_id".cast("string"))
-    val regs = Tables.events(s, dir)
-      .select($"event_type", $"user_id",
-        shiftrightunsigned(h, HllRemBits).as("idx"),
-        (h % HllRemMod).as("rem"))
-      .groupBy($"event_type", $"idx")
-      .agg(max(when($"rem" === 0, lit(49))
-        .otherwise(lit(HllRemBits + 1) - length(bin($"rem")))).as("m_val"))
-    val est = regs.groupBy($"event_type")
+    regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_regs"),
         sum(round(pow(lit(2.0), -$"m_val"), 18).cast("decimal(38,18)"))
           .as("s_dec"))
-      .select($"event_type", $"n_regs",
-        ($"s_dec".cast("double") + (lit(HllM) - $"n_regs")).as("s_all"),
-        (lit(HllM) - $"n_regs").as("zeros"))
-      .select($"event_type", $"n_regs", $"zeros",
-        (lit(HllAlpha) * HllM * HllM / $"s_all").as("raw_est"))
-      .select($"event_type", $"n_regs",
+      .select((keys.map(col) :+ $"n_regs" :+
+        ($"s_dec".cast("double") + (lit(HllM) - $"n_regs")).as("s_all") :+
+        (lit(HllM) - $"n_regs").as("zeros")): _*)
+      .select((keys.map(col) :+ $"n_regs" :+ $"zeros" :+
+        (lit(HllAlpha) * HllM * HllM / $"s_all").as("raw_est")): _*)
+      .select((keys.map(col) :+ $"n_regs" :+
         round(when($"raw_est" <= 2.5 * HllM && $"zeros" > 0,
           lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"zeros"))
-          .otherwise($"raw_est"), 4).as("hll_est"))
+          .otherwise($"raw_est"), 4).as("hll_est")): _*)
+  }
+
+  def hllUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (idx, mv) = hllRowSignals($"user_id")
+    val regs = Tables.events(s, dir)
+      .select($"event_type", idx.as("idx"), mv.as("mv"))
+      .groupBy($"event_type", $"idx")
+      .agg(max($"mv").as("m_val"))
+    val est = hllFinalize(regs, Seq("event_type"))
     val exact = Tables.events(s, dir)
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("exact_users"))

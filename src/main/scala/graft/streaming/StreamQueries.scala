@@ -468,6 +468,40 @@ object StreamQueries {
     """SELECT event_type, count(*) AS cnt
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Streaming HyperLogLog — cardinality maintenance as an update-mode
+    * register table: each micro-batch folds its rows into the fixed
+    * (event_type, idx) registers with MAX (the HLL merge IS max, so
+    * update-mode streaming state is the sketch — bounded at 4096 longs
+    * per key no matter how many events stream past, the canonical
+    * "distinct users right now" dashboard shape). The drained register
+    * table finalizes through the SAME closing expression as the batch
+    * sketch and must equal it bit-for-bit — the oracle IS the batch
+    * `sketch_hll_users` SQL, making the lambda-reconciliation claim
+    * for an approximate, mergeable state for the first time (counts
+    * and sessions prove it for exact state).
+    */
+  def streamHllUsers(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val (idx, mv) = graft.operators.Sketches.hllRowSignals($"user_id")
+      val regs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"event_type", idx.as("idx"), mv.as("mv"))
+        .groupBy($"event_type", $"idx")
+        .agg(max($"mv").as("m_val"))
+      val table = runDeltaLog(regs, "update", Seq("event_type", "idx"))
+        .select($"event_type", $"idx", $"m_val")
+      val est = graft.operators.Sketches.hllFinalize(table, Seq("event_type"))
+      val exact = graft.Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      exact.join(est, "event_type")
+        .select($"event_type", $"exact_users", $"hll_est", $"n_regs")
+    }
+
   /** Streaming LSH signature ingest: the vector-pipeline shape where
     * embeddings stream in and their multi-table hyperplane signatures
     * are computed AT INGEST (the native `hyperplane_sigs` codegen
@@ -779,6 +813,7 @@ object StreamQueries {
     "stream_click_attribution" -> (streamClickAttribution _),
     "stream_attribution_outer" -> (streamAttributionOuter _),
     "stream_mv_counts" -> (streamMvCounts _),
+    "stream_hll_users" -> (streamHllUsers _),
     "stream_hourly_counts" -> (streamHourlyCounts _),
     "stream_static_enrich" -> (streamStaticEnrich _),
     "stream_dropdup_watermark" -> (streamDropdupWatermark _),
@@ -809,6 +844,7 @@ object StreamQueries {
     "stream_click_attribution" -> streamClickAttributionSql,
     "stream_attribution_outer" -> streamAttributionOuterSql,
     "stream_mv_counts" -> streamMvCountsSql,
+    "stream_hll_users" -> graft.operators.Sketches.hllUsersSql,
     "stream_hourly_counts" -> graft.operators.EventOps.hourlyCountsSql,
     "stream_static_enrich" -> streamStaticEnrichSql,
     "stream_dropdup_watermark" -> streamDropdupWatermarkSql,

@@ -89,4 +89,17 @@ class DedupSpec extends AnyFunSuite {
     assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1 ||
       col("doc_a") >= col("doc_b")).count() == 0)
   }
+
+  test("eval P/R: counts reconcile with the two pipelines and recall meets the LSH design bar") {
+    import org.apache.spark.sql.functions.col
+    val r = Dedup.evalPr(spark, sf).collect().head
+    val (tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val nPred = Dedup.minhashLsh(spark, sf).count()
+    val nTruth = Dedup.ngramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.5).count()
+    assert(tp + fp == nPred, "predicted set must reconcile")
+    assert(tp + fn == nTruth, "truth set must reconcile")
+    // 16 bands x 4 rows targets >= 0.9 collision probability at J = 0.5
+    assert(r.getDouble(4) >= 0.9, s"recall ${r.getDouble(4)} below design bar")
+  }
 }

@@ -146,4 +146,13 @@ class StreamsSpec extends AnyFunSuite {
     assert(Sinks.ConnectionPool.opened.get() == 1L)
     assert(Sinks.ConnectionPool.connection.sent.get() - sentBefore == 100L)
   }
+
+  test("streaming HLL register table finalizes bit-identically to the batch sketch") {
+    val sf = graft.TestSpark.sf
+    val stream = StreamQueries.streamHllUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val batch = graft.operators.Sketches.hllUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(stream == batch, "max-merge across micro-batches must equal the one-shot sketch")
+  }
 }
