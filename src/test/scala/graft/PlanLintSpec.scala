@@ -60,7 +60,13 @@ class PlanLintSpec extends AnyFunSuite {
     "sketch_bitmap_dau",
     // fixed-cardinality type-pair enumeration (≤ |event_type|² rows) and
     // the OR-keyed minima fan-in — both sides bounded by k·|types|
-    "sketch_kmv_overlap")
+    "sketch_kmv_overlap",
+    // round-5 continuation: 1-row corpus-total / model-artifact
+    // broadcasts — N docs (chi2), community degree totals (modularity),
+    // point estimate + two CI rank picks (bootstrap), date anchor +
+    // customer count (rfm), the fitted 1-row PCA component (project)
+    "doc_chi2_terms", "graph_modularity", "q_bootstrap_ci",
+    "q_rfm_segments", "sim_pca_project")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>
