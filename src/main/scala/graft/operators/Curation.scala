@@ -772,7 +772,54 @@ object Curation {
       |FROM d JOIN bounds b ON b.source = d.source
       |GROUP BY d.source""".stripMargin
 
+  /** Train/val/test split leakage audit — the contamination check every
+    * corpus split must pass before a model trains on it: assign each
+    * document to a split by salted hash (90/5/5 — reproducible,
+    * partition-independent, the same no-RNG rule as every sampler
+    * here), then ask whether any NEAR-DUPLICATE pair straddles two
+    * splits (a validation doc whose near-copy sits in train leaks the
+    * eval). The pair set is the deployed MinHash-LSH detector's output
+    * — already candidate-bounded, so the audit costs two broadcast-size
+    * joins on top of the memoized signatures. Output: pair counts per
+    * unordered split combination with the leak flag; same-split rows
+    * ride along as the denominator context.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = md560(concat($"doc_id".cast("string"), lit("_split"))) % 100
+    val splits = Tables.documents(s, dir)
+      .select($"doc_id",
+        when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
+    Dedup.minhashLsh(s, dir).select($"doc_a", $"doc_b")
+      .join(splits.toDF("doc_a", "sa"), "doc_a")
+      .join(splits.toDF("doc_b", "sb"), "doc_b")
+      .selectExpr("least(sa, sb) AS split_a", "greatest(sa, sb) AS split_b")
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", $"split_a" =!= $"split_b")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH nd AS (${Dedup.minhashLshSql}),
+       |splits AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${duckMd560("CAST(doc_id AS VARCHAR) || '_split'")} % 100 < 90
+       |           THEN 'train'
+       |         WHEN ${duckMd560("CAST(doc_id AS VARCHAR) || '_split'")} % 100 < 95
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT least(a.split, b.split) AS split_a,
+       |  greatest(a.split, b.split) AS split_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
+       |FROM nd
+       |JOIN splits a ON a.doc_id = nd.doc_a
+       |JOIN splits b ON b.doc_id = nd.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_split_leakage" -> (splitLeakage _),
     "curate_winsorize" -> (winsorize _),
     "curate_curriculum" -> (curateCurriculum _),
     "curate_pps_sample" -> (ppsSample _),
@@ -789,6 +836,7 @@ object Curation {
     "curate_unigram_surprisal" -> (unigramSurprisal _))
 
   def oracles: Map[String, String] = Map(
+    "curate_split_leakage" -> splitLeakageSql,
     "curate_winsorize" -> winsorizeSql,
     "curate_curriculum" -> curateCurriculumSql,
     "curate_pps_sample" -> ppsSampleSql,

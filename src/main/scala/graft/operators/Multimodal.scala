@@ -1183,7 +1183,128 @@ object Multimodal {
        |WHERE n_toks >= 20
        |GROUP BY source""".stripMargin
 
+  // ------------------------------------------------- perceptual hash
+
+  /** aHash over a GENUINELY decoded BMP: 8×8 nearest-neighbor luma
+    * samples from the actual file bytes (bottom-up row un-flip +
+    * stride/padding arithmetic — a decoder bug changes the bits),
+    * thresholded at the integer mean (bit = 64·L ≥ ΣL, no division),
+    * packed into four 16-bit chunks for the banded hamming join.
+    * Returns None for non-BMP payloads.
+    */
+  def ahashChunks(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+      return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val fileSize = buf.getInt(2)
+    val pixelOffset = buf.getInt(10)
+    val dibSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    if (fileSize != bytes.length || dibSize != 40 || buf.getShort(26) != 1 ||
+      buf.getShort(28) != 24 || buf.getInt(30) != 0 || w <= 0 || h <= 0)
+      return None
+    val stride = bmpStride(w)
+    if (pixelOffset < 54 || pixelOffset + stride.toLong * h > bytes.length)
+      return None
+    val lum = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      val y = (i / 8) * h / 8
+      val x = (i % 8) * w / 8
+      // logical row y sits at stored row (h-1-y)
+      val off = pixelOffset + (h - 1 - y) * stride + 3 * x
+      lum(i) = (bytes(off) & 0xff) + (bytes(off + 1) & 0xff) + (bytes(off + 2) & 0xff)
+      i += 1
+    }
+    val tot = lum.sum
+    val chunks = new Array[Int](4)
+    i = 0
+    while (i < 64) {
+      if (lum(i) * 64 >= tot) chunks(i / 16) |= 1 << (i % 16)
+      i += 1
+    }
+    Some(chunks)
+  }
+
+  /** Image near-duplicate pairs by perceptual hash — the DEDUP move
+    * applied to the multimodal column: aHash bits from truly decoded
+    * pixels, then the multi-index hamming join (split the 64 bits into
+    * 4 chunks; any pair at distance ≤ 3 shares an exact chunk by
+    * pigeonhole, so candidates come from FOUR equi-joins on 16-bit
+    * keys — never an all-pairs pass) verified with the exact popcount
+    * distance. The oracle rebuilds the identical bits closed-form from
+    * the pixel-fill convention and runs the same banded join, so a
+    * single flipped luma sample anywhere breaks the hash compare.
+    */
+  def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = assets(s, dir).filter(_.media_type == "image")
+      .flatMap(a => ahashChunks(a.payload).map(c =>
+        (a.asset_id, c(0), c(1), c(2), c(3))))
+      .toDF("asset_id", "c0", "c1", "c2", "c3")
+      .localCheckpoint()
+    val chunks = imgs.selectExpr("asset_id",
+      "posexplode(array(c0, c1, c2, c3)) AS (ci, cv)")
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        $"a.ci" === $"b.ci" && $"a.cv" === $"b.cv" &&
+          $"a.asset_id" < $"b.asset_id")
+      .select($"a.asset_id".as("doc_a"), $"b.asset_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(imgs.toDF("doc_a", "a0", "a1", "a2", "a3"), "doc_a")
+      .join(imgs.toDF("doc_b", "b0", "b1", "b2", "b3"), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        """CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1)
+          | + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT) AS hamming""".stripMargin)
+      .where($"hamming" <= 3)
+  }
+
+  val phashPairsSql: String =
+    s"""WITH geom AS (
+       |  $duckGeom),
+       |lum AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      (seed + 31 * ((CAST(i // 8 AS INTEGER) * h // 8) * 3 * w
+       |         + 3 * (CAST(i % 8 AS INTEGER) * w // 8))) % 256
+       |      + (seed + 31 * ((CAST(i // 8 AS INTEGER) * h // 8) * 3 * w
+       |         + 3 * (CAST(i % 8 AS INTEGER) * w // 8) + 1)) % 256
+       |      + (seed + 31 * ((CAST(i // 8 AS INTEGER) * h // 8) * 3 * w
+       |         + 3 * (CAST(i % 8 AS INTEGER) * w // 8) + 2)) % 256) AS lm
+       |  FROM geom WHERE NOT corrupt),
+       |bits AS (
+       |  SELECT doc_id, list_sum(lm) AS tot, lm FROM lum),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    ${(0 until 4).map(c =>
+      s"""CAST(list_sum(list_transform(range(0, 16), p ->
+         |      CASE WHEN lm[${16 * c} + p + 1] * 64 >= tot
+         |           THEN (1 << p) ELSE 0 END)) AS INTEGER) AS c$c""".stripMargin)
+      .mkString(",\n    ")}
+       |  FROM bits),
+       |ch AS (
+       |  SELECT doc_id, ci, cv FROM (
+       |    SELECT doc_id, unnest(range(0, 4)) AS ci,
+       |      unnest([c0, c1, c2, c3]) AS cv
+       |    FROM chunks)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ch a JOIN ch b
+       |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(ca.c0, cb.c0)) + bit_count(xor(ca.c1, cb.c1))
+       |  + bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN chunks ca ON ca.doc_id = c.doc_a
+       |JOIN chunks cb ON cb.doc_id = c.doc_b
+       |WHERE bit_count(xor(ca.c0, cb.c0)) + bit_count(xor(ca.c1, cb.c1))
+       |  + bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3)) <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_pairs" -> (phashPairs _),
     "mm_asset_stats" -> (assetStats _),
     "mm_resized_dims" -> (resizedDims _),
     "mm_pixel_stats" -> (pixelStats _),
@@ -1194,6 +1315,7 @@ object Multimodal {
     "mm_caption_pairs" -> (captionPairs _))
 
   def oracles: Map[String, String] = Map(
+    "mm_phash_pairs" -> phashPairsSql,
     "mm_asset_stats" -> assetStatsSql,
     "mm_resized_dims" -> resizedDimsSql,
     "mm_pixel_stats" -> pixelStatsSql,

@@ -109,4 +109,16 @@ class CurationSpec extends AnyFunSuite {
         s"source repeats inside one round: ${w.map(_._2).mkString(",")}")
     }
   }
+
+  test("split leakage: pair totals reconcile and the leak flag is exactly cross-split") {
+    import org.apache.spark.sql.functions.col
+    val rows = Curation.splitLeakage(spark, sf).collect()
+    val totalPairs = rows.map(_.getLong(2)).sum
+    assert(totalPairs == Dedup.minhashLsh(spark, sf).count(),
+      "every near-dup pair lands in exactly one split cell")
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getString(0) != r.getString(1)))
+      assert(r.getString(0) <= r.getString(1), "unordered combos normalized")
+    }
+  }
 }

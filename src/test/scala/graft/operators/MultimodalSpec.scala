@@ -248,4 +248,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getLong(2) > 0, "progressive frames present")
     assert(r.getLong(5) >= r.getLong(3), "sum_px >= sum_w for h >= 1")
   }
+
+  test("ahash: deterministic on real bytes, rejects corrupt, pairs recompute exactly") {
+    val bmp = Multimodal.encodeBmp(16, 8, 42)
+    val c1 = Multimodal.ahashChunks(bmp).get
+    val c2 = Multimodal.ahashChunks(Multimodal.encodeBmp(16, 8, 42)).get
+    assert(c1.toSeq == c2.toSeq && c1.length == 4)
+    assert(c1.forall(c => c >= 0 && c <= 0xffff))
+    val bad = bmp.clone(); bad(0) = 'X'.toByte
+    assert(Multimodal.ahashChunks(bad).isEmpty)
+    // every reported pair must reproduce its hamming from an
+    // independent re-decode of the two payloads
+    val hashes = Multimodal.assets(spark, sf).filter(_.media_type == "image")
+      .collect()
+      .flatMap(a => Multimodal.ahashChunks(a.payload).map(a.asset_id -> _))
+      .toMap
+    val pairs = Multimodal.phashPairs(spark, sf).collect()
+    assert(pairs.nonEmpty, "the synthetic corpus contains near-dup images")
+    pairs.foreach { r =>
+      val (a, b, hm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b)
+      val d = (0 until 4).map(i =>
+        Integer.bitCount(hashes(a)(i) ^ hashes(b)(i))).sum
+      assert(d == hm && d <= 3, s"pair ($a,$b): reported $hm, recomputed $d")
+    }
+  }
 }
