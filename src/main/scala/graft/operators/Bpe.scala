@@ -54,8 +54,10 @@ object Bpe {
         "freq")
   }
 
-  /** Top-K BPE merges: (merge_rank, sym_a, sym_b, merged, pair_count). */
-  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+  /** Both readouts share one training run: the merge table (one row per
+    * iteration) and the final vocab state after all K merges.
+    */
+  private def train(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     import s.implicits._
     var words = vocab(s, dir).localCheckpoint()
     val merges = (1 to K).map { k =>
@@ -79,7 +81,31 @@ object Bpe {
       best.selectExpr(s"$k AS merge_rank", "a AS sym_a", "b AS sym_b",
         "concat(a, b) AS merged", "cnt AS pair_count")
     }
-    merges.reduce(_ unionByName _)
+    (merges, words)
+  }
+
+  /** Top-K BPE merges: (merge_rank, sym_a, sym_b, merged, pair_count). */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    train(s, dir)._1.reduce(_ unionByName _)
+
+  /** Corpus compression readout of the SAME training run: token count
+    * under the learned merges vs raw character count, frequency-
+    * weighted over the vocabulary (one narrow map + one 1-row
+    * aggregate — the "how much did K merges buy" gauge a tokenizer
+    * build reports per corpus snapshot).
+    */
+  def bpeCompression(s: SparkSession, dir: String): DataFrame = {
+    val (_, finalVocab) = train(s, dir)
+    finalVocab.selectExpr(
+      "freq",
+      "size(syms) AS n_syms",
+      "aggregate(syms, 0, (acc, x) -> acc + length(x)) AS n_chars")
+      .selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_words",
+        "CAST(sum(freq) AS BIGINT) AS n_occurrences",
+        "CAST(sum(freq * n_chars) AS BIGINT) AS chars_total",
+        "CAST(sum(freq * n_syms) AS BIGINT) AS tokens_total",
+        "floor(CAST(sum(freq * n_syms) AS DOUBLE) / sum(freq * n_chars) * 1e6 + 0.5) / 1e6 AS tokens_per_char")
   }
 
   /** Oracle: the same K iterations unrolled as chained CTEs; the fold
@@ -118,9 +144,27 @@ object Bpe {
     s"WITH ${(base +: iters).mkString(",\n")}\n$out"
   }
 
+  /** Oracle: the same chain, read out at the final vocab state sK. */
+  val bpeCompressionSql: String = {
+    val base = bpeMergesSql.substring(0, bpeMergesSql.lastIndexOf("\nSELECT 1 AS merge_rank"))
+    s"""$base
+       |SELECT CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(freq) AS BIGINT) AS n_occurrences,
+       |  CAST(sum(freq * n_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(freq * n_syms) AS BIGINT) AS tokens_total,
+       |  floor(CAST(sum(freq * n_syms) AS DOUBLE) / sum(freq * n_chars) * 1e6 + 0.5) / 1e6 AS tokens_per_char
+       |FROM (
+       |  SELECT freq, len(syms) AS n_syms,
+       |    list_reduce(list_prepend(0, list_transform(syms, x -> length(x))),
+       |      (acc, v) -> acc + v) AS n_chars
+       |  FROM s$K)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tok_bpe_merges" -> (bpeMerges _))
+    "tok_bpe_merges" -> (bpeMerges _),
+    "tok_bpe_compression" -> (bpeCompression _))
 
   def oracles: Map[String, String] = Map(
-    "tok_bpe_merges" -> bpeMergesSql)
+    "tok_bpe_merges" -> bpeMergesSql,
+    "tok_bpe_compression" -> bpeCompressionSql)
 }

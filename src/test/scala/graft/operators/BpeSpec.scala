@@ -29,6 +29,23 @@ class BpeSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("bpe: compression readout is consistent with the merge count") {
+    val r = Bpe.bpeCompression(spark, sf).collect()(0)
+    val (nWords, nOcc, chars, toks, tpc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(nWords > 0 && nOcc >= nWords)
+    // a merge of pair (a,b) with a != b removes exactly pair_count
+    // symbols (non-self pairs can't overlap); a self-pair (a,a) merges
+    // floor(run/2) times per run, strictly fewer than the position count
+    val mergeRows = Bpe.bpeMerges(spark, sf).collect()
+    val merged = mergeRows.map(_.getLong(4)).sum
+    if (mergeRows.forall(r => r.getString(1) != r.getString(2)))
+      assert(toks == chars - merged,
+        s"tokens_total $toks != chars_total $chars - merged occurrences $merged")
+    else assert(toks >= chars - merged && toks < chars)
+    assert(tpc > 0 && tpc < 1, s"tokens_per_char $tpc out of range")
+  }
+
   test("bpe: greedy fold matches the index-scan reference on tricky words") {
     // pair (a,a) over "aaaa" must merge greedily: aa,aa — not aa,a,a
     import spark.implicits._
