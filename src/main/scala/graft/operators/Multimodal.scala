@@ -1303,7 +1303,71 @@ object Multimodal {
        |WHERE bit_count(xor(ca.c0, cb.c0)) + bit_count(xor(ca.c1, cb.c1))
        |  + bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3)) <= 3""".stripMargin
 
+  // ------------------------------------------------- video scene cuts
+
+  /** Scene-cut detection over the opaque video payloads: the payload is
+    * windowed into fixed 100-byte "frames", each frame reduced to its
+    * integer byte sum (the luma-histogram proxy), and a cut is declared
+    * between consecutive frames when the absolute sum delta exceeds
+    * [[SceneCutThreshold]] — the classic keyframe-extraction primitive
+    * a video training pipeline runs before sampling frames for caption
+    * alignment.
+    *
+    * Shape: batched `mapPartitions` decode (blobs never leave the map —
+    * only four scalars per asset survive), zero shuffles before the
+    * final write. The oracle recomputes every frame sum from the
+    * character codes of the source text, so a single off-by-one in the
+    * windowing or a partial-frame mishandling breaks the hash compare.
+    */
+  val SceneCutThreshold = 500L
+
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter(_.media_type == "video")
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap { a =>
+        val sums = a.payload.grouped(100)
+          .map(_.foldLeft(0L)((acc, b) => acc + (b & 0xff))).toArray
+        if (sums.isEmpty) None
+        else {
+          val deltas = (1 until sums.length)
+            .map(i => (i.toLong, math.abs(sums(i) - sums(i - 1))))
+          val cuts = deltas.filter(_._2 > SceneCutThreshold)
+          Some((a.asset_id, sums.length.toLong, cuts.length.toLong,
+            cuts.headOption.map(_._1).getOrElse(-1L),
+            if (deltas.isEmpty) 0L else deltas.map(_._2).max))
+        }
+      }))
+      .toDF("asset_id", "n_frames", "n_cuts", "first_cut", "max_delta")
+  }
+
+  val sceneCutsSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id, text, strlen(text) AS nb FROM documents
+       |  WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+       |f AS (
+       |  SELECT doc_id, text, nb,
+       |    unnest(range(0, CAST(ceil(nb / 100.0) AS BIGINT))) AS fi
+       |  FROM v),
+       |sums AS (
+       |  SELECT doc_id, fi,
+       |    list_reduce(list_prepend(0, list_transform(
+       |      range(CAST(fi * 100 + 1 AS INTEGER),
+       |            CAST(least(fi * 100 + 100, nb) + 1 AS INTEGER)),
+       |      i -> ascii(substr(text, i, 1)))), (acc, x) -> acc + x) AS fsum
+       |  FROM f),
+       |d AS (
+       |  SELECT doc_id, fi, fsum,
+       |    abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY fi)) AS delta
+       |  FROM sums)
+       |SELECT doc_id AS asset_id,
+       |  CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(count(*) FILTER (WHERE delta > $SceneCutThreshold) AS BIGINT) AS n_cuts,
+       |  CAST(coalesce(min(fi) FILTER (WHERE delta > $SceneCutThreshold), -1) AS BIGINT) AS first_cut,
+       |  CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta
+       |FROM d GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cuts" -> (sceneCuts _),
     "mm_phash_pairs" -> (phashPairs _),
     "mm_asset_stats" -> (assetStats _),
     "mm_resized_dims" -> (resizedDims _),
@@ -1315,6 +1379,7 @@ object Multimodal {
     "mm_caption_pairs" -> (captionPairs _))
 
   def oracles: Map[String, String] = Map(
+    "mm_scene_cuts" -> sceneCutsSql,
     "mm_phash_pairs" -> phashPairsSql,
     "mm_asset_stats" -> assetStatsSql,
     "mm_resized_dims" -> resizedDimsSql,

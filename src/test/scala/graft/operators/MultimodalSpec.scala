@@ -249,6 +249,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getLong(5) >= r.getLong(3), "sum_px >= sum_w for h >= 1")
   }
 
+  test("scene cuts: frame count covers the payload, deltas recompute from raw bytes") {
+    val byId = Multimodal.assets(spark, sf).filter(_.media_type == "video")
+      .collect().map(a => a.asset_id -> a.payload).toMap
+    val rows = Multimodal.sceneCuts(spark, sf).collect()
+    assert(rows.length == byId.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val (id, nf, nc, fc, md) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val p = byId(id)
+      assert(nf == (p.length + 99) / 100, s"asset $id frame count")
+      val sums = p.grouped(100).map(_.map(_ & 0xff).sum.toLong).toArray
+      val deltas = (1 until sums.length).map(i => math.abs(sums(i) - sums(i - 1)))
+      assert(nc == deltas.count(_ > Multimodal.SceneCutThreshold))
+      assert(md == (if (deltas.isEmpty) 0L else deltas.max))
+      assert(fc == deltas.zipWithIndex
+        .find(_._1 > Multimodal.SceneCutThreshold).map(_._2 + 1L).getOrElse(-1L))
+    }
+  }
+
   test("ahash: deterministic on real bytes, rejects corrupt, pairs recompute exactly") {
     val bmp = Multimodal.encodeBmp(16, 8, 42)
     val c1 = Multimodal.ahashChunks(bmp).get
