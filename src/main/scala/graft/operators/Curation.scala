@@ -818,7 +818,63 @@ object Curation {
        |JOIN splits b ON b.doc_id = nd.doc_b
        |GROUP BY 1, 2""".stripMargin
 
+  /** Token-budget selection — the data-mixing move that fills a fixed
+    * per-source token budget with the best documents first: order each
+    * source's docs by quality (desc, doc_id tiebreak), take the running
+    * token cumsum, and keep a doc while the budget has room for ALL of
+    * it (strictly: cumsum ≤ budget — the greedy prefix rule, no partial
+    * documents). Output is the per-source fill report a mixing run
+    * logs: docs/tokens kept, budget utilisation.
+    *
+    * Scale shape: one narrow token-count map, one window partitioned by
+    * source (thousands of groups, never global), one per-source
+    * aggregate. Quality is the deployed [[TextOps.docQuality]] score —
+    * the same column the gate and curriculum stages key on.
+    */
+  val TokenBudget = 5000L
+
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "source", s"size(${TextOps.tokensExpr}) AS n_toks")
+    val scored = toks.join(
+      TextOps.docQuality(s, dir).select($"doc_id", $"quality_score"), "doc_id")
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality_score".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum_toks", sum($"n_toks").over(w))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"cum_toks" <= TokenBudget, 1L).otherwise(0L)).as("n_kept"),
+        max(when($"cum_toks" <= TokenBudget, $"cum_toks")).as("tokens_kept"))
+      .selectExpr("source", "n_docs", "n_kept",
+        "CAST(coalesce(tokens_kept, 0) AS BIGINT) AS tokens_kept",
+        s"floor(CAST(coalesce(tokens_kept, 0) AS DOUBLE) / $TokenBudget * 1e6 + 0.5) / 1e6 AS utilisation")
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH q AS (${TextOps.docQualitySql}),
+       |t AS (
+       |  SELECT d.doc_id, d.source,
+       |    len(${TextOps.duckTokensExpr}) AS n_toks, q.quality_score
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id),
+       |c AS (
+       |  SELECT source, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+       |  FROM t)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN cum_toks <= $TokenBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(max(CASE WHEN cum_toks <= $TokenBudget THEN cum_toks END), 0) AS BIGINT) AS tokens_kept,
+       |  floor(CAST(coalesce(max(CASE WHEN cum_toks <= $TokenBudget THEN cum_toks END), 0) AS DOUBLE) / $TokenBudget * 1e6 + 0.5) / 1e6 AS utilisation
+       |FROM c GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_token_budget" -> (tokenBudget _),
     "curate_split_leakage" -> (splitLeakage _),
     "curate_winsorize" -> (winsorize _),
     "curate_curriculum" -> (curateCurriculum _),
@@ -836,6 +892,7 @@ object Curation {
     "curate_unigram_surprisal" -> (unigramSurprisal _))
 
   def oracles: Map[String, String] = Map(
+    "curate_token_budget" -> tokenBudgetSql,
     "curate_split_leakage" -> splitLeakageSql,
     "curate_winsorize" -> winsorizeSql,
     "curate_curriculum" -> curateCurriculumSql,

@@ -110,6 +110,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("token budget: greedy prefix never overshoots and kept counts are maximal") {
+    val rows = Curation.tokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nKept, toks, util) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nKept <= nDocs)
+      assert(toks <= Curation.TokenBudget, s"budget overshoot: $toks")
+      assert(math.abs(util - toks.toDouble / Curation.TokenBudget) < 1e-6)
+    }
+  }
+
   test("split leakage: pair totals reconcile and the leak flag is exactly cross-split") {
     import org.apache.spark.sql.functions.col
     val rows = Curation.splitLeakage(spark, sf).collect()
