@@ -1070,7 +1070,44 @@ object Similarity {
       |  vmin, vmax
       |FROM g""".stripMargin
 
+  /** IVF recall@5 against the exact scan, as a CONTRACT query — the
+    * eval a vector-index rollout gates on, promoted from spec-only to
+    * oracle-checked: per probe query, how many of the true (brute
+    * force) top-5 neighbors did the IVF index return. Both sides are
+    * the already-registered queries, so the oracle is their SQL
+    * composed verbatim — a single divergent rank anywhere shows up
+    * here twice (in the source query's own hash AND the recall).
+    *
+    * Scale: the join is |queries|·k rows on both sides — audit-sized
+    * regardless of collection size. (The brute-force side is the eval's
+    * ground truth on a bounded query set, not a production scan.)
+    */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bf = bruteForceTopK(s, dir).select($"q_id", $"n_id")
+    val iv = ivfTopK(s, dir).select($"q_id", $"n_id")
+      .withColumn("hit", lit(1L))
+    bf.join(iv, Seq("q_id", "n_id"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .selectExpr("q_id", "n_true", "n_hit",
+        "floor(CAST(n_hit AS DOUBLE) / n_true * 1e6 + 0.5) / 1e6 AS recall")
+  }
+
+  def ivfRecallSql(cents: Array[Array[Double]]): String =
+    s"""WITH bf AS ($bruteForceTopKSql),
+       |iv AS (${ivfTopKSql(cents)})
+       |SELECT bf.q_id,
+       |  CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN iv.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  floor(CAST(sum(CASE WHEN iv.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) * 1e6 + 0.5) / 1e6 AS recall
+       |FROM bf LEFT JOIN iv ON iv.q_id = bf.q_id AND iv.n_id = bf.n_id
+       |GROUP BY bf.q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_recall" -> (ivfRecall _),
     "sim_dim_stats" -> (dimStats _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_matryoshka_overlap" -> (matryoshkaOverlap _),
@@ -1102,6 +1139,7 @@ object Similarity {
       "sim_lang_centroids" -> langCentroidsSql,
       "sim_lang_centroids_agg" -> langCentroidsAggSql,
       "sim_ivf_topk" -> ivfTopKSql(ivfCentroids(s, dir)),
+      "sim_ivf_recall" -> ivfRecallSql(ivfCentroids(s, dir)),
       "sim_embedding_neardup" -> embeddingNearDupSql(npt, planes),
       "sim_pq_topk" -> pqTopKSql(pqCodebooks(s, dir), pqLut(s, dir)))
   }

@@ -46,7 +46,7 @@ class PlanLintSpec extends AnyFunSuite {
     // bounded-broadcast exception: the exact-scan baseline joins the
     // 10-row query side against the collection on a non-equi condition
     // (q_id <> n_id) — the deliberate brute-force shape
-    "sim_bruteforce_topk", "sim_matryoshka_overlap",
+    "sim_bruteforce_topk", "sim_matryoshka_overlap", "sim_ivf_recall",
     // |labels|-row centroid-frame broadcast (the k-means assignment shape)
     "sim_centroid_eval",
     // 1-row source-count broadcast (epoch ordering normalizer)
