@@ -924,7 +924,83 @@ object Graph {
        |    * 1e6 + 0.5) / 1e6 AS modularity
        |FROM es CROSS JOIN ds""".stripMargin
 
+  // ------------------------------------------- weighted shortest paths
+
+  /** Bounded-hop weighted single-source shortest paths (Bellman–Ford):
+    * the BFS trade graph carries an integer edge cost (min contributing
+    * quantity − 47 ∈ {1,2,3}), and each of the [[BfsHops]] rounds
+    * relaxes EVERY current tentative distance through the edge list —
+    * unlike BFS's frontier-only expansion, a weighted distance can
+    * improve at a later hop, so the full distance frame joins each
+    * round (textbook Bellman–Ford, one join + one min-aggregate per
+    * round on the same edge partitioning, frames localCheckpoint'ed for
+    * the doubly-consumed chain). Integer costs keep the min exact; the
+    * oracle is the recursive-CTE walk enumeration bounded by the same
+    * hop count with min(total cost) per node.
+    *
+    * At 100 TB: per-round cost is one shuffle keyed on node over a
+    * frame bounded by reachable nodes; hop-bounding (the production
+    * norm for trust/fraud radius queries) caps rounds, and early-exit
+    * on an unchanged frame would drop the constant further.
+    */
+  def sssp(s: SparkSession, dir: String): DataFrame =
+    ssspOnEdges(weightedTradeEdges(s, dir), BfsHops)
+
+  def weightedTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val trade = Tables.lineitem(s, dir)
+      .where($"l_quantity" >= BfsMinQty)
+      .select($"l_orderkey", $"l_suppkey", $"l_quantity")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy(concat(lit("C"), $"o_custkey".cast("string")).as("c"),
+        concat(lit("S"), $"l_suppkey".cast("string")).as("s"))
+      .agg((min($"l_quantity").cast("long") - 47L).as("cost"))
+    trade.select($"c".as("src"), $"s".as("dst"), $"cost")
+      .union(trade.select($"s", $"c", $"cost"))
+      .groupBy($"src", $"dst").agg(min($"cost").as("cost"))
+  }
+
+  def ssspOnEdges(rawEdges: DataFrame, maxHops: Int = BfsHops): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val edges = rawEdges.select($"src", $"dst", $"cost").localCheckpoint()
+    val seed = edges.agg(min($"src").as("node"))
+    var dist = seed.select($"node", lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.join(edges, $"node" === $"src")
+        .select($"dst".as("node"), ($"dist" + $"cost").as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.select($"node", $"dist")
+  }
+
+  val ssspSql: String =
+    s"""WITH RECURSIVE trade AS (
+       |  SELECT 'C' || o_custkey AS c, 'S' || l_suppkey AS s,
+       |    CAST(min(l_quantity) AS BIGINT) - 47 AS cost
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_quantity >= $BfsMinQty
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT src, dst, min(cost) AS cost FROM (
+       |    SELECT c AS src, s AS dst, cost FROM trade
+       |    UNION ALL
+       |    SELECT s, c, cost FROM trade)
+       |  GROUP BY src, dst),
+       |seed AS (SELECT min(src) AS node FROM e),
+       |w AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS d, 0 AS h FROM seed
+       |  UNION
+       |  SELECT e.dst AS node, w.d + e.cost AS d, w.h + 1 AS h
+       |  FROM w JOIN e ON e.src = w.node WHERE w.h < $BfsHops)
+       |SELECT node, min(d) AS dist
+       |FROM w GROUP BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_sssp" -> (sssp _),
     "graph_modularity" -> (modularity _),
     "graph_assortativity" -> (assortativity _),
     "graph_local_clustering" -> (localClustering _),
@@ -937,6 +1013,7 @@ object Graph {
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_sssp" -> ssspSql,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     "graph_local_clustering" -> localClusteringSql,

@@ -20,7 +20,7 @@ class PlanLintSpec extends AnyFunSuite {
   private val constructionRuns: Set[String] = Set(
     "dedup_clusters", "dedup_canonical", "curate_full_pipeline",
     "graph_pagerank", "graph_triangles", "graph_neighbor_jaccard",
-    "graph_hits", "graph_bfs",
+    "graph_hits", "graph_bfs", "graph_sssp",
     "sim_mmr_rerank",
     "sim_kmeans",
     "tok_bpe_merges", "tok_bpe_compression",

@@ -11,6 +11,42 @@ class GraphLayoutSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
+  test("sssp: seed at 0, bounded by hop distance times cost range, same reach as bfs") {
+    val bfs = Graph.bfs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sssp = Graph.sssp(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sssp.keySet == bfs.keySet,
+      "weighted relaxation must reach exactly the hop-bounded node set")
+    val seed = bfs.minBy(_._2)._1
+    assert(sssp(seed) == 0L && bfs(seed) == 0L)
+    sssp.foreach { case (n, d) =>
+      // per-edge cost ∈ {1,2,3}: the weighted distance is sandwiched by
+      // the hop distance, though NOT necessarily along the same path —
+      // a longer-hop path can be cheaper, hence only the lower bound
+      // uses bfs and the upper bound uses 3 * hops of SOME path ≤ 3*bfs*…
+      assert(d >= bfs(n), s"$n: weighted $d below hop count ${bfs(n)}")
+      assert(d <= 3L * Graph.BfsHops, s"$n: weighted $d exceeds max possible")
+    }
+    // at least one node must be strictly cheaper via a longer path OR
+    // have cost > hops (edge costs vary), else the fixture degenerated
+    assert(sssp.exists { case (n, d) => d > bfs(n) },
+      "all costs equal hop counts — weighted fixture degenerate")
+  }
+
+  test("sssp: bellman-ford relaxation is exact on a planted weighted graph") {
+    import spark.implicits._
+    // A--1--B--1--C  and A--5--C: the 2-hop path (cost 2) must beat the
+    // direct edge (cost 5); D unreachable within hops from A is absent
+    val edges = Seq(
+      ("A", "B", 1L), ("B", "A", 1L),
+      ("B", "C", 1L), ("C", "B", 1L),
+      ("A", "C", 5L), ("C", "A", 5L)).toDF("src", "dst", "cost")
+    val d = Graph.ssspOnEdges(edges, maxHops = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("A" -> 0L, "B" -> 1L, "C" -> 2L))
+  }
+
   test("pagerank mass stays bounded and ranks are strictly positive") {
     val rows = Graph.pagerank(spark, sf).collect()
     assert(rows.nonEmpty)
