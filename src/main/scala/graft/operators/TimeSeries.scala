@@ -1060,7 +1060,103 @@ object TimeSeries {
       |    * 1e6 + 0.5) / 1e6 AS did
       |FROM w""".stripMargin
 
+  // ------------------------------------------------- Holt forecasting
+
+  /** Holt double-exponential smoothing (level + trend) over the last
+    * [[HoltWindow]] days of each event-type daily series, with the
+    * one-step-ahead forecast — the capacity-planning readout a volume
+    * dashboard publishes.
+    *
+    * The recursion (α = β = ½, init l₁ = y₁, b₁ = y₂ − y₁) is LINEAR in
+    * the observations, so it unrolls to two fixed dyadic coefficient
+    * vectors computed once at class-load by running the recursion
+    * symbolically on unit vectors (max denominator 2⁻¹², so scale-16
+    * decimals hold them exactly — the [[ewmaDaily]] convention: exact
+    * decimal products, scale-9 round, then the double cast). Both
+    * engines consume the SAME plain-string literals; days missing from
+    * the window (series shorter than W) are zero on both sides by
+    * construction because offsets anchor to max(day).
+    *
+    * Scale: one map-side-combinable daily count, a |types|·W scaffold
+    * (metadata-sized), one aggregate. The 1-row max(day) broadcast is
+    * the approved scalar-anchor cross join.
+    */
+  val HoltWindow = 8
+
+  /** (level, trend) coefficient vectors over window offsets 0 (oldest)
+    * .. W−1 (= max day), as exact plain decimal strings.
+    */
+  val holtCoeffs: (Seq[String], Seq[String]) = {
+    val W = HoltWindow
+    val half = BigDecimal(1) / 2
+    var cl = Vector.tabulate(W)(i => if (i == 0) BigDecimal(1) else BigDecimal(0))
+    var cb = Vector.tabulate(W)(i =>
+      if (i == 0) BigDecimal(-1) else if (i == 1) BigDecimal(1) else BigDecimal(0))
+    for (t <- 2 until W) {
+      val e = Vector.tabulate(W)(i => if (i == t) BigDecimal(1) else BigDecimal(0))
+      val nl = Vector.tabulate(W)(i => half * e(i) + half * (cl(i) + cb(i)))
+      val nb = Vector.tabulate(W)(i => half * (nl(i) - cl(i)) + half * cb(i))
+      cl = nl; cb = nb
+    }
+    (cl.map(_.underlying.toPlainString), cb.map(_.underlying.toPlainString))
+  }
+
+  def holtForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (wl, wb) = holtCoeffs
+    val lArr = array(wl.map(w => lit(w).cast("decimal(28,16)")): _*)
+    val bArr = array(wb.map(w => lit(w).cast("decimal(28,16)")): _*)
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val counts = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).cast("decimal(8,0)").as("cnt"))
+    val mx = ev.agg(max($"day").as("dmax"))
+    val scaffold = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(mx))
+      .select($"event_type",
+        explode(sequence(lit(0), lit(HoltWindow - 1))).as("k"),
+        $"dmax")
+      .select($"event_type", $"k",
+        expr(s"date_sub(dmax, $HoltWindow - 1 - k)").as("day"))
+    scaffold.join(counts, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce($"cnt", lit(0).cast("decimal(8,0)")))
+      .groupBy($"event_type")
+      .agg(
+        round(sum($"cnt" * element_at(lArr, $"k" + 1)), 9).cast("double").as("level"),
+        round(sum($"cnt" * element_at(bArr, $"k" + 1)), 9).cast("double").as("trend"),
+        round(sum($"cnt" * (element_at(lArr, $"k" + 1) + element_at(bArr, $"k" + 1))), 9)
+          .cast("double").as("forecast_next"))
+  }
+
+  val holtForecastSql: String = {
+    val (wl, wb) = holtCoeffs
+    val lList = wl.map(w => s"'$w'").mkString("[", ", ", "]")
+    val bList = wb.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+       |counts AS (
+       |  SELECT event_type, day, CAST(count(*) AS DECIMAL(8,0)) AS cnt
+       |  FROM ev GROUP BY 1, 2),
+       |mx AS (SELECT max(day) AS dmax FROM ev),
+       |scaffold AS (
+       |  SELECT t.event_type, k.k,
+       |    dmax - CAST($HoltWindow - 1 - k.k AS INTEGER) AS day
+       |  FROM (SELECT DISTINCT event_type FROM ev) t
+       |  CROSS JOIN (SELECT unnest(range(0, $HoltWindow)) AS k) k
+       |  CROSS JOIN mx),
+       |joined AS (
+       |  SELECT s.event_type, s.k, coalesce(c.cnt, 0) AS cnt
+       |  FROM scaffold s LEFT JOIN counts c
+       |    ON c.event_type = s.event_type AND c.day = s.day)
+       |SELECT event_type,
+       |  CAST(round(sum(cnt * CAST($lList[k + 1] AS DECIMAL(28,16))), 9) AS DOUBLE) AS level,
+       |  CAST(round(sum(cnt * CAST($bList[k + 1] AS DECIMAL(28,16))), 9) AS DOUBLE) AS trend,
+       |  CAST(round(sum(cnt * (CAST($lList[k + 1] AS DECIMAL(28,16)) + CAST($bList[k + 1] AS DECIMAL(28,16)))), 9) AS DOUBLE) AS forecast_next
+       |FROM joined GROUP BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_holt_forecast" -> (holtForecast _),
     "ev_did_estimator" -> (didEstimator _),
     "ev_changepoint" -> (changepoint _),
     "ev_gini_users" -> (giniUsers _),
@@ -1079,6 +1175,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_holt_forecast" -> holtForecastSql,
     "ev_did_estimator" -> didEstimatorSql,
     "ev_changepoint" -> changepointSql,
     "ev_gini_users" -> giniUsersSql,

@@ -53,7 +53,7 @@ class PlanLintSpec extends AnyFunSuite {
     "curate_curriculum",
     // 1-row day-span broadcast (calendar scaffold for gap filling)
     "ev_gap_fill", "ev_trend_regression", "ev_anomaly_zscore",
-    "ev_changepoint",
+    "ev_changepoint", "ev_holt_forecast",
     "dq_value_drift", "q_weighted_median", "ev_ab_cuped",
     "ev_seasonality_dow", "q11_important_stock", "q_copurchase_pairs",
     "ev_ewma", "sketch_hll_sliding", "q_relational_division",

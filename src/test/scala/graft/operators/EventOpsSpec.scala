@@ -125,4 +125,33 @@ class EventOpsSpec extends AnyFunSuite {
     assert(rows(3L).getDouble(6) == 20.0)
     assert(rows(9L).getInt(2) == 1 && rows(9L).isNullAt(4), "no cross-user leak")
   }
+
+  test("holt: coefficient-vector output equals the direct recursion on raw counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"))
+    val dmax = ev.agg(max($"day")).collect()(0).getDate(0).toLocalDate
+    val counts = ev.groupBy($"event_type", $"day").count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r.getLong(2)).toMap
+    val out = TimeSeries.holtForecast(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.nonEmpty)
+    out.foreach { case (et, (level, trend, fc)) =>
+      val y = (0 until TimeSeries.HoltWindow).map { k =>
+        counts.getOrElse(
+          (et, dmax.minusDays(TimeSeries.HoltWindow - 1L - k)), 0L).toDouble
+      }
+      var l = y(0); var b = y(1) - y(0)
+      for (t <- 2 until TimeSeries.HoltWindow) {
+        val nl = 0.5 * y(t) + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+      }
+      assert(math.abs(level - l) < 1e-6, s"$et level $level vs direct $l")
+      assert(math.abs(trend - b) < 1e-6, s"$et trend $trend vs direct $b")
+      assert(math.abs(fc - (l + b)) < 1e-6, s"$et forecast")
+    }
+  }
 }
