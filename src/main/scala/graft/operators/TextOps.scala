@@ -1365,7 +1365,110 @@ object TextOps {
        |FROM grams g JOIN fs ON fs.h = g.h
        |GROUP BY g.doc_id""".stripMargin
 
+  // --------------------------------------------- RAKE keyphrase mining
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; each member word accrues
+    * freq += 1 and degree += phrase_length per occurrence; word score =
+    * degree/freq; phrase score = Σ member word scores (with
+    * multiplicity). Corpus-level top 20 phrases by (score DESC, phrase)
+    * — a total order.
+    *
+    * Cross-engine exactness: the only division happens per WORD and is
+    * immediately floor-rounded into integer micro-units
+    * (floor(degree/freq·1e6 + 0.5) as BIGINT), so every downstream
+    * aggregate — phrase scores, occurrence counts — is an exact integer
+    * sum in both engines; the double reappears only in the final
+    * /1e6 display division.
+    *
+    * Scale shape: phrase segmentation is a per-doc window (partition =
+    * doc_id — million-way parallel, never global); word stats shuffle
+    * on the word key (vocabulary-bounded); phrase rollup shuffles on
+    * the phrase text (output-bounded); the global top-20 is a
+    * TakeOrderedAndProject, not a sort.
+    */
+  val RakeStops = Seq("the", "a", "of", "and", "to")
+
+  def rakePhrases(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"posexplode(${tokensExpr}) AS (pos, word)")
+      .selectExpr("doc_id", "pos", "word",
+        s"CAST(word IN ($stopList) AS INT) AS is_stop")
+    val runs = toks
+      .withColumn("run", sum($"is_stop").over(
+        Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where($"is_stop" === 0)
+      .select($"doc_id", $"run", $"pos", $"word")
+    val phraseLen = runs.groupBy($"doc_id", $"run")
+      .agg(count(lit(1)).as("n_words"))
+    val wordScores = runs.join(phraseLen, Seq("doc_id", "run"))
+      .groupBy($"word")
+      .agg(sum($"n_words").as("degree"), count(lit(1)).as("freq"))
+      .selectExpr("word",
+        "CAST(floor(CAST(degree AS DOUBLE) / freq * 1e6 + 0.5) AS BIGINT) AS w_micro")
+    runs.join(wordScores, "word")
+      .groupBy($"doc_id", $"run")
+      .agg(
+        concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)"))
+          .as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum($"w_micro").as("score_micro"))
+      .groupBy($"phrase")
+      .agg(max($"n_words").as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max($"score_micro").as("score_micro"))
+      .selectExpr("phrase", "n_words", "n_occurrences",
+        "CAST(score_micro AS DOUBLE) / 1e6 AS score")
+      .orderBy($"score".desc, $"phrase")
+      .limit(20)
+  }
+
+  val rakePhrasesSql: String = {
+    val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, p.i - 1 AS pos, p.w AS word,
+       |    CAST(p.w IN ($stopList) AS INTEGER) AS is_stop
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform($duckTokensExpr,
+       |        (w, i) -> {'w': w, 'i': i})) AS p
+       |    FROM documents)),
+       |runs AS (
+       |  SELECT doc_id, pos, word,
+       |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS run
+       |  FROM toks QUALIFY is_stop = 0),
+       |plen AS (
+       |  SELECT doc_id, run, count(*) AS n_words
+       |  FROM runs GROUP BY doc_id, run),
+       |ws AS (
+       |  SELECT word,
+       |    CAST(floor(CAST(sum(n_words) AS DOUBLE) / count(*) * 1e6 + 0.5) AS BIGINT) AS w_micro
+       |  FROM runs JOIN plen USING (doc_id, run)
+       |  GROUP BY word),
+       |phrases AS (
+       |  SELECT r.doc_id, r.run,
+       |    string_agg(r.word, ' ' ORDER BY r.pos) AS phrase,
+       |    count(*) AS n_words,
+       |    sum(ws.w_micro) AS score_micro
+       |  FROM runs r JOIN ws ON ws.word = r.word
+       |  GROUP BY r.doc_id, r.run)
+       |SELECT phrase,
+       |  CAST(max(n_words) AS BIGINT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(max(score_micro) AS DOUBLE) / 1e6 AS score
+       |FROM phrases
+       |GROUP BY phrase
+       |ORDER BY score DESC, phrase
+       |LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_rake_phrases" -> (rakePhrases _),
     "doc_entropy" -> (docEntropy _),
     "doc_zipf_fit" -> (zipfFit _),
     "doc_chi2_terms" -> (chi2Terms _),
@@ -1392,6 +1495,7 @@ object TextOps {
     "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
+    "doc_rake_phrases" -> rakePhrasesSql,
     "doc_entropy" -> docEntropySql,
     "doc_zipf_fit" -> zipfFitSql,
     "doc_chi2_terms" -> chi2TermsSql,

@@ -41,4 +41,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     // "ab" -> (97*31)+98 = 3105 ; "ba" -> (98*31)+97 = 3135
     assert(fp(1L) == 3105L && fp(2L) == 3135L)
   }
+
+  test("rake: top phrases reproduce from an independent full recompute") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val stops = TextOps.RakeStops.toSet
+    // independent reference implementation
+    val phrases = docs.flatMap { case (_, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.newBuilder[String]; var nonEmpty = false
+      toks.foreach { w =>
+        if (stops(w)) {
+          if (nonEmpty) runs += cur.result()
+          cur = List.newBuilder[String]; nonEmpty = false
+        } else { cur += w; nonEmpty = true }
+      }
+      if (nonEmpty) runs += cur.result()
+      runs
+    }
+    val degree = scala.collection.mutable.Map.empty[String, Long]
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    phrases.foreach { p =>
+      p.foreach { w =>
+        degree(w) = degree.getOrElse(w, 0L) + p.length
+        freq(w) = freq.getOrElse(w, 0L) + 1L
+      }
+    }
+    def micro(w: String): Long =
+      math.floor(degree(w).toDouble / freq(w) * 1e6 + 0.5).toLong
+    val expected = phrases.groupBy(_.mkString(" ")).map { case (ph, occ) =>
+      ph -> (occ.head.length.toLong, occ.length.toLong, occ.head.map(micro).sum)
+    }
+    val got = TextOps.rakePhrases(spark, sf).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val (ph, nw, no, sc) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (enw, eno, emicro) = expected(ph)
+      assert(nw == enw && no == eno, s"phrase '$ph' counts")
+      assert(math.abs(sc - emicro / 1e6) < 1e-9, s"phrase '$ph' score")
+    }
+    // the returned 20 really are the global argmax under (score, phrase)
+    val top = expected.toSeq
+      .map { case (ph, (_, _, m)) => (m, ph) }
+      .sortBy { case (m, ph) => (-m, ph) }.take(20).map(_._2)
+    assert(got.map(_.getString(0)).toSeq.sorted == top.sorted)
+  }
 }
