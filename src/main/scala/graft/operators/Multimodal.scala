@@ -1366,7 +1366,87 @@ object Multimodal {
        |  CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta
        |FROM d GROUP BY doc_id""".stripMargin
 
+  // -------------------------------------------------- audio activity
+
+  /** Voice-activity-style framing over the REAL decoded PCM16 samples:
+    * 40-sample frames (5 ms at 8 kHz), frame "energy" = Σ|amplitude|
+    * (integer — no float drift), a frame is active when its energy
+    * exceeds [[VadFrameSamples]]·16384 (the uniform-amplitude mean), and
+    * the per-asset readout is the speech-detector summary: frame count,
+    * active count, active ratio, and the LONGEST active run
+    * (gaps-and-islands over frames). Corrupt WAVs drop out exactly as
+    * in `mm_audio_stats` — the parse is the genuine RIFF walk, so a
+    * header bug would shift every sample and break the oracle's
+    * closed-form amplitude reconstruction.
+    *
+    * Shape: batched mapPartitions decode, four scalars out per asset,
+    * zero shuffles before the write.
+    */
+  val VadFrameSamples = 40
+  val VadThreshold: Long = VadFrameSamples.toLong * 16384L
+
+  def audioVad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter(_.media_type == "audio")
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap { a =>
+        decodeWav(a.payload).map { case (n, _) =>
+          val buf = java.nio.ByteBuffer.wrap(a.payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val active = Array.tabulate((n + VadFrameSamples - 1) / VadFrameSamples) { f =>
+            var e = 0L
+            var i = f * VadFrameSamples
+            val end = math.min(i + VadFrameSamples, n)
+            while (i < end) { e += math.abs(buf.getShort(44 + 2 * i).toLong); i += 1 }
+            e > VadThreshold
+          }
+          var run = 0; var best = 0
+          active.foreach { act =>
+            if (act) { run += 1; best = math.max(best, run) } else run = 0
+          }
+          (a.asset_id, active.length.toLong, active.count(identity).toLong,
+            best.toLong)
+        }
+      }))
+      .toDF("asset_id", "n_frames", "n_active", "longest_run")
+      .selectExpr("asset_id", "n_frames", "n_active", "longest_run",
+        "floor(CAST(n_active AS DOUBLE) / n_frames * 1e6 + 0.5) / 1e6 AS active_ratio")
+  }
+
+  val audioVadSql: String =
+    s"""WITH aud AS (
+       |  SELECT doc_id, 50 + strlen(text) % 211 AS n,
+       |    CAST(doc_id % 9973 AS INTEGER) AS seed
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id % $CorruptEveryAudio <> 0),
+       |frames AS (
+       |  SELECT doc_id, n, seed,
+       |    unnest(range(0, (n + $VadFrameSamples - 1) // $VadFrameSamples)) AS fi
+       |  FROM aud),
+       |fe AS (
+       |  SELECT doc_id, fi,
+       |    list_sum(list_transform(
+       |      range(CAST(fi * $VadFrameSamples AS INTEGER),
+       |            CAST(least(fi * $VadFrameSamples + $VadFrameSamples, n) AS INTEGER)),
+       |      i -> abs((seed + 31 * i) % 65536 - 32768))) > $VadThreshold AS active
+       |  FROM frames),
+       |runs AS (
+       |  SELECT doc_id, fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+       |  FROM fe WHERE active),
+       |longest AS (
+       |  SELECT doc_id, max(rl) AS longest_run FROM (
+       |    SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, grp)
+       |  GROUP BY doc_id)
+       |SELECT f.doc_id AS asset_id,
+       |  CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN f.active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       |  CAST(coalesce(any_value(l.longest_run), 0) AS BIGINT) AS longest_run,
+       |  floor(CAST(sum(CASE WHEN f.active THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) * 1e6 + 0.5) / 1e6 AS active_ratio
+       |FROM fe f LEFT JOIN longest l ON l.doc_id = f.doc_id
+       |GROUP BY f.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_vad" -> (audioVad _),
     "mm_scene_cuts" -> (sceneCuts _),
     "mm_phash_pairs" -> (phashPairs _),
     "mm_asset_stats" -> (assetStats _),
@@ -1379,6 +1459,7 @@ object Multimodal {
     "mm_caption_pairs" -> (captionPairs _))
 
   def oracles: Map[String, String] = Map(
+    "mm_audio_vad" -> audioVadSql,
     "mm_scene_cuts" -> sceneCutsSql,
     "mm_phash_pairs" -> phashPairsSql,
     "mm_asset_stats" -> assetStatsSql,

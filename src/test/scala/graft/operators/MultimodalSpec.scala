@@ -249,6 +249,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getLong(5) >= r.getLong(3), "sum_px >= sum_w for h >= 1")
   }
 
+  test("audio vad: counts and longest run recompute from independently decoded samples") {
+    val rows = Multimodal.audioVad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byId = Multimodal.assets(spark, sf).filter(_.media_type == "audio")
+      .collect().map(a => a.asset_id -> a.payload).toMap
+    rows.foreach { r =>
+      val (id, nf, na, lr, ratio) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      val p = byId(id)
+      val buf = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = (p.length - 44) / 2
+      val active = (0 until n).grouped(Multimodal.VadFrameSamples).map { idxs =>
+        idxs.map(i => math.abs(buf.getShort(44 + 2 * i).toLong)).sum >
+          Multimodal.VadThreshold
+      }.toSeq
+      assert(nf == active.length && na == active.count(identity))
+      var run = 0; var best = 0
+      active.foreach(a => { if (a) { run += 1; best = math.max(best, run) } else run = 0 })
+      assert(lr == best, s"asset $id longest run")
+      assert(math.abs(ratio - math.floor(na.toDouble / nf * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+  }
+
   test("scene cuts: frame count covers the payload, deltas recompute from raw bytes") {
     val byId = Multimodal.assets(spark, sf).filter(_.media_type == "video")
       .collect().map(a => a.asset_id -> a.payload).toMap
