@@ -315,6 +315,89 @@ object EventOps {
       |    / sum(cnt) OVER (PARTITION BY prev_type), 6) AS prob
       |FROM pairs""".stripMargin
 
+  /** Stationary distribution of the event-type Markov chain — the
+    * long-run visit mix implied by [[typeTransitions]], the readout a
+    * journey model publishes next to the raw matrix. Semantics are
+    * DEFINED in integers so both engines agree bit-for-bit: transition
+    * probabilities and the distribution live in micro-units
+    * (floor(x·1e6 + 0.5)), and each of the [[MarkovIters]] power
+    * iterations is π′_j = floor(Σ_i π_i·p_ij / 1e6) — pure BIGINT
+    * arithmetic (products ≤ 5·10¹², no float drift, floor leakage
+    * ≤ |types| micro-units per round is part of the contract).
+    *
+    * Scale: the chain state is |types| rows; each iteration is one
+    * broadcast-sized join + aggregate. The interesting scaling is in
+    * building the matrix (one lag window over user timelines — the
+    * [[typeTransitions]] shape); everything after is metadata-sized.
+    */
+  val MarkovIters = 10
+
+  def markovStationary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val trans = pairs
+      .withColumn("total", sum($"cnt").over(Window.partitionBy($"prev_type")))
+      .selectExpr("prev_type", "event_type",
+        "CAST(floor(CAST(cnt AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) AS p_micro")
+      .localCheckpoint()
+    val types = trans.select($"prev_type".as("event_type")).distinct()
+    val nTypes = types.agg(count(lit(1)).as("n"))
+    var pi = types.crossJoin(broadcast(nTypes))
+      .selectExpr("event_type", "CAST(floor(1e6 / n) AS BIGINT) AS pi_micro")
+      .localCheckpoint()
+    for (_ <- 1 to MarkovIters) {
+      // `div` (integer floor division on positive longs), NOT `/`
+      // (which Spark resolves to double division on Columns)
+      pi = pi.join(trans, pi("event_type") === trans("prev_type"))
+        .groupBy(trans("event_type").as("event_type"))
+        .agg(expr("CAST(sum(pi_micro * p_micro) div 1000000 AS BIGINT)")
+          .as("pi_micro"))
+        .localCheckpoint()
+    }
+    pi.selectExpr("event_type", "pi_micro",
+      "CAST(pi_micro AS DOUBLE) / 1e6 AS pi")
+  }
+
+  val markovStationarySql: String = {
+    val iters = (1 to MarkovIters).map { k =>
+      s"""pi$k AS (
+         |  SELECT t.event_type,
+         |    CAST(sum(p.pi_micro * t.p_micro) // 1000000 AS BIGINT) AS pi_micro
+         |  FROM pi${k - 1} p JOIN t ON t.prev_type = p.event_type
+         |  GROUP BY t.event_type)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT prev_type, event_type, count(*) AS cnt FROM (
+       |    SELECT event_type,
+       |      lag(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY epoch_us(ts), event_id) AS prev_type
+       |    FROM events)
+       |  WHERE prev_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |t AS (
+       |  SELECT prev_type, event_type,
+       |    CAST(floor(CAST(cnt AS DOUBLE)
+       |      / sum(cnt) OVER (PARTITION BY prev_type) * 1e6 + 0.5) AS BIGINT) AS p_micro
+       |  FROM pairs),
+       |types AS (SELECT DISTINCT prev_type AS event_type FROM t),
+       |n AS (SELECT count(*) AS n FROM types),
+       |pi0 AS (
+       |  SELECT event_type, CAST(floor(1e6 / n) AS BIGINT) AS pi_micro
+       |  FROM types CROSS JOIN n),
+       |$iters
+       |SELECT event_type, pi_micro,
+       |  CAST(pi_micro AS DOUBLE) / 1e6 AS pi
+       |FROM pi$MarkovIters""".stripMargin
+  }
+
   /** Time-constrained conversion — the sequential-pattern query the
     * unbounded [[funnel]] can't express: for EVERY click (not just the
     * first), did the same user's next purchase land within one hour?
@@ -768,7 +851,8 @@ object EventOps {
     "ev_peak_concurrency" -> (peakConcurrency _),
     "ev_dau_wau" -> (dauWau _),
     "ev_timed_conversion" -> (timedConversion _),
-    "ev_type_transitions" -> (typeTransitions _))
+    "ev_type_transitions" -> (typeTransitions _),
+    "ev_markov_stationary" -> (markovStationary _))
 
   def oracles: Map[String, String] = Map(
     "ev_lag_features" -> lagFeaturesSql,
@@ -789,5 +873,6 @@ object EventOps {
     "ev_peak_concurrency" -> peakConcurrencySql,
     "ev_dau_wau" -> dauWauSql,
     "ev_timed_conversion" -> timedConversionSql,
-    "ev_type_transitions" -> typeTransitionsSql)
+    "ev_type_transitions" -> typeTransitionsSql,
+    "ev_markov_stationary" -> markovStationarySql)
 }

@@ -126,6 +126,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(rows(9L).getInt(2) == 1 && rows(9L).isNullAt(4), "no cross-user leak")
   }
 
+  test("markov stationary: mass conserved up to floor leakage, fixed point reached") {
+    import org.apache.spark.sql.functions._
+    val pi = EventOps.markovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mass = pi.values.sum
+    assert(mass <= 1000000L && mass >= 1000000L - 100L * pi.size,
+      s"mass $mass outside floor-leakage band")
+    // one more integer iteration from the collected matrix must be a
+    // near-fixed-point (chain mixes fast on this matrix)
+    val cnt = EventOps.typeTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = cnt.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    def pMicro(a: String, b: String): Long =
+      math.floor(cnt.getOrElse((a, b), 0L).toDouble / totals(a) * 1e6 + 0.5).toLong
+    val next = pi.keys.map { j =>
+      j -> pi.keys.map(i => pi(i) * pMicro(i, j)).sum / 1000000L
+    }.toMap
+    pi.keys.foreach { t =>
+      assert(math.abs(next(t) - pi(t)) <= 500,
+        s"$t: ${pi(t)} -> ${next(t)} not a fixed point")
+    }
+  }
+
   test("holt: coefficient-vector output equals the direct recursion on raw counts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
