@@ -873,7 +873,68 @@ object Curation {
        |  floor(CAST(coalesce(max(CASE WHEN cum_toks <= $TokenBudget THEN cum_toks END), 0) AS DOUBLE) / $TokenBudget * 1e6 + 0.5) / 1e6 AS utilisation
        |FROM c GROUP BY source""".stripMargin
 
+  /** Kolmogorov–Smirnov sampler-bias audit: the exact KS statistic
+    * between the deployed stratified sample's length distribution and
+    * the full corpus's — the "did my sampler skew the data" gate a
+    * pipeline runs before trusting any sampled metric. Computed with
+    * NO floats until the final division: at each distinct length,
+    * D ∝ max |c_full·n_samp − c_samp·n_full| over the merged ECDFs
+    * (integer cross-products), divided by n_full·n_samp once at the
+    * end. Also reports the length at which the max gap occurs
+    * (smallest such length on ties — a total order).
+    *
+    * Scale: two count aggregates + one window over DISTINCT lengths
+    * (value-bounded, not row-bounded) + a 1-row total broadcast. The
+    * sample is hash-derived, so the audit is reproducible across
+    * partitionings — the property that makes it a meaningful gate.
+    */
+  def sampleKs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val full = Tables.documents(s, dir)
+      .groupBy($"n_chars".as("len")).agg(count(lit(1)).as("cf"))
+    val samp = stratifiedSample(s, dir)
+      .groupBy($"n_chars".as("len")).agg(count(lit(1)).as("cs"))
+    val merged = full.join(samp, Seq("len"), "full_outer")
+      .select($"len",
+        coalesce($"cf", lit(0L)).as("cf"), coalesce($"cs", lit(0L)).as("cs"))
+    val w = Window.orderBy($"len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("ecf", sum($"cf").over(w))
+      .withColumn("ecs", sum($"cs").over(w))
+    val totals = merged.agg(sum($"cf").as("nf"), sum($"cs").as("ns"))
+    cum.crossJoin(broadcast(totals))
+      .withColumn("gap", abs($"ecf" * $"ns" - $"ecs" * $"nf"))
+      .orderBy($"gap".desc, $"len")
+      .limit(1)
+      .selectExpr("nf AS n_full", "ns AS n_sample", "len AS at_len",
+        "floor(CAST(gap AS DOUBLE) / (nf * ns) * 1e6 + 0.5) / 1e6 AS ks_stat")
+  }
+
+  val sampleKsSql: String =
+    s"""WITH samp AS ($stratifiedSampleSql),
+       |f AS (SELECT n_chars AS len, count(*) AS cf FROM documents GROUP BY 1),
+       |sm AS (SELECT n_chars AS len, count(*) AS cs FROM samp GROUP BY 1),
+       |m AS (
+       |  SELECT coalesce(f.len, sm.len) AS len,
+       |    coalesce(cf, 0) AS cf, coalesce(cs, 0) AS cs
+       |  FROM f FULL OUTER JOIN sm ON f.len = sm.len),
+       |t AS (SELECT sum(cf) AS nf, sum(cs) AS ns FROM m),
+       |c AS (
+       |  SELECT len,
+       |    sum(cf) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS ecf,
+       |    sum(cs) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS ecs
+       |  FROM m)
+       |SELECT CAST(nf AS BIGINT) AS n_full, CAST(ns AS BIGINT) AS n_sample,
+       |  len AS at_len,
+       |  floor(CAST(abs(ecf * ns - ecs * nf) AS DOUBLE) / (nf * ns) * 1e6 + 0.5) / 1e6 AS ks_stat
+       |FROM c CROSS JOIN t
+       |ORDER BY abs(ecf * ns - ecs * nf) DESC, len
+       |LIMIT 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_sample_ks" -> (sampleKs _),
     "curate_token_budget" -> (tokenBudget _),
     "curate_split_leakage" -> (splitLeakage _),
     "curate_winsorize" -> (winsorize _),
@@ -892,6 +953,7 @@ object Curation {
     "curate_unigram_surprisal" -> (unigramSurprisal _))
 
   def oracles: Map[String, String] = Map(
+    "curate_sample_ks" -> sampleKsSql,
     "curate_token_budget" -> tokenBudgetSql,
     "curate_split_leakage" -> splitLeakageSql,
     "curate_winsorize" -> winsorizeSql,

@@ -110,6 +110,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("sample ks: statistic reproduces from an independent ecdf scan") {
+    import spark.implicits._
+    val r = Curation.sampleKs(spark, sf).collect()(0)
+    val (nf, ns, atLen, ks) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val full = graft.Tables.documents(spark, sf)
+      .select($"n_chars").as[Long].collect().sorted
+    val samp = Curation.stratifiedSample(spark, sf)
+      .select($"n_chars").as[Long].collect().sorted
+    assert(nf == full.length && ns == samp.length)
+    val lens = (full ++ samp).distinct.sorted
+    val gaps = lens.map { l =>
+      val cf = full.count(_ <= l).toLong
+      val cs = samp.count(_ <= l).toLong
+      l -> math.abs(cf * ns - cs * nf)
+    }
+    val best = gaps.maxBy { case (l, g) => (g, -l) }
+    assert(atLen == best._1, s"gap location $atLen vs ${best._1}")
+    assert(math.abs(ks - math.floor(best._2.toDouble / (nf * ns) * 1e6 + 0.5) / 1e6) < 1e-12)
+    assert(ks >= 0 && ks <= 1)
+  }
+
   test("token budget: greedy prefix never overshoots and kept counts are maximal") {
     val rows = Curation.tokenBudget(spark, sf).collect()
     assert(rows.nonEmpty)
