@@ -1106,7 +1106,37 @@ object Similarity {
        |FROM bf LEFT JOIN iv ON iv.q_id = bf.q_id AND iv.n_id = bf.n_id
        |GROUP BY bf.q_id""".stripMargin
 
+  /** LSH-ANN recall@5 against the exact scan — the [[ivfRecall]] gate
+    * for the hyperplane index, so BOTH deployed ANN variants carry a
+    * contract-grade recall eval (the pair a rollout compares before
+    * choosing an index).
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bf = bruteForceTopK(s, dir).select($"q_id", $"n_id")
+    val an = annTopK(s, dir).select($"q_id", $"n_id")
+      .withColumn("hit", lit(1L))
+    bf.join(an, Seq("q_id", "n_id"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .selectExpr("q_id", "n_true", "n_hit",
+        "floor(CAST(n_hit AS DOUBLE) / n_true * 1e6 + 0.5) / 1e6 AS recall")
+  }
+
+  val annRecallSql: String =
+    s"""WITH bf AS ($bruteForceTopKSql),
+       |an AS ($annTopKSql)
+       |SELECT bf.q_id,
+       |  CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN an.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  floor(CAST(sum(CASE WHEN an.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) * 1e6 + 0.5) / 1e6 AS recall
+       |FROM bf LEFT JOIN an ON an.q_id = bf.q_id AND an.n_id = bf.n_id
+       |GROUP BY bf.q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_recall" -> (annRecall _),
     "sim_ivf_recall" -> (ivfRecall _),
     "sim_dim_stats" -> (dimStats _),
     "sim_mmr_rerank" -> (mmrRerank _),
@@ -1140,6 +1170,7 @@ object Similarity {
       "sim_lang_centroids_agg" -> langCentroidsAggSql,
       "sim_ivf_topk" -> ivfTopKSql(ivfCentroids(s, dir)),
       "sim_ivf_recall" -> ivfRecallSql(ivfCentroids(s, dir)),
+      "sim_ann_recall" -> annRecallSql,
       "sim_embedding_neardup" -> embeddingNearDupSql(npt, planes),
       "sim_pq_topk" -> pqTopKSql(pqCodebooks(s, dir), pqLut(s, dir)))
   }
