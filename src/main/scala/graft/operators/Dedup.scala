@@ -927,7 +927,56 @@ object Dedup {
        |  END AS f1
        |FROM c""".stripMargin
 
+  /** LSH calibration s-curve: per exact-Jaccard decile, the fraction of
+    * (candidate-measured) pairs the deployed MinHash-LSH banding
+    * catches — the empirical probability curve that justifies the
+    * band/row parameter choice (theory: P[caught] = 1 − (1 − s^r)^b;
+    * a mis-sized banding shows up as a curve whose knee sits away from
+    * the dedup threshold). Both sides ride the same memoized
+    * inverted-index pair counts and the same banding CTEs as
+    * [[evalPr]] — one extra decile group over audit-sized frames.
+    */
+  def lshScurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val measured = sharedPairs(s, dir)
+      .selectExpr("doc_a", "doc_b",
+        "CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard")
+    val pred = minhashLsh(s, dir)
+      .select($"doc_a", $"doc_b", lit(1L).as("p"))
+    measured.join(pred, Seq("doc_a", "doc_b"), "left")
+      .selectExpr("least(CAST(floor(jaccard * 10) AS INT), 9) AS bucket",
+        "coalesce(p, 0L) AS caught")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum($"caught").as("n_caught"))
+      .selectExpr("bucket", "n_pairs", "n_caught",
+        "floor(CAST(n_caught AS DOUBLE) / n_pairs * 1e6 + 0.5) / 1e6 AS catch_rate")
+  }
+
+  val lshScurveSql: String =
+    s"""WITH $minhashPermsCte,
+       |$pairCteSql,
+       |$minhashCtesAfterSh,
+       |pred AS (
+       |$minhashPredSelect),
+       |measured AS (
+       |  SELECT sc.doc_a, sc.doc_b,
+       |    CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+       |  FROM shared_counts sc
+       |  JOIN sizes sa ON sa.doc_id = sc.doc_a
+       |  JOIN sizes sb ON sb.doc_id = sc.doc_b),
+       |m AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    least(CAST(floor(p.jaccard * 10) AS INTEGER), 9) AS bucket,
+       |    CASE WHEN pr.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+       |  FROM measured p LEFT JOIN pred pr
+       |    ON pr.doc_a = p.doc_a AND pr.doc_b = p.doc_b)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(caught) AS BIGINT) AS n_caught,
+       |  floor(CAST(sum(caught) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS catch_rate
+       |FROM m GROUP BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_scurve" -> (lshScurve _),
     "dedup_eval_pr" -> (evalPr _),
     "dedup_containment" -> (containmentPairs _),
     "dedup_edit_distance" -> (editDistancePairs _),
@@ -952,6 +1001,7 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_lsh_scurve" -> lshScurveSql,
       "dedup_eval_pr" -> evalPrSql,
       "dedup_containment" -> containmentSql,
       "dedup_edit_distance" -> editDistanceSql,

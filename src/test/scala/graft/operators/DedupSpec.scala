@@ -102,4 +102,21 @@ class DedupSpec extends AnyFunSuite {
     // 16 bands x 4 rows targets >= 0.9 collision probability at J = 0.5
     assert(r.getDouble(4) >= 0.9, s"recall ${r.getDouble(4)} below design bar")
   }
+
+  test("lsh s-curve: catch rate is monotone in jaccard and saturates at the top") {
+    val rows = Dedup.lshScurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((b1, _, r1), (b2, _, r2)) =>
+        assert(r2 >= r1, s"catch rate fell from bucket $b1 ($r1) to $b2 ($r2)")
+      case _ =>
+    }
+    val top = rows.last
+    assert(top._1 >= 8 && top._3 == 1.0,
+      s"top bucket ${top._1} catch rate ${top._3}: banding misses true dups")
+    assert(rows.head._3 <= 0.05,
+      s"bottom-bucket catch rate ${rows.head._3}: banding floods candidates")
+  }
 }
