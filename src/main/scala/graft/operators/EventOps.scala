@@ -398,6 +398,78 @@ object EventOps {
        |FROM pi$MarkovIters""".stripMargin
   }
 
+  /** Hitting probability of the Markov chain: P[reach `purchase` within
+    * [[MarkovIters]] steps | start type] — the absorption readout
+    * journey analysis pairs with [[markovStationary]] (how likely does
+    * each entry behavior convert, horizon-bounded). Same micro-unit
+    * matrix, same pure-BIGINT iteration: v′_i = floor(Σ_j p_ij·t_j/1e6)
+    * where t_j is 1e6 for the absorbing type and v_j otherwise
+    * (truncated Neumann recursion — the bounded-horizon form that
+    * terminates by construction, no inversion).
+    */
+  def markovHitting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val trans = pairs
+      .withColumn("total", sum($"cnt").over(Window.partitionBy($"prev_type")))
+      .selectExpr("prev_type", "event_type",
+        "CAST(floor(CAST(cnt AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) AS p_micro")
+      .localCheckpoint()
+    var v = trans.select($"prev_type".as("event_type")).distinct()
+      .selectExpr("event_type", "CAST(0 AS BIGINT) AS h_micro")
+      .localCheckpoint()
+    for (_ <- 1 to MarkovIters) {
+      v = trans.join(v.withColumnRenamed("event_type", "dst"),
+          trans("event_type") === col("dst"))
+        .selectExpr("prev_type",
+          "p_micro * (CASE WHEN dst = 'purchase' THEN 1000000 ELSE h_micro END) AS term")
+        .groupBy($"prev_type".as("event_type"))
+        .agg(expr("CAST(sum(term) div 1000000 AS BIGINT)").as("h_micro"))
+        .localCheckpoint()
+    }
+    v.selectExpr("event_type", "h_micro",
+      "CAST(h_micro AS DOUBLE) / 1e6 AS hit_prob")
+  }
+
+  val markovHittingSql: String = {
+    val iters = (1 to MarkovIters).map { k =>
+      s"""v$k AS (
+         |  SELECT t.prev_type AS event_type,
+         |    CAST(sum(t.p_micro * (CASE WHEN t.event_type = 'purchase'
+         |      THEN 1000000 ELSE v.h_micro END)) // 1000000 AS BIGINT) AS h_micro
+         |  FROM t JOIN v${k - 1} v ON v.event_type = t.event_type
+         |  GROUP BY t.prev_type)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT prev_type, event_type, count(*) AS cnt FROM (
+       |    SELECT event_type,
+       |      lag(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY epoch_us(ts), event_id) AS prev_type
+       |    FROM events)
+       |  WHERE prev_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |t AS (
+       |  SELECT prev_type, event_type,
+       |    CAST(floor(CAST(cnt AS DOUBLE)
+       |      / sum(cnt) OVER (PARTITION BY prev_type) * 1e6 + 0.5) AS BIGINT) AS p_micro
+       |  FROM pairs),
+       |v0 AS (
+       |  SELECT DISTINCT prev_type AS event_type, CAST(0 AS BIGINT) AS h_micro
+       |  FROM t),
+       |$iters
+       |SELECT event_type, h_micro,
+       |  CAST(h_micro AS DOUBLE) / 1e6 AS hit_prob
+       |FROM v$MarkovIters""".stripMargin
+  }
+
   /** Time-constrained conversion — the sequential-pattern query the
     * unbounded [[funnel]] can't express: for EVERY click (not just the
     * first), did the same user's next purchase land within one hour?
@@ -852,7 +924,8 @@ object EventOps {
     "ev_dau_wau" -> (dauWau _),
     "ev_timed_conversion" -> (timedConversion _),
     "ev_type_transitions" -> (typeTransitions _),
-    "ev_markov_stationary" -> (markovStationary _))
+    "ev_markov_stationary" -> (markovStationary _),
+    "ev_markov_hitting" -> (markovHitting _))
 
   def oracles: Map[String, String] = Map(
     "ev_lag_features" -> lagFeaturesSql,
@@ -874,5 +947,6 @@ object EventOps {
     "ev_dau_wau" -> dauWauSql,
     "ev_timed_conversion" -> timedConversionSql,
     "ev_type_transitions" -> typeTransitionsSql,
-    "ev_markov_stationary" -> markovStationarySql)
+    "ev_markov_stationary" -> markovStationarySql,
+    "ev_markov_hitting" -> markovHittingSql)
 }

@@ -149,6 +149,27 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("markov hitting: exact integer recursion reproduces the operator") {
+    val cnt = EventOps.typeTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = cnt.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val types = totals.keys.toSeq.sorted
+    def pMicro(a: String, b: String): Long =
+      math.floor(cnt.getOrElse((a, b), 0L).toDouble / totals(a) * 1e6 + 0.5).toLong
+    var v = types.map(_ -> 0L).toMap
+    for (_ <- 1 to EventOps.MarkovIters) {
+      v = types.map { i =>
+        i -> types.map { j =>
+          pMicro(i, j) * (if (j == "purchase") 1000000L else v(j))
+        }.sum / 1000000L
+      }.toMap
+    }
+    val got = EventOps.markovHitting(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == v, s"operator $got vs reference $v")
+    got.values.foreach(h => assert(h > 0L && h < 1000000L))
+  }
+
   test("holt: coefficient-vector output equals the direct recursion on raw counts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
