@@ -398,6 +398,48 @@ object EventOps {
        |FROM pi$MarkovIters""".stripMargin
   }
 
+  /** Bot-traffic flagging — the abuse filter a pipeline runs before
+    * user events feed any training statistic: per user, the peak
+    * events-per-minute burst and the overall rate, flagged when either
+    * crosses its threshold. Pure integer thresholds (no rate division
+    * until the final report, and that one is micro-floored), so the
+    * flag decision is engine-exact.
+    *
+    * Scale: one (user, minute) count — map-side combinable — then one
+    * per-user aggregate; both shuffles key on user_id. No windows, no
+    * state: this is deliberately the cheapest possible shape because it
+    * runs over EVERYTHING before any sampling.
+    */
+  val BotBurstPerMin = 5L
+
+  def botFlags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perMin = Tables.events(s, dir)
+      .select($"user_id", expr("ts_ns div 60000000000").as("minute"))
+      .groupBy($"user_id", $"minute")
+      .agg(count(lit(1)).as("n"))
+    perMin.groupBy($"user_id")
+      .agg(sum($"n").as("n_events"),
+        count(lit(1)).as("active_minutes"),
+        max($"n").as("max_per_min"))
+      .selectExpr("user_id", "n_events", "active_minutes", "max_per_min",
+        "floor(CAST(n_events AS DOUBLE) / active_minutes * 1e6 + 0.5) / 1e6 AS mean_per_active_min",
+        s"max_per_min >= $BotBurstPerMin AS is_bot")
+  }
+
+  val botFlagsSql: String =
+    s"""WITH pm AS (
+       |  SELECT user_id, epoch_ns(ts) // 60000000000 AS minute,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT user_id,
+       |  CAST(sum(n) AS BIGINT) AS n_events,
+       |  CAST(count(*) AS BIGINT) AS active_minutes,
+       |  CAST(max(n) AS BIGINT) AS max_per_min,
+       |  floor(CAST(sum(n) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_per_active_min,
+       |  max(n) >= $BotBurstPerMin AS is_bot
+       |FROM pm GROUP BY user_id""".stripMargin
+
   /** Hitting probability of the Markov chain: P[reach `purchase` within
     * [[MarkovIters]] steps | start type] — the absorption readout
     * journey analysis pairs with [[markovStationary]] (how likely does
@@ -925,7 +967,8 @@ object EventOps {
     "ev_timed_conversion" -> (timedConversion _),
     "ev_type_transitions" -> (typeTransitions _),
     "ev_markov_stationary" -> (markovStationary _),
-    "ev_markov_hitting" -> (markovHitting _))
+    "ev_markov_hitting" -> (markovHitting _),
+    "ev_bot_flags" -> (botFlags _))
 
   def oracles: Map[String, String] = Map(
     "ev_lag_features" -> lagFeaturesSql,
@@ -948,5 +991,6 @@ object EventOps {
     "ev_timed_conversion" -> timedConversionSql,
     "ev_type_transitions" -> typeTransitionsSql,
     "ev_markov_stationary" -> markovStationarySql,
-    "ev_markov_hitting" -> markovHittingSql)
+    "ev_markov_hitting" -> markovHittingSql,
+    "ev_bot_flags" -> botFlagsSql)
 }
