@@ -933,7 +933,46 @@ object Curation {
        |ORDER BY abs(ecf * ns - ecs * nf) DESC, len
        |LIMIT 1""".stripMargin
 
+  /** Minority-language upsampling plan: per language, the integer
+    * repeat factor that brings it toward uniform share, capped at 4×
+    * (the standard low-resource-language rebalancing move; the cap
+    * bounds duplication-induced overfitting). factor =
+    * min(4, ceil(total / (|langs|·n_lang))) computed entirely in
+    * integer arithmetic — ceil(a/b) = (a + b − 1) div b — so the plan
+    * is engine-exact with no rounding convention needed. Reports the
+    * before/after composition.
+    *
+    * Scale: one lang count (map-side combinable), a |langs|-row frame
+    * joined to two 1-row totals — metadata-sized after the first
+    * aggregate.
+    */
+  def upsamplePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum($"n").as("total"),
+      count(lit(1)).as("n_langs"))
+    counts.crossJoin(broadcast(totals))
+      .selectExpr("lang", "n",
+        "least(CAST(4 AS BIGINT), (total + n_langs * n - 1) div (n_langs * n)) AS factor",
+        "total", "n_langs")
+      .selectExpr("lang", "n", "factor", "n * factor AS n_after",
+        "floor(CAST(n AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS share_before")
+  }
+
+  val upsamplePlanSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |t AS (SELECT sum(n) AS total, count(*) AS n_langs FROM c)
+       |SELECT lang, CAST(n AS BIGINT) AS n,
+       |  least(CAST(4 AS BIGINT),
+       |    CAST((total + n_langs * n - 1) // (n_langs * n) AS BIGINT)) AS factor,
+       |  CAST(n * least(CAST(4 AS BIGINT),
+       |    CAST((total + n_langs * n - 1) // (n_langs * n) AS BIGINT)) AS BIGINT) AS n_after,
+       |  floor(CAST(n AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS share_before
+       |FROM c CROSS JOIN t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_upsample_plan" -> (upsamplePlan _),
     "curate_sample_ks" -> (sampleKs _),
     "curate_token_budget" -> (tokenBudget _),
     "curate_split_leakage" -> (splitLeakage _),
@@ -953,6 +992,7 @@ object Curation {
     "curate_unigram_surprisal" -> (unigramSurprisal _))
 
   def oracles: Map[String, String] = Map(
+    "curate_upsample_plan" -> upsamplePlanSql,
     "curate_sample_ks" -> sampleKsSql,
     "curate_token_budget" -> tokenBudgetSql,
     "curate_split_leakage" -> splitLeakageSql,

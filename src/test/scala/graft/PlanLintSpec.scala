@@ -56,7 +56,7 @@ class PlanLintSpec extends AnyFunSuite {
     "ev_gap_fill", "ev_trend_regression", "ev_anomaly_zscore",
     "ev_changepoint", "ev_holt_forecast",
     "dq_value_drift", "q_weighted_median", "ev_ab_cuped",
-    "curate_sample_ks",
+    "curate_sample_ks", "curate_upsample_plan",
     "ev_seasonality_dow", "q11_important_stock", "q_copurchase_pairs",
     "ev_ewma", "sketch_hll_sliding", "q_relational_division",
     // two 1-row scalar totals (all-period bitmap popcount + exact total)
