@@ -28,7 +28,7 @@ object SparkEntry {
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       Skew.queries ++ DataQuality.queries ++ Sketches.queries ++
       Graph.queries ++ Layout.queries ++ Pca.queries ++
-      graft.plans.TopKPerKey.queries ++
+      graft.plans.TopKPerKey.queries ++ graft.plans.AsOfMergeJoin.queries ++
       graft.sources.FileSources.queries ++
       graft.streaming.StreamQueries.queries
 
@@ -50,7 +50,7 @@ object SparkEntry {
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       Skew.oracles ++ DataQuality.oracles ++ Sketches.oracles ++
       Graph.oracles ++ Layout.oracles ++ Pca.oracles ++
-      graft.plans.TopKPerKey.oracles ++
+      graft.plans.TopKPerKey.oracles ++ graft.plans.AsOfMergeJoin.oracles ++
       graft.sources.FileSources.oracles ++
       graft.streaming.StreamQueries.oracles(dir)
 
