@@ -160,11 +160,57 @@ object Bpe {
        |  FROM s$K)""".stripMargin
   }
 
+  /** Tokenizer fertility by language — symbols emitted per word under
+    * the learned merges, the per-language cost metric a multilingual
+    * tokenizer eval reports (a language the merges never learned pays
+    * more symbols per word). The final vocab state maps back to its
+    * source word by concatenating symbols (merging only ever
+    * concatenates adjacent symbols, so the round-trip is exact); the
+    * per-(lang, word) occurrence counts then join on that word —
+    * vocabulary-bounded shuffle, corpus touched once.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, finalVocab) = train(s, dir)
+    val vocab = finalVocab.selectExpr(
+      "array_join(syms, '') AS word", "size(syms) AS n_syms")
+    val langWords = Tables.documents(s, dir)
+      .selectExpr("lang", s"explode(${TextOps.tokensExpr}) AS word")
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
+    langWords.join(vocab, "word")
+      .groupBy($"lang")
+      .agg(sum($"cnt").as("n_tokens"),
+        sum($"cnt" * $"n_syms").as("n_symbols"))
+      .selectExpr("lang", "n_tokens", "n_symbols",
+        "floor(CAST(n_symbols AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS fertility")
+  }
+
+  val bpeFertilitySql: String = {
+    val base = bpeMergesSql.substring(0, bpeMergesSql.lastIndexOf("\nSELECT 1 AS merge_rank"))
+    s"""$base,
+       |vocab AS (
+       |  SELECT array_to_string(syms, '') AS word, len(syms) AS n_syms
+       |  FROM s$K),
+       |lw AS (
+       |  SELECT lang, word, count(*) AS cnt FROM (
+       |    SELECT lang, unnest(${TextOps.duckTokensExpr}) AS word
+       |    FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT lang,
+       |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(cnt * n_syms) AS BIGINT) AS n_symbols,
+       |  floor(CAST(sum(cnt * n_syms) AS DOUBLE) / sum(cnt) * 1e6 + 0.5) / 1e6 AS fertility
+       |FROM lw JOIN vocab USING (word)
+       |GROUP BY lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tok_bpe_merges" -> (bpeMerges _),
-    "tok_bpe_compression" -> (bpeCompression _))
+    "tok_bpe_compression" -> (bpeCompression _),
+    "tok_bpe_fertility" -> (bpeFertility _))
 
   def oracles: Map[String, String] = Map(
     "tok_bpe_merges" -> bpeMergesSql,
-    "tok_bpe_compression" -> bpeCompressionSql)
+    "tok_bpe_compression" -> bpeCompressionSql,
+    "tok_bpe_fertility" -> bpeFertilitySql)
 }

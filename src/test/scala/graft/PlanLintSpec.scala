@@ -23,7 +23,8 @@ class PlanLintSpec extends AnyFunSuite {
     "graph_hits", "graph_bfs", "graph_sssp",
     "sim_mmr_rerank",
     "sim_kmeans",
-    "tok_bpe_merges", "tok_bpe_compression", "ev_markov_stationary", "ev_markov_hitting",
+    "tok_bpe_merges", "tok_bpe_compression", "tok_bpe_fertility",
+    "ev_markov_stationary", "ev_markov_hitting",
     "q_bucketed_join", "q_merge_upsert",
     "src_csv_roundtrip", "src_json_roundtrip", "src_json_extract",
     "src_orc_roundtrip", "src_partitioned_layout",

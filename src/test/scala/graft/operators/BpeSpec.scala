@@ -46,6 +46,21 @@ class BpeSpec extends AnyFunSuite {
     assert(tpc > 0 && tpc < 1, s"tokens_per_char $tpc out of range")
   }
 
+  test("bpe: fertility is bounded by chars-per-word and covers every token") {
+    val rows = Bpe.bpeFertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getLong(1)).sum
+    // every corpus token maps back through the vocab round-trip
+    val comp = Bpe.bpeCompression(spark, sf).collect()(0)
+    assert(totalTokens == comp.getLong(1),
+      "token occurrences lost in the word round-trip join")
+    rows.foreach { r =>
+      val f = r.getDouble(3)
+      assert(f >= 1.0, s"${r.getString(0)}: fertility $f below 1 symbol/word")
+      assert(f < 60, s"${r.getString(0)}: fertility $f above any char bound")
+    }
+  }
+
   test("bpe: greedy fold matches the index-scan reference on tricky words") {
     // pair (a,a) over "aaaa" must merge greedily: aa,aa — not aa,a,a
     import spark.implicits._
