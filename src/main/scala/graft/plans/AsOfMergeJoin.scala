@@ -183,9 +183,45 @@ object AsOfMergeJoin {
       |ASOF LEFT JOIN clicks c
       |  ON p.user_id = c.user_id AND p.t >= c.t""".stripMargin
 
+  /** FORWARD direction through the same exec by time negation (the
+    * [[graft.operators.AsOfJoin.asOfForward]] identity: smallest
+    * rt ≥ lt is greatest −rt ≤ −lt) — next-error followup per
+    * purchase, matching the composed `asof_next_error` semantics and
+    * the negated-epoch DuckDB ASOF oracle. One code path, both
+    * directions.
+    */
+  def nativeNextError(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(s, dir)
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("key"), expr("-(ts_ns div 1000)").as("t"),
+        $"event_id")
+    val errors = ev.where($"event_type" === "error")
+      .groupBy($"user_id".as("key"), expr("-(ts_ns div 1000)").as("t"))
+      .agg(max($"event_id").as("error_event_id"))
+      .select($"key", $"t", $"error_event_id")
+    asOfNative(purchases, errors)
+      .toDF("key", "t", "event_id", "r_key", "r_t", "error_event_id")
+      .selectExpr("event_id", "key AS user_id", "error_event_id",
+        "(-r_t) - (-t) AS gap_us")
+  }
+
+  val nativeNextErrorSql: String =
+    """SELECT p.event_id, p.user_id, e.error_event_id,
+      |  (-e.nt) - (-p.nt) AS gap_us
+      |FROM (SELECT user_id, event_id, -epoch_us(ts) AS nt
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, -epoch_us(ts) AS nt,
+      |        max(event_id) AS error_event_id
+      |      FROM events WHERE event_type = 'error' GROUP BY 1, 2) e
+      |  ON p.user_id = e.user_id AND p.nt >= e.nt""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("asof_native_attribution" -> (nativeAttribution _))
+    Map("asof_native_attribution" -> (nativeAttribution _),
+      "asof_native_next" -> (nativeNextError _))
 
   def oracles: Map[String, String] =
-    Map("asof_native_attribution" -> nativeAttributionSql)
+    Map("asof_native_attribution" -> nativeAttributionSql,
+      "asof_native_next" -> nativeNextErrorSql)
 }
