@@ -802,7 +802,53 @@ object StreamQueries {
     (s.table(name), perTrigger)
   }
 
+  /** Streaming bot-traffic flags — the abuse filter maintained AT
+    * INGEST instead of by a batch sweep: per-user per-minute burst
+    * counts live in `flatMapGroupsWithState` keyed by user, and every
+    * trigger re-emits the users it touched with their cumulative
+    * burst profile (update mode → the delta log keeps latest-per-user).
+    * With AvailableNow over the staged input the reconstruction
+    * converges to exactly the batch [[graft.operators.EventOps
+    * .botFlags]] answer — the DuckDB oracle.
+    *
+    * State is the per-user minute→count map: bounded by a user's
+    * ACTIVE minutes, which is the right production shape too (a
+    * timeout would expire minutes past the flagging horizon; at the
+    * driver fixture every minute is in-horizon, so no timeout is set
+    * and convergence is exact).
+    */
+  def streamBotFlags(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val ev = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("user_id", "ts div 60000000000 AS minute")
+        .as[(Long, Long)]
+      val flags = ev.groupByKey(_._1)
+        .flatMapGroupsWithState[Map[Long, Long], (Long, Long, Long, Long)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (user: Long, it: Iterator[(Long, Long)],
+              state: GroupState[Map[Long, Long]]) =>
+            val updated = it.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+              case (m, (_, minute)) => m.updated(minute, m.getOrElse(minute, 0L) + 1L)
+            }
+            state.update(updated)
+            Iterator((user, updated.values.sum, updated.size.toLong,
+              updated.values.max))
+        }
+        .toDF("user_id", "n_events", "active_minutes", "max_per_min")
+        .selectExpr("user_id", "n_events", "active_minutes", "max_per_min",
+          "floor(CAST(n_events AS DOUBLE) / active_minutes * 1e6 + 0.5) / 1e6 AS mean_per_active_min",
+          s"max_per_min >= ${graft.operators.EventOps.BotBurstPerMin} AS is_bot")
+      runDeltaLog(flags, "update", Seq("user_id"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_bot_flags" -> (streamBotFlags _),
     "stream_embedding_sigs" -> (streamEmbeddingSigs _),
     "stream_kmeans_assign" -> (streamKmeansAssign _),
     "stream_wordcount" -> (streamWordCount _),
@@ -830,6 +876,7 @@ object StreamQueries {
 
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
+    "stream_bot_flags" -> graft.operators.EventOps.botFlagsSql,
     "stream_wordcount" -> graft.operators.TextOps.wordCountSql,
     "stream_kmeans_assign" -> graft.operators.KMeans.streamAssignSql,
     "stream_interval_count" -> graft.operators.EventOps.intervalCountSql,
