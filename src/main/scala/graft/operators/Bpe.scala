@@ -54,10 +54,24 @@ object Bpe {
         "freq")
   }
 
-  /** Both readouts share one training run: the merge table (one row per
-    * iteration) and the final vocab state after all K merges.
+  /** All three readouts share one training run: the merge table (one
+    * row per iteration) and the final vocab state after all K merges.
+    * Memoized per (session, corpus fingerprint) — the localCheckpoint'ed
+    * frames are the materialize-once production artifact, same contract
+    * as the dedup label memo (stale-proof via the data fingerprint,
+    * session-scoped via sessionUUID so a stopped context's pinned
+    * blocks are never handed to a new session).
     */
-  private def train(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+  private val trainCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Seq[DataFrame], DataFrame)]
+
+  private def train(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) =
+    trainCache.getOrElseUpdate(
+      (org.apache.spark.sql.graft.ColumnBridge.sessionUUID(s),
+        Similarity.dataKey(dir, "documents")),
+      trainUncached(s, dir))
+
+  private def trainUncached(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     import s.implicits._
     var words = vocab(s, dir).localCheckpoint()
     val merges = (1 to K).map { k =>
