@@ -217,11 +217,51 @@ object AsOfMergeJoin {
       |      FROM events WHERE event_type = 'error' GROUP BY 1, 2) e
       |  ON p.user_id = e.user_id AND p.nt >= e.nt""".stripMargin
 
+  /** NEAREST direction composed from the two native runs — backward
+    * pass plus negated-time forward pass, joined per click and resolved
+    * by |gap| with ties to the backward match (the composed
+    * `asof_nearest_purchase` rule, same DuckDB oracle). Two merge
+    * walks on the same (key-clustered, t-sorted) layout: the second
+    * pass's exchanges reuse the first's shuffle shape.
+    */
+  def nativeNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(s, dir)
+    def clicks(neg: Boolean) = ev.where($"event_type" === "click")
+      .select($"user_id".as("key"),
+        expr(if (neg) "-(ts_ns div 1000)" else "ts_ns div 1000").as("t"),
+        $"event_id")
+    def purchases(neg: Boolean) = ev.where($"event_type" === "purchase")
+      .groupBy($"user_id".as("key"),
+        expr(if (neg) "-(ts_ns div 1000)" else "ts_ns div 1000").as("t"))
+      .agg(max($"event_id").as("pid"))
+      .select($"key", $"t", $"pid")
+    val back = asOfNative(clicks(neg = false), purchases(neg = false))
+      .toDF("key", "t", "event_id", "rk", "r_t", "pid")
+      .selectExpr("event_id AS click_id", "pid AS b_pid",
+        "r_t - t AS b_gap")
+    val fwd = asOfNative(clicks(neg = true), purchases(neg = true))
+      .toDF("key", "t", "event_id", "rk", "r_t", "pid")
+      .selectExpr("event_id AS click_id", "pid AS f_pid",
+        "t - r_t AS f_gap")
+    back.join(fwd, "click_id")
+      .selectExpr("click_id",
+        """CASE WHEN b_pid IS NULL THEN f_pid
+          |     WHEN f_pid IS NULL THEN b_pid
+          |     WHEN -b_gap <= f_gap THEN b_pid ELSE f_pid END AS purchase_id""".stripMargin,
+        """CASE WHEN b_pid IS NULL THEN f_gap
+          |     WHEN f_pid IS NULL THEN b_gap
+          |     WHEN -b_gap <= f_gap THEN b_gap ELSE f_gap END AS gap_us""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("asof_native_attribution" -> (nativeAttribution _),
-      "asof_native_next" -> (nativeNextError _))
+      "asof_native_next" -> (nativeNextError _),
+      "asof_native_nearest" -> (nativeNearest _))
 
   def oracles: Map[String, String] =
     Map("asof_native_attribution" -> nativeAttributionSql,
-      "asof_native_next" -> nativeNextErrorSql)
+      "asof_native_next" -> nativeNextErrorSql,
+      "asof_native_nearest" -> graft.operators.AsOfJoin.nearestPurchaseSql)
 }
