@@ -398,6 +398,80 @@ object EventOps {
        |FROM pi$MarkovIters""".stripMargin
   }
 
+  /** Entropy rate of the event-type chain: H = Σ_i π_i · H(row i) with
+    * H(row) = −Σ_j p_ij·ln(p_ij) — "how predictable is the next user
+    * action", the journey-model readout that pairs with the stationary
+    * distribution it reuses. Per-cell terms are computed in doubles
+    * from the SAME micro-probabilities both engines derived (ln over
+    * identical doubles — the adamic-adar/zipf-fit precedent), then
+    * 6-dp-rounded into DECIMAL(18,9) so the cross-cell sum is
+    * aggregation-order-proof. Output: one row (n_states, entropy_rate,
+    * max_entropy = ln(n_states), normalized ratio).
+    */
+  def markovEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val trans = pairs
+      .withColumn("total", sum($"cnt").over(Window.partitionBy($"prev_type")))
+      .selectExpr("prev_type", "event_type",
+        "CAST(floor(CAST(cnt AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT) AS p_micro")
+    val pi = markovStationary(s, dir).select($"event_type".as("prev_type"),
+      $"pi_micro")
+    trans.join(pi, "prev_type")
+      .where($"p_micro" > 0)
+      .selectExpr(
+        """CAST(floor(
+          |  (CAST(pi_micro AS DOUBLE) / 1e6)
+          |    * -((CAST(p_micro AS DOUBLE) / 1e6) * ln(CAST(p_micro AS DOUBLE) / 1e6))
+          |  * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9)) AS term""".stripMargin,
+        "prev_type")
+      .agg(
+        countDistinct($"prev_type").as("n_states"),
+        sum($"term").cast("double").as("entropy_rate"))
+      .selectExpr("n_states", "entropy_rate",
+        "ln(CAST(n_states AS DOUBLE)) AS max_entropy",
+        "floor(entropy_rate / ln(CAST(n_states AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS normalized")
+  }
+
+  val markovEntropySql: String =
+    s"""WITH pairs AS (
+       |  SELECT prev_type, event_type, count(*) AS cnt FROM (
+       |    SELECT event_type,
+       |      lag(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY epoch_us(ts), event_id) AS prev_type
+       |    FROM events)
+       |  WHERE prev_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |t AS (
+       |  SELECT prev_type, event_type,
+       |    CAST(floor(CAST(cnt AS DOUBLE)
+       |      / sum(cnt) OVER (PARTITION BY prev_type) * 1e6 + 0.5) AS BIGINT) AS p_micro
+       |  FROM pairs),
+       |pi AS (
+       |  SELECT event_type AS prev_type, pi_micro
+       |  FROM ($markovStationarySql)),
+       |terms AS (
+       |  SELECT t.prev_type,
+       |    CAST(floor(
+       |      (CAST(pi_micro AS DOUBLE) / 1e6)
+       |        * -((CAST(p_micro AS DOUBLE) / 1e6) * ln(CAST(p_micro AS DOUBLE) / 1e6))
+       |      * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9)) AS term
+       |  FROM t JOIN pi ON pi.prev_type = t.prev_type
+       |  WHERE p_micro > 0)
+       |SELECT CAST(count(DISTINCT prev_type) AS BIGINT) AS n_states,
+       |  CAST(sum(term) AS DOUBLE) AS entropy_rate,
+       |  ln(CAST(count(DISTINCT prev_type) AS DOUBLE)) AS max_entropy,
+       |  floor(CAST(sum(term) AS DOUBLE) / ln(CAST(count(DISTINCT prev_type) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS normalized
+       |FROM terms""".stripMargin
+
   /** Bot-traffic flagging — the abuse filter a pipeline runs before
     * user events feed any training statistic: per user, the peak
     * events-per-minute burst and the overall rate, flagged when either
@@ -968,7 +1042,8 @@ object EventOps {
     "ev_type_transitions" -> (typeTransitions _),
     "ev_markov_stationary" -> (markovStationary _),
     "ev_markov_hitting" -> (markovHitting _),
-    "ev_bot_flags" -> (botFlags _))
+    "ev_bot_flags" -> (botFlags _),
+    "ev_markov_entropy" -> (markovEntropy _))
 
   def oracles: Map[String, String] = Map(
     "ev_lag_features" -> lagFeaturesSql,
@@ -992,5 +1067,6 @@ object EventOps {
     "ev_type_transitions" -> typeTransitionsSql,
     "ev_markov_stationary" -> markovStationarySql,
     "ev_markov_hitting" -> markovHittingSql,
-    "ev_bot_flags" -> botFlagsSql)
+    "ev_bot_flags" -> botFlagsSql,
+    "ev_markov_entropy" -> markovEntropySql)
 }

@@ -24,7 +24,7 @@ class PlanLintSpec extends AnyFunSuite {
     "sim_mmr_rerank",
     "sim_kmeans",
     "tok_bpe_merges", "tok_bpe_compression", "tok_bpe_fertility",
-    "ev_markov_stationary", "ev_markov_hitting",
+    "ev_markov_stationary", "ev_markov_hitting", "ev_markov_entropy",
     "q_bucketed_join", "q_merge_upsert",
     "src_csv_roundtrip", "src_json_roundtrip", "src_json_extract",
     "src_orc_roundtrip", "src_partitioned_layout",
