@@ -388,6 +388,73 @@ object Relational3 {
     * is stated in the identical operation order on both engines; all
     * inputs are exact counts.
     */
+  /** Item-item collaborative filtering: top-5 most-similar parts per
+    * part by basket cosine (support / √(deg_a·deg_b)) over the
+    * co-purchase pairs — the classic ItemCF recommender readout built
+    * on [[qCopurchasePairs]]'s basket self-join (work bounded by
+    * basket size, never catalog²). Similarity goes straight into
+    * integer micro-units (√ is correctly-rounded IEEE on both
+    * engines), and the per-part top-5 is a (micro DESC, neighbor)
+    * row_number — Spark rewrites it to WindowGroupLimit, so ranking
+    * state is k-bounded per part.
+    */
+  def qItemcfTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val pairs = items.select($"l_orderkey", $"l_partkey".as("p1"))
+      .join(items.select($"l_orderkey", $"l_partkey".as("p2")), "l_orderkey")
+      .where($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("support"))
+      .where($"support" >= 2)
+    val deg = items.groupBy($"l_partkey").agg(count(lit(1)).as("deg"))
+    val scored = pairs
+      .join(deg.select($"l_partkey".as("p1"), $"deg".as("d1")), "p1")
+      .join(deg.select($"l_partkey".as("p2"), $"deg".as("d2")), "p2")
+      .selectExpr("p1", "p2", "support",
+        "CAST(floor(support / sqrt(CAST(d1 AS DOUBLE) * d2) * 1e6 + 0.5) AS BIGINT) AS cos_micro")
+    val sym = scored.selectExpr("p1 AS part", "p2 AS neighbor", "support", "cos_micro")
+      .unionByName(scored.selectExpr("p2 AS part", "p1 AS neighbor", "support", "cos_micro"))
+    val w = Window.partitionBy($"part").orderBy($"cos_micro".desc, $"neighbor")
+    sym.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 5)
+      .selectExpr("part", "neighbor", "support",
+        "CAST(cos_micro AS DOUBLE) / 1e6 AS cosine", "rn")
+  }
+
+  val qItemcfTopkSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+      |    CAST(count(*) AS BIGINT) AS support
+      |  FROM items a
+      |  JOIN items b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS deg
+      |  FROM items GROUP BY 1),
+      |scored AS (
+      |  SELECT p1, p2, support,
+      |    CAST(floor(support / sqrt(CAST(d1.deg AS DOUBLE) * d2.deg) * 1e6 + 0.5) AS BIGINT) AS cos_micro
+      |  FROM pairs
+      |  JOIN deg d1 ON d1.l_partkey = p1
+      |  JOIN deg d2 ON d2.l_partkey = p2),
+      |sym AS (
+      |  SELECT p1 AS part, p2 AS neighbor, support, cos_micro FROM scored
+      |  UNION ALL
+      |  SELECT p2, p1, support, cos_micro FROM scored)
+      |SELECT part, neighbor, support,
+      |  CAST(cos_micro AS DOUBLE) / 1e6 AS cosine, rn
+      |FROM (
+      |  SELECT part, neighbor, support, cos_micro,
+      |    row_number() OVER (PARTITION BY part
+      |      ORDER BY cos_micro DESC, neighbor) AS rn
+      |  FROM sym)
+      |WHERE rn <= 5""".stripMargin
+
   def qCopurchasePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val items = Tables.lineitem(s, dir)
@@ -434,6 +501,7 @@ object Relational3 {
       |CROSS JOIN nb""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_itemcf_topk" -> (qItemcfTopk _),
     "q_copurchase_pairs" -> (qCopurchasePairs _),
     "q_latest_per_key" -> (qLatestPerKey _),
     "q_scd2_customer" -> (qScd2Customer _),
@@ -449,6 +517,7 @@ object Relational3 {
     "q22_rich_no_orders" -> (q22RichNoOrders _))
 
   def oracles: Map[String, String] = Map(
+    "q_itemcf_topk" -> qItemcfTopkSql,
     "q_copurchase_pairs" -> qCopurchaseSql,
     "q_latest_per_key" -> qLatestPerKeySql,
     "q_scd2_customer" -> qScd2Sql,
