@@ -1445,7 +1445,85 @@ object Multimodal {
        |FROM fe f LEFT JOIN longest l ON l.doc_id = f.doc_id
        |GROUP BY f.doc_id""".stripMargin
 
+  // ------------------------------------------------- image entropy
+
+  /** Per-image luma-histogram entropy — the flat/blank-image gate an
+    * image-curation pass runs (a near-uniform image carries no
+    * training signal): each decodable BMP's pixels walk through the
+    * REAL stride/bottom-up layout into a 16-bin luma histogram, and
+    * the Shannon entropy comes out in integer micro-units (per-bin
+    * terms floor-rounded, summed in ascending bin order — both engines
+    * run the identical term arithmetic, so the sum is exact integer).
+    */
+  val FlatEntropyMicro = 500000L
+
+  def imageEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter(_.media_type == "image")
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap { a =>
+        decodeBmp(a.payload).map { case (w, h, _, _) =>
+          val stride = bmpStride(w)
+          val pixelOffset = java.nio.ByteBuffer.wrap(a.payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+          val bins = new Array[Long](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            val rowOff = pixelOffset + (h - 1 - y) * stride
+            while (x < w) {
+              val o = rowOff + 3 * x
+              val luma = (a.payload(o) & 0xff) + (a.payload(o + 1) & 0xff) +
+                (a.payload(o + 2) & 0xff)
+              bins(luma / 48) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var micro = 0L
+          var b = 0
+          while (b < 16) {
+            if (bins(b) > 0) {
+              val p = bins(b).toDouble / n
+              micro += math.floor(-p * math.log(p) * 1e6 + 0.5).toLong
+            }
+            b += 1
+          }
+          (a.asset_id, n, micro / 1e6, micro < FlatEntropyMicro)
+        }
+      }))
+      .toDF("asset_id", "n_px", "entropy", "is_flat")
+  }
+
+  val imageEntropySql: String =
+    s"""WITH geom AS (
+       |  $duckGeom),
+       |px AS (
+       |  SELECT doc_id, w, h,
+       |    unnest(range(0, w * h)) AS p, seed
+       |  FROM geom WHERE NOT corrupt),
+       |lum AS (
+       |  SELECT doc_id, w, h,
+       |    ((seed + 31 * ((p // w) * 3 * w + 3 * (p % w))) % 256
+       |     + (seed + 31 * ((p // w) * 3 * w + 3 * (p % w) + 1)) % 256
+       |     + (seed + 31 * ((p // w) * 3 * w + 3 * (p % w) + 2)) % 256) // 48 AS bin
+       |  FROM px),
+       |binc AS (
+       |  SELECT doc_id, max(w * h) AS n, bin, count(*) AS c
+       |  FROM lum GROUP BY doc_id, bin),
+       |terms AS (
+       |  SELECT doc_id, max(n) AS n,
+       |    CAST(sum(CAST(floor(
+       |      -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) * 1e6 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS micro
+       |  FROM binc GROUP BY doc_id)
+       |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_px,
+       |  micro / 1e6 AS entropy,
+       |  micro < $FlatEntropyMicro AS is_flat
+       |FROM terms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_entropy" -> (imageEntropy _),
     "mm_audio_vad" -> (audioVad _),
     "mm_scene_cuts" -> (sceneCuts _),
     "mm_phash_pairs" -> (phashPairs _),
@@ -1459,6 +1537,7 @@ object Multimodal {
     "mm_caption_pairs" -> (captionPairs _))
 
   def oracles: Map[String, String] = Map(
+    "mm_image_entropy" -> imageEntropySql,
     "mm_audio_vad" -> audioVadSql,
     "mm_scene_cuts" -> sceneCutsSql,
     "mm_phash_pairs" -> phashPairsSql,
