@@ -1155,7 +1155,108 @@ object TimeSeries {
        |FROM joined GROUP BY event_type""".stripMargin
   }
 
+  /** Rolling-origin backtest of the Holt forecast — the eval that
+    * justifies shipping any forecaster: for each of the last
+    * [[BacktestOrigins]] days, forecast that day from the 8-day window
+    * ENDING the day before (same coefficient vectors as
+    * [[holtForecast]], anchors shifted), compare to the actual count,
+    * and report MAE next to the naive-persistence baseline
+    * (yesterday's count) with the skill ratio. Forecast errors go
+    * decimal → |diff| → scale-9 round → micro-floor, so the per-origin
+    * errors are engine-exact integers and the MAE is one final
+    * division.
+    *
+    * Scale: the scaffold is |types|·origins·W rows (metadata-sized);
+    * the corpus is touched once by the daily count.
+    */
+  val BacktestOrigins = 5
+
+  def holtBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (wl, wb) = holtCoeffs
+    val wf = wl.zip(wb).map { case (a, b) => BigDecimal(a) + BigDecimal(b) }
+      .map(_.underlying.toPlainString)
+    val fArr = array(wf.map(w => lit(w).cast("decimal(28,16)")): _*)
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val counts = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).cast("decimal(8,0)").as("cnt"))
+    val mx = ev.agg(max($"day").as("dmax"))
+    val scaffold = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(mx))
+      .select($"event_type",
+        explode(sequence(lit(0), lit(BacktestOrigins - 1))).as("o"), $"dmax")
+      .select($"event_type", $"o", expr("date_sub(dmax, o)").as("origin"))
+      .select($"event_type", $"origin",
+        explode(sequence(lit(0), lit(HoltWindow - 1))).as("k"))
+      .select($"event_type", $"origin", $"k",
+        expr(s"date_sub(origin, $HoltWindow - k)").as("day"))
+    val win = scaffold.join(counts, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce($"cnt", lit(0).cast("decimal(8,0)")))
+      .groupBy($"event_type", $"origin")
+      .agg(
+        sum($"cnt" * element_at(fArr, $"k" + 1)).as("forecast"),
+        max(when($"k" === HoltWindow - 1, $"cnt")).as("naive"))
+    val actual = counts.select($"event_type", $"day".as("origin"),
+      $"cnt".as("actual"))
+    win.join(actual, Seq("event_type", "origin"), "left")
+      .withColumn("actual", coalesce($"actual", lit(0).cast("decimal(8,0)")))
+      .selectExpr("event_type",
+        "CAST(floor(CAST(round(abs(forecast - actual), 9) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS err_micro",
+        "CAST(floor(CAST(abs(naive - actual) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS naive_micro")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_origins"),
+        sum($"err_micro").as("se"), sum($"naive_micro").as("sn"))
+      .selectExpr("event_type", "n_origins",
+        "floor(CAST(se AS DOUBLE) / n_origins + 0.5) / 1e6 AS mae_holt",
+        "floor(CAST(sn AS DOUBLE) / n_origins + 0.5) / 1e6 AS mae_naive",
+        """CASE WHEN sn = 0 THEN NULL
+          |ELSE floor(CAST(se AS DOUBLE) / sn * 1e6 + 0.5) / 1e6 END AS skill"""
+          .stripMargin)
+  }
+
+  val holtBacktestSql: String = {
+    val (wl, wb) = holtCoeffs
+    val wf = wl.zip(wb).map { case (a, b) => BigDecimal(a) + BigDecimal(b) }
+      .map(_.underlying.toPlainString)
+    val fList = wf.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+       |counts AS (
+       |  SELECT event_type, day, CAST(count(*) AS DECIMAL(8,0)) AS cnt
+       |  FROM ev GROUP BY 1, 2),
+       |mx AS (SELECT max(day) AS dmax FROM ev),
+       |scaffold AS (
+       |  SELECT t.event_type,
+       |    dmax - CAST(o.o AS INTEGER) AS origin, k.k,
+       |    dmax - CAST(o.o AS INTEGER) - CAST($HoltWindow - k.k AS INTEGER) AS day
+       |  FROM (SELECT DISTINCT event_type FROM ev) t
+       |  CROSS JOIN (SELECT unnest(range(0, $BacktestOrigins)) AS o) o
+       |  CROSS JOIN (SELECT unnest(range(0, $HoltWindow)) AS k) k
+       |  CROSS JOIN mx),
+       |win AS (
+       |  SELECT s.event_type, s.origin,
+       |    sum(coalesce(c.cnt, 0) * CAST($fList[s.k + 1] AS DECIMAL(28,16))) AS forecast,
+       |    max(CASE WHEN s.k = $HoltWindow - 1 THEN coalesce(c.cnt, 0) END) AS naive
+       |  FROM scaffold s LEFT JOIN counts c
+       |    ON c.event_type = s.event_type AND c.day = s.day
+       |  GROUP BY s.event_type, s.origin),
+       |err AS (
+       |  SELECT w.event_type,
+       |    CAST(floor(CAST(round(abs(w.forecast - coalesce(a.cnt, 0)), 9) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS err_micro,
+       |    CAST(floor(CAST(abs(w.naive - coalesce(a.cnt, 0)) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS naive_micro
+       |  FROM win w LEFT JOIN counts a
+       |    ON a.event_type = w.event_type AND a.day = w.origin)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_origins,
+       |  floor(CAST(sum(err_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mae_holt,
+       |  floor(CAST(sum(naive_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mae_naive,
+       |  CASE WHEN sum(naive_micro) = 0 THEN NULL
+       |    ELSE floor(CAST(sum(err_micro) AS DOUBLE) / sum(naive_micro) * 1e6 + 0.5) / 1e6 END AS skill
+       |FROM err GROUP BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_holt_backtest" -> (holtBacktest _),
     "ev_holt_forecast" -> (holtForecast _),
     "ev_did_estimator" -> (didEstimator _),
     "ev_changepoint" -> (changepoint _),
@@ -1175,6 +1276,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_holt_backtest" -> holtBacktestSql,
     "ev_holt_forecast" -> holtForecastSql,
     "ev_did_estimator" -> didEstimatorSql,
     "ev_changepoint" -> changepointSql,

@@ -55,7 +55,7 @@ class PlanLintSpec extends AnyFunSuite {
     "curate_curriculum",
     // 1-row day-span broadcast (calendar scaffold for gap filling)
     "ev_gap_fill", "ev_trend_regression", "ev_anomaly_zscore",
-    "ev_changepoint", "ev_holt_forecast",
+    "ev_changepoint", "ev_holt_forecast", "ev_holt_backtest",
     "dq_value_drift", "q_weighted_median", "ev_ab_cuped",
     "curate_sample_ks", "curate_upsample_plan",
     "ev_seasonality_dow", "q11_important_stock", "q_copurchase_pairs",
