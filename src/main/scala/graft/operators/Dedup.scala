@@ -975,7 +975,66 @@ object Dedup {
        |  floor(CAST(sum(caught) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS catch_rate
        |FROM m GROUP BY bucket""".stripMargin
 
+  /** MinHash estimator calibration: for every kept near-dup pair, how
+    * far the signature-overlap Jaccard ESTIMATE sits from the exact
+    * shingle Jaccard, summarized per true-Jaccard decile — the
+    * sketch-accuracy readout that justifies trusting 64 permutations
+    * (theory: σ ≈ √(s(1−s)/64) ≈ 0.06 at s=0.5). Estimates are k/64
+    * dyadic rationals and true Jaccards exact ratios, so per-pair
+    * errors floor into micro-units and every aggregate is an integer
+    * sum over the SAME memoized tables the detector and s-curve use.
+    */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val est = minhashLsh(s, dir)
+    val truth = sharedPairs(s, dir)
+      .selectExpr("doc_a", "doc_b",
+        "CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard")
+    est.join(truth, Seq("doc_a", "doc_b"))
+      .selectExpr(
+        "least(CAST(floor(jaccard * 10) AS INT), 9) AS bucket",
+        "CAST(floor(est_jaccard * 1e6 + 0.5) AS BIGINT) AS est_micro",
+        "CAST(floor(jaccard * 1e6 + 0.5) AS BIGINT) AS true_micro",
+        "CAST(floor(abs(est_jaccard - jaccard) * 1e6 + 0.5) AS BIGINT) AS err_micro")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"est_micro").as("se"), sum($"true_micro").as("st"),
+        sum($"err_micro").as("serr"), max($"err_micro").as("max_err_micro"))
+      .selectExpr("bucket", "n_pairs",
+        "floor(CAST(se AS DOUBLE) / n_pairs + 0.5) / 1e6 AS mean_est",
+        "floor(CAST(st AS DOUBLE) / n_pairs + 0.5) / 1e6 AS mean_true",
+        "floor(CAST(serr AS DOUBLE) / n_pairs + 0.5) / 1e6 AS mean_abs_err",
+        "CAST(max_err_micro AS DOUBLE) / 1e6 AS max_abs_err")
+  }
+
+  val minhashCalibrationSql: String =
+    s"""WITH $minhashPermsCte,
+       |$pairCteSql,
+       |$minhashCtesAfterSh,
+       |pred AS (
+       |$minhashPredSelect),
+       |truth AS (
+       |  SELECT sc.doc_a, sc.doc_b,
+       |    CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+       |  FROM shared_counts sc
+       |  JOIN sizes sa ON sa.doc_id = sc.doc_a
+       |  JOIN sizes sb ON sb.doc_id = sc.doc_b),
+       |cells AS (
+       |  SELECT least(CAST(floor(t.jaccard * 10) AS INTEGER), 9) AS bucket,
+       |    CAST(floor(p.est_jaccard * 1e6 + 0.5) AS BIGINT) AS est_micro,
+       |    CAST(floor(t.jaccard * 1e6 + 0.5) AS BIGINT) AS true_micro,
+       |    CAST(floor(abs(p.est_jaccard - t.jaccard) * 1e6 + 0.5) AS BIGINT) AS err_micro
+       |  FROM pred p JOIN truth t
+       |    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  floor(CAST(sum(est_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_est,
+       |  floor(CAST(sum(true_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_true,
+       |  floor(CAST(sum(err_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_abs_err,
+       |  CAST(max(err_micro) AS DOUBLE) / 1e6 AS max_abs_err
+       |FROM cells GROUP BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_calibration" -> (minhashCalibration _),
     "dedup_lsh_scurve" -> (lshScurve _),
     "dedup_eval_pr" -> (evalPr _),
     "dedup_containment" -> (containmentPairs _),
@@ -1001,6 +1060,7 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_minhash_calibration" -> minhashCalibrationSql,
       "dedup_lsh_scurve" -> lshScurveSql,
       "dedup_eval_pr" -> evalPrSql,
       "dedup_containment" -> containmentSql,
