@@ -1135,7 +1135,79 @@ object Similarity {
        |FROM bf LEFT JOIN an ON an.q_id = bf.q_id AND an.n_id = bf.n_id
        |GROUP BY bf.q_id""".stripMargin
 
+  /** PQ reconstruction-distortion audit: per block, the mean squared
+    * error between each vector slice and its nearest codebook centroid,
+    * relative to the slice's mean energy — the "how lossy is this
+    * codebook" readout that decides whether 64× compression is
+    * shippable. Both engines evaluate the IDENTICAL generated
+    * expression text (same 8-term left-to-right squared-distance fold
+    * per centroid, same LEAST over the 16 candidates, same trained
+    * codebook doubles from the memo), then floor per-(vector, block)
+    * values into micro-units so the cross-vector means are integer
+    * sums.
+    */
+  def pqDistortion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cbs = pqCodebooks(s, dir)
+    def distExpr(b: Int, c: Int): String =
+      (1 to PqBlockDim).map { i =>
+        val cv = cbs(b)(c)(i - 1)
+        s"(CAST(element_at(embedding, ${b * PqBlockDim + i}) AS DOUBLE) - ($cv)) * " +
+          s"(CAST(element_at(embedding, ${b * PqBlockDim + i}) AS DOUBLE) - ($cv))"
+      }.mkString(" + ")
+    def energyExpr(b: Int): String =
+      (1 to PqBlockDim).map { i =>
+        s"CAST(element_at(embedding, ${b * PqBlockDim + i}) AS DOUBLE) * " +
+          s"CAST(element_at(embedding, ${b * PqBlockDim + i}) AS DOUBLE)"
+      }.mkString(" + ")
+    val perBlock = (0 until PqBlocks).map { b =>
+      val least = s"least(${(0 until PqCentsPerBlock)
+        .map(c => s"(${distExpr(b, c)})").mkString(", ")})"
+      Tables.embeddings(s, dir).selectExpr(
+        s"$b AS block",
+        s"CAST(floor(($least) * 1e6 + 0.5) AS BIGINT) AS err_micro",
+        s"CAST(floor((${energyExpr(b)}) * 1e6 + 0.5) AS BIGINT) AS energy_micro")
+    }.reduce(_ unionByName _)
+    perBlock.groupBy($"block")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"err_micro").as("se"), sum($"energy_micro").as("sen"))
+      .selectExpr("block", "n_vecs",
+        "floor(CAST(se AS DOUBLE) / n_vecs + 0.5) / 1e6 AS mean_sq_err",
+        "floor(CAST(sen AS DOUBLE) / n_vecs + 0.5) / 1e6 AS mean_energy",
+        "floor(CAST(se AS DOUBLE) / sen * 1e6 + 0.5) / 1e6 AS rel_distortion")
+  }
+
+  def pqDistortionSql(cbs: Array[Array[Array[Double]]]): String = {
+    def distExpr(b: Int, c: Int): String =
+      (1 to PqBlockDim).map { i =>
+        val cv = cbs(b)(c)(i - 1)
+        s"(CAST(embedding[${b * PqBlockDim + i}] AS DOUBLE) - ($cv)) * " +
+          s"(CAST(embedding[${b * PqBlockDim + i}] AS DOUBLE) - ($cv))"
+      }.mkString(" + ")
+    def energyExpr(b: Int): String =
+      (1 to PqBlockDim).map { i =>
+        s"CAST(embedding[${b * PqBlockDim + i}] AS DOUBLE) * " +
+          s"CAST(embedding[${b * PqBlockDim + i}] AS DOUBLE)"
+      }.mkString(" + ")
+    val blocks = (0 until PqBlocks).map { b =>
+      val least = s"least(${(0 until PqCentsPerBlock)
+        .map(c => s"(${distExpr(b, c)})").mkString(", ")})"
+      s"""SELECT $b AS block,
+         |  CAST(floor(($least) * 1e6 + 0.5) AS BIGINT) AS err_micro,
+         |  CAST(floor((${energyExpr(b)}) * 1e6 + 0.5) AS BIGINT) AS energy_micro
+         |FROM embeddings""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cells AS (
+       |$blocks)
+       |SELECT block, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  floor(CAST(sum(err_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_sq_err,
+       |  floor(CAST(sum(energy_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_energy,
+       |  floor(CAST(sum(err_micro) AS DOUBLE) / sum(energy_micro) * 1e6 + 0.5) / 1e6 AS rel_distortion
+       |FROM cells GROUP BY block""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_distortion" -> (pqDistortion _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ivf_recall" -> (ivfRecall _),
     "sim_dim_stats" -> (dimStats _),
@@ -1172,6 +1244,7 @@ object Similarity {
       "sim_ivf_recall" -> ivfRecallSql(ivfCentroids(s, dir)),
       "sim_ann_recall" -> annRecallSql,
       "sim_embedding_neardup" -> embeddingNearDupSql(npt, planes),
-      "sim_pq_topk" -> pqTopKSql(pqCodebooks(s, dir), pqLut(s, dir)))
+      "sim_pq_topk" -> pqTopKSql(pqCodebooks(s, dir), pqLut(s, dir)),
+      "sim_pq_distortion" -> pqDistortionSql(pqCodebooks(s, dir)))
   }
 }
