@@ -103,6 +103,21 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getDouble(4) >= 0.9, s"recall ${r.getDouble(4)} below design bar")
   }
 
+  test("minhash calibration: estimator error stays inside the 64-permutation theory band") {
+    val rows = Dedup.minhashCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (meanEst, meanTrue, meanErr, maxErr) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(meanErr <= maxErr && maxErr <= 0.25,
+        s"bucket ${r.getInt(0)}: max err $maxErr beyond any plausible band")
+      // σ ≈ √(s(1−s)/64) ≤ 0.0625; mean |err| within 3σ-ish
+      assert(meanErr <= 0.19, s"mean calibration error $meanErr")
+      assert(math.abs(meanEst - meanTrue) <= meanErr + 1e-6,
+        "bias cannot exceed mean absolute error")
+    }
+  }
+
   test("lsh s-curve: catch rate is monotone in jaccard and saturates at the top") {
     val rows = Dedup.lshScurve(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))

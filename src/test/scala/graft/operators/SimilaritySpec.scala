@@ -151,4 +151,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1) == ((1L, 5.0, 0.0)))
     assert(got(2) == ((1L, -5.0, 0.0)))
   }
+
+  test("pq distortion: every block lossy but bounded, error below energy") {
+    val rows = Similarity.pqDistortion(spark, sf).collect()
+    assert(rows.length == Similarity.PqBlocks)
+    rows.foreach { r =>
+      val (n, err, energy, rel) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n > 0 && err >= 0 && energy > 0)
+      assert(err < energy,
+        s"block ${r.getInt(0)}: codebook worse than predicting zero")
+      assert(rel > 0 && rel < 1)
+    }
+    // blocks are homogeneous on isotropic data: relative distortion
+    // should not vary wildly across blocks
+    val rels = rows.map(_.getDouble(4))
+    assert(rels.max - rels.min < 0.3,
+      s"block distortion spread ${rels.min}..${rels.max}")
+  }
 }
