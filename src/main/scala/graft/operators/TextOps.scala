@@ -1467,7 +1467,108 @@ object TextOps {
        |LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------ Gopher rule battery
+
+  /** The MassiveText/Gopher quality-rule battery (Rae et al. 2021,
+    * "Scaling Language Models", table A1), adapted to this corpus's
+    * single-line word-soup fixture: the line/paragraph rules are
+    * degenerate on newline-free text (covered separately by
+    * `doc_repetition_ratio` / `dedup_paragraph`), so the battery keeps
+    * the six word-level rules, each emitted as its measured value plus
+    * a pass flag, and an overall `keep`:
+    *
+    *   1. word count within [20, 100000]   (Gopher: [50, 100000]; the
+    *      floor is lowered so the fixture's 8–100-word docs exercise
+    *      both outcomes)
+    *   2. mean word length within [3, 10]
+    *   3. ≥ 2 hits from the Gopher stop-word list
+    *      {the, be, to, of, and, that, have, with}
+    *   4. ≥ 80% of words contain an alphabetic character
+    *   5. duplicate-unigram token fraction ≤ 0.6
+    *   6. top-bigram token share ≤ 0.20
+    *
+    * Scale shape: ONE narrow pass — every rule, including the
+    * top-bigram share, is computed with array HOFs inside the row
+    * (the per-doc O(n²) bigram self-count is bounded by max document
+    * tokens, a constant the corpus schema fixes; nothing per-doc ever
+    * shuffles). Cross-engine exactness: counts are integers; every
+    * ratio is one CAST-to-DOUBLE division performed in the same order
+    * in both engines; flag thresholds compare the identical doubles.
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", s"$tokensExpr AS toks")
+      .selectExpr("doc_id", "text", "toks",
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(toks[i-1], ' ', toks[i])) AS bis""".stripMargin)
+      .selectExpr(
+        "doc_id",
+        "size(toks) AS n_words",
+        """CAST(length(regexp_replace(text, '\\s', '')) AS DOUBLE)
+          |  / size(toks) AS mean_word_len""".stripMargin,
+        """size(filter(array('the','be','to','of','and','that','have','with'),
+          |  w -> array_contains(toks, w))) AS stop_hits""".stripMargin,
+        """CAST(size(filter(toks, t -> t RLIKE '[a-z]')) AS DOUBLE)
+          |  / size(toks) AS alpha_frac""".stripMargin,
+        """CAST(size(toks) - size(array_distinct(toks)) AS DOUBLE)
+          |  / size(toks) AS dup_unigram_frac""".stripMargin,
+        """CAST(array_max(transform(bis,
+          |    b -> size(filter(bis, x -> x = b)))) AS DOUBLE)
+          |  / size(bis) AS top_bigram_share""".stripMargin)
+      .selectExpr("doc_id", "n_words", "mean_word_len", "stop_hits",
+        "alpha_frac", "dup_unigram_frac", "top_bigram_share",
+        "n_words >= 20 AND n_words <= 100000 AS ok_words",
+        "mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len",
+        "stop_hits >= 2 AS ok_stops",
+        "alpha_frac >= 0.8 AS ok_alpha",
+        "dup_unigram_frac <= 0.6 AS ok_dup_unigram",
+        "top_bigram_share <= 0.2 AS ok_top_bigram")
+      .selectExpr("doc_id", "n_words", "mean_word_len", "stop_hits",
+        "alpha_frac", "dup_unigram_frac", "top_bigram_share",
+        "ok_words", "ok_word_len", "ok_stops", "ok_alpha",
+        "ok_dup_unigram", "ok_top_bigram",
+        """ok_words AND ok_word_len AND ok_stops AND ok_alpha
+          |  AND ok_dup_unigram AND ok_top_bigram AS keep""".stripMargin)
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $duckTokensExpr AS toks
+       |  FROM documents),
+       |b2 AS (
+       |  SELECT doc_id, text, toks,
+       |    list_transform(range(1, len(toks)),
+       |      i -> concat(toks[i], ' ', toks[i + 1])) AS bis
+       |  FROM base),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_words,
+       |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+       |      / len(toks) AS mean_word_len,
+       |    len(list_filter(['the','be','to','of','and','that','have','with'],
+       |      w -> list_contains(toks, w))) AS stop_hits,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+       |      / len(toks) AS alpha_frac,
+       |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+       |      / len(toks) AS dup_unigram_frac,
+       |    CAST(list_max(list_transform(bis,
+       |        b -> len(list_filter(bis, x -> x = b)))) AS DOUBLE)
+       |      / len(bis) AS top_bigram_share
+       |  FROM b2)
+       |SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac,
+       |  dup_unigram_frac, top_bigram_share,
+       |  n_words >= 20 AND n_words <= 100000 AS ok_words,
+       |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+       |  stop_hits >= 2 AS ok_stops,
+       |  alpha_frac >= 0.8 AS ok_alpha,
+       |  dup_unigram_frac <= 0.6 AS ok_dup_unigram,
+       |  top_bigram_share <= 0.2 AS ok_top_bigram,
+       |  ok_words AND ok_word_len AND ok_stops AND ok_alpha
+       |    AND ok_dup_unigram AND ok_top_bigram AS keep
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_gopher_rules" -> (gopherRules _),
     "doc_rake_phrases" -> (rakePhrases _),
     "doc_entropy" -> (docEntropy _),
     "doc_zipf_fit" -> (zipfFit _),
@@ -1495,6 +1596,7 @@ object TextOps {
     "lang_source_dist" -> (langSourceDist _))
 
   def oracles: Map[String, String] = Map(
+    "doc_gopher_rules" -> gopherRulesSql,
     "doc_rake_phrases" -> rakePhrasesSql,
     "doc_entropy" -> docEntropySql,
     "doc_zipf_fit" -> zipfFitSql,
