@@ -20,18 +20,61 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a raw long (`ts_ns`) and derive a µs
-    * `ts` column. Range predicates should hit `ts_ns` (plain int64
-    * comparison → pushed to the scan + row-group min/max pruning);
-    * `ts` is for grouping/formatting only — a cast never pushes down.
+  /** Raw `events` rows with `ts` normalized to the engine's canonical
+    * epoch-NANOS BIGINT, whatever the fixture vintage wrote:
+    *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it,
+    *     so `nanosAsLong` reads it as the raw int64 — already nanos;
+    *   - parquet TIMESTAMP(MICROS) (newer testdata vintages): read as a
+    *     timestamp (NTZ inference OFF so the stored micros surface as
+    *     tz-independent epoch micros — verified equal to DuckDB
+    *     `epoch_us` under both UTC and non-UTC session zones) and
+    *     multiply to nanos.
+    * Column order is preserved so staged/streamed copies keep the
+    * contract schema `(event_id, ts BIGINT, user_id, event_type, value,
+    * props)`.
+    */
+  def eventsRawNanos(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = s.read.parquet(path)
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType => df
+      case Some(_) =>
+        df.select(df.columns.map {
+          case "ts" => expr("unix_micros(ts) * 1000L").as("ts")
+          case c    => col(c)
+        }: _*)
+      case None => df
+    }
+  }
+
+  /** `events` with the raw int64 nanos exposed as `ts_ns` and a µs
+    * `ts` timestamp. On nanos-native fixtures `ts_ns` IS the scan
+    * column (plain int64 comparison → pushed to the scan + row-group
+    * min/max pruning) and `ts` is derived; on micros-native vintages
+    * `ts` stays the NATIVE scan column (timestamp predicates push
+    * down) and `ts_ns` is the derived projection. Both layouts yield
+    * identical values (`ts == timestamp_micros(ts_ns div 1000)`
+    * exactly, since micros fixtures carry no sub-µs digits).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = t(s, d, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    else {
+      // mirror the nanos-vintage column order exactly:
+      // (event_id, ts_ns, user_id, event_type, value, props, ts)
+      val renamed = df.columns.toSeq.map {
+        case "ts" => expr("unix_micros(ts) * 1000L").as("ts_ns")
+        case c    => col(c)
+      }
+      df.select(renamed :+ col("ts"): _*)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

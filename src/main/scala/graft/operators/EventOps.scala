@@ -25,8 +25,8 @@ import graft.Tables
   */
 object EventOps {
 
-  /** Epoch nanos for a UTC wall-clock literal — interval predicates are
-    * issued against the raw int64 `ts_ns` so they push down to parquet.
+  /** Epoch nanos for a UTC wall-clock literal — used in non-scan
+    * predicates (CASE arms, split points) where pushdown is moot.
     */
   private def ns(isoUtc: String): Long = {
     val i = java.time.LocalDateTime.parse(isoUtc)
@@ -34,12 +34,22 @@ object EventOps {
     i.getEpochSecond * 1000000000L + i.getNano
   }
 
+  /** Timestamp literal for a UTC wall-clock string — SCAN-range
+    * predicates are issued against the native `ts` timestamp column so
+    * they push down to the parquet scan (row-group min/max pruning) on
+    * the micros-native fixture vintage; an epoch-instant literal keeps
+    * the comparison session-timezone-independent.
+    */
+  private def tsLit(isoUtc: String) =
+    lit(java.time.LocalDateTime.parse(isoUtc)
+      .toInstant(java.time.ZoneOffset.UTC))
+
   /** A5: counts + value sum per event type within [start, end). */
   def intervalCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
-      .filter($"ts_ns" >= ns("2024-01-10T00:00:00") &&
-              $"ts_ns" <  ns("2024-01-20T00:00:00"))
+      .filter($"ts" >= tsLit("2024-01-10T00:00:00") &&
+              $"ts" <  tsLit("2024-01-20T00:00:00"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("cnt"),
         sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -59,8 +69,8 @@ object EventOps {
   def hourlyCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
-      .filter($"ts_ns" >= ns("2024-01-05T00:00:00") &&
-              $"ts_ns" <  ns("2024-01-06T00:00:00"))
+      .filter($"ts" >= tsLit("2024-01-05T00:00:00") &&
+              $"ts" <  tsLit("2024-01-06T00:00:00"))
       .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm").as("hour"),
         $"event_type")
       .agg(count(lit(1)).as("cnt"))
@@ -83,8 +93,8 @@ object EventOps {
   def slidingCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
-      .filter($"ts_ns" >= ns("2024-01-05T00:00:00") &&
-              $"ts_ns" <  ns("2024-01-06T00:00:00"))
+      .filter($"ts" >= tsLit("2024-01-05T00:00:00") &&
+              $"ts" <  tsLit("2024-01-06T00:00:00"))
       .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("cnt"))
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("win_start"),

@@ -1543,7 +1543,7 @@ object TextOps {
        |m AS (
        |  SELECT doc_id,
        |    len(toks) AS n_words,
-       |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
        |      / len(toks) AS mean_word_len,
        |    len(list_filter(['the','be','to','of','and','that','have','with'],
        |      w -> list_contains(toks, w))) AS stop_hits,

@@ -22,17 +22,14 @@ object StreamQueries {
 
   private def ckpt(): String = graft.TempDirs.scoped("graft_ckpt")
 
-  /** Spark's file stream source lists a DIRECTORY; the testdata tables
-    * are single parquet files, so stage the file into a temp dir (this
-    * mirrors how a production stream would watch a landing directory).
+  /** Read a fixture file for staging, normalizing `events.ts` to the
+    * canonical epoch-nanos BIGINT (see [[graft.Tables.eventsRawNanos]])
+    * so every staged/streamed copy carries the contract schema
+    * regardless of the testdata vintage's physical timestamp type.
     */
-  private def stageAsDir(file: String): String = {
-    import java.nio.file._
-    val d = Paths.get(graft.TempDirs.scoped("graft_stream_src"))
-    val src = Paths.get(file)
-    Files.copy(src, d.resolve(src.getFileName), StandardCopyOption.REPLACE_EXISTING)
-    d.toString
-  }
+  private def stagingFrame(s: SparkSession, path: String) =
+    if (path.endsWith("/events.parquet")) graft.Tables.eventsRawNanos(s, path)
+    else s.read.parquet(path)
 
   /** Stage a table as N parquet files so AvailableNow with
     * `maxFilesPerTrigger = 1` genuinely drains it across N triggers —
@@ -53,7 +50,7 @@ object StreamQueries {
     val fp = graft.Tables.fingerprintPath(path)
     stagedDirs.getOrElseUpdate((path, n, fp), {
       val d = graft.TempDirs.scoped("graft_stream_src")
-      s.read.parquet(path).repartition(n).write.mode("overwrite").parquet(d)
+      stagingFrame(s, path).repartition(n).write.mode("overwrite").parquet(d)
       d
     })
   }
@@ -282,8 +279,8 @@ object StreamQueries {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
-    val staged = stageAsDir(path)
+    val staged = stageAsDirParts(s, path, 1)
+    val schema = s.read.parquet(staged).schema
     // a stream-stream join materializes FOUR state stores per shuffle
     // partition per trigger — the sizing helper's worst case
     withStatePartitions(s, 8) {
@@ -337,8 +334,8 @@ object StreamQueries {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
-    val staged = stageAsDir(path)
+    val staged = stageAsDirParts(s, path, 1)
+    val schema = s.read.parquet(staged).schema
     withStatePartitions(s, 8) {
       def src(): DataFrame = s.readStream.schema(schema).parquet(staged)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -654,14 +651,18 @@ object StreamQueries {
     * negative-n in the memo so it can't collide with the repartition
     * staging above.
     */
-  private def stageAsDirCopies(path: String, n: Int): String = {
+  private def stageAsDirCopies(s: SparkSession, path: String, n: Int): String = {
     import java.nio.file._
     val fp = graft.Tables.fingerprintPath(path)
     stagedDirs.getOrElseUpdate((path, -n, fp), {
+      // normalize once through the staging frame (events.ts → nanos
+      // BIGINT), then duplicate the single written part file n times
+      val one = Paths.get(stageAsDirParts(s, path, 1))
+      val part = Files.list(one).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
       val d = Paths.get(graft.TempDirs.scoped("graft_stream_src"))
-      val src = Paths.get(path)
       (1 to n).foreach { i =>
-        Files.copy(src, d.resolve(s"copy_$i.parquet"),
+        Files.copy(part, d.resolve(s"copy_$i.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
       }
       d.toString
@@ -718,7 +719,7 @@ object StreamQueries {
     withStatePartitions(s, 8) {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = stageAsDirCopies(s"$dir/events.parquet", 2)
+      val src = stageAsDirCopies(s, s"$dir/events.parquet", 2)
       val schema = s.read.parquet(src).schema
       val deduped = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)

@@ -27,6 +27,7 @@ object ScaleUp {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,6 +41,7 @@ object ScaleUp {
   def run(spark: SparkSession, inDir: String, outDir: String,
       factor: Int): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     new java.io.File(outDir).mkdirs()
 
     def read(t: String): DataFrame =

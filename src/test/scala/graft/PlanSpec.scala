@@ -35,9 +35,9 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("events interval predicate pushes down as int64 on ts (nanos column)") {
+  test("events interval predicate pushes down on the native ts scan column") {
     val p = plan(graft.operators.EventOps.intervalCount(spark, sf))
-    assert(p.contains("GreaterThanOrEqual(ts,17"), p)
+    assert(p.contains("GreaterThanOrEqual(ts,2024-01-10"), p)
   }
 
   test("partitioned layout: day predicate prunes partitions at the scan") {

@@ -66,7 +66,7 @@ class SessionStatsStreamSpec extends AnyFunSuite {
     // 4 hash-shuffled files drained one per trigger: events arrive in
     // arbitrary cross-batch time order
     val src = graft.TempDirs.scoped("sess_shuffled")
-    spark.read.parquet(s"$sf/events.parquet")
+    graft.Tables.eventsRawNanos(spark, s"$sf/events.parquet")
       .repartition(4).write.mode("overwrite").parquet(src)
     val out = StreamQueries.sessionStatsStream(spark, src,
       maxFilesPerTrigger = Some(1))
@@ -75,7 +75,7 @@ class SessionStatsStreamSpec extends AnyFunSuite {
 
   test("watermark-gated closing fires on time-ordered replay and stays exact") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.eventsRawNanos(spark, s"$sf/events.parquet")
     // stage 4 time-sliced files with ascending mtimes so the file source
     // replays them in event-time order — the watermark then advances
     // between triggers and old intervals really do close into counters
