@@ -1033,7 +1033,84 @@ object Dedup {
        |  CAST(max(err_micro) AS DOUBLE) / 1e6 AS max_abs_err
        |FROM cells GROUP BY bucket""".stripMargin
 
+  /** SimHash estimator calibration — the [[minhashCalibration]] sibling
+    * for the OTHER deployed near-dup sketch: per true-Jaccard decile of
+    * the measured pair table, the distribution (mean/min/max) of 60-bit
+    * signature Hamming distances. Theory (Charikar 2002): P[bit
+    * differs] = θ/π for angle θ between weighted term vectors, so
+    * E[hamming] = 60·θ/π falls monotonically as similarity rises — the
+    * spec pins that monotonicity and the audit query publishes the
+    * measured curve. Everything is INTEGER (bit_count of xor; mean
+    * floored to micro-units), so both engines hash-match exactly, and
+    * the pair/signature inputs are the same memoized tables the
+    * detectors use — the audit adds one audit-sized join, no new corpus
+    * pass.
+    */
+  def simhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simhashSignatures(s, dir)
+    val truth = sharedPairs(s, dir)
+      .selectExpr("doc_a", "doc_b",
+        "CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard")
+    truth
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .select(
+        expr("least(CAST(floor(jaccard * 10) AS INT), 9)").as("bucket"),
+        graft.functions.Hamming64.hamming64($"sig_a", $"sig_b")
+          .cast("long").as("h"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum($"h").as("sum_hamming"),
+        min($"h").as("min_hamming"), max($"h").as("max_hamming"))
+      .selectExpr("bucket", "n_pairs", "sum_hamming",
+        "min_hamming", "max_hamming",
+        "floor(CAST(sum_hamming AS DOUBLE) / n_pairs * 1e6 + 0.5) / 1e6 AS mean_hamming")
+  }
+
+  /** Oracle: the shared pair CTEs plus the SimHash signature pipeline
+    * (renamed s-prefixed CTEs — [[pairCteSql]] already owns `toks`, an
+    * ARRAY-shaped table; the signature build re-derives per-token rows
+    * from it, guaranteeing the same tokenization).
+    */
+  val simhashCalibrationSql: String =
+    s"""WITH $pairCteSql,
+       |stf AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS x,
+       |    count(*) AS w
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+       |  GROUP BY doc_id, tok),
+       |sbits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN ((x >> j) & 1) = 1 THEN w ELSE -w END) AS acc
+       |  FROM stf CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+       |  GROUP BY doc_id, j),
+       |ssigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+       |      AS BIGINT) AS sig
+       |  FROM sbits GROUP BY doc_id),
+       |truth AS (
+       |  SELECT sc.doc_a, sc.doc_b,
+       |    CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+       |  FROM shared_counts sc
+       |  JOIN sizes sa ON sa.doc_id = sc.doc_a
+       |  JOIN sizes sb ON sb.doc_id = sc.doc_b),
+       |cells AS (
+       |  SELECT least(CAST(floor(t.jaccard * 10) AS INTEGER), 9) AS bucket,
+       |    CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS h
+       |  FROM truth t
+       |  JOIN ssigs sa ON sa.doc_id = t.doc_a
+       |  JOIN ssigs sb ON sb.doc_id = t.doc_b)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(h) AS BIGINT) AS sum_hamming,
+       |  CAST(min(h) AS BIGINT) AS min_hamming,
+       |  CAST(max(h) AS BIGINT) AS max_hamming,
+       |  floor(CAST(sum(h) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_hamming
+       |FROM cells GROUP BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash_calibration" -> (simhashCalibration _),
     "dedup_minhash_calibration" -> (minhashCalibration _),
     "dedup_lsh_scurve" -> (lshScurve _),
     "dedup_eval_pr" -> (evalPr _),
@@ -1060,6 +1137,7 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_simhash_calibration" -> simhashCalibrationSql,
       "dedup_minhash_calibration" -> minhashCalibrationSql,
       "dedup_lsh_scurve" -> lshScurveSql,
       "dedup_eval_pr" -> evalPrSql,

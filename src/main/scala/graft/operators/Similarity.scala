@@ -347,6 +347,15 @@ object Similarity {
     centroids
   }
 
+  /** Spec-visible aliases for the private assignment kernels (the
+    * IVF-PQ containment spec re-derives cell membership with them).
+    */
+  private[operators] def nearestCentroidOf(v: Array[Float],
+      cs: Array[Array[Double]]): Int = nearestCentroid(v, cs)
+  private[operators] def centroidsByDistanceOf(v: Array[Float],
+      cs: Array[Array[Double]], n: Int): Array[Int] =
+    centroidsByDistance(v, cs, n)
+
   private def nearestCentroid(v: Array[Float], cs: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -715,6 +724,179 @@ object Similarity {
     */
   private val pqLutCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Int, Int, Double)]]
+
+  // -------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ top-k — the composed billion-scale serving architecture
+    * (coarse inverted file × product-quantized codes, the layout FAISS
+    * calls IVFPQ; Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011):
+    *
+    * 1. coarse probe: each query visits only its [[IvfNProbe]] nearest
+    *    of the [[IvfK]] inverted lists — candidate generation is an
+    *    equi-join on cell id scanning ~nProbe/K of the collection;
+    * 2. ADC scan of the probed cells only: candidates carry 8 half-byte
+    *    PQ codes, distance = sum of 8 broadcast-LUT entries (decimal,
+    *    order-proof) — no full-precision vector is touched;
+    * 3. exact re-rank of the [[PqShortlist]]-deep shortlist.
+    *
+    * Vs the flat [[pqTopK]]: the ADC join input shrinks by the probe
+    * ratio (3/16 here), which is THE knob that keeps a 100 TB corpus
+    * serving under memory — full-precision vectors stream only through
+    * the O(queries × shortlist) re-rank join. Everything reuses the
+    * memoized coarse centroids, codebooks, and query LUT, so the
+    * generated oracle embeds bit-identical parameter doubles.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val icents = ivfCentroids(s, dir)
+    val cbs = pqCodebooks(s, dir)
+    val bc = s.sparkContext.broadcast(icents)
+    val v = withNorm(s, dir)
+      .select($"vec_id", $"embedding", $"nrm")
+      .as[(Long, Array[Float], Double)]
+    val assigned = v.map { case (id, emb, _) =>
+      (nearestCentroid(emb, bc.value), id)
+    }.toDF("cid", "n_id")
+    val probes = v.filter(_._1 < 10).flatMap { case (id, emb, _) =>
+      centroidsByDistance(emb, bc.value, IvfNProbe).map(c => (c, id))
+    }.toDF("cid", "q_id")
+    val cand = broadcast(probes).join(assigned, Seq("cid"))
+      .where($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id")
+    val codes = Tables.embeddings(s, dir).select(
+      $"vec_id".as("n_id"),
+      posexplode(graft.functions.PqEncode.pq_encode($"embedding", cbs))
+        .as(Seq("b", "code")))
+    val lut = pqLut(s, dir).toDF("q_id", "b", "code", "d6")
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy($"q_id").orderBy($"adist".asc, $"n_id".asc)
+    val shortlist = cand.join(codes, Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "b", "code"))
+      .groupBy($"q_id", $"n_id")
+      .agg(sum($"d6".cast("decimal(18,9)")).cast("double").as("adist"))
+      .withColumn("adc_rn", row_number().over(wAdc))
+      .where($"adc_rn" <= PqShortlist)
+      .select($"q_id", $"n_id")
+    val vn = withNorm(s, dir)
+    val qside = vn.selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq")
+    val nside = vn.selectExpr("vec_id AS n_id", "embedding AS en", "nrm AS nn")
+    val wCos = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+    shortlist.join(qside, "q_id").join(nside, "n_id")
+      .select($"q_id", $"n_id",
+        (dotUdf($"eq", $"en") / ($"nq" * $"nn")).as("cosine"))
+      .withColumn("rn", row_number().over(wCos))
+      .where($"rn" <= 5)
+      .select($"q_id", $"n_id", $"cosine", $"rn")
+  }
+
+  /** Generated oracle restating the composed pipeline: coarse centroids
+    * AND codebooks AND the query LUT as literal rows (all from the same
+    * memos the query used), coarse argmin/probe ranking with the
+    * (distance, cid) tie order, per-block argmin encoding, decimal ADC
+    * sum over probed cells only, deterministic shortlist, exact-cosine
+    * re-rank.
+    */
+  def ivfPqTopKSql(icents: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]],
+      lutRows: Seq[(Long, Int, Int, Double)]): String = {
+    val icentRows = icents.zipWithIndex.map { case (cv, i) =>
+      s"($i, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    val centRows = (for {
+      b <- 0 until PqBlocks
+      c <- 0 until PqCentsPerBlock
+    } yield s"($b, $c, [${cbs(b)(c).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n    ")
+    val lutVals = lutRows.map { case (q, b, c, d) => s"($q, $b, $c, $d)" }
+      .mkString(",\n    ")
+    val sliceSqDist = (1 to PqBlockDim).map { i =>
+      s"(CAST(embedding[b * $PqBlockDim + $i] AS DOUBLE) - cv[$i]) * " +
+        s"(CAST(embedding[b * $PqBlockDim + $i] AS DOUBLE) - cv[$i])"
+    }.mkString(" + ")
+    s"""WITH icents(icid, icv) AS (VALUES
+       |    $icentRows),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |iranked AS (
+       |  SELECT vec_id, icid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, icid) AS crn
+       |  FROM (SELECT vec_id, icid, ${duckSqDistExpr("embedding", "icv")} AS d
+       |        FROM v CROSS JOIN icents)),
+       |iassigned AS (SELECT vec_id AS n_id, icid FROM iranked WHERE crn = 1),
+       |iprobes AS (
+       |  SELECT vec_id AS q_id, icid FROM iranked
+       |  WHERE vec_id < 10 AND crn <= $IvfNProbe),
+       |cents(b, cid, cv) AS (VALUES
+       |    $centRows),
+       |passign AS (
+       |  SELECT vec_id, b, cid,
+       |    row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cid) AS crn
+       |  FROM (SELECT vec_id, c.b, c.cid, $sliceSqDist AS d
+       |        FROM v CROSS JOIN cents c)),
+       |codes AS (SELECT vec_id, b, cid AS code FROM passign WHERE crn = 1),
+       |lut(q_id, b, code, d6) AS (VALUES
+       |    $lutVals),
+       |cand AS (
+       |  SELECT p.q_id, a.n_id
+       |  FROM iprobes p JOIN iassigned a ON a.icid = p.icid AND a.n_id <> p.q_id),
+       |shortlist AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS adc_rn
+       |    FROM (
+       |      SELECT cd.q_id, cd.n_id,
+       |        CAST(sum(CAST(l.d6 AS DECIMAL(18,9))) AS DOUBLE) AS adist
+       |      FROM cand cd
+       |      JOIN codes c ON c.vec_id = cd.n_id
+       |      JOIN lut l ON l.q_id = cd.q_id AND l.b = c.b AND l.code = c.code
+       |      GROUP BY cd.q_id, cd.n_id))
+       |  WHERE adc_rn <= $PqShortlist)
+       |SELECT q_id, n_id, cosine, rn FROM (
+       |  SELECT s.q_id, s.n_id,
+       |    ${duckDotExpr("qv.embedding", "nv.embedding")} / (qv.nrm * nv.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |      ${duckDotExpr("qv.embedding", "nv.embedding")} / (qv.nrm * nv.nrm) DESC,
+       |      s.n_id) AS rn
+       |  FROM shortlist s
+       |  JOIN v qv ON qv.vec_id = s.q_id
+       |  JOIN v nv ON nv.vec_id = s.n_id)
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** IVF-PQ recall@5 vs the exact scan — the same contract-grade gate
+    * [[ivfRecall]]/[[annRecall]] give the other two deployed indexes,
+    * so every ANN variant in the library ships with its accuracy
+    * readout (probe count × codebook loss composed, measured, not
+    * assumed).
+    */
+  def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bf = bruteForceTopK(s, dir).select($"q_id", $"n_id")
+    val ip = ivfPqTopK(s, dir).select($"q_id", $"n_id")
+      .withColumn("hit", lit(1L))
+    bf.join(ip, Seq("q_id", "n_id"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .selectExpr("q_id", "n_true", "n_hit",
+        "floor(CAST(n_hit AS DOUBLE) / n_true * 1e6 + 0.5) / 1e6 AS recall")
+  }
+
+  def ivfPqRecallSql(icents: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]],
+      lutRows: Seq[(Long, Int, Int, Double)]): String =
+    s"""WITH bf AS ($bruteForceTopKSql),
+       |ip AS (${ivfPqTopKSql(icents, cbs, lutRows)})
+       |SELECT bf.q_id,
+       |  CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN ip.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  floor(CAST(sum(CASE WHEN ip.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) * 1e6 + 0.5) / 1e6 AS recall
+       |FROM bf LEFT JOIN ip ON ip.q_id = bf.q_id AND ip.n_id = bf.n_id
+       |GROUP BY bf.q_id""".stripMargin
 
   // -------------------------------------------------- int8 quantization
 
@@ -1218,6 +1400,8 @@ object Similarity {
     "sim_ann_topk" -> (annTopK _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_pq_topk" -> (pqTopK _),
+    "sim_ivfpq_topk" -> (ivfPqTopK _),
+    "sim_ivfpq_recall" -> (ivfPqRecall _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_lang_centroids" -> (langCentroids _),
     "sim_lang_centroids_agg" -> (langCentroidsAgg _))
@@ -1245,6 +1429,10 @@ object Similarity {
       "sim_ann_recall" -> annRecallSql,
       "sim_embedding_neardup" -> embeddingNearDupSql(npt, planes),
       "sim_pq_topk" -> pqTopKSql(pqCodebooks(s, dir), pqLut(s, dir)),
-      "sim_pq_distortion" -> pqDistortionSql(pqCodebooks(s, dir)))
+      "sim_pq_distortion" -> pqDistortionSql(pqCodebooks(s, dir)),
+      "sim_ivfpq_topk" -> ivfPqTopKSql(ivfCentroids(s, dir),
+        pqCodebooks(s, dir), pqLut(s, dir)),
+      "sim_ivfpq_recall" -> ivfPqRecallSql(ivfCentroids(s, dir),
+        pqCodebooks(s, dir), pqLut(s, dir)))
   }
 }

@@ -118,6 +118,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash calibration: hamming falls as true jaccard rises, within 60-bit range") {
+    val rows = Dedup.simhashCalibration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, minH, maxH, meanH) =>
+      assert(b >= 0 && b <= 9 && n > 0)
+      assert(minH >= 0 && maxH <= 60 && meanH >= minH && meanH <= maxH,
+        s"bucket $b: hamming stats out of the 60-bit range")
+    }
+    // Charikar: E[hamming] = 60·θ/π is monotone ↓ in similarity — the
+    // decile means must not INCREASE from the lowest to the highest
+    // populated bucket (interior deciles may be sparse, so pin the
+    // endpoints, the contract a dedup threshold actually relies on)
+    val lo = rows.head
+    val hi = rows.last
+    assert(rows.size < 2 || hi._5 < lo._5,
+      s"mean hamming did not fall: bucket ${lo._1}=${lo._5} vs ${hi._1}=${hi._5}")
+  }
+
   test("lsh s-curve: catch rate is monotone in jaccard and saturates at the top") {
     val rows = Dedup.lshScurve(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))

@@ -79,4 +79,41 @@ class SimilarityRecallSpec extends AnyFunSuite {
     val r = recallAt5(pq, exact)
     assert(r >= 0.9, s"PQ recall@5 = $r")
   }
+
+  test("IVF-PQ composed index recall@5 >= 0.85 on clustered embeddings") {
+    // the composed index multiplies BOTH loss sources: a true neighbor
+    // survives only if its coarse cell is probed AND it makes the ADC
+    // shortlist AND the re-rank ranks it — so the gate is slightly
+    // looser than the single-loss indexes, and the delta vs plain PQ
+    // is exactly the probe miss rate the recall audit query measures
+    val exact = topSets(Similarity.bruteForceTopK(spark, clusteredDir))
+    val ip = topSets(Similarity.ivfPqTopK(spark, clusteredDir))
+    val r = recallAt5(ip, exact)
+    assert(r >= 0.85, s"IVF-PQ recall@5 = $r")
+  }
+
+  test("IVF-PQ candidates are a subset of the probed coarse cells' members") {
+    // structural containment: every returned neighbor must live in one
+    // of its query's nProbe probed cells — the invariant that lets the
+    // 100 TB plan skip (K - nProbe)/K of the collection entirely
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cents = Similarity.ivfCentroids(spark, clusteredDir)
+    val bc = spark.sparkContext.broadcast(cents)
+    val v = graft.Tables.embeddings(spark, clusteredDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val cell = v.map { case (id, emb) =>
+      id -> Similarity.nearestCentroidOf(emb, bc.value)
+    }.toMap
+    val probed = v.filter(_._1 < 10).map { case (id, emb) =>
+      id -> Similarity.centroidsByDistanceOf(emb, bc.value, Similarity.IvfNProbe).toSet
+    }.toMap
+    Similarity.ivfPqTopK(spark, clusteredDir)
+      .select("q_id", "n_id").collect().foreach { r =>
+        val (q, n) = (r.getLong(0), r.getLong(1))
+        assert(probed(q).contains(cell(n)),
+          s"neighbor $n of query $q returned from unprobed cell ${cell(n)}")
+      }
+  }
 }
