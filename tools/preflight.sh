@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate: refuse to call a tree "done" unless every hard
+# signal the driver checks is green LOCALLY first.
+#
+#   tools/preflight.sh            # compile + test + verify + oracle
+#   tools/preflight.sh --fast     # compile + oracle-affecting queries only
+#
+# Round-5 lesson: a single unescaped '\s' in an oracle string shipped in
+# the end-of-round snapshot, sbt compile failed, and every round-5
+# correctness/bench/test signal was voided. This script is the guard:
+# run it before ANY milestone commit that touches src/main.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}"
+OUT_DIR="${PREFLIGHT_OUT:-/tmp/preflight_verify}"
+FAST="${1:-}"
+
+echo "== preflight: compile =="
+sbt -batch compile
+
+if [ "$FAST" != "--fast" ]; then
+  echo "== preflight: full test suite =="
+  sbt -batch test
+fi
+
+echo "== preflight: Verify dump @ $SF_DIR =="
+rm -rf "$OUT_DIR"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+  sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
+
+echo "== preflight: DuckDB oracle compare =="
+python3 tools/oracle_check.py "$SF_DIR" "$OUT_DIR"
+
+echo "== preflight: ALL GREEN =="
