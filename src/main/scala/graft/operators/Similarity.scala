@@ -350,9 +350,9 @@ object Similarity {
   /** Spec-visible aliases for the private assignment kernels (the
     * IVF-PQ containment spec re-derives cell membership with them).
     */
-  private[operators] def nearestCentroidOf(v: Array[Float],
+  private[graft] def nearestCentroidOf(v: Array[Float],
       cs: Array[Array[Double]]): Int = nearestCentroid(v, cs)
-  private[operators] def centroidsByDistanceOf(v: Array[Float],
+  private[graft] def centroidsByDistanceOf(v: Array[Float],
       cs: Array[Array[Double]], n: Int): Array[Int] =
     centroidsByDistance(v, cs, n)
 
@@ -864,6 +864,77 @@ object Similarity {
        |  JOIN v qv ON qv.vec_id = s.q_id
        |  JOIN v nv ON nv.vec_id = s.n_id)
        |WHERE rn <= 5""".stripMargin
+  }
+
+  /** Coarse centroids + codebooks for an EXPLICIT dir, resolved via the
+    * active session (memo hit or deterministic recompute) — the
+    * streaming-ingest oracle generator's entry point, mirroring
+    * [[ndParamsFor]].
+    */
+  def ivfPqParamsFor(dir: String):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val s = activeSession
+    (ivfCentroids(s, dir), pqCodebooks(s, dir))
+  }
+
+  /** Per-block positional multipliers (17^b) for the order-independent
+    * integer code checksum the streaming ingest emits: 8 codes < 16
+    * weight-summed to < 1.4e10, comfortably inside signed-64 — and 17 >
+    * 16 makes the weighted sum injective over code vectors, so equal
+    * checksums mean equal codes.
+    */
+  val PqChecksumMults: Array[Long] =
+    Array.iterate(1L, PqBlocks)(_ * 17L)
+
+  /** Generated oracle for the streaming IVF-PQ ingest: one batch pass
+    * restating the coarse argmin assignment and per-block encoding
+    * (identical CTE bodies to [[ivfPqTopKSql]]), rolled up per cell as
+    * (n_vecs, sum of per-vector positional code checksums) — all
+    * integers, so the drained stream state hash-matches exactly.
+    */
+  def ivfPqIngestSql(icents: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]]): String = {
+    val icentRows = icents.zipWithIndex.map { case (cv, i) =>
+      s"($i, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    val centRows = (for {
+      b <- 0 until PqBlocks
+      c <- 0 until PqCentsPerBlock
+    } yield s"($b, $c, [${cbs(b)(c).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n    ")
+    val multRows = PqChecksumMults.zipWithIndex
+      .map { case (m, b) => s"($b, $m)" }.mkString(", ")
+    val sliceSqDist = (1 to PqBlockDim).map { i =>
+      s"(CAST(embedding[b * $PqBlockDim + $i] AS DOUBLE) - cv[$i]) * " +
+        s"(CAST(embedding[b * $PqBlockDim + $i] AS DOUBLE) - cv[$i])"
+    }.mkString(" + ")
+    s"""WITH icents(icid, icv) AS (VALUES
+       |    $icentRows),
+       |v AS (SELECT vec_id, embedding FROM embeddings),
+       |iranked AS (
+       |  SELECT vec_id, icid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, icid) AS crn
+       |  FROM (SELECT vec_id, icid, ${duckSqDistExpr("embedding", "icv")} AS d
+       |        FROM v CROSS JOIN icents)),
+       |iassigned AS (SELECT vec_id, icid AS cell FROM iranked WHERE crn = 1),
+       |cents(b, cid, cv) AS (VALUES
+       |    $centRows),
+       |passign AS (
+       |  SELECT vec_id, b, cid,
+       |    row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cid) AS crn
+       |  FROM (SELECT vec_id, c.b, c.cid, $sliceSqDist AS d
+       |        FROM v CROSS JOIN cents c)),
+       |codes AS (SELECT vec_id, b, cid AS code FROM passign WHERE crn = 1),
+       |mult(b, m) AS (VALUES $multRows),
+       |percsum AS (
+       |  SELECT c.vec_id,
+       |    CAST(sum(CAST(c.code AS BIGINT) * CAST(m.m AS BIGINT)) AS BIGINT) AS csum
+       |  FROM codes c JOIN mult m ON m.b = c.b
+       |  GROUP BY c.vec_id)
+       |SELECT a.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(p.csum) AS BIGINT) AS code_checksum
+       |FROM iassigned a JOIN percsum p ON p.vec_id = a.vec_id
+       |GROUP BY a.cell""".stripMargin
   }
 
   /** IVF-PQ recall@5 vs the exact scan — the same contract-grade gate

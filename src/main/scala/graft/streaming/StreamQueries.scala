@@ -557,6 +557,54 @@ object StreamQueries {
       .select($"cluster", $"n_vecs")
   }
 
+  /** Streaming IVF-PQ index ingestion — building the composed ANN
+    * index ([[graft.operators.Similarity.ivfPqTopK]]) incrementally at
+    * arrival time: each streamed vector is coarse-assigned to its
+    * inverted-file cell AND product-quantized, both as STATELESS narrow
+    * maps against the memoized model artifacts (coarse centroids as
+    * literal arrays folded with the same left-to-right zip_with the
+    * batch kernel uses; codes via the native `pq_encode` codegen
+    * expression). Only the per-cell rollup holds state: (n_vecs,
+    * positional-checksum sum) — an order-independent integer pair, so
+    * the drained log equals one batch pass exactly, which the generated
+    * oracle restates with the identical parameter doubles. At 100 TB
+    * this is the shape that matters: ingest cost is O(row) with zero
+    * shuffle before the K-row state, and cell counts are precisely the
+    * inverted-list length histogram an index server needs for probe
+    * planning.
+    */
+  def streamIvfPqIngest(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val Sim = graft.operators.Similarity
+      val icents = Sim.ivfCentroids(s, dir)
+      val cbs = Sim.pqCodebooks(s, dir)
+      val src = stageAsDirParts(s, s"$dir/embeddings.parquet", 2)
+      val schema = s.read.parquet(src).schema
+      val scored = icents.zipWithIndex.map { case (c, k) =>
+        struct(
+          aggregate(
+            zip_with($"embedding", typedlit(c.toSeq),
+              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+            lit(0.0), (acc, x) => acc + x).as("d"),
+          lit(k).as("k"))
+      }
+      val checksum = aggregate(
+        zip_with(
+          graft.functions.PqEncode.pq_encode($"embedding", cbs),
+          typedlit(Sim.PqChecksumMults.toSeq),
+          (c, m) => c.cast("long") * m),
+        lit(0L), (a, x) => a + x)
+      val cells = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select(array_min(array(scored: _*)).getField("k").as("cell"),
+          checksum.as("csum"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"), sum($"csum").as("code_checksum"))
+      runDeltaLog(cells, "update", Seq("cell"))
+        .select($"cell", $"n_vecs", $"code_checksum")
+    }
+
   /** Per-bucket LSH state: the (doc_id, signature) members seen so far
     * in one band bucket. Bounded by construction — LSH band keys spread
     * the corpus across O(distinct signatures) buckets, so membership is
@@ -852,6 +900,7 @@ object StreamQueries {
     "stream_bot_flags" -> (streamBotFlags _),
     "stream_embedding_sigs" -> (streamEmbeddingSigs _),
     "stream_kmeans_assign" -> (streamKmeansAssign _),
+    "stream_ivfpq_ingest" -> (streamIvfPqIngest _),
     "stream_wordcount" -> (streamWordCount _),
     "stream_interval_count" -> (streamIntervalCount _),
     "stream_session_stats" -> (streamSessionStats _),
@@ -871,8 +920,12 @@ object StreamQueries {
     // EXPLICIT dir (memo hit or deterministic recompute) — same doubles
     // the ingest query used for that collection
     val (npt, planes) = graft.operators.Similarity.ndParamsFor(dir)
-    baseOracles + ("stream_embedding_sigs" ->
-      graft.operators.Similarity.embeddingSigsSql(npt, planes))
+    val (icents, cbs) = graft.operators.Similarity.ivfPqParamsFor(dir)
+    baseOracles +
+      ("stream_embedding_sigs" ->
+        graft.operators.Similarity.embeddingSigsSql(npt, planes)) +
+      ("stream_ivfpq_ingest" ->
+        graft.operators.Similarity.ivfPqIngestSql(icents, cbs))
   }
 
   private def baseOracles: Map[String, String] = Map(

@@ -155,4 +155,35 @@ class StreamsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     assert(stream == batch, "max-merge across micro-batches must equal the one-shot sketch")
   }
+
+  test("streaming IVF-PQ ingest drains to the batch cell histogram and code checksums") {
+    import org.apache.spark.sql.functions.col
+    val sf = graft.TestSpark.sf
+    val Sim = graft.operators.Similarity
+    val streamed = StreamQueries.streamIvfPqIngest(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // batch truth from the SAME memoized artifacts: coarse cell via the
+    // driver-side kernel, codes via the native encoder expression
+    import spark.implicits._
+    val cents = Sim.ivfCentroids(spark, sf)
+    val cbs = Sim.pqCodebooks(spark, sf)
+    val bc = spark.sparkContext.broadcast(cents)
+    val batch = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.PqEncode.pq_encode(col("embedding"), cbs).as("codes"))
+      .as[(Long, Array[Float], Array[Int])].collect()
+      .map { case (_, emb, codes) =>
+        val cell = Sim.nearestCentroidOf(emb, bc.value)
+        val csum = codes.zip(Sim.PqChecksumMults).map {
+          case (c, m) => c.toLong * m
+        }.sum
+        (cell, csum)
+      }
+      .groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    assert(streamed == batch,
+      "drained ingest state must equal one batch pass over the collection")
+    assert(streamed.values.map(_._1).sum ==
+      graft.Tables.embeddings(spark, sf).count())
+  }
 }
