@@ -48,7 +48,7 @@ class PlanLintSpec extends AnyFunSuite {
     // 10-row query side against the collection on a non-equi condition
     // (q_id <> n_id) — the deliberate brute-force shape
     "sim_bruteforce_topk", "sim_matryoshka_overlap", "sim_ivf_recall",
-    "sim_ann_recall",
+    "sim_ann_recall", "sim_ivfpq_recall",
     // |labels|-row centroid-frame broadcast (the k-means assignment shape)
     "sim_centroid_eval",
     // 1-row source-count broadcast (epoch ordering normalizer)
