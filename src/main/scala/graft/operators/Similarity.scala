@@ -937,6 +937,94 @@ object Similarity {
        |GROUP BY a.cell""".stripMargin
   }
 
+  /** Memoized cell-partitioned inverted-file layout: (vec_id, 8 PQ
+    * codes) written ONCE per (session, corpus fingerprint) under
+    * `cell=<coarse id>/` Hive partitions. The layout IS the index at
+    * rest — the form a 100 TB collection would persist.
+    */
+  private val listsDirCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def ivfPqListsDir(s: SparkSession, dir: String): String =
+    listsDirCache.getOrElseUpdate(
+      (Dedup.sessionKey(s), dataKey(dir, "embeddings")), {
+        import s.implicits._
+        val icents = ivfCentroids(s, dir)
+        val cbs = pqCodebooks(s, dir)
+        val bc = s.sparkContext.broadcast(icents)
+        val out = graft.TempDirs.scoped("graft_ivfpq_lists")
+        Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])]
+          .map { case (id, emb) => (id, nearestCentroid(emb, bc.value)) }
+          .toDF("vec_id", "cell")
+          .join(Tables.embeddings(s, dir).select($"vec_id",
+            graft.functions.PqEncode.pq_encode($"embedding", cbs).as("codes")),
+            "vec_id")
+          .write.mode("overwrite").partitionBy("cell").parquet(out)
+        out
+      })
+
+  /** The inverted file as a PHYSICAL PARTITION LAYOUT — the data-
+    * skipping form of [[ivfPqTopK]]'s candidate generation: codes land
+    * in `cell=<id>/` Hive partitions once ([[ivfPqListsDir]], memoized),
+    * and a probe reads ONLY its nProbe cells' files via STATIC partition
+    * pruning (the probe set is driver-known — 10 queries × 3 cells — so
+    * the `cell IN (...)` predicate prunes at planning time;
+    * LayoutSpec asserts `PartitionFilters` on the scan and that
+    * unprobed-cell files are never listed into the plan). At 100 TB
+    * this is the difference between touching ~nProbe/K of the files and
+    * touching all of them — the same contract as [[Layout]]'s z-order
+    * skipping, applied to the ANN index. Output: per (query, probed
+    * cell) candidate counts, all integers.
+    */
+  def ivfPqLists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val icents = ivfCentroids(s, dir)
+    val bc = s.sparkContext.broadcast(icents)
+    val lists = s.read.parquet(ivfPqListsDir(s, dir))
+    val probeRows = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding")
+      .where($"vec_id" < 10)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .flatMap { case (id, emb) =>
+        centroidsByDistance(emb, bc.value, IvfNProbe).map(c => (id, c))
+      }
+    val probedCells = probeRows.map(_._2).distinct.toSeq
+    val probes = probeRows.toSeq.toDF("q_id", "cell")
+    lists.where($"cell".isin(probedCells: _*))
+      .join(broadcast(probes), "cell")
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"cell")
+      .agg(count(lit(1)).as("n_candidates"))
+  }
+
+  /** Oracle: coarse assignment + probe ranking (identical CTEs to
+    * [[ivfPqTopKSql]]) rolled up as per-(query, probed cell) candidate
+    * counts.
+    */
+  def ivfPqListsSql(icents: Array[Array[Double]]): String = {
+    val icentRows = icents.zipWithIndex.map { case (cv, i) =>
+      s"($i, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH icents(icid, icv) AS (VALUES
+       |    $icentRows),
+       |v AS (SELECT vec_id, embedding FROM embeddings),
+       |iranked AS (
+       |  SELECT vec_id, icid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, icid) AS crn
+       |  FROM (SELECT vec_id, icid, ${duckSqDistExpr("embedding", "icv")} AS d
+       |        FROM v CROSS JOIN icents)),
+       |iassigned AS (SELECT vec_id, icid AS cell FROM iranked WHERE crn = 1),
+       |iprobes AS (
+       |  SELECT vec_id AS q_id, icid AS cell FROM iranked
+       |  WHERE vec_id < 10 AND crn <= $IvfNProbe)
+       |SELECT p.q_id, p.cell, CAST(count(*) AS BIGINT) AS n_candidates
+       |FROM iprobes p JOIN iassigned a ON a.cell = p.cell
+       |WHERE a.vec_id <> p.q_id
+       |GROUP BY p.q_id, p.cell""".stripMargin
+  }
+
   /** IVF-PQ recall@5 vs the exact scan — the same contract-grade gate
     * [[ivfRecall]]/[[annRecall]] give the other two deployed indexes,
     * so every ANN variant in the library ships with its accuracy
@@ -1473,6 +1561,7 @@ object Similarity {
     "sim_pq_topk" -> (pqTopK _),
     "sim_ivfpq_topk" -> (ivfPqTopK _),
     "sim_ivfpq_recall" -> (ivfPqRecall _),
+    "layout_ivfpq_lists" -> (ivfPqLists _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_lang_centroids" -> (langCentroids _),
     "sim_lang_centroids_agg" -> (langCentroidsAgg _))
@@ -1504,6 +1593,7 @@ object Similarity {
       "sim_ivfpq_topk" -> ivfPqTopKSql(ivfCentroids(s, dir),
         pqCodebooks(s, dir), pqLut(s, dir)),
       "sim_ivfpq_recall" -> ivfPqRecallSql(ivfCentroids(s, dir),
-        pqCodebooks(s, dir), pqLut(s, dir)))
+        pqCodebooks(s, dir), pqLut(s, dir)),
+      "layout_ivfpq_lists" -> ivfPqListsSql(ivfCentroids(s, dir)))
   }
 }

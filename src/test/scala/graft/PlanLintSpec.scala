@@ -30,7 +30,9 @@ class PlanLintSpec extends AnyFunSuite {
     "src_orc_roundtrip", "src_partitioned_layout",
     "src_text_roundtrip", "src_binaryfile_scan",
     "src_parquet_zstd_roundtrip", "src_schema_evolution",
-    "src_csv_badrecords")
+    "src_csv_badrecords",
+    // writes the cell-partitioned inverted-file layout on construction
+    "layout_ivfpq_lists")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop

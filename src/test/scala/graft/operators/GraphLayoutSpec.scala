@@ -75,6 +75,25 @@ class GraphLayoutSpec extends AnyFunSuite {
       "mean rank of top-in-weight tokens should exceed bottom group's")
   }
 
+  test("ivfpq inverted-file layout: probe reads prune to the probed cells' partitions") {
+    import org.apache.spark.sql.functions.col
+    val sf = graft.TestSpark.sf
+    val df = Similarity.ivfPqLists(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // static partition pruning: the cell IN (...) predicate must reach
+    // the scan as a PartitionFilter (unprobed cells' files never read)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("cell")), s"no cell PartitionFilter:\n$pf")
+    // and the result must cover every (query, probed cell) pair that
+    // has at least one candidate — 10 queries × up to nProbe cells
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == 10)
+    assert(rows.forall(_.getLong(2) > 0))
+    val cells = rows.map(_.getInt(1)).distinct
+    assert(cells.length <= 10 * Similarity.IvfNProbe)
+  }
+
   test("z-order layout prunes at least as well as linear on a 2-D predicate") {
     val rows = Layout.layoutZorder(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
