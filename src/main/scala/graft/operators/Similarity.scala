@@ -1501,6 +1501,14 @@ object Similarity {
         s"CAST(element_at(embedding, ${b * PqBlockDim + i}) AS DOUBLE) * " +
           s"CAST(element_at(embedding, ${b * PqBlockDim + i}) AS DOUBLE)"
       }.mkString(" + ")
+    // 8 unioned scans, one per block, each with its own bounded codegen
+    // stage. The tempting single-scan posexplode fusion was MEASURED
+    // SLOWER (5.8-9.5 s vs ~3 s at sf0.1): all 8 blocks' ~1024
+    // multiply-subtract terms land in one projection, blowing past the
+    // whole-stage-codegen method budget, while the union form keeps
+    // each block's 128-term LEAST inside its own compiled stage — the
+    // scans re-read a narrow column 8× but the expression work, not the
+    // scan, dominates.
     val perBlock = (0 until PqBlocks).map { b =>
       val least = s"least(${(0 until PqCentsPerBlock)
         .map(c => s"(${distExpr(b, c)})").mkString(", ")})"
