@@ -53,5 +53,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => Morton16.builder(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushPartialTopK)
+    ext.injectOptimizerRule(_ => graft.plans.NanosRangePushdown)
   }
 }

@@ -62,6 +62,8 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // user predicates on the derived ts_ns still push down to the scan
+    graft.plans.NanosRangePushdown.ensureInstalled(s)
     val df = t(s, d, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumnRenamed("ts", "ts_ns")

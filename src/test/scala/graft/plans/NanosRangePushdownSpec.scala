@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+/** The ts_ns range-predicate rewrite: user filters on the DERIVED
+  * epoch-nanos column must reach the parquet scan as timestamp
+  * PushedFilters, and every comparison must stay boundary-exact —
+  * including nanos literals that are NOT multiples of 1000, where the
+  * ceil/floor choice is what keeps the rewrite lossless.
+  */
+class NanosRangePushdownSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  val sf = graft.TestSpark.sf
+
+  private def ev = graft.Tables.events(spark, sf)
+
+  private lazy val allNs: Array[Long] =
+    ev.select("ts_ns").collect().map(_.getLong(0))
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("ts_ns range filter pushes down as timestamp bounds on the scan") {
+    val lo = allNs.min + 1234567L
+    val hi = allNs.max - 1234567L
+    val df = ev.filter(col("ts_ns") >= lo && col("ts_ns") < hi)
+    val p = plan(df)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(ts,") &&
+      pushed.contains("LessThan(ts,"), s"not pushed:\n$pushed")
+    // and no residual arithmetic comparison survives in the FILTER
+    // condition (the Project still computes ts_ns for output — that's
+    // the column's job; only the predicate must be rewritten)
+    val cond = p.linesIterator.find(_.trim.startsWith("Condition")).getOrElse("")
+    assert(!cond.contains("unix_micros"),
+      s"rewrite left the derived form in the filter: $cond")
+  }
+
+  test("every comparison is boundary-exact for non-multiple-of-1000 literals") {
+    // pick a literal straddling a real value: data is µs-precision, so
+    // every ts_ns is a multiple of 1000 — probe ±1 and ±999 around one
+    val v = allNs.sorted.apply(allNs.length / 2)
+    for (l <- Seq(v - 999L, v - 1L, v, v + 1L, v + 999L, v + 1000L)) {
+      def n(pred: org.apache.spark.sql.Column): Long = ev.filter(pred).count()
+      assert(n(col("ts_ns") >= l) == allNs.count(_ >= l).toLong, s">= $l")
+      assert(n(col("ts_ns") > l) == allNs.count(_ > l).toLong, s"> $l")
+      assert(n(col("ts_ns") <= l) == allNs.count(_ <= l).toLong, s"<= $l")
+      assert(n(col("ts_ns") < l) == allNs.count(_ < l).toLong, s"< $l")
+      assert(n(col("ts_ns") === l) == allNs.count(_ == l).toLong, s"= $l")
+      // mirrored literal-first forms
+      assert(n(org.apache.spark.sql.functions.lit(l) <= col("ts_ns")) ==
+        allNs.count(_ >= l).toLong, s"$l <= ts_ns")
+      assert(n(org.apache.spark.sql.functions.lit(l) > col("ts_ns")) ==
+        allNs.count(_ < l).toLong, s"$l > ts_ns")
+    }
+  }
+
+  test("interval count through ts_ns equals the tsLit-form registered query") {
+    val lo = 1704844800000000000L // 2024-01-10T00:00:00Z nanos
+    val hi = 1705708800000000000L // 2024-01-20T00:00:00Z nanos
+    val viaNs = ev.filter(col("ts_ns") >= lo && col("ts_ns") < hi)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaTs = graft.operators.EventOps.intervalCount(spark, sf)
+      .select("event_type", "cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaNs == viaTs)
+  }
+}
