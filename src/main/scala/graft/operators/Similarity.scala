@@ -1025,6 +1025,91 @@ object Similarity {
        |GROUP BY p.q_id, p.cell""".stripMargin
   }
 
+  /** Probe-depth tuning curve for the inverted file — the [[lshScurve]]
+    * analog for IVF probing: at which RANK in its query's
+    * cell-distance ordering does each true top-5 neighbor's cell sit?
+    * The cumulative count over ranks IS candidate-generation recall as
+    * a function of nProbe — the whole tuning curve from ONE pass, no
+    * re-run per probe depth (re-running top-k at K probe settings is
+    * how this audit is usually priced). Per rank r: how many of the
+    * brute-force truth pairs would enter the candidate set with
+    * nProbe = r, cumulative, and the micro-floored recall fraction.
+    * The current production setting ([[IvfNProbe]]) reads directly off
+    * the curve; raising K at 100 TB re-prices it without touching the
+    * query.
+    */
+  def ivfPqProbeCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val icents = ivfCentroids(s, dir)
+    val bc = s.sparkContext.broadcast(icents)
+    // full per-query cell ranking (driver-built: 10 queries × K cells)
+    val qRanks = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding")
+      .where($"vec_id" < 10)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .flatMap { case (id, emb) =>
+        centroidsByDistance(emb, bc.value, icents.length)
+          .zipWithIndex.map { case (c, i) => (id, c, (i + 1).toLong) }
+      }.toSeq.toDF("q_id", "cell", "cell_rank")
+    val assigned = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (nearestCentroid(emb, bc.value), id) }
+      .toDF("cell", "n_id")
+    val bfPairs = bruteForceTopK(s, dir).select($"q_id", $"n_id")
+    val total = bfPairs.count()
+    val hits = assigned.join(broadcast(bfPairs), "n_id")
+      .join(broadcast(qRanks), Seq("q_id", "cell"))
+      .groupBy($"cell_rank").agg(count(lit(1)).as("n_pairs"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"cell_rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (1 to icents.length).map(_.toLong).toDF("cell_rank")
+      .join(hits, Seq("cell_rank"), "left")
+      .select($"cell_rank", coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+      .withColumn("cum_pairs", sum($"n_pairs").over(w))
+      .selectExpr("cell_rank", "n_pairs", "cum_pairs",
+        s"floor(CAST(cum_pairs AS DOUBLE) / $total * 1e6 + 0.5) / 1e6 AS cand_recall")
+  }
+
+  /** Oracle: full cell ranking + assignment CTEs (as [[ivfPqTopKSql]],
+    * unfiltered ranks) joined against the brute-force truth pairs,
+    * scaffolded over all K ranks with a cumulative window.
+    */
+  def ivfPqProbeCurveSql(icents: Array[Array[Double]]): String = {
+    val icentRows = icents.zipWithIndex.map { case (cv, i) =>
+      s"($i, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    val k = icents.length
+    s"""WITH icents(icid, icv) AS (VALUES
+       |    $icentRows),
+       |ve AS (SELECT vec_id, embedding FROM embeddings),
+       |iranked AS (
+       |  SELECT vec_id, icid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, icid) AS crn
+       |  FROM (SELECT vec_id, icid, ${duckSqDistExpr("embedding", "icv")} AS d
+       |        FROM ve CROSS JOIN icents)),
+       |iassigned AS (SELECT vec_id, icid FROM iranked WHERE crn = 1),
+       |bf AS ($bruteForceTopKSql),
+       |hits AS (
+       |  SELECT r.crn AS cell_rank
+       |  FROM bf
+       |  JOIN iassigned a ON a.vec_id = bf.n_id
+       |  JOIN iranked r ON r.vec_id = bf.q_id AND r.icid = a.icid),
+       |counts AS (
+       |  SELECT cell_rank, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM hits GROUP BY cell_rank),
+       |ranks AS (SELECT CAST(unnest(range(1, ${k + 1})) AS BIGINT) AS cell_rank)
+       |SELECT ranks.cell_rank,
+       |  coalesce(n_pairs, 0) AS n_pairs,
+       |  CAST(sum(coalesce(n_pairs, 0)) OVER (ORDER BY ranks.cell_rank)
+       |    AS BIGINT) AS cum_pairs,
+       |  floor(CAST(sum(coalesce(n_pairs, 0)) OVER (ORDER BY ranks.cell_rank)
+       |      AS DOUBLE)
+       |    / (SELECT count(*) FROM bf) * 1e6 + 0.5) / 1e6 AS cand_recall
+       |FROM ranks LEFT JOIN counts ON counts.cell_rank = ranks.cell_rank""".stripMargin
+  }
+
   /** IVF-PQ recall@5 vs the exact scan — the same contract-grade gate
     * [[ivfRecall]]/[[annRecall]] give the other two deployed indexes,
     * so every ANN variant in the library ships with its accuracy
@@ -1570,6 +1655,7 @@ object Similarity {
     "sim_ivfpq_topk" -> (ivfPqTopK _),
     "sim_ivfpq_recall" -> (ivfPqRecall _),
     "layout_ivfpq_lists" -> (ivfPqLists _),
+    "sim_ivfpq_probe_curve" -> (ivfPqProbeCurve _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_lang_centroids" -> (langCentroids _),
     "sim_lang_centroids_agg" -> (langCentroidsAgg _))
@@ -1602,6 +1688,7 @@ object Similarity {
         pqCodebooks(s, dir), pqLut(s, dir)),
       "sim_ivfpq_recall" -> ivfPqRecallSql(ivfCentroids(s, dir),
         pqCodebooks(s, dir), pqLut(s, dir)),
-      "layout_ivfpq_lists" -> ivfPqListsSql(ivfCentroids(s, dir)))
+      "layout_ivfpq_lists" -> ivfPqListsSql(ivfCentroids(s, dir)),
+      "sim_ivfpq_probe_curve" -> ivfPqProbeCurveSql(ivfCentroids(s, dir)))
   }
 }

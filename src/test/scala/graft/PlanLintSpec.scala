@@ -32,7 +32,9 @@ class PlanLintSpec extends AnyFunSuite {
     "src_parquet_zstd_roundtrip", "src_schema_evolution",
     "src_csv_badrecords",
     // writes the cell-partitioned inverted-file layout on construction
-    "layout_ivfpq_lists")
+    "layout_ivfpq_lists",
+    // collects the bounded query-cell ranking + truth count on construction
+    "sim_ivfpq_probe_curve")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop

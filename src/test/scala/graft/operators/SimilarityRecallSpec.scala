@@ -92,6 +92,28 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(r >= 0.85, s"IVF-PQ recall@5 = $r")
   }
 
+  test("probe curve: monotone, exhaustive at rank K, and explains the production nProbe") {
+    val rows = Similarity.ivfPqProbeCurve(spark, clusteredDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length == Similarity.IvfK)
+    // cumulative counts never fall; every truth pair's cell is ranked
+    // somewhere, so the curve must reach exactly 1.0 at rank K
+    rows.sliding(2).foreach {
+      case Array((_, _, c1, r1), (_, _, c2, r2)) =>
+        assert(c2 >= c1 && r2 >= r1)
+      case _ =>
+    }
+    assert(rows.last._4 == 1.0)
+    assert(rows.map(_._2).sum == rows.last._3)
+    // on clustered data the production probe depth must already sit on
+    // the flat part of the curve — the same ≥ 0.85 the end-to-end
+    // IVF-PQ recall gate asserts, read here from candidate generation
+    // alone (everything past it is ADC/re-rank loss, not probe loss)
+    val atNProbe = rows(Similarity.IvfNProbe - 1)._4
+    assert(atNProbe >= 0.85, s"cand recall at nProbe = $atNProbe")
+  }
+
   test("IVF-PQ candidates are a subset of the probed coarse cells' members") {
     // structural containment: every returned neighbor must live in one
     // of its query's nProbe probed cells — the invariant that lets the
