@@ -334,10 +334,17 @@ object Dedup {
     * radius-1 multiprobe (see [[simhashChunkBits]]), then exact Hamming
     * verification ≤ 16 via the codegen xor-popcount expression.
     */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The chunk-LSH candidate stage of [[simhashPairs]], shared with the
+    * banding s-curve audit: (doc_a, doc_b) pairs colliding on some
+    * chunk under radius-1 multiprobe, BEFORE Hamming verification.
+    */
+  private def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (bits, nChunks) = simhashParams(s, dir)
     val mask = (1L << bits) - 1
+    // cache registers the canonicalized signature plan once; the
+    // verification/audit joins over the same frame hit it via the
+    // cache manager's plan matching
     val sigs = simhashSignatures(s, dir).cache()
     val chunkVals = array((0 until nChunks).map(c =>
       shiftrightunsigned($"simhash", c * bits).bitwiseAND(lit(mask))): _*)
@@ -346,13 +353,18 @@ object Dedup {
     val probes = chunks.select($"doc_id", $"chunk",
       explode(array((col("val") +:
         (0 until bits).map(b => col("val").bitwiseXOR(lit(1L << b)))): _*)).as("pval"))
-    val cand = probes.as("a")
+    probes.as("a")
       .join(chunks.as("b"),
         $"a.chunk" === $"b.chunk" && $"a.pval" === $"b.val" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    val withSigs = cand
+  }
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simhashSignatures(s, dir)
+    val withSigs = simhashCandidates(s, dir)
       .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
       .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
     withSigs.select($"doc_a", $"doc_b",
@@ -1109,7 +1121,86 @@ object Dedup {
        |  floor(CAST(sum(h) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_hamming
        |FROM cells GROUP BY bucket""".stripMargin
 
+  /** SimHash banding s-curve — the [[lshScurve]] analog for the chunk
+    * index: per HAMMING DISTANCE over the measured pair table, the
+    * fraction the radius-1 chunk multiprobe generates as candidates.
+    * The pigeonhole guarantee becomes a measured fact: h differing bits
+    * across `nChunks` chunks leave some chunk with ≤ 1 flip whenever
+    * h ≤ 2·nChunks − 1, so catch_rate MUST be exactly 1.0 in that zone
+    * (DedupSpec pins it); beyond it the curve shows the recall the
+    * verification threshold actually rides on. Integer counts
+    * throughout — one audit-sized join over the memoized pair table
+    * plus the shared candidate stage, no new corpus pass.
+    */
+  def simhashScurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simhashSignatures(s, dir)
+    val truth = sharedPairs(s, dir).select($"doc_a", $"doc_b")
+    val withH = truth
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .select($"doc_a", $"doc_b",
+        graft.functions.Hamming64.hamming64($"sig_a", $"sig_b")
+          .cast("long").as("hamming"))
+    val cand = simhashCandidates(s, dir).withColumn("caught", lit(1L))
+    withH.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce($"caught", lit(0L))).as("n_caught"))
+      .selectExpr("hamming", "n_pairs", "n_caught",
+        "floor(CAST(n_caught AS DOUBLE) / n_pairs * 1e6 + 0.5) / 1e6 AS catch_rate")
+  }
+
+  /** Oracle: shared pair CTEs + the s-prefixed signature pipeline (as
+    * [[simhashCalibrationSql]]) + the chunk/probe/candidate stage for
+    * the derived (bits, nChunks) shape.
+    */
+  def simhashScurveSql(bits: Int, nChunks: Int): String = {
+    val mask = (1L << bits) - 1
+    s"""WITH $pairCteSql,
+       |stf AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS x,
+       |    count(*) AS w
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+       |  GROUP BY doc_id, tok),
+       |sbits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN ((x >> j) & 1) = 1 THEN w ELSE -w END) AS acc
+       |  FROM stf CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+       |  GROUP BY doc_id, j),
+       |ssigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+       |      AS BIGINT) AS sig
+       |  FROM sbits GROUP BY doc_id),
+       |schunks AS (
+       |  SELECT doc_id, c, (sig >> (c * $bits)) & $mask AS v
+       |  FROM ssigs CROSS JOIN (SELECT unnest(range(0, $nChunks)) AS c)),
+       |sprobes AS (
+       |  SELECT doc_id, c, v AS pv FROM schunks
+       |  UNION ALL
+       |  SELECT doc_id, c, xor(v, (CAST(1 AS BIGINT) << b.b))
+       |  FROM schunks CROSS JOIN (SELECT unnest(range(0, $bits)) AS b) b),
+       |scand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sprobes a JOIN schunks b
+       |    ON a.c = b.c AND a.pv = b.v AND a.doc_id < b.doc_id),
+       |cells AS (
+       |  SELECT CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming,
+       |    CASE WHEN sc.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+       |  FROM shared_counts p
+       |  JOIN ssigs sa ON sa.doc_id = p.doc_a
+       |  JOIN ssigs sb ON sb.doc_id = p.doc_b
+       |  LEFT JOIN scand sc ON sc.doc_a = p.doc_a AND sc.doc_b = p.doc_b)
+       |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(caught) AS BIGINT) AS n_caught,
+       |  floor(CAST(sum(caught) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS catch_rate
+       |FROM cells GROUP BY hamming""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash_scurve" -> (simhashScurve _),
     "dedup_simhash_calibration" -> (simhashCalibration _),
     "dedup_minhash_calibration" -> (minhashCalibration _),
     "dedup_lsh_scurve" -> (lshScurve _),
@@ -1137,6 +1228,7 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_simhash_scurve" -> simhashScurveSql(bits, nChunks),
       "dedup_simhash_calibration" -> simhashCalibrationSql,
       "dedup_minhash_calibration" -> minhashCalibrationSql,
       "dedup_lsh_scurve" -> lshScurveSql,

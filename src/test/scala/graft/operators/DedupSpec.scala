@@ -118,6 +118,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash s-curve: radius-1 multiprobe catches EVERY pair inside the pigeonhole zone") {
+    val (_, nChunks) = Dedup.simhashParams(spark, sf)
+    val guarantee = 2L * nChunks - 1 // h bits over c chunks: some chunk has <= 1 flip
+    val rows = Dedup.simhashScurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.filter(_._1 <= guarantee).foreach { case (h, n, c, rate) =>
+      assert(c == n && rate == 1.0,
+        s"hamming $h inside the guarantee zone (<= $guarantee) but caught $c/$n")
+    }
+    // and the curve is a real curve: something beyond the zone escapes
+    assert(rows.exists { case (h, _, _, rate) => h > guarantee && rate < 1.0 })
+  }
+
   test("simhash calibration: hamming falls as true jaccard rises, within 60-bit range") {
     val rows = Dedup.simhashCalibration(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4),
