@@ -1522,6 +1522,199 @@ object Multimodal {
        |  micro < $FlatEntropyMicro AS is_flat
        |FROM terms""".stripMargin
 
+  // ------------------------------------------------------ AVI container
+
+  /** AVI geometry/cadences — de-stubbing the last opaque modality:
+    * video payloads become REAL RIFF/AVI containers (the same RIFF
+    * chunk grammar the WAV codec walks), with uncompressed 8-bit DIB
+    * frames whose bytes follow a closed form the oracle restates.
+    */
+  @inline private def aviNf(nTextBytes: Int): Int = 2 + nTextBytes % 5
+  @inline private def aviW(nTextBytes: Int): Int = 8 + nTextBytes % 9
+  @inline private def aviH(nTextBytes: Int): Int = 6 + nTextBytes % 7
+  @inline private def aviSeed(docId: Long): Int = (docId % 233).toInt
+  val CorruptEveryAvi = 29
+  val AviUsPerFrame = 40000 // 25 fps
+
+  @inline private def aviPx(seed: Int, f: Int, j: Int): Int =
+    (seed + 31 * j + 7 * f) % 256
+
+  /** Build a genuine minimal AVI: RIFF('AVI ') → LIST(hdrl){avih,
+    * LIST(strl){strh,strf}} → LIST(movi){nf × '00db' frames} → idx1.
+    * Frames are w×h single-byte pixels, chunk-padded to even sizes per
+    * the RIFF rule.
+    */
+  def encodeAvi(nf: Int, w: Int, h: Int, seed: Int): Array[Byte] = {
+    val fsz = w * h
+    val pad = fsz & 1
+    val moviContent = 4 + nf * (8 + fsz + pad)
+    val idx1Total = 8 + 16 * nf
+    val hdrlTotal = 8 + 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + hdrlTotal + (8 + moviContent) + idx1Total
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII")): Unit
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    // hdrl
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)))
+    fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(AviUsPerFrame).putInt(fsz * 25).putInt(0).putInt(0)
+    buf.putInt(nf).putInt(0).putInt(1).putInt(fsz)
+    buf.putInt(w).putInt(h)
+    (0 until 4).foreach(_ => buf.putInt(0))
+    // strl
+    fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putInt(0).putInt(0)
+    buf.putInt(1).putInt(25) // dwScale / dwRate = 25 fps
+    buf.putInt(0).putInt(nf).putInt(fsz).putInt(-1).putInt(0)
+    buf.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(8)
+    buf.putInt(0).putInt(fsz).putInt(0).putInt(0).putInt(256).putInt(0)
+    // movi
+    fourcc("LIST"); buf.putInt(moviContent); fourcc("movi")
+    var f = 0
+    while (f < nf) {
+      fourcc("00db"); buf.putInt(fsz)
+      var j = 0
+      while (j < fsz) { buf.put(aviPx(seed, f, j).toByte); j += 1 }
+      if (pad == 1) buf.put(0.toByte)
+      f += 1
+    }
+    // idx1
+    fourcc("idx1"); buf.putInt(16 * nf)
+    var off = 4
+    f = 0
+    while (f < nf) {
+      fourcc("00db"); buf.putInt(0x10).putInt(off).putInt(fsz)
+      off += 8 + fsz + pad
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Genuine AVI walk: RIFF/AVI magics, hdrl sub-chunk iteration to the
+    * avih header (frame count, dims, frame cadence), movi '00db' chunk
+    * walk (size must equal w·h, count must equal avih.dwTotalFrames),
+    * idx1 entry-count cross-check. Returns (frames, w, h, pixel sum) or
+    * None on any structural violation — corrupt containers are dropped
+    * and counted, never propagated (P1 semantics).
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes.length < 24) return None
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length) new String(bytes, off, 4, "US-ASCII") else ""
+    def u32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    if (8 + u32(4) > bytes.length) return None
+    var nf = -1; var w = -1; var h = -1
+    var frames = 0; var pxSum = 0L; var idxEntries = -1
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val t = tag(pos); val sz = u32(pos + 4)
+      if (sz < 0 || pos + 8 + sz > bytes.length) return None
+      t match {
+        case "LIST" =>
+          tag(pos + 8) match {
+            case "hdrl" =>
+              // iterate hdrl sub-chunks for avih
+              var p = pos + 12
+              val end = pos + 8 + sz
+              while (p + 8 <= end) {
+                if (tag(p) == "avih") {
+                  if (u32(p + 4) < 40) return None
+                  nf = u32(p + 8 + 16); w = u32(p + 8 + 32); h = u32(p + 8 + 36)
+                }
+                val ssz = u32(p + 4)
+                if (ssz < 0) return None
+                p += 8 + ssz + (ssz & 1)
+              }
+            case "movi" =>
+              if (w <= 0 || h <= 0) return None
+              var p = pos + 12
+              val end = pos + 8 + sz
+              while (p + 8 <= end) {
+                if (tag(p) == "00db") {
+                  val fsz = u32(p + 4)
+                  if (fsz != w * h) return None
+                  var j = 0
+                  while (j < fsz) { pxSum += (bytes(p + 8 + j) & 0xff); j += 1 }
+                  frames += 1
+                }
+                val ssz = u32(p + 4)
+                if (ssz < 0) return None
+                p += 8 + ssz + (ssz & 1)
+              }
+            case _ => ()
+          }
+        case "idx1" => idxEntries = sz / 16
+        case _ => ()
+      }
+      pos += 8 + sz + (sz & 1)
+    }
+    if (nf <= 0 || frames != nf || idxEntries != nf) None
+    else Some((frames, w, h, pxSum))
+  }
+
+  def aviAssets(s: SparkSession, dir: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val avi = encodeAvi(aviNf(tb.length), aviW(tb.length),
+          aviH(tb.length), aviSeed(id))
+        if (id % CorruptEveryAvi == 0) avi(0) = 'X'.toByte
+        Asset(id, "video", avi)
+      }
+  }
+
+  /** AVI proof query: full container walk per asset in the batched
+    * shape; corrupt containers dropped-and-counted; frame counts and
+    * the all-frames pixel sum restated closed-form by the oracle — a
+    * walker that misreads chunk padding, the avih layout, or the idx1
+    * cross-check cannot reproduce them.
+    */
+  def aviStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoded = aviAssets(s, dir).mapPartitions {
+      _.grouped(64).flatMap(_.map { a =>
+        decodeAvi(a.payload) match {
+          case Some((nf, w, h, px)) => (a.asset_id, true, nf.toLong, w, h, px)
+          case None => (a.asset_id, false, 0L, 0, 0, 0L)
+        }
+      })
+    }.toDF("asset_id", "ok", "nf", "w", "h", "px_sum")
+    decoded.agg(
+      count(when($"ok", 1)).as("n_avi"),
+      count(when(!$"ok", 1)).as("n_corrupt"),
+      sum(when($"ok", $"nf")).as("sum_frames"),
+      sum(when($"ok", $"px_sum")).as("sum_px"))
+  }
+
+  val aviStatsSql: String =
+    s"""WITH avi AS (
+       |  SELECT doc_id,
+       |    2 + strlen(text) % 5 AS nf,
+       |    8 + strlen(text) % 9 AS w,
+       |    6 + strlen(text) % 7 AS h,
+       |    CAST(doc_id % 233 AS INTEGER) AS seed,
+       |    doc_id % $CorruptEveryAvi = 0 AS corrupt
+       |  FROM documents)
+       |SELECT count(CASE WHEN NOT corrupt THEN 1 END) AS n_avi,
+       |  count(CASE WHEN corrupt THEN 1 END) AS n_corrupt,
+       |  CAST(sum(CASE WHEN NOT corrupt THEN nf END) AS BIGINT) AS sum_frames,
+       |  CAST(sum(CASE WHEN NOT corrupt THEN list_sum(list_transform(
+       |    range(0, nf * w * h),
+       |    j -> (seed + 31 * (j % (w * h)) + 7 * (j // (w * h))) % 256))
+       |    END) AS BIGINT) AS sum_px
+       |FROM avi""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_image_entropy" -> (imageEntropy _),
     "mm_audio_vad" -> (audioVad _),
@@ -1533,6 +1726,7 @@ object Multimodal {
     "mm_png_stats" -> (pngStats _),
     "mm_jpeg_dims" -> (jpegDims _),
     "mm_gif_stats" -> (gifStats _),
+    "mm_avi_stats" -> (aviStats _),
     "mm_audio_stats" -> (audioStats _),
     "mm_caption_pairs" -> (captionPairs _))
 
@@ -1547,6 +1741,7 @@ object Multimodal {
     "mm_png_stats" -> pngStatsSql,
     "mm_jpeg_dims" -> jpegDimsSql,
     "mm_gif_stats" -> gifStatsSql,
+    "mm_avi_stats" -> aviStatsSql,
     "mm_audio_stats" -> audioStatsSql,
     "mm_caption_pairs" -> captionPairsSql)
 }

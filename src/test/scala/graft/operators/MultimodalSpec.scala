@@ -316,4 +316,62 @@ class MultimodalSpec extends AnyFunSuite {
       assert(d == hm && d <= 3, s"pair ($a,$b): reported $hm, recomputed $d")
     }
   }
+
+  test("avi round-trip: hand-computed 2-frame container decodes exactly") {
+    val avi = Multimodal.encodeAvi(nf = 2, w = 3, h = 2, seed = 5)
+    val Some((nf, w, h, px)) = Multimodal.decodeAvi(avi)
+    assert((nf, w, h) == ((2, 3, 2)))
+    // frame f byte j = (5 + 31j + 7f) % 256, j < 6
+    val expect = (for (f <- 0 until 2; j <- 0 until 6)
+      yield (5 + 31 * j + 7 * f) % 256).sum.toLong
+    assert(px == expect)
+  }
+
+  test("avi walker rejects structural violations, not just bad magic") {
+    val good = Multimodal.encodeAvi(3, 4, 3, 9)
+    assert(Multimodal.decodeAvi(good).isDefined)
+    // bad magic
+    val m = good.clone(); m(0) = 'X'.toByte
+    assert(Multimodal.decodeAvi(m).isEmpty)
+    // truncated inside movi
+    assert(Multimodal.decodeAvi(good.take(good.length - 20)).isEmpty)
+    // idx1 entry count no longer matches the frame count (declared size
+    // shrunk by one entry) — the cross-check must fire
+    val idxAt = {
+      var p = 12; var found = -1
+      def tag(o: Int) = new String(good, o, 4, "US-ASCII")
+      def u32(o: Int) = (good(o) & 0xff) | ((good(o + 1) & 0xff) << 8) |
+        ((good(o + 2) & 0xff) << 16) | ((good(o + 3) & 0xff) << 24)
+      while (found < 0 && p + 8 <= good.length) {
+        if (tag(p) == "idx1") found = p
+        else p += 8 + u32(p + 4) + (u32(p + 4) & 1)
+      }
+      found
+    }
+    assert(idxAt > 0)
+    val bad = good.clone()
+    val newSz = 16 * 2 // claims 2 entries for a 3-frame file
+    bad(idxAt + 4) = (newSz & 0xff).toByte
+    bad(idxAt + 5) = ((newSz >> 8) & 0xff).toByte
+    bad(idxAt + 6) = 0; bad(idxAt + 7) = 0
+    // shrink the trailing chunk so the walk still ends inside the buffer
+    assert(Multimodal.decodeAvi(bad.take(idxAt + 8 + newSz)).isEmpty)
+    // frame chunk size disagreeing with avih dims
+    val movi = {
+      var p = 12
+      def tag(o: Int) = new String(bad, o, 4, "US-ASCII")
+      def u32(o: Int) = (good(o) & 0xff) | ((good(o + 1) & 0xff) << 8) |
+        ((good(o + 2) & 0xff) << 16) | ((good(o + 3) & 0xff) << 24)
+      var found = -1
+      while (found < 0 && p + 12 <= good.length) {
+        if (tag(p) == "LIST" && tag(p + 8) == "movi") found = p
+        else p += 8 + u32(p + 4) + (u32(p + 4) & 1)
+      }
+      found
+    }
+    assert(movi > 0)
+    val wrongFsz = good.clone()
+    wrongFsz(movi + 12 + 4) = 5 // first '00db' size := 5 != w*h = 12
+    assert(Multimodal.decodeAvi(wrongFsz).isEmpty)
+  }
 }
