@@ -32,6 +32,18 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * the row. The rule fires ONLY on Filter conditions — pushdown is a
   * scan concern — and only when the multiplicand is exactly
   * `unix_micros` of a TimestampType child times the literal 1000.
+  *
+  * DOMAIN: the equivalences hold wherever `m * 1000` does not overflow
+  * signed-64 — i.e. for timestamps inside the int64-NANOS-representable
+  * range (1677-09-21 .. 2262-04-11), which is the entire domain on
+  * which the `ts_ns` contract column is meaningful (the nanos fixture
+  * vintage physically stored int64 nanos, bounded the same way). For a
+  * row OUTSIDE that range the original expression overflows — an error
+  * under ANSI evaluation, a wrapped comparison under legacy — while
+  * the rewritten bound returns the mathematically-correct answer;
+  * values inside the domain are never affected either way
+  * (NanosRangeMathPropSpec pins the per-operator ceil/floor choices
+  * across the full domain, adversarially around every boundary).
   */
 object NanosRangePushdown extends Rule[LogicalPlan] {
 
