@@ -23,7 +23,7 @@ object SparkEntry {
       Relational4.queries ++
       TextOps.queries ++ Bpe.queries ++ EventOps.queries ++ TimeSeries.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
-      KMeans.queries ++ Jl.queries ++
+      KMeans.queries ++ Jl.queries ++ SemDedup.queries ++
       Curation.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       Skew.queries ++ DataQuality.queries ++ Sketches.queries ++
@@ -45,7 +45,7 @@ object SparkEntry {
       Relational4.oracles ++
       TextOps.oracles ++ Bpe.oracles ++ EventOps.oracles ++ TimeSeries.oracles ++
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
-      KMeans.oracles ++ Jl.oracles ++
+      KMeans.oracles ++ Jl.oracles ++ SemDedup.oracles ++
       Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       Skew.oracles ++ DataQuality.oracles ++ Sketches.oracles ++

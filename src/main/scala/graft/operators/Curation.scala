@@ -280,6 +280,86 @@ object Curation {
       |FROM toks t JOIN vocab v ON t.word = v.word CROSS JOIN n
       |GROUP BY t.doc_id""".stripMargin
 
+  // ------------------------------------------- DSIR importance weights
+
+  /** Data Selection with Importance Resampling (DSIR, Xie et al.,
+    * arXiv:2302.03169): score every document by the log-likelihood
+    * ratio of two unigram language models — one fit on the TARGET
+    * domain, one on the rest of the corpus — the published recipe for
+    * "give me raw-web data that looks like my target domain". Documents
+    * with high `dsir_logratio` are what importance resampling keeps.
+    *
+    * Target selection is data-derived (the corpus's most frequent
+    * `source`, ties by name — no fixture-specific constant), restated
+    * identically by the oracle. Both LMs are add-one-smoothed unigram
+    * models over the shared whitespace tokenizer; the per-token
+    * log-ratio is rounded to 6 dp and the per-document score is a
+    * DECIMAL sum of those terms ([[unigramSurprisal]]'s convention —
+    * exact, associative, immune to double summation-order drift).
+    *
+    * Scale shape: one token pass builds both LMs (a single groupBy with
+    * conditional counts — the two models are columns, not separate
+    * jobs), totals are a 1-row aggregate over the vocab, and scoring is
+    * the token stream re-joined to the |vocab|-row weight table (AQE
+    * broadcasts it while it fits). No driver state beyond the 1-row
+    * target name.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val toks = docs.selectExpr("doc_id", "source",
+      "explode(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS word")
+    val target = docs.groupBy($"source").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"source").limit(1)
+      .select($"source".as("tgt"))
+    val flagged = toks.crossJoin(broadcast(target))
+      .withColumn("is_target", $"source" === $"tgt")
+      .select($"doc_id", $"word", $"is_target")
+    val counts = flagged.groupBy($"word")
+      .agg(sum(when($"is_target", 1L).otherwise(0L)).as("ct"),
+        sum(when($"is_target", 0L).otherwise(1L)).as("cs"))
+    val tot = counts.agg(sum($"ct").as("nt"), sum($"cs").as("ns"),
+      count(lit(1)).as("v"))
+    val termW = counts.crossJoin(broadcast(tot))
+      .select($"word", round(
+        log(($"ct" + 1).cast("double") / ($"nt" + $"v").cast("double")) -
+          log(($"cs" + 1).cast("double") / ($"ns" + $"v").cast("double")), 6)
+        .cast("decimal(18,6)").as("tw"))
+    flagged.join(termW, "word")
+      .groupBy($"doc_id", $"is_target")
+      .agg(count(lit(1)).as("n_toks"),
+        sum($"tw").cast("double").as("dsir_logratio"))
+      .select($"doc_id", $"is_target", $"n_toks", $"dsir_logratio")
+  }
+
+  val dsirWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS word
+      |  FROM documents),
+      |tgt AS (
+      |  SELECT source AS tgt FROM documents
+      |  GROUP BY source ORDER BY count(*) DESC, source LIMIT 1),
+      |flagged AS (
+      |  SELECT t.doc_id, t.word, (t.source = tgt.tgt) AS is_target
+      |  FROM toks t CROSS JOIN tgt),
+      |counts AS (
+      |  SELECT word,
+      |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+      |    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+      |  FROM flagged GROUP BY word),
+      |tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns, count(*) AS v FROM counts),
+      |termw AS (
+      |  SELECT word,
+      |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+      |             - ln(CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS tw
+      |  FROM counts CROSS JOIN tot)
+      |SELECT f.doc_id, f.is_target, count(*) AS n_toks,
+      |  CAST(sum(t.tw) AS DOUBLE) AS dsir_logratio
+      |FROM flagged f JOIN termw t ON f.word = t.word
+      |GROUP BY f.doc_id, f.is_target""".stripMargin
+
   /** End-to-end curation pipeline as ONE query — the composition proof:
     * quality gate (score ≥ 0.5) → exact dedup among survivors (first
     * doc_id per normalized text) → per-source retention report (docs
@@ -989,7 +1069,8 @@ object Curation {
     "curate_pack_stats" -> (packStats _),
     "curate_domain_quota" -> (domainQuota _),
     "curate_mix_weights" -> (mixWeights _),
-    "curate_unigram_surprisal" -> (unigramSurprisal _))
+    "curate_unigram_surprisal" -> (unigramSurprisal _),
+    "curate_dsir_weights" -> (dsirWeights _))
 
   def oracles: Map[String, String] = Map(
     "curate_upsample_plan" -> upsamplePlanSql,
@@ -1009,5 +1090,6 @@ object Curation {
     "curate_pack_stats" -> packStatsSql,
     "curate_domain_quota" -> domainQuotaSql,
     "curate_mix_weights" -> mixWeightsSql,
-    "curate_unigram_surprisal" -> unigramSurprisalSql)
+    "curate_unigram_surprisal" -> unigramSurprisalSql,
+    "curate_dsir_weights" -> dsirWeightsSql)
 }

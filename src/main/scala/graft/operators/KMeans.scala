@@ -46,7 +46,8 @@ object KMeans {
       |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
 
   /** One assignment pass against a k-row centroid frame. */
-  private def assign(emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+  private[operators] def assign(emb: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val cdf = cents.toDF("k", "cvec")
@@ -197,6 +198,20 @@ object KMeans {
        |${sqlAssign(s"cv$Iters", "a_final")}
        |SELECT k AS cluster, count(*) AS n_vecs
        |FROM a_final GROUP BY k""".stripMargin
+  }
+
+  /** The unrolled fit + final full-collection assignment as a reusable
+    * CTE prefix: downstream oracles (`sim_semdedup`) continue from
+    * `a_final` (vec_id, k, embedding) — the exact table [[assign]]
+    * against [[trainedCentroids]] produces on the Spark side.
+    */
+  private[operators] def fitAssignCtes: String = {
+    val iters = (1 to Iters).map(sqlIter).mkString(",\n")
+    s"""$sqlInit,
+       |$iters,
+       |cv$Iters AS (
+       |  SELECT k, list(mv ORDER BY dim) AS cvec FROM c$Iters GROUP BY k),
+       |${sqlAssign(s"cv$Iters", "a_final")}""".stripMargin
   }
 
   /** Nearest-centroid classifier evaluation — the eval step every

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.DotF64
+
+/** Semantic deduplication (SemDeDup, Abbas et al., arXiv:2303.09540):
+  * cluster the embedding collection with k-means, then drop every
+  * vector that has a cosine-similar neighbor WITHIN ITS CLUSTER —
+  * the embedding-space analogue of MinHash near-dup, and the standard
+  * way web-scale corpora prune semantically redundant samples before
+  * training.
+  *
+  * Composition story: the cluster model is [[KMeans.trainedCentroids]]
+  * — the SAME memoized 5-iteration fit `sim_kmeans` and
+  * `stream_kmeans_assign` verify — so this query is model reuse, not a
+  * refit. Assignment is one distributed pass ([[KMeans.assign]]:
+  * broadcast k-row centroid table, sequential-fold distance, (d, k)
+  * tie-break).
+  *
+  * Scale shape: the pairwise stage is a self-join ON THE CLUSTER KEY —
+  * never a global all-pairs. Work is Σ |cluster|², bounded by choosing
+  * k ∝ n (the paper runs k ≈ 100k on LAION so mean cluster size stays
+  * ~constant); here K = 8 over 500 vectors is the same plan at toy
+  * scale. Skewed clusters are the known failure mode — at production
+  * scale the mitigation is raising k, which changes ONLY the broadcast
+  * model table, not the plan.
+  *
+  * Drop rule (deterministic): a vector is dropped iff some same-cluster
+  * neighbor with a SMALLER vec_id is ≥ τ cosine-similar — the greedy
+  * keep-first convention the streaming near-dup path
+  * (`stream_neardup`) already uses. Cosine is the sequential-fold dot
+  * ([[graft.functions.DotF64]]) over exact doubles — bit-identical to
+  * DuckDB's `list_reduce` fold, so the τ comparison can't diverge
+  * between engines; the emitted value is only then rounded for output.
+  *
+  * Reference: the reference corpus has no embedding operators at all
+  * (Kafka/Storm wordcount wiring — see SURVEY.md §2.7); this family is
+  * the training-data-pipeline extension the brief mandates.
+  */
+object SemDedup {
+
+  /** Cosine threshold for "semantic duplicate" — aligned with the LSH
+    * near-dup verification bar (`sim_embedding_neardup` uses > 0.45) so
+    * the two paths find the same planted duplicate structure.
+    */
+  val Tau = 0.45
+
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = KMeans.trainedCentroids(s, dir)
+    val assigned = KMeans.assign(
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding"), cents)
+    val v = assigned.select($"vec_id", $"k", $"embedding",
+      sqrt(DotF64.dot_f64($"embedding", $"embedding")).as("nrm"))
+      .localCheckpoint()
+    val a = v.selectExpr("k", "vec_id AS vec_a", "embedding AS ea", "nrm AS na")
+    val b = v.selectExpr("k", "vec_id AS vec_b", "embedding AS eb", "nrm AS nb")
+    val dropped = a.join(b, "k")
+      .where($"vec_a" < $"vec_b")
+      .where(DotF64.dot_f64($"ea", $"eb") / ($"na" * $"nb") > Tau)
+      .select($"vec_b".as("vec_id")).distinct()
+      .withColumn("hit", lit(1))
+    v.join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"k".as("cluster"), $"hit".isNull.as("is_kept"))
+  }
+
+  /** DuckDB restatement: the unrolled fit + final assignment CTEs from
+    * [[KMeans.fitAssignCtes]] (ending at `a_final`), then the identical
+    * within-cluster pairwise cosine and keep-first drop rule.
+    */
+  def semDedupSql: String = {
+    val dotAB = Similarity.duckDotExpr("a.embedding", "b.embedding")
+    val dotSelf = Similarity.duckDotExpr("embedding", "embedding")
+    s"""${KMeans.fitAssignCtes},
+       |v AS (
+       |  SELECT vec_id, k, embedding, sqrt($dotSelf) AS nrm
+       |  FROM a_final),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM v a JOIN v b ON a.k = b.k AND a.vec_id < b.vec_id
+       |  WHERE $dotAB / (a.nrm * b.nrm) > $Tau)
+       |SELECT v.vec_id, CAST(v.k AS INT) AS cluster,
+       |  (d.vec_id IS NULL) AS is_kept
+       |FROM v LEFT JOIN dropped d ON d.vec_id = v.vec_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semdedup" -> (semDedup _))
+
+  def oracles: Map[String, String] = Map(
+    "sim_semdedup" -> semDedupSql)
+}

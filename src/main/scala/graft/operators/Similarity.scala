@@ -189,7 +189,7 @@ object Similarity {
       |  list_transform(range(1, len(%A%) + 1),
       |    i -> CAST(%A%[i] AS DOUBLE) * CAST(%B%[i] AS DOUBLE))),
       |  (s, v) -> s + v)""".stripMargin
-  private def duckDotExpr(a: String, b: String): String =
+  private[operators] def duckDotExpr(a: String, b: String): String =
     duckDot.replace("%A%", a).replace("%B%", b)
 
   /** Generated oracle restating the full LSH pipeline for the params the

@@ -829,6 +829,91 @@ object TextOps {
       .select($"doc_a", $"doc_b", $"cosine")
   }
 
+  /** Registered AllPairs contract query: the UNBOUNDED prefix-filtered
+    * similarity join run over a vocabulary where the filter actually
+    * prunes — BIGRAM tf-idf vectors. Unigram df on this corpus is flat
+    * (~40 words, every pair shares every top term — the degenerate case
+    * [[tfidfCosineTopk]] documents); bigram df is Zipfian (≈900 distinct
+    * bigrams over ≈27k tokens at sf0.01), so rare bigrams populate the
+    * prefixes and candidate generation is data-adaptive, not n².
+    *
+    * Engine-exactness: weights 6-dp-rounded, norms via 9-dp decimal
+    * square sums, normalized weights exact IEEE divisions, dot products
+    * decimal sums of 9-dp-rounded term products — bit-identical in
+    * DuckDB. Candidates are generated at threshold − 1e-6 and verified
+    * at the exact threshold, so the prune bound (computed with plain
+    * double norms) can never drop a pair the exact verification keeps.
+    *
+    * Scale shape: one vocab aggregate, one per-doc window, ONE
+    * inverted-index equi-join with a prefix-only left side, then a
+    * candidates×terms verification join — no n² stage anywhere.
+    */
+  val AllPairsThreshold = 0.3
+
+  def allPairsBigramCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val bg = docs.selectExpr(s"doc_id", s"$tokensExpr AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(toks[i-1], ' ', toks[i]))) AS term""".stripMargin)
+    val tf = bg.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val wgt = tf.join(dfreq, "term")
+      .select($"doc_id", $"term",
+        round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("w"))
+      .localCheckpoint()
+    val norms = wgt.groupBy($"doc_id")
+      .agg(sqrt(sum(round($"w" * $"w", 9).cast("decimal(28,12)"))
+        .cast("double")).as("nrm"))
+    val nw = wgt.join(norms, "doc_id")
+      .select($"doc_id", $"term", ($"w" / $"nrm").as("w"))
+      .localCheckpoint()
+    val cands = allPairsCandidates(nw, AllPairsThreshold - 1e-6)
+    cands
+      .join(nw.select($"doc_id".as("doc_a"), $"term", $"w".as("wa")), "doc_a")
+      .join(nw.select($"doc_id".as("doc_b"), $"term", $"w".as("wb")),
+        Seq("doc_b", "term"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum(round($"wa" * $"wb", 9).cast("decimal(28,12)"))
+        .cast("double").as("dot"))
+      .where($"dot" >= AllPairsThreshold)
+      .select($"doc_a", $"doc_b", round($"dot", 6).as("cosine"))
+  }
+
+  val allPairsBigramCosineSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckTokensExpr AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS term
+       |  FROM toks WHERE len(t) >= 2),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |wgt AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+       |      / dfreq.df), 6) AS w
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term),
+       |norms AS (
+       |  SELECT doc_id,
+       |    sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,12))) AS DOUBLE))
+       |      AS nrm
+       |  FROM wgt GROUP BY doc_id),
+       |nw AS (
+       |  SELECT w.doc_id, w.term, w.w / n.nrm AS w
+       |  FROM wgt w JOIN norms n ON w.doc_id = n.doc_id),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,12))) AS DOUBLE)
+       |      AS dot
+       |  FROM nw a JOIN nw b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(dot, 6) AS cosine
+       |FROM dots WHERE dot >= $AllPairsThreshold""".stripMargin
+
   /** Reciprocal-rank fusion (k = 60) of two retrieval systems over the
     * same derived 3-term query: the BM25 top-20 ([[bm25TopDocs]]) and a
     * plain TF-IDF term-match top-20 — the hybrid-search merge step
@@ -1578,6 +1663,7 @@ object TextOps {
     "doc_dup_spans" -> (dupSpans _),
     "doc_rrf_fusion" -> (rrfFusion _),
     "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
+    "doc_allpairs_cosine" -> (allPairsBigramCosine _),
     "doc_lm_nll" -> (docLmNll _),
     "doc_anonymize" -> (docAnonymize _),
     "doc_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -1606,6 +1692,7 @@ object TextOps {
     "doc_dup_spans" -> dupSpansSql,
     "doc_rrf_fusion" -> rrfFusionSql,
     "doc_tfidf_cosine_topk" -> tfidfCosineTopkSql,
+    "doc_allpairs_cosine" -> allPairsBigramCosineSql,
     "doc_lm_nll" -> docLmNllSql,
     "doc_anonymize" -> docAnonymizeSql,
     "doc_tfidf_top_terms" -> tfidfSql,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Round-6 additions: SemDeDup (cluster-scoped embedding dedup), DSIR
+  * importance log-ratios, and the registered bigram AllPairs join —
+  * each checked against an independent in-Spark reference on the real
+  * fixture (the DuckDB oracle is the cross-engine gate; these pins are
+  * the semantic gate).
+  */
+class SemDedupDsirSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("semdedup: keep/drop partitions the collection; drop rule matches brute force") {
+    import spark.implicits._
+    val out = SemDedup.semDedup(spark, sf).localCheckpoint()
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(out.count() == n)
+    assert(out.select("vec_id").distinct().count() == n)
+
+    // independent reference for the drop set: brute-force all-pairs
+    // cosine (no clustering), restricted to same-cluster pairs
+    val cents = KMeans.trainedCentroids(spark, sf)
+    val assigned = KMeans.assign(
+      graft.Tables.embeddings(spark, sf).select($"vec_id", $"embedding"), cents)
+    val v = assigned.select($"vec_id", $"k", $"embedding",
+      sqrt(graft.functions.DotF64.dot_f64($"embedding", $"embedding")).as("nrm"))
+    val ref = v.selectExpr("k", "vec_id AS a", "embedding AS ea", "nrm AS na")
+      .crossJoin(v.selectExpr("k AS kb", "vec_id AS b", "embedding AS eb", "nrm AS nb"))
+      .where($"k" === $"kb" && $"a" < $"b")
+      .where(graft.functions.DotF64.dot_f64($"ea", $"eb") / ($"na" * $"nb") > SemDedup.Tau)
+      .select($"b").distinct().as[Long].collect().toSet
+    val dropped = out.where(!$"is_kept").select($"vec_id").as[Long].collect().toSet
+    assert(dropped == ref)
+    // the fixture has planted duplicate structure — the operator must
+    // actually drop something, and keep the vast majority
+    assert(dropped.nonEmpty && dropped.size < n / 2)
+  }
+
+  test("semdedup: within every dup pair the smaller id is kept unless itself dominated") {
+    import spark.implicits._
+    val out = SemDedup.semDedup(spark, sf)
+    // a vector with NO smaller-id near neighbor in its cluster is kept:
+    // minimum vec_id of each cluster is always kept
+    val minPerCluster = out.groupBy($"cluster")
+      .agg(min($"vec_id").as("vec_id"))
+    val joined = out.join(minPerCluster, Seq("cluster", "vec_id"))
+    assert(joined.where(!$"is_kept").count() == 0)
+  }
+
+  test("dsir: per-doc weights are the decimal sum of term log-ratios; target scores higher") {
+    import spark.implicits._
+    val out = Curation.dsirWeights(spark, sf).localCheckpoint()
+    val docs = graft.Tables.documents(spark, sf)
+    // one row per document that has at least one token
+    assert(out.count() > 0 && out.count() <= docs.count())
+    assert(out.select("doc_id").distinct().count() == out.count())
+    // the target LM must prefer its own documents ON AVERAGE — the core
+    // DSIR property (importance weights separate the domains)
+    val means = out.groupBy($"is_target")
+      .agg(avg($"dsir_logratio" / $"n_toks").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"target mean per-token log-ratio ${means(true)} must exceed non-target ${means(false)}")
+  }
+
+  test("registered bigram allpairs equals brute-force over the same vectors") {
+    import spark.implicits._
+    val got = TextOps.allPairsBigramCosine(spark, sf)
+      .select($"doc_a", $"doc_b", $"cosine")
+      .as[(Long, Long, Double)].collect().toSet
+
+    // brute force: same weight pipeline, no prefix filter
+    val docs = graft.Tables.documents(spark, sf)
+    val n = docs.count()
+    val bg = docs.selectExpr("doc_id",
+        "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(toks[i-1], ' ', toks[i]))) AS term""".stripMargin)
+    val tf = bg.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val wgt = tf.join(dfreq, "term")
+      .select($"doc_id", $"term",
+        round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("w"))
+    val norms = wgt.groupBy($"doc_id")
+      .agg(sqrt(sum(round($"w" * $"w", 9).cast("decimal(28,12)"))
+        .cast("double")).as("nrm"))
+    val nw = wgt.join(norms, "doc_id")
+      .select($"doc_id", $"term", ($"w" / $"nrm").as("w"))
+    val ref = nw.selectExpr("doc_id AS doc_a", "term", "w AS wa")
+      .join(nw.selectExpr("doc_id AS doc_b", "term", "w AS wb"), "term")
+      .where($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum(round($"wa" * $"wb", 9).cast("decimal(28,12)"))
+        .cast("double").as("dot"))
+      .where($"dot" >= TextOps.AllPairsThreshold)
+      .select($"doc_a", $"doc_b", round($"dot", 6).as("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(got == ref)
+    assert(got.nonEmpty, "fixture must contain bigram near-dup pairs")
+  }
+}
