@@ -67,21 +67,24 @@ class SemDedupDsirSpec extends AnyFunSuite {
       s"target mean per-token log-ratio ${means(true)} must exceed non-target ${means(false)}")
   }
 
-  test("registered bigram allpairs equals brute-force over the same vectors") {
+  test("registered trigram allpairs equals the prefix-filtered path on the same vectors") {
     import spark.implicits._
     val got = TextOps.allPairsBigramCosine(spark, sf)
       .select($"doc_a", $"doc_b", $"cosine")
       .as[(Long, Long, Double)].collect().toSet
 
-    // brute force: same weight pipeline, no prefix filter
+    // independent reference: the PREFIX-FILTERED AllPairs path over the
+    // identical weight pipeline — pins that candidate generation is
+    // complete on the real fixture (the registered direct join and the
+    // filtered join must find exactly the same pair set)
     val docs = graft.Tables.documents(spark, sf)
     val n = docs.count()
     val bg = docs.selectExpr("doc_id",
         "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
-      .where("size(toks) >= 2")
+      .where("size(toks) >= 3")
       .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(toks) - 1),
-          |  i -> concat(toks[i-1], ' ', toks[i]))) AS term""".stripMargin)
+        """explode(transform(sequence(1, size(toks) - 2),
+          |  i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))) AS term""".stripMargin)
     val tf = bg.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val wgt = tf.join(dfreq, "term")
@@ -92,9 +95,13 @@ class SemDedupDsirSpec extends AnyFunSuite {
         .cast("double")).as("nrm"))
     val nw = wgt.join(norms, "doc_id")
       .select($"doc_id", $"term", ($"w" / $"nrm").as("w"))
-    val ref = nw.selectExpr("doc_id AS doc_a", "term", "w AS wa")
-      .join(nw.selectExpr("doc_id AS doc_b", "term", "w AS wb"), "term")
-      .where($"doc_a" < $"doc_b")
+      .localCheckpoint()
+    val cands = TextOps.allPairsCandidates(nw,
+      TextOps.AllPairsThreshold - 1e-6, assumeNormalized = true)
+    val ref = cands
+      .join(nw.select($"doc_id".as("doc_a"), $"term", $"w".as("wa")), "doc_a")
+      .join(nw.select($"doc_id".as("doc_b"), $"term", $"w".as("wb")),
+        Seq("doc_b", "term"))
       .groupBy($"doc_a", $"doc_b")
       .agg(sum(round($"wa" * $"wb", 9).cast("decimal(28,12)"))
         .cast("double").as("dot"))
@@ -103,6 +110,6 @@ class SemDedupDsirSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
 
     assert(got == ref)
-    assert(got.nonEmpty, "fixture must contain bigram near-dup pairs")
+    assert(got.nonEmpty, "fixture must contain trigram near-dup pairs")
   }
 }
