@@ -43,7 +43,7 @@ object SparkEntry {
   def oracleSqlFor(dir: String): Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Relational4.oracles ++
-      TextOps.oracles ++ Bpe.oracles ++ EventOps.oracles ++ TimeSeries.oracles ++
+      TextOps.oracles(dir) ++ Bpe.oracles ++ EventOps.oracles ++ TimeSeries.oracles ++
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
       KMeans.oracles ++ Jl.oracles ++ SemDedup.oracles ++
       Curation.oracles ++

@@ -123,7 +123,7 @@ object Similarity {
   /** Active session for dir-threaded oracle generation: Verify (and any
     * test that asks for oracles) always runs inside one.
     */
-  private def activeSession: SparkSession =
+  private[operators] def activeSession: SparkSession =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException(
         "oracle generation needs an active SparkSession"))

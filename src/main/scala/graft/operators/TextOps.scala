@@ -834,22 +834,26 @@ object TextOps {
       .select($"doc_a", $"doc_b", $"cosine")
   }
 
-  /** Registered AllPairs contract query: the UNBOUNDED prefix-filtered
-    * similarity join run over a vocabulary where the filter actually
-    * prunes — TRIGRAM tf-idf vectors. Unigram df on this corpus is flat
-    * (~40 words, every pair shares every top term — the degenerate case
-    * [[tfidfCosineTopk]] documents), and bigrams saturate by sf0.1
-    * (vocab caps at ~40² so the median bigram appears in 285 of 5000
-    * docs — measured 10.3M term-sharing pairs, 82% of n²/2). Trigram df
-    * stays sparse (27k distinct, median df 9, max 25 at sf0.1 → 1.1M
-    * sharing pairs = 9% of n², further pruned by the prefix filter).
-    * The honest scale statement: a BOUNDED-vocabulary synthetic corpus
-    * eventually defeats any fixed n-gram choice (sharing probability →
-    * 1 as df grows ∝ n over a capped term space); each extra gram order
-    * multiplies the vocab cap by ~40 and pushes that crossover out
-    * ~40×. On real text the vocabulary is unbounded and Zipfian and the
-    * prefix filter keeps candidates near-linear at any scale — which
-    * AllPairsCosineSpec pins on a true Zipf fixture.
+  /** Registered AllPairs contract query: the UNBOUNDED exact similarity
+    * self-join over n-gram tf-idf vectors with a DATA-ADAPTIVE gram
+    * order. The design problem: unigram df on this corpus is flat (31
+    * words — every pair shares every top term, the degenerate case
+    * [[tfidfCosineTopk]] documents), and ANY fixed gram order saturates
+    * once the corpus outgrows its V₁^g term space (measured: bigrams
+    * are already degenerate at sf0.1 — median df 285/5000 docs, 10.3M
+    * sharing pairs = 82% of n²/2; trigrams degenerate at the 10×
+    * replica — Σdf² grew 100× and runtime 12×). So the gram order is
+    * DERIVED from the collection, exactly like the LSH plane count
+    * ([[graft.functions.Hashing.bucketBits]]): the smallest g with
+    * V₁^g ≥ total tokens, i.e. the first order whose term space is big
+    * enough that random n-gram collisions stop driving df, and posting
+    * lists reflect true duplication only. Then Σdf² — the join work —
+    * grows linearly with corpus duplication rather than quadratically
+    * with corpus size (measured at sf0.1: g escalates 3→4, Σdf² drops
+    * 2.79M→361k, the identical 256-pair answer). The oracle re-derives
+    * g from the same two corpus statistics and restates the identical
+    * n-gram pipeline ([[allPairsCosineSql]] takes g, the dir-threaded
+    * oracle map computes it — the [[Similarity.ndParams]] pattern).
     *
     * Engine-exactness: weights 6-dp-rounded, norms via 9-dp decimal
     * square sums, normalized weights exact IEEE divisions, dot products
@@ -858,20 +862,48 @@ object TextOps {
     *
     * Scale shape: one vocab aggregate, one posting-list self-join on
     * term (emitting only shared-term rows, Σ df² work), one pair-keyed
-    * aggregate — no n² stage, no driver state; see the plan-choice
-    * measurement note in the method body.
+    * aggregate — no n² stage, no driver state beyond two corpus
+    * statistics; see the plan-choice measurement note in the method
+    * body.
     */
   val AllPairsThreshold = 0.3
 
-  def allPairsBigramCosine(s: SparkSession, dir: String): DataFrame = {
+  private val gramCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Smallest g ∈ [2, 6] with (distinct unigrams)^g ≥ total tokens —
+    * memoized per corpus fingerprint; one aggregate over the token
+    * stream (at production scale: two table statistics).
+    */
+  def allPairsGramOrder(s: SparkSession, dir: String): Int =
+    gramCache.getOrElseUpdate(Similarity.dataKey(dir, "documents"), {
+      val row = Tables.documents(s, dir)
+        .selectExpr(s"explode($tokensExpr) AS w")
+        .agg(countDistinct(col("w")).as("v1"), count(lit(1)).as("tot"))
+        .head()
+      val v1 = row.getLong(0).toDouble
+      val tot = row.getLong(1).toDouble
+      var g = 2
+      while (math.pow(v1, g) < tot && g < 6) g += 1
+      g
+    })
+
+  /** (doc_id, term) n-gram rows for gram order g — shared by the
+    * registered query and its spec reference.
+    */
+  private[operators] def ngramTerms(docs: DataFrame, g: Int): DataFrame =
+    docs.selectExpr("doc_id", s"$tokensExpr AS toks")
+      .where(s"size(toks) >= $g")
+      .selectExpr("doc_id",
+        s"""explode(transform(sequence(1, size(toks) - ${g - 1}),
+           |  i -> concat_ws(' ', slice(toks, i, $g)))) AS term""".stripMargin)
+
+  def allPairsNgramCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val n = docs.count()
-    val bg = docs.selectExpr(s"doc_id", s"$tokensExpr AS toks")
-      .where("size(toks) >= 3")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(toks) - 2),
-          |  i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))) AS term""".stripMargin)
+    val g = allPairsGramOrder(s, dir)
+    val bg = ngramTerms(docs, g)
     val tf = bg.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val wgt = tf.join(dfreq, "term")
@@ -908,13 +940,19 @@ object TextOps {
       .select($"doc_a", $"doc_b", round($"dot", 6).as("cosine"))
   }
 
-  val allPairsBigramCosineSql: String =
+  /** Oracle for gram order g: identical n-gram, weight, norm, and
+    * decimal-dot pipeline. The dir-threaded oracle map passes the g
+    * [[allPairsGramOrder]] derived for that collection.
+    */
+  def allPairsCosineSql(g: Int): String = {
+    val gram = (0 until g).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
+      .mkString(" || ' ' || ")
     s"""WITH toks AS (
        |  SELECT doc_id, $duckTokensExpr AS t FROM documents),
        |bg AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS term
-       |  FROM toks WHERE len(t) >= 3),
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${g - 2}),
+       |    i -> $gram)) AS term
+       |  FROM toks WHERE len(t) >= $g),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY 1, 2),
        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |wgt AS (
@@ -938,6 +976,7 @@ object TextOps {
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, round(dot, 6) AS cosine
        |FROM dots WHERE dot >= $AllPairsThreshold""".stripMargin
+  }
 
   /** Reciprocal-rank fusion (k = 60) of two retrieval systems over the
     * same derived 3-term query: the BM25 top-20 ([[bm25TopDocs]]) and a
@@ -1688,7 +1727,7 @@ object TextOps {
     "doc_dup_spans" -> (dupSpans _),
     "doc_rrf_fusion" -> (rrfFusion _),
     "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
-    "doc_allpairs_cosine" -> (allPairsBigramCosine _),
+    "doc_allpairs_cosine" -> (allPairsNgramCosine _),
     "doc_lm_nll" -> (docLmNll _),
     "doc_anonymize" -> (docAnonymize _),
     "doc_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -1706,7 +1745,10 @@ object TextOps {
     "doc_bm25_topk" -> (bm25TopDocs _),
     "lang_source_dist" -> (langSourceDist _))
 
-  def oracles: Map[String, String] = Map(
+  /** Dir-threaded: the AllPairs oracle embeds the gram order derived
+    * for that collection ([[Similarity.oracles]] pattern).
+    */
+  def oracles(dir: String): Map[String, String] = Map(
     "doc_gopher_rules" -> gopherRulesSql,
     "doc_rake_phrases" -> rakePhrasesSql,
     "doc_entropy" -> docEntropySql,
@@ -1717,7 +1759,8 @@ object TextOps {
     "doc_dup_spans" -> dupSpansSql,
     "doc_rrf_fusion" -> rrfFusionSql,
     "doc_tfidf_cosine_topk" -> tfidfCosineTopkSql,
-    "doc_allpairs_cosine" -> allPairsBigramCosineSql,
+    "doc_allpairs_cosine" ->
+      allPairsCosineSql(allPairsGramOrder(Similarity.activeSession, dir)),
     "doc_lm_nll" -> docLmNllSql,
     "doc_anonymize" -> docAnonymizeSql,
     "doc_tfidf_top_terms" -> tfidfSql,

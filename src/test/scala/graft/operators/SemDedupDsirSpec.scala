@@ -67,11 +67,20 @@ class SemDedupDsirSpec extends AnyFunSuite {
       s"target mean per-token log-ratio ${means(true)} must exceed non-target ${means(false)}")
   }
 
-  test("registered trigram allpairs equals the prefix-filtered path on the same vectors") {
+  test("registered adaptive allpairs equals the prefix-filtered path on the same vectors") {
     import spark.implicits._
-    val got = TextOps.allPairsBigramCosine(spark, sf)
+    val got = TextOps.allPairsNgramCosine(spark, sf)
       .select($"doc_a", $"doc_b", $"cosine")
       .as[(Long, Long, Double)].collect().toSet
+
+    // gram-order rule is reproducible from the two corpus stats
+    val g = TextOps.allPairsGramOrder(spark, sf)
+    val stats = TextOps.tokens(graft.Tables.documents(spark, sf))
+      .agg(countDistinct($"word").as("v1"), count(lit(1)).as("tot"))
+      .head()
+    val (v1, tot) = (stats.getLong(0).toDouble, stats.getLong(1).toDouble)
+    assert(math.pow(v1, g) >= tot || g == 6)
+    assert(g == 2 || math.pow(v1, g - 1) < tot)
 
     // independent reference: the PREFIX-FILTERED AllPairs path over the
     // identical weight pipeline — pins that candidate generation is
@@ -79,12 +88,7 @@ class SemDedupDsirSpec extends AnyFunSuite {
     // filtered join must find exactly the same pair set)
     val docs = graft.Tables.documents(spark, sf)
     val n = docs.count()
-    val bg = docs.selectExpr("doc_id",
-        "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
-      .where("size(toks) >= 3")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(toks) - 2),
-          |  i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))) AS term""".stripMargin)
+    val bg = TextOps.ngramTerms(docs, g)
     val tf = bg.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val wgt = tf.join(dfreq, "term")
