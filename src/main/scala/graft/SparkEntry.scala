@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++
-      TextOps.queries ++ Bpe.queries ++ EventOps.queries ++ TimeSeries.queries ++
+      TextOps.queries ++ Bpe.queries ++ LogReg.queries ++
+      EventOps.queries ++ TimeSeries.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       KMeans.queries ++ Jl.queries ++ SemDedup.queries ++
       Curation.queries ++
@@ -43,7 +44,8 @@ object SparkEntry {
   def oracleSqlFor(dir: String): Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Relational4.oracles ++
-      TextOps.oracles(dir) ++ Bpe.oracles ++ EventOps.oracles ++ TimeSeries.oracles ++
+      TextOps.oracles(dir) ++ Bpe.oracles ++ LogReg.oracles ++
+      EventOps.oracles ++ TimeSeries.oracles ++
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
       KMeans.oracles ++ Jl.oracles ++ SemDedup.oracles ++
       Curation.oracles ++

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed logistic-regression training — the fastText-shaped
+  * linear classifier every curation stack runs (quality gates, language
+  * ID, domain routing), trained INSIDE the engine as a fixed-iteration
+  * batch-gradient loop, the exact discipline of [[KMeans]]:
+  *
+  *   - features are data-derived (bias + the corpus's top-[[F]] tokens
+  *     by frequency, ties by token) — no fixture constants;
+  *   - the per-doc feature value is length-normalized tf, 6-dp-rounded
+  *     at materialization, so every later product starts from
+  *     bit-identical doubles on both engines;
+  *   - forward pass (z), sigmoid, gradient, and update are each ONE
+  *     distributed aggregate per iteration with the decimal-sum
+  *     convention (9-dp-rounded products summed in DECIMAL — exact,
+  *     associative, partition-order-proof), sigmoid outputs re-rounded
+  *     to 6 dp before entering the gradient so a last-ulp `exp`
+  *     difference between libm implementations cannot propagate;
+  *   - updates use the floor(x·1e6 + 0.5)/1e6 rounding ([[KMeans
+  *     .update]]'s note: both engines run the same IEEE op sequence,
+  *     unlike their native round(double, 6));
+  *   - only the (F+1)-row weight vector round-trips through the driver
+  *     per iteration — data rows never leave the cluster; at 100 TB
+  *     each iteration is one scan-side map + one tree-aggregated
+  *     gradient, the same shape MLlib's LBFGS/GD costs.
+  *
+  * Label: mean token character length ≥ the corpus mean — a quality-
+  * gate-shaped target that is EXACTLY linear in the normalized-tf
+  * feature space (every token has a fixed character length, so the
+  * doc's mean length is Σ len(w)·tf_w/n_toks — a linear functional of
+  * the features), which makes convergence a provable expectation the
+  * spec pins (training accuracy well above the majority-class rate).
+  * The fixture's `lang`/`source` columns are decorative (every
+  * language draws the identical 31-token vocabulary at proportional
+  * rates — measured, not assumed), so a real learnability statement
+  * must target a property the text itself determines.
+  *
+  * Output: one row per feature (feature_id, token, weight) plus the
+  * training-set correct-prediction count — 17 rows that pin every
+  * arithmetic step of the whole trajectory, [[KMeans.kmeans]] style.
+  */
+object LogReg {
+
+  val F = 16
+  val Iters = 5
+  val Lr = 5.0
+
+  /** (doc_id, j, x, y) rows: j=0 bias with x=1, j=1..F the top tokens
+    * by corpus count with x = round(tf/n_toks, 6).
+    */
+  private def featureRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(Tables.documents(s, dir))
+    val feats = toks.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .withColumn("j", row_number().over(
+        Window.partitionBy(lit(1)).orderBy($"cnt".desc, $"word")))
+      .where($"j" <= F).select($"j", $"word")
+    val docLen = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_toks"))
+    val tf = toks.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val xf = tf.join(broadcast(feats), "word")
+      .join(docLen, "doc_id")
+      .select($"doc_id", $"j",
+        round($"tf".cast("double") / $"n_toks", 6).as("x"))
+    val bias = docLen.select($"doc_id", lit(0).as("j"),
+      lit(1.0).as("x"))
+    // label: doc mean token length >= corpus mean token length, both
+    // 6-dp-rounded before the compare (integer char sums, one division
+    // each — engine-exact)
+    val wl = toks.select($"doc_id", length($"word").as("wl"))
+    val docMean = wl.groupBy($"doc_id")
+      .agg(round(sum($"wl").cast("double") / count(lit(1)), 6).as("mlen"))
+    val corpusMean = wl.agg(
+      round(sum($"wl").cast("double") / count(lit(1)), 6).as("cmean"))
+    val y = docMean.crossJoin(broadcast(corpusMean))
+      .select($"doc_id",
+        when($"mlen" >= $"cmean", 1.0).otherwise(0.0).as("y"))
+    xf.unionByName(bias).join(y, "doc_id")
+  }
+
+  /** One forward pass: per-doc decimal dot with the broadcast weight
+    * rows, sigmoid re-rounded to 6 dp.
+    */
+  private def forward(x: DataFrame, w: Seq[(Int, Double)]): DataFrame = {
+    val s = x.sparkSession
+    import s.implicits._
+    val wdf = w.toDF("j", "w")
+    x.join(broadcast(wdf), "j")
+      .groupBy($"doc_id", $"y")
+      .agg(sum(round($"x" * $"w", 9).cast("decimal(28,12)"))
+        .cast("double").as("z"))
+      .select($"doc_id", $"y",
+        round(lit(1.0) / (lit(1.0) + exp(-$"z")), 6).as("p"))
+  }
+
+  private def fit(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Double)], DataFrame) = {
+    import s.implicits._
+    val x = featureRows(s, dir).localCheckpoint()
+    val n = x.select($"doc_id").distinct().count()
+    var w: Seq[(Int, Double)] = (0 to F).map(j => (j, 0.0))
+    for (_ <- 1 to Iters) {
+      val p = forward(x, w).select($"doc_id", $"p")
+      val grad = x.join(p, Seq("doc_id"))
+        .groupBy($"j")
+        .agg(sum(round(($"p" - $"y") * $"x", 9).cast("decimal(28,12)"))
+          .cast("double").as("g"))
+        .as[(Int, Double)].collect().toMap
+      w = w.map { case (j, wj) =>
+        (j, math.floor((wj - Lr * grad.getOrElse(j, 0.0) / n) * 1e6 + 0.5) / 1e6)
+      }
+    }
+    (x, w, forward(x, w))
+  }
+
+  def lrClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (_, w, p) = fit(s, dir)
+    val correct = p.agg(count(when(
+      ($"p" >= 0.5 && $"y" === 1.0) || ($"p" < 0.5 && $"y" === 0.0),
+      lit(1))).as("train_correct"))
+    val toks = TextOps.tokens(Tables.documents(s, dir))
+    val feats = toks.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .withColumn("j", row_number().over(
+        Window.partitionBy(lit(1)).orderBy($"cnt".desc, $"word")))
+      .where($"j" <= F).select($"j", $"word")
+    val names = feats.unionByName(
+      Seq((0, "__bias__")).toDF("j", "word"))
+    w.toDF("j", "w")
+      .join(names, "j")
+      .crossJoin(broadcast(correct))
+      .select($"j".as("feature_id"), $"word".as("token"),
+        $"w".as("weight"), $"train_correct")
+  }
+
+  // ------------------------------------------------------------- oracle
+
+  private val sqlBase: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TextOps.duckTokensExpr}) AS word
+       |  FROM documents),
+       |feats AS (
+       |  SELECT j, word FROM (
+       |    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS j
+       |    FROM toks GROUP BY word)
+       |  WHERE j <= $F),
+       |doclen AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |xf AS (
+       |  SELECT t.doc_id, f.j, round(CAST(t.tf AS DOUBLE) / d.n_toks, 6) AS x
+       |  FROM tf t JOIN feats f ON t.word = f.word
+       |  JOIN doclen d ON t.doc_id = d.doc_id
+       |  UNION ALL
+       |  SELECT doc_id, 0 AS j, CAST(1.0 AS DOUBLE) AS x FROM doclen),
+       |docmean AS (
+       |  SELECT doc_id,
+       |    round(CAST(sum(len(word)) AS DOUBLE) / count(*), 6) AS mlen
+       |  FROM toks GROUP BY doc_id),
+       |cmean AS (
+       |  SELECT round(CAST(sum(len(word)) AS DOUBLE) / count(*), 6) AS cmean
+       |  FROM toks),
+       |labels AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.mlen >= c.cmean THEN 1.0 ELSE 0.0 END AS y
+       |  FROM docmean d CROSS JOIN cmean c),
+       |xy AS (
+       |  SELECT x.doc_id, x.j, x.x, l.y
+       |  FROM xf x JOIN labels l ON x.doc_id = l.doc_id),
+       |n AS (SELECT count(DISTINCT doc_id) AS n FROM xy),
+       |w0 AS (SELECT unnest(range(0, ${F + 1})) AS j, CAST(0 AS DOUBLE) AS w)""".stripMargin
+
+  /** One iteration: forward CTE p{i} from w{i-1}, gradient, update. */
+  private def sqlIter(i: Int): String = {
+    val p = i - 1
+    s"""p$i AS (
+       |  SELECT x.doc_id, x.y,
+       |    round(1.0 / (1.0 + exp(-CAST(sum(CAST(round(x.x * w.w, 9)
+       |      AS DECIMAL(28,12))) AS DOUBLE))), 6) AS p
+       |  FROM xy x JOIN w$p w ON x.j = w.j
+       |  GROUP BY x.doc_id, x.y),
+       |g$i AS (
+       |  SELECT x.j,
+       |    CAST(sum(CAST(round((pr.p - x.y) * x.x, 9) AS DECIMAL(28,12)))
+       |      AS DOUBLE) AS g
+       |  FROM xy x JOIN p$i pr ON x.doc_id = pr.doc_id
+       |  GROUP BY x.j),
+       |w$i AS (
+       |  SELECT w.j,
+       |    floor((w.w - $Lr * coalesce(g.g, 0) / n.n) * 1e6 + 0.5) / 1e6 AS w
+       |  FROM w$p w LEFT JOIN g$i g ON w.j = g.j CROSS JOIN n)""".stripMargin
+  }
+
+  val lrClassifierSql: String = {
+    val iters = (1 to Iters).map(sqlIter).mkString(",\n")
+    s"""$sqlBase,
+       |$iters,
+       |pfin AS (
+       |  SELECT x.doc_id, x.y,
+       |    round(1.0 / (1.0 + exp(-CAST(sum(CAST(round(x.x * w.w, 9)
+       |      AS DECIMAL(28,12))) AS DOUBLE))), 6) AS p
+       |  FROM xy x JOIN w$Iters w ON x.j = w.j
+       |  GROUP BY x.doc_id, x.y),
+       |correct AS (
+       |  SELECT count(*) FILTER ((p >= 0.5 AND y = 1.0) OR (p < 0.5 AND y = 0.0))
+       |    AS train_correct
+       |  FROM pfin),
+       |names AS (
+       |  SELECT j, word FROM feats
+       |  UNION ALL SELECT 0 AS j, '__bias__' AS word)
+       |SELECT CAST(w.j AS INT) AS feature_id, nm.word AS token,
+       |  w.w AS weight, c.train_correct
+       |FROM w$Iters w JOIN names nm ON w.j = nm.j CROSS JOIN correct c""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_lr_classifier" -> (lrClassifier _))
+
+  def oracles: Map[String, String] = Map(
+    "doc_lr_classifier" -> lrClassifierSql)
+}
