@@ -18,8 +18,9 @@ import graft.Tables
   *     distributed aggregate per iteration with the decimal-sum
   *     convention (9-dp-rounded products summed in DECIMAL — exact,
   *     associative, partition-order-proof), sigmoid outputs re-rounded
-  *     to 6 dp before entering the gradient so a last-ulp `exp`
-  *     difference between libm implementations cannot propagate;
+  *     to 6 dp via the same floor(x·1e6+0.5)/1e6 idiom as the updates
+  *     before entering the gradient so a last-ulp `exp` difference
+  *     between libm implementations cannot propagate;
   *   - updates use the floor(x·1e6 + 0.5)/1e6 rounding ([[KMeans
   *     .update]]'s note: both engines run the same IEEE op sequence,
   *     unlike their native round(double, 6));
@@ -94,7 +95,8 @@ object LogReg {
       .agg(sum(round($"x" * $"w", 9).cast("decimal(28,12)"))
         .cast("double").as("z"))
       .select($"doc_id", $"y",
-        round(lit(1.0) / (lit(1.0) + exp(-$"z")), 6).as("p"))
+        (floor((lit(1.0) / (lit(1.0) + exp(-$"z"))) * 1e6 + 0.5) / 1e6)
+          .as("p"))
   }
 
   private def fit(s: SparkSession, dir: String)
@@ -140,9 +142,18 @@ object LogReg {
 
   // ------------------------------------------------------------- oracle
 
+  /** \W+ word tokens — the [[TextOps.tokens]] PAIR (lowercase, split on
+    * non-word runs, drop empties). The Spark side above tokenizes via
+    * TextOps.tokens, so the oracle must split on \W+ too; the \s+ pair
+    * (duckTokensExpr) would silently diverge on any punctuation-bearing
+    * text even though both coincide on the current fixture.
+    */
+  private val duckWordToks: String =
+    """list_filter(regexp_split_to_array(lower(text), '\W+'), t -> t <> '')"""
+
   private val sqlBase: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(${TextOps.duckTokensExpr}) AS word
+       |  SELECT doc_id, unnest($duckWordToks) AS word
        |  FROM documents),
        |feats AS (
        |  SELECT j, word FROM (
@@ -179,8 +190,8 @@ object LogReg {
     val p = i - 1
     s"""p$i AS (
        |  SELECT x.doc_id, x.y,
-       |    round(1.0 / (1.0 + exp(-CAST(sum(CAST(round(x.x * w.w, 9)
-       |      AS DECIMAL(28,12))) AS DOUBLE))), 6) AS p
+       |    floor((1.0 / (1.0 + exp(-CAST(sum(CAST(round(x.x * w.w, 9)
+       |      AS DECIMAL(28,12))) AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS p
        |  FROM xy x JOIN w$p w ON x.j = w.j
        |  GROUP BY x.doc_id, x.y),
        |g$i AS (
@@ -201,8 +212,8 @@ object LogReg {
        |$iters,
        |pfin AS (
        |  SELECT x.doc_id, x.y,
-       |    round(1.0 / (1.0 + exp(-CAST(sum(CAST(round(x.x * w.w, 9)
-       |      AS DECIMAL(28,12))) AS DOUBLE))), 6) AS p
+       |    floor((1.0 / (1.0 + exp(-CAST(sum(CAST(round(x.x * w.w, 9)
+       |      AS DECIMAL(28,12))) AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS p
        |  FROM xy x JOIN w$Iters w ON x.j = w.j
        |  GROUP BY x.doc_id, x.y),
        |correct AS (

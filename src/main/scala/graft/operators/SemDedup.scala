@@ -28,7 +28,7 @@ import graft.functions.DotF64
   * model table, not the plan.
   *
   * Drop rule (deterministic): a vector is dropped iff some same-cluster
-  * neighbor with a SMALLER vec_id is ≥ τ cosine-similar — the greedy
+  * neighbor with a SMALLER vec_id is > τ cosine-similar — the greedy
   * keep-first convention the streaming near-dup path
   * (`stream_neardup`) already uses. Cosine is the sequential-fold dot
   * ([[graft.functions.DotF64]]) over exact doubles — bit-identical to

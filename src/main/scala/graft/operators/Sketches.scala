@@ -987,7 +987,7 @@ object Sketches {
        |    round(CAST(sum(c * c) AS DOUBLE) / $AmsK, 4) AS f2_est
        |  FROM counters GROUP BY 1),
        |exact AS (
-       |  SELECT event_type, sum(cnt * cnt) AS f2_exact
+       |  SELECT event_type, CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact
        |  FROM (SELECT event_type, user_id, count(*) AS cnt
        |        FROM events GROUP BY 1, 2)
        |  GROUP BY 1)

@@ -758,6 +758,10 @@ object TextOps {
     import s.implicits._
     val norms = vectors.groupBy($"doc_id")
       .agg(sqrt(sum($"w" * $"w")).as("nrm"))
+      // zero-norm docs (every term weighted 0) carry no signal and
+      // would normalize to NaN — drop them, matching the registered
+      // direct-join path
+      .where($"nrm" > 0)
     vectors.join(norms, "doc_id")
       .select($"doc_id", $"term", ($"w" / $"nrm").as("w"))
   }
@@ -913,6 +917,11 @@ object TextOps {
     val norms = wgt.groupBy($"doc_id")
       .agg(sqrt(sum(round($"w" * $"w", 9).cast("decimal(28,12)"))
         .cast("double")).as("nrm"))
+      // a doc whose EVERY term has df = n weighs 0 everywhere → nrm 0
+      // → w/nrm NaN; NaN then CASTs to NULL in Spark but ERRORS in
+      // DuckDB's decimal cast. Zero-norm docs have no similarity
+      // signal — drop them identically on both engines.
+      .where($"nrm" > 0)
     val nw = wgt.join(norms, "doc_id")
       .select($"doc_id", $"term", ($"w" / $"nrm").as("w"))
       .localCheckpoint()
@@ -967,7 +976,8 @@ object TextOps {
        |  FROM wgt GROUP BY doc_id),
        |nw AS (
        |  SELECT w.doc_id, w.term, w.w / n.nrm AS w
-       |  FROM wgt w JOIN norms n ON w.doc_id = n.doc_id),
+       |  FROM wgt w JOIN norms n ON w.doc_id = n.doc_id
+       |  WHERE n.nrm > 0),
        |dots AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,12))) AS DOUBLE)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, LongType, TimestampType}
 
 /** Rewrites Filter range predicates on the DERIVED epoch-nanos column —
   * `unix_micros(ts) * 1000 <cmp> <long literal>` — into the equivalent
@@ -27,11 +27,15 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *   m*1000 =  L  ⇔  1000 | L  ∧  m = L/1000   (else never true)
   * Null semantics are preserved: every rewrite keeps `ts` inside a
   * null-propagating comparison, and the equality-to-non-multiple case
-  * (false for every non-null row, NULL for null `ts`) is only
-  * simplified to FALSE inside a Filter, where NULL and FALSE both drop
-  * the row. The rule fires ONLY on Filter conditions — pushdown is a
-  * scan concern — and only when the multiplicand is exactly
-  * `unix_micros` of a TimestampType child times the literal 1000.
+  * (false for every non-null row, NULL for null `ts`) is rewritten to
+  * the EXACT null-conditional form `IF(ts IS NULL, NULL, FALSE)` — a
+  * naked FALSE would be equivalent only in null-rejecting positions;
+  * under `NOT(…)` the two diverge (`NOT(NULL)` = NULL drops the row,
+  * `NOT(FALSE)` = TRUE keeps it), and `transformUp` rewrites at ANY
+  * depth of the condition. The rule fires ONLY on Filter conditions —
+  * pushdown is a scan concern — and only when the multiplicand is
+  * exactly `unix_micros` of a TimestampType child times the literal
+  * 1000.
   *
   * DOMAIN: the equivalences hold wherever `m * 1000` does not overflow
   * signed-64 — i.e. for timestamps inside the int64-NANOS-representable
@@ -92,11 +96,20 @@ object NanosRangePushdown extends Rule[LogicalPlan] {
       GreaterThanOrEqual(ts, tsLit(fdiv(l) + 1L))
     case EqualTo(NanosOfTs(ts), SafeLong(l)) =>
       if (l % 1000L == 0L) EqualTo(ts, tsLit(l / 1000L))
-      else Literal.FalseLiteral
+      else neverForNonNull(ts)
     case EqualTo(SafeLong(l), NanosOfTs(ts)) =>
       if (l % 1000L == 0L) EqualTo(ts, tsLit(l / 1000L))
-      else Literal.FalseLiteral
+      else neverForNonNull(ts)
   }
+
+  /** `m*1000 = L` with 1000 ∤ L: FALSE for every non-null row, NULL for
+    * a null `ts`. Emitted as the exact form so the rewrite is sound at
+    * any depth (NOT, CASE, boolean-valued projections of the filter
+    * condition); in a top-level null-rejecting conjunct Catalyst's own
+    * constant folding still collapses the IF away.
+    */
+  private def neverForNonNull(ts: Expression): Expression =
+    If(IsNull(ts), Literal(null, BooleanType), Literal.FalseLiteral)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>

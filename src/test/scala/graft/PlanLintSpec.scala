@@ -74,7 +74,10 @@ class PlanLintSpec extends AnyFunSuite {
     // point estimate + two CI rank picks (bootstrap), date anchor +
     // customer count (rfm), the fitted 1-row PCA component (project)
     "doc_chi2_terms", "graph_modularity", "q_bootstrap_ci",
-    "q_rfm_segments", "sim_pca_project")
+    "q_rfm_segments", "sim_pca_project",
+    // round-6 continuation: 1-row target-corpus LM totals (DSIR) and the
+    // 1-row corpus-mean / correct-count frames of the trained classifier
+    "curate_dsir_weights", "doc_lr_classifier")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>

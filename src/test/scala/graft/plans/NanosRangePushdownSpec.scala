@@ -57,6 +57,32 @@ class NanosRangePushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("NOT(ts_ns = non-multiple) is null-correct for a nullable ts") {
+    // The EqualTo→never rewrite fires at ANY depth of the condition via
+    // transformUp; under NOT(...) a naked FALSE would flip semantics
+    // for null rows (NOT(NULL)=NULL drops, NOT(FALSE)=TRUE keeps). The
+    // fixture ts is non-null, so build a 3-row frame with a null.
+    import spark.implicits._
+    NanosRangePushdown.ensureInstalled(spark)
+    val df = Seq(Some("2024-01-10 00:00:00"), Some("2024-01-11 00:00:00"),
+        None).toDF("s")
+      .selectExpr("CAST(s AS TIMESTAMP) AS ts")
+      .selectExpr("ts", "unix_micros(ts) * 1000 AS ts_ns")
+    val l = 1704844800000000001L // non-multiple of 1000
+    // standard SQL: non-null rows -> NOT(FALSE)=TRUE kept; null row ->
+    // NOT(NULL)=NULL dropped
+    val kept = df.filter(!(col("ts_ns") === l))
+    assert(kept.count() == 2L, "null ts row must drop under NOT(=)")
+    assert(kept.filter(col("ts").isNull).count() == 0L)
+    // the plain equality stays 0-rows (never true, null drops too)
+    assert(df.filter(col("ts_ns") === l).count() == 0L)
+    // and the rewrite DID fire — no derived arithmetic survives in the
+    // optimized filter condition
+    val p = kept.queryExecution.optimizedPlan.toString
+    assert(!p.contains("unix_micros") || !p.contains("= " + l),
+      s"rewrite did not fire:\n$p")
+  }
+
   test("interval count through ts_ns equals the tsLit-form registered query") {
     val lo = 1704844800000000000L // 2024-01-10T00:00:00Z nanos
     val hi = 1705708800000000000L // 2024-01-20T00:00:00Z nanos

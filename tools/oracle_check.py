@@ -51,6 +51,31 @@ for name in sorted(os.listdir(out_dir)):
         print(f"[FAIL-rows] {name}: spark={len(a)} duck={len(b)}")
         fails += 1
         continue
+    # Driver-strength dtype gate: the driver hashes VALUES, so an
+    # integer column on one engine vs a float column on the other
+    # ("5" vs "5.0") is a hash mismatch even when cell values agree.
+    # This is exactly the DuckDB HUGEINT class (sum of integers widens
+    # to HUGEINT -> pandas float64) that killed sketch_ams_f2 in r06
+    # while passing the old check_dtype=False compare. int32 vs int64
+    # is still fine (same printed values), so compare dtype KIND with
+    # the int family collapsed.
+    def kind(dt):
+        k = dt.kind  # 'i' int, 'u' uint, 'f' float, 'O' object, 'b', 'M'
+        return "i" if k == "u" else k
+    kind_bad = [
+        c for c in a.columns
+        if kind(a[c].dtype) != kind(b[c].dtype)
+        and {kind(a[c].dtype), kind(b[c].dtype)} <= {"i", "f"}]
+    if kind_bad:
+        det = {c: f"spark={a[c].dtype} duck={b[c].dtype}" for c in kind_bad}
+        print(f"[FAIL-dtype] {name}: int-vs-float divergence {det}")
+        fails += 1
+        continue
+    soft = [
+        c for c in a.columns if kind(a[c].dtype) != kind(b[c].dtype)]
+    if soft:
+        det = {c: f"spark={a[c].dtype} duck={b[c].dtype}" for c in soft}
+        print(f"[warn-dtype] {name}: kind mismatch (non-fatal) {det}")
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         print(f"[OK] {name}: {len(a)} rows")

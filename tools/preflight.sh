@@ -32,4 +32,10 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
 echo "== preflight: DuckDB oracle compare =="
 python3 tools/oracle_check.py "$SF_DIR" "$OUT_DIR"
 
+# Registry size, GENERATED from the Verify dump (one dir per registered
+# query; oracle_sql.json holds the oracle-paired subset) — the number
+# the docs must quote, so it is printed here instead of hand-counted.
+NQ="$(find "$OUT_DIR" -mindepth 1 -maxdepth 1 -type d | wc -l)"
+NO="$(python3 -c "import json;print(len(json.load(open('$OUT_DIR/oracle_sql.json'))))")"
+echo "== preflight: registry = $NQ queries ($NO with DuckDB oracles) =="
 echo "== preflight: ALL GREEN =="
