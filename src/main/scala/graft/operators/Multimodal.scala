@@ -1603,7 +1603,21 @@ object Multimodal {
     * None on any structural violation — corrupt containers are dropped
     * and counted, never propagated (P1 semantics).
     */
-  def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    decodeAviFrames(bytes).map { case (nf, w, h, fr) =>
+      (nf, w, h, fr.iterator.map(_._4).sum)
+    }
+
+  /** Frame-LEVEL AVI walk — the movi chunk index AS DATA: per frame
+    * (frame_idx, movi-relative offset, chunk size, pixel sum), with
+    * every idx1 entry cross-checked against the movi walk itself
+    * (offset AND size per entry, strictly stronger than the old
+    * count-only check — a writer that pads chunks wrong or an index
+    * that points past a frame boundary is a structural violation, not
+    * a wrong answer). [[decodeAvi]] is the aggregate view of this.
+    */
+  def decodeAviFrames(bytes: Array[Byte])
+      : Option[(Int, Int, Int, IndexedSeq[(Int, Long, Int, Long)])] = {
     if (bytes.length < 24) return None
     def tag(off: Int): String =
       if (off + 4 <= bytes.length) new String(bytes, off, 4, "US-ASCII") else ""
@@ -1613,7 +1627,8 @@ object Multimodal {
     if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
     if (8 + u32(4) > bytes.length) return None
     var nf = -1; var w = -1; var h = -1
-    var frames = 0; var pxSum = 0L; var idxEntries = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long)]
+    val idx = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val t = tag(pos); val sz = u32(pos + 4)
@@ -1642,9 +1657,11 @@ object Multimodal {
                 if (tag(p) == "00db") {
                   val fsz = u32(p + 4)
                   if (fsz != w * h) return None
-                  var j = 0
+                  var pxSum = 0L; var j = 0
                   while (j < fsz) { pxSum += (bytes(p + 8 + j) & 0xff); j += 1 }
-                  frames += 1
+                  // idx1 offsets are relative to the start of the movi
+                  // LIST data area (the 'movi' fourcc at offset 0)
+                  frames += ((frames.length, (p - (pos + 8)).toLong, fsz, pxSum))
                 }
                 val ssz = u32(p + 4)
                 if (ssz < 0) return None
@@ -1652,13 +1669,21 @@ object Multimodal {
               }
             case _ => ()
           }
-        case "idx1" => idxEntries = sz / 16
+        case "idx1" =>
+          var p = pos + 8
+          val end = pos + 8 + sz
+          while (p + 16 <= end) {
+            idx += ((u32(p + 8).toLong & 0xffffffffL, u32(p + 12)))
+            p += 16
+          }
         case _ => ()
       }
       pos += 8 + sz + (sz & 1)
     }
-    if (nf <= 0 || frames != nf || idxEntries != nf) None
-    else Some((frames, w, h, pxSum))
+    if (nf <= 0 || frames.length != nf || idx.length != nf) None
+    else if (frames.indices.exists(i =>
+      idx(i)._1 != frames(i)._2 || idx(i)._2 != frames(i)._3)) None
+    else Some((nf, w, h, frames.toIndexedSeq))
   }
 
   def aviAssets(s: SparkSession, dir: String): Dataset[Asset] = {
@@ -1697,6 +1722,48 @@ object Multimodal {
       sum(when($"ok", $"px_sum")).as("sum_px"))
   }
 
+  /** Frame-level proof query: one row per decoded frame with its idx1
+    * offset, chunk size, and pixel sum — the movi index exposed as a
+    * table (what a downstream frame-sampling or scene-cut stage reads).
+    * Pure narrow flatMap: the payload is decoded where it lies and only
+    * the ~nf metadata rows per asset shuffle, never the frame bytes;
+    * corrupt containers contribute no rows (mm_avi_stats counts them).
+    * The oracle restates offsets and pixel sums in closed form — a
+    * walker that misreads chunk padding or idx1 layout cannot match.
+    */
+  def aviFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    aviAssets(s, dir).mapPartitions {
+      _.grouped(64).flatMap(_.flatMap { a =>
+        decodeAviFrames(a.payload) match {
+          case Some((_, _, _, fr)) =>
+            fr.map { case (fi, off, fsz, px) => (a.asset_id, fi, off, fsz, px) }
+          case None => Nil
+        }
+      })
+    }.toDF("asset_id", "frame_idx", "frame_off", "frame_size", "px_sum")
+  }
+
+  val aviFramesSql: String =
+    s"""WITH avi AS (
+       |  SELECT doc_id,
+       |    2 + strlen(text) % 5 AS nf,
+       |    8 + strlen(text) % 9 AS w,
+       |    6 + strlen(text) % 7 AS h,
+       |    CAST(doc_id % 233 AS INTEGER) AS seed
+       |  FROM documents
+       |  WHERE doc_id % $CorruptEveryAvi <> 0),
+       |fr AS (
+       |  SELECT doc_id, CAST(fv.f AS INT) AS frame_idx,
+       |    w * h AS fsz, (w * h) % 2 AS pad, seed
+       |  FROM avi, LATERAL (SELECT unnest(range(0, nf)) AS f) fv)
+       |SELECT doc_id AS asset_id, frame_idx,
+       |  CAST(4 + frame_idx * (8 + fsz + pad) AS BIGINT) AS frame_off,
+       |  CAST(fsz AS INT) AS frame_size,
+       |  CAST(list_sum(list_transform(range(0, fsz),
+       |    j -> (seed + 31 * j + 7 * frame_idx) % 256)) AS BIGINT) AS px_sum
+       |FROM fr""".stripMargin
+
   val aviStatsSql: String =
     s"""WITH avi AS (
        |  SELECT doc_id,
@@ -1727,6 +1794,7 @@ object Multimodal {
     "mm_jpeg_dims" -> (jpegDims _),
     "mm_gif_stats" -> (gifStats _),
     "mm_avi_stats" -> (aviStats _),
+    "mm_avi_frames" -> (aviFrames _),
     "mm_audio_stats" -> (audioStats _),
     "mm_caption_pairs" -> (captionPairs _))
 
@@ -1742,6 +1810,7 @@ object Multimodal {
     "mm_jpeg_dims" -> jpegDimsSql,
     "mm_gif_stats" -> gifStatsSql,
     "mm_avi_stats" -> aviStatsSql,
+    "mm_avi_frames" -> aviFramesSql,
     "mm_audio_stats" -> audioStatsSql,
     "mm_caption_pairs" -> captionPairsSql)
 }

@@ -327,6 +327,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(px == expect)
   }
 
+  test("avi frame walk: per-frame offsets/sizes/sums, idx1 cross-checked") {
+    // 3 frames, 3x2 = 6 bytes each (even, pad 0): movi-relative offsets
+    // 4, 18, 32 (fourcc 'movi' at 0, each chunk 8 + 6)
+    val avi = Multimodal.encodeAvi(nf = 3, w = 3, h = 2, seed = 11)
+    val Some((nf, w, h, fr)) = Multimodal.decodeAviFrames(avi)
+    assert((nf, w, h) == ((3, 3, 2)))
+    assert(fr.map(_._1) == IndexedSeq(0, 1, 2))
+    assert(fr.map(_._2) == IndexedSeq(4L, 18L, 32L))
+    assert(fr.forall(_._3 == 6))
+    assert(fr.map(_._4) == (0 until 3).map(f =>
+      (0 until 6).map(j => ((11 + 31 * j + 7 * f) % 256).toLong).sum))
+    // ODD frame size exercises the pad rule: 3x3 = 9 bytes, padded to 10
+    // per RIFF; offsets stride 8 + 9 + 1 = 18
+    val odd = Multimodal.encodeAvi(nf = 2, w = 3, h = 3, seed = 7)
+    val Some((_, _, _, fo)) = Multimodal.decodeAviFrames(odd)
+    assert(fo.map(_._2) == IndexedSeq(4L, 22L) && fo.forall(_._3 == 9))
+    // an idx1 entry whose OFFSET disagrees with the movi walk must fail
+    // the per-entry cross-check (count still matches)
+    val idxAt = {
+      var p = 12; var found = -1
+      def tag(o: Int) = new String(avi, o, 4, "US-ASCII")
+      def u32(o: Int) = (avi(o) & 0xff) | ((avi(o + 1) & 0xff) << 8) |
+        ((avi(o + 2) & 0xff) << 16) | ((avi(o + 3) & 0xff) << 24)
+      while (found < 0 && p + 8 <= avi.length) {
+        if (tag(p) == "idx1") found = p
+        else p += 8 + u32(p + 4) + (u32(p + 4) & 1)
+      }
+      found
+    }
+    assert(idxAt > 0)
+    val badOff = avi.clone()
+    badOff(idxAt + 8 + 8) = 5 // first entry dwOffset := 5, walk says 4
+    assert(Multimodal.decodeAviFrames(badOff).isEmpty)
+    assert(Multimodal.decodeAvi(badOff).isEmpty)
+  }
+
   test("avi walker rejects structural violations, not just bad magic") {
     val good = Multimodal.encodeAvi(3, 4, 3, 9)
     assert(Multimodal.decodeAvi(good).isDefined)

@@ -83,6 +83,35 @@ class NanosRangePushdownSpec extends AnyFunSuite {
       s"rewrite did not fire:\n$p")
   }
 
+  test("null-bearing PARQUET events variant: rule-on row sets match standard semantics end-to-end") {
+    // The registered fixtures have non-null ts; this writes a variant
+    // WITH nulls through parquet (so the rule faces a real scan, with
+    // pushdown in play) and pins every rewrite family's row set against
+    // counts computed from the raw data.
+    import spark.implicits._
+    NanosRangePushdown.ensureInstalled(spark)
+    val dir = java.nio.file.Files.createTempDirectory("nulls_ts").toString
+    val rows = Seq(Some("2024-01-10 01:02:03.000004"),
+      Some("2024-01-12 00:00:00"), None, Some("2024-01-14 23:59:59.999999"),
+      None)
+    rows.toDF("s").selectExpr("CAST(s AS TIMESTAMP) AS ts")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .selectExpr("ts", "unix_micros(ts) * 1000 AS ts_ns")
+    val micros = Seq(1704848523000004L, 1705017600000000L, 1705276799999999L)
+    val mid = 1705017600000000L * 1000L + 1L // non-multiple of 1000
+    def n(c: org.apache.spark.sql.Column): Long = df.filter(c).count()
+    assert(n(col("ts_ns") >= mid) == micros.count(_ * 1000L >= mid).toLong)
+    assert(n(col("ts_ns") < mid) == micros.count(_ * 1000L < mid).toLong)
+    assert(n(col("ts_ns") === mid) == 0L)
+    // NOT(=): non-null rows kept, null rows dropped (NOT(NULL) = NULL)
+    assert(n(!(col("ts_ns") === mid)) == 3L)
+    // NOT over a range predicate: null rows must also drop
+    assert(n(!(col("ts_ns") >= mid)) == micros.count(_ * 1000L < mid).toLong)
+    // IS NULL survives untouched
+    assert(n(col("ts_ns").isNull) == 2L)
+  }
+
   test("interval count through ts_ns equals the tsLit-form registered query") {
     val lo = 1704844800000000000L // 2024-01-10T00:00:00Z nanos
     val hi = 1705708800000000000L // 2024-01-20T00:00:00Z nanos
