@@ -235,7 +235,10 @@ object Dedup {
     * set — factored so the evaluation oracle can compose both
     * pipelines over ONE pair of toks/sh CTEs.
     */
-  private val minhashCtesAfterSh: String = {
+  /** Signature + band-bucket CTE chain (shh → sigs → buckets) shared by
+    * the full-corpus pipeline and the incremental-admission oracle.
+    */
+  private val minhashSigCtesAfterSh: String = {
     val bandKey = (1 to Hashing.RowsPerBand)
       .map(r => s"sig[${Hashing.RowsPerBand} * b + $r]")
       .mkString(" || ':' || ")
@@ -250,12 +253,15 @@ object Dedup {
        |  GROUP BY doc_id),
        |buckets AS (
        |  SELECT doc_id, b, $bandKey AS bucket
-       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Hashing.Bands})) AS b)),
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Hashing.Bands})) AS b))""".stripMargin
+  }
+
+  private val minhashCtesAfterSh: String =
+    s"""$minhashSigCtesAfterSh,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM buckets a JOIN buckets b
        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   private val minhashPredSelect: String =
     s"""SELECT c.doc_a, c.doc_b,
@@ -267,9 +273,11 @@ object Dedup {
        |WHERE CAST(len(list_filter(range(1, ${Hashing.MinhashK} + 1),
        |    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${Hashing.MinhashK} >= 0.5""".stripMargin
 
-  val minhashLshSql: String =
-    s"""WITH $minhashPermsCte,
-       |toks AS (
+  /** Tokenize → word-trigram shingle CTEs over `documents` — the shared
+    * prefix of every generated MinHash oracle.
+    */
+  private val minhashToksShCtes: String =
+    s"""toks AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
        |  FROM documents),
@@ -278,9 +286,124 @@ object Dedup {
        |    SELECT doc_id,
        |      unnest(list_transform(range(1, len(t) - 1),
        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-       |    FROM toks WHERE len(t) >= 3)),
+       |    FROM toks WHERE len(t) >= 3))""".stripMargin
+
+  val minhashLshSql: String =
+    s"""WITH $minhashPermsCte,
+       |$minhashToksShCtes,
        |$minhashCtesAfterSh
        |$minhashPredSelect""".stripMargin
+
+  // --------------------------------------------------- incremental dedup
+
+  /** Deterministic corpus/batch split for the incremental contract:
+    * docs with `doc_id % 5 == 4` are the arriving snapshot, the rest
+    * are the already-admitted corpus.
+    */
+  val IncrModulus = 5
+  val IncrIncomingRes = 4
+
+  /** INCREMENTAL near-dup admission — the shape a growing pretraining
+    * corpus actually runs: a new crawl snapshot arrives on top of an
+    * already-deduplicated corpus, and only the NEW documents do any
+    * work. The corpus side is consulted purely through its band-bucket
+    * index (at 100 TB that index is a materialized table partitioned by
+    * bucket — see `layout_ivfpq_lists` for the same
+    * candidates-from-layout idea); the snapshot's signatures equi-join
+    * against it, so per-snapshot cost is |batch| × bucket occupancy and
+    * NEVER re-pairs the corpus with itself. Each incoming doc gets two
+    * verdicts: `dup_corpus` (≥1 corpus doc with estimated Jaccard ≥ 0.5
+    * among its band-bucket candidates) and `dup_batch` (same test
+    * against smaller-id docs of its own snapshot — the greedy
+    * first-wins rule, independent of those docs' own verdicts, so the
+    * decision is order-deterministic and embarrassingly parallel);
+    * `keep` = neither. Signature building stays row-local
+    * ([[minhashSignatures]] — the native codegen kernel), bucket keys
+    * and the 0.5 verify threshold are IDENTICAL to [[minhashLsh]], so
+    * an admitted corpus and this incremental pass agree on what "near
+    * duplicate" means.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = minhashSignatures(s, dir).cache()
+    val rpb = Hashing.RowsPerBand
+    val bandKeys = array((0 until Hashing.Bands).map { b =>
+      concat_ws(":",
+        (1 to rpb).map(r => element_at($"sig", b * rpb + r).cast("string")): _*)
+    }: _*)
+    val buckets = sigs.select($"doc_id",
+      posexplode(bandKeys).as(Seq("band", "bucket")))
+    val inc = buckets.where($"doc_id" % IncrModulus === IncrIncomingRes)
+    val corp = buckets.where($"doc_id" % IncrModulus < IncrIncomingRes)
+    def verifiedNew(cand: DataFrame): DataFrame =
+      cand.join(sigs.toDF("doc_new", "sig_a"), "doc_new")
+        .join(sigs.toDF("doc_old", "sig_b"), "doc_old")
+        .where(expr(
+          s"""CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),
+             | v -> v)) AS DOUBLE) / ${Hashing.MinhashK} >= 0.5""".stripMargin))
+        .select($"doc_new").distinct()
+    val candCorpus = inc.as("i").join(corp.as("c"),
+        $"i.band" === $"c.band" && $"i.bucket" === $"c.bucket")
+      .select($"i.doc_id".as("doc_new"), $"c.doc_id".as("doc_old"))
+      .distinct()
+    val candBatch = inc.as("a").join(inc.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"b.doc_id" < $"a.doc_id")
+      .select($"a.doc_id".as("doc_new"), $"b.doc_id".as("doc_old"))
+      .distinct()
+    val dupC = verifiedNew(candCorpus).withColumn("dc", lit(true))
+    val dupB = verifiedNew(candBatch).withColumn("db", lit(true))
+    sigs.where($"doc_id" % IncrModulus === IncrIncomingRes)
+      .select($"doc_id".as("doc_new"))
+      .join(dupC, Seq("doc_new"), "left")
+      .join(dupB, Seq("doc_new"), "left")
+      .select($"doc_new",
+        coalesce($"dc", lit(false)).as("dup_corpus"),
+        coalesce($"db", lit(false)).as("dup_batch"),
+        (!coalesce($"dc", lit(false)) && !coalesce($"db", lit(false)))
+          .as("keep"))
+  }
+
+  /** ≥ 0.5-estimated-Jaccard verification of a (doc_new, doc_old)
+    * candidate CTE, distinct on the new side — the oracle's analogue of
+    * `verifiedNew`.
+    */
+  private def minhashDupNewCte(name: String, cand: String): String =
+    s"""$name AS (
+       |  SELECT DISTINCT c.doc_new
+       |  FROM $cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_new
+       |  JOIN sigs sb ON sb.doc_id = c.doc_old
+       |  WHERE CAST(len(list_filter(range(1, ${Hashing.MinhashK} + 1),
+       |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${Hashing.MinhashK} >= 0.5)""".stripMargin
+
+  val dedupIncrementalSql: String =
+    s"""WITH $minhashPermsCte,
+       |$minhashToksShCtes,
+       |$minhashSigCtesAfterSh,
+       |inc AS (
+       |  SELECT doc_id, b, bucket FROM buckets
+       |  WHERE doc_id % $IncrModulus = $IncrIncomingRes),
+       |corp AS (
+       |  SELECT doc_id, b, bucket FROM buckets
+       |  WHERE doc_id % $IncrModulus < $IncrIncomingRes),
+       |candc AS (
+       |  SELECT DISTINCT i.doc_id AS doc_new, c.doc_id AS doc_old
+       |  FROM inc i JOIN corp c ON i.b = c.b AND i.bucket = c.bucket),
+       |candb AS (
+       |  SELECT DISTINCT a.doc_id AS doc_new, b2.doc_id AS doc_old
+       |  FROM inc a JOIN inc b2
+       |    ON a.b = b2.b AND a.bucket = b2.bucket AND b2.doc_id < a.doc_id),
+       |${minhashDupNewCte("dupc", "candc")},
+       |${minhashDupNewCte("dupb", "candb")}
+       |SELECT s.doc_id AS doc_new,
+       |  (dc.doc_new IS NOT NULL) AS dup_corpus,
+       |  (db.doc_new IS NOT NULL) AS dup_batch,
+       |  (dc.doc_new IS NULL AND db.doc_new IS NULL) AS keep
+       |FROM sigs s
+       |LEFT JOIN dupc dc ON dc.doc_new = s.doc_id
+       |LEFT JOIN dupb db ON db.doc_new = s.doc_id
+       |WHERE s.doc_id % $IncrModulus = $IncrIncomingRes""".stripMargin
 
   // ------------------------------------------------------------- simhash
 
@@ -1216,6 +1339,7 @@ object Dedup {
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (simhashPairs _))
 
   /** Oracles for an EXPLICIT dir — the SimHash entry embeds the chunk
@@ -1244,6 +1368,7 @@ object Dedup {
       "dedup_exact" -> exactDedupSql,
       "dedup_ngram_jaccard" -> ngramJaccardSql,
       "dedup_minhash_lsh" -> minhashLshSql,
+      "dedup_incremental" -> dedupIncrementalSql,
       "dedup_simhash" -> simhashPairsSql(bits, nChunks))
   }
 }

@@ -198,11 +198,109 @@ object Layout {
        |LEFT JOIN sm ON tot.source = sm.source
        |LEFT JOIN lg ON tot.source = lg.source""".stripMargin
 
+  // ------------------------------------------------------- range layout
+
+  private val RangeFiles = 64
+
+  /** 1-D range-clustered layout vs the two layouts a table usually has
+    * instead — the time-scan counterpart of [[layoutZorder]]'s 2-D
+    * story. Three 64-file assignments of `events`, each a PURE row
+    * function (so, like the z-order writer, all three write
+    * embarrassingly parallel — range clustering at production scale is
+    * `repartitionByRange(ts)` + `sortWithinPartitions`, and this is its
+    * stats model):
+    *
+    *   - `range`:   file = value-proportional slot of `ts_ns` — what a
+    *                time-clustered (retention / time-travel friendly)
+    *                writer produces;
+    *   - `arrival`: file = id-proportional slot of `event_id` — the
+    *                ingestion order a plain append writer produces;
+    *   - `hash`:    file = `user_id mod 64` — the layout a user-keyed
+    *                (join-optimized) writer produces.
+    *
+    * Per file the min/max/count of `ts_ns` are exactly the footer stats
+    * a pruning reader consults; the measured contract is files hit and
+    * rows scanned for the middle-fifth time-range predicate under each
+    * layout. At 100 TB this is the difference between a retention scan
+    * reading 1/64th of the table (range), whatever time-locality
+    * ingestion happened to have (arrival), or ALL of it (hash) — the
+    * number that justifies re-clustering a table for its dominant
+    * predicate. Integer arithmetic end-to-end; the one 1-row bounds
+    * frame is the approved broadcast cross join.
+    */
+  def layoutRangeSort(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_id", $"ts_ns", $"user_id")
+    val mx = ev.agg(min($"ts_ns").as("tmin"), max($"ts_ns").as("tmax"),
+      max($"event_id").as("emax"))
+    val assigned = ev.crossJoin(broadcast(mx)).selectExpr(
+      "ts_ns", "tmin", "tmax",
+      s"least(((ts_ns - tmin) * $RangeFiles) div (tmax - tmin + 1), ${RangeFiles - 1}) AS fid_range",
+      s"least((event_id * $RangeFiles) div (emax + 1), ${RangeFiles - 1}) AS fid_arrival",
+      s"user_id % $RangeFiles AS fid_hash")
+    val long = assigned.selectExpr("'range' AS layout", "fid_range AS fid",
+        "ts_ns", "tmin", "tmax")
+      .union(assigned.selectExpr("'arrival'", "fid_arrival",
+        "ts_ns", "tmin", "tmax"))
+      .union(assigned.selectExpr("'hash'", "fid_hash",
+        "ts_ns", "tmin", "tmax"))
+    // the probe: ts in the middle fifth [tmin + 2·span div 5,
+    // tmin + span div 2] — integer `div` so both engines derive the
+    // identical bounds a pruning reader would evaluate per file
+    val hit =
+      """max_t >= tmin + ((tmax - tmin) * 2) div 5
+        | AND min_t <= tmin + (tmax - tmin) div 2""".stripMargin
+        .replace("\n", "")
+    long.groupBy($"layout", $"fid")
+      .agg(min($"ts_ns").as("min_t"), max($"ts_ns").as("max_t"),
+        count(lit(1)).as("cnt"),
+        min($"tmin").as("tmin"), min($"tmax").as("tmax"))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(expr(s"CASE WHEN $hit THEN 1 ELSE 0 END")).as("files_hit"),
+        sum(expr(s"CASE WHEN $hit THEN cnt ELSE 0 END")).as("rows_scanned"))
+  }
+
+  val layoutRangeSortSql: String =
+    s"""WITH mx AS (
+       |  SELECT min(epoch_ns(ts)) AS tmin, max(epoch_ns(ts)) AS tmax,
+       |    max(event_id) AS emax
+       |  FROM events),
+       |assigned AS (
+       |  SELECT epoch_ns(ts) AS ts_ns, tmin, tmax,
+       |    least(((epoch_ns(ts) - tmin) * $RangeFiles) // (tmax - tmin + 1),
+       |      ${RangeFiles - 1}) AS fid_range,
+       |    least((event_id * $RangeFiles) // (emax + 1),
+       |      ${RangeFiles - 1}) AS fid_arrival,
+       |    user_id % $RangeFiles AS fid_hash
+       |  FROM events CROSS JOIN mx),
+       |long AS (
+       |  SELECT 'range' AS layout, fid_range AS fid, ts_ns, tmin, tmax
+       |  FROM assigned
+       |  UNION ALL
+       |  SELECT 'arrival', fid_arrival, ts_ns, tmin, tmax FROM assigned
+       |  UNION ALL
+       |  SELECT 'hash', fid_hash, ts_ns, tmin, tmax FROM assigned),
+       |stats AS (
+       |  SELECT layout, fid, min(ts_ns) AS min_t, max(ts_ns) AS max_t,
+       |    count(*) AS cnt, min(tmin) AS tmin, min(tmax) AS tmax
+       |  FROM long GROUP BY layout, fid)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN max_t >= tmin + ((tmax - tmin) * 2) // 5
+       |    AND min_t <= tmin + (tmax - tmin) // 2
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       |  CAST(sum(CASE WHEN max_t >= tmin + ((tmax - tmin) * 2) // 5
+       |    AND min_t <= tmin + (tmax - tmin) // 2
+       |    THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned
+       |FROM stats GROUP BY layout""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
+    "layout_range_sort" -> (layoutRangeSort _),
     "layout_compaction" -> (layoutCompaction _))
 
   def oracles: Map[String, String] = Map(
     "layout_zorder" -> layoutZorderSql,
+    "layout_range_sort" -> layoutRangeSortSql,
     "layout_compaction" -> layoutCompactionSql)
 }

@@ -762,6 +762,136 @@ object Sketches {
        |  union_est, round(jacc, 4) AS jaccard_est
        |FROM est JOIN x ON est.ta = x.ta AND est.tb = x.tb""".stripMargin
 
+  /** KMV set DIFFERENCE — the theta-sketch a-not-b operation that
+    * completes [[kmvOverlapOn]]'s union/Jaccard/intersection algebra:
+    * |A∖B| (and |B∖A|) estimated from each side's k-minima alone.
+    * Mechanics: θ = min(θ_A, θ_B) where θ_X is side X's k-th minimum
+    * (or the full 2^60 hash space when X holds fewer than k distinct
+    * keys — then X's minima ARE X and the sketch is exact). Below θ,
+    * each side's minima are EXACTLY its members hashed into [0, θ), so
+    * `count(A-minima < θ not matched in B-minima) · 2^60 / θ` is the
+    * standard theta a-not-b estimator. Per pair of sides only 2·k longs
+    * meet — at 100 TB this answers "how many users does source A have
+    * that B lacks" across every source pair without co-shuffling raw
+    * keys, the query retention/expansion planning actually runs. The
+    * exact anti-join counts ride along as calibration, derived as
+    * |A| − |A∩B| from one distinct-pair intersection pass.
+    */
+  def kmvDiff(s: SparkSession, dir: String): DataFrame =
+    kmvDiffOn(s, Tables.events(s, dir).select(
+      org.apache.spark.sql.functions.col("event_type"),
+      org.apache.spark.sql.functions.col("user_id")))
+
+  /** Core of the difference sketch over any (event_type, user_id) frame
+    * — exposed so specs can plant partial-overlap sets, same pattern as
+    * [[kmvOverlapOn]]. Disjoint pairs drop out with the exact-
+    * calibration inner join (no intersection row), as there.
+    */
+  def kmvDiffOn(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hv = md5_60($"user_id".cast("string"))
+    val m = ev.select($"event_type", hv.as("hv")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"hv")))
+      .filter($"rn" <= KmvK)
+      .select($"event_type", $"hv")
+    val th = m.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_min"), max($"hv").as("kth"))
+      .select($"event_type",
+        when($"n_min" < KmvK, lit(KmvSpace.toLong)).otherwise($"kth")
+          .as("theta"))
+    val pairs = th.select($"event_type".as("ta"), $"theta".as("tha"))
+      .join(th.select($"event_type".as("tb"), $"theta".as("thb")),
+        $"ta" < $"tb")
+      .select($"ta", $"tb", least($"tha", $"thb").as("theta"))
+    val ma = m.toDF("xa", "ha")
+    val mb = m.toDF("xb", "hb")
+    // A-minima below θ, anti-marked against B-minima (same hash ⇒ same
+    // user — md5-60 keyed equality, no raw user ids in the pair join)
+    val ab = pairs
+      .join(ma, $"xa" === $"ta" && $"ha" < $"theta")
+      .join(mb, $"xb" === $"tb" && $"hb" === $"ha", "left")
+      .groupBy($"ta", $"tb", $"theta")
+      .agg(count(when($"hb".isNull, 1)).as("cnt_ab"))
+    val ba = pairs
+      .join(mb, $"xb" === $"tb" && $"hb" < $"theta")
+      .join(ma, $"xa" === $"ta" && $"ha" === $"hb", "left")
+      .groupBy($"ta".as("ta2"), $"tb".as("tb2"))
+      .agg(count(when($"ha".isNull, 1)).as("cnt_ba"))
+    val du = ev.distinct()
+    val sizes = du.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val inter = du.toDF("ea", "ua")
+      .join(du.toDF("eb", "ub"), $"ua" === $"ub" && $"ea" < $"eb")
+      .groupBy($"ea".as("ia"), $"eb".as("ib"))
+      .agg(count(lit(1)).as("exact_inter"))
+    ab.join(ba, $"ta" === $"ta2" && $"tb" === $"tb2")
+      .join(inter, $"ta" === $"ia" && $"tb" === $"ib")
+      .join(sizes.toDF("sa", "na"), $"ta" === $"sa")
+      .join(sizes.toDF("sb", "nb"), $"tb" === $"sb")
+      .select($"ta", $"tb",
+        ($"na" - $"exact_inter").as("exact_ab"),
+        round($"cnt_ab".cast("double") * lit(KmvSpace) /
+          $"theta".cast("double"), 4).as("est_ab"),
+        ($"nb" - $"exact_inter").as("exact_ba"),
+        round($"cnt_ba".cast("double") * lit(KmvSpace) /
+          $"theta".cast("double"), 4).as("est_ba"))
+  }
+
+  val kmvDiffSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type, hv
+       |  FROM (SELECT event_type, hv,
+       |          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+       |        FROM h)
+       |  WHERE rn <= $KmvK),
+       |th AS (
+       |  SELECT event_type,
+       |    CASE WHEN count(*) < $KmvK THEN 1152921504606846976
+       |         ELSE max(hv) END AS theta
+       |  FROM m GROUP BY event_type),
+       |pairs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb,
+       |    least(a.theta, b.theta) AS theta
+       |  FROM th a JOIN th b ON a.event_type < b.event_type),
+       |ab AS (
+       |  SELECT p.ta, p.tb, p.theta,
+       |    count(CASE WHEN mb.hv IS NULL THEN 1 END) AS cnt_ab
+       |  FROM pairs p
+       |  JOIN m ma ON ma.event_type = p.ta AND ma.hv < p.theta
+       |  LEFT JOIN m mb ON mb.event_type = p.tb AND mb.hv = ma.hv
+       |  GROUP BY 1, 2, 3),
+       |ba AS (
+       |  SELECT p.ta, p.tb,
+       |    count(CASE WHEN ma.hv IS NULL THEN 1 END) AS cnt_ba
+       |  FROM pairs p
+       |  JOIN m mb ON mb.event_type = p.tb AND mb.hv < p.theta
+       |  LEFT JOIN m ma ON ma.event_type = p.ta AND ma.hv = mb.hv
+       |  GROUP BY 1, 2),
+       |du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+       |x AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS exact_inter
+       |  FROM du a JOIN du b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT ab.ta, ab.tb,
+       |  CAST(sa.n - x.exact_inter AS BIGINT) AS exact_ab,
+       |  round(CAST(cnt_ab AS DOUBLE) * 1152921504606846976.0
+       |    / CAST(ab.theta AS DOUBLE), 4) AS est_ab,
+       |  CAST(sb.n - x.exact_inter AS BIGINT) AS exact_ba,
+       |  round(CAST(cnt_ba AS DOUBLE) * 1152921504606846976.0
+       |    / CAST(ab.theta AS DOUBLE), 4) AS est_ba
+       |FROM ab
+       |JOIN ba ON ba.ta = ab.ta AND ba.tb = ab.tb
+       |JOIN x ON x.ta = ab.ta AND x.tb = ab.tb
+       |JOIN sizes sa ON sa.event_type = ab.ta
+       |JOIN sizes sb ON sb.event_type = ab.tb""".stripMargin
+
   /** Rolling 7-day distinct users from day-sharded HLL registers — the
     * windowed form of [[hllMerged]]'s union property, and the way a
     * fleet actually reports rolling reach: each day's job ships a
@@ -1000,6 +1130,7 @@ object Sketches {
     "sketch_hll_sliding" -> (hllSliding _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_kmv_overlap" -> (kmvOverlap _),
+    "sketch_kmv_diff" -> (kmvDiff _),
     "sketch_hll_users" -> (hllUsers _),
     "sketch_cms_heavy" -> (cmsHeavy _),
     "sketch_bloom_prune" -> (bloomPrune _),
@@ -1012,6 +1143,7 @@ object Sketches {
     "sketch_hll_sliding" -> hllSlidingSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_overlap" -> kmvOverlapSql,
+    "sketch_kmv_diff" -> kmvDiffSql,
     "sketch_hll_users" -> hllUsersSql,
     "sketch_cms_heavy" -> cmsHeavySql,
     "sketch_bloom_prune" -> bloomPruneSql,

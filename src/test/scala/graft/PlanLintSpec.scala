@@ -77,7 +77,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q_rfm_segments", "sim_pca_project",
     // round-6 continuation: 1-row target-corpus LM totals (DSIR) and the
     // 1-row corpus-mean / correct-count frames of the trained classifier
-    "curate_dsir_weights", "doc_lr_classifier")
+    "curate_dsir_weights", "doc_lr_classifier",
+    // round-7: 1-row time/id bounds broadcast (file-slot assignment) and
+    // the kmv_overlap-style type-pair enumeration (≤ |types|² rows,
+    // k-minima fan-in bounded by k·|types|)
+    "layout_range_sort", "sketch_kmv_diff")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>

@@ -66,6 +66,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental admission: corpus dup, batch dup, and novel doc get the right verdicts") {
+    import spark.implicits._
+    val wa = (0 until 60).map(i => s"a$i")
+    val wb = (0 until 60).map(i => s"b$i")
+    val docs = Seq(
+      // corpus (doc_id % 5 < 4)
+      3L -> wa.mkString(" "),
+      // incoming (doc_id % 5 == 4)
+      4L -> (wa.take(57) ++ Seq("xx", "yy", "zz")).mkString(" "), // ≈ corpus 3
+      9L -> wb.mkString(" "),
+      14L -> (wb.take(57) ++ Seq("pp", "qq", "rr")).mkString(" "), // ≈ incoming 9
+      19L -> (0 until 60).map(i => s"c$i").mkString(" ")) // novel
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("incr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupIncremental(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(4L, 9L, 14L, 19L), "one verdict per incoming doc")
+    assert(out(4L) == (true, false, false), s"4: ${out(4L)}")
+    // 9 precedes 14 — first-wins: 9 keeps, 14 is the batch dup
+    assert(out(9L) == (false, false, true), s"9: ${out(9L)}")
+    assert(out(14L) == (false, true, false), s"14: ${out(14L)}")
+    assert(out(19L) == (false, false, true), s"19: ${out(19L)}")
+  }
+
   test("cluster resolution: chained near-dups collapse to one cluster") {
     import spark.implicits._
     // doc1≈doc2≈doc3 (chain), doc4 unrelated — clusters {1,2,3} and {4}

@@ -107,6 +107,29 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(hitZ < 64 && hitL < 64)
   }
 
+  test("range layout prunes a time-range scan; hash layout cannot") {
+    val rows = Layout.layoutRangeSort(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (nfR, hitR, scanR) = rows("range")
+    val (nfH, hitH, scanH) = rows("hash")
+    // value-proportional slots are all occupied; hash files are capped
+    // by the fixture's distinct-user count (15 at sf0.001)
+    assert(nfR == 64, s"range layout produced $nfR files")
+    // the probe covers ~1/10 of the time span: range clustering confines
+    // it to that fraction of the files (+ boundary slack)...
+    assert(hitR <= 10, s"range layout hit $hitR of $nfR files")
+    // ...while every user-hash file spans ~the full timeline — a pruning
+    // reader eliminates NOTHING and scans the whole table
+    assert(hitH == nfH, s"hash layout should hit all $nfH files, hit $hitH")
+    val total = graft.Tables.events(spark, sf).count()
+    assert(scanH == total, s"hash layout must scan the whole table ($total), scanned $scanH")
+    assert(scanR < scanH, s"range scanned $scanR rows vs hash $scanH")
+    // arrival layout exists and is a complete partitioning of the table
+    val (nfA, _, _) = rows("arrival")
+    assert(nfA == 64)
+  }
+
   test("paragraph dedup retention is a valid profile and catches planted boilerplate") {
     val rows = Dedup.paragraphDedup(spark, sf).collect()
     assert(rows.length == 500)

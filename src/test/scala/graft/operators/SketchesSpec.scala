@@ -111,6 +111,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(!rows.contains(("B", "C")), "disjoint pair must not fabricate overlap")
   }
 
+  test("KMV theta-difference discriminates planted asymmetric sets") {
+    import spark.implicits._
+    // A = 0..999, B = 500..1499: |A∖B| = |B∖A| = 500; C = 0..99 ⊂ A:
+    // |A∖C| = 900, |C∖A| = 0
+    val ev = ((0L until 1000L).map(("A", _)) ++
+      (500L until 1500L).map(("B", _)) ++
+      (0L until 100L).map(("C", _))).toDF("event_type", "user_id")
+    val rows = Sketches.kmvDiffOn(spark, ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    val (abEx, abEst, baEx, baEst) = rows(("A", "B"))
+    assert(abEx == 500 && baEx == 500)
+    // k=64 theta sketch: relative σ ≈ 1/√k ≈ 0.125 on the subset
+    // density; generous 3σ-ish band on a 500-element difference
+    assert(math.abs(abEst - 500.0) <= 0.5 * 500.0, s"est_ab=$abEst")
+    assert(math.abs(baEst - 500.0) <= 0.5 * 500.0, s"est_ba=$baEst")
+    val (acEx, acEst, caEx, caEst) = rows(("A", "C"))
+    assert(acEx == 900 && caEx == 0)
+    assert(caEst == 0.0, s"subset side must estimate zero, got $caEst")
+    assert(acEst > abEst, "larger true difference must estimate larger")
+    // disjoint pair carries no intersection row — dropped, like overlap
+    assert(!rows.contains(("B", "C")))
+  }
+
   test("bitmap distinct is EXACT per day and OR-merges to the exact total") {
     val rows = Sketches.bitmapDau(spark, sf).collect()
     assert(rows.nonEmpty)
