@@ -22,6 +22,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++
       TextOps.queries ++ Bpe.queries ++ LogReg.queries ++
+      DocCluster.queries ++
       EventOps.queries ++ TimeSeries.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       KMeans.queries ++ Jl.queries ++ SemDedup.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Relational4.oracles ++
       TextOps.oracles(dir) ++ Bpe.oracles ++ LogReg.oracles ++
+      DocCluster.oracles ++
       EventOps.oracles ++ TimeSeries.oracles ++
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
       KMeans.oracles ++ Jl.oracles ++ SemDedup.oracles ++

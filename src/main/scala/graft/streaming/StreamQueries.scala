@@ -896,7 +896,41 @@ object StreamQueries {
       runDeltaLog(flags, "update", Seq("user_id"))
     }
 
+  /** Streaming funnel — per-user stage progress (first view / click /
+    * purchase nanos) maintained as an update-mode conditional-min
+    * aggregate across triggers: the state store holds three longs per
+    * user no matter how many events stream past, each trigger emits
+    * only the users it advanced, and the latest-wins delta-log
+    * reconstruction is the per-user stage table the batch funnel
+    * derives in one pass. The final ordered-stage summary must equal
+    * batch `ev_funnel` — the oracle IS that query's SQL. At production
+    * keyspace the state is user-count-bounded (the funnel dashboard
+    * shape); `withStatePartitions` is the documented sizing knob.
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val perUser = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "view", $"ts")).as("t_view"),
+          min(when($"event_type" === "click", $"ts")).as("t_click"),
+          min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+      runDeltaLog(perUser, "update", Seq("user_id"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(when($"t_view".isNotNull, 1)).as("viewed"),
+          count(when($"t_view" < $"t_click", 1)).as("clicked_after_view"),
+          count(when($"t_view" < $"t_click" && $"t_click" < $"t_purchase", 1))
+            .as("purchased_after_funnel"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel" -> (streamFunnel _),
     "stream_bot_flags" -> (streamBotFlags _),
     "stream_embedding_sigs" -> (streamEmbeddingSigs _),
     "stream_kmeans_assign" -> (streamKmeansAssign _),
@@ -930,6 +964,7 @@ object StreamQueries {
 
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
+    "stream_funnel" -> graft.operators.EventOps.funnelSql,
     "stream_bot_flags" -> graft.operators.EventOps.botFlagsSql,
     "stream_wordcount" -> graft.operators.TextOps.wordCountSql,
     "stream_kmeans_assign" -> graft.operators.KMeans.streamAssignSql,
