@@ -249,6 +249,34 @@ object Sketches {
     * deterministic, so the whole pipeline — tokenize, 4-way hash,
     * count, min — restates in SQL exactly.
     */
+  /** CMS cell for (hash row j, token) — the one hash both the batch
+    * build and the streaming ingest ([[graft.streaming.StreamQueries]]
+    * `stream_cms_heavy`) must share for their counter tables to be the
+    * same sketch.
+    */
+  private[graft] def cmsCell(j: Column, tok: Column): Column =
+    md5_60(concat(j.cast("string"), lit(":"), tok)) % CmsW
+
+  /** Closing stage shared by the batch and streaming counter builds:
+    * probe a (j, cell, cnt) counter table with the corpus' exact top-k
+    * tokens, estimate = min over the d rows.
+    */
+  private[graft] def cmsFinalize(s: SparkSession, dir: String,
+      counters: DataFrame): DataFrame = {
+    import s.implicits._
+    val top = Tables.documents(s, dir)
+      .select(explode(split(lower($"text"), "\\s+")).as("tok"))
+      .where($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"tok".asc).limit(CmsTopK)
+    val probes = top.select($"tok", $"exact_cnt",
+      explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
+      .select($"tok", $"exact_cnt", $"j", cmsCell($"j", $"tok").as("cell"))
+    probes.join(counters, Seq("j", "cell"))
+      .groupBy($"tok", $"exact_cnt")
+      .agg(min($"cnt").as("cms_est"))
+  }
+
   def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)
@@ -261,18 +289,9 @@ object Sketches {
     val tokCnt = toks.groupBy($"tok").agg(count(lit(1)).as("occ"))
     val hashed = tokCnt.select($"tok", $"occ",
       explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
-      .select($"occ", $"j",
-        (md5_60(concat($"j".cast("string"), lit(":"), $"tok")) % CmsW).as("cell"))
+      .select($"occ", $"j", cmsCell($"j", $"tok").as("cell"))
     val counters = hashed.groupBy($"j", $"cell").agg(sum($"occ").as("cnt"))
-    val top = tokCnt.withColumnRenamed("occ", "exact_cnt")
-      .orderBy($"exact_cnt".desc, $"tok".asc).limit(CmsTopK)
-    val probes = top.select($"tok", $"exact_cnt",
-      explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
-      .select($"tok", $"exact_cnt", $"j",
-        (md5_60(concat($"j".cast("string"), lit(":"), $"tok")) % CmsW).as("cell"))
-    probes.join(counters, Seq("j", "cell"))
-      .groupBy($"tok", $"exact_cnt")
-      .agg(min($"cnt").as("cms_est"))
+    cmsFinalize(s, dir, counters)
   }
 
   val cmsHeavySql: String =

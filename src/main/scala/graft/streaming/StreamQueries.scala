@@ -929,7 +929,37 @@ object StreamQueries {
             .as("purchased_after_funnel"))
     }
 
+  /** Streaming Count-Min heavy hitters — the counter-TABLE variant of
+    * [[streamHllUsers]]'s mergeable-state claim: each micro-batch folds
+    * its token occurrences into the fixed d×w counter grid with SUM
+    * (CMS merge IS cell-wise addition, so update-mode streaming state
+    * is the sketch — bounded at 4×1024 longs no matter how much text
+    * streams past). The drained counter table closes through the SAME
+    * probe/min stage as the batch sketch and must equal it exactly —
+    * the oracle IS the batch `sketch_cms_heavy` SQL.
+    */
+  def streamCmsHeavy(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val counters = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select(explode(split(lower($"text"), "\\s+")).as("tok"))
+        .where($"tok" =!= "")
+        .select($"tok",
+          explode(sequence(lit(0), lit(graft.operators.Sketches.CmsD - 1)))
+            .as("j"))
+        .select($"j", graft.operators.Sketches.cmsCell($"j", $"tok").as("cell"))
+        .groupBy($"j", $"cell")
+        .agg(count(lit(1)).as("cnt"))
+      val table = runDeltaLog(counters, "update", Seq("j", "cell"))
+        .select($"j", $"cell", $"cnt")
+      graft.operators.Sketches.cmsFinalize(s, dir, table)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cms_heavy" -> (streamCmsHeavy _),
     "stream_funnel" -> (streamFunnel _),
     "stream_bot_flags" -> (streamBotFlags _),
     "stream_embedding_sigs" -> (streamEmbeddingSigs _),
@@ -965,6 +995,7 @@ object StreamQueries {
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
     "stream_funnel" -> graft.operators.EventOps.funnelSql,
+    "stream_cms_heavy" -> graft.operators.Sketches.cmsHeavySql,
     "stream_bot_flags" -> graft.operators.EventOps.botFlagsSql,
     "stream_wordcount" -> graft.operators.TextOps.wordCountSql,
     "stream_kmeans_assign" -> graft.operators.KMeans.streamAssignSql,
