@@ -967,13 +967,26 @@ object Dedup {
     import s.implicits._
     val cand = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
     val txt = Tables.documents(s, dir).select($"doc_id", $"text")
+    // Banded DP: any pair kept by the decision has dist ≤ 0.3·max_len ≤
+    // 0.3·(corpus max length), so Spark's thresholded levenshtein with
+    // that GLOBAL cap computes the exact distance for every survivor
+    // and -1 (O(cap·len) instead of O(len²)) for pairs no per-row
+    // decision could keep. The threshold argument is literal-only,
+    // hence the 1-row corpus-max collect (bounded, the model-moves
+    // pattern); the -1 rows must be filtered EXPLICITLY — the keep
+    // inequality alone would admit them (-10 ≤ positive). DuckDB has no
+    // thresholded form; the oracle's full Levenshtein agrees on every
+    // surviving row because the cap only ever removes rows the
+    // decision drops anyway.
+    val maxLen = txt.agg(max(length($"text"))).collect()(0).getInt(0)
+    val cap = maxLen * 3 / 10 + 1
     cand
       .join(txt.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
       .join(txt.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
       .select($"doc_a", $"doc_b",
-        levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
+        levenshtein($"ta", $"tb", cap).cast("long").as("edit_dist"),
         greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
-      .where($"edit_dist" * 10 <= $"max_len" * 3)
+      .where($"edit_dist" >= 0 && $"edit_dist" * 10 <= $"max_len" * 3)
       .select($"doc_a", $"doc_b", $"edit_dist",
         round(lit(1.0) - $"edit_dist".cast("double") / $"max_len", 6)
           .as("edit_sim"))

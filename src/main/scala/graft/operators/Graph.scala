@@ -999,7 +999,91 @@ object Graph {
        |SELECT node, min(d) AS dist
        |FROM w GROUP BY node""".stripMargin
 
+  // ------------------------------------------- label propagation (LPA)
+
+  val LpaIters = 3
+
+  /** Synchronous label-propagation community detection — the
+    * community-STRUCTURE complement to [[modularity]] (which SCORES a
+    * given assignment): every node starts as its own label, and each of
+    * [[LpaIters]] synchronous rounds re-labels every node with the
+    * label most frequent among its neighbors, ties to the
+    * lexicographically smallest label. Deterministic by construction
+    * (no random visit order — the classic LPA nondeterminism is
+    * removed by full-synchronous rounds + the total tie order), so the
+    * unrolled recurrence IS the oracle contract.
+    *
+    * Per round: one equi-join of the symmetric neighbor list against
+    * the label frame (both keyed on the node), a (node, label) partial
+    * count, and a per-node argmax window — the Pregel-on-DataFrames
+    * shape every iterative op here uses, with `localCheckpoint`
+    * truncating the doubly-consumed lineage. At 100 TB the round cost
+    * is one shuffle keyed on node over the edge list; fixed rounds cap
+    * the chain (production LPA runs 3–5 sweeps).
+    */
+  def labelProp(s: SparkSession, dir: String): DataFrame =
+    labelPropOnEdges(tokenEdges(s, dir))
+
+  def labelPropOnEdges(rawEdges: DataFrame): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val und = rawEdges.where($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+    val nbr = und.select($"u".as("node"), $"v".as("n"))
+      .union(und.select($"v".as("node"), $"u".as("n")))
+      .localCheckpoint()
+    val init = nbr.select($"node").distinct()
+      .select($"node", $"node".as("lab"))
+    val w = Window.partitionBy($"node")
+      .orderBy($"c".desc, $"lab".asc)
+    val fin = (1 to LpaIters).foldLeft(init) { (labels, _) =>
+      nbr.join(labels.select($"node".as("n"), $"lab"), "n")
+        .groupBy($"node", $"lab").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"node", $"lab")
+        .localCheckpoint()
+    }
+    fin.select($"node".as("token"), $"lab".as("community"))
+  }
+
+  val labelPropSql: String = {
+    val iters = (1 to LpaIters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, lab FROM (
+         |    SELECT nb.node, l.lab, count(*) AS c,
+         |      row_number() OVER (PARTITION BY nb.node
+         |        ORDER BY count(*) DESC, l.lab ASC) AS rn
+         |    FROM nbr nb JOIN l${i - 1} l ON l.node = nb.n
+         |    GROUP BY nb.node, l.lab)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |tedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY src, dst),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM tedges WHERE src <> dst),
+       |nbr AS (
+       |  SELECT u AS node, v AS n FROM und
+       |  UNION ALL
+       |  SELECT v AS node, u AS n FROM und),
+       |l0 AS (
+       |  SELECT DISTINCT node, node AS lab FROM nbr),
+       |$iters
+       |SELECT node AS token, lab AS community FROM l$LpaIters""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_labelprop" -> (labelProp _),
     "graph_sssp" -> (sssp _),
     "graph_modularity" -> (modularity _),
     "graph_assortativity" -> (assortativity _),
@@ -1013,6 +1097,7 @@ object Graph {
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_labelprop" -> labelPropSql,
     "graph_sssp" -> ssspSql,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,

@@ -109,6 +109,29 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(4L) == 4L)
   }
 
+  test("banded edit-distance verify equals the full-DP formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same candidates, full (unthresholded) Levenshtein + the same
+    // keep decision — the banded kernel must reproduce it row-for-row
+    val cand = Dedup.ngramJaccard(spark, sf).select($"doc_a", $"doc_b")
+    val txt = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val full = cand
+      .join(txt.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
+      .join(txt.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"ta", $"tb").cast("long").as("edit_dist"),
+        greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
+      .where($"edit_dist" * 10 <= $"max_len" * 3)
+      .select($"doc_a", $"doc_b", $"edit_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.editDistancePairs(spark, sf)
+      .select("doc_a", "doc_b", "edit_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == full)
+    assert(banded.nonEmpty, "fixture must exercise the keep branch")
+  }
+
   test("ngram jaccard is bounded (0, 1] and pairs are ordered a < b") {
     import org.apache.spark.sql.functions._
     val df = Dedup.ngramJaccard(spark, sf)

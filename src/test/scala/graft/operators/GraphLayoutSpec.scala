@@ -107,6 +107,31 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(hitZ < 64 && hitL < 64)
   }
 
+  test("label propagation: disjoint cliques converge to their min labels") {
+    import spark.implicits._
+    // two triangles, no inter-edges; synchronous LPA with min-tie
+    // collapses each to its lexicographically smallest member by round 3
+    val edges = Seq(
+      ("aa", "bb", 1L), ("bb", "cc", 1L), ("cc", "aa", 1L),
+      ("xx", "yy", 1L), ("yy", "zz", 1L), ("zz", "xx", 1L))
+      .toDF("src", "dst", "cnt")
+    val out = Graph.labelPropOnEdges(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("aa" -> "aa", "bb" -> "aa", "cc" -> "aa",
+      "xx" -> "xx", "yy" -> "xx", "zz" -> "xx"), out.toString)
+  }
+
+  test("label propagation on the fixture is deterministic and non-trivial") {
+    val a = Graph.labelProp(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = Graph.labelProp(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b, "synchronous LPA must be run-to-run deterministic")
+    val nComms = a.values.toSet.size
+    assert(nComms >= 1 && nComms < a.size,
+      s"labels must have propagated: $nComms communities over ${a.size} nodes")
+  }
+
   test("range layout prunes a time-range scan; hash layout cannot") {
     val rows = Layout.layoutRangeSort(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
