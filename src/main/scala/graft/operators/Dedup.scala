@@ -1335,7 +1335,127 @@ object Dedup {
        |FROM cells GROUP BY hamming""".stripMargin
   }
 
+  // ----------------------------------------------------------- winnowing
+
+  /** Window width for robust winnowing — selected-fingerprint density is
+    * guaranteed in [1/w, 2/(w+1)] of gram positions, so w is the
+    * size/recall knob: any shared run of at least w + k − 1 tokens
+    * (k = 3-token grams here) is GUARANTEED to share a fingerprint.
+    */
+  val WinnowW = 4
+
+  /** Minimum containment overlap for a reported pair. */
+  val WinnowOverlap = 0.5
+
+  /** Robust-winnowing fingerprint dedup — Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD
+    * 2003), the MOSS scheme: hash every word-trigram AT ITS POSITION,
+    * slide a width-[[WinnowW]] window over the hash sequence, and keep
+    * each window's minimum — ties broken to the RIGHTMOST position
+    * (that is the "robust" variant: adjacent windows re-select the same
+    * physical occurrence, so the fingerprint set stays 2/(w+1)-dense
+    * instead of re-firing per window). Docs are then paired by shared
+    * selected hashes and scored by containment
+    * (shared / min(|fp_a|, |fp_b|)).
+    *
+    * Differs from every other entry in this module: [[minhashLsh]]
+    * approximates SET-level Jaccard, [[ngramJaccard]] computes it
+    * exactly, while winnowing is POSITIONAL — its guarantee is about
+    * contiguous shared substrings (any shared token run of length ≥
+    * w + 2 shares a fingerprint), the plagiarism/clone-detection
+    * contract.
+    *
+    * Plan shape: the hash sequence is a narrow projection; selection is
+    * ONE window pass per doc (partitioned by doc_id — never a global
+    * window); pairing is an equi-join on the selected hash, so the work
+    * is Σ_h df(h)² over FINGERPRINT hashes — the winnowed density (≈
+    * 2/(w+1) of grams) cuts the join input ~2.5× vs raw grams before
+    * any pairing happens. At 100 TB the standard df-cut on ultra-common
+    * fingerprints bounds the worst key (the `dedup_source_overlap`
+    * note); the min-encode trick (h·2³² + (2³²−1−p), one `min` over the
+    * frame) keeps tie-breaking inside a single codegen'd window
+    * aggregate instead of a two-pass argmin.
+    */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir).select($"doc_id",
+        expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("t"))
+      .where(size($"t") >= 3)
+    val grams = toks.select($"doc_id",
+        posexplode(expr(
+          """transform(sequence(1, size(t) - 2),
+            |  i -> concat_ws(' ', t[i-1], t[i], t[i+1]))""".stripMargin))
+          .as(Seq("p0", "gram")))
+      .select($"doc_id", ($"p0" + 1).as("p"),
+        (conv(substring(md5($"gram"), 1, 15), 16, 10).cast("long") %
+          graft.functions.Hashing.ModP).as("h"))
+    val frame = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val whole = Window.partitionBy($"doc_id")
+    val sel = grams
+      .select($"doc_id", $"p",
+        ($"h" * lit(4294967296L) + (lit(4294967295L) - $"p")).as("key"))
+      .withColumn("wmin", min($"key").over(frame))
+      .withColumn("maxp", max($"p").over(whole))
+      .where($"p" <= greatest($"maxp" - (WinnowW - 1), lit(1)))
+      .select($"doc_id", expr("wmin DIV 4294967296").as("fp"))
+      .distinct()
+    val counts = sel.groupBy($"doc_id").agg(count(lit(1)).as("nfp"))
+    sel.as("a").join(sel.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.toDF("doc_a", "fp_a"), "doc_a")
+      .join(counts.toDF("doc_b", "fp_b"), "doc_b")
+      .withColumn("overlap", expr(
+        "floor(CAST(shared AS DOUBLE) / least(fp_a, fp_b) * 1e6 + 0.5) / 1e6"))
+      .where($"overlap" >= WinnowOverlap)
+      .select($"doc_a", $"doc_b", $"shared", $"fp_a", $"fp_b", $"overlap")
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id,
+       |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |        t -> t <> '') AS t
+       |    FROM documents) WHERE len(t) >= 3),
+       |grams AS (
+       |  SELECT doc_id, u.p AS p,
+       |    CAST(('0x' || substring(md5(u.g), 1, 15)) AS BIGINT)
+       |      % ${graft.functions.Hashing.ModP} AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - 1),
+       |        i -> {'p': i, 'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2]})) AS u
+       |    FROM toks)),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, wmin // 4294967296 AS fp FROM (
+       |    SELECT doc_id, p,
+       |      min(h * 4294967296 + (4294967295 - p)) OVER (
+       |        PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin,
+       |      max(p) OVER (PARTITION BY doc_id) AS maxp
+       |    FROM grams)
+       |  WHERE p <= greatest(maxp - ${WinnowW - 1}, 1)),
+       |counts AS (SELECT doc_id, count(*) AS nfp FROM sel GROUP BY doc_id),
+       |shr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT s.doc_a, s.doc_b, CAST(s.shared AS BIGINT) AS shared,
+       |  CAST(ca.nfp AS BIGINT) AS fp_a, CAST(cb.nfp AS BIGINT) AS fp_b,
+       |  floor(CAST(s.shared AS DOUBLE) / least(ca.nfp, cb.nfp) * 1e6 + 0.5)
+       |    / 1e6 AS overlap
+       |FROM shr s
+       |JOIN counts ca ON ca.doc_id = s.doc_a
+       |JOIN counts cb ON cb.doc_id = s.doc_b
+       |WHERE floor(CAST(s.shared AS DOUBLE) / least(ca.nfp, cb.nfp) * 1e6
+       |  + 0.5) / 1e6 >= $WinnowOverlap""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow" -> (winnowPairs _),
     "dedup_simhash_scurve" -> (simhashScurve _),
     "dedup_simhash_calibration" -> (simhashCalibration _),
     "dedup_minhash_calibration" -> (minhashCalibration _),
@@ -1365,6 +1485,7 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_winnow" -> winnowPairsSql,
       "dedup_simhash_scurve" -> simhashScurveSql(bits, nChunks),
       "dedup_simhash_calibration" -> simhashCalibrationSql,
       "dedup_minhash_calibration" -> minhashCalibrationSql,

@@ -1255,7 +1255,85 @@ object TimeSeries {
        |FROM err GROUP BY event_type""".stripMargin
   }
 
+  /** Sample autocorrelation function of the hourly event-count series,
+    * lags 1..[[AcfMaxLag]] — the seasonality/memory diagnostic run
+    * before any forecasting choice (Box–Jenkins identification: a
+    * daily cycle shows as a lag-24 peak, short-term burstiness as
+    * fast-decaying low lags).
+    *
+    *   r_k = Σ_{t≤N−k} (c_t − m)(c_{t+k} − m) / Σ_t (c_t − m)²,
+    *   m = Σc / N over the GAP-FILLED hour span (missing hours are
+    *   real zeros — dropping them would shift every lag).
+    *
+    * Cross-engine exactness: multiplying through by N² clears the
+    * rational mean, so both engines sum INTEGER deviations
+    * dev_t = N·c_t − S (S = Σc) — r_k = Σ dev_t·dev_{t+k} / Σ dev_t²
+    * with decimal(38,0) product sums (order-independent), one double
+    * division at the end (round-6's order-proof pattern). Plan: one
+    * scan-side hourly count, the 1-row span scaffold (approved 1-row
+    * cross), a self equi-join on t+k (12 lag copies of the |hours|-row
+    * dense series — metadata-sized, NEVER per-event), two 1-row
+    * broadcasts for totals and denominator.
+    */
+  val AcfMaxLag = 12
+
+  def acf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val span = counts.agg(min($"t").as("t0"), max($"t").as("t1"))
+    val dense = span.select(explode(expr("sequence(t0, t1)")).as("t"))
+      .join(counts, Seq("t"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+    val tot = dense.agg(count(lit(1)).as("n"), sum($"c").as("s"))
+    val devs = dense.crossJoin(broadcast(tot))
+      .select($"t", ($"n" * $"c" - $"s").as("dev"))
+    val den = devs.agg(sum(expr(
+      "CAST(dev AS DECIMAL(19,0)) * CAST(dev AS DECIMAL(19,0))")).as("den"))
+    devs.withColumn("k", explode(expr(s"sequence(1, $AcfMaxLag)")))
+      .select($"k", ($"t" + $"k").as("t2"), $"dev".as("dev_a"))
+      .join(devs.select($"t".as("t2"), $"dev".as("dev_b")), "t2")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("CAST(dev_a AS DECIMAL(19,0)) * CAST(dev_b AS DECIMAL(19,0))"))
+          .as("num"))
+      .crossJoin(broadcast(den))
+      .where($"den" > 0)
+      .select($"k".cast("long").as("k"), $"n_terms",
+        expr("floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6")
+          .as("acf"))
+  }
+
+  val acfSql: String =
+    s"""WITH counts AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS t, count(*) AS c
+       |  FROM events GROUP BY 1),
+       |span AS (SELECT min(t) AS t0, max(t) AS t1 FROM counts),
+       |dense AS (
+       |  SELECT u.t AS t, coalesce(c.c, 0) AS c
+       |  FROM (SELECT unnest(range(t0, t1 + 1)) AS t FROM span) u
+       |  LEFT JOIN counts c ON c.t = u.t),
+       |tot AS (SELECT count(*) AS n, sum(c) AS s FROM dense),
+       |devs AS (SELECT t, n * c - s AS dev FROM dense CROSS JOIN tot),
+       |den AS (
+       |  SELECT sum(CAST(dev AS DECIMAL(19,0)) * CAST(dev AS DECIMAL(19,0)))
+       |    AS den FROM devs),
+       |nums AS (
+       |  SELECT k, count(*) AS n_terms,
+       |    sum(CAST(a.dev AS DECIMAL(19,0)) * CAST(b.dev AS DECIMAL(19,0)))
+       |      AS num
+       |  FROM devs a
+       |  CROSS JOIN (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS k) ks
+       |  JOIN devs b ON b.t = a.t + k
+       |  GROUP BY k)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(n_terms AS BIGINT) AS n_terms,
+       |  floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |    AS acf
+       |FROM nums CROSS JOIN den WHERE den > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_acf" -> (acf _),
     "ev_holt_backtest" -> (holtBacktest _),
     "ev_holt_forecast" -> (holtForecast _),
     "ev_did_estimator" -> (didEstimator _),
@@ -1276,6 +1354,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_acf" -> acfSql,
     "ev_holt_backtest" -> holtBacktestSql,
     "ev_holt_forecast" -> holtForecastSql,
     "ev_did_estimator" -> didEstimatorSql,

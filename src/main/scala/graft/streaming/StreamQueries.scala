@@ -111,7 +111,13 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val raw = s.read.parquet(log)
+    // explicit schema: a query whose every trigger emitted zero rows
+    // leaves an empty log dir, which must reconstruct as an EMPTY
+    // frame, not a schema-inference error (e.g. an arriving snapshot
+    // with no same-batch near-dups)
+    val raw = s.read
+      .schema(df.schema.add("batch_id", org.apache.spark.sql.types.LongType))
+      .parquet(log)
     if (keyCols.isEmpty) raw.drop("batch_id")
     else {
       import org.apache.spark.sql.expressions.Window
@@ -958,7 +964,129 @@ object StreamQueries {
       graft.operators.Sketches.cmsFinalize(s, dir, table)
     }
 
+  /** Streaming incremental near-dup admission — the STREAMING form of
+    * [[graft.operators.Dedup.dedupIncremental]], closing the
+    * batch/stream pair for the growing-corpus shape: an already-admitted
+    * corpus sits behind its band-bucket index (a static table — at
+    * 100 TB the bucket-partitioned materialization `dedup_incremental`
+    * documents) and the new crawl snapshot ARRIVES as a stream. Two
+    * verdicts per arriving doc, exactly the batch rule:
+    *
+    *   - `dup_corpus` — a stream-STATIC equi-join of the arriving doc's
+    *     band keys against the corpus index, verified at estimated
+    *     Jaccard ≥ 0.5 inline (both signature arrays are in-row after
+    *     the join, so verification is stateless row math — no state
+    *     store involvement at all for this side).
+    *   - `dup_batch` — same-snapshot smaller-id witnesses via
+    *     [[streamNearDup]]'s bucket-keyed `flatMapGroupsWithState`:
+    *     state is the bucket's arrived members, each arrival pairs
+    *     against them, and a verified pair always indicts its LARGER id
+    *     (max/min emit), which makes the verdict arrival-order
+    *     INDEPENDENT — a doc arriving before its smaller-id witness is
+    *     still indicted when the witness lands, so the drained log
+    *     equals the batch first-wins rule.
+    *
+    * Both sides drain to append-mode delta logs; the reconstruction
+    * joins them under the full arriving-doc list and must equal batch
+    * `dedup_incremental` row-for-row — the oracle IS that query's SQL.
+    * State is bounded by band-bucket occupancy of the SNAPSHOT only
+    * (the corpus never enters the state store), which is the production
+    * admission shape: per-snapshot cost |batch| × bucket occupancy,
+    * never corpus × corpus.
+    */
+  def streamDedupIncremental(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val path = s"$dir/documents.parquet"
+      val src = stageAsDirParts(s, path, 4)
+      val schema = s.read.parquet(src).schema
+      val bands = graft.functions.Hashing.Bands
+      val rpb = graft.functions.Hashing.RowsPerBand
+      val k = graft.functions.Hashing.MinhashK
+      val m = graft.operators.Dedup.IncrModulus
+      val r = graft.operators.Dedup.IncrIncomingRes
+      def bandKeys(sig: org.apache.spark.sql.Column) =
+        array((0 until bands).map { b =>
+          concat_ws(":", lit(b.toString) +:
+            (1 to rpb).map(x => element_at(sig, b * rpb + x).cast("string")): _*)
+        }: _*)
+      val verified =
+        s"""CAST(size(filter(zip_with(sig, sig_old, (x, y) -> x = y),
+           | v -> v)) AS DOUBLE) / $k >= 0.5""".stripMargin
+      // static corpus side: signatures + band-bucket index, built once and
+      // CACHED — a stream-static join re-evaluates the static plan every
+      // micro-batch otherwise (at 100 TB this side is the materialized
+      // bucket-partitioned index table, not a recompute)
+      val corpusIdx = graft.Tables.documents(s, dir)
+        .where($"doc_id" % m < r)
+        .select($"doc_id".as("doc_old"),
+          graft.functions.MinHashSigExpr.minhash_sig($"text").as("sig_old"))
+        .where($"sig_old".isNotNull)
+        .select($"doc_old", $"sig_old", explode(bandKeys($"sig_old")).as("bkey"))
+        .cache()
+      // arriving snapshot: row-local signatures, exploded to band keys
+      def incomingBuckets() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .where($"doc_id" % m === r)
+        .select($"doc_id",
+          graft.functions.MinHashSigExpr.minhash_sig($"text").as("sig"))
+        .where($"sig".isNotNull)
+        .select($"doc_id", $"sig", explode(bandKeys($"sig")).as("bkey"))
+      def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+        var mt = 0; var i = 0
+        while (i < a.length) { if (a(i) == b(i)) mt += 1; i += 1 }
+        mt.toDouble / a.length
+      }
+      // both verdict branches union into ONE streaming query (one
+      // trigger sequence, one delta log) — the stateless corpus join and
+      // the stateful batch pairing read their own copy of the source
+      val corpusSide = incomingBuckets().join(corpusIdx, "bkey")
+        .where(expr(verified))
+        .select($"doc_id".as("doc_new"), lit("corpus").as("side"))
+      val batchSide = incomingBuckets().select($"bkey", $"doc_id", $"sig")
+        .as[(String, Long, Array[Long])]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[NearDupState, (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: String, rows: Iterator[(String, Long, Array[Long])],
+              state: GroupState[NearDupState]) =>
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+            rows.foreach { case (_, docId, sig) =>
+              members.foreach { case (mId, mSig) =>
+                if (mId != docId && estJaccard(sig, mSig) >= 0.5)
+                  out += ((math.max(docId, mId), math.min(docId, mId)))
+              }
+              if (members.size < NearDupMaxBucket)
+                members = (docId, sig) :: members
+            }
+            state.update(NearDupState(members))
+            out.iterator
+        }.toDF("doc_new", "witness")
+        .select($"doc_new", lit("batch").as("side"))
+      val log = runDeltaLog(corpusSide.union(batchSide), "append", Nil)
+      val dupC = log.where($"side" === "corpus").select($"doc_new")
+        .distinct().withColumn("dc", lit(true))
+      val dupB = log.where($"side" === "batch").select($"doc_new")
+        .distinct().withColumn("db", lit(true))
+      graft.Tables.documents(s, dir)
+        .where($"doc_id" % m === r)
+        .select($"doc_id",
+          graft.functions.MinHashSigExpr.minhash_sig($"text").as("sig"))
+        .where($"sig".isNotNull)
+        .select($"doc_id".as("doc_new"))
+        .join(dupC, Seq("doc_new"), "left")
+        .join(dupB, Seq("doc_new"), "left")
+        .select($"doc_new",
+          coalesce($"dc", lit(false)).as("dup_corpus"),
+          coalesce($"db", lit(false)).as("dup_batch"),
+          (!coalesce($"dc", lit(false)) && !coalesce($"db", lit(false)))
+            .as("keep"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_incremental" -> (streamDedupIncremental _),
     "stream_cms_heavy" -> (streamCmsHeavy _),
     "stream_funnel" -> (streamFunnel _),
     "stream_bot_flags" -> (streamBotFlags _),
@@ -994,6 +1122,7 @@ object StreamQueries {
 
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
+    "stream_dedup_incremental" -> graft.operators.Dedup.dedupIncrementalSql,
     "stream_funnel" -> graft.operators.EventOps.funnelSql,
     "stream_cms_heavy" -> graft.operators.Sketches.cmsHeavySql,
     "stream_bot_flags" -> graft.operators.EventOps.botFlagsSql,

@@ -31,6 +31,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 fails = 0
+# A query that ERRORS inside Verify writes no result dir at all — that
+# must be a loud failure here, not a silent skip (stream_dedup_incremental
+# r7: the error line scrolled past while the compare stayed green).
+present = {n for n in os.listdir(out_dir)
+           if os.path.isdir(os.path.join(out_dir, n))}
+# --subset: the Verify dump was run for an explicit query subset
+# (local iteration), so absent dirs are expected — skip the check.
+missing = [] if "--subset" in sys.argv[3:] else sorted(set(oracles) - present)
+for name in missing:
+    print(f"[FAIL-missing] {name}: oracle registered but no Verify result "
+          f"(query errored during the dump?)")
+    fails += 1
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
