@@ -1277,15 +1277,41 @@ object TimeSeries {
     */
   val AcfMaxLag = 12
 
-  def acf(s: SparkSession, dir: String): DataFrame = {
+  def acf(s: SparkSession, dir: String): DataFrame =
+    acfFromCounts(hourlyEventCounts(s, dir))
+
+  /** Sparse per-hour event counts (t = epoch-hours) — the series input
+    * shared by [[acf]], [[decompose]], and the streaming ACF's
+    * reconstructed state.
+    */
+  private[graft] def hourlyEventCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val counts = Tables.events(s, dir)
+    Tables.events(s, dir)
       .select(expr("unix_micros(ts) div 3600000000").as("t"))
       .groupBy($"t").agg(count(lit(1)).as("c"))
+  }
+
+  /** Gap-fill a sparse (t, c) hour series to the dense span — missing
+    * hours become explicit zeros (1-row span aggregate, narrow explode,
+    * one equi-join; the series frame is metadata-sized).
+    */
+  private def denseHours(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
     val span = counts.agg(min($"t").as("t0"), max($"t").as("t1"))
-    val dense = span.select(explode(expr("sequence(t0, t1)")).as("t"))
+    span.select(explode(expr("sequence(t0, t1)")).as("t"))
       .join(counts, Seq("t"), "left")
       .withColumn("c", coalesce($"c", lit(0L)))
+  }
+
+  /** ACF finalize from a sparse (t, c) counts frame — shared verbatim by
+    * the batch and streaming forms (the streaming query's drained state
+    * IS a counts frame).
+    */
+  private[graft] def acfFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val dense = denseHours(counts)
     val tot = dense.agg(count(lit(1)).as("n"), sum($"c").as("s"))
     val devs = dense.crossJoin(broadcast(tot))
       .select($"t", ($"n" * $"c" - $"s").as("dev"))
@@ -1332,7 +1358,73 @@ object TimeSeries {
        |    AS acf
        |FROM nums CROSS JOIN den WHERE den > 0""".stripMargin
 
+  /** Classical additive decomposition of the hourly series — the
+    * seasonal profile extracted AFTER detrending with the period-24
+    * centered moving average (the even-period 2×24 MA), the Box–Jenkins
+    * companion to [[acf]]: [[seasonalityDow]] averages raw day-of-week
+    * levels, which conflates trend with season; this entry removes the
+    * trend first, so the profile is the pure within-day cycle.
+    *
+    *   trend_t    = (½c_{t−12} + Σ_{i=−11..11} c_{t+i} + ½c_{t+12}) / 24
+    *   seasonal_h = mean over {t ≡ h (mod 24), full window} of
+    *                (c_t − trend_t)
+    *
+    * Cross-engine exactness: 48·trend_t = 2·S25_t − c_{t−12} − c_{t+12}
+    * is INTEGER (S25 = the 25-term window sum), so the detrended values
+    * ride as dev48 = 48·c_t − 48·trend_t, summed exactly; the single
+    * double division by 48·n_h happens per output row. Plan: the dense
+    * series is metadata-sized, one ordered window pass (deliberately
+    * single-partition — |hours| rows), one 24-key aggregate.
+    */
+  def decompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dense = denseHours(hourlyEventCounts(s, dir))
+    val ord = Window.orderBy($"t")
+    val frame = ord.rowsBetween(-12, 12)
+    dense
+      .withColumn("s25", sum($"c").over(frame))
+      .withColumn("n25", count(lit(1)).over(frame))
+      .withColumn("cm12", lag($"c", 12).over(ord))
+      .withColumn("cp12", lead($"c", 12).over(ord))
+      .where($"n25" === 25)
+      .select(($"t" % 24).as("hod"),
+        (lit(48) * $"c" - (lit(2) * $"s25" - $"cm12" - $"cp12")).as("dev48"))
+      .groupBy($"hod")
+      .agg(count(lit(1)).as("n_terms"), sum($"dev48").as("num"))
+      .select($"hod", $"n_terms",
+        expr("floor(CAST(num AS DOUBLE) / (48.0 * n_terms) * 1e6 + 0.5) / 1e6")
+          .as("seasonal"))
+  }
+
+  val decomposeSql: String =
+    """WITH counts AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS t, count(*) AS c
+      |  FROM events GROUP BY 1),
+      |span AS (SELECT min(t) AS t0, max(t) AS t1 FROM counts),
+      |dense AS (
+      |  SELECT u.t AS t, coalesce(c.c, 0) AS c
+      |  FROM (SELECT unnest(range(t0, t1 + 1)) AS t FROM span) u
+      |  LEFT JOIN counts c ON c.t = u.t),
+      |win AS (
+      |  SELECT t, c,
+      |    sum(c) OVER (ORDER BY t ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+      |      AS s25,
+      |    count(*) OVER (ORDER BY t ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+      |      AS n25,
+      |    lag(c, 12) OVER (ORDER BY t) AS cm12,
+      |    lead(c, 12) OVER (ORDER BY t) AS cp12
+      |  FROM dense),
+      |dev AS (
+      |  SELECT t % 24 AS hod, 48 * c - (2 * s25 - cm12 - cp12) AS dev48
+      |  FROM win WHERE n25 = 25)
+      |SELECT hod, CAST(count(*) AS BIGINT) AS n_terms,
+      |  floor(CAST(sum(dev48) AS DOUBLE) / (48.0 * count(*)) * 1e6 + 0.5)
+      |    / 1e6 AS seasonal
+      |FROM dev GROUP BY hod""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_decompose" -> (decompose _),
     "ev_acf" -> (acf _),
     "ev_holt_backtest" -> (holtBacktest _),
     "ev_holt_forecast" -> (holtForecast _),
@@ -1354,6 +1446,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_decompose" -> decomposeSql,
     "ev_acf" -> acfSql,
     "ev_holt_backtest" -> holtBacktestSql,
     "ev_holt_forecast" -> holtForecastSql,

@@ -1085,7 +1085,32 @@ object StreamQueries {
             .as("keep"))
     }
 
+  /** Streaming ACF — the hourly count state maintained at ingest
+    * (update mode: each trigger re-emits only the hours it advanced;
+    * state is one long per ACTIVE hour, the dashboard-counter shape),
+    * then the drained latest-per-hour log closes through the IDENTICAL
+    * finalize as batch [[graft.operators.TimeSeries.acf]]
+    * (`acfFromCounts` is shared code, not a re-implementation) — the
+    * lambda claim for a DERIVED statistic: maintaining the sufficient
+    * state incrementally and computing the statistic at read time must
+    * equal the batch pass. Oracle IS `ev_acf`'s SQL.
+    */
+  def streamAcf(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("ts div 3600000000000 AS t")
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+      val state = runDeltaLog(counts, "update", Seq("t"))
+      graft.operators.TimeSeries.acfFromCounts(state)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_acf" -> (streamAcf _),
     "stream_dedup_incremental" -> (streamDedupIncremental _),
     "stream_cms_heavy" -> (streamCmsHeavy _),
     "stream_funnel" -> (streamFunnel _),
@@ -1122,6 +1147,7 @@ object StreamQueries {
 
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
+    "stream_acf" -> graft.operators.TimeSeries.acfSql,
     "stream_dedup_incremental" -> graft.operators.Dedup.dedupIncrementalSql,
     "stream_funnel" -> graft.operators.EventOps.funnelSql,
     "stream_cms_heavy" -> graft.operators.Sketches.cmsHeavySql,
