@@ -858,6 +858,71 @@ object Dedup {
        |    / CAST(count(*) AS DOUBLE) AS kept_frac
        |FROM ranked GROUP BY doc_id""".stripMargin
 
+  /** Cross-doc occurrence threshold above which a chunk counts as
+    * boilerplate (the C4 rule: discard lines occurring ≥ 3 times in the
+    * corpus).
+    */
+  val BoilerplateMinDocs = 3
+
+  /** Boilerplate ratio per document — the C4-style cleanup statistic
+    * that [[paragraphDedup]] does NOT compute: paragraph dedup keeps
+    * each chunk's FIRST occurrence, while boilerplate detection flags
+    * EVERY occurrence of a chunk appearing in ≥ [[BoilerplateMinDocs]]
+    * distinct documents (headers, footers, nav text, license blocks —
+    * the first copy is as much boilerplate as the last). Same 10-token
+    * chunking as paragraph dedup so the two statistics describe the
+    * same units.
+    *
+    * Plan: one distinct-df aggregate over (chunk → docs) — vocabulary-
+    * sized, map-side combinable — joined back to the chunk stream
+    * (AQE sizes the join; at 100 TB the df side is the classic
+    * stopword-style skew key, bounded because df saturates at the
+    * threshold test: any df cap ≥ [[BoilerplateMinDocs]] gives the
+    * identical verdict, so the aggregate can clamp).
+    */
+  def boilerplateRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"${TextOps.tokensExpr} AS toks")
+      .where("size(toks) >= 1")
+      .selectExpr("doc_id",
+        "explode(sequence(0, ((size(toks) + 9) div 10) - 1)) AS chunk_idx",
+        "toks")
+      .selectExpr("doc_id", "chunk_idx",
+        "concat_ws(' ', slice(toks, chunk_idx * 10 + 1, 10)) AS chunk")
+    val df = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("df"))
+    chunks.join(df, Seq("chunk"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"df" >= BoilerplateMinDocs, 1L).otherwise(0L))
+          .as("n_boiler"))
+      .withColumn("boiler_frac",
+        $"n_boiler".cast("double") / $"n_chunks".cast("double"))
+  }
+
+  val boilerplateRatioSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${TextOps.duckTokensExpr} AS t FROM documents),
+       |idx AS (
+       |  SELECT doc_id, t, unnest(range(0, (len(t) + 9) // 10)) AS chunk_idx
+       |  FROM toks WHERE len(t) >= 1),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx,
+       |    array_to_string(list_transform(
+       |      range(chunk_idx * 10 + 1, least(chunk_idx * 10 + 11, len(t) + 1)),
+       |      i -> t[i]), ' ') AS chunk
+       |  FROM idx),
+       |cdf AS (
+       |  SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN d.df >= $BoilerplateMinDocs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_boiler,
+       |  CAST(sum(CASE WHEN d.df >= $BoilerplateMinDocs THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_frac
+       |FROM chunks c JOIN cdf d ON d.chunk = c.chunk
+       |GROUP BY c.doc_id""".stripMargin
+
   // ------------------------------------------- canonical representatives
 
   /** Canonical-representative selection — the step AFTER cluster
@@ -1456,6 +1521,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow" -> (winnowPairs _),
+    "doc_boilerplate_ratio" -> (boilerplateRatio _),
     "dedup_simhash_scurve" -> (simhashScurve _),
     "dedup_simhash_calibration" -> (simhashCalibration _),
     "dedup_minhash_calibration" -> (minhashCalibration _),
@@ -1486,6 +1552,7 @@ object Dedup {
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
       "dedup_winnow" -> winnowPairsSql,
+      "doc_boilerplate_ratio" -> boilerplateRatioSql,
       "dedup_simhash_scurve" -> simhashScurveSql(bits, nChunks),
       "dedup_simhash_calibration" -> simhashCalibrationSql,
       "dedup_minhash_calibration" -> minhashCalibrationSql,

@@ -1640,7 +1640,87 @@ object Similarity {
        |FROM cells GROUP BY block""".stripMargin
   }
 
+  // ------------------------------------------------------- radius search
+
+  /** Cosine radius for [[rangeSearch]]. Production τ is a data-derived
+    * knob (SemDeDup-style pipelines run at their semantic-duplicate
+    * threshold, `SemDedup.Tau`); here it sits at the fixture's
+    * measured "related but not duplicate" band so the canonical 10-query
+    * set has a non-empty, bounded ball to return (≈40 true pairs —
+    * τ = SemDedup.Tau leaves this particular query set with zero).
+    */
+  val RangeSearchTau = 0.3
+
+  /** Radius (ball) search over the IVF index — the missing retrieval
+    * mode next to top-k: ALL vectors within cosine ≥ τ of each query,
+    * not a fixed count. Same probe rule as [[ivfTopK]] (nProbe nearest
+    * coarse cells per query, candidate generation by equi-join on the
+    * cell id, ~nProbe/k of the collection scanned), exact verification
+    * inside the candidates; no rank stage at all — the τ cut replaces
+    * it. Top-k degrades gracefully when a query sits in a sparse
+    * neighborhood (returns far garbage); radius search is the honest
+    * form for dedup/dense-retrieval cuts, returning nothing when
+    * nothing is close. Cosines are the bit-pinned DotF64 fold, so the
+    * τ comparison agrees across engines exactly.
+    */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = withNorm(s, dir)
+      .select($"vec_id", $"embedding", $"nrm")
+      .as[(Long, Array[Float], Double)]
+    val bc = s.sparkContext.broadcast(ivfCentroids(s, dir))
+    val assigned = v.map { case (id, emb, nrm) =>
+      (nearestCentroid(emb, bc.value), id, emb, nrm)
+    }.toDF("cid", "n_id", "en", "nn")
+    val probes = v.filter(_._1 < 10).flatMap { case (id, emb, nrm) =>
+      centroidsByDistance(emb, bc.value, IvfNProbe)
+        .map(c => (c, id, emb, nrm))
+    }.toDF("cid", "q_id", "eq", "nq")
+    broadcast(probes).join(assigned, Seq("cid"))
+      .where($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id",
+        (dotUdf($"eq", $"en") / ($"nq" * $"nn")).as("cosine"))
+      .distinct()
+      .where($"cosine" >= RangeSearchTau)
+  }
+
+  /** Generated oracle: the trained centroids embedded as double
+    * literals, the assign → probe → verify pipeline restated, the τ cut
+    * on the identically-folded cosine.
+    */
+  def rangeSearchSql(cents: Array[Array[Double]]): String = {
+    val centRows = cents.zipWithIndex.map { case (cv, i) =>
+      s"($i, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH cents(cid, cv) AS (VALUES
+       |    $centRows),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |ranked_c AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crn
+       |  FROM (SELECT vec_id, cid, ${duckSqDistExpr("embedding", "cv")} AS d
+       |        FROM v CROSS JOIN cents)),
+       |assigned AS (SELECT vec_id AS n_id, cid FROM ranked_c WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid FROM ranked_c
+       |  WHERE vec_id < 10 AND crn <= $IvfNProbe),
+       |scored AS (
+       |  SELECT DISTINCT p.q_id, a.n_id,
+       |    ${duckDotExpr("qv.embedding", "nv.embedding")} / (qv.nrm * nv.nrm)
+       |      AS cosine
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND a.n_id <> p.q_id
+       |  JOIN v qv ON qv.vec_id = p.q_id
+       |  JOIN v nv ON nv.vec_id = a.n_id)
+       |SELECT q_id, n_id, cosine FROM scored
+       |WHERE cosine >= $RangeSearchTau""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_range_search" -> (rangeSearch _),
     "sim_pq_distortion" -> (pqDistortion _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ivf_recall" -> (ivfRecall _),
@@ -1670,6 +1750,7 @@ object Similarity {
     val s = activeSession
     val (npt, planes) = ndParams(s, dir)
     Map(
+      "sim_range_search" -> rangeSearchSql(ivfCentroids(s, dir)),
       "sim_dim_stats" -> dimStatsSql,
       "sim_mmr_rerank" -> mmrRerankSql,
       "sim_matryoshka_overlap" -> matryoshkaOverlapSql,
