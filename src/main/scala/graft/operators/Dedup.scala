@@ -786,16 +786,54 @@ object Dedup {
     labels.unionByName(singletons).withColumnRenamed("label", "cluster_id")
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $pairCteSql,
+  /** Shared CTE chain up to the per-doc cluster labels — composed by
+    * both the cluster oracle and the soft-dedup weight oracle.
+    */
+  private val clustersCtesSql: String =
+    s"""$pairCteSql,
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(a, b) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
-       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |clusters AS (
+       |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $clustersCtesSql
+       |SELECT doc_id, cluster_id FROM clusters""".stripMargin
+
+  /** Duplicate-aware SAMPLING WEIGHTS — soft dedup: instead of hard-
+    * dropping near-duplicates, every document in an n-member near-dup
+    * cluster gets sample weight 1/n, so each duplicated CONTENT unit
+    * contributes total mass 1 to the training mix regardless of how
+    * many crawls re-captured it (the SlimPajama/RedPajama-style
+    * alternative when hard dedup is too lossy — distinct copies may
+    * carry distinct surroundings worth keeping at reduced weight).
+    * Composes on the memoized [[dedupClusters]] label table; one
+    * cluster-size aggregate and a size-based join back. weight = 1/n is
+    * a single IEEE division of two exact ints — bit-identical across
+    * engines, no rounding idiom needed.
+    */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = dedupClusters(s, dir)
+    val sizes = clusters.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        (lit(1.0) / $"cluster_size").as("weight"))
+  }
+
+  val softDedupWeightsSql: String =
+    s"""WITH RECURSIVE $clustersCtesSql,
+       |csizes AS (
+       |  SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id)
+       |SELECT c.doc_id, c.cluster_id, CAST(s.n AS BIGINT) AS cluster_size,
+       |  CAST(1 AS DOUBLE) / s.n AS weight
+       |FROM clusters c JOIN csizes s ON s.cluster_id = c.cluster_id""".stripMargin
 
   // ------------------------------------------------- paragraph dedup
 
@@ -1522,6 +1560,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow" -> (winnowPairs _),
     "doc_boilerplate_ratio" -> (boilerplateRatio _),
+    "curate_soft_dedup" -> (softDedupWeights _),
     "dedup_simhash_scurve" -> (simhashScurve _),
     "dedup_simhash_calibration" -> (simhashCalibration _),
     "dedup_minhash_calibration" -> (minhashCalibration _),
@@ -1553,6 +1592,7 @@ object Dedup {
     Map(
       "dedup_winnow" -> winnowPairsSql,
       "doc_boilerplate_ratio" -> boilerplateRatioSql,
+      "curate_soft_dedup" -> softDedupWeightsSql,
       "dedup_simhash_scurve" -> simhashScurveSql(bits, nChunks),
       "dedup_simhash_calibration" -> simhashCalibrationSql,
       "dedup_minhash_calibration" -> minhashCalibrationSql,

@@ -18,7 +18,8 @@ class PlanLintSpec extends AnyFunSuite {
     * lint pass over the final frame would re-run them.
     */
   private val constructionRuns: Set[String] = Set(
-    "dedup_clusters", "dedup_canonical", "curate_full_pipeline",
+    "dedup_clusters", "dedup_canonical", "curate_soft_dedup",
+    "curate_full_pipeline",
     "graph_pagerank", "graph_triangles", "graph_neighbor_jaccard",
     "graph_hits", "graph_bfs", "graph_sssp",
     "sim_mmr_rerank",
