@@ -103,6 +103,60 @@ object TextOps {
        |  length(text) AS len_chars
        |FROM documents""".stripMargin
 
+  /** MATTR window width. */
+  val MattrW = 50
+
+  /** Moving-average type-token ratio (MATTR, Covington & McFall 2010) —
+    * the length-robust lexical-diversity gate: plain TTR (in
+    * [[docTokenStats]]) shrinks with document length purely because
+    * vocabulary saturates, so a TTR threshold silently becomes a length
+    * filter; MATTR averages the TTR of every [[MattrW]]-token sliding
+    * window, making scores comparable across lengths — the form a
+    * quality-filtering stage can actually threshold. Docs shorter than
+    * the window fall back to plain TTR (their single clipped window).
+    *
+    * Exactness: the window-distinct counts are integers; one double
+    * division of Σdistinct by (n_windows · window_len) per doc, floor-
+    * rounded 6 dp. Plan: pure narrow per-doc map (the O(n·w) window
+    * scan happens inside one row's expression — no explode, no
+    * shuffle).
+    */
+  def docMattr(s: SparkSession, dir: String): DataFrame = {
+    val w = MattrW
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", s"$tokensExpr AS toks")
+      .where("size(toks) >= 1")
+      .selectExpr("doc_id", "toks",
+        s"greatest(size(toks) - $w + 1, 1) AS n_windows",
+        s"least($w, size(toks)) AS wlen")
+      .selectExpr("doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(n_windows AS BIGINT) AS n_windows",
+        s"""floor(CAST(aggregate(
+           |  transform(sequence(1, n_windows),
+           |    i -> size(array_distinct(slice(toks, i, $w)))),
+           |  0L, (acc, x) -> acc + x) AS DOUBLE)
+           |  / (CAST(n_windows AS DOUBLE) * wlen) * 1e6 + 0.5) / 1e6
+           |  AS mattr""".stripMargin)
+  }
+
+  val docMattrSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $duckTokensExpr AS t FROM documents),
+       |win AS (
+       |  SELECT doc_id, t,
+       |    greatest(len(t) - ${MattrW - 1}, 1) AS n_windows,
+       |    least(${MattrW}, len(t)) AS wlen
+       |  FROM toks WHERE len(t) >= 1)
+       |SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(n_windows AS BIGINT) AS n_windows,
+       |  floor(CAST(list_sum(list_transform(range(1, n_windows + 1),
+       |      i -> len(list_distinct(list_slice(t, i, i + ${MattrW - 1})))))
+       |    AS DOUBLE) / (CAST(n_windows AS DOUBLE) * wlen) * 1e6 + 0.5) / 1e6
+       |    AS mattr
+       |FROM win""".stripMargin
+
   /** Quality scoring: stopword ratio, punctuation ratio, length norm,
     * and a weighted score — the length/punct/stopword-ratio heuristic
     * used to filter web corpora before training.
@@ -1749,6 +1803,7 @@ object TextOps {
     "global_count" -> (globalCount _),
     "agg_of_agg" -> (aggOfAgg _),
     "doc_token_stats" -> (docTokenStats _),
+    "doc_mattr" -> (docMattr _),
     "doc_quality" -> (docQuality _),
     "doc_langid" -> (docLangId _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1782,6 +1837,7 @@ object TextOps {
     "global_count" -> globalCountSql,
     "agg_of_agg" -> aggOfAggSql,
     "doc_token_stats" -> docTokenStatsSql,
+    "doc_mattr" -> docMattrSql,
     "doc_quality" -> docQualitySql,
     "doc_langid" -> docLangIdSql,
     "doc_fingerprint" -> docFingerprintSql,
