@@ -309,7 +309,72 @@ object DataQuality {
       |LEFT JOIN cur c ON c.bin = b.bin
       |CROSS JOIN tot t""".stripMargin
 
+  /** Benford first-digit probabilities log₁₀(1 + 1/d), d = 1..9,
+    * computed ONCE on the JVM, rounded to 6 dp, and embedded as double
+    * literals in the generated oracle (the centroid-embedding pattern —
+    * and like every embedded double in this repo they are PRE-ROUNDED:
+    * a full-precision 17-digit literal goes through DuckDB's
+    * DECIMAL→DOUBLE cast whose int/10^k division double-rounds once the
+    * numerator exceeds 2⁵³, landing 1 ulp off the JVM value; a 6-dp
+    * numerator is exact). No cross-engine log10 anywhere.
+    */
+  private val benfordP: IndexedSeq[Double] =
+    (1 to 9).map(d =>
+      math.floor(math.log10(1 + 1.0 / d) * 1e6 + 0.5) / 1e6)
+
+  /** Benford first-digit drift on `l_extendedprice` — the classic
+    * fabricated/corrupted-numeric-data screen: naturally occurring
+    * multiplicative amounts follow log₁₀(1+1/d) first-digit frequencies
+    * and synthetic or truncated feeds don't, so per-digit χ² terms
+    * localize WHICH digits drifted (a uniform generator shows up as
+    * depressed 1s and inflated 7–9s). One narrow digit-extraction map +
+    * a 9-key aggregate + two tiny joins.
+    *
+    * Determinism: the first digit comes from `floor(price)` (exact on
+    * integral doubles in both engines) stringified — never from
+    * `CAST(double AS BIGINT)`, whose truncate-vs-round semantics differ
+    * across engines, and never from log10 digit math. Expected
+    * frequencies are embedded literals; each χ² term is a fixed chain
+    * of IEEE ops on (int, int, literal), floor-rounded 6 dp.
+    */
+  def dqBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables.lineitem(s, dir)
+      .where($"l_extendedprice" >= 1)
+      .selectExpr("""CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+        | AS STRING), 1, 1) AS BIGINT) AS digit""".stripMargin)
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val probs = benfordP.zipWithIndex
+      .map { case (p, i) => ((i + 1).toLong, p) }.toDF("digit", "exp_p")
+    val tot = obs.agg(sum($"n_obs").as("n"))
+    obs.join(probs, Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("digit", "n_obs", "exp_p",
+        """floor((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_p)
+          |  * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_p)
+          |  / (CAST(n AS DOUBLE) * exp_p) * 1e6 + 0.5) / 1e6
+          |  AS chi2_term""".stripMargin)
+  }
+
+  val dqBenfordSql: String = {
+    val probRows = benfordP.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p}::DOUBLE)" }.mkString(", ")
+    s"""WITH probs(digit, exp_p) AS (VALUES $probRows),
+       |digits AS (
+       |  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem WHERE l_extendedprice >= 1),
+       |obs AS (SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit),
+       |tot AS (SELECT sum(n_obs) AS n FROM obs)
+       |SELECT o.digit, CAST(o.n_obs AS BIGINT) AS n_obs, p.exp_p,
+       |  floor((CAST(o.n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p.exp_p)
+       |    * (CAST(o.n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p.exp_p)
+       |    / (CAST(n AS DOUBLE) * p.exp_p) * 1e6 + 0.5) / 1e6 AS chi2_term
+       |FROM obs o JOIN probs p ON p.digit = o.digit CROSS JOIN tot""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford" -> (dqBenford _),
     "dq_value_drift" -> (dqValueDrift _),
     "dq_referential" -> (dqReferential _),
     "dq_table_profile" -> (dqTableProfile _),
@@ -318,6 +383,7 @@ object DataQuality {
     "dq_documents" -> (dqDocuments _))
 
   def oracles: Map[String, String] = Map(
+    "dq_benford" -> dqBenfordSql,
     "dq_value_drift" -> dqValueDriftSql,
     "dq_referential" -> dqReferentialSql,
     "dq_table_profile" -> dqTableProfileSql,

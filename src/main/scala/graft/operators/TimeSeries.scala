@@ -1423,7 +1423,67 @@ object TimeSeries {
       |    / 1e6 AS seasonal
       |FROM dev GROUP BY hod""".stripMargin
 
+  /** Burst threshold on the Anscombe z (≈ 3σ under the Poisson null). */
+  val PoissonBurstZ = 3.0
+
+  /** Poisson burst detection on the hourly series — the count-correct
+    * complement to [[anomalyZscore]]: a plain z-score assumes constant
+    * variance, but Poisson variance EQUALS the rate, so raw z
+    * over-flags busy hours and under-flags quiet ones. The Anscombe
+    * transform 2·√(x + 3/8) stabilizes Poisson variance to ≈1, making
+    * one threshold valid across rates:
+    *
+    *   λ_t = mean of the 24 STRICTLY PRECEDING hours (full window only)
+    *   z_t = 2·(√(c_t + 3/8) − √(λ_t + 3/8)),  burst ⇔ z > 3
+    *
+    * Cross-engine exactness without any iterative math: the trailing
+    * sum is integer; λ is one division; √ is IEEE-correctly-rounded on
+    * both engines, so z is bit-identical — rounded 6 dp at the edge and
+    * the burst flag compared on the ROUNDED value.
+    */
+  def poissonBurst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val trailing = Window.orderBy($"t").rowsBetween(-24, -1)
+    denseHours(hourlyEventCounts(s, dir))
+      .withColumn("s24", sum($"c").over(trailing))
+      .withColumn("n24", count(lit(1)).over(trailing))
+      .where($"n24" === 24)
+      .selectExpr("t", "c",
+        "floor(CAST(s24 AS DOUBLE) / 24 * 1e6 + 0.5) / 1e6 AS lambda",
+        """floor(2 * (sqrt(CAST(c AS DOUBLE) + 0.375)
+          |  - sqrt(CAST(s24 AS DOUBLE) / 24 + 0.375)) * 1e6 + 0.5) / 1e6
+          |  AS z""".stripMargin)
+      .withColumn("is_burst", $"z" > PoissonBurstZ)
+  }
+
+  val poissonBurstSql: String =
+    s"""WITH counts AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS t, count(*) AS c
+       |  FROM events GROUP BY 1),
+       |span AS (SELECT min(t) AS t0, max(t) AS t1 FROM counts),
+       |dense AS (
+       |  SELECT u.t AS t, coalesce(c.c, 0) AS c
+       |  FROM (SELECT unnest(range(t0, t1 + 1)) AS t FROM span) u
+       |  LEFT JOIN counts c ON c.t = u.t),
+       |win AS (
+       |  SELECT t, c,
+       |    sum(c) OVER (ORDER BY t ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+       |      AS s24,
+       |    count(*) OVER (ORDER BY t ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+       |      AS n24
+       |  FROM dense)
+       |SELECT t, c,
+       |  floor(CAST(s24 AS DOUBLE) / 24 * 1e6 + 0.5) / 1e6 AS lambda,
+       |  floor(2 * (sqrt(CAST(c AS DOUBLE) + 0.375)
+       |    - sqrt(CAST(s24 AS DOUBLE) / 24 + 0.375)) * 1e6 + 0.5) / 1e6 AS z,
+       |  floor(2 * (sqrt(CAST(c AS DOUBLE) + 0.375)
+       |    - sqrt(CAST(s24 AS DOUBLE) / 24 + 0.375)) * 1e6 + 0.5) / 1e6
+       |    > $PoissonBurstZ AS is_burst
+       |FROM win WHERE n24 = 24""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_poisson_burst" -> (poissonBurst _),
     "ev_decompose" -> (decompose _),
     "ev_acf" -> (acf _),
     "ev_holt_backtest" -> (holtBacktest _),
@@ -1446,6 +1506,7 @@ object TimeSeries {
     "ev_ab_chisquare" -> (abChisquare _))
 
   def oracles: Map[String, String] = Map(
+    "ev_poisson_burst" -> poissonBurstSql,
     "ev_decompose" -> decomposeSql,
     "ev_acf" -> acfSql,
     "ev_holt_backtest" -> holtBacktestSql,

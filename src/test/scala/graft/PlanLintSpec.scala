@@ -59,7 +59,7 @@ class PlanLintSpec extends AnyFunSuite {
     // 1-row source-count broadcast (epoch ordering normalizer)
     "curate_curriculum",
     // 1-row day-span broadcast (calendar scaffold for gap filling)
-    "ev_acf",
+    "ev_acf", "dq_benford",
     "ev_gap_fill", "ev_trend_regression", "ev_anomaly_zscore",
     "ev_changepoint", "ev_holt_forecast", "ev_holt_backtest",
     "dq_value_drift", "q_weighted_median", "ev_ab_cuped",
