@@ -1441,11 +1441,19 @@ object TimeSeries {
     * both engines, so z is bit-identical — rounded 6 dp at the edge and
     * the burst flag compared on the ROUNDED value.
     */
-  def poissonBurst(s: SparkSession, dir: String): DataFrame = {
+  def poissonBurst(s: SparkSession, dir: String): DataFrame =
+    poissonBurstFromCounts(hourlyEventCounts(s, dir))
+
+  /** Burst finalize from a sparse (t, c) counts frame — shared verbatim
+    * by the batch and streaming forms (same contract as
+    * [[acfFromCounts]]).
+    */
+  private[graft] def poissonBurstFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val trailing = Window.orderBy($"t").rowsBetween(-24, -1)
-    denseHours(hourlyEventCounts(s, dir))
+    denseHours(counts)
       .withColumn("s24", sum($"c").over(trailing))
       .withColumn("n24", count(lit(1)).over(trailing))
       .where($"n24" === 24)

@@ -1109,7 +1109,31 @@ object StreamQueries {
       graft.operators.TimeSeries.acfFromCounts(state)
     }
 
+  /** Streaming Poisson burst monitor — the [[streamAcf]] shape applied
+    * to the alerting statistic: update-mode hourly count state, drained
+    * latest-per-hour, closed through the SHARED
+    * `poissonBurstFromCounts` finalize — maintaining the sufficient
+    * state at ingest and evaluating the Anscombe burst rule at read
+    * time must equal the batch sweep. Oracle IS `ev_poisson_burst`'s
+    * SQL. (The per-trigger emission is the live dashboard feed; the
+    * contract checks its converged state.)
+    */
+  def streamPoissonBurst(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("ts div 3600000000000 AS t")
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+      graft.operators.TimeSeries.poissonBurstFromCounts(
+        runDeltaLog(counts, "update", Seq("t")))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_poisson_burst" -> (streamPoissonBurst _),
     "stream_acf" -> (streamAcf _),
     "stream_dedup_incremental" -> (streamDedupIncremental _),
     "stream_cms_heavy" -> (streamCmsHeavy _),
@@ -1147,6 +1171,7 @@ object StreamQueries {
 
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
+    "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,
     "stream_acf" -> graft.operators.TimeSeries.acfSql,
     "stream_dedup_incremental" -> graft.operators.Dedup.dedupIncrementalSql,
     "stream_funnel" -> graft.operators.EventOps.funnelSql,
