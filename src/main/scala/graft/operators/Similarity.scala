@@ -1719,7 +1719,100 @@ object Similarity {
        |WHERE cosine >= $RangeSearchTau""".stripMargin
   }
 
+  /** Probe-depth tuning curve for [[rangeSearch]] — the same
+    * measured-not-assumed accuracy readout [[ivfPqProbeCurve]] gives
+    * top-k, for the RADIUS contract: of all true τ-neighbor pairs
+    * (exact 10-query brute pass), how many sit in the query's rank-r
+    * coarse cell — cumulative over r is the candidate recall the nProbe
+    * knob buys. Radius search needs its own curve: τ-balls cross cell
+    * boundaries more than top-5 lists do, so the top-k curve
+    * systematically overstates ball recall at a given probe depth.
+    * Driver work is the 10-query cell ranking (10 × K rows); the truth
+    * pass is the blessed bounded-broadcast brute shape.
+    */
+  def rangeProbeCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = ivfCentroids(s, dir)
+    val bc = s.sparkContext.broadcast(cents)
+    val qRanks = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding")
+      .where($"vec_id" < 10)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .flatMap { case (id, emb) =>
+        centroidsByDistance(emb, bc.value, cents.length)
+          .zipWithIndex.map { case (c, i) => (id, c, (i + 1).toLong) }
+      }.toSeq.toDF("q_id", "cell", "cell_rank")
+    val assigned = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (nearestCentroid(emb, bc.value), id) }
+      .toDF("cell", "n_id")
+    val v = withNorm(s, dir)
+    val qs = v.where($"vec_id" < 10).toDF("q_id", "eq", "nq")
+    val truth = broadcast(qs)
+      .join(v.toDF("n_id", "en", "nn"), expr("q_id <> n_id"))
+      .where(dotUdf($"eq", $"en") / ($"nq" * $"nn") >= RangeSearchTau)
+      .select($"q_id", $"n_id")
+    val total = truth.count()
+    val hits = assigned.join(broadcast(truth), "n_id")
+      .join(broadcast(qRanks), Seq("q_id", "cell"))
+      .groupBy($"cell_rank").agg(count(lit(1)).as("n_pairs"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"cell_rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (1 to cents.length).map(_.toLong).toDF("cell_rank")
+      .join(hits, Seq("cell_rank"), "left")
+      .select($"cell_rank", coalesce($"n_pairs", lit(0L)).as("n_pairs"))
+      .withColumn("cum_pairs", sum($"n_pairs").over(w))
+      .selectExpr("cell_rank", "n_pairs", "cum_pairs",
+        s"floor(CAST(cum_pairs AS DOUBLE) / $total * 1e6 + 0.5) / 1e6 AS cand_recall")
+  }
+
+  def rangeProbeCurveSql(cents: Array[Array[Double]]): String = {
+    val centRows = cents.zipWithIndex.map { case (cv, i) =>
+      s"($i, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH cents(cid, cv) AS (VALUES
+       |    $centRows),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |ranked_c AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crn
+       |  FROM (SELECT vec_id, cid, ${duckSqDistExpr("embedding", "cv")} AS d
+       |        FROM v CROSS JOIN cents)),
+       |assigned AS (SELECT vec_id AS n_id, cid FROM ranked_c WHERE crn = 1),
+       |truth AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+       |  FROM v q JOIN v n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10
+       |    AND ${duckDotExpr("q.embedding", "n.embedding")} / (q.nrm * n.nrm)
+       |      >= $RangeSearchTau),
+       |hits AS (
+       |  SELECT r.crn AS cell_rank
+       |  FROM truth t
+       |  JOIN assigned a ON a.n_id = t.n_id
+       |  JOIN ranked_c r ON r.vec_id = t.q_id AND r.cid = a.cid),
+       |counts AS (
+       |  SELECT cell_rank, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM hits GROUP BY cell_rank),
+       |ranks AS (
+       |  SELECT CAST(unnest(range(1, ${cents.length + 1})) AS BIGINT)
+       |    AS cell_rank)
+       |SELECT ranks.cell_rank,
+       |  coalesce(n_pairs, 0) AS n_pairs,
+       |  CAST(sum(coalesce(n_pairs, 0)) OVER (ORDER BY ranks.cell_rank)
+       |    AS BIGINT) AS cum_pairs,
+       |  floor(CAST(sum(coalesce(n_pairs, 0)) OVER (ORDER BY ranks.cell_rank)
+       |      AS DOUBLE)
+       |    / (SELECT count(*) FROM truth) * 1e6 + 0.5) / 1e6 AS cand_recall
+       |FROM ranks LEFT JOIN counts ON counts.cell_rank = ranks.cell_rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_range_probe_curve" -> (rangeProbeCurve _),
     "sim_range_search" -> (rangeSearch _),
     "sim_pq_distortion" -> (pqDistortion _),
     "sim_ann_recall" -> (annRecall _),
@@ -1751,6 +1844,7 @@ object Similarity {
     val (npt, planes) = ndParams(s, dir)
     Map(
       "sim_range_search" -> rangeSearchSql(ivfCentroids(s, dir)),
+      "sim_range_probe_curve" -> rangeProbeCurveSql(ivfCentroids(s, dir)),
       "sim_dim_stats" -> dimStatsSql,
       "sim_mmr_rerank" -> mmrRerankSql,
       "sim_matryoshka_overlap" -> matryoshkaOverlapSql,

@@ -35,7 +35,9 @@ class PlanLintSpec extends AnyFunSuite {
     // writes the cell-partitioned inverted-file layout on construction
     "layout_ivfpq_lists",
     // collects the bounded query-cell ranking + truth count on construction
-    "sim_ivfpq_probe_curve")
+    "sim_ivfpq_probe_curve",
+    // collects the bounded query-cell ranking + radius truth count
+    "sim_range_probe_curve")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
