@@ -1331,8 +1331,13 @@ object TimeSeries {
           .as("acf"))
   }
 
-  val acfSql: String =
-    s"""WITH counts AS (
+  /** The ACF oracle's CTE chain (everything up to the final SELECT),
+    * shared verbatim by [[acfSql]] and the PACF oracle built on top of
+    * it ([[pacfSql]]) — one restatement of the series math, two final
+    * statistics.
+    */
+  private[graft] val acfCtes: String =
+    s"""counts AS (
        |  SELECT epoch_us(ts) // 3600000000 AS t, count(*) AS c
        |  FROM events GROUP BY 1),
        |span AS (SELECT min(t) AS t0, max(t) AS t1 FROM counts),
@@ -1352,11 +1357,116 @@ object TimeSeries {
        |  FROM devs a
        |  CROSS JOIN (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS k) ks
        |  JOIN devs b ON b.t = a.t + k
-       |  GROUP BY k)
+       |  GROUP BY k)""".stripMargin
+
+  val acfSql: String =
+    s"""WITH $acfCtes
        |SELECT CAST(k AS BIGINT) AS k, CAST(n_terms AS BIGINT) AS n_terms,
        |  floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6
        |    AS acf
        |FROM nums CROSS JOIN den WHERE den > 0""".stripMargin
+
+  /** PACF lags emitted — the recursion depth of the unrolled
+    * Durbin–Levinson ladder (ACF supplies [[AcfMaxLag]] = 12 lags;
+    * the first 8 partials are the Box–Jenkins AR-order diagnostic).
+    */
+  val PacfMaxLag = 8
+
+  /** Unrolled Durbin–Levinson step definitions, in dependency order —
+    * ONE generated list of `(column, sql)` pairs consumed verbatim by
+    * BOTH engines (a `withColumn`/`expr` fold on the Spark side, a
+    * chained-CTE restatement on the DuckDB side), so the recursion's
+    * IEEE double arithmetic is literally the same expression tree:
+    *
+    *   φ₁₁ = r₁
+    *   φₖₖ = (rₖ − Σⱼ φₖ₋₁ⱼ·rₖ₋ⱼ) / (1 − Σⱼ φₖ₋₁ⱼ·rⱼ)
+    *   φₖⱼ = φₖ₋₁ⱼ − φₖₖ·φₖ₋₁ₖ₋ⱼ            (j < k)
+    *
+    * Every division and every ladder update is re-rounded with the
+    * engine-stable `floor(x·1e6+0.5)/1e6` idiom (native `round` is
+    * documented engine-divergent at boundaries); the Σ terms are
+    * written left-associated in a fixed j order so both engines fold
+    * the doubles identically. A zero denominator (perfectly predicted
+    * series) rides as NULL via `nullif` — identical propagation, and
+    * the finalizer drops NULL partials on both sides.
+    */
+  private[graft] val durbinLevinsonDefs: Seq[(String, String)] = {
+    def rnd(x: String) = s"floor(($x) * 1e6 + 0.5) / 1e6"
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    out += ("phi_1_1" -> "r1")
+    for (k <- 2 to PacfMaxLag) {
+      val num = (1 until k).map(j => s"phi_${k - 1}_$j * r${k - j}")
+        .mkString(" + ")
+      val den = (1 until k).map(j => s"phi_${k - 1}_$j * r$j")
+        .mkString(" + ")
+      out += (s"phi_${k}_$k" ->
+        rnd(s"(r$k - ($num)) / nullif(1 - ($den), 0)"))
+      for (j <- 1 until k)
+        out += (s"phi_${k}_$j" ->
+          rnd(s"phi_${k - 1}_$j - phi_${k}_$k * phi_${k - 1}_${k - j}"))
+    }
+    out.toSeq
+  }
+
+  /** Partial autocorrelation (lags 1..[[PacfMaxLag]]) of the hourly
+    * event-count series — the second half of the Box–Jenkins
+    * identification pair: [[acf]] cuts off for MA(q) processes, PACF
+    * cuts off at lag p for AR(p), so the two plots together pick the
+    * ARIMA order before any forecasting choice ([[holtForecast]] etc.).
+    *
+    * Shape: the entire computation after [[acf]]'s scan-side hourly
+    * count is METADATA-SIZED — a 12-row ACF frame pivoted to one row,
+    * then the [[durbinLevinsonDefs]] scalar ladder folded as column
+    * expressions on that single row (no driver collect, no extra scan;
+    * the 100 TB cost is identical to `ev_acf`'s). Cross-engine
+    * exactness comes from evaluating the SAME generated expression
+    * text on both engines over inputs already rounded to 6 dp.
+    */
+  def pacf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val acfOut = acf(s, dir)
+    val rCols = (1 to PacfMaxLag).map(i =>
+      max(when($"k" === i, $"acf")).as(s"r$i"))
+    val base = acfOut.groupBy().agg(rCols.head, rCols.tail: _*)
+    val folded = durbinLevinsonDefs.foldLeft(base) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }
+    val kv = (1 to PacfMaxLag).flatMap(k =>
+      Seq(lit(k.toLong), col(s"phi_${k}_$k")))
+    folded.select(explode(map(kv: _*)).as(Seq("k", "pacf")))
+      .where($"pacf".isNotNull)
+  }
+
+  /** PACF oracle. The ladder CTEs are `AS MATERIALIZED`: DuckDB's
+    * projection inlining otherwise SUBSTITUTES each φ expression into
+    * every successor that references it — exponential in ladder depth
+    * (the single-statement cousin of the SemDedup unrolled-k-means
+    * re-expansion) — turning a 1-row fold into minutes of optimizer
+    * work. Materializing pins each step to one evaluation; semantics
+    * are unchanged and the Spark side is unaffected.
+    */
+  val pacfSql: String = {
+    val ctes = durbinLevinsonDefs.zipWithIndex.map { case ((n, e), i) =>
+      val prev = if (i == 0) "pacf_base" else s"dl$i"
+      s"dl${i + 1} AS MATERIALIZED (SELECT *, $e AS $n FROM $prev)"
+    }
+    val last = s"dl${durbinLevinsonDefs.size}"
+    val pivot = (1 to PacfMaxLag)
+      .map(i => s"max(CASE WHEN k = $i THEN acf END) AS r$i").mkString(", ")
+    val rows = (1 to PacfMaxLag)
+      .map(k => s"SELECT $k AS k, phi_${k}_$k AS pacf FROM $last")
+      .mkString(" UNION ALL ")
+    s"""WITH $acfCtes,
+       |acf_out AS MATERIALIZED (
+       |  SELECT k,
+       |    floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |      AS acf
+       |  FROM nums CROSS JOIN den WHERE den > 0),
+       |pacf_base AS MATERIALIZED (SELECT $pivot FROM acf_out),
+       |${ctes.mkString(",\n")}
+       |SELECT CAST(k AS BIGINT) AS k, pacf FROM ($rows) u
+       |WHERE pacf IS NOT NULL""".stripMargin
+  }
 
   /** Classical additive decomposition of the hourly series — the
     * seasonal profile extracted AFTER detrending with the period-24
@@ -1494,6 +1604,7 @@ object TimeSeries {
     "ev_poisson_burst" -> (poissonBurst _),
     "ev_decompose" -> (decompose _),
     "ev_acf" -> (acf _),
+    "ev_pacf" -> (pacf _),
     "ev_holt_backtest" -> (holtBacktest _),
     "ev_holt_forecast" -> (holtForecast _),
     "ev_did_estimator" -> (didEstimator _),
@@ -1517,6 +1628,7 @@ object TimeSeries {
     "ev_poisson_burst" -> poissonBurstSql,
     "ev_decompose" -> decomposeSql,
     "ev_acf" -> acfSql,
+    "ev_pacf" -> pacfSql,
     "ev_holt_backtest" -> holtBacktestSql,
     "ev_holt_forecast" -> holtForecastSql,
     "ev_did_estimator" -> didEstimatorSql,

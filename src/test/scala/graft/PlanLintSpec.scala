@@ -85,7 +85,10 @@ class PlanLintSpec extends AnyFunSuite {
     // round-7: 1-row time/id bounds broadcast (file-slot assignment) and
     // the kmv_overlap-style type-pair enumeration (≤ |types|² rows,
     // k-minima fan-in bounded by k·|types|)
-    "layout_range_sort", "sketch_kmv_diff")
+    "layout_range_sort", "sketch_kmv_diff",
+    // round-7 continuation: PACF rides on ev_acf's approved 1-row
+    // span/total broadcasts (the ladder itself is a 1-row fold)
+    "ev_pacf")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>

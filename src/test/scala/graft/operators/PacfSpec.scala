@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** PACF ladder: the registered query's partials must EXACTLY equal an
+  * independent Scala evaluation of Durbin–Levinson (same 6-dp re-round
+  * idiom at each step) seeded from the query's own ACF values, and the
+  * structural identities must hold — pacf(1) == acf(1), and an AR(1)
+  * planted series has a near-zero lag-2 partial while its ACF decays
+  * geometrically (the diagnostic the operator exists for).
+  */
+class PacfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rnd(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Reference Durbin–Levinson with the identical per-step rounding. */
+  private def reference(r: Map[Int, Double], maxLag: Int): Map[Int, Double] = {
+    val phi = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    phi((1, 1)) = r(1)
+    for (k <- 2 to maxLag) {
+      val num = r(k) - (1 until k).map(j => phi((k - 1, j)) * r(k - j)).sum
+      val den = 1.0 - (1 until k).map(j => phi((k - 1, j)) * r(j)).sum
+      phi((k, k)) = rnd(num / den)
+      for (j <- 1 until k)
+        phi((k, j)) = rnd(phi((k - 1, j)) - phi((k, k)) * phi((k - 1, k - j)))
+    }
+    (1 to maxLag).map(k => k -> phi((k, k))).toMap
+  }
+
+  private def writeSeries(cnt: Int => Int, nHours: Int): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = for { h <- 0 until nHours; i <- 0 until cnt(h) }
+      yield (h.toLong * 3600L, i.toLong)
+    val tmp = java.nio.file.Files.createTempDirectory("pacf").toString
+    rows.toDF("sec", "i")
+      .select(timestamp_seconds($"sec").as("ts"), $"i".as("event_id"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("query partials equal the rounded Durbin-Levinson reference exactly") {
+    // period-6 spike train — strong structure at several lags
+    val tmp = writeSeries(h => 10 + (if (h % 6 == 0) 8 else 0), 60)
+    val acf = TimeSeries.acf(spark, tmp).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(2)).toMap
+    val got = TimeSeries.pacf(spark, tmp).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    val want = reference(acf, TimeSeries.PacfMaxLag)
+    assert(got.keySet == (1 to TimeSeries.PacfMaxLag).toSet)
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"lag $k: got $v want ${want(k)}")
+    }
+    assert(got(1) == acf(1), "pacf(1) must equal acf(1)")
+  }
+
+  test("AR(1)-like ramp: lag-2 partial collapses versus lag-2 acf") {
+    // deterministic AR(1)-flavored counts: slow mean-reverting ramp
+    var level = 20.0
+    val counts = (0 until 80).map { h =>
+      level = 10.0 + 0.8 * (level - 10.0) + (if (h % 17 == 0) 6 else 0)
+      math.max(1, level.round.toInt)
+    }
+    val tmp = writeSeries(h => counts(h), 80)
+    val acf = TimeSeries.acf(spark, tmp).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(2)).toMap
+    val pacf = TimeSeries.pacf(spark, tmp).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    // AR(1): acf(2) ~ acf(1)^2 stays material, pacf(2) cuts off
+    assert(math.abs(pacf(2)) < math.abs(acf(2)),
+      s"pacf(2)=${pacf(2)} should collapse below acf(2)=${acf(2)}")
+    assert(math.abs(pacf(2)) < 0.35, s"pacf(2)=${pacf(2)} not cut off")
+  }
+}

@@ -51,6 +51,12 @@ def split_ctes(sql: str):
         i += 2
         while s[i].isspace():
             i += 1
+        # optional MATERIALIZED hint (this runner materializes every CTE
+        # anyway, so the keyword is consumed and dropped)
+        if s[i:i + 12].upper() == "MATERIALIZED":
+            i += 12
+            while s[i].isspace():
+                i += 1
         assert s[i] == "(", f"expected ( after {name} AS"
         depth, i0 = 0, i
         in_str = False
