@@ -332,8 +332,11 @@ object Curation {
       .select($"doc_id", $"is_target", $"n_toks", $"dsir_logratio")
   }
 
-  val dsirWeightsSql: String =
-    """WITH toks AS (
+  /** DSIR weights restated as a CTE chain (shared verbatim by
+    * [[dsirWeightsSql]] and the selection oracle [[dsirSelectSql]]).
+    */
+  private val dsirCtes: String =
+    """toks AS (
       |  SELECT doc_id, source,
       |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS word
       |  FROM documents),
@@ -354,11 +357,66 @@ object Curation {
       |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
       |             - ln(CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE)), 6)
       |      AS DECIMAL(18,6)) AS tw
-      |  FROM counts CROSS JOIN tot)
-      |SELECT f.doc_id, f.is_target, count(*) AS n_toks,
-      |  CAST(sum(t.tw) AS DOUBLE) AS dsir_logratio
-      |FROM flagged f JOIN termw t ON f.word = t.word
-      |GROUP BY f.doc_id, f.is_target""".stripMargin
+      |  FROM counts CROSS JOIN tot),
+      |dsirw AS (
+      |  SELECT f.doc_id, f.is_target, count(*) AS n_toks,
+      |    CAST(sum(t.tw) AS DOUBLE) AS dsir_logratio
+      |  FROM flagged f JOIN termw t ON f.word = t.word
+      |  GROUP BY f.doc_id, f.is_target)""".stripMargin
+
+  val dsirWeightsSql: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, is_target, n_toks, dsir_logratio FROM dsirw""".stripMargin
+
+  /** Documents the resampling step keeps. */
+  val DsirK = 150
+
+  /** DSIR SELECTION — the importance-resampling step the weights exist
+    * for (DSIR, arXiv:2302.03169 §2: sample k raw-pool documents
+    * without replacement with probability ∝ exp(logratio)). Implemented
+    * as Gumbel-top-k, the distributed-systems form of that sampler:
+    * each NON-target document (the raw pool; target-domain docs are the
+    * exemplar, not candidates) draws u ∈ (0,1) deterministically from
+    * its salted md5-60 hash ([[aesSample]]'s 53-bit-mantissa idiom),
+    * perturbs its score with the Gumbel quantile g = −ln(−ln u), and
+    * the k largest (logratio + g) win — exactly k distinct docs,
+    * reproducible under retry/speculation, and equal in distribution to
+    * sequential weighted sampling without replacement.
+    *
+    * Plan: the weights computation's one token pass + vocab join, then
+    * a NARROW key map and one TakeOrderedAndProject(k) — no extra
+    * shuffle; at 100 TB the selection adds nothing to the weighting
+    * cost. Both engines evaluate the identical IEEE expression for the
+    * key, so the un-rounded ORDER is identical (ties broken by doc_id);
+    * only the emitted key column is rounded (6 dp).
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dsirWeights(s, dir)
+      .where(!$"is_target")
+      .withColumn("h",
+        conv(substring(md5(concat(lit("dsir:"), $"doc_id".cast("string"))),
+          1, 15), 16, 10).cast("long"))
+      .withColumn("u",
+        (($"h" % 9007199254740992L) + 1.0) / 9007199254740993.0)
+      .withColumn("sel_key", $"dsir_logratio" + (-log(-log($"u"))))
+      .orderBy($"sel_key".desc, $"doc_id")
+      .limit(DsirK)
+      .select($"doc_id", $"n_toks", $"dsir_logratio",
+        round($"sel_key", 6).as("sel_key"))
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH $dsirCtes,
+       |keyed AS (
+       |  SELECT doc_id, n_toks, dsir_logratio,
+       |    dsir_logratio + (-ln(-ln(
+       |      ((CAST(('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |        AS BIGINT) % 9007199254740992) + 1.0) / 9007199254740993.0)))
+       |      AS sel_key
+       |  FROM dsirw WHERE NOT is_target)
+       |SELECT doc_id, n_toks, dsir_logratio, round(sel_key, 6) AS sel_key
+       |FROM keyed ORDER BY sel_key DESC, doc_id LIMIT $DsirK""".stripMargin
 
   /** End-to-end curation pipeline as ONE query — the composition proof:
     * quality gate (score ≥ 0.5) → exact dedup among survivors (first
@@ -1070,7 +1128,8 @@ object Curation {
     "curate_domain_quota" -> (domainQuota _),
     "curate_mix_weights" -> (mixWeights _),
     "curate_unigram_surprisal" -> (unigramSurprisal _),
-    "curate_dsir_weights" -> (dsirWeights _))
+    "curate_dsir_weights" -> (dsirWeights _),
+    "curate_dsir_select" -> (dsirSelect _))
 
   def oracles: Map[String, String] = Map(
     "curate_upsample_plan" -> upsamplePlanSql,
@@ -1091,5 +1150,6 @@ object Curation {
     "curate_domain_quota" -> domainQuotaSql,
     "curate_mix_weights" -> mixWeightsSql,
     "curate_unigram_surprisal" -> unigramSurprisalSql,
-    "curate_dsir_weights" -> dsirWeightsSql)
+    "curate_dsir_weights" -> dsirWeightsSql,
+    "curate_dsir_select" -> dsirSelectSql)
 }

@@ -87,8 +87,10 @@ class PlanLintSpec extends AnyFunSuite {
     // k-minima fan-in bounded by k·|types|)
     "layout_range_sort", "sketch_kmv_diff",
     // round-7 continuation: PACF rides on ev_acf's approved 1-row
-    // span/total broadcasts (the ladder itself is a 1-row fold)
-    "ev_pacf")
+    // span/total broadcasts (the ladder itself is a 1-row fold); DSIR
+    // selection rides on the weights' approved 1-row target/total
+    // crosses (the selection itself is a narrow map + top-k)
+    "ev_pacf", "curate_dsir_select")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>

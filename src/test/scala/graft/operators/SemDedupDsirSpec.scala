@@ -116,4 +116,27 @@ class SemDedupDsirSpec extends AnyFunSuite {
     assert(got == ref)
     assert(got.nonEmpty, "fixture must contain trigram near-dup pairs")
   }
+
+  test("dsir select: k distinct non-target docs, biased toward high weights, reproducible") {
+    import spark.implicits._
+    val sel = Curation.dsirSelect(spark, sf).localCheckpoint()
+    val w = Curation.dsirWeights(spark, sf)
+      .where(!$"is_target").localCheckpoint()
+    val pool = w.count()
+    assert(sel.count() == math.min(Curation.DsirK.toLong, pool))
+    assert(sel.select("doc_id").distinct().count() == sel.count())
+    // no target-domain doc may be selected (the pool is the raw side)
+    assert(sel.join(
+      Curation.dsirWeights(spark, sf).where($"is_target"), "doc_id")
+      .count() == 0)
+    // importance resampling must bias selection toward high log-ratios:
+    // selected mean strictly above the full pool mean
+    val selMean = sel.agg(avg($"dsir_logratio")).head.getDouble(0)
+    val poolMean = w.agg(avg($"dsir_logratio")).head.getDouble(0)
+    assert(selMean > poolMean,
+      s"selected mean $selMean must exceed pool mean $poolMean")
+    // hash-derived keys: a rerun selects the identical set
+    val rerun = Curation.dsirSelect(spark, sf)
+    assert(sel.select("doc_id").except(rerun.select("doc_id")).count() == 0)
+  }
 }
