@@ -294,13 +294,93 @@ object Layout {
        |    THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned
        |FROM stats GROUP BY layout""".stripMargin
 
+  /** Shard count before the re-shard step; the query evaluates the
+    * N → N+1 transition.
+    */
+  val HrwShards = 16
+
+  /** Per-row highest-random-weight (rendezvous) shard pick over `n`
+    * candidates — argmax of the salted md5-60 weight, computed as a
+    * NARROW higher-order expression (no row blow-up: the candidate
+    * array lives inside one codegen'd projection). Ties (≈2⁻⁶⁰) break
+    * toward the larger shard id via the struct max.
+    */
+  private def hrwPick(n: Int): String =
+    s"""array_max(transform(sequence(0, ${n - 1}), s -> struct(
+       |  CAST(conv(substring(md5(concat('hrw:', CAST(doc_id AS STRING),
+       |    ':', CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h,
+       |  CAST(s AS BIGINT) AS s))).s""".stripMargin
+
+  /** Rendezvous (HRW) sharding stability under a shard-count change —
+    * the re-sharding contract a 100 TB corpus store needs: assign every
+    * document a shard by highest-random-weight hashing (shard =
+    * argmax_s md5(key, s); Thaler & Ravishankar 1996) under N and N+1
+    * shards, next to the naive mod-hash assignment, and report per
+    * (old-)shard how much data each scheme moves. HRW's guarantee —
+    * surfaced as columns, not just a doc note — is that a key moves
+    * ONLY when the NEW shard wins its argmax, so `hrw_moved_elsewhere`
+    * is identically 0 and the moved fraction concentrates at 1/(N+1)
+    * ≈ 5.9 %, while mod-hash reassigns ≈ 15/16 of every shard (a full
+    * corpus rewrite). Same decision logic rebalances consumers,
+    * bucketed layouts, and cache rings.
+    *
+    * Plan: one narrow projection computing both argmaxes and the mod
+    * pair per row (the candidate loop is inside ONE codegen expression
+    * — no explode, no row blow-up), then a single 16-key aggregate.
+    * At 100 TB this is a map-only pass + a 16-row result.
+    */
+  def layoutRendezvous(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        expr(hrwPick(HrwShards)).as("s16"),
+        expr(hrwPick(HrwShards + 1)).as("s17"),
+        expr("CAST(conv(substring(md5(concat('mod:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .as("m"))
+      .select($"s16", $"s17",
+        ($"m" % HrwShards).as("m16"), ($"m" % (HrwShards + 1)).as("m17"))
+      .groupBy($"s16".as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"s17" =!= $"s16", 1L).otherwise(0L)).as("hrw_moved"),
+        sum(when($"s17" =!= $"s16" && $"s17" =!= HrwShards, 1L)
+          .otherwise(0L)).as("hrw_moved_elsewhere"),
+        sum(when($"m17" =!= $"m16", 1L).otherwise(0L)).as("mod_moved"))
+  }
+
+  val layoutRendezvousSql: String =
+    s"""WITH cand AS (
+       |  SELECT doc_id, CAST(sh.s AS BIGINT) AS s,
+       |    CAST(('0x' || substring(md5('hrw:' || CAST(doc_id AS VARCHAR)
+       |      || ':' || CAST(sh.s AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(range(${HrwShards + 1})) AS s) sh),
+       |a16 AS (SELECT doc_id, arg_max(s, h) AS s16 FROM cand
+       |  WHERE s < $HrwShards GROUP BY doc_id),
+       |a17 AS (SELECT doc_id, arg_max(s, h) AS s17 FROM cand GROUP BY doc_id),
+       |modm AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5('mod:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS m
+       |  FROM documents)
+       |SELECT a16.s16 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN a17.s17 <> a16.s16 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hrw_moved,
+       |  CAST(sum(CASE WHEN a17.s17 <> a16.s16 AND a17.s17 <> $HrwShards
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved_elsewhere,
+       |  CAST(sum(CASE WHEN m % ${HrwShards + 1} <> m % $HrwShards
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved
+       |FROM a16 JOIN a17 USING (doc_id) JOIN modm USING (doc_id)
+       |GROUP BY a16.s16""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
     "layout_range_sort" -> (layoutRangeSort _),
+    "layout_rendezvous" -> (layoutRendezvous _),
     "layout_compaction" -> (layoutCompaction _))
 
   def oracles: Map[String, String] = Map(
     "layout_zorder" -> layoutZorderSql,
     "layout_range_sort" -> layoutRangeSortSql,
+    "layout_rendezvous" -> layoutRendezvousSql,
     "layout_compaction" -> layoutCompactionSql)
 }

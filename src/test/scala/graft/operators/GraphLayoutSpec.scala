@@ -365,4 +365,22 @@ class GraphLayoutSpec extends AnyFunSuite {
       .toDF("src", "dst").withColumn("cnt", lit(1L))
     assert(Graph.modularityOnEdges(mixed).collect().head.getDouble(3) < 0.5)
   }
+
+  test("rendezvous sharding: moves only to the new shard, ~1/(N+1) mass; mod moves far more") {
+    import spark.implicits._
+    val out = Layout.layoutRendezvous(spark, sf).localCheckpoint()
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L until Layout.HrwShards).toSet,
+      "every old shard must appear")
+    // the HRW guarantee: a key never moves to a pre-existing shard
+    assert(rows.map(_.getLong(3)).sum == 0L, "hrw_moved_elsewhere must be 0")
+    val n = rows.map(_.getLong(1)).sum
+    val hrw = rows.map(_.getLong(2)).sum
+    val mod = rows.map(_.getLong(4)).sum
+    val frac = hrw.toDouble / n
+    assert(frac > 0.02 && frac < 0.12,
+      s"hrw moved fraction $frac should concentrate near 1/17 = 0.059")
+    assert(mod > 5L * hrw,
+      s"mod-hash must move far more than hrw ($mod vs $hrw)")
+  }
 }
