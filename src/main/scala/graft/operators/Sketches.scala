@@ -480,7 +480,25 @@ object Sketches {
       .agg(min(when($"side" === 0, $"v")).as("vlo"),
         min(when($"side" === 1, $"v")).as("vhi"))
       .select($"q", round($"vlo" + $"frac" * ($"vhi" - $"vlo"), 6).as("exact"))
-    val estimates = cum.crossJoin(broadcast(st))
+    histEstFromCounts(cum.select($"bucket", $"cnt"), st).join(exact, Seq("q"))
+  }
+
+  /** Estimate finalize shared by the batch two-phase query and the
+    * streaming counter state ([[histQuantiles]], `stream_hist_quantiles`):
+    * rebuild the cumulative table from a (bucket, cnt) counter frame —
+    * the histogram sketch's ENTIRE sufficient state, mergeable by
+    * addition — and read each quantile's estimate off the first bucket
+    * reaching q·N.
+    */
+  private[graft] def histEstFromCounts(counts: DataFrame,
+      st: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cum = counts
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(st))
       .agg(min(when($"cum" >= lit(0.25) * $"n", $"bucket")).as("b25"),
         min(when($"cum" >= lit(0.5) * $"n", $"bucket")).as("b50"),
         min(when($"cum" >= lit(0.9) * $"n", $"bucket")).as("b90"),
@@ -488,15 +506,65 @@ object Sketches {
       .select(explode(map(
         lit(0.25), $"b25", lit(0.5), $"b50", lit(0.9), $"b90"))
         .as(Seq("q", "bucket")), $"lo", $"hi")
-      .select($"q", $"bucket",
+      .select($"q", $"bucket".cast("long").as("bucket"),
         round($"lo" + $"bucket" * (($"hi" - $"lo") / HistBuckets), 6)
           .as("est"))
-    estimates.join(exact, Seq("q"))
+  }
+
+  /** 1-row (lo, hi, n) stats frame over the lineitem price column —
+    * shared by the batch query and the streaming sketch's finalize.
+    */
+  private[graft] def histStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_extendedprice".cast("double").as("v"))
+      .agg(min($"v").as("lo"), max($"v").as("hi"), count(lit(1)).as("n"))
   }
 
   /** Full two-phase restatement — the refinement algorithm itself is
     * the cross-engine contract (no `quantile_cont` shortcut).
     */
+  /** The histogram oracle's shared CTE prefix (value source, 1-row
+    * stats, bucket assignment, cumulative table, target quantiles) —
+    * consumed by [[histQuantilesSql]] (exact + estimate) and the
+    * streaming sketch's estimate-only oracle
+    * ([[histEstimateSql]]).
+    */
+  private[graft] val histBaseCtes: String =
+    s"""vals AS (
+       |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+       |st AS (
+       |  SELECT min(v) AS lo, max(v) AS hi, count(*) AS n,
+       |    (max(v) - min(v)) / $HistBuckets AS width
+       |  FROM vals),
+       |bucketed AS (
+       |  SELECT v, CAST(least(floor((v - lo) / width), ${HistBuckets - 1}) AS INT)
+       |    AS bucket
+       |  FROM vals CROSS JOIN st),
+       |cum AS (
+       |  SELECT bucket, cnt,
+       |    sum(cnt) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum_prev
+       |  FROM (SELECT bucket, count(*) AS cnt FROM bucketed GROUP BY bucket)),
+       |qs AS (SELECT CAST(q AS DOUBLE) AS q
+       |  FROM (VALUES (0.25), (0.5), (0.9)) t(q))""".stripMargin
+
+  /** Estimate-only oracle for the streaming histogram sketch: the
+    * drained per-bucket counter state must reproduce the BATCH
+    * histogram's quantile estimates exactly.
+    */
+  val histEstimateSql: String =
+    s"""WITH $histBaseCtes,
+       |est AS (
+       |  SELECT q, min(bucket) AS bucket
+       |  FROM qs JOIN cum ON cum >= q * (SELECT n FROM st)
+       |  GROUP BY q)
+       |SELECT e.q, CAST(e.bucket AS BIGINT) AS bucket,
+       |  round((SELECT lo FROM st) + e.bucket * (SELECT width FROM st), 6) AS est
+       |FROM est e""".stripMargin
+
   val histQuantilesSql: String =
     s"""WITH vals AS (
        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
@@ -545,7 +613,7 @@ object Sketches {
        |  SELECT q, min(bucket) AS bucket
        |  FROM qs JOIN cum ON cum >= q * (SELECT n FROM st)
        |  GROUP BY q)
-       |SELECT e.q, e.bucket,
+       |SELECT e.q, CAST(e.bucket AS BIGINT) AS bucket,
        |  round((SELECT lo FROM st) + e.bucket * (SELECT width FROM st), 6) AS est,
        |  x.exact
        |FROM est e JOIN exact x ON x.q = e.q""".stripMargin

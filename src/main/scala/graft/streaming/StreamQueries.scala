@@ -1132,7 +1132,41 @@ object StreamQueries {
         runDeltaLog(counts, "update", Seq("t")))
     }
 
+  /** Streaming histogram-quantile sketch — the [[streamCmsHeavy]]
+    * shape applied to order statistics: per-bucket counters (the
+    * fixed-memory mergeable state of the two-phase quantile algorithm,
+    * `sketch_hist_quantiles`'s phase 2) maintained in update mode at
+    * ingest, then the drained counter table closed through the SHARED
+    * `histEstFromCounts` finalize — the estimates read off the
+    * incrementally-built histogram must equal the batch pass's.
+    * Bucket edges are the known value bounds broadcast at start (the
+    * D5 serde/LUT pattern — a 1-row min/max, like the k-means
+    * centroid frame); the total N the estimate needs comes from the
+    * shared 1-row stats frame at read time, never from driver state.
+    */
+  def streamHistQuantiles(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val buckets = graft.operators.Sketches.HistBuckets
+      val src = stageAsDirParts(s, s"$dir/lineitem.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val bounds = graft.operators.Sketches.histStats(s, dir).head
+      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+      val width = (hi - lo) / buckets
+      val counters = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"l_extendedprice".cast("double").as("v"))
+        .select(least(floor(($"v" - lo) / width), lit(buckets - 1))
+          .cast("int").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+      val state = runDeltaLog(counters, "update", Seq("bucket"))
+        .select($"bucket", $"cnt")
+      graft.operators.Sketches.histEstFromCounts(state,
+        graft.operators.Sketches.histStats(s, dir))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hist_quantiles" -> (streamHistQuantiles _),
     "stream_poisson_burst" -> (streamPoissonBurst _),
     "stream_acf" -> (streamAcf _),
     "stream_dedup_incremental" -> (streamDedupIncremental _),
@@ -1171,6 +1205,7 @@ object StreamQueries {
 
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
+    "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
     "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,
     "stream_acf" -> graft.operators.TimeSeries.acfSql,
     "stream_dedup_incremental" -> graft.operators.Dedup.dedupIncrementalSql,
