@@ -1082,7 +1082,180 @@ object Graph {
        |SELECT node AS token, lab AS community FROM l$LpaIters""".stripMargin
   }
 
+  // ------------------------------------------------ maximum spanning tree
+
+  /** Borůvka-round backstop: components at least halve per round, so
+    * 30 rounds cover 2³⁰ nodes; overshooting is a loud failure.
+    */
+  val MstMaxRounds = 30
+
+  /** Undirected weighted co-occurrence edges for the spanning tree:
+    * canonical (src < dst) pair, weight = total transition count in
+    * both directions, self-loops dropped.
+    */
+  private[graft] def undirectedWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tokenEdges(s, dir).where($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"), $"cnt")
+      .groupBy($"a", $"b").agg(sum($"cnt").as("w"))
+  }
+
+  /** MAXIMUM spanning forest of the token co-occurrence graph —
+    * Chow–Liu-flavored structure discovery (the max-weight tree over
+    * pairwise association is the optimal tree-shaped dependency
+    * approximation) and the single-linkage backbone every
+    * hierarchical-clustering pass reduces to. Distributed Borůvka:
+    * each round every component picks its best outgoing edge under the
+    * STRICT total order (w DESC, a, b) — strictness makes the spanning
+    * forest unique, which is what lets the oracle verify the RESULT
+    * while free to iterate differently — then picked edges contract by
+    * connected components ([[Dedup.connectedComponents]] reused on the
+    * component graph, which is ≤ |V| rows and halves every round).
+    *
+    * Scale shape: the edge list re-joins the label table once per
+    * round (O(log V) rounds); labels are O(V) and partition-hashed;
+    * picks/contraction frames are component-sized, never edge-sized.
+    * No driver state — `isEmpty` on the candidate frame is the loop's
+    * only action, and the accumulated forest stays distributed.
+    */
+  def maxSpanningTree(s: SparkSession, dir: String): DataFrame =
+    maxSpanningForestOnEdges(undirectedWeighted(s, dir))
+
+  /** Borůvka core over a canonical undirected weighted edge list
+    * (a < b, weight w) — split out so specs can plant graphs.
+    */
+  private[graft] def maxSpanningForestOnEdges(und0: DataFrame): DataFrame = {
+    val s = und0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val und = und0.localCheckpoint()
+    val bi = und.select($"a", $"b", $"w", $"a".as("u"), $"b".as("v"))
+      .union(und.select($"a", $"b", $"w", $"b".as("u"), $"a".as("v")))
+    var labels = bi.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("c")).localCheckpoint()
+    var mst = und.limit(0)
+    var round = 0
+    var done = false
+    while (!done && round < MstMaxRounds) {
+      val cand = bi
+        .join(labels.select($"node".as("u"), $"c".as("cu")), "u")
+        .join(labels.select($"node".as("v"), $"c".as("cv")), "v")
+        .where($"cu" =!= $"cv")
+      val picks = cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"cu").orderBy($"w".desc, $"a", $"b")))
+        .where($"rn" === 1)
+        .select($"cu", $"cv", $"a", $"b", $"w").localCheckpoint()
+      if (picks.isEmpty) done = true
+      else {
+        mst = mst.union(picks.select($"a", $"b", $"w").distinct())
+        // Contraction: the pick graph is COMPONENT-level metadata (≤
+        // #components rows, halving every round), so it is contracted
+        // in one per-partition union-find pass on a single coalesced
+        // partition — the mapPartitions escape hatch used exactly where
+        // the brief reserves it (genuine per-partition imperative
+        // logic on a metadata-sized frame). One task, no inner
+        // convergence loop, no per-iteration driver actions; labels are
+        // canonicalized to the min member id, matching the oracle's
+        // min-reachable closure.
+        import s.implicits._
+        val comp = picks.select($"cu", $"cv").as[(String, String)]
+          .coalesce(1)
+          .mapPartitions { it =>
+            val parent = scala.collection.mutable.Map.empty[String, String]
+            def find(x: String): String = {
+              val p = parent.getOrElse(x, x)
+              if (p == x) x else { val r = find(p); parent(x) = r; r }
+            }
+            val members = scala.collection.mutable.Set.empty[String]
+            it.foreach { case (a, b) =>
+              members += a; members += b
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) parent(ra) = rb
+            }
+            val minOf = scala.collection.mutable.Map.empty[String, String]
+            members.foreach { m =>
+              val r = find(m)
+              if (!minOf.contains(r) || m < minOf(r)) minOf(r) = m
+            }
+            members.iterator.map(m => (m, minOf(find(m))))
+          }.toDF("c", "nc")
+        labels = labels
+          .join(comp, Seq("c"), "left")
+          .select($"node", coalesce($"nc", $"c").as("c"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"Borůvka failed to finish in $MstMaxRounds rounds")
+    mst.select($"a".as("src"), $"b".as("dst"), $"w")
+  }
+
+  /** Oracle: the same Borůvka recurrence, R fixed rounds generated as
+    * chained CTEs (idle rounds are no-ops once the forest is spanning),
+    * per-round contraction via a RECURSIVE reach closure over the
+    * picked component edges (fixpoint semantics — no unrolled jump
+    * count to keep in sync). Pick/label CTEs are MATERIALIZED: the
+    * round chain re-references each stage several times and DuckDB's
+    * inlining would otherwise re-expand the whole prefix per reference.
+    * Uniqueness of the strictly-ordered spanning forest is what makes
+    * the two engines' different iteration orders land on the
+    * identical edge set.
+    */
+  val maxSpanningTreeSql: String = {
+    val R = 20 // covers 2^20 components; fixture vocab is far below
+    val rounds = (1 to R).map { r =>
+      val prev = s"lab${r - 1}"
+      s"""cand$r AS MATERIALIZED (
+         |  SELECT lu.c AS cu, lv.c AS cv, e.a, e.b, e.w,
+         |    row_number() OVER (PARTITION BY lu.c
+         |      ORDER BY e.w DESC, e.a, e.b) AS rn
+         |  FROM bi e
+         |  JOIN $prev lu ON e.u = lu.node
+         |  JOIN $prev lv ON e.v = lv.node
+         |  WHERE lu.c <> lv.c),
+         |pick$r AS MATERIALIZED (
+         |  SELECT cu, cv, a, b, w FROM cand$r WHERE rn = 1),
+         |pe$r AS MATERIALIZED (
+         |  SELECT cu AS s, cv AS d FROM pick$r
+         |  UNION SELECT cv, cu FROM pick$r),
+         |reach$r(x, y) AS (
+         |  SELECT s, s FROM pe$r
+         |  UNION
+         |  SELECT rr.x, e.d FROM reach$r rr JOIN pe$r e ON rr.y = e.s),
+         |cmap$r AS MATERIALIZED (
+         |  SELECT x AS c, min(y) AS nc FROM reach$r GROUP BY x),
+         |lab$r AS MATERIALIZED (
+         |  SELECT l.node, coalesce(m.nc, l.c) AS c
+         |  FROM lab${r - 1} l LEFT JOIN cmap$r m ON l.c = m.c)""".stripMargin
+    }.mkString(",\n")
+    val allPicks = (1 to R)
+      .map(r => s"SELECT a, b, w FROM pick$r").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |tedges AS (
+       |  SELECT src, dst, count(*) AS cnt FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY src, dst),
+       |und AS MATERIALIZED (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    CAST(sum(cnt) AS BIGINT) AS w
+       |  FROM tedges WHERE src <> dst GROUP BY 1, 2),
+       |bi AS MATERIALIZED (
+       |  SELECT a, b, w, a AS u, b AS v FROM und
+       |  UNION ALL SELECT a, b, w, b, a FROM und),
+       |lab0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM bi),
+       |$rounds
+       |SELECT DISTINCT a AS src, b AS dst, w FROM ($allPicks)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_mst" -> (maxSpanningTree _),
     "graph_labelprop" -> (labelProp _),
     "graph_sssp" -> (sssp _),
     "graph_modularity" -> (modularity _),
@@ -1097,6 +1270,7 @@ object Graph {
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_mst" -> maxSpanningTreeSql,
     "graph_labelprop" -> labelPropSql,
     "graph_sssp" -> ssspSql,
     "graph_modularity" -> modularitySql,

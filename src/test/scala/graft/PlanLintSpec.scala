@@ -21,7 +21,7 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_clusters", "dedup_canonical", "curate_soft_dedup",
     "curate_full_pipeline",
     "graph_pagerank", "graph_triangles", "graph_neighbor_jaccard",
-    "graph_hits", "graph_bfs", "graph_sssp",
+    "graph_hits", "graph_bfs", "graph_sssp", "graph_mst",
     "sim_mmr_rerank",
     "sim_kmeans",
     "tok_bpe_merges", "tok_bpe_compression", "tok_bpe_fertility",
