@@ -1445,6 +1445,67 @@ object TimeSeries {
     * work. Materializing pins each step to one evaluation; semantics
     * are unchanged and the Spark side is unaffected.
     */
+  /** AR model order fitted by [[yuleWalker]]. */
+  val ArOrder = 4
+
+  /** Yule–Walker AR(p) fit of the hourly count series, p = [[ArOrder]]
+    * — the MODEL the [[pacf]] diagnostic selects: the final row of the
+    * same Durbin–Levinson ladder IS the Yule–Walker solution φ_{p,1..p}
+    * (the ladder is the O(p²) solver for the Toeplitz normal
+    * equations), and the innovation-variance ratio σ²_p/γ₀ =
+    * Π_{k≤p}(1 − φ_{k,k}²) falls out of the reflection coefficients.
+    * Emitted as (term, value) rows: 'ar1'..'ar4' coefficients plus
+    * 'var_ratio' — the one-scan-plus-metadata cost shape of
+    * [[acf]]/[[pacf]] (the fit itself is a 1-row expression fold).
+    */
+  def yuleWalker(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val acfOut = acf(s, dir)
+    val rCols = (1 to PacfMaxLag).map(i =>
+      max(when($"k" === i, $"acf")).as(s"r$i"))
+    val base = acfOut.groupBy().agg(rCols.head, rCols.tail: _*)
+    val folded = durbinLevinsonDefs.foldLeft(base) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }.withColumn("var_ratio", expr(varRatioExpr))
+    val kv = (1 to ArOrder).flatMap(j =>
+      Seq(lit(s"ar$j"), col(s"phi_${ArOrder}_$j"))) ++
+      Seq(lit("var_ratio"), col("var_ratio"))
+    folded.select(explode(map(kv: _*)).as(Seq("term", "value")))
+      .where($"value".isNotNull)
+  }
+
+  /** σ²_p/γ₀ = Π (1 − φ_kk²), re-rounded once at the end — identical
+    * expression text on both engines.
+    */
+  private def varRatioExpr: String = {
+    val prod = (1 to ArOrder)
+      .map(k => s"(1 - phi_${k}_$k * phi_${k}_$k)").mkString(" * ")
+    s"floor(($prod) * 1e6 + 0.5) / 1e6"
+  }
+
+  val yuleWalkerSql: String = {
+    val ctes = durbinLevinsonDefs.zipWithIndex.map { case ((n, e), i) =>
+      val prev = if (i == 0) "pacf_base" else s"dl$i"
+      s"dl${i + 1} AS MATERIALIZED (SELECT *, $e AS $n FROM $prev)"
+    }
+    val last = s"dl${durbinLevinsonDefs.size}"
+    val pivot = (1 to PacfMaxLag)
+      .map(i => s"max(CASE WHEN k = $i THEN acf END) AS r$i").mkString(", ")
+    val rows = ((1 to ArOrder)
+      .map(j => s"SELECT 'ar$j' AS term, phi_${ArOrder}_$j AS value FROM fin") :+
+      s"SELECT 'var_ratio', var_ratio FROM fin").mkString(" UNION ALL ")
+    s"""WITH $acfCtes,
+       |acf_out AS MATERIALIZED (
+       |  SELECT k,
+       |    floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |      AS acf
+       |  FROM nums CROSS JOIN den WHERE den > 0),
+       |pacf_base AS MATERIALIZED (SELECT $pivot FROM acf_out),
+       |${ctes.mkString(",\n")},
+       |fin AS MATERIALIZED (SELECT *, $varRatioExpr AS var_ratio FROM $last)
+       |SELECT term, value FROM ($rows) u WHERE value IS NOT NULL""".stripMargin
+  }
+
   val pacfSql: String = {
     val ctes = durbinLevinsonDefs.zipWithIndex.map { case ((n, e), i) =>
       val prev = if (i == 0) "pacf_base" else s"dl$i"
@@ -1605,6 +1666,7 @@ object TimeSeries {
     "ev_decompose" -> (decompose _),
     "ev_acf" -> (acf _),
     "ev_pacf" -> (pacf _),
+    "ev_yule_walker" -> (yuleWalker _),
     "ev_holt_backtest" -> (holtBacktest _),
     "ev_holt_forecast" -> (holtForecast _),
     "ev_did_estimator" -> (didEstimator _),
@@ -1629,6 +1691,7 @@ object TimeSeries {
     "ev_decompose" -> decomposeSql,
     "ev_acf" -> acfSql,
     "ev_pacf" -> pacfSql,
+    "ev_yule_walker" -> yuleWalkerSql,
     "ev_holt_backtest" -> holtBacktestSql,
     "ev_holt_forecast" -> holtForecastSql,
     "ev_did_estimator" -> didEstimatorSql,

@@ -90,7 +90,7 @@ class PlanLintSpec extends AnyFunSuite {
     // span/total broadcasts (the ladder itself is a 1-row fold); DSIR
     // selection rides on the weights' approved 1-row target/total
     // crosses (the selection itself is a narrow map + top-k)
-    "ev_pacf", "curate_dsir_select")
+    "ev_pacf", "ev_yule_walker", "curate_dsir_select")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>

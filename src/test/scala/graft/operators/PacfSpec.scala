@@ -29,6 +29,21 @@ class PacfSpec extends AnyFunSuite {
     (1 to maxLag).map(k => k -> phi((k, k))).toMap
   }
 
+  /** Full ladder (every phi_{k,j}) with the identical rounding. */
+  private def referenceLadder(r: Map[Int, Double], maxLag: Int)
+      : Map[(Int, Int), Double] = {
+    val phi = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    phi((1, 1)) = r(1)
+    for (k <- 2 to maxLag) {
+      val num = r(k) - (1 until k).map(j => phi((k - 1, j)) * r(k - j)).sum
+      val den = 1.0 - (1 until k).map(j => phi((k - 1, j)) * r(j)).sum
+      phi((k, k)) = rnd(num / den)
+      for (j <- 1 until k)
+        phi((k, j)) = rnd(phi((k - 1, j)) - phi((k, k)) * phi((k - 1, k - j)))
+    }
+    phi.toMap
+  }
+
   private def writeSeries(cnt: Int => Int, nHours: Int): String = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -72,5 +87,22 @@ class PacfSpec extends AnyFunSuite {
     assert(math.abs(pacf(2)) < math.abs(acf(2)),
       s"pacf(2)=${pacf(2)} should collapse below acf(2)=${acf(2)}")
     assert(math.abs(pacf(2)) < 0.35, s"pacf(2)=${pacf(2)} not cut off")
+  }
+
+  test("yule-walker AR(4) fit matches the ladder row; variance ratio from reflections") {
+    val tmp = writeSeries(h => 10 + (if (h % 6 == 0) 8 else 0), 60)
+    val acf = TimeSeries.acf(spark, tmp).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(2)).toMap
+    val got = TimeSeries.yuleWalker(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val phi = referenceLadder(acf, TimeSeries.PacfMaxLag)
+    (1 to TimeSeries.ArOrder).foreach { j =>
+      assert(got(s"ar$j") == phi((TimeSeries.ArOrder, j)),
+        s"ar$j: got ${got(s"ar$j")} want ${phi((TimeSeries.ArOrder, j))}")
+    }
+    val vr = rnd((1 to TimeSeries.ArOrder)
+      .map(k => 1.0 - phi((k, k)) * phi((k, k))).product)
+    assert(got("var_ratio") == vr)
+    assert(got("var_ratio") > 0.0 && got("var_ratio") <= 1.0)
   }
 }
