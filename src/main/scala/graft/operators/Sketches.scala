@@ -521,6 +521,85 @@ object Sketches {
       .agg(min($"v").as("lo"), max($"v").as("hi"), count(lit(1)).as("n"))
   }
 
+  /** Buckets per GROUP for the grouped quantile sketch (smaller than
+    * the global sketch's 1000: per-group state is #groups × cells).
+    */
+  val GroupHistBuckets = 200
+
+  /** PER-GROUP histogram quantile estimates — the fixed-memory
+    * counterpart of `q_percentiles`' exact builtin `percentile` (which
+    * materializes a value→count map per group: the per-tenant p99
+    * pattern that does not survive 100 TB). State is #groups ×
+    * [[GroupHistBuckets]] counters, mergeable by addition; per-group
+    * bucket edges come from the same one-pass min/max aggregate. Plan:
+    * two scans (stats, bucket counts) + one windowed cumulative over
+    * the counter table + a groups×3 estimate read — no per-group value
+    * map ever resident.
+    */
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.orders(s, dir)
+      .select($"o_orderstatus".as("g"), $"o_totalprice".cast("double").as("v"))
+    val st = vals.groupBy($"g").agg(min($"v").as("lo"), max($"v").as("hi"),
+      count(lit(1)).as("n"))
+    val counts = vals.join(broadcast(st), "g")
+      .select($"g", least(
+        floor(($"v" - $"lo") / (($"hi" - $"lo") / GroupHistBuckets)),
+        lit(GroupHistBuckets - 1)).cast("int").as("bucket"))
+      .groupBy($"g", $"bucket").agg(count(lit(1)).as("cnt"))
+    val cum = counts.withColumn("cum",
+      sum($"cnt").over(Window.partitionBy($"g").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(broadcast(st), "g")
+      .groupBy($"g", $"lo", $"hi", $"n")
+      .agg(min(when($"cum" >= lit(0.25) * $"n", $"bucket")).as("b25"),
+        min(when($"cum" >= lit(0.5) * $"n", $"bucket")).as("b50"),
+        min(when($"cum" >= lit(0.9) * $"n", $"bucket")).as("b90"))
+      .select($"g".as("o_orderstatus"), $"n",
+        explode(map(
+          lit(0.25), $"b25", lit(0.5), $"b50", lit(0.9), $"b90"))
+          .as(Seq("q", "bucket")), $"lo", $"hi")
+      .select($"o_orderstatus", $"n", $"q", $"bucket".cast("long").as("bucket"),
+        round($"lo" + $"bucket" * (($"hi" - $"lo") / GroupHistBuckets), 6)
+          .as("est"))
+  }
+
+  val groupQuantilesSql: String =
+    s"""WITH vals AS (
+       |  SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS v
+       |  FROM orders),
+       |st AS (
+       |  SELECT g, min(v) AS lo, max(v) AS hi, count(*) AS n
+       |  FROM vals GROUP BY g),
+       |counts AS (
+       |  SELECT v.g,
+       |    CAST(least(floor((v.v - st.lo) / ((st.hi - st.lo) / $GroupHistBuckets)),
+       |      ${GroupHistBuckets - 1}) AS INT) AS bucket,
+       |    count(*) AS cnt
+       |  FROM vals v JOIN st ON v.g = st.g
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM counts),
+       |est AS (
+       |  SELECT c.g, st.lo, st.hi, st.n,
+       |    min(CASE WHEN cum >= 0.25 * st.n THEN bucket END) AS b25,
+       |    min(CASE WHEN cum >= 0.5 * st.n THEN bucket END) AS b50,
+       |    min(CASE WHEN cum >= 0.9 * st.n THEN bucket END) AS b90
+       |  FROM cum c JOIN st ON c.g = st.g
+       |  GROUP BY 1, 2, 3, 4),
+       |rows_ AS (
+       |  SELECT g, n, CAST(0.25 AS DOUBLE) AS q, b25 AS bucket, lo, hi FROM est
+       |  UNION ALL SELECT g, n, CAST(0.5 AS DOUBLE), b50, lo, hi FROM est
+       |  UNION ALL SELECT g, n, CAST(0.9 AS DOUBLE), b90, lo, hi FROM est)
+       |SELECT g AS o_orderstatus, CAST(n AS BIGINT) AS n, q,
+       |  CAST(bucket AS BIGINT) AS bucket,
+       |  round(lo + bucket * ((hi - lo) / $GroupHistBuckets), 6) AS est
+       |FROM rows_""".stripMargin
+
   /** Full two-phase restatement — the refinement algorithm itself is
     * the cross-engine contract (no `quantile_cont` shortcut).
     */
@@ -1222,6 +1301,7 @@ object Sketches {
     "sketch_cms_heavy" -> (cmsHeavy _),
     "sketch_bloom_prune" -> (bloomPrune _),
     "sketch_hist_quantiles" -> (histQuantiles _),
+    "sketch_group_quantiles" -> (groupQuantiles _),
     "sketch_hll_merged" -> (hllMerged _))
 
   def oracles: Map[String, String] = Map(
@@ -1235,5 +1315,6 @@ object Sketches {
     "sketch_cms_heavy" -> cmsHeavySql,
     "sketch_bloom_prune" -> bloomPruneSql,
     "sketch_hist_quantiles" -> histQuantilesSql,
+    "sketch_group_quantiles" -> groupQuantilesSql,
     "sketch_hll_merged" -> hllMergedSql)
 }

@@ -171,4 +171,32 @@ class SketchesSpec extends AnyFunSuite {
       assert(r.getLong(2) > 0, "fixture must actually exercise the join")
     }
   }
+
+  test("grouped quantile sketch brackets the exact per-group percentile by one bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.groupQuantiles(spark, sf).collect()
+    val groups = rows.map(_.getString(0)).toSet
+    assert(rows.length == groups.size * 3)
+    // exact per-group interpolated percentiles (the builtin the sketch
+    // replaces) must land within one per-group bucket width of est
+    val exact = graft.Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus")
+      .agg(expr("percentile(CAST(o_totalprice AS DOUBLE), array(0.25, 0.5, 0.9))").as("p"),
+        min($"o_totalprice".cast("double")).as("lo"),
+        max($"o_totalprice".cast("double")).as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getSeq[Double](1),
+        (r.getDouble(3) - r.getDouble(2)) / Sketches.GroupHistBuckets))
+      .toMap
+    rows.foreach { r =>
+      val g = r.getString(0)
+      val q = r.getDouble(2)
+      val est = r.getDouble(4)
+      val (ps, width) = exact(g)
+      val ex = q match { case 0.25 => ps(0); case 0.5 => ps(1); case _ => ps(2) }
+      assert(ex >= est - 1e-9, s"$g q=$q: est=$est exact=$ex")
+      assert(ex - est <= 2 * width + 1e-9, s"$g q=$q: est=$est exact=$ex width=$width")
+    }
+  }
 }
