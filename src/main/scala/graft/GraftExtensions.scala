@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotF64, FnvHash64, Hamming64, MinHashSigExpr, Morton16, QuantI8Stats, SimHashSigExpr}
+import graft.functions.{DotF64, FnvHash64, Hamming64, Hilbert16, MinHashSigExpr, Morton16, QuantI8Stats, SimHashSigExpr}
 
 /** SparkSessionExtensions installer: makes the engine's native
   * expressions available to ANY session started with
@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("morton16"),
       new ExpressionInfo(classOf[Morton16].getName, "morton16"),
       (exprs: Seq[Expression]) => Morton16.builder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert16"),
+      new ExpressionInfo(classOf[Hilbert16].getName, "hilbert16"),
+      (exprs: Seq[Expression]) => Hilbert16.builder(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushPartialTopK)
     ext.injectOptimizerRule(_ => graft.plans.NanosRangePushdown)

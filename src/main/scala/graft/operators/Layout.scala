@@ -112,6 +112,128 @@ object Layout {
        |FROM stats GROUP BY layout""".stripMargin
   }
 
+  /** Hilbert vs z-order vs linear file clustering, measured on the
+    * SAME 2-D pruning predicate as [[layoutZorder]] — the layout
+    * decision the curve choice actually changes: Hilbert's every step
+    * is axis-adjacent, so a 2-D range decomposes into fewer, longer
+    * runs of the 1-D key, and the file-level min/max stats a pruning
+    * reader consults cover tighter rectangles (modern OPTIMIZE
+    * implementations moved from Morton to Hilbert for exactly this).
+    * Spark computes the curve with the native codegen'd
+    * [[graft.functions.Hilbert16]]; the oracle REWALKS the same
+    * quadrant recursion as a generated 16-step CTE chain carrying
+    * (x, y, d) — two independent formulations of the curve, one
+    * contract. Output: per-layout file count, files hit, and rows
+    * scanned under the fixed predicate.
+    */
+  def layoutHilbert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_partkey", $"l_suppkey")
+    val mx = li.agg(max($"l_partkey").as("pmax"), max($"l_suppkey").as("smax"))
+    val grid = li.crossJoin(broadcast(mx))
+      .selectExpr("l_partkey", "l_suppkey", "pmax", "smax",
+        s"CAST(((l_partkey - 1) * ${1 << GridBits}) div pmax AS BIGINT) AS px",
+        s"CAST(((l_suppkey - 1) * ${1 << GridBits}) div smax AS BIGINT) AS sx")
+      .select(col("l_partkey"), col("l_suppkey"), col("pmax"), col("smax"),
+        expr(s"px div ${1 << (GridBits - FileBits)}").as("fid_lin"),
+        shiftright(graft.functions.Morton16.morton16(col("px"), col("sx")),
+          2 * GridBits - FileBits).as("fid_z"),
+        shiftright(graft.functions.Hilbert16.hilbert16(col("px"), col("sx")),
+          2 * GridBits - FileBits).as("fid_h"))
+    val long = grid.selectExpr("'linear' AS layout", "fid_lin AS fid",
+        "l_partkey", "l_suppkey", "pmax", "smax")
+      .union(grid.selectExpr("'zorder'", "fid_z",
+        "l_partkey", "l_suppkey", "pmax", "smax"))
+      .union(grid.selectExpr("'hilbert'", "fid_h",
+        "l_partkey", "l_suppkey", "pmax", "smax"))
+    val hit = """max_p >= (pmax * 2) div 5 AND min_p <= pmax div 2
+                | AND max_s >= (smax * 2) div 5 AND min_s <= smax div 2"""
+      .stripMargin.replace("\n", "")
+    long.groupBy($"layout", $"fid")
+      .agg(min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"),
+        min($"l_suppkey").as("min_s"), max($"l_suppkey").as("max_s"),
+        count(lit(1)).as("cnt"),
+        min($"pmax").as("pmax"), min($"smax").as("smax"))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(expr(s"CASE WHEN $hit THEN 1 ELSE 0 END")).as("files_hit"),
+        sum(expr(s"CASE WHEN $hit THEN cnt ELSE 0 END")).as("rows_scanned"))
+  }
+
+  /** The generated per-level Hilbert walk: two CTEs per quadrant level
+    * (rx/ry extraction, then the d-accumulate + rotate/swap), s from
+    * 2¹⁵ down to 1 — MATERIALIZED so DuckDB's projection inlining
+    * cannot re-substitute the walk into itself (the unrolled-recursion
+    * gotcha).
+    */
+  private def hilbertWalkCtes: String = {
+    val levels = (15 to 0 by -1).zipWithIndex.map { case (bit, i) =>
+      val sVal = 1L << bit
+      val prev = if (i == 0) "h0" else s"hb$i"
+      s"""ha${i + 1} AS MATERIALIZED (
+         |  SELECT *,
+         |    CASE WHEN (x & $sVal) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (y & $sVal) > 0 THEN 1 ELSE 0 END AS ry
+         |  FROM $prev),
+         |hb${i + 1} AS MATERIALIZED (
+         |  SELECT l_partkey, l_suppkey, pmax, smax, fid_lin, fid_z,
+         |    d + CAST($sVal AS BIGINT) * $sVal * xor(3 * rx, ry) AS d,
+         |    CASE WHEN ry = 0 THEN
+         |      CASE WHEN rx = 1 THEN ($sVal - 1) - y ELSE y END
+         |    ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN
+         |      CASE WHEN rx = 1 THEN ($sVal - 1) - x ELSE x END
+         |    ELSE y END AS y
+         |  FROM ha${i + 1})""".stripMargin
+    }
+    levels.mkString(",\n")
+  }
+
+  val layoutHilbertSql: String = {
+    val gridDiv = 1 << (GridBits - FileBits)
+    s"""WITH mx AS (
+       |  SELECT max(l_partkey) AS pmax, max(l_suppkey) AS smax FROM lineitem),
+       |grid AS (
+       |  SELECT l_partkey, l_suppkey, pmax, smax,
+       |    ((l_partkey - 1) * ${1 << GridBits}) // pmax AS px,
+       |    ((l_suppkey - 1) * ${1 << GridBits}) // smax AS sx
+       |  FROM lineitem CROSS JOIN mx),
+       |h0 AS MATERIALIZED (
+       |  SELECT l_partkey, l_suppkey, pmax, smax,
+       |    px // $gridDiv AS fid_lin,
+       |    ${zDuck("px", "sx")} >> ${2 * GridBits - FileBits} AS fid_z,
+       |    CAST(0 AS BIGINT) AS d, px AS x, sx AS y
+       |  FROM grid),
+       |$hilbertWalkCtes,
+       |assigned AS (
+       |  SELECT l_partkey, l_suppkey, pmax, smax, fid_lin, fid_z,
+       |    d >> ${2 * GridBits - FileBits} AS fid_h
+       |  FROM hb16),
+       |long AS (
+       |  SELECT 'linear' AS layout, fid_lin AS fid, l_partkey, l_suppkey,
+       |    pmax, smax FROM assigned
+       |  UNION ALL
+       |  SELECT 'zorder', fid_z, l_partkey, l_suppkey, pmax, smax
+       |  FROM assigned
+       |  UNION ALL
+       |  SELECT 'hilbert', fid_h, l_partkey, l_suppkey, pmax, smax
+       |  FROM assigned),
+       |stats AS (
+       |  SELECT layout, fid,
+       |    min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+       |    min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
+       |    count(*) AS cnt, min(pmax) AS pmax, min(smax) AS smax
+       |  FROM long GROUP BY layout, fid)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN max_p >= (pmax * 2) // 5 AND min_p <= pmax // 2
+       |    AND max_s >= (smax * 2) // 5 AND min_s <= smax // 2
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       |  CAST(sum(CASE WHEN max_p >= (pmax * 2) // 5 AND min_p <= pmax // 2
+       |    AND max_s >= (smax * 2) // 5 AND min_s <= smax // 2
+       |    THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned
+       |FROM stats GROUP BY layout""".stripMargin
+  }
+
   // ---------------------------------------------------------- compaction
 
   /** Target compacted-file size and the small-file threshold (same
@@ -376,11 +498,13 @@ object Layout {
     "layout_zorder" -> (layoutZorder _),
     "layout_range_sort" -> (layoutRangeSort _),
     "layout_rendezvous" -> (layoutRendezvous _),
+    "layout_hilbert" -> (layoutHilbert _),
     "layout_compaction" -> (layoutCompaction _))
 
   def oracles: Map[String, String] = Map(
     "layout_zorder" -> layoutZorderSql,
     "layout_range_sort" -> layoutRangeSortSql,
     "layout_rendezvous" -> layoutRendezvousSql,
+    "layout_hilbert" -> layoutHilbertSql,
     "layout_compaction" -> layoutCompactionSql)
 }

@@ -85,7 +85,7 @@ class PlanLintSpec extends AnyFunSuite {
     // round-7: 1-row time/id bounds broadcast (file-slot assignment) and
     // the kmv_overlap-style type-pair enumeration (≤ |types|² rows,
     // k-minima fan-in bounded by k·|types|)
-    "layout_range_sort", "sketch_kmv_diff",
+    "layout_range_sort", "sketch_kmv_diff", "layout_hilbert",
     // round-7 continuation: PACF rides on ev_acf's approved 1-row
     // span/total broadcasts (the ladder itself is a 1-row fold); DSIR
     // selection rides on the weights' approved 1-row target/total

@@ -383,4 +383,21 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(mod > 5L * hrw,
       s"mod-hash must move far more than hrw ($mod vs $hrw)")
   }
+
+  test("hilbert layout prunes at least as well as linear and tracks zorder") {
+    val rows = Layout.layoutHilbert(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (nfH, hitH, scanH) = rows("hilbert")
+    val (_, hitL, scanL) = rows("linear")
+    val (_, hitZ, scanZ) = rows("zorder")
+    assert(nfH == 64)
+    assert(hitH <= hitL, s"hilbert hit $hitH files vs linear $hitL")
+    assert(scanH <= scanL, s"hilbert scanned $scanH rows vs linear $scanL")
+    // the better-locality curve may tie z-order at coarse file counts
+    // but must never lose to it on the fixture predicate
+    assert(hitH <= hitZ, s"hilbert hit $hitH files vs zorder $hitZ")
+    assert(scanH <= scanZ, s"hilbert scanned $scanH vs zorder $scanZ")
+    assert(hitH < 64 && hitL < 64)
+  }
 }
