@@ -1159,28 +1159,8 @@ object Graph {
         // convergence loop, no per-iteration driver actions; labels are
         // canonicalized to the min member id, matching the oracle's
         // min-reachable closure.
-        import s.implicits._
-        val comp = picks.select($"cu", $"cv").as[(String, String)]
-          .coalesce(1)
-          .mapPartitions { it =>
-            val parent = scala.collection.mutable.Map.empty[String, String]
-            def find(x: String): String = {
-              val p = parent.getOrElse(x, x)
-              if (p == x) x else { val r = find(p); parent(x) = r; r }
-            }
-            val members = scala.collection.mutable.Set.empty[String]
-            it.foreach { case (a, b) =>
-              members += a; members += b
-              val (ra, rb) = (find(a), find(b))
-              if (ra != rb) parent(ra) = rb
-            }
-            val minOf = scala.collection.mutable.Map.empty[String, String]
-            members.foreach { m =>
-              val r = find(m)
-              if (!minOf.contains(r) || m < minOf(r)) minOf(r) = m
-            }
-            members.iterator.map(m => (m, minOf(find(m))))
-          }.toDF("c", "nc")
+        val comp = ufLabels(picks.select($"cu".as("s"), $"cv".as("d")))
+          .select(col("member").as("c"), col("label").as("nc"))
         labels = labels
           .join(comp, Seq("c"), "left")
           .select($"node", coalesce($"nc", $"c").as("c"))
@@ -1204,7 +1184,11 @@ object Graph {
     * the two engines' different iteration orders land on the
     * identical edge set.
     */
-  val maxSpanningTreeSql: String = {
+  /** The Borůvka oracle's CTE body through the final `mst` table —
+    * shared by [[maxSpanningTreeSql]] and the single-linkage clustering
+    * oracle built on the forest.
+    */
+  private val mstCtes: String = {
     val R = 20 // covers 2^20 components; fixture vocab is far below
     val rounds = (1 to R).map { r =>
       val prev = s"lab${r - 1}"
@@ -1233,7 +1217,7 @@ object Graph {
     }.mkString(",\n")
     val allPicks = (1 to R)
       .map(r => s"SELECT a, b, w FROM pick$r").mkString(" UNION ALL ")
-    s"""WITH RECURSIVE toks AS (
+    s"""toks AS (
        |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
        |tedges AS (
        |  SELECT src, dst, count(*) AS cnt FROM (
@@ -1250,12 +1234,94 @@ object Graph {
        |  SELECT a, b, w, a AS u, b AS v FROM und
        |  UNION ALL SELECT a, b, w, b, a FROM und),
        |lab0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS c FROM bi),
-       |$rounds
-       |SELECT DISTINCT a AS src, b AS dst, w FROM ($allPicks)""".stripMargin
+       |$rounds,
+       |mst AS MATERIALIZED (
+       |  SELECT DISTINCT a, b, w FROM ($allPicks))""".stripMargin
   }
+
+  val maxSpanningTreeSql: String =
+    s"""WITH RECURSIVE $mstCtes
+       |SELECT a AS src, b AS dst, w FROM mst""".stripMargin
+
+  /** Clusters kept after cutting the weakest forest edges. */
+  val SingleLinkCuts = 7
+
+  /** Single-linkage flat clustering — the textbook REDUCTION from the
+    * spanning forest: cutting the k−1 weakest forest edges (strict
+    * order w ASC, a, b) yields exactly the k clusters single-linkage
+    * agglomeration would stop at, because the forest edge weights ARE
+    * the linkage merge heights. Output: every graph node with its
+    * cluster's canonical (minimum) member. The cut is a rank over the
+    * FOREST (|V|−1 rows, metadata), the labeling one union-find pass
+    * over the kept edges — at 100 TB the cost remains the forest
+    * build's.
+    */
+  def singleLinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val und = undirectedWeighted(s, dir).localCheckpoint()
+    val mst = maxSpanningForestOnEdges(und).localCheckpoint()
+    val kept = mst
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"w".asc, $"src", $"dst")))
+      .where($"rk" > SingleLinkCuts)
+    val labels = ufLabels(kept.select($"src".as("s"), $"dst".as("d")))
+    und.select(explode(array($"a", $"b")).as("token")).distinct()
+      .join(labels, $"token" === $"member", "left")
+      .select($"token", coalesce($"label", $"token").as("cluster"))
+  }
+
+  /** Per-partition union-find over an edge list coalesced to one
+    * partition (metadata-sized inputs only) — labels every touched
+    * member with its tree's minimum id.
+    */
+  private[graft] def ufLabels(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges.as[(String, String)].coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.Map.empty[String, String]
+        def find(x: String): String = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        val members = scala.collection.mutable.Set.empty[String]
+        it.foreach { case (a, b) =>
+          members += a; members += b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        val minOf = scala.collection.mutable.Map.empty[String, String]
+        members.foreach { m =>
+          val r = find(m)
+          if (!minOf.contains(r) || m < minOf(r)) minOf(r) = m
+        }
+        members.iterator.map(m => (m, minOf(find(m))))
+      }.toDF("member", "label")
+  }
+
+  val singleLinkageSql: String =
+    s"""WITH RECURSIVE $mstCtes,
+       |ranked AS (
+       |  SELECT a, b, w,
+       |    row_number() OVER (ORDER BY w ASC, a, b) AS rk
+       |  FROM mst),
+       |kept AS MATERIALIZED (
+       |  SELECT a, b FROM ranked WHERE rk > $SingleLinkCuts),
+       |ke AS (SELECT a AS s, b AS d FROM kept
+       |  UNION SELECT b, a FROM kept),
+       |creach(x, y) AS (
+       |  SELECT s, s FROM ke
+       |  UNION
+       |  SELECT r.x, e.d FROM creach r JOIN ke e ON r.y = e.s),
+       |clab AS (SELECT x AS member, min(y) AS label FROM creach GROUP BY x),
+       |nodes AS (SELECT DISTINCT u AS token FROM bi)
+       |SELECT n.token, coalesce(c.label, n.token) AS cluster
+       |FROM nodes n LEFT JOIN clab c ON n.token = c.member""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_mst" -> (maxSpanningTree _),
+    "graph_single_linkage" -> (singleLinkage _),
     "graph_labelprop" -> (labelProp _),
     "graph_sssp" -> (sssp _),
     "graph_modularity" -> (modularity _),
@@ -1271,6 +1337,7 @@ object Graph {
 
   def oracles: Map[String, String] = Map(
     "graph_mst" -> maxSpanningTreeSql,
+    "graph_single_linkage" -> singleLinkageSql,
     "graph_labelprop" -> labelPropSql,
     "graph_sssp" -> ssspSql,
     "graph_modularity" -> modularitySql,

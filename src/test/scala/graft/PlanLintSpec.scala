@@ -22,6 +22,7 @@ class PlanLintSpec extends AnyFunSuite {
     "curate_full_pipeline",
     "graph_pagerank", "graph_triangles", "graph_neighbor_jaccard",
     "graph_hits", "graph_bfs", "graph_sssp", "graph_mst",
+    "graph_single_linkage",
     "sim_mmr_rerank",
     "sim_kmeans",
     "tok_bpe_merges", "tok_bpe_compression", "tok_bpe_fertility",

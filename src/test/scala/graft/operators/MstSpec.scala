@@ -64,4 +64,34 @@ class MstSpec extends AnyFunSuite {
     val comps = nodes.map(find).size
     assert(got.size == nodes.size - comps)
   }
+
+  test("single-linkage clusters = components after cutting the k weakest forest edges") {
+    import spark.implicits._
+    val mst = Graph.maxSpanningTree(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(mst.length > Graph.SingleLinkCuts, "fixture forest too small")
+    val cut = mst.sortBy { case (a, b, w) => (w, a, b) }
+      .take(Graph.SingleLinkCuts).toSet
+    val kept = mst.filterNot(cut)
+    // sequential reference labels over kept edges
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    kept.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val nodes = Graph.undirectedWeighted(spark, sf).collect()
+      .flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    val want = nodes.groupBy(find).flatMap { case (_, ms) =>
+      val lbl = ms.min; ms.map(_ -> lbl)
+    }
+    val got = Graph.singleLinkage(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == want)
+    // cutting k forest edges adds exactly k components
+    val fullComponents = nodes.size - mst.length
+    assert(got.values.toSet.size == fullComponents + Graph.SingleLinkCuts)
+  }
 }
