@@ -1422,9 +1422,16 @@ object TimeSeries {
     * exactness comes from evaluating the SAME generated expression
     * text on both engines over inputs already rounded to 6 dp.
     */
-  def pacf(s: SparkSession, dir: String): DataFrame = {
+  def pacf(s: SparkSession, dir: String): DataFrame =
+    pacfFromAcf(acf(s, dir))
+
+  /** PACF finalize from an ACF frame (k, …, acf) — shared verbatim by
+    * the batch query and `stream_pacf` (whose drained hourly-count
+    * state closes through [[acfFromCounts]] first).
+    */
+  private[graft] def pacfFromAcf(acfOut: DataFrame): DataFrame = {
+    val s = acfOut.sparkSession
     import s.implicits._
-    val acfOut = acf(s, dir)
     val rCols = (1 to PacfMaxLag).map(i =>
       max(when($"k" === i, $"acf")).as(s"r$i"))
     val base = acfOut.groupBy().agg(rCols.head, rCols.tail: _*)

@@ -1165,8 +1165,30 @@ object StreamQueries {
         graft.operators.Sketches.histStats(s, dir))
     }
 
+  /** Streaming PACF — the [[streamAcf]] state (update-mode hourly
+    * counts) closed through acfFromCounts AND the shared
+    * Durbin–Levinson finalize: the lambda claim pushed one derivation
+    * deeper (incremental sufficient state + a two-stage read-time
+    * computation equals the batch pass). Oracle IS `ev_pacf`'s SQL.
+    */
+  def streamPacf(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("ts div 3600000000000 AS t")
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+      graft.operators.TimeSeries.pacfFromAcf(
+        graft.operators.TimeSeries.acfFromCounts(
+          runDeltaLog(counts, "update", Seq("t"))))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hist_quantiles" -> (streamHistQuantiles _),
+    "stream_pacf" -> (streamPacf _),
     "stream_poisson_burst" -> (streamPoissonBurst _),
     "stream_acf" -> (streamAcf _),
     "stream_dedup_incremental" -> (streamDedupIncremental _),
@@ -1206,6 +1228,7 @@ object StreamQueries {
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
     "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
+    "stream_pacf" -> graft.operators.TimeSeries.pacfSql,
     "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,
     "stream_acf" -> graft.operators.TimeSeries.acfSql,
     "stream_dedup_incremental" -> graft.operators.Dedup.dedupIncrementalSql,

@@ -19,4 +19,12 @@ class AcfStreamSpec extends AnyFunSuite {
     assert(stream == batch)
     assert(stream.nonEmpty)
   }
+
+  test("streaming PACF equals the batch PACF (one derivation deeper)") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getDouble(1))
+    val stream = StreamQueries.streamPacf(spark, sf).collect().map(key).toSet
+    val batch = graft.operators.TimeSeries.pacf(spark, sf).collect().map(key).toSet
+    assert(stream == batch)
+    assert(stream.size == graft.operators.TimeSeries.PacfMaxLag)
+  }
 }
