@@ -733,6 +733,42 @@ object Curation {
        |ORDER BY es_key DESC, doc_id
        |LIMIT $AesK""".stripMargin
 
+  /** Exact sample size per source for [[groupReservoir]]. */
+  val ReservoirK = 25
+
+  /** Per-GROUP exact-k reservoir sample — the balanced-exemplars stage
+    * (k docs from EVERY source, however skewed the source sizes) next
+    * to [[stratifiedSample]]'s proportional percent and [[aesSample]]'s
+    * global weighted top-k. The classic streaming reservoir is
+    * order-dependent; the distributed-and-deterministic equivalent
+    * ranks each group by the salted md5-60 hash (a random permutation
+    * in expectation) and keeps the first k — identical sample under
+    * retry, speculation, AND epoch re-runs, which is what makes
+    * training-data selection reproducible. Plan: narrow hash map + one
+    * per-group window (WindowGroupLimit keeps per-partition state at
+    * k before the shuffle) — no group ever materializes fully.
+    */
+  def groupReservoir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        md560(concat(lit("res:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+      .where($"rk" <= ReservoirK)
+      .select($"source", $"rk".cast("long").as("rk"), $"doc_id")
+  }
+
+  val groupReservoirSql: String =
+    s"""SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY
+       |      CAST(('0x' || substring(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |        AS BIGINT), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $ReservoirK""".stripMargin
+
   /** Per-source dataset card — the one-row-per-source "datasheet" a
     * corpus release ships: volume, token mass, exact-duplicate rate,
     * mean quality score, and dominant language, COMPOSED from the
@@ -1129,7 +1165,8 @@ object Curation {
     "curate_mix_weights" -> (mixWeights _),
     "curate_unigram_surprisal" -> (unigramSurprisal _),
     "curate_dsir_weights" -> (dsirWeights _),
-    "curate_dsir_select" -> (dsirSelect _))
+    "curate_dsir_select" -> (dsirSelect _),
+    "curate_group_reservoir" -> (groupReservoir _))
 
   def oracles: Map[String, String] = Map(
     "curate_upsample_plan" -> upsamplePlanSql,
@@ -1151,5 +1188,6 @@ object Curation {
     "curate_mix_weights" -> mixWeightsSql,
     "curate_unigram_surprisal" -> unigramSurprisalSql,
     "curate_dsir_weights" -> dsirWeightsSql,
-    "curate_dsir_select" -> dsirSelectSql)
+    "curate_dsir_select" -> dsirSelectSql,
+    "curate_group_reservoir" -> groupReservoirSql)
 }

@@ -155,4 +155,27 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getString(0) <= r.getString(1), "unordered combos normalized")
     }
   }
+
+  test("group reservoir: exactly k per source (or all), deterministic, plan keeps WindowGroupLimit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Curation.groupReservoir(spark, sf).localCheckpoint()
+    val sizes = graft.Tables.documents(spark, sf)
+      .groupBy($"source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy($"source").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet)
+    got.foreach { case (src, k) =>
+      assert(k == math.min(Curation.ReservoirK.toLong, sizes(src)),
+        s"$src: $k of ${sizes(src)}")
+    }
+    // reruns pick the identical sample (hash-derived permutation)
+    val rerun = Curation.groupReservoir(spark, sf)
+    assert(out.select("doc_id").except(rerun.select("doc_id")).count() == 0)
+    // pre-shuffle state stays bounded: rank filter compiles to WindowGroupLimit
+    val plan = Curation.groupReservoir(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(500))
+  }
 }
