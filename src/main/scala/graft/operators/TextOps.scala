@@ -680,8 +680,12 @@ object TextOps {
         round(sum($"nll").cast("double") / count(lit(1)), 6).as("avg_nll"))
   }
 
-  val docLmNllSql: String =
-    s"""WITH toks AS (
+  /** The bigram-LM NLL oracle's CTE chain up to the per-doc `nll`
+    * table — shared verbatim by [[docLmNllSql]] and the CCNet-style
+    * perplexity-bucket oracle built on it ([[docPplBucketsSql]]).
+    */
+  private[graft] val lmNllCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, $duckTokensExpr AS t FROM documents),
        |ftoks AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
        |bi AS (
@@ -697,12 +701,69 @@ object TextOps {
        |probs AS (
        |  SELECT u, v,
        |    CAST(cnt_uv + 1 AS DOUBLE) / CAST(cnt_u + vsz AS DOUBLE) AS p
-       |  FROM bic JOIN unic USING (u) CROSS JOIN vocab)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |  round(CAST(sum(CAST(round(-ln(p), 6) AS DECIMAL(18,9))) AS DOUBLE)
-       |    / count(*), 6) AS avg_nll
-       |FROM bi JOIN probs USING (u, v)
-       |GROUP BY doc_id""".stripMargin
+       |  FROM bic JOIN unic USING (u) CROSS JOIN vocab),
+       |nll AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    round(CAST(sum(CAST(round(-ln(p), 6) AS DECIMAL(18,9))) AS DOUBLE)
+       |      / count(*), 6) AS avg_nll
+       |  FROM bi JOIN probs USING (u, v)
+       |  GROUP BY doc_id)""".stripMargin
+
+  val docLmNllSql: String =
+    s"""WITH $lmNllCtes
+       |SELECT doc_id, n_bigrams, avg_nll FROM nll""".stripMargin
+
+  /** CCNet-style perplexity bucketing — the curation step the LM score
+    * exists for: per LANGUAGE, split documents into head/middle/tail
+    * by the 33rd/67th percentiles of their [[docLmNll]] score (CCNet
+    * trains on head+middle, drops or down-weights tail). Emits the
+    * per-(lang, bucket) census a mixture-weighting stage consumes:
+    * doc count, total bigrams (the token-budget denominator), and the
+    * bucket's decimal-summed mean NLL.
+    *
+    * Scale shape: the cut points are a per-lang EXACT percentile — a
+    * |langs|-row frame broadcast back as an equi-join (never a BNL);
+    * at 100 TB the same plan swaps the exact builtin for the
+    * fixed-memory histogram sketch (`sketch_group_quantiles` is that
+    * operator) without touching the bucketing join. The doc-side work
+    * rides on `doc_lm_nll`'s one explode + one doc-key shuffle.
+    */
+  def docPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wl = docLmNll(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+    val cuts = wl.groupBy($"lang").agg(
+      expr("percentile(avg_nll, 0.33)").as("c1"),
+      expr("percentile(avg_nll, 0.67)").as("c2"))
+    wl.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when($"avg_nll" <= $"c1", "head")
+          .when($"avg_nll" <= $"c2", "middle").otherwise("tail"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bigrams").as("tok_bigrams"),
+        round(sum($"avg_nll".cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("bucket_avg_nll"))
+  }
+
+  val docPplBucketsSql: String =
+    s"""WITH $lmNllCtes,
+       |wl AS (
+       |  SELECT n.doc_id, n.n_bigrams, n.avg_nll, d.lang
+       |  FROM nll n JOIN documents d USING (doc_id)),
+       |cuts AS (
+       |  SELECT lang, quantile_cont(avg_nll, 0.33) AS c1,
+       |    quantile_cont(avg_nll, 0.67) AS c2
+       |  FROM wl GROUP BY lang)
+       |SELECT lang,
+       |  CASE WHEN avg_nll <= c1 THEN 'head'
+       |       WHEN avg_nll <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS tok_bigrams,
+       |  round(CAST(sum(CAST(avg_nll AS DECIMAL(18,6))) AS DOUBLE)
+       |    / count(*), 6) AS bucket_avg_nll
+       |FROM wl JOIN cuts USING (lang)
+       |GROUP BY 1, 2""".stripMargin
 
   /** Sparse similarity join: top-20 most similar document pairs by
     * TF-IDF cosine — the SPARSE counterpart to the dense embedding
@@ -1793,6 +1854,7 @@ object TextOps {
     "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
     "doc_allpairs_cosine" -> (allPairsNgramCosine _),
     "doc_lm_nll" -> (docLmNll _),
+    "doc_ppl_buckets" -> (docPplBuckets _),
     "doc_anonymize" -> (docAnonymize _),
     "doc_tfidf_top_terms" -> (tfidfTopTerms _),
     "doc_bigram_counts" -> (bigramCounts _),
@@ -1827,6 +1889,7 @@ object TextOps {
     "doc_allpairs_cosine" ->
       allPairsCosineSql(allPairsGramOrder(Similarity.activeSession, dir)),
     "doc_lm_nll" -> docLmNllSql,
+    "doc_ppl_buckets" -> docPplBucketsSql,
     "doc_anonymize" -> docAnonymizeSql,
     "doc_tfidf_top_terms" -> tfidfSql,
     "doc_bigram_counts" -> bigramCountsSql,

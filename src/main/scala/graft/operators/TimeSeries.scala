@@ -1513,6 +1513,254 @@ object TimeSeries {
        |SELECT term, value FROM ($rows) u WHERE value IS NOT NULL""".stripMargin
   }
 
+  /** Forecast horizon for [[arForecast]]. */
+  val ArForecastH = 6
+
+  /** Generated h-step AR forecast definitions over the fitted
+    * coefficients: x̂_{T+h} = m + Σⱼ φ_{p,j}·(v_{h−j} − m) where the
+    * v window slides over observations x1..x4 (most recent first) and
+    * earlier forecasts — the same shared-text discipline as
+    * [[durbinLevinsonDefs]], re-rounded per step.
+    */
+  private[graft] val arForecastDefs: Seq[(String, String)] = {
+    var window = List("x1", "x2", "x3", "x4")
+    (1 to ArForecastH).map { h =>
+      val terms = (1 to ArOrder)
+        .map(j => s"phi_${ArOrder}_$j * (${window(j - 1)} - m)")
+        .mkString(" + ")
+      val d = s"f$h" -> s"floor((m + $terms) * 1e6 + 0.5) / 1e6"
+      window = s"f$h" :: window
+      d
+    }
+  }
+
+  /** AR(p) h-step FORECAST of the hourly count series — the stage the
+    * Box–Jenkins chain exists for: [[acf]]/[[pacf]] identify,
+    * [[yuleWalker]] fits, this entry projects h = 1..[[ArForecastH]]
+    * hours ahead by the textbook recursion (forecasts feed back into
+    * the lag window; mean-adjusted because the fit is on
+    * autocorrelations). Same cost shape as the rest of the family: one
+    * scan, then 1-row expression folds; the three 1-row cross joins
+    * (ladder pivot × last-4 window × mean) are the approved totals
+    * broadcast.
+    */
+  def arForecast(s: SparkSession, dir: String): DataFrame =
+    arForecastFromCounts(hourlyEventCounts(s, dir))
+
+  /** Forecast finalize from a sparse (t, c) counts frame — shared
+    * verbatim by the batch query and `stream_ar_forecast` (whose
+    * drained hourly-count state IS a counts frame).
+    */
+  private[graft] def arForecastFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dense = denseHours(counts)
+    val last4 = dense
+      .withColumn("rn", row_number().over(Window.orderBy($"t".desc)))
+      .where($"rn" <= 4)
+      .groupBy().agg(
+        max(when($"rn" === 1, $"c")).as("x1"),
+        max(when($"rn" === 2, $"c")).as("x2"),
+        max(when($"rn" === 3, $"c")).as("x3"),
+        max(when($"rn" === 4, $"c")).as("x4"))
+    val msel = dense.agg(count(lit(1)).as("n"), sum($"c").as("s"))
+      .select(expr("floor(CAST(s AS DOUBLE) / n * 1e6 + 0.5) / 1e6").as("m"))
+    val rCols = (1 to PacfMaxLag).map(i =>
+      max(when($"k" === i, $"acf")).as(s"r$i"))
+    val base = acfFromCounts(counts).groupBy().agg(rCols.head, rCols.tail: _*)
+      .crossJoin(broadcast(last4)).crossJoin(broadcast(msel))
+    val folded = (durbinLevinsonDefs ++ arForecastDefs).foldLeft(base) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }
+    val kv = (1 to ArForecastH).flatMap(h =>
+      Seq(lit(h.toLong), col(s"f$h")))
+    folded.select(explode(map(kv: _*)).as(Seq("h", "forecast")))
+      .where($"forecast".isNotNull)
+  }
+
+  val arForecastSql: String = {
+    val allDefs = durbinLevinsonDefs ++ arForecastDefs
+    val ctes = allDefs.zipWithIndex.map { case ((n, e), i) =>
+      val prev = if (i == 0) "arf_base" else s"af$i"
+      s"af${i + 1} AS MATERIALIZED (SELECT *, $e AS $n FROM $prev)"
+    }
+    val last = s"af${allDefs.size}"
+    val pivot = (1 to PacfMaxLag)
+      .map(i => s"max(CASE WHEN k = $i THEN acf END) AS r$i").mkString(", ")
+    val rows = (1 to ArForecastH)
+      .map(h => s"SELECT $h AS h, f$h AS forecast FROM $last")
+      .mkString(" UNION ALL ")
+    s"""WITH $acfCtes,
+       |acf_out AS MATERIALIZED (
+       |  SELECT k,
+       |    floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |      AS acf
+       |  FROM nums CROSS JOIN den WHERE den > 0),
+       |last4 AS (
+       |  SELECT max(CASE WHEN rn = 1 THEN c END) AS x1,
+       |    max(CASE WHEN rn = 2 THEN c END) AS x2,
+       |    max(CASE WHEN rn = 3 THEN c END) AS x3,
+       |    max(CASE WHEN rn = 4 THEN c END) AS x4
+       |  FROM (SELECT c, row_number() OVER (ORDER BY t DESC) AS rn FROM dense)
+       |  WHERE rn <= 4),
+       |msel AS (
+       |  SELECT floor(CAST(s AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS m
+       |  FROM (SELECT count(*) AS n, sum(c) AS s FROM dense)),
+       |arf_base AS MATERIALIZED (
+       |  SELECT * FROM (SELECT $pivot FROM acf_out)
+       |  CROSS JOIN last4 CROSS JOIN msel),
+       |${ctes.mkString(",\n")}
+       |SELECT CAST(h AS BIGINT) AS h, forecast FROM ($rows) u
+       |WHERE forecast IS NOT NULL""".stripMargin
+  }
+
+  /** Lags tested by the [[ljungBox]] portmanteau diagnostic. */
+  val LjungBoxLags = 8
+
+  /** One-step AR(p) prediction text over lag columns l1..lp and the
+    * 6-dp mean m — generated ONCE, evaluated verbatim by both engines
+    * (left-associated, the ladder discipline).
+    */
+  private def arPredExpr: String = {
+    val terms = (1 to ArOrder)
+      .map(j => s"phi_${ArOrder}_$j * (l$j - m)").mkString(" + ")
+    s"m + $terms"
+  }
+
+  /** Q = n(n+2)·Σₖ r²ₖ/(n−k) over the pivoted residual
+    * autocorrelations rr1..rrh — one generated text, both engines.
+    */
+  private def qStatExpr: String = {
+    val terms = (1 to LjungBoxLags)
+      .map(k => s"rr$k * rr$k / (n - $k)").mkString(" + ")
+    s"floor((n * (n + 2) * ($terms)) * 1e6 + 0.5) / 1e6"
+  }
+
+  /** Ljung–Box residual diagnostic of the AR([[ArOrder]]) fit — the
+    * CHECKING stage of the Box–Jenkins loop ([[acf]]/[[pacf]]
+    * identify, [[yuleWalker]] estimates, this validates, [[arForecast]]
+    * projects): in-sample one-step residuals eₜ = xₜ − x̂ₜ over the
+    * dense hourly series, their autocorrelations r₁..r₈, and the
+    * portmanteau Q = n(n+2)Σ r²ₖ/(n−k) that rejects the fitted order
+    * when residual structure remains (χ² with h−p df).
+    *
+    * Shape: everything after the hourly-count scan is metadata-sized —
+    * the 1-row ladder fit and mean broadcast onto the dense series
+    * (the approved totals pattern), residuals via lag windows, then
+    * the [[acfFromCounts]] decimal-exact sum discipline on 6-dp
+    * residuals (DECIMAL(18,6) products — partition-order-proof) and a
+    * 1-row pivot for the generated Q text. Emitted as (term, value):
+    * r1..r8, q_stat, n_resid.
+    */
+  def ljungBox(s: SparkSession, dir: String): DataFrame =
+    ljungBoxFromCounts(hourlyEventCounts(s, dir))
+
+  private[graft] def ljungBoxFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dense = denseHours(counts)
+    val msel = dense.agg(count(lit(1)).as("n_all"), sum($"c").as("sc"))
+      .select(expr("floor(CAST(sc AS DOUBLE) / n_all * 1e6 + 0.5) / 1e6")
+        .as("m"))
+    val rCols = (1 to PacfMaxLag).map(i =>
+      max(when($"k" === i, $"acf")).as(s"r$i"))
+    val fitted = durbinLevinsonDefs.foldLeft(
+        acfFromCounts(counts).groupBy().agg(rCols.head, rCols.tail: _*)) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }
+    val model = fitted.select(
+      (1 to ArOrder).map(j => col(s"phi_${ArOrder}_$j")): _*)
+    val w = Window.orderBy($"t")
+    val lagged = (1 to ArOrder).foldLeft(dense) {
+      case (df, j) => df.withColumn(s"l$j", lag($"c", j).over(w))
+    }
+    val resid = lagged.where(col(s"l$ArOrder").isNotNull)
+      .crossJoin(broadcast(model)).crossJoin(broadcast(msel))
+      .select($"t",
+        expr(s"floor((c - ($arPredExpr)) * 1e6 + 0.5) / 1e6").as("e"))
+    val rden = resid.agg(count(lit(1)).as("n"),
+      sum(expr("CAST(e AS DECIMAL(18,6)) * CAST(e AS DECIMAL(18,6))"))
+        .as("den"))
+    val rnums = resid
+      .withColumn("k", explode(expr(s"sequence(1, $LjungBoxLags)")))
+      .select($"k", ($"t" + $"k").as("t2"), $"e".as("e_a"))
+      .join(resid.select($"t".as("t2"), $"e".as("e_b")), "t2")
+      .groupBy($"k")
+      .agg(sum(expr("CAST(e_a AS DECIMAL(18,6)) * CAST(e_b AS DECIMAL(18,6))"))
+        .as("num"))
+    val racf = rnums.crossJoin(broadcast(rden)).where($"den" > 0)
+      .select($"k", $"n",
+        expr("floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6")
+          .as("r"))
+    val rrCols = (1 to LjungBoxLags).map(i =>
+      max(when($"k" === i, $"r")).as(s"rr$i"))
+    val fin = racf.groupBy().agg(max($"n").as("n"), rrCols: _*)
+      .withColumn("q_stat", expr(qStatExpr))
+    val kv = Seq(lit("q_stat"), $"q_stat",
+        lit("n_resid"), $"n".cast("double")) ++
+      (1 to LjungBoxLags).flatMap(k => Seq(lit(s"r$k"), col(s"rr$k")))
+    fin.select(explode(map(kv: _*)).as(Seq("term", "value")))
+      .where($"value".isNotNull)
+  }
+
+  val ljungBoxSql: String = {
+    val ctes = durbinLevinsonDefs.zipWithIndex.map { case ((n, e), i) =>
+      val prev = if (i == 0) "lb_base" else s"lb$i"
+      s"lb${i + 1} AS MATERIALIZED (SELECT *, $e AS $n FROM $prev)"
+    }
+    val last = s"lb${durbinLevinsonDefs.size}"
+    val pivot = (1 to PacfMaxLag)
+      .map(i => s"max(CASE WHEN k = $i THEN acf END) AS r$i").mkString(", ")
+    val lagCols = (1 to ArOrder)
+      .map(j => s"lag(c, $j) OVER (ORDER BY t) AS l$j").mkString(", ")
+    val rrPivot = (1 to LjungBoxLags)
+      .map(i => s"max(CASE WHEN k = $i THEN r END) AS rr$i").mkString(", ")
+    val rows = ((1 to LjungBoxLags)
+      .map(k => s"SELECT 'r$k' AS term, rr$k AS value FROM finq") :+
+      s"SELECT 'q_stat', q_stat FROM finq" :+
+      s"SELECT 'n_resid', CAST(n AS DOUBLE) FROM finq").mkString(" UNION ALL ")
+    s"""WITH $acfCtes,
+       |acf_out AS MATERIALIZED (
+       |  SELECT k,
+       |    floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |      AS acf
+       |  FROM nums CROSS JOIN den WHERE den > 0),
+       |msel AS (
+       |  SELECT floor(CAST(s AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS m
+       |  FROM (SELECT count(*) AS n, sum(c) AS s FROM dense)),
+       |lb_base AS MATERIALIZED (SELECT $pivot FROM acf_out),
+       |${ctes.mkString(",\n")},
+       |model AS MATERIALIZED (
+       |  SELECT ${(1 to ArOrder).map(j => s"phi_${ArOrder}_$j").mkString(", ")}
+       |  FROM $last),
+       |lagged AS (SELECT t, c, $lagCols FROM dense),
+       |resid AS MATERIALIZED (
+       |  SELECT t, floor((c - ($arPredExpr)) * 1e6 + 0.5) / 1e6 AS e
+       |  FROM lagged CROSS JOIN model CROSS JOIN msel
+       |  WHERE l$ArOrder IS NOT NULL),
+       |rden AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(e AS DECIMAL(18,6)) * CAST(e AS DECIMAL(18,6))) AS den
+       |  FROM resid),
+       |rnums AS (
+       |  SELECT k,
+       |    sum(CAST(a.e AS DECIMAL(18,6)) * CAST(b.e AS DECIMAL(18,6))) AS num
+       |  FROM resid a
+       |  CROSS JOIN (SELECT unnest(range(1, ${LjungBoxLags + 1})) AS k) ks
+       |  JOIN resid b ON b.t = a.t + k
+       |  GROUP BY k),
+       |racf AS MATERIALIZED (
+       |  SELECT k, n,
+       |    floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |      AS r
+       |  FROM rnums CROSS JOIN rden WHERE den > 0),
+       |fin AS MATERIALIZED (SELECT max(n) AS n, $rrPivot FROM racf),
+       |finq AS (SELECT *, $qStatExpr AS q_stat FROM fin)
+       |SELECT term, value FROM ($rows) u WHERE value IS NOT NULL""".stripMargin
+  }
+
   val pacfSql: String = {
     val ctes = durbinLevinsonDefs.zipWithIndex.map { case ((n, e), i) =>
       val prev = if (i == 0) "pacf_base" else s"dl$i"
@@ -1674,6 +1922,8 @@ object TimeSeries {
     "ev_acf" -> (acf _),
     "ev_pacf" -> (pacf _),
     "ev_yule_walker" -> (yuleWalker _),
+    "ev_ar_forecast" -> (arForecast _),
+    "ev_ljung_box" -> (ljungBox _),
     "ev_holt_backtest" -> (holtBacktest _),
     "ev_holt_forecast" -> (holtForecast _),
     "ev_did_estimator" -> (didEstimator _),
@@ -1699,6 +1949,8 @@ object TimeSeries {
     "ev_acf" -> acfSql,
     "ev_pacf" -> pacfSql,
     "ev_yule_walker" -> yuleWalkerSql,
+    "ev_ar_forecast" -> arForecastSql,
+    "ev_ljung_box" -> ljungBoxSql,
     "ev_holt_backtest" -> holtBacktestSql,
     "ev_holt_forecast" -> holtForecastSql,
     "ev_did_estimator" -> didEstimatorSql,

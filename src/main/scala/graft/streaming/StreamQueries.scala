@@ -1186,7 +1186,30 @@ object StreamQueries {
           runDeltaLog(counts, "update", Seq("t"))))
     }
 
+  /** Streaming AR forecast — the [[streamPacf]] shape carried to the
+    * end of the Box–Jenkins chain: update-mode hourly-count state,
+    * drained latest-per-hour, closed through the SHARED
+    * `arForecastFromCounts` finalize (ladder fit + h-step projection).
+    * The h = 1..6 forecasts read off the incrementally-maintained
+    * state must equal the batch pass's. Oracle IS `ev_ar_forecast`'s
+    * SQL.
+    */
+  def streamArForecast(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("ts div 3600000000000 AS t")
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+      graft.operators.TimeSeries.arForecastFromCounts(
+        runDeltaLog(counts, "update", Seq("t")))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ar_forecast" -> (streamArForecast _),
     "stream_hist_quantiles" -> (streamHistQuantiles _),
     "stream_pacf" -> (streamPacf _),
     "stream_poisson_burst" -> (streamPoissonBurst _),
@@ -1229,6 +1252,7 @@ object StreamQueries {
     // final streaming state must equal the batch answers
     "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
     "stream_pacf" -> graft.operators.TimeSeries.pacfSql,
+    "stream_ar_forecast" -> graft.operators.TimeSeries.arForecastSql,
     "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,
     "stream_acf" -> graft.operators.TimeSeries.acfSql,
     "stream_dedup_incremental" -> graft.operators.Dedup.dedupIncrementalSql,

@@ -91,7 +91,15 @@ class PlanLintSpec extends AnyFunSuite {
     // span/total broadcasts (the ladder itself is a 1-row fold); DSIR
     // selection rides on the weights' approved 1-row target/total
     // crosses (the selection itself is a narrow map + top-k)
-    "ev_pacf", "ev_yule_walker", "curate_dsir_select")
+    "ev_pacf", "ev_yule_walker", "curate_dsir_select",
+    // round-7 continuation 3: the AR forecast folds the same ladder on
+    // the acf pivot × last-4-window × mean — three 1-row broadcasts;
+    // Ljung–Box crosses the 1-row model/mean/denominator frames onto
+    // the metadata-sized dense series and pivoted residual ACF
+    "ev_ar_forecast", "ev_ljung_box",
+    // rides on doc_lm_nll's approved 1-row vocab-size broadcast; the
+    // bucketing itself is a |langs|-row equi-join
+    "doc_ppl_buckets")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>

@@ -105,4 +105,73 @@ class PacfSpec extends AnyFunSuite {
     assert(got("var_ratio") == vr)
     assert(got("var_ratio") > 0.0 && got("var_ratio") <= 1.0)
   }
+
+  test("AR forecast equals the independent recursion over the fitted phis") {
+    val tmp = writeSeries(h => 10 + (if (h % 6 == 0) 8 else 0), 60)
+    val acf = TimeSeries.acf(spark, tmp).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(2)).toMap
+    val phi = referenceLadder(acf, TimeSeries.PacfMaxLag)
+    val coef = (1 to TimeSeries.ArOrder)
+      .map(j => phi((TimeSeries.ArOrder, j)))
+    // the series the query saw: dense hourly counts, most recent first
+    val counts = (0 until 60).map(h => 10 + (if (h % 6 == 0) 8 else 0))
+    val m = rnd(counts.sum.toDouble / counts.length)
+    var window = counts.reverse.take(TimeSeries.ArOrder)
+      .map(_.toDouble).toList
+    val want = (1 to TimeSeries.ArForecastH).map { h =>
+      // left-associated starting from m — the generated SQL's fold order
+      val f = rnd(coef.zipWithIndex.foldLeft(m) {
+        case (acc, (p, j)) => acc + p * (window(j) - m)
+      })
+      window = f :: window
+      h.toLong -> f
+    }.toMap
+    val got = TimeSeries.arForecast(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == (1L to TimeSeries.ArForecastH.toLong).toSet)
+    got.foreach { case (h, v) =>
+      assert(v == want(h), s"h=$h: got $v want ${want(h)}")
+    }
+    // forecasts of a mean-reverting fit must head toward the mean
+    assert(math.abs(got(6L) - m) <= math.abs(got(1L) - m) + 1.0)
+  }
+
+  test("Ljung-Box terms equal the independent residual-ACF computation") {
+    val counts = (0 until 60).map(h => 10 + (if (h % 6 == 0) 8 else 0))
+    val tmp = writeSeries(h => counts(h), 60)
+    val acf = TimeSeries.acf(spark, tmp).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(2)).toMap
+    val phi = referenceLadder(acf, TimeSeries.PacfMaxLag)
+    val coef = (1 to TimeSeries.ArOrder)
+      .map(j => phi((TimeSeries.ArOrder, j)))
+    val p = TimeSeries.ArOrder
+    val m = rnd(counts.sum.toDouble / counts.length)
+    // residuals, identical left-associated fold and 6-dp re-round
+    val resid = (p until counts.length).map { t =>
+      val pred = coef.zipWithIndex.foldLeft(m) {
+        case (acc, (c, j)) => acc + c * (counts(t - j - 1) - m)
+      }
+      rnd(counts(t) - pred)
+    }
+    // decimal-exact sums (order-free), as both engines compute them
+    def dec(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+    val den = resid.map(e => dec(e) * dec(e)).sum
+    val n = resid.length
+    val rr = (1 to TimeSeries.LjungBoxLags).map { k =>
+      val num = (0 until n - k).map(i => dec(resid(i)) * dec(resid(i + k))).sum
+      k -> rnd((num / den).toDouble)
+    }.toMap
+    val got = TimeSeries.ljungBox(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    (1 to TimeSeries.LjungBoxLags).foreach { k =>
+      assert(got(s"r$k") == rr(k), s"r$k: got ${got(s"r$k")} want ${rr(k)}")
+    }
+    assert(got("n_resid") == n.toDouble)
+    val qSum = (1 to TimeSeries.LjungBoxLags)
+      .map(k => rr(k) * rr(k) / (n - k)).reduceLeft(_ + _)
+    val q = rnd((n.toLong * (n + 2)).toDouble * qSum)
+    assert(got("q_stat") == q, s"q: got ${got("q_stat")} want $q")
+    // period-6 spikes leave structure the AR(4) cannot absorb -> Q large
+    assert(got("q_stat") > 0.0)
+  }
 }

@@ -89,4 +89,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       .sortBy { case (m, ph) => (-m, ph) }.take(20).map(_._2)
     assert(got.map(_.getString(0)).toSeq.sorted == top.sorted)
   }
+
+  test("ppl buckets partition each language's scored docs; head NLL below tail") {
+    import spark.implicits._
+    val nll = TextOps.docLmNll(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select($"doc_id", $"lang"),
+        "doc_id")
+    val perLang = nll.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextOps.docPplBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    // every scored doc lands in exactly one bucket
+    perLang.foreach { case (lang, n) =>
+      val bucketed = Seq("head", "middle", "tail")
+        .flatMap(b => got.get((lang, b)).map(_._1)).sum
+      assert(bucketed == n, s"$lang: bucketed $bucketed of $n docs")
+    }
+    // the ordering the split exists for: head mean NLL <= tail mean NLL
+    got.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      (got.get((lang, "head")), got.get((lang, "tail"))) match {
+        case (Some((_, h)), Some((_, t))) =>
+          assert(h <= t, s"$lang: head avg $h > tail avg $t")
+        case _ => // a degenerate lang may lack a bucket; partition test above covers it
+      }
+    }
+  }
 }
