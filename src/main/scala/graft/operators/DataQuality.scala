@@ -249,28 +249,50 @@ object DataQuality {
     * smoothing so empty bins stay defined and the arithmetic stays a
     * pure function of the integer counts. Fixed-width bins (not
     * quantile edges) keep the bin assignment an exact integer map on
-    * both engines. Two pushdown-friendly ts_ns range filters feed two
-    * map-side-combinable bin counts; the 10-row scaffold closes empty
-    * bins on both sides.
+    * both engines. ONE scan feeds a map-side-combinable per-bin
+    * aggregate carrying both period counters (conditional sums on the
+    * timestamp); the shared [[driftFromBinCounts]] finalize scaffolds
+    * the 10-bin support and closes empty bins on both sides.
     */
+  /** Reference/current period boundary (2024-01-15T00:00:00Z, nanos)
+    * and the fixed bin width — shared by the batch query and the
+    * streaming monitor so both observe the identical bin map.
+    */
+  private[graft] val DriftSplitNs = 1705276800000000000L
+  private[graft] val DriftBinW = 40.0
+
   def dqValueDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val SplitNs = 1705276800000000000L // 2024-01-15T00:00:00Z
-    val BinW = 40.0
-    val ev = Tables.events(s, dir)
+    val counts = Tables.events(s, dir)
       .select($"ts_ns", least(lit(9L),
-        floor($"value" / BinW).cast("long")).as("bin"))
-    def cnts(f: org.apache.spark.sql.Column, name: String) =
-      ev.where(f).groupBy($"bin").agg(count(lit(1)).as(name))
+        floor($"value" / DriftBinW).cast("long")).as("bin"))
+      .groupBy($"bin").agg(
+        sum(when($"ts_ns" < DriftSplitNs, 1L).otherwise(0L)).as("n_ref"),
+        sum(when($"ts_ns" >= DriftSplitNs, 1L).otherwise(0L)).as("n_cur"))
+    driftFromBinCounts(counts)
+  }
+
+  /** PSI finalize from a sparse per-bin counts frame `(bin, n_ref,
+    * n_cur)` — shared VERBATIM by the batch query above and
+    * `stream_value_drift` (whose drained update-mode state IS such a
+    * frame). Scaffolds the fixed 10-bin support so empty bins stay
+    * present, re-derives the period totals from the counts (every
+    * event lands in exactly one bin, so Σ per-bin counts ≡ the period
+    * totals the previous formulation computed from the raw scan — one
+    * fewer pass), and emits the add-one-smoothed per-bin PSI terms.
+    * The totals frame is the approved 1-row broadcast cross.
+    */
+  private[graft] def driftFromBinCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
     val bins = s.range(0, 10).select($"id".as("bin"))
-    bins
-      .join(cnts($"ts_ns" < SplitNs, "n_ref"), Seq("bin"), "left")
-      .join(cnts($"ts_ns" >= SplitNs, "n_cur"), Seq("bin"), "left")
+    val tot = counts.agg(
+      coalesce(sum($"n_ref"), lit(0L)).as("tr"),
+      coalesce(sum($"n_cur"), lit(0L)).as("tc"))
+    bins.join(counts, Seq("bin"), "left")
       .select($"bin", coalesce($"n_ref", lit(0L)).as("n_ref"),
         coalesce($"n_cur", lit(0L)).as("n_cur"))
-      .crossJoin(broadcast(ev.agg(
-        sum(when($"ts_ns" < SplitNs, 1L).otherwise(0L)).as("tr"),
-        sum(when($"ts_ns" >= SplitNs, 1L).otherwise(0L)).as("tc"))))
+      .crossJoin(broadcast(tot))
       .selectExpr("bin", "n_ref", "n_cur",
         """round((CAST(n_ref + 1 AS DOUBLE) / (tr + 10)
           |      - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))

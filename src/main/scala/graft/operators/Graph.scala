@@ -1319,7 +1319,122 @@ object Graph {
        |SELECT n.token, coalesce(c.label, n.token) AS cluster
        |FROM nodes n LEFT JOIN clab c ON n.token = c.member""".stripMargin
 
+  /** Walks started per source node and steps per walk for
+    * [[randomWalks]] — the (walks × length) budget of a DeepWalk /
+    * node2vec corpus generation (Perozzi et al., KDD'14 run 80×40;
+    * the toy graph keeps the same plan at 3×8).
+    */
+  val WalksPerNode = 3
+  val WalkLen = 8
+
+  def randomWalks(s: SparkSession, dir: String): DataFrame =
+    randomWalksOnEdges(tokenEdges(s, dir))
+
+  /** Weight-proportional random-walk corpus over the edge list — the
+    * sequence generator DeepWalk/node2vec feed to a skip-gram trainer
+    * (node embeddings from co-visitation). Every "random" choice is
+    * DERIVED, not drawn: at step t a walk sitting on node u picks the
+    * out-edge whose cumulative-count interval [lo, hi) contains
+    * md5₆₀("walk:start:wid:t:u") mod out_count(u) — the repo's salted
+    * md5-60 idiom ([[Curation]] sampling), so the corpus is exactly
+    * reproducible under retry/speculation AND replayable by the
+    * oracle. Walks END at sink nodes (no out-edges): the inner join
+    * drops them, exactly like the reference recursion.
+    *
+    * Scale shape: the per-src cumulative intervals are one window over
+    * the edge list (edge-count-sized, built once); each step is ONE
+    * equi-join of the (starts × W) frontier against the interval table
+    * on the current node — never a gather to the driver, state is
+    * O(active walks). Frontier lineage is truncated every 4 steps
+    * ([[CkptEvery]]-style); the plan chain between checkpoints is
+    * linear in steps. At 100 TB the frontier is billions of rows and
+    * the same L joins run shuffle-partitioned on the node key.
+    */
+  def randomWalksOnEdges(rawEdges: DataFrame): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = rawEdges.localCheckpoint()
+    val cum = Window.partitionBy($"src").orderBy($"dst")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outW = edges.groupBy($"src").agg(sum($"cnt").as("oc"))
+    val intervals = edges
+      .withColumn("hi", sum($"cnt").over(cum))
+      .withColumn("lo", $"hi" - $"cnt")
+      .join(outW, "src")
+      .select($"src", $"dst", $"lo", $"hi", $"oc")
+      .localCheckpoint()
+    var frontier = edges.select($"src").distinct()
+      .crossJoin(broadcast(s.range(0, WalksPerNode).select($"id".as("wid"))))
+      .select($"src".as("start"), $"wid", $"src".as("node"))
+      .localCheckpoint()
+    var out = frontier.select($"start", $"wid", lit(0L).as("step"), $"node")
+    for (t <- 1 to WalkLen) {
+      val r = conv(substring(md5(concat_ws(":",
+        lit("walk"), $"start", $"wid", lit(t - 1), $"node")), 1, 15), 16, 10)
+        .cast("long") % $"oc"
+      var next = frontier.join(intervals, $"node" === $"src")
+        .where(r >= $"lo" && r < $"hi")
+        .select($"start", $"wid", $"dst".as("node"))
+      if (t % 4 == 0) next = next.localCheckpoint()
+      frontier = next
+      out = out.union(
+        frontier.select($"start", $"wid", lit(t.toLong).as("step"), $"node"))
+    }
+    out
+  }
+
+  /** DuckDB restatement: identical edge build, cumulative intervals,
+    * and md5-60 pick, with the [[WalkLen]] steps unrolled as
+    * MATERIALIZED CTEs (each step's frontier feeds the next — the
+    * ladder discipline that stops projection-inlining re-expansion).
+    * Every integer sum is CAST BIGINT (HUGEINT rule).
+    */
+  val randomWalksSql: String = {
+    val base =
+      s"""WITH toks AS (
+         |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT
+         |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+         |    FROM toks WHERE len(t) >= 2)
+         |  GROUP BY src, dst),
+         |outw AS (
+         |  SELECT src, CAST(sum(cnt) AS BIGINT) AS oc FROM edges GROUP BY src),
+         |iv AS MATERIALIZED (
+         |  SELECT e.src, e.dst,
+         |    CAST(sum(e.cnt) OVER (PARTITION BY e.src ORDER BY e.dst
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - e.cnt
+         |      AS BIGINT) AS lo,
+         |    CAST(sum(e.cnt) OVER (PARTITION BY e.src ORDER BY e.dst
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS hi,
+         |    o.oc
+         |  FROM edges e JOIN outw o ON e.src = o.src),
+         |s0 AS MATERIALIZED (
+         |  SELECT src AS start, CAST(wid AS BIGINT) AS wid, src AS node
+         |  FROM (SELECT DISTINCT src FROM edges)
+         |  CROSS JOIN (SELECT unnest(range(0, $WalksPerNode)) AS wid))""".stripMargin
+    val steps = (1 to WalkLen).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT start, wid, dst AS node FROM (
+         |    SELECT f.start, f.wid, i.dst, i.lo, i.hi,
+         |      CAST(('0x' || substring(md5('walk:' || f.start
+         |          || ':' || CAST(f.wid AS VARCHAR)
+         |          || ':${t - 1}:' || f.node), 1, 15)) AS BIGINT) % i.oc AS r
+         |    FROM s${t - 1} f JOIN iv i ON i.src = f.node)
+         |  WHERE r >= lo AND r < hi)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to WalkLen)
+      .map(t => s"SELECT start, wid, CAST($t AS BIGINT) AS step, node FROM s$t")
+      .mkString(" UNION ALL ")
+    s"$base,\n$steps\n$rows"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_random_walks" -> (randomWalks _),
     "graph_mst" -> (maxSpanningTree _),
     "graph_single_linkage" -> (singleLinkage _),
     "graph_labelprop" -> (labelProp _),
@@ -1336,6 +1451,7 @@ object Graph {
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_random_walks" -> randomWalksSql,
     "graph_mst" -> maxSpanningTreeSql,
     "graph_single_linkage" -> singleLinkageSql,
     "graph_labelprop" -> labelPropSql,

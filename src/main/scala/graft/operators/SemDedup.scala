@@ -86,9 +86,77 @@ object SemDedup {
        |FROM v LEFT JOIN dropped d ON d.vec_id = v.vec_id""".stripMargin
   }
 
+  /** Neighbors kept per node in [[knnGraph]]. */
+  val KnnK = 5
+
+  /** Cell-scoped k-NN graph over the embedding collection — the
+    * neighborhood index SemDeDup-style pipelines, label propagation
+    * over embeddings, and NN-descent seeding all start from: for EVERY
+    * vector, its [[KnnK]] most cosine-similar neighbors WITHIN its
+    * k-means cell (same memoized [[KMeans.trainedCentroids]] model as
+    * [[semDedup]] — model reuse, not a refit). Exact within the cell,
+    * approximate globally — the standard IVF trade: recall is bounded
+    * by cell purity, and the production knob is K ∝ n (identical story
+    * to [[semDedup]]'s pair stage, which this generalizes from "any
+    * neighbor above τ" to "the ranked top-k").
+    *
+    * Plan shape: self-join ON THE CLUSTER KEY (Σ |cell|² pair work,
+    * never global all-pairs), cosine as the sequential-fold dot
+    * ([[graft.functions.DotF64]] — bit-identical to DuckDB's
+    * list_reduce fold, so ranks can't diverge), then a per-node
+    * row_number window that the rn ≤ k filter lets Spark push as a
+    * WindowGroupLimit (partial top-k BEFORE the window shuffle — the
+    * property that keeps per-node state at k rows at 100 TB).
+    */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = KMeans.trainedCentroids(s, dir)
+    val assigned = KMeans.assign(
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding"), cents)
+    val v = assigned.select($"vec_id", $"k", $"embedding",
+      sqrt(DotF64.dot_f64($"embedding", $"embedding")).as("nrm"))
+      .localCheckpoint()
+    val a = v.selectExpr("k", "vec_id", "embedding AS ea", "nrm AS na")
+    val b = v.selectExpr("k", "vec_id AS nbr_id", "embedding AS eb", "nrm AS nb")
+    val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"nbr_id")
+    a.join(b, "k")
+      .where($"vec_id" =!= $"nbr_id")
+      .select($"vec_id", $"nbr_id",
+        (DotF64.dot_f64($"ea", $"eb") / ($"na" * $"nb")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= KnnK)
+  }
+
+  /** DuckDB restatement: the unrolled fit + assignment CTEs, the same
+    * within-cell pair join, and the identical (cosine DESC, nbr_id)
+    * rank — the fold cosine is bit-equal on both engines, so the raw
+    * double is emitted unrounded (the `sim_ivf_topk` contract).
+    */
+  def knnGraphSql: String = {
+    val dotAB = Similarity.duckDotExpr("a.embedding", "b.embedding")
+    val dotSelf = Similarity.duckDotExpr("embedding", "embedding")
+    s"""${KMeans.fitAssignCtes},
+       |v AS (
+       |  SELECT vec_id, k, embedding, sqrt($dotSelf) AS nrm
+       |  FROM a_final),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    $dotAB / (a.nrm * b.nrm) AS cosine
+       |  FROM v a JOIN v b ON a.k = b.k AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, nbr_id, cosine, rn FROM (
+       |  SELECT vec_id, nbr_id, cosine,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, nbr_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $KnnK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_semdedup" -> (semDedup _))
+    "sim_semdedup" -> (semDedup _),
+    "sim_knn_graph" -> (knnGraph _))
 
   def oracles: Map[String, String] = Map(
-    "sim_semdedup" -> semDedupSql)
+    "sim_semdedup" -> semDedupSql,
+    "sim_knn_graph" -> knnGraphSql)
 }

@@ -1208,7 +1208,37 @@ object StreamQueries {
         runDeltaLog(counts, "update", Seq("t")))
     }
 
+  /** Streaming PSI drift monitor — the monitor every production
+    * feature pipeline keeps running, as incremental state: update-mode
+    * per-bin counters carrying BOTH period counts (conditional sums on
+    * the event timestamp — the reference/current split is a property
+    * of the ROW, so one grouped state serves both sides), drained
+    * latest-per-bin and closed through the SHARED
+    * [[graft.operators.DataQuality.driftFromBinCounts]] finalize
+    * (10-bin scaffold, totals re-derived from the counters, smoothed
+    * PSI terms). The read-time close over incrementally-maintained
+    * state must equal the batch `dq_value_drift` pass; oracle IS that
+    * query's SQL.
+    */
+  def streamValueDrift(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val D = graft.operators.DataQuality
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"ts".as("ts_ns"), least(lit(9L),
+          floor($"value" / D.DriftBinW).cast("long")).as("bin"))
+        .groupBy($"bin").agg(
+          sum(when($"ts_ns" < D.DriftSplitNs, 1L).otherwise(0L)).as("n_ref"),
+          sum(when($"ts_ns" >= D.DriftSplitNs, 1L).otherwise(0L)).as("n_cur"))
+      D.driftFromBinCounts(runDeltaLog(counts, "update", Seq("bin")))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_value_drift" -> (streamValueDrift _),
     "stream_ar_forecast" -> (streamArForecast _),
     "stream_hist_quantiles" -> (streamHistQuantiles _),
     "stream_pacf" -> (streamPacf _),
@@ -1251,6 +1281,7 @@ object StreamQueries {
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
     "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
+    "stream_value_drift" -> graft.operators.DataQuality.dqValueDriftSql,
     "stream_pacf" -> graft.operators.TimeSeries.pacfSql,
     "stream_ar_forecast" -> graft.operators.TimeSeries.arForecastSql,
     "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,

@@ -38,7 +38,11 @@ class PlanLintSpec extends AnyFunSuite {
     // collects the bounded query-cell ranking + truth count on construction
     "sim_ivfpq_probe_curve",
     // collects the bounded query-cell ranking + radius truth count
-    "sim_range_probe_curve")
+    "sim_range_probe_curve",
+    // iterative frontier loop with per-4-step lineage truncation; the
+    // walk-multiplicity scaffold is a 3-row broadcast cross hidden
+    // behind the initial checkpoint, every step join is an equi-join
+    "graph_random_walks")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop

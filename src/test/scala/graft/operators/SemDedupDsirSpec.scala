@@ -139,4 +139,39 @@ class SemDedupDsirSpec extends AnyFunSuite {
     val rerun = Curation.dsirSelect(spark, sf)
     assert(sel.select("doc_id").except(rerun.select("doc_id")).count() == 0)
   }
+
+  test("knn graph: per-node top-k matches brute force within the cluster; plan keeps WindowGroupLimit") {
+    import spark.implicits._
+    val kq = SemDedup.knnGraph(spark, sf)
+    // pre-shuffle per-node state stays bounded at k rows
+    val plan = kq.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(500))
+    val got = kq.as[(Long, Long, Double, Int)].collect().toSet
+
+    // independent reference: exact cosine over same-cluster pairs,
+    // identical (cosine DESC, nbr_id) rank, single-threaded
+    val cents = KMeans.trainedCentroids(spark, sf)
+    val assigned = KMeans.assign(
+      graft.Tables.embeddings(spark, sf).select($"vec_id", $"embedding"), cents)
+      .as[(Long, Int, Array[Float])].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val want = assigned.groupBy(_._2).values.flatMap { vs0 =>
+      val vs = vs0.toSeq
+      val nrm = vs.map { case (id, _, e) => id -> math.sqrt(dot(e, e)) }.toMap
+      vs.flatMap { case (id, _, e) =>
+        vs.filter(_._1 != id)
+          .map { case (nid, _, en) => (nid, dot(e, en) / (nrm(id) * nrm(nid))) }
+          .sortBy { case (nid, c) => (-c, nid) }
+          .take(SemDedup.KnnK).zipWithIndex
+          .map { case ((nid, c), i) => (id, nid, c, i + 1) }
+      }
+    }.toSet
+    assert(got == want)
+    // every vector in a cell of ≥ k+1 members has exactly k neighbors
+    assert(got.nonEmpty && got.groupBy(_._1).values.forall(_.size <= SemDedup.KnnK))
+  }
 }
