@@ -222,6 +222,71 @@ object Curation {
         ($"mass".cast("double") / $"total_mass".cast("double")).as("weight"))
   }
 
+  /** Sampling temperature for [[temperatureMix]] — the mT5 default
+    * range (Xue et al., NAACL'21 use α = 0.3; XLM-R uses 0.3 too).
+    */
+  val MixTau = 0.3
+
+  /** Temperature-scaled LANGUAGE sampling — the multilingual mixing
+    * rule (mT5/XLM-R): qᵢ ∝ pᵢ^τ over per-language token mass, τ < 1
+    * flattening the head so low-resource languages are up-sampled.
+    * [[mixWeights]] is the per-SOURCE τ = 0.5 special case (sqrt
+    * mass); this is the general-τ per-language form, emitting the
+    * per-language census plus raw share p, tempered share q, and the
+    * up/down-sampling boost q/p a sampler applies.
+    *
+    * Cross-engine discipline: p is an exact double division of BIGINT
+    * totals; pow(p, τ) is re-rounded through the floor(x·1e6+0.5)/1e6
+    * idiom (the engines' pow may differ in the last ulp — same reason
+    * the k-means means use it), then summed as DECIMAL(18,6)
+    * (associative) before the final exact divisions, each re-rounded
+    * by the same idiom. The two totals frames are the approved 1-row
+    * broadcast crosses.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byLang = Tables.documents(s, dir)
+      .selectExpr("lang",
+        "size(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS n_toks")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+    val tot = byLang.agg(sum($"n_tokens").as("tot"))
+    val scored = byLang.crossJoin(broadcast(tot))
+      .withColumn("p", $"n_tokens".cast("double") / $"tot".cast("double"))
+      .withColumn("r", expr(
+        s"CAST(floor(pow(p, $MixTau) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))"))
+    val rtot = scored.agg(sum($"r").as("rtot"))
+    scored.crossJoin(broadcast(rtot))
+      .selectExpr("lang", "n_docs", "n_tokens",
+        "floor(p * 1e6 + 0.5) / 1e6 AS p_raw",
+        """floor(CAST(r AS DOUBLE) / CAST(rtot AS DOUBLE) * 1e6 + 0.5) / 1e6
+          | AS p_temp""".stripMargin,
+        """floor(CAST(r AS DOUBLE) / CAST(rtot AS DOUBLE) / p * 1e6 + 0.5)
+          | / 1e6 AS boost""".stripMargin)
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH by_lang AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      t -> t <> ''))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM by_lang),
+       |scored AS (
+       |  SELECT lang, n_docs, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p,
+       |    CAST(floor(pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE),
+       |      $MixTau) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS r
+       |  FROM by_lang CROSS JOIN tot),
+       |rtot AS (SELECT sum(r) AS rtot FROM scored)
+       |SELECT lang, n_docs, n_tokens,
+       |  floor(p * 1e6 + 0.5) / 1e6 AS p_raw,
+       |  floor(CAST(r AS DOUBLE) / CAST(rtot AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |    AS p_temp,
+       |  floor(CAST(r AS DOUBLE) / CAST(rtot AS DOUBLE) / p * 1e6 + 0.5) / 1e6
+       |    AS boost
+       |FROM scored CROSS JOIN rtot""".stripMargin
+
   val mixWeightsSql: String =
     """WITH by_source AS (
       |  SELECT source, count(*) AS n_docs,
@@ -1163,6 +1228,7 @@ object Curation {
     "curate_pack_stats" -> (packStats _),
     "curate_domain_quota" -> (domainQuota _),
     "curate_mix_weights" -> (mixWeights _),
+    "curate_temperature_mix" -> (temperatureMix _),
     "curate_unigram_surprisal" -> (unigramSurprisal _),
     "curate_dsir_weights" -> (dsirWeights _),
     "curate_dsir_select" -> (dsirSelect _),
@@ -1186,6 +1252,7 @@ object Curation {
     "curate_pack_stats" -> packStatsSql,
     "curate_domain_quota" -> domainQuotaSql,
     "curate_mix_weights" -> mixWeightsSql,
+    "curate_temperature_mix" -> temperatureMixSql,
     "curate_unigram_surprisal" -> unigramSurprisalSql,
     "curate_dsir_weights" -> dsirWeightsSql,
     "curate_dsir_select" -> dsirSelectSql,

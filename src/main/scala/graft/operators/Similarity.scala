@@ -1182,6 +1182,98 @@ object Similarity {
       |      (a, b) -> a + b) / n END AS mse
       |FROM s""".stripMargin
 
+  /** Neighbors returned per query by [[sq8TopK]]. */
+  val Sq8K = 5
+
+  /** Asymmetric-distance retrieval THROUGH the int8 index — the
+    * serving-side counterpart of [[quantizeInt8]] (which emits the
+    * compression stats; this exercises the "integer dot products
+    * downstream" it promises): neighbors are stored as their symmetric
+    * int8 reconstruction (q_i·scale — the only thing a quantized
+    * serving tier keeps), queries stay full-precision, and top-k runs
+    * on cosine(query, dequantized neighbor) — ADC, the standard SQ/PQ
+    * serving arrangement (Jégou et al., TPAMI'11 §III). At 100 TB the
+    * collection-side memory is 4× smaller and the scan stays a narrow
+    * map; the 10-row query broadcast is the approved bounded cross.
+    * Every reconstruction and score is a sequential index-order double
+    * fold — bit-identical to the oracle's list_reduce, raw doubles
+    * emitted (the cosine-query contract). All-zero vectors (scale 0)
+    * reconstruct to the zero vector and are excluded by the nd > 0
+    * guard on both engines.
+    */
+  def sq8TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val deq =
+      """transform(embedding, x ->
+        |  CASE WHEN qs = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE floor(CAST(x AS DOUBLE) / qs + 0.5) * qs END)""".stripMargin
+    val foldSelf =
+      """aggregate(zip_with(dv, dv, (a, b) -> a * b),
+        |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        graft.functions.QuantI8Stats.quant_i8_stats($"embedding")("scale")
+          .as("qs"),
+        $"embedding")
+      .selectExpr("vec_id", s"$deq AS dv")
+      .selectExpr("vec_id", "dv", s"sqrt($foldSelf) AS nd")
+      .where($"nd" > 0)
+    val q = withNorm(s, dir).where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("nq"))
+    val adc =
+      """aggregate(zip_with(qe, dv, (a, b) -> CAST(a AS DOUBLE) * b),
+        |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+    val w = Window.partitionBy($"q_id").orderBy($"cosine_sq8".desc, $"n_id")
+    broadcast(q).crossJoin(v)
+      .where($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (expr(adc) / ($"nq" * $"nd")).as("cosine_sq8"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= Sq8K)
+  }
+
+  /** DuckDB restatement: scale fold, reconstruction, and ADC score as
+    * the identical index-order folds; same (cosine DESC, n_id) rank.
+    */
+  val sq8TopKSql: String = {
+    val scaleFold =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |      (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127""".stripMargin
+    val dvFold =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(dv, x -> x * x)), (a, b) -> a + b)""".stripMargin
+    val adcFold =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, len(qe) + 1),
+        |        i -> CAST(qe[i] AS DOUBLE) * dv[i])), (a, b) -> a + b)""".stripMargin
+    s"""WITH sc AS (
+       |  SELECT vec_id, embedding, $scaleFold AS qs FROM embeddings),
+       |v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CASE WHEN qs = 0 THEN CAST(0 AS DOUBLE)
+       |           ELSE floor(CAST(x AS DOUBLE) / qs + 0.5) * qs END) AS dv
+       |  FROM sc),
+       |vn AS (
+       |  SELECT vec_id, dv, sqrt($dvFold) AS nd FROM v),
+       |vk AS (SELECT * FROM vn WHERE nd > 0),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS qe,
+       |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nq
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, vk.vec_id AS n_id, $adcFold / (nq * nd) AS cosine_sq8
+       |  FROM q CROSS JOIN vk WHERE vk.vec_id <> q.q_id)
+       |SELECT q_id, n_id, cosine_sq8, rn FROM (
+       |  SELECT q_id, n_id, cosine_sq8,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine_sq8 DESC, n_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $Sq8K""".stripMargin
+  }
+
   /** Per-language embedding centroids: documents ⋈ embeddings on id,
     * element-explode, mean per (lang, dim). The aggregation is
     * decimal-exact: each element is rounded to 6 dp (deterministic per
@@ -1830,6 +1922,7 @@ object Similarity {
     "layout_ivfpq_lists" -> (ivfPqLists _),
     "sim_ivfpq_probe_curve" -> (ivfPqProbeCurve _),
     "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_sq8_topk" -> (sq8TopK _),
     "sim_lang_centroids" -> (langCentroids _),
     "sim_lang_centroids_agg" -> (langCentroidsAgg _))
 
@@ -1851,6 +1944,7 @@ object Similarity {
       "sim_bruteforce_topk" -> bruteForceTopKSql,
       "sim_ann_topk" -> annTopKSql,
       "sim_quantize_int8" -> quantizeInt8Sql,
+      "sim_sq8_topk" -> sq8TopKSql,
       "sim_lang_centroids" -> langCentroidsSql,
       "sim_lang_centroids_agg" -> langCentroidsAggSql,
       "sim_ivf_topk" -> ivfTopKSql(ivfCentroids(s, dir)),

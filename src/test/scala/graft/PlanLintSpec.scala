@@ -103,7 +103,12 @@ class PlanLintSpec extends AnyFunSuite {
     "ev_ar_forecast", "ev_ljung_box",
     // rides on doc_lm_nll's approved 1-row vocab-size broadcast; the
     // bucketing itself is a |langs|-row equi-join
-    "doc_ppl_buckets")
+    "doc_ppl_buckets",
+    // round-7 continuation 4: the ADC retrieval broadcasts the bounded
+    // 10-row query side against the quantized collection (the
+    // sim_bruteforce_topk shape); the temperature mix crosses two
+    // 1-row totals (token mass, tempered mass) onto the |langs| frame
+    "sim_sq8_topk", "curate_temperature_mix")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>
