@@ -25,7 +25,7 @@ object SparkEntry {
       DocCluster.queries ++
       EventOps.queries ++ TimeSeries.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
-      KMeans.queries ++ Jl.queries ++ SemDedup.queries ++
+      KMeans.queries ++ Jl.queries ++ SemDedup.queries ++ NnDescent.queries ++
       Curation.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       Skew.queries ++ DataQuality.queries ++ Sketches.queries ++
@@ -49,7 +49,7 @@ object SparkEntry {
       DocCluster.oracles ++
       EventOps.oracles ++ TimeSeries.oracles ++
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
-      KMeans.oracles ++ Jl.oracles ++ SemDedup.oracles ++
+      KMeans.oracles ++ Jl.oracles ++ SemDedup.oracles ++ NnDescent.oracles ++
       Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       Skew.oracles ++ DataQuality.oracles ++ Sketches.oracles ++

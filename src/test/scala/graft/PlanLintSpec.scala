@@ -42,7 +42,10 @@ class PlanLintSpec extends AnyFunSuite {
     // iterative frontier loop with per-4-step lineage truncation; the
     // walk-multiplicity scaffold is a 3-row broadcast cross hidden
     // behind the initial checkpoint, every step join is an equi-join
-    "graph_random_walks")
+    "graph_random_walks",
+    // seeded iterative refinement (count + per-round checkpoints on
+    // construction); every expansion/scoring join is an equi-join
+    "sim_nndescent")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
