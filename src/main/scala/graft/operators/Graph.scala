@@ -1433,7 +1433,176 @@ object Graph {
     s"$base,\n$steps\n$rows"
   }
 
+  /** node2vec walk budget: walks per start node and steps per walk. */
+  val N2vWalks = 2
+  val N2vLen = 6
+
+  /** Integer-scaled second-order bias multipliers (×4 so every weight
+    * stays BIGINT): return (dst = prev) ×1 ≡ 1/p with p = 4; distance-1
+    * (dst adjacent to prev) ×4 ≡ 1; exploration ×16 ≡ 1/q with
+    * q = 0.25 — the DFS-leaning setting of Grover & Leskovec (KDD'16
+    * §3.2.2; their α_pq with the common p > 1 > q choice).
+    */
+  val N2vReturnM = 1L
+  val N2vNearM = 4L
+  val N2vFarM = 16L
+
+  def node2vec(s: SparkSession, dir: String): DataFrame =
+    node2vecOnEdges(tokenEdges(s, dir))
+
+  /** node2vec: SECOND-order biased random walks — [[randomWalksOnEdges]]
+    * with the Grover–Leskovec α(prev, dst) multiplier on each out-edge
+    * weight (discourage returning, encourage exploring), which is what
+    * turns a DeepWalk corpus into a BFS/DFS-tunable one. Step 1 is
+    * first-order (no prev); steps 2..L re-weight the current node's
+    * out-edges by α and pick via the same salted md5-60 draw, located
+    * in PER-WALK cumulative intervals computed by a window over the
+    * candidate frame (the bias depends on prev, so intervals cannot be
+    * precomputed per src — the window runs per step, partitioned by
+    * the walk key, exactly the shape that shards by walk at 100 TB).
+    * All weights are integer-scaled (×4) so cumulative bounds stay
+    * BIGINT-exact on both engines; adjacency (distance-1 test) is a
+    * left join against the undirected edge set. Deterministic end to
+    * end — replayed by the oracle's unrolled step CTEs and the spec's
+    * independent Scala walker.
+    */
+  def node2vecOnEdges(rawEdges: DataFrame): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = rawEdges.localCheckpoint()
+    val cum = Window.partitionBy($"src").orderBy($"dst")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outW = edges.groupBy($"src").agg(sum($"cnt").as("oc"))
+    val intervals = edges
+      .withColumn("hi", sum($"cnt").over(cum))
+      .withColumn("lo", $"hi" - $"cnt")
+      .join(outW, "src")
+      .select($"src", $"dst", $"lo", $"hi", $"oc")
+      .localCheckpoint()
+    val und = edges.select($"src".as("au"), $"dst".as("av"))
+      .union(edges.select($"dst".as("au"), $"src".as("av")))
+      .distinct()
+      .withColumn("adj", lit(1))
+      .localCheckpoint()
+    var frontier = edges.select($"src").distinct()
+      .crossJoin(broadcast(s.range(0, N2vWalks).select($"id".as("wid"))))
+      .select($"src".as("start"), $"wid", $"src".as("node"))
+      .localCheckpoint()
+    var out = frontier.select($"start", $"wid", lit(0L).as("step"), $"node")
+    // step 1: first-order (identical pick rule to randomWalks, n2v salt)
+    val r1 = conv(substring(md5(concat_ws(":",
+      lit("n2v"), $"start", $"wid", lit(0), $"node")), 1, 15), 16, 10)
+      .cast("long") % $"oc"
+    var f2 = frontier.join(intervals, $"node" === $"src")
+      .where(r1 >= $"lo" && r1 < $"hi")
+      .select($"start", $"wid", $"node".as("prev"), $"dst".as("node"))
+      .localCheckpoint()
+    out = out.union(f2.select($"start", $"wid", lit(1L).as("step"), $"node"))
+    val wlk = Window.partitionBy($"start", $"wid")
+    val wcum = wlk.orderBy($"dst")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (t <- 2 to N2vLen) {
+      val cands = f2.join(edges, $"node" === $"src")
+        .join(und, $"prev" === $"au" && $"dst" === $"av", "left")
+        .withColumn("m",
+          when($"dst" === $"prev", N2vReturnM)
+            .when($"adj".isNotNull, N2vNearM).otherwise(N2vFarM))
+        .withColumn("w", $"cnt" * $"m")
+        .withColumn("hi", sum($"w").over(wcum))
+        .withColumn("lo", $"hi" - $"w")
+        .withColumn("tot", sum($"w").over(wlk))
+      val r = conv(substring(md5(concat_ws(":",
+        lit("n2v"), $"start", $"wid", lit(t - 1), $"node")), 1, 15), 16, 10)
+        .cast("long") % $"tot"
+      var next = cands.where(r >= $"lo" && r < $"hi")
+        .select($"start", $"wid", $"node".as("prev"), $"dst".as("node"))
+      if (t % 3 == 0) next = next.localCheckpoint()
+      f2 = next
+      out = out.union(f2.select($"start", $"wid", lit(t.toLong).as("step"), $"node"))
+    }
+    out
+  }
+
+  /** DuckDB restatement: unrolled step CTEs; per-walk window sums CAST
+    * BIGINT (HUGEINT rule); identical α multipliers and md5-60 draws.
+    */
+  val node2vecSql: String = {
+    val base =
+      s"""WITH toks AS (
+         |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT
+         |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+         |    FROM toks WHERE len(t) >= 2)
+         |  GROUP BY src, dst),
+         |outw AS (
+         |  SELECT src, CAST(sum(cnt) AS BIGINT) AS oc FROM edges GROUP BY src),
+         |iv AS MATERIALIZED (
+         |  SELECT e.src, e.dst,
+         |    CAST(sum(e.cnt) OVER (PARTITION BY e.src ORDER BY e.dst
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - e.cnt
+         |      AS BIGINT) AS lo,
+         |    CAST(sum(e.cnt) OVER (PARTITION BY e.src ORDER BY e.dst
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS hi,
+         |    o.oc
+         |  FROM edges e JOIN outw o ON e.src = o.src),
+         |und AS MATERIALIZED (
+         |  SELECT src AS au, dst AS av FROM edges
+         |  UNION SELECT dst, src FROM edges),
+         |n0 AS MATERIALIZED (
+         |  SELECT src AS start, CAST(wid AS BIGINT) AS wid, src AS node
+         |  FROM (SELECT DISTINCT src FROM edges)
+         |  CROSS JOIN (SELECT unnest(range(0, $N2vWalks)) AS wid)),
+         |n1 AS MATERIALIZED (
+         |  SELECT start, wid, prev, node FROM (
+         |    SELECT f.start, f.wid, f.node AS prev, i.dst AS node, i.lo, i.hi,
+         |      CAST(('0x' || substring(md5('n2v:' || f.start
+         |          || ':' || CAST(f.wid AS VARCHAR)
+         |          || ':0:' || f.node), 1, 15)) AS BIGINT) % i.oc AS r
+         |    FROM n0 f JOIN iv i ON i.src = f.node)
+         |  WHERE r >= lo AND r < hi)""".stripMargin
+    val steps = (2 to N2vLen).map { t =>
+      s"""n$t AS MATERIALIZED (
+         |  SELECT start, wid, cur AS prev, dst AS node FROM (
+         |    SELECT start, wid, cur, dst, lo, hi, rh % tot AS r
+         |    FROM (
+         |      SELECT c.start, c.wid, c.cur, c.dst, c.rh,
+         |        CAST(sum(c.w) OVER (PARTITION BY c.start, c.wid
+         |          ORDER BY c.dst
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c.w
+         |          AS BIGINT) AS lo,
+         |        CAST(sum(c.w) OVER (PARTITION BY c.start, c.wid
+         |          ORDER BY c.dst
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS hi,
+         |        CAST(sum(c.w) OVER (PARTITION BY c.start, c.wid)
+         |          AS BIGINT) AS tot
+         |      FROM (
+         |        SELECT f.start, f.wid, f.node AS cur, e.dst,
+         |          e.cnt * (CASE WHEN e.dst = f.prev THEN $N2vReturnM
+         |            WHEN u.au IS NOT NULL THEN $N2vNearM
+         |            ELSE $N2vFarM END) AS w,
+         |          CAST(('0x' || substring(md5('n2v:' || f.start
+         |              || ':' || CAST(f.wid AS VARCHAR)
+         |              || ':${t - 1}:' || f.node), 1, 15)) AS BIGINT) AS rh
+         |        FROM n${t - 1} f
+         |        JOIN edges e ON e.src = f.node
+         |        LEFT JOIN und u ON u.au = f.prev AND u.av = e.dst) c))
+         |  WHERE r >= lo AND r < hi)""".stripMargin
+    }.mkString(",\n")
+    val rows = (s"SELECT start, wid, CAST(0 AS BIGINT) AS step, node FROM n0" +:
+      (1 to N2vLen).map(t =>
+        s"SELECT start, wid, CAST($t AS BIGINT) AS step, node FROM n$t"))
+      .mkString(" UNION ALL ")
+    s"$base,\n$steps\n$rows"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_node2vec" -> (node2vec _),
     "graph_random_walks" -> (randomWalks _),
     "graph_mst" -> (maxSpanningTree _),
     "graph_single_linkage" -> (singleLinkage _),
@@ -1451,6 +1620,7 @@ object Graph {
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_node2vec" -> node2vecSql,
     "graph_random_walks" -> randomWalksSql,
     "graph_mst" -> maxSpanningTreeSql,
     "graph_single_linkage" -> singleLinkageSql,

@@ -45,7 +45,10 @@ class PlanLintSpec extends AnyFunSuite {
     "graph_random_walks",
     // seeded iterative refinement (count + per-round checkpoints on
     // construction); every expansion/scoring join is an equi-join
-    "sim_nndescent")
+    "sim_nndescent",
+    // graph_random_walks' loop shape with the biased per-step window;
+    // same hidden 2-row walk scaffold, equi-joins throughout
+    "graph_node2vec")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop

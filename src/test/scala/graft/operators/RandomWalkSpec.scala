@@ -48,4 +48,77 @@ class RandomWalkSpec extends AnyFunSuite {
     // every start node launches all its walks
     assert(got.count(_._3 == 0L) == bySrc.size * Graph.WalksPerNode)
   }
+
+  test("node2vec walks replay exactly under the second-order bias") {
+    import spark.implicits._
+    val edges = Graph.tokenEdges(spark, sf)
+      .as[(String, String, Long)].collect()
+    val outEdges = edges.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map { case (_, d, c) => (d, c) }.toSeq).toMap
+    val und = edges.flatMap { case (u, v, _) => Seq((u, v), (v, u)) }.toSet
+    def mult(prev: String, dst: String): Long =
+      if (dst == prev) Graph.N2vReturnM
+      else if (und((prev, dst))) Graph.N2vNearM
+      else Graph.N2vFarM
+    val want = scala.collection.mutable.Set.empty[(String, Long, Long, String)]
+    for (start <- outEdges.keys; wid <- 0L until Graph.N2vWalks.toLong) {
+      var prev = start
+      var node = start
+      want += ((start, wid, 0L, node))
+      var t = 1
+      var alive = true
+      while (t <= Graph.N2vLen && alive) {
+        outEdges.get(node) match {
+          case Some(outs) =>
+            // step 1 first-order; later steps α-biased
+            val ws = outs.map { case (d, c) =>
+              d -> (if (t == 1) c else c * mult(prev, d))
+            }
+            val tot = ws.map(_._2).sum
+            val r = Hashing.md5_60(s"n2v:$start:$wid:${t - 1}:$node") % tot
+            var acc = 0L
+            var pick: String = null
+            ws.foreach { case (d, w) =>
+              if (pick == null) { if (r < acc + w) pick = d else acc += w }
+            }
+            prev = node
+            node = pick
+            want += ((start, wid, t.toLong, node))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    val got = Graph.node2vec(spark, sf).as[(String, Long, Long, String)]
+      .collect().toSet
+    assert(got == want.toSet)
+    assert(got.count(_._3 == 0L) == outEdges.size * Graph.N2vWalks)
+    // the bias must actually change behavior vs the first-order rule
+    // somewhere: identical salts would still differ via the α weights —
+    // assert at least one walk leaves the first-order trajectory
+    val first = scala.collection.mutable.Set.empty[(String, Long, Long, String)]
+    for (start <- outEdges.keys; wid <- 0L until Graph.N2vWalks.toLong) {
+      var node = start
+      first += ((start, wid, 0L, node))
+      var t = 1
+      var alive = true
+      while (t <= Graph.N2vLen && alive) {
+        outEdges.get(node) match {
+          case Some(outs) =>
+            val tot = outs.map(_._2).sum
+            val r = Hashing.md5_60(s"n2v:$start:$wid:${t - 1}:$node") % tot
+            var acc = 0L
+            var pick: String = null
+            outs.foreach { case (d, c) =>
+              if (pick == null) { if (r < acc + c) pick = d else acc += c }
+            }
+            node = pick
+            first += ((start, wid, t.toLong, node))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    assert(got != first.toSet, "second-order bias must alter trajectories")
+  }
 }
