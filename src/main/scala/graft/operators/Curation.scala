@@ -222,6 +222,95 @@ object Curation {
         ($"mass".cast("double") / $"total_mass".cast("double")).as("weight"))
   }
 
+  /** Coreset size selected by [[kcenterCoreset]]. */
+  val KCenterK = 8
+
+  /** Greedy k-center coreset over the embedding collection (Gonzalez
+    * 1985, the 2-approximation): seed with the smallest vec_id, then
+    * repeatedly take the point FARTHEST from everything selected so
+    * far — the classic geometric diversity selection data-pruning
+    * pipelines use to cover the embedding space with a fixed budget
+    * (each pick's distance-to-selected IS the covering radius of the
+    * preceding selection, so the emitted trace is the objective
+    * curve). Ties break on vec_id; distances are exact index-order
+    * squared-euclidean folds, so the argmax — and therefore the whole
+    * selection — is engine-exact (raw doubles emitted).
+    *
+    * Scale shape: the min-distance state is ONE column maintained by
+    * k−1 narrow re-projections (each new center's embedding is a
+    * collected 65-double literal — the centroid-embedding pattern, one
+    * 1-row collect per round, never a data gather), and each pick is a
+    * global top-1 (TakeOrdered, not a sort). O(n·k·d) total work, flat
+    * plans, no joins at all after the scan.
+    */
+  def kcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sqDistExpr(c: Seq[Double]): String = {
+      // D suffix: plain decimal literals parse as DECIMAL in Spark SQL
+      val lit = c.map(x => s"${x}D").mkString("array(", ", ", ")")
+      s"""aggregate(zip_with(embedding, $lit,
+         |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+         |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+    }
+    val v = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val seed = v.orderBy($"vec_id").limit(1)
+      .as[(Long, Array[Float])].head()
+    var picks = Seq((1, seed._1, 0.0))
+    var mind = v.selectExpr("vec_id", "embedding",
+      s"${sqDistExpr(seed._2.map(_.toDouble).toSeq)} AS mind")
+    for (r <- 2 to KCenterK) {
+      val (pid, pemb, pd) = mind
+        .orderBy($"mind".desc, $"vec_id")
+        .limit(1).as[(Long, Array[Float], Double)].head()
+      picks :+= ((r, pid, pd))
+      mind = mind.selectExpr("vec_id", "embedding",
+        s"least(mind, ${sqDistExpr(pemb.map(_.toDouble).toSeq)}) AS mind")
+    }
+    picks.toDF("k_round", "vec_id", "radius_sq")
+      .select($"k_round".cast("int").as("k_round"), $"vec_id", $"radius_sq")
+  }
+
+  /** DuckDB restatement: the k−1 rounds unrolled as MATERIALIZED
+    * min-distance ladders; each center's embedding re-derived from the
+    * table by the picked id (scalar subquery) rather than embedded —
+    * CAST(float AS DOUBLE) is exact, so both forms are the same
+    * doubles.
+    */
+  val kcenterCoresetSql: String = {
+    def sqd(c: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, len(embedding) + 1),
+         |    i -> (CAST(embedding[i] AS DOUBLE) - $c[i])
+         |       * (CAST(embedding[i] AS DOUBLE) - $c[i]))),
+         |  (a, b) -> a + b)""".stripMargin
+    val rounds = (2 to KCenterK).map { r =>
+      val prev = s"m${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT vec_id, mind FROM $prev
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |ce$r AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM embeddings WHERE vec_id = (SELECT vec_id FROM p$r)),
+         |m$r AS MATERIALIZED (
+         |  SELECT m.vec_id, m.embedding, least(m.mind, ${sqd("c.ce")}) AS mind
+         |  FROM $prev m CROSS JOIN ce$r c)""".stripMargin
+    }.mkString(",\n")
+    val seedRow = "SELECT 1 AS k_round, (SELECT vec_id FROM c1) AS vec_id," +
+      " CAST(0 AS DOUBLE) AS radius_sq"
+    val outRows = (seedRow +: (2 to KCenterK).map(r =>
+      s"SELECT $r, vec_id, mind FROM p$r")).mkString(" UNION ALL ")
+    s"""WITH c1 AS (SELECT min(vec_id) AS vec_id FROM embeddings),
+       |ce1 AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id = (SELECT vec_id FROM c1)),
+       |m1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, ${sqd("c.ce")} AS mind
+       |  FROM embeddings e CROSS JOIN ce1 c),
+       |$rounds
+       |SELECT CAST(k_round AS INT) AS k_round, vec_id, radius_sq
+       |FROM ($outRows)""".stripMargin
+  }
+
   /** Sampling temperature for [[temperatureMix]] — the mT5 default
     * range (Xue et al., NAACL'21 use α = 0.3; XLM-R uses 0.3 too).
     */
@@ -250,6 +339,17 @@ object Curation {
         "size(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS n_toks")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+    temperatureMixFromCounts(byLang)
+  }
+
+  /** Temperature finalize from a per-language census `(lang, n_docs,
+    * n_tokens)` — shared VERBATIM by the batch query and
+    * `stream_temperature_mix` (whose drained update-mode counters ARE
+    * such a census).
+    */
+  private[graft] def temperatureMixFromCounts(byLang: DataFrame): DataFrame = {
+    val s = byLang.sparkSession
+    import s.implicits._
     val tot = byLang.agg(sum($"n_tokens").as("tot"))
     val scored = byLang.crossJoin(broadcast(tot))
       .withColumn("p", $"n_tokens".cast("double") / $"tot".cast("double"))
@@ -1229,6 +1329,7 @@ object Curation {
     "curate_domain_quota" -> (domainQuota _),
     "curate_mix_weights" -> (mixWeights _),
     "curate_temperature_mix" -> (temperatureMix _),
+    "curate_kcenter_coreset" -> (kcenterCoreset _),
     "curate_unigram_surprisal" -> (unigramSurprisal _),
     "curate_dsir_weights" -> (dsirWeights _),
     "curate_dsir_select" -> (dsirSelect _),
@@ -1253,6 +1354,7 @@ object Curation {
     "curate_domain_quota" -> domainQuotaSql,
     "curate_mix_weights" -> mixWeightsSql,
     "curate_temperature_mix" -> temperatureMixSql,
+    "curate_kcenter_coreset" -> kcenterCoresetSql,
     "curate_unigram_surprisal" -> unigramSurprisalSql,
     "curate_dsir_weights" -> dsirWeightsSql,
     "curate_dsir_select" -> dsirSelectSql,

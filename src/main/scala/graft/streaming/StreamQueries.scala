@@ -1237,7 +1237,33 @@ object StreamQueries {
       D.driftFromBinCounts(runDeltaLog(counts, "update", Seq("bin")))
     }
 
+  /** Streaming temperature mix — the multilingual sampling weights
+    * maintained as INCREMENTAL state over a growing corpus: update-mode
+    * per-language doc/token counters (one grouped state; token counts
+    * are the same whitespace-token rule as the batch census), drained
+    * latest-per-language and closed through the SHARED
+    * [[graft.operators.Curation.temperatureMixFromCounts]] finalize
+    * (p^τ tempering, renormalize, boost). The read-time close must
+    * equal the batch `curate_temperature_mix` pass; oracle IS that
+    * query's SQL.
+    */
+  def streamTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 2)
+      val schema = s.read.parquet(src).schema
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("lang",
+          "size(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS n_toks")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+      graft.operators.Curation.temperatureMixFromCounts(
+        runDeltaLog(counts, "update", Seq("lang")))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_temperature_mix" -> (streamTemperatureMix _),
     "stream_value_drift" -> (streamValueDrift _),
     "stream_ar_forecast" -> (streamArForecast _),
     "stream_hist_quantiles" -> (streamHistQuantiles _),
@@ -1282,6 +1308,7 @@ object StreamQueries {
     // final streaming state must equal the batch answers
     "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
     "stream_value_drift" -> graft.operators.DataQuality.dqValueDriftSql,
+    "stream_temperature_mix" -> graft.operators.Curation.temperatureMixSql,
     "stream_pacf" -> graft.operators.TimeSeries.pacfSql,
     "stream_ar_forecast" -> graft.operators.TimeSeries.arForecastSql,
     "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,

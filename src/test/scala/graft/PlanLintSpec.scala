@@ -48,7 +48,10 @@ class PlanLintSpec extends AnyFunSuite {
     "sim_nndescent",
     // graph_random_walks' loop shape with the biased per-step window;
     // same hidden 2-row walk scaffold, equi-joins throughout
-    "graph_node2vec")
+    "graph_node2vec",
+    // greedy selection loop: one 1-row top-1 collect per round, the
+    // min-distance state is narrow re-projections (no joins at all)
+    "curate_kcenter_coreset")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
