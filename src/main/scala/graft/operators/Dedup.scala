@@ -1557,7 +1557,126 @@ object Dedup {
        |WHERE floor(CAST(s.shared AS DOUBLE) / least(ca.nfp, cb.nfp) * 1e6
        |  + 0.5) / 1e6 >= $WinnowOverlap""".stripMargin
 
+  // ------------------------------------------- content-defined chunking
+
+  /** Rolling-window width for the CDC boundary test. */
+  val CdcWindow = 8
+
+  /** Boundary divisor — a position ends a chunk when the window hash
+    * ≡ 0 (mod 64), so expected chunk length ≈ 64 chars.
+    */
+  val CdcMask = 64L
+
+  private val CdcP = 1000000007L
+
+  /** 31^j mod p for j = 0..w−1 — shared by the Spark kernel and
+    * embedded as literals in the generated oracle.
+    */
+  private val cdcPow: Array[Long] = {
+    var p = 1L
+    Array.fill(CdcWindow) { val r = p; p = p * 31 % CdcP; r }
+  }
+
+  /** Content-defined chunking dedup (the Rabin/FastCDC family — LBFS,
+    * Muthitacharoen et al. SOSP'01): chunk boundaries are placed where
+    * a ROLLING window hash ≡ 0 mod [[CdcMask]], so an insertion early
+    * in a document shifts only the chunks it touches — the property
+    * that makes CDC the storage/transfer dedup standard (fixed-width
+    * chunking re-fingerprints everything downstream of an edit). Each
+    * chunk is fingerprinted with the [[TextOps.docFingerprint]]
+    * recurrence; corpus-level copy counts then classify every chunk,
+    * and the query emits the per-document census a storage-dedup stage
+    * acts on: chunk count, duplicated-chunk count, duplicated chars.
+    *
+    * Cross-engine exactness: the window hash is Σ c_{i−j}·31^j mod p
+    * re-evaluated per position (w = 8 multiplies — the identical
+    * closed form the oracle computes; no incremental-update drift),
+    * all in BIGINT. Scale shape: the chunker is a NARROW per-doc
+    * kernel (payload never shuffles); only (fp, len) chunk metadata
+    * shuffles — one fp-keyed count + one doc-keyed rollup.
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pw = cdcPow
+    val win = CdcWindow
+    val mask = CdcMask
+    val p = CdcP
+    val chunker = udf { (text: String) =>
+      val cs = text.codePoints().toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      var start = 0
+      var i = 0
+      while (i < cs.length) {
+        val boundary = i >= win - 1 && {
+          var h = 0L
+          var j = 0
+          while (j < win) { h = (h + cs(i - j).toLong * pw(j)) % p; j += 1 }
+          h % mask == 0
+        }
+        if (boundary || i == cs.length - 1) {
+          var h = 0L
+          var k = start
+          while (k <= i) { h = (h * 31 + cs(k)) % p; k += 1 }
+          out += ((h, i - start + 1))
+          start = i + 1
+        }
+        i += 1
+      }
+      out
+    }
+    val chunks = Tables.documents(s, dir)
+      .where(length($"text") > 0)
+      .select($"doc_id", explode(chunker($"text")).as("c"))
+      .select($"doc_id", $"c._1".as("fp"), $"c._2".as("len"))
+      .localCheckpoint()
+    val copies = chunks.groupBy($"fp").agg(count(lit(1)).as("n_copies"))
+    chunks.join(copies, "fp")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"n_copies" > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when($"n_copies" > 1, $"len".cast("long")).otherwise(0L))
+          .as("dup_chars"))
+  }
+
+  /** DuckDB restatement: boundary positions by the identical window
+    * sum (powers embedded as literals), chunk spans from the boundary
+    * list, the same per-chunk fold, same census.
+    */
+  val cdcChunksSql: String = {
+    val winSum = (0 until CdcWindow)
+      .map(j => s"CAST(ascii(substring(text, i - $j, 1)) AS BIGINT) * ${cdcPow(j)}")
+      .mkString(" + ")
+    s"""WITH bs AS (
+       |  SELECT doc_id, text,
+       |    list_sort(list_distinct(list_append(
+       |      list_filter(range($CdcWindow, strlen(text) + 1),
+       |        i -> ($winSum) % $CdcP % $CdcMask = 0),
+       |      CAST(strlen(text) AS BIGINT)))) AS ends
+       |  FROM documents WHERE strlen(text) > 0),
+       |chunks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(st, en + 1),
+       |        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % $CdcP) AS fp,
+       |    en - st + 1 AS len
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END AS st,
+       |      ends[k] AS en
+       |    FROM bs, LATERAL (SELECT unnest(range(1, len(ends) + 1)) AS k) ks)),
+       |copies AS (SELECT fp, count(*) AS n_copies FROM chunks GROUP BY fp)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN p.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN p.n_copies > 1 THEN c.len ELSE 0 END) AS BIGINT)
+       |    AS dup_chars
+       |FROM chunks c JOIN copies p ON p.fp = c.fp
+       |GROUP BY c.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (cdcChunks _),
     "dedup_winnow" -> (winnowPairs _),
     "doc_boilerplate_ratio" -> (boilerplateRatio _),
     "curate_soft_dedup" -> (softDedupWeights _),
@@ -1590,6 +1709,7 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_cdc_chunks" -> cdcChunksSql,
       "dedup_winnow" -> winnowPairsSql,
       "doc_boilerplate_ratio" -> boilerplateRatioSql,
       "curate_soft_dedup" -> softDedupWeightsSql,

@@ -1782,7 +1782,50 @@ object Multimodal {
        |    END) AS BIGINT) AS sum_px
        |FROM avi""".stripMargin
 
+  /** Temporal sample slots per asset for [[frameSample]]. */
+  val FrameSlots = 3
+
+  /** Uniform temporal frame sampling — the video-to-vision-training
+    * stage the frame index ([[aviFrames]]) exists for: per asset, pick
+    * [[FrameSlots]] frames at indices floor(slot·nf/slots) (slot =
+    * 0..slots−1 — the uniform grid every frame-sampling recipe uses;
+    * short clips collapse duplicate picks, keeping the earliest slot).
+    * Pure composition over the frame-index TABLE: the per-asset frame
+    * count and the picks are metadata-sized; the join back to the
+    * index is an equi-join on (asset, frame) — no payload ever
+    * re-decoded, no frame bytes shuffled. At 100 TB this is the
+    * "sample 3 frames from every video" metadata query.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fr = aviFrames(s, dir).localCheckpoint()
+    val nf = fr.groupBy($"asset_id").agg(count(lit(1)).as("nf"))
+    val picks = nf
+      .withColumn("slot", explode(expr(s"sequence(0, ${FrameSlots - 1})")))
+      .withColumn("frame_idx", floor($"slot" * $"nf" / FrameSlots).cast("int"))
+      .groupBy($"asset_id", $"frame_idx").agg(min($"slot").as("slot"))
+    picks.join(fr, Seq("asset_id", "frame_idx"))
+      .select($"asset_id", $"slot", $"frame_idx", $"frame_off", $"px_sum")
+  }
+
+  /** Oracle: the full [[aviFramesSql]] statement as a nested-WITH CTE,
+    * then the identical slot grid and earliest-slot dedupe.
+    */
+  val frameSampleSql: String =
+    s"""WITH frames AS ($aviFramesSql),
+       |nf AS (SELECT asset_id, count(*) AS nf FROM frames GROUP BY asset_id),
+       |picks AS (
+       |  SELECT asset_id, frame_idx, CAST(min(slot) AS INT) AS slot FROM (
+       |    SELECT asset_id,
+       |      CAST(floor(slot * nf / $FrameSlots) AS INT) AS frame_idx, slot
+       |    FROM nf CROSS JOIN (SELECT unnest(range(0, $FrameSlots)) AS slot))
+       |  GROUP BY asset_id, frame_idx)
+       |SELECT f.asset_id, p.slot, f.frame_idx, f.frame_off, f.px_sum
+       |FROM picks p
+       |JOIN frames f ON f.asset_id = p.asset_id AND f.frame_idx = p.frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_sample" -> (frameSample _),
     "mm_image_entropy" -> (imageEntropy _),
     "mm_audio_vad" -> (audioVad _),
     "mm_scene_cuts" -> (sceneCuts _),
@@ -1811,6 +1854,7 @@ object Multimodal {
     "mm_gif_stats" -> gifStatsSql,
     "mm_avi_stats" -> aviStatsSql,
     "mm_avi_frames" -> aviFramesSql,
+    "mm_frame_sample" -> frameSampleSql,
     "mm_audio_stats" -> audioStatsSql,
     "mm_caption_pairs" -> captionPairsSql)
 }

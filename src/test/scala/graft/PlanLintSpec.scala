@@ -51,7 +51,11 @@ class PlanLintSpec extends AnyFunSuite {
     "graph_node2vec",
     // greedy selection loop: one 1-row top-1 collect per round, the
     // min-distance state is narrow re-projections (no joins at all)
-    "curate_kcenter_coreset")
+    "curate_kcenter_coreset",
+    // chunk-metadata / frame-index frames are checkpointed on
+    // construction; downstream is fp-keyed / (asset, frame)-keyed
+    // equi-joins only
+    "dedup_cdc_chunks", "mm_frame_sample")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
