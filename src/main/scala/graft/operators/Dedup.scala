@@ -1595,7 +1595,16 @@ object Dedup {
     * kernel (payload never shuffles); only (fp, len) chunk metadata
     * shuffles — one fp-keyed count + one doc-keyed rollup.
     */
-  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcCensus(cdcChunkRows(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))))
+
+  /** The narrow chunking kernel: a `(doc_id, text)` frame → one row per
+    * chunk `(doc_id, fp, len)` — shared by the batch query and
+    * `stream_cdc_chunks` (which runs it per micro-batch at ingest).
+    */
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val pw = cdcPow
     val win = CdcWindow
@@ -1624,11 +1633,19 @@ object Dedup {
       }
       out
     }
-    val chunks = Tables.documents(s, dir)
+    docs
       .where(length($"text") > 0)
       .select($"doc_id", explode(chunker($"text")).as("c"))
       .select($"doc_id", $"c._1".as("fp"), $"c._2".as("len"))
-      .localCheckpoint()
+  }
+
+  /** Census finalize over a chunk-metadata frame `(doc_id, fp, len)` —
+    * shared verbatim by the batch query and the streaming ingest form.
+    */
+  private[graft] def cdcCensus(chunkRows: DataFrame): DataFrame = {
+    val s = chunkRows.sparkSession
+    import s.implicits._
+    val chunks = chunkRows.localCheckpoint()
     val copies = chunks.groupBy($"fp").agg(count(lit(1)).as("n_copies"))
     chunks.join(copies, "fp")
       .groupBy($"doc_id")

@@ -1761,6 +1761,136 @@ object TimeSeries {
        |SELECT term, value FROM ($rows) u WHERE value IS NOT NULL""".stripMargin
   }
 
+  /** Points emitted by [[lttbDownsample]] (first + last + one per
+    * interior bucket).
+    */
+  val LttbPoints = 12
+
+  def lttbDownsample(s: SparkSession, dir: String): DataFrame =
+    lttbFromCounts(hourlyEventCounts(s, dir))
+
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    * the dense hourly series to [[LttbPoints]] points — the standard
+    * telemetry/visualization reduction that keeps the visually salient
+    * extrema a uniform stride would miss: first and last points pinned,
+    * interior split into m−2 even buckets, and each bucket contributes
+    * the point maximizing the triangle area with the PREVIOUS pick and
+    * the NEXT bucket's centroid (sequential by construction — each
+    * pick conditions the next).
+    *
+    * Shape: the hourly aggregation is the distributed scan; the series
+    * itself is metadata-sized (hours), so the sequential selection runs
+    * as ONE single-partition mapPartitions kernel on the coalesced
+    * sorted series — the [[Graph]] union-find precedent (one task on a
+    * metadata frame beats a 10-stage distributed recursion). All areas
+    * are exact double expressions mirrored verbatim by the oracle's
+    * unrolled bucket CTEs; ties break on the earlier point. Assumes
+    * the series is longer than m (every fixture's span is hundreds of
+    * hours).
+    */
+  private[graft] def lttbFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val m = LttbPoints
+    val nb = m - 2
+    denseHours(counts).select($"t", $"c").as[(Long, Long)]
+      .orderBy($"t")
+      .coalesce(1)
+      .mapPartitions { it =>
+        val pts = it.toArray
+        val n = pts.length
+        if (n <= m) {
+          pts.iterator.zipWithIndex.map { case ((t, c), i) => (i + 1, t, c) }
+        } else {
+          def edge(k: Int): Int =
+            1 + math.floor(k.toLong * (n - 2) / nb.toDouble).toInt
+          val out = scala.collection.mutable.ArrayBuffer(
+            (1, pts(0)._1, pts(0)._2))
+          var prev = 0
+          for (k <- 1 to nb) {
+            val (xa, ya) =
+              if (k == nb) (pts(n - 1)._1.toDouble, pts(n - 1)._2.toDouble)
+              else {
+                val seg = (edge(k) until edge(k + 1)).map(pts)
+                (seg.map(_._1).sum.toDouble / seg.size,
+                  seg.map(_._2).sum.toDouble / seg.size)
+              }
+            val (pt, pc) = pts(prev)
+            var best = -1
+            var bestArea = -1.0
+            for (i <- edge(k - 1) until edge(k)) {
+              val (bt, bc) = pts(i)
+              val area = math.abs(
+                (pt.toDouble - xa) * (bc.toDouble - pc.toDouble)
+                  - (pt.toDouble - bt.toDouble) * (ya - pc.toDouble))
+              if (area > bestArea) { bestArea = area; best = i }
+            }
+            prev = best
+            out += ((k + 1, pts(best)._1, pts(best)._2))
+          }
+          out += ((m, pts(n - 1)._1, pts(n - 1)._2))
+          out.iterator
+        }
+      }.toDF("rnk", "t", "c")
+  }
+
+  /** DuckDB restatement: the m−2 buckets unrolled as MATERIALIZED
+    * pick CTEs, each conditioning on the previous pick's 1-row frame;
+    * identical bucket-edge floors, centroid divisions, and area
+    * expressions.
+    */
+  val lttbSql: String = {
+    val nb = LttbPoints - 2
+    def edgeSql(k: Int) = s"1 + floor($k * (n - 2) / $nb.0)"
+    val picks = (1 to nb).map { k =>
+      val avg =
+        if (k == nb)
+          s"""a$k AS (
+             |  SELECT CAST(t AS DOUBLE) AS xa, CAST(c AS DOUBLE) AS ya
+             |  FROM idx, nn WHERE i = n - 1)""".stripMargin
+        else
+          s"""a$k AS (
+             |  SELECT CAST(sum(t) AS DOUBLE) / count(*) AS xa,
+             |    CAST(sum(c) AS DOUBLE) / count(*) AS ya
+             |  FROM idx, nn
+             |  WHERE i >= ${edgeSql(k)} AND i < ${edgeSql(k + 1)})""".stripMargin
+      val prev = if (k == 1) "p0" else s"p${k - 1}"
+      s"""$avg,
+         |p$k AS MATERIALIZED (
+         |  SELECT t, c FROM (
+         |    SELECT b.t, b.c,
+         |      abs((CAST(p.t AS DOUBLE) - a.xa)
+         |            * (CAST(b.c AS DOUBLE) - CAST(p.c AS DOUBLE))
+         |        - (CAST(p.t AS DOUBLE) - CAST(b.t AS DOUBLE))
+         |            * (a.ya - CAST(p.c AS DOUBLE))) AS area
+         |    FROM idx b, $prev p, a$k a, nn
+         |    WHERE b.i >= ${edgeSql(k - 1)} AND b.i < ${edgeSql(k)})
+         |  ORDER BY area DESC, t LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (s"SELECT 1 AS rnk, t, c FROM p0" +:
+      (1 to nb).map(k => s"SELECT ${k + 1}, t, c FROM p$k") :+
+      s"SELECT $LttbPoints, t, c FROM idx, nn WHERE i = n - 1")
+      .mkString(" UNION ALL ")
+    s"""WITH counts AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS t, count(*) AS c
+       |  FROM events GROUP BY 1),
+       |span AS (SELECT min(t) AS t0, max(t) AS t1 FROM counts),
+       |dense AS (
+       |  SELECT u.t AS t, coalesce(c.c, 0) AS c
+       |  FROM (SELECT unnest(range(t0, t1 + 1)) AS t FROM span) u
+       |  LEFT JOIN counts c ON c.t = u.t),
+       |idx AS MATERIALIZED (
+       |  SELECT t, CAST(c AS BIGINT) AS c,
+       |    CAST(row_number() OVER (ORDER BY t) - 1 AS BIGINT) AS i
+       |  FROM dense),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+       |p0 AS (SELECT t, c FROM idx WHERE i = 0),
+       |$picks
+       |SELECT CAST(rnk AS INT) AS rnk, CAST(t AS BIGINT) AS t,
+       |  CAST(c AS BIGINT) AS c
+       |FROM ($rows)""".stripMargin
+  }
+
   val pacfSql: String = {
     val ctes = durbinLevinsonDefs.zipWithIndex.map { case ((n, e), i) =>
       val prev = if (i == 0) "pacf_base" else s"dl$i"
@@ -1923,6 +2053,7 @@ object TimeSeries {
     "ev_pacf" -> (pacf _),
     "ev_yule_walker" -> (yuleWalker _),
     "ev_ar_forecast" -> (arForecast _),
+    "ev_lttb_downsample" -> (lttbDownsample _),
     "ev_ljung_box" -> (ljungBox _),
     "ev_holt_backtest" -> (holtBacktest _),
     "ev_holt_forecast" -> (holtForecast _),
@@ -1950,6 +2081,7 @@ object TimeSeries {
     "ev_pacf" -> pacfSql,
     "ev_yule_walker" -> yuleWalkerSql,
     "ev_ar_forecast" -> arForecastSql,
+    "ev_lttb_downsample" -> lttbSql,
     "ev_ljung_box" -> ljungBoxSql,
     "ev_holt_backtest" -> holtBacktestSql,
     "ev_holt_forecast" -> holtForecastSql,

@@ -1262,7 +1262,29 @@ object StreamQueries {
         runDeltaLog(counts, "update", Seq("lang")))
     }
 
+  /** Streaming CDC ingest — chunk-at-ingest, census-at-read: the
+    * narrow chunking kernel (`Dedup.cdcChunkRows`) runs inside each
+    * micro-batch (the expensive per-byte work happens ONCE per
+    * document as it arrives), chunk metadata lands in an append-mode
+    * delta log (stateless — chunking is per-row), and the read-time
+    * close runs the SHARED `cdcCensus` finalize over the accumulated
+    * log. Must equal the batch `dedup_cdc_chunks` pass; oracle IS that
+    * query's SQL.
+    */
+  def streamCdcChunks(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 2)
+      val schema = s.read.parquet(src).schema
+      val chunks = graft.operators.Dedup.cdcChunkRows(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .select(col("doc_id"), col("text")))
+      graft.operators.Dedup.cdcCensus(
+        runDeltaLog(chunks, "append", Seq.empty))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_chunks" -> (streamCdcChunks _),
     "stream_temperature_mix" -> (streamTemperatureMix _),
     "stream_value_drift" -> (streamValueDrift _),
     "stream_ar_forecast" -> (streamArForecast _),
@@ -1309,6 +1331,7 @@ object StreamQueries {
     "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
     "stream_value_drift" -> graft.operators.DataQuality.dqValueDriftSql,
     "stream_temperature_mix" -> graft.operators.Curation.temperatureMixSql,
+    "stream_cdc_chunks" -> graft.operators.Dedup.cdcChunksSql,
     "stream_pacf" -> graft.operators.TimeSeries.pacfSql,
     "stream_ar_forecast" -> graft.operators.TimeSeries.arForecastSql,
     "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,
