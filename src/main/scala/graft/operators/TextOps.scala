@@ -713,6 +713,78 @@ object TextOps {
     s"""WITH $lmNllCtes
        |SELECT doc_id, n_bigrams, avg_nll FROM nll""".stripMargin
 
+  /** Interpolated Kneser–Ney probability — ONE expression text over
+    * columns (cnt_uv, n1_fwd, n1_back, tt, cnt_u), evaluated verbatim
+    * by both engines so every IEEE op and its order match:
+    * max(c(uv)−d, 0)/c(u) + d·N₁₊(u·)/c(u) · N₁₊(·v)/T with d = 3/4
+    * (exact in binary). Train = eval corpus ⇒ every scored bigram has
+    * c(uv) ≥ 1, so no zero-probability path exists.
+    */
+  private val knProbExpr: String =
+    """(greatest(CAST(cnt_uv AS DOUBLE) - 0.75, CAST(0 AS DOUBLE))
+      |  + 0.75 * n1_fwd * (CAST(n1_back AS DOUBLE) / tt))
+      |  / CAST(cnt_u AS DOUBLE)""".stripMargin
+
+  /** Kneser–Ney smoothed bigram LM NLL — the production n-gram
+    * smoothing (Kneser & Ney '95; Chen & Goodman '99 found interpolated
+    * KN the consistent winner) beside [[docLmNll]]'s add-one baseline:
+    * absolute discount d = 0.75 off every bigram count, the freed mass
+    * re-allocated via the CONTINUATION distribution N₁₊(·v)/T ("how
+    * many contexts does v complete" — the reason 'Francisco' scores
+    * low despite high frequency). Same scan shape as the baseline: one
+    * explode, three bigram-keyed aggregates, a 1-row type-count
+    * broadcast, and the identical 6-dp decimal NLL finalize.
+    */
+  def docLmKnNll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"$tokensExpr AS toks")
+      .where("size(toks) >= 2")
+    val bi = toks.selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i-1] AS u, toks[i] AS v))) AS e""".stripMargin)
+      .select($"doc_id", $"e.u".as("u"), $"e.v".as("v"))
+    val biCnt = bi.groupBy($"u", $"v").agg(count(lit(1)).as("cnt_uv"))
+    val uniCnt = bi.groupBy($"u")
+      .agg(count(lit(1)).as("cnt_u"), countDistinct($"v").as("n1_fwd"))
+    val back = biCnt.groupBy($"v").agg(count(lit(1)).as("n1_back"))
+    val types = biCnt.agg(count(lit(1)).as("tt"))
+    val probs = biCnt.join(uniCnt, "u").join(back, "v")
+      .crossJoin(broadcast(types))
+      .select($"u", $"v", expr(knProbExpr).as("p"))
+    // floor-idiom re-rounds (NOT native round): at the 10x replica one
+    // bigram's -ln(p) landed on a .5 ulp boundary where the engines'
+    // round(double, 6) implementations disagree - the KMeans.update
+    // lesson, reproduced empirically here
+    bi.join(probs, Seq("u", "v"))
+      .select($"doc_id",
+        expr("CAST(floor(-ln(p) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9))")
+          .as("nll"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"nll").cast("double").as("nsum"), count(lit(1)).as("nc"))
+      .selectExpr("doc_id", "n_bigrams",
+        "floor(nsum / nc * 1e6 + 0.5) / 1e6 AS avg_nll")
+  }
+
+  val docLmKnNllSql: String =
+    s"""WITH $lmNllCtes,
+       |knuni AS (
+       |  SELECT u, count(*) AS cnt_u, count(DISTINCT v) AS n1_fwd
+       |  FROM bi GROUP BY 1),
+       |knback AS (SELECT v, count(*) AS n1_back FROM bic GROUP BY 1),
+       |kntypes AS (SELECT count(*) AS tt FROM bic),
+       |knprobs AS (
+       |  SELECT u, v, $knProbExpr AS p
+       |  FROM bic JOIN knuni USING (u) JOIN knback USING (v)
+       |  CROSS JOIN kntypes)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  floor(CAST(sum(CAST(floor(-ln(p) * 1e6 + 0.5) / 1e6
+       |      AS DECIMAL(18,9))) AS DOUBLE)
+       |    / count(*) * 1e6 + 0.5) / 1e6 AS avg_nll
+       |FROM bi JOIN knprobs USING (u, v)
+       |GROUP BY doc_id""".stripMargin
+
   /** CCNet-style perplexity bucketing — the curation step the LM score
     * exists for: per LANGUAGE, split documents into head/middle/tail
     * by the 33rd/67th percentiles of their [[docLmNll]] score (CCNet
@@ -1854,6 +1926,7 @@ object TextOps {
     "doc_tfidf_cosine_topk" -> (tfidfCosineTopk _),
     "doc_allpairs_cosine" -> (allPairsNgramCosine _),
     "doc_lm_nll" -> (docLmNll _),
+    "doc_lm_kn_nll" -> (docLmKnNll _),
     "doc_ppl_buckets" -> (docPplBuckets _),
     "doc_anonymize" -> (docAnonymize _),
     "doc_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -1889,6 +1962,7 @@ object TextOps {
     "doc_allpairs_cosine" ->
       allPairsCosineSql(allPairsGramOrder(Similarity.activeSession, dir)),
     "doc_lm_nll" -> docLmNllSql,
+    "doc_lm_kn_nll" -> docLmKnNllSql,
     "doc_ppl_buckets" -> docPplBucketsSql,
     "doc_anonymize" -> docAnonymizeSql,
     "doc_tfidf_top_terms" -> tfidfSql,

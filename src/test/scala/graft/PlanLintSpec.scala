@@ -121,7 +121,9 @@ class PlanLintSpec extends AnyFunSuite {
     // 10-row query side against the quantized collection (the
     // sim_bruteforce_topk shape); the temperature mix crosses two
     // 1-row totals (token mass, tempered mass) onto the |langs| frame
-    "sim_sq8_topk", "curate_temperature_mix")
+    "sim_sq8_topk", "curate_temperature_mix",
+    // doc_lm_nll's shape with the 1-row bigram-type-count broadcast
+    "doc_lm_kn_nll")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>
