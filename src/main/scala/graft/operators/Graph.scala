@@ -1433,6 +1433,102 @@ object Graph {
     s"$base,\n$steps\n$rows"
   }
 
+  def personalizedPagerank(s: SparkSession, dir: String): DataFrame =
+    pprOnEdges(tokenEdges(s, dir))
+
+  /** Personalized PageRank — the node-proximity primitive behind
+    * related-item recommendation and local community scoring: the same
+    * damped recurrence as [[pagerankOnEdges]], but ALL teleport mass
+    * returns to one personalization seed (the highest-out-mass node,
+    * ties lexical — a 1-row model artifact collected once), so the
+    * stationary distribution concentrates around the seed's
+    * neighborhood instead of scoring global centrality:
+    *
+    *   r₀(v)    = 1{v = seed}
+    *   rₜ₊₁(v) = 0.15·1{v = seed} + 0.85 · Σ_{u→v} rₜ(u)·w_uv
+    *
+    * Same Pregel-on-DataFrames shape and decimal-summed contributions
+    * as pagerank; both re-rounds use the floor(x·1e9+0.5)/1e9 idiom
+    * (the `doc_lm_kn_nll` 10× lesson — native round(double, n) is a
+    * cross-engine boundary hazard).
+    */
+  def pprOnEdges(rawEdges: DataFrame, iters: Int = Iters): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val edges = rawEdges.localCheckpoint()
+    val outW = edges.groupBy($"src").agg(sum($"cnt").as("oc"))
+    val weighted = edges.join(outW, "src")
+      .select($"src", $"dst",
+        ($"cnt".cast("double") / $"oc".cast("double")).as("w"))
+      .localCheckpoint()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst")).distinct().localCheckpoint()
+    val seed = outW.orderBy($"oc".desc, $"src").limit(1)
+      .select($"src").as[String].head().replace("'", "''")
+    var ranks = nodes.select($"node",
+      when($"node" === seed, lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = weighted.join(ranks, $"src" === $"node")
+        .select($"dst", expr(
+          "CAST(floor(rank * w * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9))").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("csum"))
+      ranks = nodes.join(contribs, $"node" === $"dst", "left_outer")
+        .select($"node", expr(
+          s"""floor((CASE WHEN node = '$seed' THEN CAST(0.15 AS DOUBLE)
+             |  ELSE CAST(0 AS DOUBLE) END
+             |  + CAST(0.85 AS DOUBLE)
+             |    * coalesce(CAST(csum AS DOUBLE), CAST(0 AS DOUBLE)))
+             |  * 1e9 + 0.5) / 1e9""".stripMargin).as("ppr"))
+        .select($"node", $"ppr".as("rank"))
+      if (i % CkptEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select($"node", $"rank".as("ppr"))
+  }
+
+  /** DuckDB restatement: pagerank's edge CTEs, the seed pick, the
+    * unrolled iterations with identical floor-idiom re-rounds.
+    */
+  val pprSql: String = {
+    val base =
+      s"""WITH toks AS (
+         |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+         |edges AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT
+         |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+         |    FROM toks WHERE len(t) >= 2)
+         |  GROUP BY src, dst),
+         |outw AS (SELECT src, sum(cnt) AS oc FROM edges GROUP BY src),
+         |w AS (
+         |  SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / CAST(o.oc AS DOUBLE) AS w
+         |  FROM edges e JOIN outw o ON e.src = o.src),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |sd AS (SELECT src FROM outw ORDER BY oc DESC, src LIMIT 1),
+         |rp0 AS (
+         |  SELECT node,
+         |    CASE WHEN node = (SELECT src FROM sd) THEN CAST(1 AS DOUBLE)
+         |         ELSE CAST(0 AS DOUBLE) END AS rank
+         |  FROM nodes)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      s"""rp$i AS (
+         |  SELECT nd.node,
+         |    floor((CASE WHEN nd.node = (SELECT src FROM sd)
+         |        THEN CAST(0.15 AS DOUBLE)
+         |      ELSE CAST(0 AS DOUBLE) END
+         |      + CAST(0.85 AS DOUBLE)
+         |        * coalesce(CAST(s.csum AS DOUBLE), CAST(0 AS DOUBLE)))
+         |      * 1e9 + 0.5) / 1e9 AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT w.dst,
+         |      sum(CAST(floor(r.rank * w.w * 1e9 + 0.5) / 1e9
+         |        AS DECIMAL(18,9))) AS csum
+         |    FROM w JOIN rp${i - 1} r ON w.src = r.node GROUP BY w.dst) s
+         |    ON nd.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT node, rank AS ppr FROM rp$Iters"
+  }
+
   /** node2vec walk budget: walks per start node and steps per walk. */
   val N2vWalks = 2
   val N2vLen = 6
@@ -1603,6 +1699,7 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_node2vec" -> (node2vec _),
+    "graph_ppr" -> (personalizedPagerank _),
     "graph_random_walks" -> (randomWalks _),
     "graph_mst" -> (maxSpanningTree _),
     "graph_single_linkage" -> (singleLinkage _),
@@ -1621,6 +1718,7 @@ object Graph {
 
   def oracles: Map[String, String] = Map(
     "graph_node2vec" -> node2vecSql,
+    "graph_ppr" -> pprSql,
     "graph_random_walks" -> randomWalksSql,
     "graph_mst" -> maxSpanningTreeSql,
     "graph_single_linkage" -> singleLinkageSql,

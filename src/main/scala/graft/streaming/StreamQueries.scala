@@ -1283,7 +1283,28 @@ object StreamQueries {
         runDeltaLog(chunks, "append", Seq.empty))
     }
 
+  /** Streaming LTTB — the live-dashboard shape: update-mode hourly
+    * count state drained latest-per-hour and closed through the SHARED
+    * `lttbFromCounts` finalize (the 12-point downsample a monitoring
+    * read path serves). Must equal the batch `ev_lttb_downsample`
+    * pass; oracle IS that query's SQL.
+    */
+  def streamLttb(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("ts div 3600000000000 AS t")
+        .groupBy($"t").agg(count(lit(1)).as("c"))
+      graft.operators.TimeSeries.lttbFromCounts(
+        runDeltaLog(counts, "update", Seq("t")))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_lttb" -> (streamLttb _),
     "stream_cdc_chunks" -> (streamCdcChunks _),
     "stream_temperature_mix" -> (streamTemperatureMix _),
     "stream_value_drift" -> (streamValueDrift _),
@@ -1332,6 +1353,7 @@ object StreamQueries {
     "stream_value_drift" -> graft.operators.DataQuality.dqValueDriftSql,
     "stream_temperature_mix" -> graft.operators.Curation.temperatureMixSql,
     "stream_cdc_chunks" -> graft.operators.Dedup.cdcChunksSql,
+    "stream_lttb" -> graft.operators.TimeSeries.lttbSql,
     "stream_pacf" -> graft.operators.TimeSeries.pacfSql,
     "stream_ar_forecast" -> graft.operators.TimeSeries.arForecastSql,
     "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,

@@ -55,7 +55,9 @@ class PlanLintSpec extends AnyFunSuite {
     // chunk-metadata / frame-index frames are checkpointed on
     // construction; downstream is fp-keyed / (asset, frame)-keyed
     // equi-joins only
-    "dedup_cdc_chunks", "mm_frame_sample")
+    "dedup_cdc_chunks", "mm_frame_sample",
+    // pagerank's iteration shape with a 1-row seed collect
+    "graph_ppr")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
