@@ -1761,6 +1761,126 @@ object TimeSeries {
        |SELECT term, value FROM ($rows) u WHERE value IS NOT NULL""".stripMargin
   }
 
+  /** Holt–Winters window (4 weekly seasons of daily counts), seasonal
+    * period, and forecast horizon.
+    */
+  val HwWindow = 28
+  val HwPeriod = 7
+  val HwH = 7
+
+  /** Additive Holt–Winters forecast WEIGHTS, one vector per horizon
+    * h = 1..[[HwH]] over the [[HwWindow]] most recent daily counts —
+    * the [[holtCoeffs]] trick extended to the seasonal recursion:
+    * with fixed smoothing constants the level/trend/seasonal states
+    * are LINEAR in the observations, so the whole recursion
+    * (Hyndman–Athanasopoulos additive form, α = 1/4, β = 1/8,
+    * γ = 1/4 — all exact binary fractions) is propagated symbolically
+    * over coefficient vectors in exact BigDecimal on the JVM, and the
+    * per-series query collapses to decimal dot products. Unlike the
+    * α = 1/2, W = 8 Holt weights (exact in 16 dp), these can exceed
+    * 16 decimal digits, so each final weight is rounded HALF_UP to
+    * 16 dp HERE and the already-representable string is what BOTH
+    * engines cast — no engine-side rounding ever happens.
+    *
+    * Init: ℓ₀ = mean(season 1), b₀ = (mean(s2) − mean(s1))/m,
+    * sᵢ = yᵢ − ℓ₀; forecast ŷ_{T+h} = ℓ_T + h·b_T + s_phase(T+h).
+    */
+  val hwCoeffs: Seq[Seq[String]] = {
+    val W = HwWindow
+    val m = HwPeriod
+    val a = BigDecimal(1) / 4
+    val b = BigDecimal(1) / 8
+    val g = BigDecimal(1) / 4
+    type V = Vector[BigDecimal]
+    val zeros: V = Vector.fill(W)(BigDecimal(0))
+    def e(t: Int): V = zeros.updated(t, BigDecimal(1))
+    def add(x: V, y: V): V = x.zip(y).map { case (p, q) => p + q }
+    def scale(c: BigDecimal, x: V): V = x.map(c * _)
+    val m1 = BigDecimal(1) / m
+    var l: V = Vector.tabulate(W)(i => if (i < m) m1 else BigDecimal(0))
+    var tr: V = Vector.tabulate(W)(i =>
+      if (i < m) -m1 / m else if (i < 2 * m) m1 / m else BigDecimal(0))
+    var sea: Vector[V] = Vector.tabulate(m)(i => add(e(i), scale(-1, l)))
+    for (t <- m until W) {
+      val sPrev = sea(t % m)
+      val lNew = add(scale(a, add(e(t), scale(-1, sPrev))),
+        scale(1 - a, add(l, tr)))
+      val bNew = add(scale(b, add(lNew, scale(-1, l))), scale(1 - b, tr))
+      val sNew = add(scale(g, add(e(t), scale(-1, add(l, tr)))),
+        scale(1 - g, sPrev))
+      l = lNew; tr = bNew; sea = sea.updated(t % m, sNew)
+    }
+    (1 to HwH).map { h =>
+      val w = add(add(l, scale(BigDecimal(h), tr)), sea((W - 1 + h) % m))
+      w.map(_.setScale(16, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.toPlainString)
+    }
+  }
+
+  /** Additive Holt–Winters h-step forecasts per event type — the
+    * SEASONAL completion of the Holt level/trend pair (`ev_holt_*`):
+    * weekly period over the trailing 4-week daily grid, emitted as
+    * (event_type, h, forecast) for h = 1..7. One scan, a 28-day
+    * scaffold left-join, and 7 decimal dot products with the
+    * [[hwCoeffs]] weight vectors — identical cost shape to
+    * `ev_holt_forecast`, just 7 columns wide.
+    */
+  def holtWinters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arrs = hwCoeffs.map(ws =>
+      array(ws.map(w => lit(w).cast("decimal(28,16)")): _*))
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val counts = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).cast("decimal(8,0)").as("cnt"))
+    val mx = ev.agg(max($"day").as("dmax"))
+    val scaffold = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(mx))
+      .select($"event_type",
+        explode(sequence(lit(0), lit(HwWindow - 1))).as("k"),
+        $"dmax")
+      .select($"event_type", $"k",
+        expr(s"date_sub(dmax, $HwWindow - 1 - k)").as("day"))
+    val aggs = arrs.zipWithIndex.map { case (arr, i) =>
+      round(sum($"cnt" * element_at(arr, $"k" + 1)), 9)
+        .cast("double").as(s"f${i + 1}")
+    }
+    val wide = scaffold.join(counts, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce($"cnt", lit(0).cast("decimal(8,0)")))
+      .groupBy($"event_type")
+      .agg(aggs.head, aggs.tail: _*)
+    val kv = (1 to HwH).flatMap(h => Seq(lit(h.toLong), col(s"f$h")))
+    wide.select($"event_type",
+      explode(map(kv: _*)).as(Seq("h", "forecast")))
+  }
+
+  val holtWintersSql: String = {
+    val lists = hwCoeffs.map(_.map(w => s"'$w'").mkString("[", ", ", "]"))
+    val rows = lists.zipWithIndex.map { case (lst, i) =>
+      s"""SELECT event_type, CAST(${i + 1} AS BIGINT) AS h,
+         |  CAST(round(sum(cnt * CAST($lst[k + 1] AS DECIMAL(28,16))), 9)
+         |    AS DOUBLE) AS forecast
+         |FROM joined GROUP BY event_type""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+       |counts AS (
+       |  SELECT event_type, day, CAST(count(*) AS DECIMAL(8,0)) AS cnt
+       |  FROM ev GROUP BY 1, 2),
+       |mx AS (SELECT max(day) AS dmax FROM ev),
+       |scaffold AS (
+       |  SELECT t.event_type, k.k,
+       |    dmax - CAST($HwWindow - 1 - k.k AS INTEGER) AS day
+       |  FROM (SELECT DISTINCT event_type FROM ev) t
+       |  CROSS JOIN (SELECT unnest(range(0, $HwWindow)) AS k) k
+       |  CROSS JOIN mx),
+       |joined AS (
+       |  SELECT s.event_type, s.k, coalesce(c.cnt, 0) AS cnt
+       |  FROM scaffold s LEFT JOIN counts c
+       |    ON c.event_type = s.event_type AND c.day = s.day)
+       |$rows""".stripMargin
+  }
+
   /** Points emitted by [[lttbDownsample]] (first + last + one per
     * interior bucket).
     */
@@ -2054,6 +2174,7 @@ object TimeSeries {
     "ev_yule_walker" -> (yuleWalker _),
     "ev_ar_forecast" -> (arForecast _),
     "ev_lttb_downsample" -> (lttbDownsample _),
+    "ev_holt_winters" -> (holtWinters _),
     "ev_ljung_box" -> (ljungBox _),
     "ev_holt_backtest" -> (holtBacktest _),
     "ev_holt_forecast" -> (holtForecast _),
@@ -2082,6 +2203,7 @@ object TimeSeries {
     "ev_yule_walker" -> yuleWalkerSql,
     "ev_ar_forecast" -> arForecastSql,
     "ev_lttb_downsample" -> lttbSql,
+    "ev_holt_winters" -> holtWintersSql,
     "ev_ljung_box" -> ljungBoxSql,
     "ev_holt_backtest" -> holtBacktestSql,
     "ev_holt_forecast" -> holtForecastSql,

@@ -84,6 +84,7 @@ class PlanLintSpec extends AnyFunSuite {
     "ev_acf", "dq_benford",
     "ev_gap_fill", "ev_trend_regression", "ev_anomaly_zscore",
     "ev_changepoint", "ev_holt_forecast", "ev_holt_backtest",
+    "ev_holt_winters",
     "dq_value_drift", "q_weighted_median", "ev_ab_cuped",
     "curate_sample_ks", "curate_upsample_plan",
     "ev_seasonality_dow", "q11_important_stock", "q_copurchase_pairs",
