@@ -1433,6 +1433,146 @@ object Graph {
     s"$base,\n$steps\n$rows"
   }
 
+  /** Level-unroll bound for [[betweenness]] — must exceed the graph
+    * diameter (the spec computes the true eccentricity bound and
+    * asserts it; the token-transition graph's diameter is ≤ 6 at every
+    * fixture vintage, and the 10× replica shares the vocabulary).
+    */
+  val BetwMaxDepth = 10
+
+  def betweenness(s: SparkSession, dir: String): DataFrame =
+    betweennessOnEdges(tokenEdges(s, dir))
+
+  /** Betweenness centrality by Brandes' algorithm (2001) over the
+    * directed unweighted token graph — the broker/bottleneck score
+    * (how much shortest-path traffic a node carries) completing the
+    * centrality family beside pagerank (flow), HITS (duality), and
+    * k-core (cohesion). All-sources BFS runs SIMULTANEOUSLY as
+    * level-synchronous (source, node) frontiers — path counts σ are
+    * exact BIGINT sums — then dependencies accumulate BACKWARD through
+    * the shortest-path DAG: δ(s,v) = Σ_{w ∈ succ} σ(s,v)/σ(s,w) ·
+    * (1 + δ(s,w)), each term floor-rounded to 9 dp and decimal-summed
+    * (order-free ⇒ engine-exact), and B(v) = Σ_{s≠v} δ(s,v) as a
+    * decimal sum of the 9-dp deltas.
+    *
+    * Scale shape: every frontier/backward step is an equi-join on
+    * (source, node) keys — |pairs| ≤ n² state sharded by source, never
+    * a driver structure; the level loop is LAZY between checkpoint
+    * pins every 3 levels (the pagerank discipline). At 100 TB one
+    * runs this on a sampled source set — the plan is unchanged, only
+    * the seed frontier shrinks.
+    */
+  def betweennessOnEdges(rawEdges: DataFrame,
+      maxDepth: Int = BetwMaxDepth): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val edges = rawEdges.select($"src", $"dst").localCheckpoint()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst")).distinct().localCheckpoint()
+    var frontier = nodes
+      .select($"node".as("s"), $"node".as("v"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var seen = frontier.select($"s", $"v").localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    for (l <- 1 to maxDepth) {
+      frontier = frontier.join(edges, $"v" === $"src")
+        .select($"s", $"dst".as("v2"), $"sigma")
+        .join(seen.select($"s", $"v".as("v2")), Seq("s", "v2"), "left_anti")
+        .groupBy($"s", $"v2").agg(sum($"sigma").as("sigma"))
+        .select($"s", $"v2".as("v"), $"sigma")
+      seen = seen.union(frontier.select($"s", $"v"))
+      if (l % 3 == 0) {
+        frontier = frontier.localCheckpoint()
+        seen = seen.localCheckpoint()
+      }
+      levels += frontier
+    }
+    val termExpr =
+      """CAST(floor(CAST(sigma AS DOUBLE) / sigma_w
+        |  * (1 + coalesce(delta_w, CAST(0 AS DOUBLE))) * 1e9 + 0.5) / 1e9
+        |  AS DECIMAL(18,9))""".stripMargin
+    var dep: DataFrame = levels(maxDepth)
+      .select($"s", $"v", lit(0.0).as("delta")).where(lit(false))
+    val deps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (l <- (maxDepth - 1) to 1 by -1) {
+      dep = levels(l).join(edges, $"v" === $"src")
+        .join(levels(l + 1)
+            .select($"s".as("sw"), $"v".as("w"), $"sigma".as("sigma_w")),
+          $"s" === $"sw" && $"dst" === $"w")
+        .join(dep.select($"s".as("s2"), $"v".as("w2"), $"delta".as("delta_w")),
+          $"s" === $"s2" && $"w" === $"w2", "left_outer")
+        .select($"s", $"v", $"sigma", $"sigma_w", $"delta_w")
+        .withColumn("term", expr(termExpr))
+        .groupBy($"s", $"v")
+        .agg(sum($"term").cast("double").as("delta"))
+      if (l % 3 == 0) dep = dep.localCheckpoint()
+      deps += dep
+    }
+    val allDeps = deps.reduce(_ union _).where($"v" =!= $"s")
+    nodes.join(
+      allDeps.groupBy($"v")
+        .agg(sum(expr("CAST(delta AS DECIMAL(18,9))")).cast("double")
+          .as("b")),
+      $"node" === $"v", "left_outer")
+      .select($"node", coalesce($"b", lit(0.0)).as("betweenness"))
+  }
+
+  /** DuckDB restatement: forward levels f0..fD (σ as BIGINT sums,
+    * NOT-EXISTS dedupe against the running seen set), backward
+    * dependency CTEs with the identical 9-dp floor terms, decimal
+    * rollup per node.
+    */
+  val betweennessSql: String = {
+    val fwd = (1 to BetwMaxDepth).map { l =>
+      s"""f$l AS MATERIALIZED (
+         |  SELECT f.s, e.dst AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${l - 1} f JOIN edges e ON e.src = f.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM seen${l - 1} x WHERE x.s = f.s AND x.v = e.dst)
+         |  GROUP BY f.s, e.dst),
+         |seen$l AS MATERIALIZED (
+         |  SELECT s, v FROM seen${l - 1} UNION SELECT s, v FROM f$l)"""
+        .stripMargin
+    }.mkString(",\n")
+    val bwd = ((BetwMaxDepth - 1) to 1 by -1).map { l =>
+      val prevDep = if (l == BetwMaxDepth - 1) "bD" else s"b${l + 1}"
+      s"""b$l AS MATERIALIZED (
+         |  SELECT fl.s, fl.v,
+         |    CAST(sum(CAST(floor(CAST(fl.sigma AS DOUBLE) / fw.sigma
+         |      * (1 + coalesce(bw.delta, CAST(0 AS DOUBLE))) * 1e9 + 0.5)
+         |      / 1e9 AS DECIMAL(18,9))) AS DOUBLE) AS delta
+         |  FROM f$l fl
+         |  JOIN edges e ON e.src = fl.v
+         |  JOIN f${l + 1} fw ON fw.s = fl.s AND fw.v = e.dst
+         |  LEFT JOIN $prevDep bw ON bw.s = fl.s AND bw.v = e.dst
+         |  GROUP BY fl.s, fl.v)""".stripMargin
+    }.mkString(",\n")
+    val depUnion = ((BetwMaxDepth - 1) to 1 by -1)
+      .map(l => s"SELECT s, v, delta FROM b$l").mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |f0 AS (SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sigma
+       |  FROM nodes),
+       |seen0 AS (SELECT s, v FROM f0),
+       |$fwd,
+       |bD AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta
+       |  FROM f$BetwMaxDepth WHERE 1 = 0),
+       |$bwd
+       |SELECT n.node,
+       |  coalesce(bc.b, CAST(0 AS DOUBLE)) AS betweenness
+       |FROM nodes n LEFT JOIN (
+       |  SELECT v, CAST(sum(CAST(delta AS DECIMAL(18,9))) AS DOUBLE) AS b
+       |  FROM ($depUnion) u WHERE v <> s GROUP BY v) bc
+       |  ON bc.v = n.node""".stripMargin
+  }
+
   def personalizedPagerank(s: SparkSession, dir: String): DataFrame =
     pprOnEdges(tokenEdges(s, dir))
 
@@ -1700,6 +1840,7 @@ object Graph {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_node2vec" -> (node2vec _),
     "graph_ppr" -> (personalizedPagerank _),
+    "graph_betweenness" -> (betweenness _),
     "graph_random_walks" -> (randomWalks _),
     "graph_mst" -> (maxSpanningTree _),
     "graph_single_linkage" -> (singleLinkage _),
@@ -1719,6 +1860,7 @@ object Graph {
   def oracles: Map[String, String] = Map(
     "graph_node2vec" -> node2vecSql,
     "graph_ppr" -> pprSql,
+    "graph_betweenness" -> betweennessSql,
     "graph_random_walks" -> randomWalksSql,
     "graph_mst" -> maxSpanningTreeSql,
     "graph_single_linkage" -> singleLinkageSql,

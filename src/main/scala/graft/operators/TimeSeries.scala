@@ -1761,6 +1761,75 @@ object TimeSeries {
        |SELECT term, value FROM ($rows) u WHERE value IS NOT NULL""".stripMargin
   }
 
+  /** Robust MAD anomaly scores over the per-type daily series — the
+    * median-based counterpart of `ev_anomaly_zscore` (a mean/stddev
+    * window is itself dragged by the outliers it hunts; the
+    * median-absolute-deviation estimator has a 50% breakdown point):
+    * score = (cnt − median) / (1.4826·MAD), flagged at |score| > 3,
+    * with 1.4826 the standard consistency constant making MAD estimate
+    * σ under normality. Medians are the exact `percentile` ↔
+    * `quantile_cont` pairing (the q_percentiles contract); the score
+    * re-round uses the floor idiom. All-constant series (MAD = 0)
+    * yield NULL scores, never flags — both engines.
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val scaffold = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select($"event_type",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val series = scaffold.join(counts, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce($"cnt", lit(0L)))
+    val med = series.groupBy($"event_type")
+      .agg(expr("percentile(cnt, 0.5)").as("med"))
+    val withMed = series.join(med, "event_type")
+    val mad = withMed.groupBy($"event_type")
+      .agg(expr("percentile(abs(cnt - med), 0.5)").as("mad"))
+    withMed.join(mad, "event_type")
+      .selectExpr("event_type", "date_format(day, 'yyyy-MM-dd') AS day", "cnt",
+        """CASE WHEN mad = 0 THEN NULL
+          |  ELSE floor((cnt - med) / (1.4826 * mad) * 1e6 + 0.5) / 1e6
+          |END AS mad_score""".stripMargin,
+        """CASE WHEN mad = 0 THEN false
+          |  ELSE abs(floor((cnt - med) / (1.4826 * mad) * 1e6 + 0.5) / 1e6) > 3.0
+          |END AS is_anomaly""".stripMargin)
+  }
+
+  val anomalyMadSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |counts AS (
+      |  SELECT event_type, day, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |    AS day
+      |  FROM span),
+      |series AS (
+      |  SELECT t.event_type, d.day, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN days d
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+      |med AS (
+      |  SELECT event_type, quantile_cont(cnt, 0.5) AS med
+      |  FROM series GROUP BY 1),
+      |wm AS (SELECT s.*, m.med FROM series s JOIN med m USING (event_type)),
+      |md AS (
+      |  SELECT event_type, quantile_cont(abs(cnt - med), 0.5) AS mad
+      |  FROM wm GROUP BY 1)
+      |SELECT wm.event_type, strftime(wm.day, '%Y-%m-%d') AS day, wm.cnt,
+      |  CASE WHEN mad = 0 THEN NULL
+      |    ELSE floor((cnt - med) / (1.4826 * mad) * 1e6 + 0.5) / 1e6
+      |  END AS mad_score,
+      |  CASE WHEN mad = 0 THEN false
+      |    ELSE abs(floor((cnt - med) / (1.4826 * mad) * 1e6 + 0.5) / 1e6) > 3.0
+      |  END AS is_anomaly
+      |FROM wm JOIN md USING (event_type)""".stripMargin
+
   /** Holt–Winters window (4 weekly seasons of daily counts), seasonal
     * period, and forecast horizon.
     */
@@ -2175,6 +2244,7 @@ object TimeSeries {
     "ev_ar_forecast" -> (arForecast _),
     "ev_lttb_downsample" -> (lttbDownsample _),
     "ev_holt_winters" -> (holtWinters _),
+    "ev_anomaly_mad" -> (anomalyMad _),
     "ev_ljung_box" -> (ljungBox _),
     "ev_holt_backtest" -> (holtBacktest _),
     "ev_holt_forecast" -> (holtForecast _),
@@ -2204,6 +2274,7 @@ object TimeSeries {
     "ev_ar_forecast" -> arForecastSql,
     "ev_lttb_downsample" -> lttbSql,
     "ev_holt_winters" -> holtWintersSql,
+    "ev_anomaly_mad" -> anomalyMadSql,
     "ev_ljung_box" -> ljungBoxSql,
     "ev_holt_backtest" -> holtBacktestSql,
     "ev_holt_forecast" -> holtForecastSql,

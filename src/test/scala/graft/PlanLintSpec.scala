@@ -57,7 +57,9 @@ class PlanLintSpec extends AnyFunSuite {
     // equi-joins only
     "dedup_cdc_chunks", "mm_frame_sample",
     // pagerank's iteration shape with a 1-row seed collect
-    "graph_ppr")
+    "graph_ppr",
+    // level-synchronous multi-source BFS with checkpoint pins
+    "graph_betweenness")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
@@ -84,7 +86,7 @@ class PlanLintSpec extends AnyFunSuite {
     "ev_acf", "dq_benford",
     "ev_gap_fill", "ev_trend_regression", "ev_anomaly_zscore",
     "ev_changepoint", "ev_holt_forecast", "ev_holt_backtest",
-    "ev_holt_winters",
+    "ev_holt_winters", "ev_anomaly_mad",
     "dq_value_drift", "q_weighted_median", "ev_ab_cuped",
     "curate_sample_ks", "curate_upsample_plan",
     "ev_seasonality_dow", "q11_important_stock", "q_copurchase_pairs",
