@@ -331,6 +331,109 @@ object DataQuality {
       |LEFT JOIN cur c ON c.bin = b.bin
       |CROSS JOIN tot t""".stripMargin
 
+  /** Embedding-space drift monitor — the PSI discipline of
+    * [[dqValueDrift]] lifted to the EMBEDDING collection (the ML-ops
+    * check a feature-store/retrieval pipeline runs when the encoder or
+    * upstream corpus shifts): distance-to-global-centroid as the 1-D
+    * drift statistic, reference = the id-median older half of the
+    * collection, bins = the reference distribution's own deciles
+    * (exact `percentile` ↔ `quantile_cont` edges — equal-mass by
+    * construction, so any psi_term structure IS drift), add-one
+    * smoothed per-bin PSI terms. The centroid is an exact decimal
+    * per-dim mean (the k-means update idiom) collected once as a
+    * 65-double artifact; distances are sequential squared folds
+    * (engine-exact); the decile edge frame and totals are the approved
+    * 1-row broadcasts.
+    */
+  def dqEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    // exact per-dim decimal mean, floor-idiom re-round (KMeans.update)
+    val cent = emb
+      .select(posexplode($"embedding").as(Seq("dim", "ev")))
+      .groupBy($"dim")
+      .agg((floor((sum(floor($"ev".cast("double") * 1e6 + 0.5)
+          .cast("decimal(18,0)")).cast("double") / count(lit(1))) + 0.5)
+        / 1e6).as("mv"))
+      .orderBy($"dim").select($"mv").as[Double].collect()
+    val centLit = cent.map(x => s"${x}D").mkString("array(", ", ", ")")
+    val dists = emb.selectExpr("vec_id",
+      s"""aggregate(zip_with(embedding, $centLit,
+         |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+         |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS dist""".stripMargin)
+    val medId = dists.agg(expr("percentile(vec_id, 0.5)").as("mid"))
+    val flagged = dists.crossJoin(broadcast(medId))
+      .withColumn("is_ref", $"vec_id" <= $"mid")
+    val edgeAggs = (1 to 9).map(d =>
+      expr(s"percentile(dist, 0.$d)").as(s"e$d"))
+    val edges = flagged.where($"is_ref")
+      .agg(edgeAggs.head, edgeAggs.tail: _*)
+    val binExpr = (1 to 9)
+      .map(d => s"(CASE WHEN dist > e$d THEN 1 ELSE 0 END)").mkString(" + ")
+    val counts = flagged.crossJoin(broadcast(edges))
+      .selectExpr("is_ref", s"CAST($binExpr AS BIGINT) AS bin")
+      .groupBy($"bin").agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"))
+    driftFromBinCounts(counts)
+  }
+
+  /** Oracle: identical centroid arithmetic RE-DERIVED from the table
+    * (exact decimal ops ⇒ same doubles as the collected artifact),
+    * same folds, edges, and PSI finalize.
+    */
+  val dqEmbeddingDriftSql: String = {
+    val edgeList = (1 to 9).map(d => s"0.$d").mkString("[", ", ", "]")
+    val binExpr = (1 to 9)
+      .map(d => s"(CASE WHEN dist > e[$d] THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+       |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS ev
+       |  FROM embeddings),
+       |cent AS MATERIALIZED (
+       |  SELECT dim,
+       |    floor((CAST(sum(CAST(floor(ev * 1e6 + 0.5) AS DECIMAL(18,0)))
+       |      AS DOUBLE) / count(*)) + 0.5) / 1e6 AS mv
+       |  FROM ex GROUP BY dim),
+       |cvec AS (
+       |  SELECT list(mv ORDER BY dim) AS cv FROM cent),
+       |dists AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(embedding) + 1),
+       |        i -> (CAST(embedding[i] AS DOUBLE) - cv[i])
+       |           * (CAST(embedding[i] AS DOUBLE) - cv[i]))),
+       |      (a, b) -> a + b) AS dist
+       |  FROM embeddings CROSS JOIN cvec),
+       |mid AS (SELECT quantile_cont(vec_id, 0.5) AS mid FROM dists),
+       |fl AS (
+       |  SELECT vec_id, dist, vec_id <= mid AS is_ref
+       |  FROM dists CROSS JOIN mid),
+       |ed AS (
+       |  SELECT quantile_cont(dist, $edgeList) AS e FROM fl WHERE is_ref),
+       |cnts AS (
+       |  SELECT CAST($binExpr AS BIGINT) AS bin,
+       |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_cur
+       |  FROM fl CROSS JOIN ed GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(coalesce(sum(n_ref), 0) AS BIGINT) AS tr,
+       |    CAST(coalesce(sum(n_cur), 0) AS BIGINT) AS tc
+       |  FROM cnts),
+       |bins AS (SELECT unnest(range(0, 10)) AS bin)
+       |SELECT b.bin, CAST(coalesce(c.n_ref, 0) AS BIGINT) AS n_ref,
+       |  CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur,
+       |  round((CAST(coalesce(c.n_ref, 0) + 1 AS DOUBLE) / (t.tr + 10)
+       |       - CAST(coalesce(c.n_cur, 0) + 1 AS DOUBLE) / (t.tc + 10))
+       |    * ln((CAST(coalesce(c.n_ref, 0) + 1 AS DOUBLE) / (t.tr + 10))
+       |        / (CAST(coalesce(c.n_cur, 0) + 1 AS DOUBLE) / (t.tc + 10))), 9)
+       |    AS psi_term
+       |FROM bins b
+       |LEFT JOIN cnts c ON c.bin = b.bin
+       |CROSS JOIN tot t""".stripMargin
+  }
+
   /** Benford first-digit probabilities log₁₀(1 + 1/d), d = 1..9,
     * computed ONCE on the JVM, rounded to 6 dp, and embedded as double
     * literals in the generated oracle (the centroid-embedding pattern —
@@ -398,6 +501,7 @@ object DataQuality {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_benford" -> (dqBenford _),
     "dq_value_drift" -> (dqValueDrift _),
+    "dq_embedding_drift" -> (dqEmbeddingDrift _),
     "dq_referential" -> (dqReferential _),
     "dq_table_profile" -> (dqTableProfile _),
     "dq_embeddings" -> (dqEmbeddings _),
@@ -407,6 +511,7 @@ object DataQuality {
   def oracles: Map[String, String] = Map(
     "dq_benford" -> dqBenfordSql,
     "dq_value_drift" -> dqValueDriftSql,
+    "dq_embedding_drift" -> dqEmbeddingDriftSql,
     "dq_referential" -> dqReferentialSql,
     "dq_table_profile" -> dqTableProfileSql,
     "dq_embeddings" -> dqEmbeddingsSql,

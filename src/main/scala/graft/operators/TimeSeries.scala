@@ -1774,11 +1774,23 @@ object TimeSeries {
     */
   def anomalyMad(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
+    val counts = Tables.events(s, dir)
       .select($"event_type", to_date($"ts").as("day"))
-    val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
-    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
-    val scaffold = ev.select($"event_type").distinct()
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    anomalyMadFromCounts(counts)
+  }
+
+  /** MAD finalize from a sparse per-(type, day) counts frame — shared
+    * VERBATIM by the batch query and `stream_anomaly_mad` (whose
+    * drained update-mode counters ARE such a frame; the span and type
+    * set derived from the counts equal the batch's, since every event
+    * lands in exactly one count).
+    */
+  private[graft] def anomalyMadFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val span = counts.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val scaffold = counts.select($"event_type").distinct()
       .crossJoin(broadcast(span))
       .select($"event_type",
         explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))

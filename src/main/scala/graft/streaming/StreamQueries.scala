@@ -1303,7 +1303,29 @@ object StreamQueries {
         runDeltaLog(counts, "update", Seq("t")))
     }
 
+  /** Streaming MAD anomaly monitor — update-mode per-(type, day)
+    * counters drained and closed through the SHARED
+    * `anomalyMadFromCounts` finalize (gap-fill, exact medians, robust
+    * scores). Must equal the batch `ev_anomaly_mad` pass; oracle IS
+    * that query's SQL.
+    */
+  def streamAnomalyMad(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"event_type",
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.anomalyMadFromCounts(
+        runDeltaLog(counts, "update", Seq("event_type", "day")))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_anomaly_mad" -> (streamAnomalyMad _),
     "stream_lttb" -> (streamLttb _),
     "stream_cdc_chunks" -> (streamCdcChunks _),
     "stream_temperature_mix" -> (streamTemperatureMix _),
@@ -1354,6 +1376,7 @@ object StreamQueries {
     "stream_temperature_mix" -> graft.operators.Curation.temperatureMixSql,
     "stream_cdc_chunks" -> graft.operators.Dedup.cdcChunksSql,
     "stream_lttb" -> graft.operators.TimeSeries.lttbSql,
+    "stream_anomaly_mad" -> graft.operators.TimeSeries.anomalyMadSql,
     "stream_pacf" -> graft.operators.TimeSeries.pacfSql,
     "stream_ar_forecast" -> graft.operators.TimeSeries.arForecastSql,
     "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,

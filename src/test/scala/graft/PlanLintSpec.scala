@@ -59,7 +59,10 @@ class PlanLintSpec extends AnyFunSuite {
     // pagerank's iteration shape with a 1-row seed collect
     "graph_ppr",
     // level-synchronous multi-source BFS with checkpoint pins
-    "graph_betweenness")
+    "graph_betweenness",
+    // collects the 65-double centroid artifact on construction; the
+    // decile-edge / median / totals frames are 1-row broadcasts
+    "dq_embedding_drift")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
