@@ -152,11 +152,65 @@ object SemDedup {
        |WHERE rn <= $KnnK""".stripMargin
   }
 
+  /** Outliers reported by [[oodKnn]]. */
+  val OodTopN = 20
+
+  /** k-NN-distance OOD scoring over the [[knnGraph]] neighborhood —
+    * the standard deep-OOD/outlier screen (Sun et al., ICML'22: the
+    * distance to the k-th / mean-of-k nearest neighbors separates
+    * out-of-distribution points better than density fits): a vector
+    * whose own cell holds no close neighbors is an outlier candidate
+    * for pruning or audit. Score = 1 − mean(top-k cosine), with each
+    * cosine floor-rounded to 9 dp and decimal-summed so the mean is
+    * partition-order-proof; emits the [[OodTopN]] most isolated
+    * vectors (score DESC, id). Pure composition over the k-NN graph —
+    * no new pair work at all.
+    */
+  def oodKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"ood_score".desc, $"vec_id")
+    knnGraph(s, dir)
+      .select($"vec_id",
+        expr("CAST(floor(cosine * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9))")
+          .as("c9"))
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_nbrs"), sum($"c9").as("csum"))
+      .selectExpr("vec_id", "n_nbrs",
+        "floor((1 - CAST(csum AS DOUBLE) / n_nbrs) * 1e6 + 0.5) / 1e6" +
+          " AS ood_score")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= OodTopN)
+  }
+
+  /** Oracle: the full k-NN-graph statement as a nested-WITH CTE, the
+    * identical 9-dp rounds, decimal mean, and (score DESC, id) rank.
+    */
+  def oodKnnSql: String =
+    s"""WITH knn AS ($knnGraphSql),
+       |sc AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+       |    sum(CAST(floor(cosine * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)))
+       |      AS csum
+       |  FROM knn GROUP BY vec_id),
+       |scored AS (
+       |  SELECT vec_id, n_nbrs,
+       |    floor((1 - CAST(csum AS DOUBLE) / n_nbrs) * 1e6 + 0.5) / 1e6
+       |      AS ood_score
+       |  FROM sc)
+       |SELECT vec_id, n_nbrs, ood_score, rn FROM (
+       |  SELECT vec_id, n_nbrs, ood_score,
+       |    row_number() OVER (ORDER BY ood_score DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $OodTopN""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_semdedup" -> (semDedup _),
-    "sim_knn_graph" -> (knnGraph _))
+    "sim_knn_graph" -> (knnGraph _),
+    "sim_ood_knn" -> (oodKnn _))
 
   def oracles: Map[String, String] = Map(
     "sim_semdedup" -> semDedupSql,
-    "sim_knn_graph" -> knnGraphSql)
+    "sim_knn_graph" -> knnGraphSql,
+    "sim_ood_knn" -> oodKnnSql)
 }

@@ -174,4 +174,29 @@ class SemDedupDsirSpec extends AnyFunSuite {
     // every vector in a cell of ≥ k+1 members has exactly k neighbors
     assert(got.nonEmpty && got.groupBy(_._1).values.forall(_.size <= SemDedup.KnnK))
   }
+
+  test("ood scores: isolation ordering matches the knn graph's mean cosine") {
+    import spark.implicits._
+    def rnd9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val g = SemDedup.knnGraph(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    val want = g.groupBy(_._1).map { case (id, rows) =>
+      val cs = rows.map(r => BigDecimal(rnd9(r._3)).setScale(9))
+      (id, rows.length.toLong,
+        rnd6(1.0 - (cs.sum / cs.length).toDouble))
+    }.toSeq.sortBy { case (id, _, sc) => (-sc, id) }
+      .take(SemDedup.OodTopN).zipWithIndex
+      .map { case ((id, n, sc), i) => (id, n, sc, i + 1) }.toSet
+    val got = SemDedup.oodKnn(spark, sf)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+    // the reported outliers really are the least-similar neighborhoods
+    val maxKept = got.map(_._3).min
+    val allScores = g.groupBy(_._1).map { case (_, rows) =>
+      rnd6(1.0 - rows.map(r => BigDecimal(rnd9(r._3)).setScale(9))
+        .sum.toDouble / rows.length)
+    }
+    assert(allScores.count(_ > maxKept) < SemDedup.OodTopN)
+  }
 }
