@@ -23,7 +23,7 @@ object SparkEntry {
       Relational4.queries ++
       TextOps.queries ++ Bpe.queries ++ LogReg.queries ++
       DocCluster.queries ++
-      EventOps.queries ++ TimeSeries.queries ++
+      EventOps.queries ++ TimeSeries.queries ++ TimeSeries2.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       KMeans.queries ++ Jl.queries ++ SemDedup.queries ++ NnDescent.queries ++
       Curation.queries ++
@@ -47,7 +47,7 @@ object SparkEntry {
       Relational4.oracles ++
       TextOps.oracles(dir) ++ Bpe.oracles ++ LogReg.oracles ++
       DocCluster.oracles ++
-      EventOps.oracles ++ TimeSeries.oracles ++
+      EventOps.oracles ++ TimeSeries.oracles ++ TimeSeries2.oracles ++
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
       KMeans.oracles ++ Jl.oracles ++ SemDedup.oracles ++ NnDescent.oracles ++
       Curation.oracles ++

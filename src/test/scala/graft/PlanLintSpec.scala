@@ -131,7 +131,13 @@ class PlanLintSpec extends AnyFunSuite {
     // 1-row totals (token mass, tempered mass) onto the |langs| frame
     "sim_sq8_topk", "curate_temperature_mix",
     // doc_lm_nll's shape with the 1-row bigram-type-count broadcast
-    "doc_lm_kn_nll")
+    "doc_lm_kn_nll",
+    // round-7 continuation 5: DTW rides the approved 1-row day-span
+    // scaffold broadcast plus the kmv_overlap-style type-pair
+    // enumeration (|types|²/2 rows, series bounded by calendar span)
+    "ev_dtw",
+    // ev_holt_forecast's exact shape: 1-row max(day) anchor broadcast
+    "ev_kalman_level")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>
