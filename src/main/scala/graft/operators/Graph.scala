@@ -101,21 +101,28 @@ object Graph {
     ranks.select($"node", $"rank")
   }
 
-  /** DuckDB restatement: same edge build, the 10 iterations unrolled as
-    * chained CTEs (recursive CTEs disallow aggregates in the recursive
-    * term, and unrolling keeps the recurrence literally identical).
+  /** Directed token-transition edge CTEs (toks + edges) — the shared
+    * DuckDB restatement of [[tokenEdges]].
     */
-  val pagerankSql: String = {
+  private[operators] val tokenEdgesCtes: String =
+    s"""toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |edges AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY src, dst)""".stripMargin
+
+  /** DuckDB restatement of [[pagerankOnEdges]] over any `edges`
+    * (src, dst, cnt) CTE chain: the 10 iterations unrolled as chained
+    * CTEs (recursive CTEs disallow aggregates in the recursive term,
+    * and unrolling keeps the recurrence literally identical).
+    */
+  private[operators] def pagerankSqlOver(edgesCtes: String): String = {
     val base =
-      s"""WITH toks AS (
-         |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
-         |edges AS (
-         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT
-         |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
-         |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
-         |    FROM toks WHERE len(t) >= 2)
-         |  GROUP BY src, dst),
+      s"""WITH $edgesCtes,
          |outw AS (SELECT src, sum(cnt) AS oc FROM edges GROUP BY src),
          |w AS (
          |  SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / CAST(o.oc AS DOUBLE) AS w
@@ -137,6 +144,58 @@ object Graph {
          |    ON nd.node = s.dst)""".stripMargin
     }.mkString(",\n")
     s"$base,\n$iters\nSELECT node, rank FROM r$Iters"
+  }
+
+  val pagerankSql: String = pagerankSqlOver(tokenEdgesCtes)
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank on
+    * the UNDIRECTED token co-occurrence graph (adjacent-token window,
+    * symmetrized by summing both directions), top 20 words by rank —
+    * the unsupervised corpus-keyword readout that needs no training
+    * data, as pure composition over [[pagerankOnEdges]]. Ordering is
+    * total (rank DESC, then word) so the truncation is engine-stable;
+    * ranks are the 9-dp decimal-summed values the pagerank contract
+    * already makes engine-exact.
+    *
+    * Scale: the symmetrize is a union + re-aggregate of the O(vocab²)
+    * edge list (map-side combinable, no extra corpus scan); everything
+    * else is the pagerank plan.
+    */
+  def textrank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = tokenEdges(s, dir)
+    val sym = e.select($"src", $"dst", $"cnt")
+      .union(e.select($"dst".as("src"), $"src".as("dst"), $"cnt"))
+      .groupBy($"src", $"dst").agg(sum($"cnt").as("cnt"))
+    pagerankOnEdges(sym)
+      .orderBy(desc("rank"), $"node")
+      .limit(20)
+      .select($"node".as("word"), $"rank".as("textrank"))
+  }
+
+  val textrankSql: String = {
+    // the iteration CTEs consume `edges`; here that must be the
+    // symmetrized list, so the directed build is named edges0
+    val symCtes =
+      s"""toks AS (
+         |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+         |edges0 AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT
+         |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+         |    FROM toks WHERE len(t) >= 2)
+         |  GROUP BY src, dst),
+         |edges AS (
+         |  SELECT src, dst, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |    SELECT src, dst, cnt FROM edges0
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst, cnt FROM edges0)
+         |  GROUP BY src, dst)""".stripMargin
+    pagerankSqlOver(symCtes)
+      .replace(s"SELECT node, rank FROM r$Iters",
+        s"SELECT node AS word, rank AS textrank FROM r$Iters " +
+          "ORDER BY rank DESC, node LIMIT 20")
   }
 
   /** HITS hubs & authorities — the second classic link-analysis
@@ -1573,6 +1632,115 @@ object Graph {
        |  ON bc.v = n.node""".stripMargin
   }
 
+  // ------------------------------------------------------- closeness
+
+  /** Seed-set size for closeness: the analysis runs from the highest
+    * out-mass nodes (the hub vocabulary), not all sources — the
+    * standard production compromise, since exact all-sources closeness
+    * is an n·BFS that no 100 TB graph runs for a dashboard.
+    */
+  val ClosenessSeeds = 8
+  val ClosenessMaxDepth = 10
+
+  def closeness(s: SparkSession, dir: String): DataFrame =
+    closenessOnEdges(tokenEdges(s, dir))
+
+  /** Closeness + harmonic centrality from the [[ClosenessSeeds]]
+    * highest-out-mass nodes (ties lexical — a total order, so the seed
+    * set is engine-stable): level-synchronous BFS to depth
+    * [[ClosenessMaxDepth]] over the directed unweighted token graph,
+    * then per seed
+    *
+    *   closeness(s) = (|reached| − 1) / Σ_v d(s,v)
+    *   harmonic(s)  = Σ_{v≠s} 1/d(s,v)
+    *
+    * — the freeman closeness beside its disconnection-robust harmonic
+    * variant (harmonic degrades gracefully when the BFS ball doesn't
+    * cover the graph; closeness of an isolated seed rides as NULL via
+    * nullif on both engines). The 1/d terms are floor-rounded to 9 dp
+    * and decimal-summed (order-free ⇒ engine-exact); the final
+    * division micro-floors once.
+    *
+    * Scale shape: frontier/seen state is O(seeds·nodes) sharded by
+    * seed — the [[betweennessOnEdges]] forward pass restricted to a
+    * fixed seed frontier, which is exactly how it stays runnable at
+    * 100 TB (the seed list shrinks the state linearly; the plan is
+    * unchanged).
+    */
+  def closenessOnEdges(rawEdges: DataFrame,
+      maxDepth: Int = ClosenessMaxDepth): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val edges = rawEdges.select($"src", $"dst").distinct().localCheckpoint()
+    val seeds = rawEdges.groupBy($"src").agg(sum($"cnt").as("m"))
+      .orderBy(desc("m"), $"src").limit(ClosenessSeeds)
+      .select($"src".as("s")).localCheckpoint()
+    var frontier = seeds.select($"s", $"s".as("v"), lit(0L).as("dist"))
+    var seen = frontier.select($"s", $"v").localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    for (l <- 1 to maxDepth) {
+      frontier = frontier.join(edges, $"v" === $"src")
+        .select($"s", $"dst".as("v2"))
+        .join(seen.select($"s", $"v".as("v2")), Seq("s", "v2"), "left_anti")
+        .distinct()
+        .select($"s", $"v2".as("v"), lit(l.toLong).as("dist"))
+      seen = seen.union(frontier.select($"s", $"v"))
+      if (l % 3 == 0) {
+        frontier = frontier.localCheckpoint()
+        seen = seen.localCheckpoint()
+      }
+      levels += frontier
+    }
+    levels.reduce(_ union _)
+      .groupBy($"s")
+      .agg(
+        (count(lit(1)) - 1).as("n_reached"),
+        sum($"dist").as("sum_dist"),
+        sum(when($"dist" > 0,
+          expr("CAST(floor(1.0 / dist * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9))")))
+          .cast("double").as("harmonic"))
+      .select($"s".as("word"), $"n_reached", $"sum_dist",
+        expr("floor(n_reached / nullif(CAST(sum_dist AS DOUBLE), 0) * 1e6 + 0.5) / 1e6")
+          .as("closeness"),
+        $"harmonic")
+  }
+
+  /** DuckDB restatement: seed pick by the same total order, frontier
+    * CTEs g1..gD with NOT-EXISTS dedupe (the [[betweennessSql]] forward
+    * shape minus σ), per-seed rollup with identical rounding.
+    */
+  val closenessSql: String = {
+    val fwd = (1 to ClosenessMaxDepth).map { l =>
+      s"""g$l AS MATERIALIZED (
+         |  SELECT DISTINCT f.s, e.dst AS v, CAST($l AS BIGINT) AS dist
+         |  FROM g${l - 1} f JOIN ed e ON e.src = f.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM gseen${l - 1} x WHERE x.s = f.s AND x.v = e.dst)),
+         |gseen$l AS MATERIALIZED (
+         |  SELECT s, v FROM gseen${l - 1} UNION SELECT s, v FROM g$l)"""
+        .stripMargin
+    }.mkString(",\n")
+    val lvlUnion = (0 to ClosenessMaxDepth)
+      .map(l => s"SELECT s, v, dist FROM g$l").mkString(" UNION ALL ")
+    s"""WITH $tokenEdgesCtes,
+       |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+       |seeds AS (
+       |  SELECT src AS s FROM edges GROUP BY src
+       |  ORDER BY sum(cnt) DESC, src LIMIT $ClosenessSeeds),
+       |g0 AS (SELECT s, s AS v, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |gseen0 AS (SELECT s, v FROM g0),
+       |$fwd
+       |SELECT s AS word,
+       |  CAST(count(*) - 1 AS BIGINT) AS n_reached,
+       |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |  floor((count(*) - 1) / nullif(CAST(sum(dist) AS DOUBLE), 0)
+       |    * 1e6 + 0.5) / 1e6 AS closeness,
+       |  CAST(sum(CASE WHEN dist > 0 THEN
+       |    CAST(floor(1.0 / dist * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9))
+       |    END) AS DOUBLE) AS harmonic
+       |FROM ($lvlUnion) u GROUP BY s""".stripMargin
+  }
+
   def personalizedPagerank(s: SparkSession, dir: String): DataFrame =
     pprOnEdges(tokenEdges(s, dir))
 
@@ -1838,6 +2006,8 @@ object Graph {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_textrank" -> (textrank _),
+    "graph_closeness" -> (closeness _),
     "graph_node2vec" -> (node2vec _),
     "graph_ppr" -> (personalizedPagerank _),
     "graph_betweenness" -> (betweenness _),
@@ -1875,5 +2045,7 @@ object Graph {
     "graph_triangles" -> trianglesSql,
     "graph_neighbor_jaccard" -> neighborSimilaritySql,
     "graph_adamic_adar" -> adamicAdarSql,
-    "graph_hits" -> hitsSql)
+    "graph_hits" -> hitsSql,
+    "doc_textrank" -> textrankSql,
+    "graph_closeness" -> closenessSql)
 }

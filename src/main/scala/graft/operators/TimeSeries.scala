@@ -782,11 +782,22 @@ object TimeSeries {
 
   def ewmaDaily(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wArr = array(ewmaWeights.map(w => lit(w).cast("decimal(28,20)")): _*)
     val ev = Tables.events(s, dir)
       .select($"event_type", to_date($"ts").as("day"))
       .groupBy($"event_type", $"day")
       .agg(count(lit(1)).cast("decimal(8,0)").as("cnt"))
+    ewmaFromCounts(ev)
+  }
+
+  /** EWMA finalize from a zero-gap (event_type, day DATE,
+    * cnt DECIMAL(8,0)) count table — shared verbatim by the batch query
+    * and `stream_ewma` (whose drained per-day counter state closes
+    * through it), the lambda contract for this family.
+    */
+  private[graft] def ewmaFromCounts(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val wArr = array(ewmaWeights.map(w => lit(w).cast("decimal(28,20)")): _*)
     val mx = ev.agg(max($"day").as("dmax"))
     ev.select($"event_type", $"day", $"cnt",
         explode(sequence(lit(0), lit(EwmaLookback - 1))).as("k"))

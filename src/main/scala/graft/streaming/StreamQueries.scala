@@ -1132,6 +1132,30 @@ object StreamQueries {
         runDeltaLog(counts, "update", Seq("t")))
     }
 
+  /** Streaming EWMA — the [[streamAcf]] shape applied to the smoothed
+    * volume line every live dashboard draws: per-(type, day) counter
+    * state in update mode at ingest, drained latest-per-key, closed
+    * through the SHARED `ewmaFromCounts` finalize (the truncated
+    * decimal-weight convolution). Maintaining the daily counters
+    * incrementally and convolving at read time must equal the batch
+    * sweep. Oracle IS `ev_ewma`'s SQL.
+    */
+  def streamEwma(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("event_type",
+          "CAST(timestamp_micros(ts div 1000) AS DATE) AS day")
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+      val state = runDeltaLog(counts, "update", Seq("event_type", "day"))
+        .select($"event_type", $"day", $"c".cast("decimal(8,0)").as("cnt"))
+      graft.operators.TimeSeries.ewmaFromCounts(state)
+    }
+
   /** Streaming histogram-quantile sketch — the [[streamCmsHeavy]]
     * shape applied to order statistics: per-bucket counters (the
     * fixed-memory mergeable state of the two-phase quantile algorithm,
@@ -1334,6 +1358,7 @@ object StreamQueries {
     "stream_hist_quantiles" -> (streamHistQuantiles _),
     "stream_pacf" -> (streamPacf _),
     "stream_poisson_burst" -> (streamPoissonBurst _),
+    "stream_ewma" -> (streamEwma _),
     "stream_acf" -> (streamAcf _),
     "stream_dedup_incremental" -> (streamDedupIncremental _),
     "stream_cms_heavy" -> (streamCmsHeavy _),
@@ -1380,6 +1405,7 @@ object StreamQueries {
     "stream_pacf" -> graft.operators.TimeSeries.pacfSql,
     "stream_ar_forecast" -> graft.operators.TimeSeries.arForecastSql,
     "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,
+    "stream_ewma" -> graft.operators.TimeSeries.ewmaDailySql,
     "stream_acf" -> graft.operators.TimeSeries.acfSql,
     "stream_dedup_incremental" -> graft.operators.Dedup.dedupIncrementalSql,
     "stream_funnel" -> graft.operators.EventOps.funnelSql,

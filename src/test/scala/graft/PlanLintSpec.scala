@@ -20,7 +20,8 @@ class PlanLintSpec extends AnyFunSuite {
   private val constructionRuns: Set[String] = Set(
     "dedup_clusters", "dedup_canonical", "curate_soft_dedup",
     "curate_full_pipeline",
-    "graph_pagerank", "graph_triangles", "graph_neighbor_jaccard",
+    "graph_pagerank", "doc_textrank", "graph_triangles",
+    "graph_neighbor_jaccard",
     "graph_hits", "graph_bfs", "graph_sssp", "graph_mst",
     "graph_single_linkage",
     "sim_mmr_rerank",
@@ -59,7 +60,7 @@ class PlanLintSpec extends AnyFunSuite {
     // pagerank's iteration shape with a 1-row seed collect
     "graph_ppr",
     // level-synchronous multi-source BFS with checkpoint pins
-    "graph_betweenness",
+    "graph_betweenness", "graph_closeness",
     // collects the 65-double centroid artifact on construction; the
     // decile-edge / median / totals frames are 1-row broadcasts
     "dq_embedding_drift")
