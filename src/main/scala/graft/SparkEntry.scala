@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++
       TextOps.queries ++ Bpe.queries ++ LogReg.queries ++
-      DocCluster.queries ++
+      DocCluster.queries ++ Nmf.queries ++
       EventOps.queries ++ TimeSeries.queries ++ TimeSeries2.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
       KMeans.queries ++ Jl.queries ++ SemDedup.queries ++ NnDescent.queries ++
@@ -46,7 +46,7 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Relational4.oracles ++
       TextOps.oracles(dir) ++ Bpe.oracles ++ LogReg.oracles ++
-      DocCluster.oracles ++
+      DocCluster.oracles ++ Nmf.oracles ++
       EventOps.oracles ++ TimeSeries.oracles ++ TimeSeries2.oracles ++
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
       KMeans.oracles ++ Jl.oracles ++ SemDedup.oracles ++ NnDescent.oracles ++

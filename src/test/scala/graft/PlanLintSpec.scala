@@ -59,6 +59,9 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_cdc_chunks", "mm_frame_sample",
     // pagerank's iteration shape with a 1-row seed collect
     "graph_ppr",
+    // ALS-shaped iterative factorization: per-half-step localCheckpoint
+    // pins; the k² gram frames are 1-row broadcast crosses
+    "doc_nmf_topics",
     // level-synchronous multi-source BFS with checkpoint pins
     "graph_betweenness", "graph_closeness",
     // collects the 65-double centroid artifact on construction; the
