@@ -498,7 +498,111 @@ object DataQuality {
        |FROM obs o JOIN probs p ON p.digit = o.digit CROSS JOIN tot""".stripMargin
   }
 
+  /** Diagonal-covariance Mahalanobis outlier scores over the embedding
+    * collection — the model-free GLOBAL outlier screen beside
+    * `sim_ood_knn`'s local neighborhood-isolation score and
+    * [[dqEmbeddingDrift]]'s distribution-shift monitor: standardize
+    * each dimension by the collection's own mean/variance and rank
+    * vectors by Σ_d (x_d − μ_d)²/σ²_d (top 20, ties by vec_id).
+    *
+    * Exactness: μ_d is the exact-decimal 6-dp mean (the
+    * [[dqEmbeddingDrift]]/KMeans idiom); σ²_d sums 9-dp-floored
+    * squared deviations as DECIMAL(18,9) (order-free) before ONE
+    * division + 6-dp floor; the per-vector score is a SEQUENTIAL fold
+    * over dimensions (identical order both engines), zero-variance
+    * dims contribute 0. Spark collects the 2·|dims| model artifact
+    * once and ships it as array literals; the oracle re-derives the
+    * identical decimal arithmetic in CTEs.
+    *
+    * Scale: two corpus scans (moment pass + score pass) and a top-k —
+    * the 100 TB plan is scan-bound with a 20-row result; the model
+    * artifact is O(dims), never the collection.
+    */
+  def dqEmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val moments = emb
+      .select(posexplode($"embedding").as(Seq("dim", "ev")))
+      .groupBy($"dim")
+      .agg(
+        (floor((sum(floor($"ev".cast("double") * 1e6 + 0.5)
+            .cast("decimal(18,0)")).cast("double") / count(lit(1))) + 0.5)
+          / 1e6).as("mv"),
+        count(lit(1)).as("n"))
+    val mu = moments.orderBy($"dim").select($"mv").as[Double].collect()
+    val muLit = mu.map(x => s"${x}D").mkString("array(", ", ", ")")
+    val vars = emb
+      .select(posexplode($"embedding").as(Seq("dim", "ev")))
+      .select($"dim",
+        (floor($"ev".cast("double") * 1e6 + 0.5) / 1e6).as("qv"))
+      .withColumn("mu", expr(s"element_at($muLit, dim + 1)"))
+      .groupBy($"dim")
+      .agg((floor((sum(expr(
+          "CAST(floor((qv - mu) * (qv - mu) * 1e9 + 0.5) / 1e9 " +
+            "AS DECIMAL(18,9))")).cast("double") / count(lit(1)))
+          * 1e6 + 0.5) / 1e6).as("vv"))
+      .orderBy($"dim").select($"vv").as[Double].collect()
+    val varLit = vars.map(x => s"${x}D").mkString("array(", ", ", ")")
+    emb.selectExpr("vec_id",
+      s"""floor(aggregate(sequence(1, size(embedding)),
+         |  CAST(0 AS DOUBLE),
+         |  (acc, i) -> acc + (CASE WHEN element_at($varLit, i) = 0
+         |    THEN CAST(0 AS DOUBLE)
+         |    ELSE (floor(CAST(element_at(embedding, i) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |        - element_at($muLit, i))
+         |      * (floor(CAST(element_at(embedding, i) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |        - element_at($muLit, i))
+         |      / element_at($varLit, i) END)) * 1e6 + 0.5) / 1e6
+         |  AS maha_sq""".stripMargin)
+      .orderBy(desc("maha_sq"), $"vec_id")
+      .limit(20)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("maha_sq"), $"vec_id")).cast("long"))
+  }
+
+  /** Oracle: identical decimal moment arithmetic re-derived in CTEs,
+    * the same sequential fold via list_prepend + list_reduce.
+    */
+  val dqEmbeddingOutliersSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+      |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS ev
+      |  FROM embeddings),
+      |mom AS MATERIALIZED (
+      |  SELECT dim,
+      |    floor((CAST(sum(CAST(floor(ev * 1e6 + 0.5) AS DECIMAL(18,0)))
+      |      AS DOUBLE) / count(*)) + 0.5) / 1e6 AS mv
+      |  FROM ex GROUP BY dim),
+      |vr AS MATERIALIZED (
+      |  SELECT e.dim,
+      |    floor((CAST(sum(CAST(floor(
+      |        (floor(e.ev * 1e6 + 0.5) / 1e6 - m.mv)
+      |        * (floor(e.ev * 1e6 + 0.5) / 1e6 - m.mv) * 1e9 + 0.5) / 1e9
+      |      AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+      |      AS vv
+      |  FROM ex e JOIN mom m ON m.dim = e.dim GROUP BY e.dim),
+      |mvec AS (SELECT list(mv ORDER BY dim) AS mu FROM mom),
+      |vvec AS (SELECT list(vv ORDER BY dim) AS vv FROM vr),
+      |scored AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(embedding) + 1),
+      |        i -> CASE WHEN vv[i] = 0 THEN CAST(0 AS DOUBLE)
+      |          ELSE (floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |              - mu[i])
+      |            * (floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |              - mu[i])
+      |            / vv[i] END)),
+      |      (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS maha_sq
+      |  FROM embeddings CROSS JOIN mvec CROSS JOIN vvec)
+      |SELECT vec_id, maha_sq,
+      |  CAST(row_number() OVER (ORDER BY maha_sq DESC, vec_id) AS BIGINT)
+      |    AS rn
+      |FROM scored ORDER BY maha_sq DESC, vec_id LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_embedding_outliers" -> (dqEmbeddingOutliers _),
     "dq_benford" -> (dqBenford _),
     "dq_value_drift" -> (dqValueDrift _),
     "dq_embedding_drift" -> (dqEmbeddingDrift _),
@@ -509,6 +613,7 @@ object DataQuality {
     "dq_documents" -> (dqDocuments _))
 
   def oracles: Map[String, String] = Map(
+    "dq_embedding_outliers" -> dqEmbeddingOutliersSql,
     "dq_benford" -> dqBenfordSql,
     "dq_value_drift" -> dqValueDriftSql,
     "dq_embedding_drift" -> dqEmbeddingDriftSql,

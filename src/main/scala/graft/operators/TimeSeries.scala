@@ -852,11 +852,25 @@ object TimeSeries {
     */
   def changepoint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
+    val counts = Tables.events(s, dir)
       .select($"event_type", to_date($"ts").as("day"))
-    val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
-    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
-    val scaffold = ev.select($"event_type").distinct()
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    changepointFromCounts(counts)
+  }
+
+  /** Changepoint finalize from a sparse (event_type, day DATE, cnt)
+    * count table: zero-fill over the global span, then the CUSUM
+    * argmax — shared verbatim by the batch query and
+    * `stream_changepoint` (whose drained per-day counter state closes
+    * through it). The span/type universe derived from the counts
+    * equals the one derived from raw events: every type has ≥ 1 row
+    * and the global min/max day is attained by some count row.
+    */
+  private[graft] def changepointFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val span = counts.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val scaffold = counts.select($"event_type").distinct()
       .crossJoin(broadcast(span))
       .select($"event_type",
         explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))

@@ -283,11 +283,127 @@ object TimeSeries2 {
        |FROM joined GROUP BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------ Theta forecasting
+
+  /** Theta-method window (days, anchored at max(day)) — matches
+    * [[TimeSeries.HoltWindow]] so the two forecasters read the same
+    * series slice and their one-step-ahead numbers are comparable.
+    */
+  val ThetaWindow = 8
+
+  /** Theta-method coefficient vectors (Assimakopoulos & Nikolopoulos
+    * 2000, the M3-winning two-line form): the forecast is the mean of
+    *   θ=0 line: OLS trend extrapolated one step, and
+    *   θ=2 line: SES (α = ½) over zₜ = 2yₜ − trend(t),
+    * both LINEAR in the window observations — so, like
+    * [[kalmanCoeffs]], the whole method reduces to fixed weight
+    * vectors derived once by unit-vector propagation in BigDecimal and
+    * embedded as identical 18-dp literals in both engines (the
+    * quantized vectors ARE the model; cross-engine exactness is by
+    * construction). Returns (trend-forecast weights, SES-line weights,
+    * theta = their mean — a third literal vector, so NO engine-side
+    * decimal division whose scale rules could differ) over window
+    * offsets 0 (oldest) .. W−1.
+    */
+  val thetaCoeffs: (Seq[String], Seq[String], Seq[String]) = {
+    val W = ThetaWindow
+    def s18(x: BigDecimal): String =
+      x.setScale(18, BigDecimal.RoundingMode.HALF_UP).underlying.toPlainString
+    val xbar = BigDecimal(W - 1) / 2
+    val sxx = (0 until W).map(t => (BigDecimal(t) - xbar).pow(2)).sum
+    val coeffs = (0 until W).map { j =>
+      val y = Vector.tabulate(W)(i =>
+        if (i == j) BigDecimal(1) else BigDecimal(0))
+      val b = (0 until W).map(t => (BigDecimal(t) - xbar) * y(t)).sum / sxx
+      val a = y.sum / W - b * xbar
+      val fLin = a + b * W
+      val z = Vector.tabulate(W)(t => 2 * y(t) - (a + b * t))
+      var l = z(0)
+      for (t <- 1 until W) l = (z(t) + l) / 2
+      (fLin, l, (fLin + l) / 2)
+    }
+    (coeffs.map(c => s18(c._1)), coeffs.map(c => s18(c._2)),
+      coeffs.map(c => s18(c._3)))
+  }
+
+  /** Theta-method one-step forecast of each event type's daily counts
+    * over the last [[ThetaWindow]] days: the trend and SES components
+    * plus their mean (the theta forecast) — the M3-competition
+    * benchmark forecaster beside Holt ([[TimeSeries.holtForecast]])
+    * and the Kalman level ([[kalmanLevel]]), giving the volume
+    * dashboard a family of comparable one-steps.
+    *
+    * Shape: `ev_holt_forecast`'s exactly — one map-side-combinable
+    * daily count, the approved 1-row max(day) scaffold broadcast, ONE
+    * aggregate of exact decimal dot products.
+    */
+  def thetaForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (wl, ws, wt) = thetaCoeffs
+    val W = ThetaWindow
+    val lArr = array(wl.map(x => lit(x).cast("decimal(30,18)")): _*)
+    val sArr = array(ws.map(x => lit(x).cast("decimal(30,18)")): _*)
+    val tArr = array(wt.map(x => lit(x).cast("decimal(30,18)")): _*)
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val counts = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).cast("decimal(8,0)").as("cnt"))
+    val mx = ev.agg(max($"day").as("dmax"))
+    val scaffold = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(mx))
+      .select($"event_type", explode(sequence(lit(0), lit(W - 1))).as("k"),
+        $"dmax")
+      .select($"event_type", $"k",
+        expr(s"date_sub(dmax, $W - 1 - k)").as("day"))
+    scaffold.join(counts, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce($"cnt", lit(0).cast("decimal(8,0)")))
+      .groupBy($"event_type")
+      .agg(
+        round(sum($"cnt" * element_at(lArr, $"k" + 1)), 9)
+          .cast("double").as("trend_component"),
+        round(sum($"cnt" * element_at(sArr, $"k" + 1)), 9)
+          .cast("double").as("ses_component"),
+        round(sum($"cnt" * element_at(tArr, $"k" + 1)), 9)
+          .cast("double").as("theta_forecast"))
+  }
+
+  val thetaForecastSql: String = {
+    val (wl, ws, wt) = thetaCoeffs
+    val W = ThetaWindow
+    def list(xs: Seq[String]): String =
+      xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+       |counts AS (
+       |  SELECT event_type, day, CAST(count(*) AS DECIMAL(8,0)) AS cnt
+       |  FROM ev GROUP BY 1, 2),
+       |mx AS (SELECT max(day) AS dmax FROM ev),
+       |scaffold AS (
+       |  SELECT t.event_type, k.k, dmax - CAST($W - 1 - k.k AS INTEGER) AS day
+       |  FROM (SELECT DISTINCT event_type FROM ev) t
+       |  CROSS JOIN (SELECT unnest(range(0, $W)) AS k) k
+       |  CROSS JOIN mx),
+       |joined AS (
+       |  SELECT s.event_type, s.k, coalesce(c.cnt, 0) AS cnt
+       |  FROM scaffold s LEFT JOIN counts c
+       |    ON c.event_type = s.event_type AND c.day = s.day)
+       |SELECT event_type,
+       |  CAST(round(sum(cnt * CAST(${list(wl)}[k + 1] AS DECIMAL(30,18))), 9)
+       |    AS DOUBLE) AS trend_component,
+       |  CAST(round(sum(cnt * CAST(${list(ws)}[k + 1] AS DECIMAL(30,18))), 9)
+       |    AS DOUBLE) AS ses_component,
+       |  CAST(round(sum(cnt * CAST(${list(wt)}[k + 1] AS DECIMAL(30,18))), 9)
+       |    AS DOUBLE) AS theta_forecast
+       |FROM joined GROUP BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_dtw" -> (dtwPairs _),
-    "ev_kalman_level" -> (kalmanLevel _))
+    "ev_kalman_level" -> (kalmanLevel _),
+    "ev_theta_forecast" -> (thetaForecast _))
 
   def oracles: Map[String, String] = Map(
     "ev_dtw" -> dtwPairsSql,
-    "ev_kalman_level" -> kalmanLevelSql)
+    "ev_kalman_level" -> kalmanLevelSql,
+    "ev_theta_forecast" -> thetaForecastSql)
 }

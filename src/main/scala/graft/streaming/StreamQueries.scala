@@ -1156,6 +1156,28 @@ object StreamQueries {
       graft.operators.TimeSeries.ewmaFromCounts(state)
     }
 
+  /** Streaming changepoint — the [[streamEwma]] state (per-(type, day)
+    * counters in update mode) closed through the SHARED
+    * `changepointFromCounts` finalize: zero-fill + CUSUM argmax at
+    * read time over incrementally-maintained daily counters must equal
+    * the batch detector. Oracle IS `ev_changepoint`'s SQL.
+    */
+  def streamChangepoint(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val counts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("event_type",
+          "CAST(timestamp_micros(ts div 1000) AS DATE) AS day")
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+      val state = runDeltaLog(counts, "update", Seq("event_type", "day"))
+        .select($"event_type", $"day", $"c".as("cnt"))
+      graft.operators.TimeSeries.changepointFromCounts(state)
+    }
+
   /** Streaming histogram-quantile sketch — the [[streamCmsHeavy]]
     * shape applied to order statistics: per-bucket counters (the
     * fixed-memory mergeable state of the two-phase quantile algorithm,
@@ -1359,6 +1381,7 @@ object StreamQueries {
     "stream_pacf" -> (streamPacf _),
     "stream_poisson_burst" -> (streamPoissonBurst _),
     "stream_ewma" -> (streamEwma _),
+    "stream_changepoint" -> (streamChangepoint _),
     "stream_acf" -> (streamAcf _),
     "stream_dedup_incremental" -> (streamDedupIncremental _),
     "stream_cms_heavy" -> (streamCmsHeavy _),
@@ -1406,6 +1429,7 @@ object StreamQueries {
     "stream_ar_forecast" -> graft.operators.TimeSeries.arForecastSql,
     "stream_poisson_burst" -> graft.operators.TimeSeries.poissonBurstSql,
     "stream_ewma" -> graft.operators.TimeSeries.ewmaDailySql,
+    "stream_changepoint" -> graft.operators.TimeSeries.changepointSql,
     "stream_acf" -> graft.operators.TimeSeries.acfSql,
     "stream_dedup_incremental" -> graft.operators.Dedup.dedupIncrementalSql,
     "stream_funnel" -> graft.operators.EventOps.funnelSql,

@@ -66,7 +66,10 @@ class PlanLintSpec extends AnyFunSuite {
     "graph_betweenness", "graph_closeness",
     // collects the 65-double centroid artifact on construction; the
     // decile-edge / median / totals frames are 1-row broadcasts
-    "dq_embedding_drift")
+    "dq_embedding_drift",
+    // collects the 2·|dims| moment artifact on construction; the score
+    // pass is one scan + top-k
+    "dq_embedding_outliers")
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
@@ -141,7 +144,7 @@ class PlanLintSpec extends AnyFunSuite {
     // enumeration (|types|²/2 rows, series bounded by calendar span)
     "ev_dtw",
     // ev_holt_forecast's exact shape: 1-row max(day) anchor broadcast
-    "ev_kalman_level")
+    "ev_kalman_level", "ev_theta_forecast")
 
   test("no registered batch query plans a cartesian product or stray nested-loop join") {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>
