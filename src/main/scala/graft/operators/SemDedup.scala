@@ -204,13 +204,210 @@ object SemDedup {
        |  FROM scored)
        |WHERE rn <= $OodTopN""".stripMargin
 
+  // ------------------------------------------- graph-based ANN search
+
+  /** Per-cell beam quota, hop budget, and reported k for
+    * [[graphSearch]] (total beam = quota × number of cells).
+    */
+  val GsCellBeam = 6
+  val GsHops = 5
+  val GsTopK = 5
+
+  /** Out-degree of the search graph (wider than [[KnnK]] — greedy
+    * routing on 64-d vectors needs the extra branching).
+    */
+  val GsDegree = 16
+
+  /** Greedy beam search over the [[knnGraph]] — graph-based ANN
+    * retrieval, the modern default (HNSW/NSG family) completing the
+    * index spectrum beside IVF cells (`sim_ivf_topk`), PQ/SQ codes,
+    * and LSH buckets: for each query (vec_id < 10, the bounded query
+    * convention), start from one entry point PER K-MEANS CELL (the
+    * graph is cell-scoped, so per-cell entries make every neighborhood
+    * reachable — the IVF-entry twist that the flat-graph HNSW replaces
+    * with layers), then [[GsHops]] rounds of expand-score-prune with
+    * beam width [[GsBeam]]. Cosines are the bit-identical sequential
+    * fold (raw doubles, the `sim_ivf_topk` contract); pruning order
+    * (cosine DESC, node) is total. Output: the top-[[GsTopK]] found
+    * per query with an `in_truth` flag against the exact brute-force
+    * top-k — the search is self-evaluating.
+    *
+    * Scale shape: the beam state is |queries|·B rows; each hop is an
+    * equi-join into the k-NN edge list (k rows per node) plus a keyed
+    * fetch of candidate vectors — per-hop work O(|queries|·B·k)
+    * REGARDLESS of collection size, the property that makes graph
+    * search the production choice at 10⁹ vectors. The one corpus-sized
+    * cost is building [[knnGraph]] itself (shared, memoized model).
+    */
+  def graphSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = KMeans.trainedCentroids(s, dir)
+    val assigned = KMeans.assign(
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding"), cents)
+    val v = assigned.select($"vec_id", $"k", $"embedding",
+      sqrt(DotF64.dot_f64($"embedding", $"embedding")).as("nrm"))
+      .localCheckpoint()
+    // The SEARCH graph is a wider-degree, SYMMETRIZED variant of the
+    // k-NN join: degree GsDegree out-edges (64-d vectors need ~3× the
+    // 5-edge analysis graph for greedy routing to converge — the
+    // HNSW/NSG degree rule) plus reverse edges (a directed k-NN graph
+    // hides the inbound trail: b can be a's neighbor while a is not
+    // b's). Same within-cell pair join as [[knnGraph]], wider rank cut.
+    val aa = v.selectExpr("k", "vec_id", "embedding AS ea", "nrm AS na")
+    val bb = v.selectExpr("k", "vec_id AS nbr_id", "embedding AS eb",
+      "nrm AS nb")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cosine".desc, $"nbr_id")
+    val knnDir = aa.join(bb, "k")
+      .where($"vec_id" =!= $"nbr_id")
+      .select($"vec_id", $"nbr_id",
+        (DotF64.dot_f64($"ea", $"eb") / ($"na" * $"nb")).as("cosine"))
+      .withColumn("rn", row_number().over(wk))
+      .where($"rn" <= GsDegree)
+      .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+    val knn = knnDir
+      .union(knnDir.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    val q = v.where($"vec_id" < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq")
+    // TWO entries per cell: the queries are themselves low-id members
+    // of the collection, and a query is excluded from its own beam —
+    // with a single min-id entry a query whose own cell elected IT
+    // would find that cell unreachable (measured: recall collapsed to
+    // out-of-cell finds only)
+    val went = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"vec_id")
+    val entries = v
+      .withColumn("ern", row_number().over(went))
+      .where($"ern" <= 2)
+      .selectExpr("vec_id AS node", "k AS kc", "embedding AS en", "nrm AS nn")
+    // beam state carries the node's CELL: pruning is per (query, cell)
+    // — a global beam starves whole cells (measured: 0.28 recall vs
+    // 0.54 per-cell at identical width), because one lucky cell's
+    // trail floods the top while the query's true cell is still
+    // routing. Per-cell quotas are the coarse-route/graph-refine
+    // discipline of IVF-graph hybrid indexes (SPANN shape).
+    var beam = broadcast(q).join(entries, $"q_id" =!= $"node")
+      .select($"q_id", $"node", $"kc",
+        (DotF64.dot_f64($"eq", $"en") / ($"nq" * $"nn")).as("cosine"))
+      .localCheckpoint()
+    val cand_v = v.selectExpr("vec_id AS node", "k AS kc",
+      "embedding AS en", "nrm AS nn")
+    for (_ <- 1 to GsHops) {
+      val cand = beam.join(knn, $"node" === $"src")
+        .select($"q_id", $"dst".as("node"))
+        .where($"q_id" =!= $"node")
+        .distinct()
+        .join(cand_v, "node")
+        .join(broadcast(q), "q_id")
+        .select($"q_id", $"node", $"kc",
+          (DotF64.dot_f64($"eq", $"en") / ($"nq" * $"nn")).as("cosine"))
+      val w = Window.partitionBy($"q_id", $"kc")
+        .orderBy($"cosine".desc, $"node")
+      beam = beam.union(cand)
+        .groupBy($"q_id", $"node", $"kc").agg(max($"cosine").as("cosine"))
+        .select($"q_id", $"node", $"kc", $"cosine")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= GsCellBeam)
+        .select($"q_id", $"node", $"kc", $"cosine")
+        .localCheckpoint()
+    }
+    val truth = Similarity.bruteForceTopK(s, dir)
+      .select($"q_id".as("tq"), $"n_id".as("tn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"node")
+    beam.withColumn("rn", row_number().over(w))
+      .where($"rn" <= GsTopK)
+      .join(truth, $"q_id" === $"tq" && $"node" === $"tn", "left_outer")
+      .select($"q_id", $"node".as("n_id"), $"cosine",
+        $"rn".cast("long").as("rn"), $"tn".isNotNull.as("in_truth"))
+  }
+
+  /** Oracle: ONE fit/assign chain feeding both the inlined within-cell
+    * k-NN edge CTEs and the per-cell entry points, then the hop CTEs
+    * (expand → score → prune, all MATERIALIZED) and the brute-force
+    * truth flag — the identical total orders throughout.
+    */
+  def graphSearchSql: String = {
+    val dotAB = Similarity.duckDotExpr("a.embedding", "b.embedding")
+    val dotQV = Similarity.duckDotExpr("q.eq", "v.embedding")
+    val dotQE = Similarity.duckDotExpr("q.eq", "e.en")
+    val dotSelf = Similarity.duckDotExpr("embedding", "embedding")
+    val hops = (1 to GsHops).map { h =>
+      s"""cand$h AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_id, k.nbr_id AS node
+         |  FROM b${h - 1} b JOIN knn k ON k.vec_id = b.node
+         |  WHERE k.nbr_id <> b.q_id),
+         |sc$h AS MATERIALIZED (
+         |  SELECT c.q_id, c.node, v.k AS kc,
+         |    $dotQV / (q.nq * v.nrm) AS cosine
+         |  FROM cand$h c JOIN v v ON v.vec_id = c.node
+         |  JOIN q ON q.q_id = c.q_id),
+         |b$h AS MATERIALIZED (
+         |  SELECT q_id, node, kc, cosine FROM (
+         |    SELECT q_id, node, kc, cosine, row_number() OVER (
+         |      PARTITION BY q_id, kc ORDER BY cosine DESC, node) AS rn
+         |    FROM (
+         |      SELECT q_id, node, kc, max(cosine) AS cosine FROM (
+         |        SELECT q_id, node, kc, cosine FROM b${h - 1}
+         |        UNION ALL SELECT q_id, node, kc, cosine FROM sc$h) u
+         |      GROUP BY q_id, node, kc) m) r
+         |  WHERE rn <= $GsCellBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""${KMeans.fitAssignCtes},
+       |v AS MATERIALIZED (
+       |  SELECT vec_id, k, embedding, sqrt($dotSelf) AS nrm
+       |  FROM a_final),
+       |knn0 AS MATERIALIZED (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT a.vec_id, b.vec_id AS nbr_id, row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY $dotAB / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+       |    FROM v a JOIN v b ON a.k = b.k AND a.vec_id <> b.vec_id) s
+       |  WHERE rn <= $GsDegree),
+       |knn AS MATERIALIZED (
+       |  SELECT DISTINCT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id FROM knn0
+       |    UNION ALL SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM knn0) u),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS eq, nrm AS nq
+       |  FROM v WHERE vec_id < 10),
+       |ent AS (
+       |  SELECT vec_id AS node, k AS kc, embedding AS en, nrm AS nn FROM (
+       |    SELECT vec_id, k, embedding, nrm, row_number() OVER (
+       |      PARTITION BY k ORDER BY vec_id) AS ern FROM v) e
+       |  WHERE ern <= 2),
+       |b0 AS MATERIALIZED (
+       |  SELECT q.q_id, e.node, e.kc, $dotQE / (q.nq * e.nn) AS cosine
+       |  FROM q JOIN ent e ON q.q_id <> e.node),
+       |$hops,
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, c.vec_id AS n_id, row_number() OVER (
+       |      PARTITION BY q.q_id ORDER BY
+       |        ${Similarity.duckDotExpr("q.eq", "c.embedding")}
+       |          / (q.nq * c.nrm) DESC, c.vec_id) AS rn
+       |    FROM q JOIN v c ON q.q_id <> c.vec_id) s
+       |  WHERE rn <= $GsTopK)
+       |SELECT b.q_id, b.node AS n_id, b.cosine,
+       |  CAST(b.rn AS BIGINT) AS rn, t.n_id IS NOT NULL AS in_truth
+       |FROM (
+       |  SELECT q_id, node, cosine, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, node) AS rn
+       |  FROM b$GsHops) b
+       |LEFT JOIN truth t ON t.q_id = b.q_id AND t.n_id = b.node
+       |WHERE b.rn <= $GsTopK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_semdedup" -> (semDedup _),
     "sim_knn_graph" -> (knnGraph _),
-    "sim_ood_knn" -> (oodKnn _))
+    "sim_ood_knn" -> (oodKnn _),
+    "sim_graph_search" -> (graphSearch _))
 
   def oracles: Map[String, String] = Map(
     "sim_semdedup" -> semDedupSql,
     "sim_knn_graph" -> knnGraphSql,
-    "sim_ood_knn" -> oodKnnSql)
+    "sim_ood_knn" -> oodKnnSql,
+    "sim_graph_search" -> graphSearchSql)
 }

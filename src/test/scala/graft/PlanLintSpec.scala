@@ -47,6 +47,9 @@ class PlanLintSpec extends AnyFunSuite {
     // seeded iterative refinement (count + per-round checkpoints on
     // construction); every expansion/scoring join is an equi-join
     "sim_nndescent",
+    // beam-search hops checkpoint on construction; the 10-query × 8-entry
+    // seed scoring is the bounded-broadcast exception, hops are equi-joins
+    "sim_graph_search",
     // graph_random_walks' loop shape with the biased per-step window;
     // same hidden 2-row walk scaffold, equi-joins throughout
     "graph_node2vec",
