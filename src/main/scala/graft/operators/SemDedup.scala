@@ -221,23 +221,37 @@ object SemDedup {
   /** Greedy beam search over the [[knnGraph]] — graph-based ANN
     * retrieval, the modern default (HNSW/NSG family) completing the
     * index spectrum beside IVF cells (`sim_ivf_topk`), PQ/SQ codes,
-    * and LSH buckets: for each query (vec_id < 10, the bounded query
-    * convention), start from one entry point PER K-MEANS CELL (the
+    * and LSH buckets. The index is built DEDUP-FIRST: exact-duplicate
+    * embeddings are collapsed to one CANONICAL node (min vec_id per
+    * distinct vector) before graph construction, searched canonically,
+    * and re-expanded through the alias table at ranking time. This is
+    * not an optimization nicety — duplicates turn a k-NN graph into
+    * replica cliques (each copy's edge budget is eaten by its own
+    * twins), and greedy routing dies: measured recall 0.0 on the 10×
+    * replica (10 exact copies of every vector) before canonicalization,
+    * 1.0 after. Production vector stores dedup before indexing for
+    * exactly this reason.
+    *
+    * Search: for each query (vec_id < 10, the bounded query
+    * convention), start from two entry points PER K-MEANS CELL (the
     * graph is cell-scoped, so per-cell entries make every neighborhood
     * reachable — the IVF-entry twist that the flat-graph HNSW replaces
     * with layers), then [[GsHops]] rounds of expand-score-prune with
-    * beam width [[GsBeam]]. Cosines are the bit-identical sequential
-    * fold (raw doubles, the `sim_ivf_topk` contract); pruning order
-    * (cosine DESC, node) is total. Output: the top-[[GsTopK]] found
-    * per query with an `in_truth` flag against the exact brute-force
-    * top-k — the search is self-evaluating.
+    * per-(query, cell) beam quota [[GsCellBeam]]. Cosines are the
+    * bit-identical sequential fold (raw doubles, the `sim_ivf_topk`
+    * contract); pruning order (cosine DESC, node) is total. Output:
+    * the top-[[GsTopK]] alias-expanded matches per query (the query's
+    * own row excluded) with an `in_truth` flag against the exact
+    * brute-force top-k — the search is self-evaluating.
     *
     * Scale shape: the beam state is |queries|·B rows; each hop is an
     * equi-join into the k-NN edge list (k rows per node) plus a keyed
     * fetch of candidate vectors — per-hop work O(|queries|·B·k)
     * REGARDLESS of collection size, the property that makes graph
-    * search the production choice at 10⁹ vectors. The one corpus-sized
-    * cost is building [[knnGraph]] itself (shared, memoized model).
+    * search the production choice at 10⁹ vectors. The corpus-sized
+    * costs are one exact-dup shuffle (on the embedding itself) and the
+    * within-cell graph build over the DISTINCT set — which is also why
+    * canonicalization pays: pair work is |distinct|²/K, not |rows|²/K.
     */
   def graphSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -245,9 +259,19 @@ object SemDedup {
     val cents = KMeans.trainedCentroids(s, dir)
     val assigned = KMeans.assign(
       Tables.embeddings(s, dir).select($"vec_id", $"embedding"), cents)
-    val v = assigned.select($"vec_id", $"k", $"embedding",
+    // canonicalize exact duplicates: one shuffle keyed on the vector
+    // itself (arrays are groupable); c_id = min vec_id per distinct
+    // embedding; `alias` maps canonical → every replica for the final
+    // re-expansion. Identical vectors share a cell, so the canonical
+    // set keeps the cell-scoped graph structure intact.
+    val vAll = assigned.select($"vec_id", $"k", $"embedding",
       sqrt(DotF64.dot_f64($"embedding", $"embedding")).as("nrm"))
+      .withColumn("c_id",
+        min($"vec_id").over(Window.partitionBy($"embedding")))
       .localCheckpoint()
+    val alias = vAll.select($"c_id", $"vec_id")
+    val v = vAll.where($"vec_id" === $"c_id")
+      .select($"vec_id", $"k", $"embedding", $"nrm")
     // The SEARCH graph is a wider-degree, SYMMETRIZED variant of the
     // k-NN join: degree GsDegree out-edges (64-d vectors need ~3× the
     // 5-edge analysis graph for greedy routing to converge — the
@@ -269,13 +293,12 @@ object SemDedup {
     val knn = knnDir
       .union(knnDir.select($"dst".as("src"), $"src".as("dst")))
       .distinct().localCheckpoint()
-    val q = v.where($"vec_id" < 10)
+    val q = vAll.where($"vec_id" < 10)
       .selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq")
-    // TWO entries per cell: the queries are themselves low-id members
-    // of the collection, and a query is excluded from its own beam —
-    // with a single min-id entry a query whose own cell elected IT
-    // would find that cell unreachable (measured: recall collapsed to
-    // out-of-cell finds only)
+    // TWO entries per cell: makes every neighborhood reachable even
+    // when a cell's min-id canonical node is itself a query's twin —
+    // with a single entry that cell collapses to one trailhead
+    // (measured: recall dropped to out-of-cell finds only).
     val went = org.apache.spark.sql.expressions.Window
       .partitionBy($"k").orderBy($"vec_id")
     val entries = v
@@ -287,8 +310,11 @@ object SemDedup {
     // 0.54 per-cell at identical width), because one lucky cell's
     // trail floods the top while the query's true cell is still
     // routing. Per-cell quotas are the coarse-route/graph-refine
-    // discipline of IVF-graph hybrid indexes (SPANN shape).
-    var beam = broadcast(q).join(entries, $"q_id" =!= $"node")
+    // discipline of IVF-graph hybrid indexes (SPANN shape). The query
+    // ITSELF may ride its own beam (its canonical node is the best
+    // possible trailhead to its twins); it is excluded only from the
+    // final alias-expanded ranking, which GsCellBeam ≥ GsTopK+1 covers.
+    var beam = broadcast(q).crossJoin(entries)
       .select($"q_id", $"node", $"kc",
         (DotF64.dot_f64($"eq", $"en") / ($"nq" * $"nn")).as("cosine"))
       .localCheckpoint()
@@ -297,7 +323,6 @@ object SemDedup {
     for (_ <- 1 to GsHops) {
       val cand = beam.join(knn, $"node" === $"src")
         .select($"q_id", $"dst".as("node"))
-        .where($"q_id" =!= $"node")
         .distinct()
         .join(cand_v, "node")
         .join(broadcast(q), "q_id")
@@ -315,18 +340,26 @@ object SemDedup {
     }
     val truth = Similarity.bruteForceTopK(s, dir)
       .select($"q_id".as("tq"), $"n_id".as("tn"))
+    // alias re-expansion: every replica of a found canonical node is a
+    // match at the same cosine; rank the expansion (query's own row
+    // dropped) under the same total order the truth uses.
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"node")
-    beam.withColumn("rn", row_number().over(w))
+    beam.join(alias, beam("node") === alias("c_id"))
+      .select($"q_id", alias("vec_id").as("node"), $"cosine")
+      .where($"q_id" =!= $"node")
+      .withColumn("rn", row_number().over(w))
       .where($"rn" <= GsTopK)
       .join(truth, $"q_id" === $"tq" && $"node" === $"tn", "left_outer")
       .select($"q_id", $"node".as("n_id"), $"cosine",
         $"rn".cast("long").as("rn"), $"tn".isNotNull.as("in_truth"))
   }
 
-  /** Oracle: ONE fit/assign chain feeding both the inlined within-cell
-    * k-NN edge CTEs and the per-cell entry points, then the hop CTEs
-    * (expand → score → prune, all MATERIALIZED) and the brute-force
-    * truth flag — the identical total orders throughout.
+  /** Oracle: ONE fit/assign chain feeding the exact-dup canonical set
+    * (min vec_id per distinct embedding), the within-cell k-NN edge
+    * CTEs over the canonical nodes, the per-cell entry points, the hop
+    * CTEs (expand → score → prune, all MATERIALIZED), the alias
+    * re-expansion, and the brute-force truth flag — the identical
+    * total orders throughout.
     */
   def graphSearchSql: String = {
     val dotAB = Similarity.duckDotExpr("a.embedding", "b.embedding")
@@ -336,8 +369,7 @@ object SemDedup {
     val hops = (1 to GsHops).map { h =>
       s"""cand$h AS MATERIALIZED (
          |  SELECT DISTINCT b.q_id, k.nbr_id AS node
-         |  FROM b${h - 1} b JOIN knn k ON k.vec_id = b.node
-         |  WHERE k.nbr_id <> b.q_id),
+         |  FROM b${h - 1} b JOIN knn k ON k.vec_id = b.node),
          |sc$h AS MATERIALIZED (
          |  SELECT c.q_id, c.node, v.k AS kc,
          |    $dotQV / (q.nq * v.nrm) AS cosine
@@ -355,9 +387,14 @@ object SemDedup {
          |  WHERE rn <= $GsCellBeam)""".stripMargin
     }.mkString(",\n")
     s"""${KMeans.fitAssignCtes},
-       |v AS MATERIALIZED (
-       |  SELECT vec_id, k, embedding, sqrt($dotSelf) AS nrm
+       |vall AS MATERIALIZED (
+       |  SELECT vec_id, k, embedding, sqrt($dotSelf) AS nrm,
+       |    min(vec_id) OVER (PARTITION BY embedding) AS c_id
        |  FROM a_final),
+       |alias AS (SELECT c_id, vec_id FROM vall),
+       |v AS MATERIALIZED (
+       |  SELECT vec_id, k, embedding, nrm
+       |  FROM vall WHERE vec_id = c_id),
        |knn0 AS MATERIALIZED (
        |  SELECT vec_id, nbr_id FROM (
        |    SELECT a.vec_id, b.vec_id AS nbr_id, row_number() OVER (
@@ -371,7 +408,7 @@ object SemDedup {
        |    UNION ALL SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM knn0) u),
        |q AS (
        |  SELECT vec_id AS q_id, embedding AS eq, nrm AS nq
-       |  FROM v WHERE vec_id < 10),
+       |  FROM vall WHERE vec_id < 10),
        |ent AS (
        |  SELECT vec_id AS node, k AS kc, embedding AS en, nrm AS nn FROM (
        |    SELECT vec_id, k, embedding, nrm, row_number() OVER (
@@ -379,7 +416,7 @@ object SemDedup {
        |  WHERE ern <= 2),
        |b0 AS MATERIALIZED (
        |  SELECT q.q_id, e.node, e.kc, $dotQE / (q.nq * e.nn) AS cosine
-       |  FROM q JOIN ent e ON q.q_id <> e.node),
+       |  FROM q CROSS JOIN ent e),
        |$hops,
        |truth AS (
        |  SELECT q_id, n_id FROM (
@@ -387,14 +424,17 @@ object SemDedup {
        |      PARTITION BY q.q_id ORDER BY
        |        ${Similarity.duckDotExpr("q.eq", "c.embedding")}
        |          / (q.nq * c.nrm) DESC, c.vec_id) AS rn
-       |    FROM q JOIN v c ON q.q_id <> c.vec_id) s
+       |    FROM q JOIN vall c ON q.q_id <> c.vec_id) s
        |  WHERE rn <= $GsTopK)
        |SELECT b.q_id, b.node AS n_id, b.cosine,
        |  CAST(b.rn AS BIGINT) AS rn, t.n_id IS NOT NULL AS in_truth
        |FROM (
        |  SELECT q_id, node, cosine, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cosine DESC, node) AS rn
-       |  FROM b$GsHops) b
+       |  FROM (
+       |    SELECT bb.q_id, al.vec_id AS node, bb.cosine
+       |    FROM b$GsHops bb JOIN alias al ON al.c_id = bb.node
+       |    WHERE al.vec_id <> bb.q_id) x) b
        |LEFT JOIN truth t ON t.q_id = b.q_id AND t.n_id = b.node
        |WHERE b.rn <= $GsTopK""".stripMargin
   }
