@@ -1903,7 +1903,124 @@ object Similarity {
        |FROM ranks LEFT JOIN counts ON counts.cell_rank = ranks.cell_rank""".stripMargin
   }
 
+  // ------------------------------------------- binary quantization (BQ)
+
+  /** Hamming candidates reranked per query, and the reported k. */
+  val BqRerank = 100
+  val BqK = 5
+
+  /** Sign-bit binary quantization retrieval: 1 bit per dimension
+    * (`embedding[i] > 0` — the corpus is zero-centered per dim, see
+    * `sim_dim_stats`), packed into two 32-bit words so neither engine
+    * ever touches the BIGINT sign bit (Spark ANSI overflow / DuckDB
+    * HUGEINT widening both avoided by construction). Retrieval is the
+    * production BQ recipe: brute-force Hamming scan over the 8-byte
+    * signatures (a 32× cheaper scan than float dots — at 100 TB the
+    * signature column IS the index and fits where the vectors don't),
+    * keep the [[BqRerank]] closest by (hamming ASC, id), then exact
+    * float rerank of just those and report the top-[[BqK]] with an
+    * `in_truth` flag against the exact brute-force top-k. Everything
+    * before the rerank is integer arithmetic — bit-identical across
+    * engines by construction; the rerank reuses the sequential-fold
+    * dot contract.
+    *
+    * Completes the quantization spectrum: float (`sim_bruteforce_topk`)
+    * → int8 ADC (`sim_sq8_topk`) → PQ codes (`sim_pq_topk`) → 1-bit
+    * signatures (this).
+    */
+  def bqHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def sigWord(lo: Int): String =
+      s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + IF(element_at(embedding, i) > CAST(0 AS FLOAT),
+         |    shiftleft(CAST(1 AS BIGINT), i - $lo), CAST(0 AS BIGINT)))""".stripMargin
+    val v = withNorm(s, dir).selectExpr("vec_id", "embedding", "nrm",
+      s"${sigWord(1)} AS sig_lo", s"${sigWord(33)} AS sig_hi")
+    val q = v.where($"vec_id" < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq",
+        "sig_lo AS q_lo", "sig_hi AS q_hi")
+    val wh = Window.partitionBy($"q_id").orderBy($"hamming", $"n_id")
+    val cand = broadcast(q.select($"q_id", $"q_lo", $"q_hi"))
+      .crossJoin(v.select($"vec_id".as("n_id"), $"sig_lo", $"sig_hi"))
+      .where($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id",
+        (bit_count($"sig_lo".bitwiseXOR($"q_lo")) +
+          bit_count($"sig_hi".bitwiseXOR($"q_hi"))).cast("long").as("hamming"))
+      .withColumn("hrn", row_number().over(wh))
+      .where($"hrn" <= BqRerank)
+      .select($"q_id", $"n_id", $"hamming")
+    val truth = bruteForceTopK(s, dir)
+      .select($"q_id".as("tq"), $"n_id".as("tn"))
+    val wr = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
+    cand
+      .join(v.selectExpr("vec_id AS n_id", "embedding AS en", "nrm AS nn"),
+        "n_id")
+      .join(broadcast(q.select($"q_id", $"eq", $"nq")), "q_id")
+      .select($"q_id", $"n_id", $"hamming",
+        (dotUdf($"eq", $"en") / ($"nq" * $"nn")).as("cosine"))
+      .withColumn("rn", row_number().over(wr))
+      .where($"rn" <= BqK)
+      .join(truth, $"q_id" === $"tq" && $"n_id" === $"tn", "left_outer")
+      .select($"q_id", $"n_id", $"hamming", $"cosine",
+        $"rn".cast("long").as("rn"), $"tn".isNotNull.as("in_truth"))
+  }
+
+  /** Oracle: the same two 32-bit sign words (integer sums of distinct
+    * powers of two — order-free), Hamming candidate cut, exact rerank,
+    * and brute-force truth flag under the identical total orders.
+    */
+  val bqHammingSql: String = {
+    def sigWord(lo: Int): String =
+      s"""CAST(list_sum(list_transform(range($lo, ${lo + 32}),
+         |    i -> CASE WHEN embedding[i] > 0
+         |      THEN (CAST(1 AS BIGINT) << (i - $lo))
+         |      ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm,
+       |    ${sigWord(1)} AS sig_lo,
+       |    ${sigWord(33)} AS sig_hi
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS eq, nrm AS nq,
+       |    sig_lo AS q_lo, sig_hi AS q_hi
+       |  FROM v WHERE vec_id < 10),
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, n_id, hamming FROM (
+       |    SELECT q_id, n_id, hamming, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY hamming, n_id) AS hrn
+       |    FROM (
+       |      SELECT q.q_id, v.vec_id AS n_id,
+       |        CAST(bit_count(xor(v.sig_lo, q.q_lo)) +
+       |          bit_count(xor(v.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+       |      FROM q JOIN v ON q.q_id <> v.vec_id) h) r
+       |  WHERE hrn <= $BqRerank),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, c.vec_id AS n_id, row_number() OVER (
+       |      PARTITION BY q.q_id ORDER BY
+       |        ${duckDotExpr("q.eq", "c.embedding")} / (q.nq * c.nrm)
+       |          DESC, c.vec_id) AS rn
+       |    FROM q JOIN v c ON q.q_id <> c.vec_id) s
+       |  WHERE rn <= $BqK),
+       |rr AS (
+       |  SELECT c.q_id, c.n_id, c.hamming,
+       |    ${duckDotExpr("q.eq", "v.embedding")} / (q.nq * v.nrm) AS cosine
+       |  FROM cand c JOIN v ON v.vec_id = c.n_id
+       |  JOIN q ON q.q_id = c.q_id)
+       |SELECT b.q_id, b.n_id, b.hamming, b.cosine,
+       |  CAST(b.rn AS BIGINT) AS rn, t.n_id IS NOT NULL AS in_truth
+       |FROM (
+       |  SELECT q_id, n_id, hamming, cosine, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+       |  FROM rr) b
+       |LEFT JOIN truth t ON t.q_id = b.q_id AND t.n_id = b.n_id
+       |WHERE b.rn <= $BqK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bq_hamming" -> (bqHamming _),
     "sim_range_probe_curve" -> (rangeProbeCurve _),
     "sim_range_search" -> (rangeSearch _),
     "sim_pq_distortion" -> (pqDistortion _),
@@ -1936,6 +2053,7 @@ object Similarity {
     val s = activeSession
     val (npt, planes) = ndParams(s, dir)
     Map(
+      "sim_bq_hamming" -> bqHammingSql,
       "sim_range_search" -> rangeSearchSql(ivfCentroids(s, dir)),
       "sim_range_probe_curve" -> rangeProbeCurveSql(ivfCentroids(s, dir)),
       "sim_dim_stats" -> dimStatsSql,
