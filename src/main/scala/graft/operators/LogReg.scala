@@ -11,9 +11,12 @@ import graft.Tables
   *
   *   - features are data-derived (bias + the corpus's top-[[F]] tokens
   *     by frequency, ties by token) — no fixture constants;
-  *   - the per-doc feature value is length-normalized tf, 6-dp-rounded
-  *     at materialization, so every later product starts from
-  *     bit-identical doubles on both engines;
+  *   - the per-doc feature value is STANDARDIZED length-normalized tf
+  *     (z-score per feature over the dense matrix, μ/σ from one
+  *     decimal-sum pass), floor-rounded to 6 dp at materialization, so
+  *     every later product starts from bit-identical doubles on both
+  *     engines — see [[featureRows]] for why standardization is what
+  *     makes batch GD converge here at all;
   *   - forward pass (z), sigmoid, gradient, and update are each ONE
   *     distributed aggregate per iteration with the decimal-sum
   *     convention (9-dp-rounded products summed in DECIMAL — exact,
@@ -46,12 +49,22 @@ import graft.Tables
   */
 object LogReg {
 
-  val F = 16
+  val F = 32
   val Iters = 5
   val Lr = 5.0
 
   /** (doc_id, j, x, y) rows: j=0 bias with x=1, j=1..F the top tokens
-    * by corpus count with x = round(tf/n_toks, 6).
+    * by corpus count with x = the STANDARDIZED normalized tf,
+    * floor-rounded to 6 dp. Standardization (z-score per feature,
+    * over the DENSE matrix — a doc without the token contributes
+    * v = 0) is load-bearing, not cosmetic: raw normalized-tf features
+    * are compositional (they sum to ≤ 1 per row) and tiny, so
+    * batch-GD's gradient is dominated by the shared mean direction
+    * and training plateaus at the majority-class rate no matter the
+    * learning rate (measured: 254–258/500 for lr ∈ [5, 400] on raw
+    * features vs 482/500 standardized, same 5 iterations — a perfect
+    * linear separator exists either way). μ and σ come from one
+    * decimal-sum pass (order-proof); σ = 0 features standardize to 0.
     */
   private def featureRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -63,10 +76,25 @@ object LogReg {
       .where($"j" <= F).select($"j", $"word")
     val docLen = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_toks"))
     val tf = toks.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-    val xf = tf.join(broadcast(feats), "word")
+    val tfv = tf.join(broadcast(feats), "word")
       .join(docLen, "doc_id")
       .select($"doc_id", $"j",
-        round($"tf".cast("double") / $"n_toks", 6).as("x"))
+        round($"tf".cast("double") / $"n_toks", 6).as("v"))
+    val nDocs = docLen.agg(count(lit(1)).as("nd"))
+    val fstats = tfv.groupBy($"j")
+      .agg(sum($"v".cast("decimal(28,12)")).cast("double").as("s1"),
+        sum(round($"v" * $"v", 9).cast("decimal(28,12)"))
+          .cast("double").as("s2"))
+      .crossJoin(broadcast(nDocs))
+      .select($"j", ($"s1" / $"nd").as("mu"), ($"s2" / $"nd").as("m2"))
+      .select($"j", $"mu", sqrt($"m2" - $"mu" * $"mu").as("sigma"))
+    val xf = docLen.select($"doc_id")
+      .crossJoin(broadcast(fstats))
+      .join(tfv, Seq("doc_id", "j"), "left_outer")
+      .select($"doc_id", $"j",
+        (floor(((coalesce($"v", lit(0.0)) - $"mu") /
+          when($"sigma" > 0, $"sigma").otherwise(lit(1.0))) * 1e6 + 0.5)
+          / 1e6).as("x"))
     val bias = docLen.select($"doc_id", lit(0).as("j"),
       lit(1.0).as("x"))
     // label: doc mean token length >= corpus mean token length, both
@@ -99,13 +127,13 @@ object LogReg {
           .as("p"))
   }
 
-  private def fit(s: SparkSession, dir: String)
+  private def fit(s: SparkSession, dir: String, iters: Int = Iters)
       : (DataFrame, Seq[(Int, Double)], DataFrame) = {
     import s.implicits._
     val x = featureRows(s, dir).localCheckpoint()
     val n = x.select($"doc_id").distinct().count()
     var w: Seq[(Int, Double)] = (0 to F).map(j => (j, 0.0))
-    for (_ <- 1 to Iters) {
+    for (_ <- 1 to iters) {
       val p = forward(x, w).select($"doc_id", $"p")
       val grad = x.join(p, Seq("doc_id"))
         .groupBy($"j")
@@ -140,6 +168,44 @@ object LogReg {
         $"w".as("weight"), $"train_correct")
   }
 
+  // ------------------------------------------------------- EL2N selection
+
+  /** Early-checkpoint iteration count and keep fraction for [[el2nSelect]]. */
+  val El2nIters = 2
+
+  /** EL2N data selection (Paul et al. 2021, "Deep Learning on a Data
+    * Diet"): score every training example by the error L2 norm
+    * ‖p(x) − y‖ at an EARLY training checkpoint ([[El2nIters]] of the
+    * [[Iters]]-step trajectory — the paper's point is that a few steps
+    * suffice to separate easy from important examples), rank by score,
+    * and keep the hardest half — pruning the easy examples the model
+    * already classifies confidently. For the binary classifier the
+    * norm is |p − y|; p is the same 6-dp-stabilized sigmoid as
+    * training, so the score column is bit-identical across engines.
+    *
+    * The global rank is an exact total sort over docs — the same cost
+    * class as the layout sorts; at 100 TB the knob is thresholding on
+    * a mergeable quantile sketch (`sketch_group_quantiles`) instead of
+    * ranking, which turns selection into one scan + a 200-counter
+    * artifact. Training cost shape is [[lrClassifier]]'s with 2/5 the
+    * iterations: one scan-side aggregate per step, 17-row driver
+    * round-trips only.
+    */
+  def el2nSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (x, w, _) = fit(s, dir, El2nIters)
+    val p = forward(x, w)
+    val scored = p.select($"doc_id", $"y", $"p",
+      abs($"p" - $"y").as("el2n"))
+    val n = scored.agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy(lit(1)).orderBy($"el2n".desc, $"doc_id")
+    scored.withColumn("rnk", row_number().over(wr).cast("long"))
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"y", $"p", $"el2n", $"rnk",
+        ($"rnk" <= ceil($"n" * 0.5)).as("keep"))
+  }
+
   // ------------------------------------------------------------- oracle
 
   /** \W+ word tokens — the [[TextOps.tokens]] PAIR (lowercase, split on
@@ -162,10 +228,27 @@ object LogReg {
        |  WHERE j <= $F),
        |doclen AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
-       |xf AS (
-       |  SELECT t.doc_id, f.j, round(CAST(t.tf AS DOUBLE) / d.n_toks, 6) AS x
+       |tfv AS MATERIALIZED (
+       |  SELECT t.doc_id, f.j, round(CAST(t.tf AS DOUBLE) / d.n_toks, 6) AS v
        |  FROM tf t JOIN feats f ON t.word = f.word
-       |  JOIN doclen d ON t.doc_id = d.doc_id
+       |  JOIN doclen d ON t.doc_id = d.doc_id),
+       |nd AS (SELECT count(*) AS nd FROM doclen),
+       |fstats AS MATERIALIZED (
+       |  SELECT j,
+       |    CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(round(v * v, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s2
+       |  FROM tfv GROUP BY j),
+       |fsig AS (
+       |  SELECT j, mu, sqrt(m2 - mu * mu) AS sigma FROM (
+       |    SELECT j, s1 / nd.nd AS mu, s2 / nd.nd AS m2
+       |    FROM fstats CROSS JOIN nd) m),
+       |xf AS MATERIALIZED (
+       |  SELECT d.doc_id, f.j,
+       |    floor(((coalesce(v.v, 0) - f.mu) /
+       |      CASE WHEN f.sigma > 0 THEN f.sigma ELSE 1 END) * 1e6 + 0.5)
+       |      / 1e6 AS x
+       |  FROM doclen d CROSS JOIN fsig f
+       |  LEFT JOIN tfv v ON v.doc_id = d.doc_id AND v.j = f.j
        |  UNION ALL
        |  SELECT doc_id, 0 AS j, CAST(1.0 AS DOUBLE) AS x FROM doclen),
        |docmean AS (
@@ -175,11 +258,11 @@ object LogReg {
        |cmean AS (
        |  SELECT round(CAST(sum(len(word)) AS DOUBLE) / count(*), 6) AS cmean
        |  FROM toks),
-       |labels AS (
+       |labels AS MATERIALIZED (
        |  SELECT d.doc_id,
        |    CASE WHEN d.mlen >= c.cmean THEN 1.0 ELSE 0.0 END AS y
        |  FROM docmean d CROSS JOIN cmean c),
-       |xy AS (
+       |xy AS MATERIALIZED (
        |  SELECT x.doc_id, x.j, x.x, l.y
        |  FROM xf x JOIN labels l ON x.doc_id = l.doc_id),
        |n AS (SELECT count(DISTINCT doc_id) AS n FROM xy),
@@ -188,19 +271,19 @@ object LogReg {
   /** One iteration: forward CTE p{i} from w{i-1}, gradient, update. */
   private def sqlIter(i: Int): String = {
     val p = i - 1
-    s"""p$i AS (
+    s"""p$i AS MATERIALIZED (
        |  SELECT x.doc_id, x.y,
        |    floor((1.0 / (1.0 + exp(-CAST(sum(CAST(round(x.x * w.w, 9)
        |      AS DECIMAL(28,12))) AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS p
        |  FROM xy x JOIN w$p w ON x.j = w.j
        |  GROUP BY x.doc_id, x.y),
-       |g$i AS (
+       |g$i AS MATERIALIZED (
        |  SELECT x.j,
        |    CAST(sum(CAST(round((pr.p - x.y) * x.x, 9) AS DECIMAL(28,12)))
        |      AS DOUBLE) AS g
        |  FROM xy x JOIN p$i pr ON x.doc_id = pr.doc_id
        |  GROUP BY x.j),
-       |w$i AS (
+       |w$i AS MATERIALIZED (
        |  SELECT w.j,
        |    floor((w.w - $Lr * coalesce(g.g, 0) / n.n) * 1e6 + 0.5) / 1e6 AS w
        |  FROM w$p w LEFT JOIN g$i g ON w.j = g.j CROSS JOIN n)""".stripMargin
@@ -210,7 +293,7 @@ object LogReg {
     val iters = (1 to Iters).map(sqlIter).mkString(",\n")
     s"""$sqlBase,
        |$iters,
-       |pfin AS (
+       |pfin AS MATERIALIZED (
        |  SELECT x.doc_id, x.y,
        |    floor((1.0 / (1.0 + exp(-CAST(sum(CAST(round(x.x * w.w, 9)
        |      AS DECIMAL(28,12))) AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS p
@@ -228,9 +311,35 @@ object LogReg {
        |FROM w$Iters w JOIN names nm ON w.j = nm.j CROSS JOIN correct c""".stripMargin
   }
 
+  /** Oracle: the shared feature/label/iteration CTEs cut at the early
+    * checkpoint, then the identical score/rank/keep finalize.
+    */
+  val el2nSelectSql: String = {
+    val iters = (1 to El2nIters).map(sqlIter).mkString(",\n")
+    s"""$sqlBase,
+       |$iters,
+       |pe AS MATERIALIZED (
+       |  SELECT x.doc_id, x.y,
+       |    floor((1.0 / (1.0 + exp(-CAST(sum(CAST(round(x.x * w.w, 9)
+       |      AS DECIMAL(28,12))) AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS p
+       |  FROM xy x JOIN w$El2nIters w ON x.j = w.j
+       |  GROUP BY x.doc_id, x.y),
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id, y, p, abs(p - y) AS el2n FROM pe),
+       |nn AS (SELECT count(*) AS n FROM scored)
+       |SELECT doc_id, y, p, el2n, CAST(rnk AS BIGINT) AS rnk,
+       |  rnk <= ceil(nn.n * 0.5) AS keep
+       |FROM (
+       |  SELECT doc_id, y, p, el2n,
+       |    row_number() OVER (ORDER BY el2n DESC, doc_id) AS rnk
+       |  FROM scored) s CROSS JOIN nn""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "doc_lr_classifier" -> (lrClassifier _))
+    "doc_lr_classifier" -> (lrClassifier _),
+    "curate_el2n" -> (el2nSelect _))
 
   def oracles: Map[String, String] = Map(
-    "doc_lr_classifier" -> lrClassifierSql)
+    "doc_lr_classifier" -> lrClassifierSql,
+    "curate_el2n" -> el2nSelectSql)
 }

@@ -299,7 +299,7 @@ object TextOps {
   val tfidfSql: String =
     """WITH tf AS (
       |  SELECT doc_id, word, count(*) AS tf FROM (
-      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\W+')) AS word
       |    FROM documents) WHERE word <> '' GROUP BY 1, 2),
       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
       |scored AS (
@@ -365,7 +365,7 @@ object TextOps {
     val b = 0.75
     s"""WITH toks AS (
        |  SELECT doc_id, word FROM (
-       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS word
        |    FROM documents) WHERE word <> ''),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dlen AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
@@ -899,7 +899,7 @@ object TextOps {
   val tfidfCosineTopkSql: String =
     """WITH tf AS (
       |  SELECT doc_id, word, count(*) AS tf FROM (
-      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\W+')) AS word
       |    FROM documents) WHERE word <> '' GROUP BY 1, 2),
       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
       |wgt AS (
@@ -1221,7 +1221,7 @@ object TextOps {
     s"""WITH a AS (SELECT doc_id, rn AS rank_bm25 FROM ($bm25TopDocsSql)),
        |toks AS (
        |  SELECT doc_id, word FROM (
-       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS word
        |    FROM documents) WHERE word <> ''),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),

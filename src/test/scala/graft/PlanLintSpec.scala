@@ -118,6 +118,9 @@ class PlanLintSpec extends AnyFunSuite {
     // round-6 continuation: 1-row target-corpus LM totals (DSIR) and the
     // 1-row corpus-mean / correct-count frames of the trained classifier
     "curate_dsir_weights", "doc_lr_classifier",
+    // rides doc_lr_classifier's approved 1-row frames (corpus mean,
+    // doc-count normalizer) plus its own 1-row count broadcast
+    "curate_el2n",
     // round-7: 1-row time/id bounds broadcast (file-slot assignment) and
     // the kmv_overlap-style type-pair enumeration (≤ |types|² rows,
     // k-minima fan-in bounded by k·|types|)
