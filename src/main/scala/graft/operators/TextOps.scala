@@ -398,6 +398,124 @@ object TextOps {
        |WHERE rn <= 20""".stripMargin
   }
 
+  /** Known-item retrieval evaluation: for each of the 10 sample
+    * documents (doc_id < 10 — the bounded-query convention), form a
+    * query from the document's own top-3 tf-idf terms and measure
+    * where BM25 ranks the SOURCE document among all candidates sharing
+    * at least one query term. This is the standard synthetic IR eval
+    * when no human judgments exist (known-item search): the metrics —
+    * reciprocal rank, hit@1, hit@10 — are the MRR/recall@k family,
+    * all rational arithmetic (1/rank, boolean cuts), so the eval is
+    * bit-exact across engines with no log-discount wobble (the reason
+    * nDCG's log2 gain is NOT used here).
+    *
+    * Scale shape: query derivation is the tf-idf window (vocabulary +
+    * per-doc top-3); scoring touches only the 30 query terms' postings
+    * (an equi-join into the tf table — never a corpus scan per query);
+    * ranking partitions by query. At 100 TB with q queries this is the
+    * q·|postings(term)| retrieval cost every search engine pays, plus
+    * one corpus pass for the df/len statistics it shares with
+    * [[bm25TopDocs]].
+    */
+  def knownItemEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k1p1 = 1.2 + 1.0
+    val k1 = 1.2
+    val oneMinusB = 1.0 - 0.75
+    val b = 0.75
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val toks = tokens(docs)
+    val tf = toks.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dlen = toks.groupBy($"doc_id").agg(count(lit(1)).as("dlen"))
+    val dfreq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val totals = dlen.agg(sum($"dlen").cast("double").as("len_sum"),
+      count(lit(1)).cast("double").as("n_docs"))
+    // query formulation: the source doc's top-3 tf-idf terms
+    val wq = Window.partitionBy($"q_doc").orderBy($"tfidf".desc, $"word")
+    val qterms = tf.where($"doc_id" < 10)
+      .join(dfreq, "word")
+      .select($"doc_id".as("q_doc"), $"word",
+        round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("tfidf"))
+      .withColumn("rn", row_number().over(wq))
+      .where($"rn" <= 3)
+      .select($"q_doc", $"word")
+    // score candidates sharing >= 1 query term (postings equi-join)
+    val scored = tf.join(broadcast(qterms), "word")
+      .join(dlen, "doc_id")
+      .join(dfreq, "word")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_t", round(
+        log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
+          ($"tf" * lit(k1p1)) /
+          ($"tf" + lit(k1) *
+            (lit(oneMinusB) + lit(b) * $"dlen" / ($"len_sum" / $"n_docs"))), 6)
+        .cast("decimal(18,6)"))
+      .groupBy($"q_doc", $"doc_id")
+      .agg(sum($"score_t").cast("double").as("bm25"))
+    val wr = Window.partitionBy($"q_doc").orderBy($"bm25".desc, $"doc_id")
+    val ranked = scored.withColumn("rnk", row_number().over(wr))
+    val nScored = scored.groupBy($"q_doc")
+      .agg(count(lit(1)).as("n_scored"))
+    ranked.where($"doc_id" === $"q_doc")
+      .join(nScored, "q_doc")
+      .select($"q_doc", $"rnk".cast("long").as("rank_src"),
+        (lit(1.0) / $"rnk").as("rr"),
+        ($"rnk" <= 1).as("hit1"), ($"rnk" <= 10).as("hit10"),
+        $"n_scored")
+  }
+
+  val knownItemEvalSql: String = {
+    val k1p1 = 1.2 + 1.0
+    val k1 = 1.2
+    val oneMinusB = 1.0 - 0.75
+    val b = 0.75
+    s"""WITH toks AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS word
+       |    FROM documents) WHERE word <> ''),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dlen AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(sum(dlen) AS DOUBLE) AS len_sum,
+       |    CAST(count(*) AS DOUBLE) AS n_docs FROM dlen),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |qterms AS (
+       |  SELECT q_doc, word FROM (
+       |    SELECT tf.doc_id AS q_doc, tf.word,
+       |      row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+       |        round(tf.tf * ln(nd.n / dfreq.df), 6) DESC, tf.word) AS rn
+       |    FROM tf JOIN dfreq ON dfreq.word = tf.word CROSS JOIN nd
+       |    WHERE tf.doc_id < 10) s
+       |  WHERE rn <= 3),
+       |scored AS MATERIALIZED (
+       |  SELECT q.q_doc, tf.doc_id,
+       |    CAST(sum(CAST(round(
+       |      ln((t.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+       |        (tf.tf * $k1p1) /
+       |        (tf.tf + $k1 *
+       |          ($oneMinusB + $b * dlen.dlen / (t.len_sum / t.n_docs))), 6)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |  FROM tf
+       |  JOIN qterms q ON q.word = tf.word
+       |  JOIN dlen ON dlen.doc_id = tf.doc_id
+       |  JOIN dfreq ON dfreq.word = tf.word
+       |  CROSS JOIN totals t
+       |  GROUP BY q.q_doc, tf.doc_id),
+       |ranked AS (
+       |  SELECT q_doc, doc_id, row_number() OVER (
+       |    PARTITION BY q_doc ORDER BY bm25 DESC, doc_id) AS rnk
+       |  FROM scored),
+       |nsc AS (SELECT q_doc, count(*) AS n_scored FROM scored GROUP BY q_doc)
+       |SELECT r.q_doc, CAST(r.rnk AS BIGINT) AS rank_src,
+       |  1.0 / r.rnk AS rr, r.rnk <= 1 AS hit1, r.rnk <= 10 AS hit10,
+       |  n.n_scored
+       |FROM ranked r JOIN nsc n ON n.q_doc = r.q_doc
+       |WHERE r.doc_id = r.q_doc""".stripMargin
+  }
+
   /** Corpus bigram counts: adjacent token pairs, top 20 with
     * deterministic tie-break — the n-gram statistics step of corpus
     * analysis. Bigrams are built row-locally (zip of the token array
@@ -1943,6 +2061,7 @@ object TextOps {
     "doc_langid" -> (docLangId _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_bm25_topk" -> (bm25TopDocs _),
+    "doc_known_item_eval" -> (knownItemEval _),
     "lang_source_dist" -> (langSourceDist _))
 
   /** Dir-threaded: the AllPairs oracle embeds the gram order derived
@@ -1958,6 +2077,7 @@ object TextOps {
     "doc_novelty" -> docNoveltySql,
     "doc_dup_spans" -> dupSpansSql,
     "doc_rrf_fusion" -> rrfFusionSql,
+    "doc_known_item_eval" -> knownItemEvalSql,
     "doc_tfidf_cosine_topk" -> tfidfCosineTopkSql,
     "doc_allpairs_cosine" ->
       allPairsCosineSql(allPairsGramOrder(Similarity.activeSession, dir)),

@@ -80,6 +80,7 @@ class PlanLintSpec extends AnyFunSuite {
     */
   private val oneRowCross: Set[String] = Set(
     "curate_unigram_surprisal", "curate_mix_weights", "doc_bm25_topk",
+    "doc_known_item_eval",
     "doc_pmi_bigrams",
     "q14_promo_share", "q17_small_quantity", "q22_rich_no_orders",
     "doc_rrf_fusion",
