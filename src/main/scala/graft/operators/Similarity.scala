@@ -1903,6 +1903,78 @@ object Similarity {
        |FROM ranks LEFT JOIN counts ON counts.cell_rank = ranks.cell_rank""".stripMargin
   }
 
+  // ---------------------------------------------- hard-negative mining
+
+  /** Hard negatives mined per query. */
+  val HnK = 5
+
+  /** Hard-negative mining for contrastive retriever training: for each
+    * query vector (vec_id < 10, the bounded convention), the
+    * [[HnK]] most-similar vectors with a DIFFERENT label — the
+    * "similar but wrong" examples that carry most of the gradient
+    * signal in a contrastive batch (the reason every modern retriever
+    * pipeline mines negatives from the index instead of sampling them
+    * uniformly). Each row also carries the query's best same-label
+    * cosine and the margin (pos − neg): a negative with margin ≤ 0
+    * outranks every positive — the batch-priority examples.
+    *
+    * Scale shape: the query side is 10 broadcast rows against one
+    * collection scan (the `sim_bruteforce_topk` shape); at corpus
+    * scale the scan is replaced by the IVF/graph candidate generation
+    * already in the registry — the mining semantics (different-label
+    * filter + margin) are unchanged downstream of any candidate
+    * source.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", $"label",
+        sqrt(dotUdf($"embedding", $"embedding")).as("nrm"))
+    val q = v.where($"vec_id" < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq",
+        "label AS ql")
+    val scored = broadcast(q).join(v, $"q_id" =!= $"vec_id")
+      .select($"q_id", $"ql", $"vec_id".as("n_id"), $"label",
+        (dotUdf($"eq", $"embedding") / ($"nq" * $"nrm")).as("cosine"))
+    val pos = scored.where($"label" === $"ql")
+      .groupBy($"q_id").agg(max($"cosine").as("pos_cos"))
+    val wn = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
+    scored.where($"label" =!= $"ql")
+      .withColumn("rn", row_number().over(wn))
+      .where($"rn" <= HnK)
+      .join(pos, Seq("q_id"), "left_outer")
+      .select($"q_id", $"n_id", $"label".as("neg_label"), $"cosine",
+        $"rn".cast("long").as("rn"), $"pos_cos",
+        ($"pos_cos" - $"cosine").as("margin"))
+  }
+
+  /** Oracle: identical scan, label split, total order, and margin. */
+  val hardNegativesSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${duckDotExpr("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS eq, nrm AS nq, label AS ql
+       |  FROM v WHERE vec_id < 10),
+       |scored AS MATERIALIZED (
+       |  SELECT q.q_id, q.ql, v.vec_id AS n_id, v.label,
+       |    ${duckDotExpr("q.eq", "v.embedding")} / (q.nq * v.nrm) AS cosine
+       |  FROM q JOIN v ON q.q_id <> v.vec_id),
+       |pos AS (
+       |  SELECT q_id, max(cosine) AS pos_cos FROM scored
+       |  WHERE label = ql GROUP BY q_id)
+       |SELECT n.q_id, n.n_id, n.label AS neg_label, n.cosine,
+       |  CAST(n.rn AS BIGINT) AS rn, p.pos_cos,
+       |  p.pos_cos - n.cosine AS margin
+       |FROM (
+       |  SELECT q_id, n_id, label, cosine, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+       |  FROM scored WHERE label <> ql) n
+       |LEFT JOIN pos p ON p.q_id = n.q_id
+       |WHERE n.rn <= $HnK""".stripMargin
+
   // ------------------------------------------- binary quantization (BQ)
 
   /** Hamming candidates reranked per query, and the reported k. */
@@ -2021,6 +2093,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bq_hamming" -> (bqHamming _),
+    "curate_hard_negatives" -> (hardNegatives _),
     "sim_range_probe_curve" -> (rangeProbeCurve _),
     "sim_range_search" -> (rangeSearch _),
     "sim_pq_distortion" -> (pqDistortion _),
@@ -2054,6 +2127,7 @@ object Similarity {
     val (npt, planes) = ndParams(s, dir)
     Map(
       "sim_bq_hamming" -> bqHammingSql,
+      "curate_hard_negatives" -> hardNegativesSql,
       "sim_range_search" -> rangeSearchSql(ivfCentroids(s, dir)),
       "sim_range_probe_curve" -> rangeProbeCurveSql(ivfCentroids(s, dir)),
       "sim_dim_stats" -> dimStatsSql,

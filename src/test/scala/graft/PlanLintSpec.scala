@@ -147,7 +147,7 @@ class PlanLintSpec extends AnyFunSuite {
     // the 8-byte-signature Hamming scan broadcasts the bounded 10-row
     // query side against the collection (the sim_bruteforce_topk shape
     // — and cheaper: the probe row is two BIGINTs, not the vector)
-    "sim_bq_hamming",
+    "sim_bq_hamming", "curate_hard_negatives",
     // doc_lm_nll's shape with the 1-row bigram-type-count broadcast
     "doc_lm_kn_nll",
     // round-7 continuation 5: DTW rides the approved 1-row day-span
