@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++
-      TextOps.queries ++ Bpe.queries ++ LogReg.queries ++
+      TextOps.queries ++ Bpe.queries ++ Unigram.queries ++ LogReg.queries ++
       DocCluster.queries ++ Nmf.queries ++
       EventOps.queries ++ TimeSeries.queries ++ TimeSeries2.queries ++
       Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
@@ -45,7 +45,7 @@ object SparkEntry {
   def oracleSqlFor(dir: String): Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Relational4.oracles ++
-      TextOps.oracles(dir) ++ Bpe.oracles ++ LogReg.oracles ++
+      TextOps.oracles(dir) ++ Bpe.oracles ++ Unigram.oracles(dir) ++ LogReg.oracles ++
       DocCluster.oracles ++ Nmf.oracles ++
       EventOps.oracles ++ TimeSeries.oracles ++ TimeSeries2.oracles ++
       Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
