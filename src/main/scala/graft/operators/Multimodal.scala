@@ -1824,6 +1824,90 @@ object Multimodal {
        |FROM picks p
        |JOIN frames f ON f.asset_id = p.asset_id AND f.frame_idx = p.frame_idx""".stripMargin
 
+
+  /** Keyframe selection over the frame index: segment each video at
+    * data-adaptive scene cuts (a frame is a cut when its pixel-sum
+    * delta exceeds 2× the asset's mean |delta| — scale-free, no fixture
+    * constant), then pick one representative frame per scene — the
+    * frame whose pixel sum is closest to the scene mean (the medoid
+    * rule under the 1-D metadata proxy; with real decode the same
+    * query runs over per-frame feature norms). This is the stage that
+    * turns "video bytes" into the per-scene sample a captioning or
+    * training-frame pipeline actually reads: downstream fetches
+    * scene-count rows per asset, never frame payloads.
+    *
+    * Pure window arithmetic over [[aviFrames]]'s columnar index — the
+    * payloads were already left where they lie by the frame parse; at
+    * 100 TB this query never touches them.
+    */
+  def keyframeSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.partitionBy($"asset_id").orderBy($"frame_idx")
+    val d = aviFrames(s, dir)
+      .withColumn("delta", abs($"px_sum" - lag($"px_sum", 1).over(wA)))
+    val stats = d.groupBy($"asset_id")
+      .agg(sum($"delta").cast("double").as("sd"),
+        count($"delta").as("nd"))
+    val scenes = d.join(stats, "asset_id")
+      .withColumn("is_cut",
+        when($"delta".isNotNull && $"nd" > 0 &&
+          $"delta" > lit(2.0) * ($"sd" / $"nd"), 1L).otherwise(0L))
+      .withColumn("scene_id", sum($"is_cut").over(wA))
+    val sw = Window.partitionBy($"asset_id", $"scene_id")
+    scenes
+      .withColumn("smean",
+        sum($"px_sum").over(sw).cast("double") / count(lit(1)).over(sw))
+      .withColumn("dist", abs($"px_sum".cast("double") - $"smean"))
+      .withColumn("scene_start", min($"frame_idx").over(sw))
+      .withColumn("scene_len", count(lit(1)).over(sw))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"asset_id", $"scene_id")
+          .orderBy($"dist", $"frame_idx")))
+      .where($"rn" === 1)
+      .select($"asset_id", $"scene_id", $"scene_start".cast("int").as("scene_start"),
+        $"scene_len", $"frame_idx".as("key_frame_idx"),
+        $"frame_off".as("key_off"), $"frame_size".as("key_size"))
+  }
+
+  /** Oracle: the frame-index CTE (offsets/pixel sums closed-form) plus
+    * the identical cut/segment/medoid window arithmetic.
+    */
+  val keyframeSelectSql: String =
+    s"""WITH frames AS MATERIALIZED ($aviFramesSql),
+       |d AS (
+       |  SELECT *, abs(px_sum - lag(px_sum, 1) OVER (
+       |    PARTITION BY asset_id ORDER BY frame_idx)) AS delta
+       |  FROM frames),
+       |stats AS (
+       |  SELECT asset_id, CAST(CAST(sum(delta) AS BIGINT) AS DOUBLE) AS sd,
+       |    count(delta) AS nd
+       |  FROM d GROUP BY asset_id),
+       |scenes AS (
+       |  SELECT d.*, sum(CASE WHEN d.delta IS NOT NULL AND s.nd > 0
+       |      AND d.delta > 2.0 * (s.sd / s.nd) THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY d.asset_id ORDER BY d.frame_idx) AS scene_id
+       |  FROM d JOIN stats s ON s.asset_id = d.asset_id),
+       |sc AS (
+       |  SELECT *,
+       |    CAST(CAST(sum(px_sum) OVER w AS BIGINT) AS DOUBLE)
+       |      / count(*) OVER w AS smean,
+       |    min(frame_idx) OVER w AS scene_start,
+       |    count(*) OVER w AS scene_len
+       |  FROM scenes
+       |  WINDOW w AS (PARTITION BY asset_id, scene_id))
+       |SELECT asset_id, CAST(scene_id AS BIGINT) AS scene_id,
+       |  CAST(scene_start AS INT) AS scene_start,
+       |  CAST(scene_len AS BIGINT) AS scene_len,
+       |  frame_idx AS key_frame_idx, frame_off AS key_off,
+       |  frame_size AS key_size
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY asset_id, scene_id
+       |    ORDER BY abs(CAST(px_sum AS DOUBLE) - smean), frame_idx) AS rn
+       |  FROM sc) r
+       |WHERE rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_frame_sample" -> (frameSample _),
     "mm_image_entropy" -> (imageEntropy _),
@@ -1838,6 +1922,7 @@ object Multimodal {
     "mm_gif_stats" -> (gifStats _),
     "mm_avi_stats" -> (aviStats _),
     "mm_avi_frames" -> (aviFrames _),
+    "mm_keyframe_select" -> (keyframeSelect _),
     "mm_audio_stats" -> (audioStats _),
     "mm_caption_pairs" -> (captionPairs _))
 
@@ -1854,6 +1939,7 @@ object Multimodal {
     "mm_gif_stats" -> gifStatsSql,
     "mm_avi_stats" -> aviStatsSql,
     "mm_avi_frames" -> aviFramesSql,
+    "mm_keyframe_select" -> keyframeSelectSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_audio_stats" -> audioStatsSql,
     "mm_caption_pairs" -> captionPairsSql)
