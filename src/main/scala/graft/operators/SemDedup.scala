@@ -322,21 +322,14 @@ object SemDedup {
       (vAll, alias, v, knn, entries)
     })
 
-  def graphSearch(s: SparkSession, dir: String): DataFrame = {
+  /** The exact-cosine beam loop at a given per-(query, cell) quota —
+    * shared by [[graphSearch]] (production quota [[GsCellBeam]]) and
+    * the beam-sweep eval `sim_graph_recall_curve`.
+    */
+  private def beamLoop(s: SparkSession, q: DataFrame, entries: DataFrame,
+      knn: DataFrame, v: DataFrame, quota: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val (vAll, alias, v, knn, entries) = searchGraph(s, dir)
-    val q = vAll.where($"vec_id" < 10)
-      .selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq")
-    // beam state carries the node's CELL: pruning is per (query, cell)
-    // — a global beam starves whole cells (measured: 0.28 recall vs
-    // 0.54 per-cell at identical width), because one lucky cell's
-    // trail floods the top while the query's true cell is still
-    // routing. Per-cell quotas are the coarse-route/graph-refine
-    // discipline of IVF-graph hybrid indexes (SPANN shape). The query
-    // ITSELF may ride its own beam (its canonical node is the best
-    // possible trailhead to its twins); it is excluded only from the
-    // final alias-expanded ranking, which GsCellBeam ≥ GsTopK+1 covers.
     var beam = broadcast(q).crossJoin(entries)
       .select($"q_id", $"node", $"kc",
         (DotF64.dot_f64($"eq", $"en") / ($"nq" * $"nn")).as("cosine"))
@@ -357,10 +350,29 @@ object SemDedup {
         .groupBy($"q_id", $"node", $"kc").agg(max($"cosine").as("cosine"))
         .select($"q_id", $"node", $"kc", $"cosine")
         .withColumn("rn", row_number().over(w))
-        .where($"rn" <= GsCellBeam)
+        .where($"rn" <= quota)
         .select($"q_id", $"node", $"kc", $"cosine")
         .localCheckpoint()
     }
+    beam
+  }
+
+  def graphSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (vAll, alias, v, knn, entries) = searchGraph(s, dir)
+    val q = vAll.where($"vec_id" < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq")
+    // beam state carries the node's CELL: pruning is per (query, cell)
+    // — a global beam starves whole cells (measured: 0.28 recall vs
+    // 0.54 per-cell at identical width), because one lucky cell's
+    // trail floods the top while the query's true cell is still
+    // routing. Per-cell quotas are the coarse-route/graph-refine
+    // discipline of IVF-graph hybrid indexes (SPANN shape). The query
+    // ITSELF may ride its own beam (its canonical node is the best
+    // possible trailhead to its twins); it is excluded only from the
+    // final alias-expanded ranking, which GsCellBeam ≥ GsTopK+1 covers.
+    val beam = beamLoop(s, q, entries, knn, v, GsCellBeam)
     val truth = Similarity.bruteForceTopK(s, dir)
       .select($"q_id".as("tq"), $"n_id".as("tn"))
     // alias re-expansion: every replica of a found canonical node is a
@@ -375,6 +387,45 @@ object SemDedup {
       .join(truth, $"q_id" === $"tq" && $"node" === $"tn", "left_outer")
       .select($"q_id", $"node".as("n_id"), $"cosine",
         $"rn".cast("long").as("rn"), $"tn".isNotNull.as("in_truth"))
+  }
+
+  /** Beam quotas swept by [[graphRecallCurve]]. */
+  val GrBeams = Seq(2, 4, 6)
+
+  /** Beam-width recall sweep — the graph-index member of the eval
+    * family beside `sim_ivfpq_probe_curve` / `sim_range_probe_curve`:
+    * run the exact-cosine beam search at each quota in [[GrBeams]] and
+    * report recall@[[GsTopK]] against the brute-force truth. This is
+    * the capacity-planning table an ANN deployment reads to pick its
+    * latency/recall point; the graph build is the shared memoized
+    * artifact, so the sweep pays only the hop loops.
+    */
+  def graphRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (vAll, alias, v, knn, entries) = searchGraph(s, dir)
+    val q = vAll.where($"vec_id" < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq")
+    val truth = Similarity.bruteForceTopK(s, dir)
+      .select($"q_id".as("tq"), $"n_id".as("tn")).localCheckpoint()
+    val truthN = truth.agg(count(lit(1)).as("truth_n"))
+    val al = alias.toDF("al_cid", "al_vid")
+    val frames = GrBeams.map { b =>
+      val beam = beamLoop(s, q, entries, knn, v, b)
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"nid")
+      beam.join(al, $"node" === $"al_cid")
+        .select($"q_id", $"al_vid".as("nid"), $"cosine")
+        .where($"q_id" =!= $"nid")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= GsTopK)
+        .join(truth, $"q_id" === $"tq" && $"nid" === $"tn", "left_outer")
+        .agg(count($"tn").as("hits"))
+        .select(lit(b.toLong).as("cell_beam"), $"hits")
+    }
+    frames.reduce(_ unionByName _)
+      .crossJoin(broadcast(truthN))
+      .select($"cell_beam", $"hits", $"truth_n",
+        ($"hits".cast("double") / $"truth_n").as("recall"))
   }
 
   /** Shared graph-ANN index CTEs ([[searchGraph]]'s SQL mirror): the
@@ -422,34 +473,85 @@ object SemDedup {
     * re-expansion, and the brute-force truth flag — the identical
     * total orders throughout.
     */
-  def graphSearchSql: String = {
+  /** The exact-cosine hop CTEs at a given quota, name-suffixed so the
+    * beam-sweep oracle can chain several quotas in one statement.
+    */
+  private def hopCtesSql(quota: Int, sfx: String): String = {
     val dotQV = Similarity.duckDotExpr("q.eq", "v.embedding")
     val dotQE = Similarity.duckDotExpr("q.eq", "e.en")
+    val b0 =
+      s"""b${sfx}0 AS MATERIALIZED (
+         |  SELECT q.q_id, e.node, e.kc, $dotQE / (q.nq * e.nn) AS cosine
+         |  FROM q CROSS JOIN ent e)""".stripMargin
     val hops = (1 to GsHops).map { h =>
-      s"""cand$h AS MATERIALIZED (
+      s"""cand$sfx$h AS MATERIALIZED (
          |  SELECT DISTINCT b.q_id, k.nbr_id AS node
-         |  FROM b${h - 1} b JOIN knn k ON k.vec_id = b.node),
-         |sc$h AS MATERIALIZED (
+         |  FROM b$sfx${h - 1} b JOIN knn k ON k.vec_id = b.node),
+         |sc$sfx$h AS MATERIALIZED (
          |  SELECT c.q_id, c.node, v.k AS kc,
          |    $dotQV / (q.nq * v.nrm) AS cosine
-         |  FROM cand$h c JOIN v v ON v.vec_id = c.node
+         |  FROM cand$sfx$h c JOIN v v ON v.vec_id = c.node
          |  JOIN q ON q.q_id = c.q_id),
-         |b$h AS MATERIALIZED (
+         |b$sfx$h AS MATERIALIZED (
          |  SELECT q_id, node, kc, cosine FROM (
          |    SELECT q_id, node, kc, cosine, row_number() OVER (
          |      PARTITION BY q_id, kc ORDER BY cosine DESC, node) AS rn
          |    FROM (
          |      SELECT q_id, node, kc, max(cosine) AS cosine FROM (
-         |        SELECT q_id, node, kc, cosine FROM b${h - 1}
-         |        UNION ALL SELECT q_id, node, kc, cosine FROM sc$h) u
+         |        SELECT q_id, node, kc, cosine FROM b$sfx${h - 1}
+         |        UNION ALL SELECT q_id, node, kc, cosine FROM sc$sfx$h) u
          |      GROUP BY q_id, node, kc) m) r
-         |  WHERE rn <= $GsCellBeam)""".stripMargin
+         |  WHERE rn <= $quota)""".stripMargin
+    }
+    (b0 +: hops).mkString(",\n")
+  }
+
+  private val truthCteSql: String =
+    s"""truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, c.vec_id AS n_id, row_number() OVER (
+       |      PARTITION BY q.q_id ORDER BY
+       |        ${Similarity.duckDotExpr("q.eq", "c.embedding")}
+       |          / (q.nq * c.nrm) DESC, c.vec_id) AS rn
+       |    FROM q JOIN vall c ON q.q_id <> c.vec_id) s
+       |  WHERE rn <= $GsTopK)""".stripMargin
+
+  /** Oracle for the beam sweep: the shared index CTEs, one hop chain
+    * per quota, and per-quota hit counts against the shared truth.
+    */
+  def graphRecallCurveSql: String = {
+    val chains = GrBeams.map(b => hopCtesSql(b, s"x${b}_")).mkString(",\n")
+    val results = GrBeams.map { b =>
+      s"""res$b AS (
+         |  SELECT CAST($b AS BIGINT) AS cell_beam,
+         |    CAST(count(t.n_id) AS BIGINT) AS hits
+         |  FROM (
+         |    SELECT q_id, nid FROM (
+         |      SELECT q_id, nid, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cosine DESC, nid) AS rn
+         |      FROM (
+         |        SELECT bb.q_id, al.vec_id AS nid, bb.cosine
+         |        FROM bx${b}_$GsHops bb JOIN alias al ON al.c_id = bb.node
+         |        WHERE al.vec_id <> bb.q_id) x) r
+         |    WHERE rn <= $GsTopK) top
+         |  LEFT JOIN truth t ON t.q_id = top.q_id AND t.n_id = top.nid)"""
+        .stripMargin
     }.mkString(",\n")
     s"""$graphCtesSql,
-       |b0 AS MATERIALIZED (
-       |  SELECT q.q_id, e.node, e.kc, $dotQE / (q.nq * e.nn) AS cosine
-       |  FROM q CROSS JOIN ent e),
-       |$hops,
+       |$chains,
+       |$truthCteSql,
+       |$results,
+       |tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_n FROM truth)
+       |SELECT cell_beam, hits, tn.truth_n,
+       |  CAST(hits AS DOUBLE) / tn.truth_n AS recall
+       |FROM (${GrBeams.map(b => s"SELECT * FROM res$b")
+          .mkString(" UNION ALL ")}) u
+       |CROSS JOIN tn""".stripMargin
+  }
+
+  def graphSearchSql: String = {
+    s"""$graphCtesSql,
+       |${hopCtesSql(GsCellBeam, "")},
        |truth AS (
        |  SELECT q_id, n_id FROM (
        |    SELECT q.q_id, c.vec_id AS n_id, row_number() OVER (
@@ -475,11 +577,13 @@ object SemDedup {
     "sim_semdedup" -> (semDedup _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_ood_knn" -> (oodKnn _),
-    "sim_graph_search" -> (graphSearch _))
+    "sim_graph_search" -> (graphSearch _),
+    "sim_graph_recall_curve" -> (graphRecallCurve _))
 
   def oracles: Map[String, String] = Map(
     "sim_semdedup" -> semDedupSql,
     "sim_knn_graph" -> knnGraphSql,
     "sim_ood_knn" -> oodKnnSql,
-    "sim_graph_search" -> graphSearchSql)
+    "sim_graph_search" -> graphSearchSql,
+    "sim_graph_recall_curve" -> graphRecallCurveSql)
 }

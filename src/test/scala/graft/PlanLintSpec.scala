@@ -53,6 +53,8 @@ class PlanLintSpec extends AnyFunSuite {
     // ADC-scored beam hops checkpoint on construction; the 10-row query
     // x entry seed is the bounded-broadcast exception, hops equi-joins
     "sim_graph_pq_search",
+    // the beam sweep runs three checkpointed hop loops on construction
+    "sim_graph_recall_curve",
     // graph_random_walks' loop shape with the biased per-step window;
     // same hidden 2-row walk scaffold, equi-joins throughout
     "graph_node2vec",
