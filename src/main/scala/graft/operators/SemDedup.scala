@@ -428,6 +428,140 @@ object SemDedup {
         ($"hits".cast("double") / $"truth_n").as("recall"))
   }
 
+  /** Incremental graph-index maintenance — the search-then-link insert
+    * path every navigable-graph index (HNSW/NSG/DiskANN) uses instead
+    * of rebuilding: hold out a bounded arrival batch (vec_id ∈
+    * [10, 20) — disjoint from the <10 query convention), build the
+    * canonical cell-scoped graph over the REMAINING base corpus, then
+    * for each arrival run the standard beam search over the base graph
+    * and link the arrival to its top-[[GsDegree]] found canonical
+    * nodes. Each edge carries an `in_exact` flag against the arrival's
+    * EXACT top-[[GsDegree]] canonical neighbors (the ideal link set a
+    * brute-force pass would produce) — the insert-quality audit that
+    * keeps incremental maintenance honest.
+    *
+    * Scale shape: per-arrival cost IS the search cost
+    * (O(beam·degree·hops) score lookups); batch inserts shard exactly
+    * like queries, and the base graph is the already-materialized
+    * index artifact — nothing corpus-sized is rebuilt.
+    */
+  def graphInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = KMeans.trainedCentroids(s, dir)
+    val assigned = KMeans.assign(
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding"), cents)
+      .select($"vec_id", $"k", $"embedding",
+        sqrt(DotF64.dot_f64($"embedding", $"embedding")).as("nrm"))
+      .localCheckpoint()
+    val isArrival = $"vec_id" >= 10 && $"vec_id" < 20
+    val base = assigned.where(!isArrival)
+      .withColumn("c_id",
+        min($"vec_id").over(Window.partitionBy($"embedding")))
+    val v = base.where($"vec_id" === $"c_id")
+      .select($"vec_id", $"k", $"embedding", $"nrm").localCheckpoint()
+    val aa = v.selectExpr("k", "vec_id", "embedding AS ea", "nrm AS na")
+    val bb = v.selectExpr("k", "vec_id AS nbr_id", "embedding AS eb",
+      "nrm AS nb")
+    val wk = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"nbr_id")
+    val knnDir = aa.join(bb, "k")
+      .where($"vec_id" =!= $"nbr_id")
+      .select($"vec_id", $"nbr_id",
+        (DotF64.dot_f64($"ea", $"eb") / ($"na" * $"nb")).as("cosine"))
+      .withColumn("rn", row_number().over(wk))
+      .where($"rn" <= GsDegree)
+      .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+    val knn = knnDir
+      .union(knnDir.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    val entries = v
+      .withColumn("ern", row_number().over(
+        Window.partitionBy($"k").orderBy($"vec_id")))
+      .where($"ern" <= 2)
+      .selectExpr("vec_id AS node", "k AS kc", "embedding AS en", "nrm AS nn")
+    val q = assigned.where(isArrival)
+      .selectExpr("vec_id AS q_id", "embedding AS eq", "nrm AS nq")
+    val beam = beamLoop(s, q, entries, knn, v, GsCellBeam)
+    // the linking reference: the arrival's exact top-degree canonical
+    // neighbors (the ideal edges a brute-force linker would produce)
+    val qa = assigned.where(isArrival)
+      .selectExpr("vec_id AS a_id", "embedding AS ea", "nrm AS na")
+    val exact = broadcast(qa)
+      .crossJoin(v.selectExpr("vec_id AS n_id", "embedding AS en",
+        "nrm AS nn"))
+      .select($"a_id", $"n_id",
+        (DotF64.dot_f64($"ea", $"en") / ($"na" * $"nn")).as("ecos"))
+      .withColumn("ern", row_number().over(
+        Window.partitionBy($"a_id").orderBy($"ecos".desc, $"n_id")))
+      .where($"ern" <= GsDegree)
+      .select($"a_id".as("ta"), $"n_id".as("tn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"node")
+    beam.withColumn("rn", row_number().over(w))
+      .where($"rn" <= GsDegree)
+      .join(exact, $"q_id" === $"ta" && $"node" === $"tn", "left_outer")
+      .select($"q_id".as("a_id"), $"node", $"cosine",
+        $"rn".cast("long").as("rn"), $"tn".isNotNull.as("in_exact"))
+  }
+
+  /** Oracle: the base-subset canonical graph (same CTE names the hop
+    * generator expects), the arrival query set, the shared hop chain,
+    * and the same-cell rebuild reference.
+    */
+  def graphInsertSql: String = {
+    val dotAB = Similarity.duckDotExpr("a.embedding", "b.embedding")
+    val dotAE = Similarity.duckDotExpr("a.ea", "c.embedding")
+    val dotSelf = Similarity.duckDotExpr("embedding", "embedding")
+    s"""${KMeans.fitAssignCtes},
+       |af AS MATERIALIZED (
+       |  SELECT vec_id, k, embedding, sqrt($dotSelf) AS nrm
+       |  FROM a_final),
+       |vallb AS MATERIALIZED (
+       |  SELECT vec_id, k, embedding, nrm,
+       |    min(vec_id) OVER (PARTITION BY embedding) AS c_id
+       |  FROM af WHERE vec_id < 10 OR vec_id >= 20),
+       |v AS MATERIALIZED (
+       |  SELECT vec_id, k, embedding, nrm
+       |  FROM vallb WHERE vec_id = c_id),
+       |knn0 AS MATERIALIZED (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT a.vec_id, b.vec_id AS nbr_id, row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY $dotAB / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+       |    FROM v a JOIN v b ON a.k = b.k AND a.vec_id <> b.vec_id) s
+       |  WHERE rn <= $GsDegree),
+       |knn AS MATERIALIZED (
+       |  SELECT DISTINCT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id FROM knn0
+       |    UNION ALL SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM knn0) u),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS eq, nrm AS nq
+       |  FROM af WHERE vec_id >= 10 AND vec_id < 20),
+       |ent AS (
+       |  SELECT vec_id AS node, k AS kc, embedding AS en, nrm AS nn FROM (
+       |    SELECT vec_id, k, embedding, nrm, row_number() OVER (
+       |      PARTITION BY k ORDER BY vec_id) AS ern FROM v) e
+       |  WHERE ern <= 2),
+       |${hopCtesSql(GsCellBeam, "")},
+       |qa AS (
+       |  SELECT vec_id AS a_id, embedding AS ea, nrm AS na
+       |  FROM af WHERE vec_id >= 10 AND vec_id < 20),
+       |exact AS (
+       |  SELECT a_id, n_id FROM (
+       |    SELECT a.a_id, c.vec_id AS n_id, row_number() OVER (
+       |      PARTITION BY a.a_id ORDER BY
+       |        $dotAE / (a.na * c.nrm) DESC, c.vec_id) AS ern
+       |    FROM qa a CROSS JOIN v c) s
+       |  WHERE ern <= $GsDegree)
+       |SELECT b.q_id AS a_id, b.node, b.cosine,
+       |  CAST(b.rn AS BIGINT) AS rn, e.n_id IS NOT NULL AS in_exact
+       |FROM (
+       |  SELECT q_id, node, cosine, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, node) AS rn
+       |  FROM b$GsHops) b
+       |LEFT JOIN exact e ON e.a_id = b.q_id AND e.n_id = b.node
+       |WHERE b.rn <= $GsDegree""".stripMargin
+  }
+
   /** Shared graph-ANN index CTEs ([[searchGraph]]'s SQL mirror): the
     * fit/assign chain, exact-dup canonical set, within-cell k-NN edge
     * list, query set, and per-cell entry points — reused by every
@@ -578,12 +712,14 @@ object SemDedup {
     "sim_knn_graph" -> (knnGraph _),
     "sim_ood_knn" -> (oodKnn _),
     "sim_graph_search" -> (graphSearch _),
-    "sim_graph_recall_curve" -> (graphRecallCurve _))
+    "sim_graph_recall_curve" -> (graphRecallCurve _),
+    "sim_graph_insert" -> (graphInsert _))
 
   def oracles: Map[String, String] = Map(
     "sim_semdedup" -> semDedupSql,
     "sim_knn_graph" -> knnGraphSql,
     "sim_ood_knn" -> oodKnnSql,
     "sim_graph_search" -> graphSearchSql,
-    "sim_graph_recall_curve" -> graphRecallCurveSql)
+    "sim_graph_recall_curve" -> graphRecallCurveSql,
+    "sim_graph_insert" -> graphInsertSql)
 }

@@ -55,6 +55,8 @@ class PlanLintSpec extends AnyFunSuite {
     "sim_graph_pq_search",
     // the beam sweep runs three checkpointed hop loops on construction
     "sim_graph_recall_curve",
+    // insert path: base-graph build + hop loop checkpoint on construction
+    "sim_graph_insert",
     // graph_random_walks' loop shape with the biased per-step window;
     // same hidden 2-row walk scaffold, equi-joins throughout
     "graph_node2vec",
