@@ -111,19 +111,50 @@ object SemDedup {
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cents = KMeans.trainedCentroids(s, dir)
-    val assigned = KMeans.assign(
-      Tables.embeddings(s, dir).select($"vec_id", $"embedding"), cents)
-    val v = assigned.select($"vec_id", $"k", $"embedding",
-      sqrt(DotF64.dot_f64($"embedding", $"embedding")).as("nrm"))
-      .localCheckpoint()
-    val a = v.selectExpr("k", "vec_id", "embedding AS ea", "nrm AS na")
-    val b = v.selectExpr("k", "vec_id AS nbr_id", "embedding AS eb", "nrm AS nb")
-    val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"nbr_id")
-    a.join(b, "k")
-      .where($"vec_id" =!= $"nbr_id")
-      .select($"vec_id", $"nbr_id",
+    // DEDUP-CANONICAL evaluation of the same query (output unchanged —
+    // the pre-existing naive-join oracle is the spec): pair work runs
+    // over DISTINCT vectors only (|distinct|²/K, not |rows|²/K — the
+    // 10× replica's exact twins inflated the naive join 18×), then the
+    // full per-vector edge list is reconstructed exactly:
+    //   · cross-group edges — members of x's group see every member of
+    //     the group's top-K canonical neighbor groups (identical
+    //     vectors share every cosine, and expansion of a group is
+    //     contiguous under the (cosine DESC, id) order, so the top-K
+    //     canonical groups always cover the top-K expanded rows);
+    //   · twin edges — same-group members at the group's self-cosine,
+    //     computed by the identical dot/(nrm·nrm) expression the pair
+    //     join would have used.
+    val (_, alias, v, _, _) = searchGraph(s, dir)
+    val a = v.selectExpr("k", "vec_id AS c_src", "embedding AS ea",
+      "nrm AS na")
+    val b = v.selectExpr("k", "vec_id AS c_nbr", "embedding AS eb",
+      "nrm AS nb")
+    val wc = Window.partitionBy($"c_src").orderBy($"cosine".desc, $"c_nbr")
+    val cknn = a.join(b, "k")
+      .where($"c_src" =!= $"c_nbr")
+      .select($"c_src", $"c_nbr",
         (DotF64.dot_f64($"ea", $"eb") / ($"na" * $"nb")).as("cosine"))
+      .withColumn("crn", row_number().over(wc))
+      .where($"crn" <= KnnK)
+      .select($"c_src", $"c_nbr", $"cosine")
+      .localCheckpoint()
+    val alS = alias.toDF("s_cid", "s_vid")
+    val alD = alias.toDF("d_cid", "d_vid")
+    val cross = cknn
+      .join(alS, $"c_src" === $"s_cid")
+      .join(alD, $"c_nbr" === $"d_cid")
+      .select($"s_vid".as("vec_id"), $"d_vid".as("nbr_id"), $"cosine")
+    val selfCos = v.select($"vec_id".as("t_cid"),
+      (DotF64.dot_f64($"embedding", $"embedding") / ($"nrm" * $"nrm"))
+        .as("cosine"))
+    val alA = alias.toDF("t1_cid", "t1_vid")
+    val alB = alias.toDF("t2_cid", "t2_vid")
+    val twins = alA
+      .join(alB, $"t1_cid" === $"t2_cid" && $"t1_vid" =!= $"t2_vid")
+      .join(selfCos, $"t1_cid" === $"t_cid")
+      .select($"t1_vid".as("vec_id"), $"t2_vid".as("nbr_id"), $"cosine")
+    val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"nbr_id")
+    cross.unionByName(twins)
       .withColumn("rn", row_number().over(w))
       .where($"rn" <= KnnK)
   }

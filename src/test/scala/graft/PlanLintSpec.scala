@@ -57,6 +57,9 @@ class PlanLintSpec extends AnyFunSuite {
     "sim_graph_recall_curve",
     // insert path: base-graph build + hop loop checkpoint on construction
     "sim_graph_insert",
+    // canonical-graph consumers: the shared searchGraph artifact
+    // checkpoints on construction; all downstream joins are equi-joins
+    "sim_knn_graph", "sim_ood_knn",
     // graph_random_walks' loop shape with the biased per-step window;
     // same hidden 2-row walk scaffold, equi-joins throughout
     "graph_node2vec",
