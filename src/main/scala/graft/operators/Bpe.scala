@@ -66,10 +66,8 @@ object Bpe {
     .empty[(String, String), (Seq[DataFrame], DataFrame)]
 
   private def train(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) =
-    trainCache.getOrElseUpdate(
-      (org.apache.spark.sql.graft.ColumnBridge.sessionUUID(s),
-        Similarity.dataKey(dir, "documents")),
-      trainUncached(s, dir))
+    graft.Memo.cached(trainCache, s,
+      Similarity.dataKey(dir, "documents"))(trainUncached(s, dir))
 
   private def trainUncached(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     import s.implicits._

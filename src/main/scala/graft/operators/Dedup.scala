@@ -105,8 +105,8 @@ object Dedup {
     * expressions over the same counts.
     */
   private def sharedPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate(
-      (sessionKey(s), Similarity.dataKey(dir, "documents")), {
+    graft.Memo.cached(pairsCache, s,
+      Similarity.dataKey(dir, "documents")) {
         import s.implicits._
         val sh = shingles(s, dir).cache()
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
@@ -122,7 +122,7 @@ object Dedup {
           .localCheckpoint()
         sh.unpersist()
         r
-      })
+      }
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -448,7 +448,7 @@ object Dedup {
     * read by [[oracles]] for an EXPLICIT dir (no last-dir global).
     */
   def simhashParams(s: SparkSession, dir: String): (Int, Int) =
-    simhashParamCache.getOrElseUpdate(Similarity.dataKey(dir, "documents"), {
+    graft.Memo.capped(simhashParamCache)(Similarity.dataKey(dir, "documents"), {
       val bits = simhashChunkBits(Tables.documents(s, dir).count())
       (bits, 60 / bits)
     })
@@ -750,8 +750,8 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate(
-      (sessionKey(s), Similarity.dataKey(dir, "documents")),
+    graft.Memo.cached(clusterCache, s,
+      Similarity.dataKey(dir, "documents"))(
       dedupClustersUncached(s, dir).localCheckpoint())
 
   private def dedupClustersUncached(s: SparkSession, dir: String): DataFrame = {

@@ -351,9 +351,7 @@ object EventOps {
     .empty[(String, String), DataFrame]
 
   def markovStationary(s: SparkSession, dir: String): DataFrame =
-    piCache.getOrElseUpdate(
-      (org.apache.spark.sql.graft.ColumnBridge.sessionUUID(s),
-        Similarity.dataKey(dir, "events")),
+    graft.Memo.cached(piCache, s, Similarity.dataKey(dir, "events"))(
       markovStationaryUncached(s, dir))
 
   private def markovStationaryUncached(s: SparkSession, dir: String): DataFrame = {

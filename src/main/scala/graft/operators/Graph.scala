@@ -119,8 +119,13 @@ object Graph {
     * (src, dst, cnt) CTE chain: the 10 iterations unrolled as chained
     * CTEs (recursive CTEs disallow aggregates in the recursive term,
     * and unrolling keeps the recurrence literally identical).
+    * `finalize` is the terminal SELECT over `r$Iters` — a parameter
+    * (not post-hoc string surgery) so derived oracles like
+    * [[textrankSql]] can't silently lose their projection when this
+    * template changes.
     */
-  private[operators] def pagerankSqlOver(edgesCtes: String): String = {
+  private[operators] def pagerankSqlOver(edgesCtes: String,
+      finalize: String = s"SELECT node, rank FROM r$Iters"): String = {
     val base =
       s"""WITH $edgesCtes,
          |outw AS (SELECT src, sum(cnt) AS oc FROM edges GROUP BY src),
@@ -143,7 +148,7 @@ object Graph {
          |    FROM w JOIN r${i - 1} r ON w.src = r.node GROUP BY w.dst) s
          |    ON nd.node = s.dst)""".stripMargin
     }.mkString(",\n")
-    s"$base,\n$iters\nSELECT node, rank FROM r$Iters"
+    s"$base,\n$iters\n$finalize"
   }
 
   val pagerankSql: String = pagerankSqlOver(tokenEdgesCtes)
@@ -192,10 +197,9 @@ object Graph {
          |    UNION ALL
          |    SELECT dst AS src, src AS dst, cnt FROM edges0)
          |  GROUP BY src, dst)""".stripMargin
-    pagerankSqlOver(symCtes)
-      .replace(s"SELECT node, rank FROM r$Iters",
-        s"SELECT node AS word, rank AS textrank FROM r$Iters " +
-          "ORDER BY rank DESC, node LIMIT 20")
+    pagerankSqlOver(symCtes,
+      s"SELECT node AS word, rank AS textrank FROM r$Iters " +
+        "ORDER BY rank DESC, node LIMIT 20")
   }
 
   /** HITS hubs & authorities — the second classic link-analysis

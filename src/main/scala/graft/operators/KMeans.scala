@@ -92,7 +92,7 @@ object KMeans {
     * at ingest: train batch, score stream.
     */
   def trainedCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
-    centCache.getOrElseUpdate(Similarity.dataKey(dir, "embeddings"), {
+    graft.Memo.capped(centCache)(Similarity.dataKey(dir, "embeddings"), {
       import s.implicits._
       val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       var cents = initCentroids(s, dir)

@@ -117,10 +117,14 @@ object SemDedup {
     // 10× replica's exact twins inflated the naive join 18×), then the
     // full per-vector edge list is reconstructed exactly:
     //   · cross-group edges — members of x's group see every member of
-    //     the group's top-K canonical neighbor groups (identical
-    //     vectors share every cosine, and expansion of a group is
-    //     contiguous under the (cosine DESC, id) order, so the top-K
-    //     canonical groups always cover the top-K expanded rows);
+    //     the canonical neighbor groups surviving a rank-with-ties cut
+    //     at K: rank() over cosine alone keeps EVERY group tied with
+    //     the K-th cosine, so even when distinct groups tie exactly at
+    //     the cut (impossible to order consistently with the oracle's
+    //     member-id tiebreak from the canonical side), all candidate
+    //     members reach the final (cosine DESC, nbr_id) re-rank, which
+    //     then reproduces the oracle's tiebreak verbatim. Cost: a few
+    //     extra expansion rows only when cosines tie at the boundary;
     //   · twin edges — same-group members at the group's self-cosine,
     //     computed by the identical dot/(nrm·nrm) expression the pair
     //     join would have used.
@@ -129,12 +133,14 @@ object SemDedup {
       "nrm AS na")
     val b = v.selectExpr("k", "vec_id AS c_nbr", "embedding AS eb",
       "nrm AS nb")
-    val wc = Window.partitionBy($"c_src").orderBy($"cosine".desc, $"c_nbr")
+    // rank() over cosine ALONE (not row_number with an id tiebreak):
+    // ties at the K-th cosine keep every tied group in play
+    val wc = Window.partitionBy($"c_src").orderBy($"cosine".desc)
     val cknn = a.join(b, "k")
       .where($"c_src" =!= $"c_nbr")
       .select($"c_src", $"c_nbr",
         (DotF64.dot_f64($"ea", $"eb") / ($"na" * $"nb")).as("cosine"))
-      .withColumn("crn", row_number().over(wc))
+      .withColumn("crn", rank().over(wc))
       .where($"crn" <= KnnK)
       .select($"c_src", $"c_nbr", $"cosine")
       .localCheckpoint()
@@ -307,9 +313,8 @@ object SemDedup {
     */
   private[operators] def searchGraph(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
-    graphCache.getOrElseUpdate(
-      (org.apache.spark.sql.graft.ColumnBridge.sessionUUID(s),
-        Similarity.dataKey(dir, "embeddings")), {
+    graft.Memo.cached(graphCache, s,
+      Similarity.dataKey(dir, "embeddings")) {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val cents = KMeans.trainedCentroids(s, dir)
@@ -351,7 +356,7 @@ object SemDedup {
         .selectExpr("vec_id AS node", "k AS kc", "embedding AS en",
           "nrm AS nn")
       (vAll, alias, v, knn, entries)
-    })
+    }
 
   /** The exact-cosine beam loop at a given per-(query, cell) quota —
     * shared by [[graphSearch]] (production quota [[GsCellBeam]]) and

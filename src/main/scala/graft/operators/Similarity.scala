@@ -129,7 +129,7 @@ object Similarity {
         "oracle generation needs an active SparkSession"))
 
   def ndParams(s: SparkSession, dir: String): (Int, Array[Array[Double]]) =
-    ndCache.getOrElseUpdate(dataKey(dir, "embeddings"), {
+    graft.Memo.capped(ndCache)(dataKey(dir, "embeddings"), {
       val n = Tables.embeddings(s, dir).count()
       val npt = ndPlanesPerTable(n)
       (npt, hyperplanes(NdTables * npt, 64, seed = 0x7d0bee5L))
@@ -410,7 +410,7 @@ object Similarity {
 
   def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
     import s.implicits._
-    centroidCache.getOrElseUpdate(dataKey(dir, "embeddings"), {
+    graft.Memo.capped(centroidCache)(dataKey(dir, "embeddings"), {
       val sample = Tables.embeddings(s, dir)
         .where(col("vec_id") % IvfSampleMod === 0)
         .orderBy("vec_id")
@@ -555,7 +555,7 @@ object Similarity {
 
   def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     import s.implicits._
-    pqCache.getOrElseUpdate(dataKey(dir, "embeddings"), {
+    graft.Memo.capped(pqCache)(dataKey(dir, "embeddings"), {
       val sample = Tables.embeddings(s, dir)
         .where(col("vec_id") % IvfSampleMod === 0)
         .orderBy("vec_id")
@@ -610,7 +610,7 @@ object Similarity {
     * rebuilds the identical rows for an explicit dir.
     */
   def pqLut(s: SparkSession, dir: String): Seq[(Long, Int, Int, Double)] =
-    pqLutCache.getOrElseUpdate(dataKey(dir, "embeddings"), {
+    graft.Memo.capped(pqLutCache)(dataKey(dir, "embeddings"), {
       import s.implicits._
       val cbs = pqCodebooks(s, dir)
       val qvecs = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
@@ -737,7 +737,7 @@ object Similarity {
     * cosine-metric PQ serving recipe.
     */
   def pqIpLut(s: SparkSession, dir: String): Seq[(Long, Int, Int, Double)] =
-    pqIpLutCache.getOrElseUpdate(dataKey(dir, "embeddings"), {
+    graft.Memo.capped(pqIpLutCache)(dataKey(dir, "embeddings"), {
       import s.implicits._
       val cbs = pqCodebooks(s, dir)
       val qvecs = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
@@ -979,8 +979,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def ivfPqListsDir(s: SparkSession, dir: String): String =
-    listsDirCache.getOrElseUpdate(
-      (Dedup.sessionKey(s), dataKey(dir, "embeddings")), {
+    graft.Memo.cached(listsDirCache, s, dataKey(dir, "embeddings")) {
         import s.implicits._
         val icents = ivfCentroids(s, dir)
         val cbs = pqCodebooks(s, dir)
@@ -996,7 +995,7 @@ object Similarity {
             "vec_id")
           .write.mode("overwrite").partitionBy("cell").parquet(out)
         out
-      })
+      }
 
   /** The inverted file as a PHYSICAL PARTITION LAYOUT — the data-
     * skipping form of [[ivfPqTopK]]'s candidate generation: codes land

@@ -404,10 +404,13 @@ object TextOps {
     * where BM25 ranks the SOURCE document among all candidates sharing
     * at least one query term. This is the standard synthetic IR eval
     * when no human judgments exist (known-item search): the metrics —
-    * reciprocal rank, hit@1, hit@10 — are the MRR/recall@k family,
-    * all rational arithmetic (1/rank, boolean cuts), so the eval is
-    * bit-exact across engines with no log-discount wobble (the reason
-    * nDCG's log2 gain is NOT used here).
+    * reciprocal rank, hit@1, hit@10 — are the MRR/recall@k family.
+    * Only the METRIC arithmetic is rational (1/rank, boolean cuts —
+    * the reason nDCG's log2 gain is NOT used here); the tf-idf
+    * query-term selection and the BM25 scores underneath still use
+    * ln(), so cross-engine exactness of the RANKS rests on the same
+    * 6-dp rounding convention that absorbs ln's last-ulp differences
+    * in [[bm25TopDocs]].
     *
     * Scale shape: query derivation is the tf-idf window (vocabulary +
     * per-doc top-3); scoring touches only the 30 query terms' postings
@@ -1185,7 +1188,7 @@ object TextOps {
     * stream (at production scale: two table statistics).
     */
   def allPairsGramOrder(s: SparkSession, dir: String): Int =
-    gramCache.getOrElseUpdate(Similarity.dataKey(dir, "documents"), {
+    graft.Memo.capped(gramCache)(Similarity.dataKey(dir, "documents"), {
       val row = Tables.documents(s, dir)
         .selectExpr(s"explode($tokensExpr) AS w")
         .agg(countDistinct(col("w")).as("v1"), count(lit(1)).as("tot"))

@@ -55,7 +55,7 @@ object Unigram {
     * per corpus fingerprint; the oracle unrolls to the same depth).
     */
   private def maxLen(s: SparkSession, dir: String): Int =
-    lenCache.getOrElseUpdate(Similarity.dataKey(dir, "documents"), {
+    graft.Memo.capped(lenCache)(Similarity.dataKey(dir, "documents"), {
       import s.implicits._
       Tables.documents(s, dir)
         .selectExpr(s"explode(${TextOps.tokensExpr}) AS word")
@@ -170,9 +170,8 @@ object Unigram {
     */
   private def train(s: SparkSession, dir: String)
       : (DataFrame, Map[String, Double], Int) =
-    trainCache.getOrElseUpdate(
-      (org.apache.spark.sql.graft.ColumnBridge.sessionUUID(s),
-        Similarity.dataKey(dir, "documents")), {
+    graft.Memo.cached(trainCache, s,
+      Similarity.dataKey(dir, "documents")) {
       val L = maxLen(s, dir)
       val w = words(s, dir).localCheckpoint()
       val seedPc = seed(s, dir).localCheckpoint()
@@ -180,7 +179,7 @@ object Unigram {
       for (_ <- 1 to EmIters)
         pc = mStep(seedPc, eCounts(w, lpMap(pc), L)).localCheckpoint()
       (pc, lpMap(pc), L)
-    })
+    }
 
   /** Final unigram vocabulary: (piece, cnt, lp, rn). */
   def unigramEm(s: SparkSession, dir: String): DataFrame = {
@@ -303,7 +302,10 @@ object Unigram {
   }
 
   def unigramEmSql(dir: String): String = {
-    val L = lenCache(Similarity.dataKey(dir, "documents"))
+    // via maxLen (not a raw lenCache apply): a caller asking for the
+    // oracle SQL before the Spark side has run in-session gets the
+    // depth computed on demand instead of a NoSuchElementException
+    val L = maxLen(Similarity.activeSession, dir)
     s"""WITH ${baseSql(L)}
        |SELECT piece, cnt,
        |  floor(ln(CAST(cnt AS DOUBLE) / t.total) * 1e6 + 0.5) / 1e6 AS lp,
@@ -313,7 +315,7 @@ object Unigram {
   }
 
   def unigramSegmentSql(dir: String): String = {
-    val L = lenCache(Similarity.dataKey(dir, "documents"))
+    val L = maxLen(Similarity.activeSession, dir)
     s"""WITH ${baseSql(L)},
        |lpf AS MATERIALIZED (${lpSql(s"pc$EmIters")})
        |SELECT word, freq,
