@@ -1908,7 +1908,100 @@ object Multimodal {
        |  FROM sc) r
        |WHERE rn = 1""".stripMargin
 
+  // -------------------------------------------------- audio near-dup
+
+  /** PCM sample-trigram shingle size — 3 consecutive samples packed
+    * into one BIGINT key (16 bits each, 48 bits total).
+    */
+  val AudioShingle = 3
+
+  /** Pairs are reported at rounded Jaccard ≥ this. */
+  val AudioJaccThresh = 0.5
+
+  /** Audio near-duplicate detection over the DECODED PCM stream —
+    * dedup generalized to the audio modality (text shingles →
+    * [[Dedup]]; image perceptual hash → `mm_phash_pairs`; this
+    * completes the set). Fingerprint = the multiset of consecutive
+    * [[AudioShingle]]-sample windows (value-based, so it is invariant
+    * to TIME SHIFT — a clip re-cut at a different offset shares every
+    * interior window with its source, which is exactly what byte-hash
+    * dedup misses and the reason audio pipelines fingerprint content,
+    * not containers). Candidate pairs come from an inverted-index
+    * equi-join on the packed shingle key — identical plan shape to
+    * [[Dedup.ngramJaccard]]'s text join: work is Σ_shingle
+    * |assets(shingle)|², never |assets|², and a df-cut on degenerate
+    * constant-tone shingles is the documented 100 TB knob. Jaccard =
+    * shared / (nA + nB − shared) over per-asset DISTINCT windows
+    * (samples within one asset are distinct here, so counts are
+    * exact), 6-dp-rounded before the ≥ [[AudioJaccThresh]] cut so the
+    * threshold can't wobble cross-engine.
+    *
+    * The decode is the genuine RIFF/WAV parse + little-endian PCM16
+    * sample walk ([[decodeWav]] validation); corrupt payloads drop as
+    * in every other audio query. The oracle reconstructs the samples
+    * closed-form from the generator recurrence and runs the same join.
+    */
+  def audioNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shingles = assets(s, dir).filter(_.media_type == "audio")
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap { a =>
+        decodeWav(a.payload) match {
+          case Some((n, _)) if n >= AudioShingle =>
+            val buf = java.nio.ByteBuffer.wrap(a.payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            def u(j: Int): Long = buf.getShort(44 + 2 * j).toLong + 32768L
+            (0 until n - (AudioShingle - 1)).iterator.map { i =>
+              (a.asset_id, n.toLong,
+                (u(i) * 65536L + u(i + 1)) * 65536L + u(i + 2))
+            }
+          case _ => Iterator.empty
+        }
+      }))
+      .toDF("asset_id", "n", "shingle")
+    val ka = shingles.selectExpr("asset_id AS asset_a", "n AS n_a", "shingle")
+    val kb = shingles.selectExpr("asset_id AS asset_b", "n AS n_b", "shingle")
+    ka.join(kb, "shingle")
+      .where($"asset_a" < $"asset_b")
+      .groupBy($"asset_a", $"asset_b")
+      .agg(count(lit(1)).as("shared"),
+        max($"n_a").as("na"), max($"n_b").as("nb"))
+      .selectExpr("asset_a", "asset_b", "CAST(shared AS BIGINT) AS shared",
+        """floor(CAST(shared AS DOUBLE) / (na + nb - shared) * 1e6 + 0.5)
+          | / 1e6 AS jaccard""".stripMargin)
+      .where($"jaccard" >= AudioJaccThresh)
+  }
+
+  val audioNeardupSql: String =
+    s"""WITH aud AS (
+       |  SELECT doc_id, 50 + strlen(text) % 211 AS n,
+       |    CAST(doc_id % 9973 AS BIGINT) AS seed
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id % $CorruptEveryAudio <> 0),
+       |sh AS (
+       |  SELECT doc_id, n, seed,
+       |    unnest(range(0, n - ${AudioShingle - 1})) AS i FROM aud),
+       |keys AS (
+       |  SELECT doc_id, n,
+       |    (CAST((seed + 31 * i) % 65536 AS BIGINT) * 65536
+       |      + CAST((seed + 31 * (i + 1)) % 65536 AS BIGINT)) * 65536
+       |      + CAST((seed + 31 * (i + 2)) % 65536 AS BIGINT) AS shingle
+       |  FROM sh),
+       |p AS (
+       |  SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+       |    CAST(count(*) AS BIGINT) AS shared,
+       |    max(a.n) AS na, max(b.n) AS nb
+       |  FROM keys a JOIN keys b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT asset_a, asset_b, shared,
+       |  floor(CAST(shared AS DOUBLE) / (na + nb - shared) * 1e6 + 0.5)
+       |    / 1e6 AS jaccard
+       |FROM p
+       |WHERE floor(CAST(shared AS DOUBLE) / (na + nb - shared) * 1e6 + 0.5)
+       |    / 1e6 >= $AudioJaccThresh""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_neardup" -> (audioNeardup _),
     "mm_frame_sample" -> (frameSample _),
     "mm_image_entropy" -> (imageEntropy _),
     "mm_audio_vad" -> (audioVad _),
@@ -1927,6 +2020,7 @@ object Multimodal {
     "mm_caption_pairs" -> (captionPairs _))
 
   def oracles: Map[String, String] = Map(
+    "mm_audio_neardup" -> audioNeardupSql,
     "mm_image_entropy" -> imageEntropySql,
     "mm_audio_vad" -> audioVadSql,
     "mm_scene_cuts" -> sceneCutsSql,

@@ -32,6 +32,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(top == 10 + 41 + 72 + 103 + 134 + 165) // un-flipped top row
   }
 
+  test("audio neardup: only time-shifted generator copies match, jaccard sane") {
+    val out = Multimodal.audioNeardup(spark, sf)
+      .selectExpr("asset_a", "asset_b", "shared", "jaccard").collect()
+    assert(out.nonEmpty)
+    // the generator's audio is a step-31 ramp and audio asset ids stride 3,
+    // so true time-shifted copies are exactly the pairs at Δid = 93·m
+    // (93 = 31·3); value-based shingling must find ONLY those
+    assert(out.forall(r => (r.getLong(1) - r.getLong(0)) % 93 == 0))
+    assert(out.forall(r => r.getDouble(3) >= Multimodal.AudioJaccThresh &&
+      r.getDouble(3) <= 1.0))
+    // shared windows can never exceed either side's window count
+    val nW = Multimodal.assets(spark, sf).filter(_.media_type == "audio")
+      .collect().flatMap(a => Multimodal.decodeWav(a.payload))
+      .map { case (n, _) => n - (Multimodal.AudioShingle - 1) }
+    val maxW = nW.max.toLong
+    assert(out.forall(r => r.getLong(2) <= maxW))
+  }
+
   test("decoder rejects corrupt payloads: bad magic, truncation, wrong bpp") {
     val good = Multimodal.encodeBmp(5, 3, 77)
     assert(Multimodal.decodeBmp(good).isDefined)
