@@ -40,11 +40,34 @@ object Memo {
     */
   private val live = TrieMap.empty[String, WeakReference[SparkSession]]
 
+  /** Every session-keyed cache ever passed to [[cached]], by identity
+    * (NOT by map equality — two empty caches compare equal). A dead
+    * session's entries must be purged from EVERY registered cache
+    * before its UUID leaves [[live]]: purging the UUID during the
+    * first single-cache sweep would make [[dead]] answer false
+    * (unknown UUID) for all the OTHER caches, which would then hold
+    * the dead session's DataFrames forever.
+    */
+  private val registered =
+    scala.collection.mutable.ArrayBuffer.empty[TrieMap[(String, String), Any]]
+
+  private def register(m: TrieMap[(String, String), Any]): Unit =
+    synchronized { if (!registered.exists(_ eq m)) registered += m }
+
+  /** Test seam: register a UUID whose session has already been
+    * collected (a cleared weak reference — the post-GC state).
+    */
+  private[graft] def registerCollected(u: String): Unit =
+    live.put(u, new WeakReference[SparkSession](null))
+
   /** Max entries for a [[capped]] value cache. */
   val ValueCap = 64
 
   /** The session-UUID key component, registering the session for
-    * later liveness checks.
+    * later liveness checks. UUID, not `identityHashCode`: the hash can
+    * collide after a stopped session is GC'd (a new session reusing
+    * the hash would receive checkpointed blocks of a dead context),
+    * while `sessionUUID` is unique for the JVM's lifetime.
     */
   def sessionKey(s: SparkSession): String = {
     val u = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(s)
@@ -60,22 +83,30 @@ object Memo {
     case None => false
   }
 
-  /** Drop entries owned by dead sessions (and the dead registry rows
-    * themselves). `uuidOf` extracts the session-UUID component of a
-    * cache key.
+  /** Drop every dead session's entries from ALL registered caches,
+    * then retire the dead UUIDs from the registry. Sweeping all caches
+    * before the purge is the point: each UUID is judged dead exactly
+    * once, with every cache listening.
     */
-  def sweep[K, V](m: TrieMap[K, V])(uuidOf: K => String): Unit = {
-    m.keySet.foreach { k => if (dead(uuidOf(k))) m.remove(k) }
-    live.keySet.foreach { u => if (dead(u)) live.remove(u) }
+  def sweepAll(): Unit = {
+    val gone = live.keySet.filter(dead)
+    if (gone.nonEmpty) {
+      val caches = synchronized(registered.toList)
+      caches.foreach { m =>
+        m.keySet.foreach { k => if (gone(k._1)) m.remove(k) }
+      }
+      gone.foreach(live.remove)
+    }
   }
 
   /** getOrElseUpdate on a (sessionUUID, fingerprint)-keyed cache with
-    * a dead-session sweep first.
+    * a dead-session sweep across all registered caches first.
     */
   def cached[V](m: TrieMap[(String, String), V], s: SparkSession,
       fingerprint: String)(build: => V): V = {
     val u = sessionKey(s)
-    sweep(m)(_._1)
+    register(m.asInstanceOf[TrieMap[(String, String), Any]])
+    sweepAll()
     m.getOrElseUpdate((u, fingerprint), build)
   }
 

@@ -86,14 +86,6 @@ object Dedup {
     * query, cluster resolution, and canonical selection all consume it,
     * and the inverted-index join is the expensive part of all three.
     */
-  /** Stable unique session id for memo keys: `identityHashCode` can
-    * collide after a stopped session is GC'd (a new session reusing the
-    * hash would receive checkpointed blocks of a dead context), while
-    * `sessionUUID` is unique for the JVM's lifetime.
-    */
-  private[operators] def sessionKey(s: SparkSession): String =
-    org.apache.spark.sql.graft.ColumnBridge.sessionUUID(s)
-
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 

@@ -1918,28 +1918,34 @@ object Multimodal {
   /** Pairs are reported at rounded Jaccard ≥ this. */
   val AudioJaccThresh = 0.5
 
+  /** Stop-shingle document-frequency cut: a window value living in
+    * more than this many assets is degenerate content (silence runs,
+    * constant tones — audio's stop-words) and is dropped from the
+    * inverted index. This bounds the equi-join's per-key fan-out at
+    * [[AudioDfCut]]² rows — the 100 TB knob that keeps Σ_shingle
+    * |assets(shingle)|² from degenerating on hot keys — at the cost of
+    * under-counting `shared` for pairs whose only overlap is
+    * degenerate content (which is the point: silence-heavy clips must
+    * NOT all pair up). 128 clears the fixture's maximum organic df
+    * (≈54 at sf0.1 — the step-31 ramp family at 93-id spacing) with
+    * 2× headroom; the mirror constant appears verbatim in the oracle.
+    */
+  val AudioDfCut = 128
+
   /** Audio near-duplicate detection over the DECODED PCM stream —
     * dedup generalized to the audio modality (text shingles →
     * [[Dedup]]; image perceptual hash → `mm_phash_pairs`; this
-    * completes the set). Fingerprint = the multiset of consecutive
+    * completes the set). Fingerprint = the SET of distinct consecutive
     * [[AudioShingle]]-sample windows (value-based, so it is invariant
     * to TIME SHIFT — a clip re-cut at a different offset shares every
     * interior window with its source, which is exactly what byte-hash
     * dedup misses and the reason audio pipelines fingerprint content,
-    * not containers). Candidate pairs come from an inverted-index
-    * equi-join on the packed shingle key — identical plan shape to
-    * [[Dedup.ngramJaccard]]'s text join: work is Σ_shingle
-    * |assets(shingle)|², never |assets|², and a df-cut on degenerate
-    * constant-tone shingles is the documented 100 TB knob. Jaccard =
-    * shared / (nA + nB − shared) over per-asset DISTINCT windows
-    * (samples within one asset are distinct here, so counts are
-    * exact), 6-dp-rounded before the ≥ [[AudioJaccThresh]] cut so the
-    * threshold can't wobble cross-engine.
-    *
-    * The decode is the genuine RIFF/WAV parse + little-endian PCM16
-    * sample walk ([[decodeWav]] validation); corrupt payloads drop as
-    * in every other audio query. The oracle reconstructs the samples
-    * closed-form from the generator recurrence and runs the same join.
+    * not containers). The decode is the genuine RIFF/WAV parse +
+    * little-endian PCM16 sample walk ([[decodeWav]] validation);
+    * corrupt payloads drop as in every other audio query. Pair
+    * semantics live in [[audioNeardupPairs]]; the oracle reconstructs
+    * the samples closed-form from the generator recurrence and runs
+    * the same distinct + df-cut + join.
     */
   def audioNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1951,22 +1957,53 @@ object Multimodal {
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             def u(j: Int): Long = buf.getShort(44 + 2 * j).toLong + 32768L
             (0 until n - (AudioShingle - 1)).iterator.map { i =>
-              (a.asset_id, n.toLong,
+              (a.asset_id,
                 (u(i) * 65536L + u(i + 1)) * 65536L + u(i + 2))
             }
           case _ => Iterator.empty
         }
       }))
-      .toDF("asset_id", "n", "shingle")
-    val ka = shingles.selectExpr("asset_id AS asset_a", "n AS n_a", "shingle")
-    val kb = shingles.selectExpr("asset_id AS asset_b", "n AS n_b", "shingle")
+      .toDF("asset_id", "shingle")
+    audioNeardupPairs(s, shingles)
+  }
+
+  /** The near-dup pair join over raw (asset_id, shingle) rows,
+    * factored out so specs can drive it with adversarial shingle
+    * streams (repeated windows, constant tones) independent of the
+    * fixture generator.
+    *
+    * Exactness: per-asset windows are DEDUPLICATED first — real audio
+    * repeats sample trigrams constantly (silence runs, constant tones,
+    * loops), and without the distinct every repeated key multiplies
+    * the join rows, so `shared` over-counts quadratically and the
+    * reported "jaccard" can exceed 1. After the distinct, Jaccard =
+    * shared / (wA + wB − shared) over the distinct-window SETS (wX =
+    * |distinct windows of X|) is exact set Jaccard, 6-dp-rounded
+    * before the ≥ [[AudioJaccThresh]] cut so the threshold can't
+    * wobble cross-engine. Candidates come from an inverted-index
+    * equi-join on the packed shingle key — identical plan shape to
+    * [[Dedup.ngramJaccard]]'s text join (work is Σ_shingle df², never
+    * |assets|²), with keys above [[AudioDfCut]] dropped from the
+    * index so degenerate content can't blow the per-key fan-out.
+    */
+  private[operators] def audioNeardupPairs(
+      s: SparkSession, shingles: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val keys = shingles.select($"asset_id", $"shingle").distinct()
+      .withColumn("nw", count(lit(1)).over(Window.partitionBy($"asset_id")))
+    val idx = keys
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"shingle")))
+      .where($"df" <= AudioDfCut)
+    val ka = idx.select($"asset_id".as("asset_a"), $"nw".as("wa"), $"shingle")
+    val kb = idx.select($"asset_id".as("asset_b"), $"nw".as("wb"), $"shingle")
     ka.join(kb, "shingle")
       .where($"asset_a" < $"asset_b")
       .groupBy($"asset_a", $"asset_b")
       .agg(count(lit(1)).as("shared"),
-        max($"n_a").as("na"), max($"n_b").as("nb"))
+        max($"wa").as("wa"), max($"wb").as("wb"))
       .selectExpr("asset_a", "asset_b", "CAST(shared AS BIGINT) AS shared",
-        """floor(CAST(shared AS DOUBLE) / (na + nb - shared) * 1e6 + 0.5)
+        """floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
           | / 1e6 AS jaccard""".stripMargin)
       .where($"jaccard" >= AudioJaccThresh)
   }
@@ -1980,24 +2017,30 @@ object Multimodal {
        |sh AS (
        |  SELECT doc_id, n, seed,
        |    unnest(range(0, n - ${AudioShingle - 1})) AS i FROM aud),
-       |keys AS (
-       |  SELECT doc_id, n,
+       |keys0 AS (
+       |  SELECT DISTINCT doc_id,
        |    (CAST((seed + 31 * i) % 65536 AS BIGINT) * 65536
        |      + CAST((seed + 31 * (i + 1)) % 65536 AS BIGINT)) * 65536
        |      + CAST((seed + 31 * (i + 2)) % 65536 AS BIGINT) AS shingle
        |  FROM sh),
+       |keys AS (
+       |  SELECT doc_id, shingle,
+       |    count(*) OVER (PARTITION BY doc_id) AS nw,
+       |    count(*) OVER (PARTITION BY shingle) AS df
+       |  FROM keys0),
        |p AS (
        |  SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
        |    CAST(count(*) AS BIGINT) AS shared,
-       |    max(a.n) AS na, max(b.n) AS nb
+       |    max(a.nw) AS wa, max(b.nw) AS wb
        |  FROM keys a JOIN keys b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE a.df <= $AudioDfCut AND b.df <= $AudioDfCut
        |  GROUP BY 1, 2)
        |SELECT asset_a, asset_b, shared,
-       |  floor(CAST(shared AS DOUBLE) / (na + nb - shared) * 1e6 + 0.5)
+       |  floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
        |    / 1e6 AS jaccard
        |FROM p
-       |WHERE floor(CAST(shared AS DOUBLE) / (na + nb - shared) * 1e6 + 0.5)
+       |WHERE floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
        |    / 1e6 >= $AudioJaccThresh""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

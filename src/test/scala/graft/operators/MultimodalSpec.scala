@@ -36,18 +36,59 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.audioNeardup(spark, sf)
       .selectExpr("asset_a", "asset_b", "shared", "jaccard").collect()
     assert(out.nonEmpty)
-    // the generator's audio is a step-31 ramp and audio asset ids stride 3,
-    // so true time-shifted copies are exactly the pairs at Δid = 93·m
-    // (93 = 31·3); value-based shingling must find ONLY those
-    assert(out.forall(r => (r.getLong(1) - r.getLong(0)) % 93 == 0))
+    // the generator's audio is a step-31 ramp on seed = doc_id % 9973,
+    // so value-based shingling can only match assets whose SEEDS differ
+    // by a multiple of 31 (the Δid % 93 form of this assertion breaks
+    // once doc_ids wrap the 9973 modulus)
+    assert(out.forall { r =>
+      Math.floorMod(r.getLong(1) % 9973 - r.getLong(0) % 9973, 31) == 0
+    })
     assert(out.forall(r => r.getDouble(3) >= Multimodal.AudioJaccThresh &&
       r.getDouble(3) <= 1.0))
-    // shared windows can never exceed either side's window count
+    // shared DISTINCT windows can never exceed either side's window count
     val nW = Multimodal.assets(spark, sf).filter(_.media_type == "audio")
       .collect().flatMap(a => Multimodal.decodeWav(a.payload))
       .map { case (n, _) => n - (Multimodal.AudioShingle - 1) }
     val maxW = nW.max.toLong
     assert(out.forall(r => r.getLong(2) <= maxW))
+  }
+
+  test("audio neardup: repeated windows count once — exact dup scores 1.0") {
+    import spark.implicits._
+    // two identical clips, each a 4-window loop repeated 25× (100
+    // shingle rows, 4 distinct). Without the per-asset distinct the
+    // join yields shared = 4·25² = 2500 and "jaccard" far above 1.
+    val loop = Seq(1L, 2L, 3L, 4L)
+    val rows = for {
+      id <- Seq(10L, 20L); _ <- 0 until 25; sh <- loop
+    } yield (id, sh)
+    val out = Multimodal
+      .audioNeardupPairs(spark, rows.toDF("asset_id", "shingle")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 20L)
+    assert(r.getLong(2) == 4L) // shared = |distinct windows|, not join rows
+    assert(r.getDouble(3) == 1.0) // an exact duplicate scores exactly 1.0
+  }
+
+  test("audio neardup: stop-shingle df-cut drops degenerate constant tones") {
+    import spark.implicits._
+    // one constant-tone shingle living in AudioDfCut+2 assets — without
+    // the cut the silence-family alone would emit (df choose 2) pairs
+    // at jaccard 1.0, and its join fan-out would be df² rows
+    val hot = (0 until Multimodal.AudioDfCut + 2).map(i => (1000L + i, 7L))
+    // one genuine near-dup pair on cold keys that ALSO shares the hot key
+    val cold = Seq(1L, 2L).flatMap(id =>
+      Seq((id, 100L), (id, 101L), (id, 102L), (id, 7L)))
+    val out = Multimodal.audioNeardupPairs(spark,
+      (hot ++ cold).toDF("asset_id", "shingle")).collect()
+    // the constant-tone family produced NO pairs; the genuine pair
+    // survives, scored over its cold keys only (3 of 4 distinct windows)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.6) // 3 / (4 + 4 − 3)
   }
 
   test("decoder rejects corrupt payloads: bad magic, truncation, wrong bpp") {
