@@ -109,26 +109,36 @@ object SemDedup {
     * property that keeps per-node state at k rows at 100 TB).
     */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val (_, alias, v, _, _) = searchGraph(s, dir)
+    canonicalKnnEdges(s, v, alias)
+  }
+
+  /** DEDUP-CANONICAL evaluation of the k-NN graph (output unchanged —
+    * the pre-existing naive-join oracle is the spec): pair work runs
+    * over DISTINCT vectors only (|distinct|²/K, not |rows|²/K — the
+    * 10× replica's exact twins inflated the naive join 18×), then the
+    * full per-vector edge list is reconstructed exactly:
+    *   - cross-group edges — members of x's group see every member of
+    *     the canonical neighbor groups surviving a rank-with-ties cut
+    *     at K: rank() over cosine alone keeps EVERY group tied with
+    *     the K-th cosine, so even when distinct groups tie exactly at
+    *     the cut, all candidate members reach the final
+    *     (cosine DESC, nbr_id) re-rank, which then reproduces the
+    *     oracle's member-id tiebreak verbatim. Cost: a few extra
+    *     expansion rows only when cosines tie at the boundary;
+    *   - twin edges — same-group members at the group's self-cosine,
+    *     computed by the identical dot/(nrm·nrm) expression the pair
+    *     join would have used.
+    *
+    * Factored over (v = canonical vectors (vec_id, k, embedding, nrm);
+    * alias = (c_id, vec_id) membership) so specs can drive it with
+    * constructed bit-equal ties at the K boundary
+    * (`KnnTieSpec`) independent of the fixture's float cosines.
+    */
+  private[operators] def canonicalKnnEdges(s: SparkSession, v: DataFrame,
+      alias: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // DEDUP-CANONICAL evaluation of the same query (output unchanged —
-    // the pre-existing naive-join oracle is the spec): pair work runs
-    // over DISTINCT vectors only (|distinct|²/K, not |rows|²/K — the
-    // 10× replica's exact twins inflated the naive join 18×), then the
-    // full per-vector edge list is reconstructed exactly:
-    //   · cross-group edges — members of x's group see every member of
-    //     the canonical neighbor groups surviving a rank-with-ties cut
-    //     at K: rank() over cosine alone keeps EVERY group tied with
-    //     the K-th cosine, so even when distinct groups tie exactly at
-    //     the cut (impossible to order consistently with the oracle's
-    //     member-id tiebreak from the canonical side), all candidate
-    //     members reach the final (cosine DESC, nbr_id) re-rank, which
-    //     then reproduces the oracle's tiebreak verbatim. Cost: a few
-    //     extra expansion rows only when cosines tie at the boundary;
-    //   · twin edges — same-group members at the group's self-cosine,
-    //     computed by the identical dot/(nrm·nrm) expression the pair
-    //     join would have used.
-    val (_, alias, v, _, _) = searchGraph(s, dir)
     val a = v.selectExpr("k", "vec_id AS c_src", "embedding AS ea",
       "nrm AS na")
     val b = v.selectExpr("k", "vec_id AS c_nbr", "embedding AS eb",
