@@ -821,20 +821,19 @@ object Curation {
     * All-integer arithmetic ⇒ exact on both engines and reproducible
     * run-to-run, unlike rand()-based weighted sampling.
     *
-    * Scale note: the cumulative sum is a prefix scan (the
-    * ev_peak_concurrency note applies — segment it per shard with
-    * broadcast carries at 100 TB); everything else is narrow.
+    * Scale note: the cumulative-size line is a [[Scans.segmentedCumSum]]
+    * — doc_id-range shards scanned in parallel with broadcast carries,
+    * never a single-partition global window; everything else is narrow.
     */
   val PpsK = 50
 
   def ppsSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = Tables.documents(s, dir)
-      .select($"doc_id", $"n_chars")
-      .withColumn("cum", sum($"n_chars").over(w))
+    val cum = Scans.segmentedCumSum(
+      Scans.shardByRange(
+        Tables.documents(s, dir).select($"doc_id", $"n_chars"), $"doc_id"),
+      "__shard", Seq($"doc_id"), Seq(($"n_chars", "cum")))
+      .drop("__shard")
     val tot = cum.agg(max($"cum").as("total"))
     cum.crossJoin(broadcast(tot))
       .selectExpr("doc_id", "n_chars",

@@ -222,11 +222,12 @@ object EventOps {
     * cumulative), so coincident end+start pairs still register the
     * overlap — the convention is part of the oracle contract.
     *
-    * Scale note: the boundary prefix-sum is a classic parallel-scan; a
-    * 100 TB run segments it (per-shard partial sums + broadcast carry
-    * offsets) instead of this single ordered window over the ~2·sessions
-    * boundary rows — the sessionize/explode/aggregate stages before it
-    * are already shuffle-partitioned and unchanged.
+    * Scale note: the boundary prefix-sum runs as the segmented
+    * parallel scan ([[Scans.segmentedCumSum]] — per-shard partial sums
+    * + broadcast carry offsets over day buckets), so no stage funnels
+    * the ~2·sessions boundary rows into one partition; the
+    * sessionize/explode/aggregate stages before it are already
+    * shuffle-partitioned.
     */
   def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -246,11 +247,13 @@ object EventOps {
       .groupBy($"ts_us")
       .agg(sum(when($"delta" === 1L, 1L).otherwise(0L)).as("starts"),
         sum(when($"delta" === -1L, 1L).otherwise(0L)).as("ends"))
-    val w = Window.orderBy($"ts_us")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perTs
-      .withColumn("conc",
-        sum($"starts").over(w) - (sum($"ends").over(w) - $"ends"))
+    // segmented sweep: day-bucket shards (monotone in ts_us) scanned in
+    // parallel with broadcast carries — the 100 TB form of the global
+    // ordered window this scaladoc used to describe in prose
+    Scans.segmentedCumSum(
+      perTs.withColumn("__shard", expr("ts_us div 86400000000")),
+      "__shard", Seq($"ts_us"), Seq(($"starts", "cs"), ($"ends", "ce")))
+      .withColumn("conc", $"cs" - ($"ce" - $"ends"))
       .select(date_format(timestamp_micros($"ts_us"), "yyyy-MM-dd").as("day"), $"conc")
       .groupBy($"day").agg(max($"conc").as("peak_concurrency"))
   }

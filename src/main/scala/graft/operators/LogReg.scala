@@ -183,24 +183,30 @@ object LogReg {
     * norm is |p − y|; p is the same 6-dp-stabilized sigmoid as
     * training, so the score column is bit-identical across engines.
     *
-    * The global rank is an exact total sort over docs — the same cost
-    * class as the layout sorts; at 100 TB the knob is thresholding on
-    * a mergeable quantile sketch (`sketch_group_quantiles`) instead of
-    * ranking, which turns selection into one scan + a 200-counter
-    * artifact. Training cost shape is [[lrClassifier]]'s with 2/5 the
-    * iterations: one scan-side aggregate per step, 17-row driver
-    * round-trips only.
+    * The global rank runs as a [[Scans.segmentedRowNumber]] — score
+    * buckets (monotone in the el2n DESC order, ties never split)
+    * ranked in parallel with broadcast row-count carries, never a
+    * single-partition total sort; the exact-rank alternative at even
+    * larger scale is thresholding on a mergeable quantile sketch
+    * (`sketch_group_quantiles`). Training cost shape is
+    * [[lrClassifier]]'s with 2/5 the iterations: one scan-side
+    * aggregate per step, 17-row driver round-trips only.
     */
   def el2nSelect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val (x, w, _) = fit(s, dir, El2nIters)
     val p = forward(x, w)
     val scored = p.select($"doc_id", $"y", $"p",
       abs($"p" - $"y").as("el2n"))
     val n = scored.agg(count(lit(1)).as("n"))
-    val wr = Window.partitionBy(lit(1)).orderBy($"el2n".desc, $"doc_id")
-    scored.withColumn("rnk", row_number().over(wr).cast("long"))
+    // shard = score bucket, non-decreasing along (el2n DESC): equal
+    // scores share a bucket, so the within-shard (el2n DESC, doc_id)
+    // order composes to the exact global rank
+    val sharded = scored.withColumn("__shard",
+      floor((lit(1.0) - $"el2n") * Scans.ScanShards).cast("long"))
+    Scans.segmentedRowNumber(sharded, "__shard",
+      Seq($"el2n".desc, $"doc_id"), "rnk")
+      .drop("__shard")
       .crossJoin(broadcast(n))
       .select($"doc_id", $"y", $"p", $"el2n", $"rnk",
         ($"rnk" <= ceil($"n" * 0.5)).as("keep"))

@@ -184,4 +184,25 @@ class PlanLintSpec extends AnyFunSuite {
     }
     assert(violations.isEmpty, violations.mkString("\n"))
   }
+
+  /** The segmented-scan consumers (Scans.segmentedCumSum/RowNumber)
+    * must not plan ANY partition-undefined WindowExec — the
+    * all-rows-to-one-partition shape the scan module exists to retire.
+    * (Their remaining windows are shard-partitioned or the
+    * pmod-partitioned ScanShards-row carry.)
+    */
+  test("segmented-scan consumers plan no undefined-partition window") {
+    val converted =
+      Seq("curate_pps_sample", "ev_peak_concurrency", "curate_el2n")
+    val bad = converted.flatMap { name =>
+      val undef = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }
+      if (undef.nonEmpty)
+        Some(s"$name: ${undef.size} undefined-partition WindowExec") else None
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
