@@ -1950,22 +1950,38 @@ object Multimodal {
   def audioNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val shingles = assets(s, dir).filter(_.media_type == "audio")
-      .mapPartitions(_.grouped(64).flatMap(_.flatMap { a =>
-        decodeWav(a.payload) match {
-          case Some((n, _)) if n >= AudioShingle =>
-            val buf = java.nio.ByteBuffer.wrap(a.payload)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            def u(j: Int): Long = buf.getShort(44 + 2 * j).toLong + 32768L
-            (0 until n - (AudioShingle - 1)).iterator.map { i =>
-              (a.asset_id,
-                (u(i) * 65536L + u(i + 1)) * 65536L + u(i + 2))
-            }
-          case _ => Iterator.empty
-        }
-      }))
+      .mapPartitions(_.grouped(64).flatMap(
+        _.flatMap(a => audioShingleRows(a.asset_id, a.payload))))
       .toDF("asset_id", "shingle")
     audioNeardupPairs(s, shingles)
   }
+
+  /** The generator's audio payload for one document row — the same WAV
+    * + deterministic corruption [[assets]] builds, exposed for the
+    * streaming arrival path (which synthesizes assets per micro-batch
+    * instead of through the batch Dataset).
+    */
+  private[graft] def audioAssetPayload(id: Long, text: String): Array[Byte] = {
+    val wav = encodeWav(audN(text.getBytes("UTF-8").length), audSeed(id))
+    if (id % CorruptEveryAudio == 0) wav(0) = 'X'.toByte
+    wav
+  }
+
+  /** Packed sample-trigram windows of one audio payload via the
+    * genuine RIFF/WAV decode — empty for corrupt or too-short clips.
+    */
+  private[graft] def audioShingleRows(
+      id: Long, payload: Array[Byte]): Iterator[(Long, Long)] =
+    decodeWav(payload) match {
+      case Some((n, _)) if n >= AudioShingle =>
+        val buf = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def u(j: Int): Long = buf.getShort(44 + 2 * j).toLong + 32768L
+        (0 until n - (AudioShingle - 1)).iterator.map { i =>
+          (id, (u(i) * 65536L + u(i + 1)) * 65536L + u(i + 2))
+        }
+      case _ => Iterator.empty
+    }
 
   /** The near-dup pair join over raw (asset_id, shingle) rows,
     * factored out so specs can drive it with adversarial shingle
@@ -1986,7 +2002,7 @@ object Multimodal {
     * |assets|²), with keys above [[AudioDfCut]] dropped from the
     * index so degenerate content can't blow the per-key fan-out.
     */
-  private[operators] def audioNeardupPairs(
+  private[graft] def audioNeardupPairs(
       s: SparkSession, shingles: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2043,7 +2059,102 @@ object Multimodal {
        |WHERE floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
        |    / 1e6 >= $AudioJaccThresh""".stripMargin
 
+  // ------------------------------------------- speech-caption alignment
+
+  /** Plausible speaking-rate band for [[speechCaptionAlign]]: tokens
+    * per active VAD frame. Integer bounds so the per-pair test is
+    * exact rational arithmetic (lo·active ≤ toks ≤ hi·active) — no
+    * float division reaches a threshold on either engine.
+    */
+  val SpeechRateLo = 5L
+  val SpeechRateHi = 50L
+
+  /** Speech–caption alignment — the cross-modal QA gate an audio-text
+    * training pipeline runs before pairing clips with transcripts:
+    * join each decodable audio asset's VAD activity ([[audioVad]]'s
+    * frame energies) with the SAME document's text (the transcript
+    * stand-in) and judge the speaking rate. Per source: pair count,
+    * silent clips (captioned but zero active frames — mislabeled
+    * audio), pairs inside the [[SpeechRateLo]]–[[SpeechRateHi]]
+    * tokens-per-active-frame band, and the corpus rate as a
+    * ratio-of-integer-sums (one exact division, 6-dp-rounded — never
+    * an average of per-pair floats, whose summation order would wobble
+    * cross-engine).
+    *
+    * Scale shape: the VAD side is the batched mapPartitions decode
+    * (payloads never shuffle — only three scalars per asset), the join
+    * is a doc_id equi-join, and the output is |sources| rows.
+    */
+  def speechCaptionAlign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vad = audioVad(s, dir).select($"asset_id", $"n_active")
+    val caps = Tables.documents(s, dir)
+      .selectExpr("doc_id", "source",
+        s"size(${graft.operators.TextOps.tokensExpr}) AS n_toks")
+    vad.join(caps, $"asset_id" === $"doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"n_active" === 0L, 1L).otherwise(0L)).as("n_silent"),
+        sum(when($"n_active" > 0L &&
+          $"n_toks" >= lit(SpeechRateLo) * $"n_active" &&
+          $"n_toks" <= lit(SpeechRateHi) * $"n_active", 1L)
+          .otherwise(0L)).as("n_aligned"),
+        sum(when($"n_active" > 0L, $"n_toks").otherwise(0L)).as("spoken_toks"),
+        sum($"n_active").as("active_frames"))
+      .selectExpr("source", "n_pairs",
+        "CAST(n_silent AS BIGINT) AS n_silent",
+        "CAST(n_aligned AS BIGINT) AS n_aligned",
+        "CAST(spoken_toks AS BIGINT) AS spoken_toks",
+        "CAST(active_frames AS BIGINT) AS active_frames",
+        """CASE WHEN active_frames > 0 THEN
+          |  floor(CAST(spoken_toks AS DOUBLE) / active_frames * 1e6 + 0.5)
+          |    / 1e6 END AS toks_per_active_frame""".stripMargin)
+  }
+
+  val speechCaptionAlignSql: String =
+    s"""WITH aud AS (
+       |  SELECT doc_id, 50 + strlen(text) % 211 AS n,
+       |    CAST(doc_id % 9973 AS INTEGER) AS seed
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id % $CorruptEveryAudio <> 0),
+       |frames AS (
+       |  SELECT doc_id, n, seed,
+       |    unnest(range(0, (n + $VadFrameSamples - 1) // $VadFrameSamples)) AS fi
+       |  FROM aud),
+       |fe AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(
+       |      range(CAST(fi * $VadFrameSamples AS INTEGER),
+       |            CAST(least(fi * $VadFrameSamples + $VadFrameSamples, n) AS INTEGER)),
+       |      i -> abs((seed + 31 * i) % 65536 - 32768))) > $VadThreshold AS active
+       |  FROM frames),
+       |vad AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN active THEN 1 ELSE 0 END) AS n_active
+       |  FROM fe GROUP BY doc_id),
+       |caps AS (
+       |  SELECT doc_id, source,
+       |    len(${graft.operators.TextOps.duckTokensExpr}) AS n_toks
+       |  FROM documents)
+       |SELECT c.source, count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN v.n_active = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_silent,
+       |  CAST(sum(CASE WHEN v.n_active > 0
+       |    AND c.n_toks >= $SpeechRateLo * v.n_active
+       |    AND c.n_toks <= $SpeechRateHi * v.n_active
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+       |  CAST(sum(CASE WHEN v.n_active > 0 THEN c.n_toks ELSE 0 END)
+       |    AS BIGINT) AS spoken_toks,
+       |  CAST(sum(v.n_active) AS BIGINT) AS active_frames,
+       |  CASE WHEN sum(v.n_active) > 0 THEN
+       |    floor(CAST(sum(CASE WHEN v.n_active > 0 THEN c.n_toks ELSE 0 END)
+       |      AS DOUBLE) / sum(v.n_active) * 1e6 + 0.5) / 1e6
+       |  END AS toks_per_active_frame
+       |FROM vad v JOIN caps c ON v.doc_id = c.doc_id
+       |GROUP BY c.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_speech_caption_align" -> (speechCaptionAlign _),
     "mm_audio_neardup" -> (audioNeardup _),
     "mm_frame_sample" -> (frameSample _),
     "mm_image_entropy" -> (imageEntropy _),
@@ -2063,6 +2174,7 @@ object Multimodal {
     "mm_caption_pairs" -> (captionPairs _))
 
   def oracles: Map[String, String] = Map(
+    "mm_speech_caption_align" -> speechCaptionAlignSql,
     "mm_audio_neardup" -> audioNeardupSql,
     "mm_image_entropy" -> imageEntropySql,
     "mm_audio_vad" -> audioVadSql,

@@ -1370,7 +1370,44 @@ object StreamQueries {
         runDeltaLog(counts, "update", Seq("event_type", "day")))
     }
 
+  /** Streaming audio near-dup — `mm_audio_neardup` on the incremental
+    * engine: audio assets arrive across triggers (same deterministic
+    * payload generation + genuine RIFF/WAV decode per micro-batch via
+    * [[graft.operators.Multimodal.audioAssetPayload]]/
+    * [[graft.operators.Multimodal.audioShingleRows]]), and the
+    * stateful work is the cross-trigger per-(asset, shingle)
+    * occurrence aggregation — update mode, arrival-order-insensitive,
+    * the streaming form of the batch path's per-asset window DISTINCT.
+    * The drained state IS the distinct window-key table, and the
+    * finalize runs the SAME inverted-index pair join
+    * ([[graft.operators.Multimodal.audioNeardupPairs]] — window-count
+    * Jaccard and stop-shingle df-cut included), so the result equals
+    * the batch answer under any trigger split; the oracle IS that
+    * query's SQL.
+    */
+  def streamAudioNeardup(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val path = s"$dir/documents.parquet"
+      val src = stageAsDirParts(s, path, 4)
+      val schema = s.read.parquet(src).schema
+      val sh = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .where("doc_id % 3 = 1")
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          graft.operators.Multimodal.audioShingleRows(id,
+            graft.operators.Multimodal.audioAssetPayload(id, text))
+        })
+        .toDF("asset_id", "shingle")
+        .groupBy($"asset_id", $"shingle").agg(count(lit(1)).as("n_occ"))
+      val keys = runDeltaLog(sh, "update", Seq("asset_id", "shingle"))
+      graft.operators.Multimodal.audioNeardupPairs(s,
+        keys.select("asset_id", "shingle"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_audio_neardup" -> (streamAudioNeardup _),
     "stream_anomaly_mad" -> (streamAnomalyMad _),
     "stream_lttb" -> (streamLttb _),
     "stream_cdc_chunks" -> (streamCdcChunks _),
@@ -1419,6 +1456,7 @@ object StreamQueries {
 
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
+    "stream_audio_neardup" -> graft.operators.Multimodal.audioNeardupSql,
     "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
     "stream_value_drift" -> graft.operators.DataQuality.dqValueDriftSql,
     "stream_temperature_mix" -> graft.operators.Curation.temperatureMixSql,

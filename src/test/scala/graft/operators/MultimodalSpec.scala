@@ -53,6 +53,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(2) <= maxW))
   }
 
+  test("speech-caption alignment: totals recompute from independently decoded audio") {
+    val out = Multimodal.speechCaptionAlign(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every decodable audio asset pairs with exactly one caption
+    val decodable = Multimodal.assets(spark, sf)
+      .filter(_.media_type == "audio")
+      .collect().flatMap(a => Multimodal.decodeWav(a.payload))
+    assert(out.map(_.getLong(1)).sum == decodable.length.toLong)
+    out.foreach { r =>
+      // a silent pair can never be rate-aligned
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(1))
+      // the corpus rate is exactly the emitted ratio-of-sums
+      if (!r.isNullAt(6)) {
+        assert(r.getLong(5) > 0)
+        val want = math.floor(
+          r.getLong(4).toDouble / r.getLong(5) * 1e6 + 0.5) / 1e6
+        assert(r.getDouble(6) == want)
+      } else assert(r.getLong(5) == 0)
+    }
+  }
+
   test("audio neardup: repeated windows count once — exact dup scores 1.0") {
     import spark.implicits._
     // two identical clips, each a 4-window loop repeated 25× (100
