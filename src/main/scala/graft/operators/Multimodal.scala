@@ -1947,14 +1947,15 @@ object Multimodal {
     * the samples closed-form from the generator recurrence and runs
     * the same distinct + df-cut + join.
     */
-  def audioNeardup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val shingles = assets(s, dir).filter(_.media_type == "audio")
-      .mapPartitions(_.grouped(64).flatMap(
-        _.flatMap(a => audioShingleRows(a.asset_id, a.payload))))
-      .toDF("asset_id", "shingle")
-    audioNeardupPairs(s, shingles)
-  }
+  def audioNeardup(s: SparkSession, dir: String): DataFrame =
+    neardupFinalize(audioSharedPairsFor(s, dir))
+
+  private def neardupFinalize(pairs: DataFrame): DataFrame =
+    pairs
+      .selectExpr("asset_a", "asset_b", "CAST(shared AS BIGINT) AS shared",
+        """floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
+          | / 1e6 AS jaccard""".stripMargin)
+      .where(col("jaccard") >= AudioJaccThresh)
 
   /** The generator's audio payload for one document row — the same WAV
     * + deterministic corruption [[assets]] builds, exposed for the
@@ -2002,7 +2003,14 @@ object Multimodal {
     * |assets|²), with keys above [[AudioDfCut]] dropped from the
     * index so degenerate content can't blow the per-key fan-out.
     */
-  private[graft] def audioNeardupPairs(
+  /** UNthresholded distinct-window pair counts (asset_a, asset_b,
+    * shared, wa, wb) — ONE inverted-index join feeds every set-overlap
+    * measure over audio fingerprints (symmetric Jaccard in
+    * [[audioNeardupPairs]], asymmetric containment in
+    * [[audioContainment]]) — the [[Dedup.sharedPairs]] pattern carried
+    * to the audio modality.
+    */
+  private[graft] def audioSharedPairs(
       s: SparkSession, shingles: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2018,13 +2026,58 @@ object Multimodal {
       .groupBy($"asset_a", $"asset_b")
       .agg(count(lit(1)).as("shared"),
         max($"wa").as("wa"), max($"wb").as("wb"))
-      .selectExpr("asset_a", "asset_b", "CAST(shared AS BIGINT) AS shared",
-        """floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
-          | / 1e6 AS jaccard""".stripMargin)
-      .where($"jaccard" >= AudioJaccThresh)
   }
 
-  val audioNeardupSql: String =
+  private[graft] def audioNeardupPairs(
+      s: SparkSession, shingles: DataFrame): DataFrame =
+    neardupFinalize(audioSharedPairs(s, shingles))
+
+  /** The batch pair table memoized per (session, corpus fingerprint) —
+    * the expensive inverted-index join is shared by `mm_audio_neardup`
+    * and `mm_audio_containment` (the [[Dedup.sharedPairs]] rationale).
+    */
+  private val audioPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def audioSharedPairsFor(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(audioPairsCache, s,
+      Similarity.dataKey(dir, "documents")) {
+      import s.implicits._
+      val shingles = assets(s, dir).filter(_.media_type == "audio")
+        .mapPartitions(_.grouped(64).flatMap(
+          _.flatMap(a => audioShingleRows(a.asset_id, a.payload))))
+        .toDF("asset_id", "shingle")
+      audioSharedPairs(s, shingles).localCheckpoint()
+    }
+
+  /** Either-direction containment bar for [[audioContainment]]. */
+  val AudioContainThresh = 0.5
+
+  /** Asymmetric audio containment — |A∩B| / |A| per direction over the
+    * distinct-window sets: the measure that catches SUB-CLIP
+    * duplication (a short clip cut out of a longer recording), which
+    * symmetric Jaccard structurally under-scores — a 50-window clip
+    * inside a 250-window recording has jaccard ≈ 0.2 (invisible to the
+    * [[AudioJaccThresh]] cut) but containment 1.0. Same memoized
+    * [[audioSharedPairsFor]] counts, different final expression; kept
+    * when either direction ≥ [[AudioContainThresh]] — the audio twin
+    * of [[Dedup.containmentPairs]].
+    */
+  def audioContainment(s: SparkSession, dir: String): DataFrame =
+    containmentFinalize(audioSharedPairsFor(s, dir))
+
+  private[graft] def containmentFinalize(pairs: DataFrame): DataFrame =
+    pairs
+      .selectExpr("asset_a", "asset_b",
+        "round(CAST(shared AS DOUBLE) / wa, 6) AS contain_a_in_b",
+        "round(CAST(shared AS DOUBLE) / wb, 6) AS contain_b_in_a")
+      .where(col("contain_a_in_b") >= AudioContainThresh ||
+        col("contain_b_in_a") >= AudioContainThresh)
+
+  /** Shared oracle CTEs: closed-form sample reconstruction → distinct
+    * window keys → per-asset/per-key counts → df-cut pair join.
+    */
+  private def audioPairCtes: String =
     s"""WITH aud AS (
        |  SELECT doc_id, 50 + strlen(text) % 211 AS n,
        |    CAST(doc_id % 9973 AS BIGINT) AS seed
@@ -2051,13 +2104,25 @@ object Multimodal {
        |  FROM keys a JOIN keys b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  WHERE a.df <= $AudioDfCut AND b.df <= $AudioDfCut
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val audioNeardupSql: String =
+    s"""$audioPairCtes
        |SELECT asset_a, asset_b, shared,
        |  floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
        |    / 1e6 AS jaccard
        |FROM p
        |WHERE floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
        |    / 1e6 >= $AudioJaccThresh""".stripMargin
+
+  val audioContainmentSql: String =
+    s"""$audioPairCtes
+       |SELECT asset_a, asset_b,
+       |  round(CAST(shared AS DOUBLE) / wa, 6) AS contain_a_in_b,
+       |  round(CAST(shared AS DOUBLE) / wb, 6) AS contain_b_in_a
+       |FROM p
+       |WHERE round(CAST(shared AS DOUBLE) / wa, 6) >= $AudioContainThresh
+       |   OR round(CAST(shared AS DOUBLE) / wb, 6) >= $AudioContainThresh""".stripMargin
 
   // ------------------------------------------- speech-caption alignment
 
@@ -2155,6 +2220,7 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_speech_caption_align" -> (speechCaptionAlign _),
+    "mm_audio_containment" -> (audioContainment _),
     "mm_audio_neardup" -> (audioNeardup _),
     "mm_frame_sample" -> (frameSample _),
     "mm_image_entropy" -> (imageEntropy _),
@@ -2175,6 +2241,7 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "mm_speech_caption_align" -> speechCaptionAlignSql,
+    "mm_audio_containment" -> audioContainmentSql,
     "mm_audio_neardup" -> audioNeardupSql,
     "mm_image_entropy" -> imageEntropySql,
     "mm_audio_vad" -> audioVadSql,

@@ -92,6 +92,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0) // an exact duplicate scores exactly 1.0
   }
 
+  test("audio containment: sub-clip caught even where symmetric jaccard misses") {
+    import spark.implicits._
+    // clip 1 = 10 windows, all inside clip 2's 100: jaccard = 10/100 =
+    // 0.1 (under the 0.5 near-dup bar) but containment of 1 in 2 = 1.0
+    val rows = (0L until 10L).map(sh => (1L, sh)) ++
+      (0L until 100L).map(sh => (2L, sh))
+    val shingles = rows.toDF("asset_id", "shingle")
+    assert(Multimodal.audioNeardupPairs(spark, shingles).collect().isEmpty)
+    val out = Multimodal
+      .containmentFinalize(Multimodal.audioSharedPairs(spark, shingles))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.1)
+  }
+
+  test("audio containment on the fixture: superset of near-dup pairs, bounds sane") {
+    val nd = Multimodal.audioNeardup(spark, sf)
+      .select("asset_a", "asset_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ct = Multimodal.audioContainment(spark, sf).collect()
+    val ctPairs = ct.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // containment >= jaccard per pair, so every near-dup pair appears
+    assert(nd.subsetOf(ctPairs))
+    assert(ct.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0 &&
+      r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+  }
+
   test("audio neardup: stop-shingle df-cut drops degenerate constant tones") {
     import spark.implicits._
     // one constant-tone shingle living in AudioDfCut+2 assets — without
