@@ -2039,15 +2039,18 @@ object Multimodal {
   private val audioPairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  private def audioShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter(_.media_type == "audio")
+      .mapPartitions(_.grouped(64).flatMap(
+        _.flatMap(a => audioShingleRows(a.asset_id, a.payload))))
+      .toDF("asset_id", "shingle")
+  }
+
   private def audioSharedPairsFor(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(audioPairsCache, s,
       Similarity.dataKey(dir, "documents")) {
-      import s.implicits._
-      val shingles = assets(s, dir).filter(_.media_type == "audio")
-        .mapPartitions(_.grouped(64).flatMap(
-          _.flatMap(a => audioShingleRows(a.asset_id, a.payload))))
-        .toDF("asset_id", "shingle")
-      audioSharedPairs(s, shingles).localCheckpoint()
+      audioSharedPairs(s, audioShingles(s, dir)).localCheckpoint()
     }
 
   /** Either-direction containment bar for [[audioContainment]]. */
@@ -2074,11 +2077,52 @@ object Multimodal {
       .where(col("contain_a_in_b") >= AudioContainThresh ||
         col("contain_b_in_a") >= AudioContainThresh)
 
-  /** Shared oracle CTEs: closed-form sample reconstruction → distinct
-    * window keys → per-asset/per-key counts → df-cut pair join.
+  /** Audio near-dup cluster resolution — the keep/drop decision over
+    * whole dup FAMILIES: connected components over the
+    * [[audioNeardup]] pair graph (the same level-synchronous
+    * [[Dedup.connectedComponents]] propagation `dedup_clusters` runs,
+    * sized off the subgraph's edge count), then one canonical keeper
+    * per cluster = the clip with the LARGEST distinct-window
+    * fingerprint (the master recording; shorter re-cuts drop),
+    * asset-id tie-break. Output: cluster_id, n_members,
+    * keep_asset_id per family, singletons included — the last step of
+    * the audio dedup pipeline (pairs → families → keep set).
+    */
+  def audioClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = audioNeardup(s, dir).select($"asset_a", $"asset_b")
+    val staged = pairs.union(pairs.select($"asset_b", $"asset_a"))
+      .toDF("src", "dst").localCheckpoint()
+    val nEdges = staged.count()
+    val nParts = math.min(nEdges / (1L << 20) + 1, 4096L).toInt
+    val edges =
+      if (nParts == staged.rdd.getNumPartitions) staged
+      else staged.repartition(nParts).localCheckpoint()
+    val maxIters =
+      2L * graft.functions.Hashing.log2ceil(math.max(2L, 2L * nEdges)) + 8L
+    val (labels, _) =
+      Dedup.connectedComponents(edges, nParts, maxIters, 2L * nEdges + 2L)
+    val nw = audioShingles(s, dir).distinct()
+      .groupBy($"asset_id").agg(count(lit(1)).as("nw"))
+    val lbl = nw
+      .join(labels.withColumnRenamed("doc_id", "asset_id"),
+        Seq("asset_id"), "left")
+      .select($"asset_id", $"nw",
+        coalesce($"label", $"asset_id").as("cluster_id"))
+    val w = Window.partitionBy($"cluster_id").orderBy($"nw".desc, $"asset_id")
+    lbl.withColumn("rn", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rn" === 1, $"asset_id")).as("keep_asset_id"))
+  }
+
+  /** Shared oracle CTEs (no WITH prefix — callers prepend plain or
+    * RECURSIVE): closed-form sample reconstruction → distinct window
+    * keys → per-asset/per-key counts → df-cut pair join.
     */
   private def audioPairCtes: String =
-    s"""WITH aud AS (
+    s"""aud AS (
        |  SELECT doc_id, 50 + strlen(text) % 211 AS n,
        |    CAST(doc_id % 9973 AS BIGINT) AS seed
        |  FROM documents
@@ -2107,7 +2151,7 @@ object Multimodal {
        |  GROUP BY 1, 2)""".stripMargin
 
   val audioNeardupSql: String =
-    s"""$audioPairCtes
+    s"""WITH $audioPairCtes
        |SELECT asset_a, asset_b, shared,
        |  floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
        |    / 1e6 AS jaccard
@@ -2116,13 +2160,38 @@ object Multimodal {
        |    / 1e6 >= $AudioJaccThresh""".stripMargin
 
   val audioContainmentSql: String =
-    s"""$audioPairCtes
+    s"""WITH $audioPairCtes
        |SELECT asset_a, asset_b,
        |  round(CAST(shared AS DOUBLE) / wa, 6) AS contain_a_in_b,
        |  round(CAST(shared AS DOUBLE) / wb, 6) AS contain_b_in_a
        |FROM p
        |WHERE round(CAST(shared AS DOUBLE) / wa, 6) >= $AudioContainThresh
        |   OR round(CAST(shared AS DOUBLE) / wb, 6) >= $AudioContainThresh""".stripMargin
+
+  val audioClustersSql: String =
+    s"""WITH RECURSIVE $audioPairCtes,
+       |nd AS (
+       |  SELECT asset_a, asset_b FROM p
+       |  WHERE floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
+       |      / 1e6 >= $AudioJaccThresh),
+       |anw AS (SELECT DISTINCT doc_id, nw FROM keys),
+       |edges AS (
+       |  SELECT asset_a AS src, asset_b AS dst FROM nd
+       |  UNION ALL SELECT asset_b, asset_a FROM nd),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM aud
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |clusters AS (
+       |  SELECT a AS asset_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.asset_id,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY w.nw DESC, c.asset_id) AS rn
+       |  FROM clusters c JOIN anw w ON w.doc_id = c.asset_id)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  max(CASE WHEN rn = 1 THEN asset_id END) AS keep_asset_id
+       |FROM ranked GROUP BY cluster_id""".stripMargin
 
   // ------------------------------------------- speech-caption alignment
 
@@ -2221,6 +2290,7 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_speech_caption_align" -> (speechCaptionAlign _),
     "mm_audio_containment" -> (audioContainment _),
+    "mm_audio_clusters" -> (audioClusters _),
     "mm_audio_neardup" -> (audioNeardup _),
     "mm_frame_sample" -> (frameSample _),
     "mm_image_entropy" -> (imageEntropy _),
@@ -2242,6 +2312,7 @@ object Multimodal {
   def oracles: Map[String, String] = Map(
     "mm_speech_caption_align" -> speechCaptionAlignSql,
     "mm_audio_containment" -> audioContainmentSql,
+    "mm_audio_clusters" -> audioClustersSql,
     "mm_audio_neardup" -> audioNeardupSql,
     "mm_image_entropy" -> imageEntropySql,
     "mm_audio_vad" -> audioVadSql,

@@ -121,6 +121,36 @@ class MultimodalSpec extends AnyFunSuite {
       r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
   }
 
+  test("audio clusters: partition covers decodable assets, near-dup pairs co-clustered") {
+    val clusters = Multimodal.audioClusters(spark, sf).collect()
+    val decodable = Multimodal.assets(spark, sf)
+      .filter(_.media_type == "audio")
+      .collect().filter(a => Multimodal.decodeWav(a.payload).isDefined)
+    // every decodable asset lands in exactly one cluster
+    assert(clusters.map(_.getLong(1)).sum == decodable.length.toLong)
+    assert(clusters.map(_.getLong(0)).distinct.length == clusters.length)
+    // clusters merge at least the direct near-dup pairs
+    val pairs = Multimodal.audioNeardup(spark, sf)
+      .select("asset_a", "asset_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val multi = clusters.filter(_.getLong(1) > 1)
+    assert(multi.nonEmpty)
+    // the keeper is the longest clip of its family: its sample count
+    // is maximal among members reachable via emitted pairs
+    val nByAsset = decodable
+      .map(a => a.asset_id -> Multimodal.decodeWav(a.payload).get._1).toMap
+    val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    clusters.foreach { c =>
+      val keep = c.getLong(2)
+      adj.getOrElse(keep, Set.empty).foreach { nbr =>
+        assert(nByAsset(keep) >= nByAsset(nbr) ||
+          (nByAsset(keep) == nByAsset(nbr) && keep <= nbr))
+      }
+    }
+  }
+
   test("audio neardup: stop-shingle df-cut drops degenerate constant tones") {
     import spark.implicits._
     // one constant-tone shingle living in AudioDfCut+2 assets — without
