@@ -1926,11 +1926,17 @@ object Multimodal {
     * |assets(shingle)|² from degenerating on hot keys — at the cost of
     * under-counting `shared` for pairs whose only overlap is
     * degenerate content (which is the point: silence-heavy clips must
-    * NOT all pair up). 128 clears the fixture's maximum organic df
-    * (≈54 at sf0.1 — the step-31 ramp family at 93-id spacing) with
-    * 2× headroom; the mirror constant appears verbatim in the oracle.
+    * NOT all pair up). Sizing: measured organic max df is 47 at sf0.1
+    * and 261 at the 10× replica (the doc_id % 9973 seed wrap packs
+    * replicas into the same value space — a generator artifact real
+    * audio fingerprints don't share, but one the cut must clear for
+    * the 10× scale point to exercise the full join); 512 clears it
+    * with ~2× headroom. On a real corpus the knob is set off the
+    * measured df distribution exactly as done here — a df histogram is
+    * one map-side-combinable aggregate. The mirror constant appears
+    * verbatim in the oracle.
     */
-  val AudioDfCut = 128
+  val AudioDfCut = 512
 
   /** Audio near-duplicate detection over the DECODED PCM stream —
     * dedup generalized to the audio modality (text shingles →
