@@ -472,20 +472,22 @@ object Relational4 {
     * price whose cumulative size-weight reaches half the total. Stated
     * identically in both engines as the crossing point of an integer
     * cumulative-weight scan (cum·2 ≥ total — no division, no doubles in
-    * the decision), ties broken by (price, partkey). The scan is a
-    * price-ordered window like every exact order statistic; at 100 TB
-    * this uses the same two-phase histogram-locate trick as
-    * `sketch_hist_quantiles` (documented there), the exact form here is
-    * the semantic contract.
+    * the decision), ties broken by (price, partkey). The scan runs as
+    * a [[Scans.segmentedCumSum]] over price-range shards (truncation
+    * buckets are monotone in the price order and equal prices share a
+    * bucket, so the segmented sum is the exact global one) — no
+    * single-partition window touches the raw table; the even-cheaper
+    * approximate alternative at extreme scale is the two-phase
+    * histogram-locate trick of `sketch_hist_quantiles`.
     */
   def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val w = Window.orderBy($"p_retailprice", $"p_partkey")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = Tables.part(s, dir)
+    val base = Tables.part(s, dir)
       .select($"p_partkey", $"p_retailprice", $"p_size".cast("long").as("wt"))
-      .withColumn("cum", sum($"wt").over(w))
+    val cum = Scans.segmentedCumSum(
+      Scans.shardByRange(base, $"p_retailprice"),
+      "__shard", Seq($"p_retailprice", $"p_partkey"), Seq(($"wt", "cum")))
+      .drop("__shard")
     val tot = cum.agg(max($"cum").as("total"))
     cum.crossJoin(broadcast(tot))
       .where($"cum" * 2 >= $"total")

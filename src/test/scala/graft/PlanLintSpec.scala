@@ -192,8 +192,8 @@ class PlanLintSpec extends AnyFunSuite {
     * pmod-partitioned ScanShards-row carry.)
     */
   test("segmented-scan consumers plan no undefined-partition window") {
-    val converted =
-      Seq("curate_pps_sample", "ev_peak_concurrency", "curate_el2n")
+    val converted = Seq("curate_pps_sample", "ev_peak_concurrency",
+      "curate_el2n", "q_weighted_median")
     val bad = converted.flatMap { name =>
       val undef = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.collect {
