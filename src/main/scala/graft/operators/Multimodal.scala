@@ -2083,6 +2083,79 @@ object Multimodal {
       .where(col("contain_a_in_b") >= AudioContainThresh ||
         col("contain_b_in_a") >= AudioContainThresh)
 
+  /** Video content near-dup — frame-SIGNATURE trigram shingles through
+    * the SAME inverted-index pair kit as the audio path
+    * ([[audioSharedPairs]] + the Jaccard finalize): per-frame pixel
+    * sums from the genuine AVI walk ([[decodeAviFrames]] — container
+    * grammar, chunk padding, idx1 cross-check) are packed three
+    * consecutive frames to a 48-bit key, so the fingerprint is
+    * invariant to TIME SHIFT in frames exactly as the audio
+    * fingerprint is in samples — a re-cut clip shares every interior
+    * frame trigram with its source. Frame signatures (not raw pixels)
+    * are the standard video dedup unit: the payload never shuffles,
+    * only ~nf 16-bit signatures per asset. Completes content-based
+    * near-dup across all three modalities: image (`mm_phash_pairs`),
+    * audio (`mm_audio_neardup`), video (this).
+    */
+  def videoNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shingles = aviAssets(s, dir)
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap { a =>
+        decodeAviFrames(a.payload) match {
+          case Some((_, _, _, fr)) if fr.length >= 3 =>
+            val sums = fr.sortBy(_._1).map(_._4)
+            (0 until sums.length - 2).iterator.map { i =>
+              (a.asset_id,
+                (sums(i) * 65536L + sums(i + 1)) * 65536L + sums(i + 2))
+            }
+          case _ => Iterator.empty
+        }
+      }))
+      .toDF("asset_id", "shingle")
+    neardupFinalize(audioSharedPairs(s, shingles))
+  }
+
+  val videoNeardupSql: String =
+    s"""WITH avi AS (
+       |  SELECT doc_id, 2 + strlen(text) % 5 AS nf,
+       |    8 + strlen(text) % 9 AS w, 6 + strlen(text) % 7 AS h,
+       |    CAST(doc_id % 233 AS BIGINT) AS seed
+       |  FROM documents WHERE doc_id % $CorruptEveryAvi <> 0),
+       |fr AS (
+       |  SELECT doc_id, CAST(fv.f AS BIGINT) AS f, w * h AS fsz, seed
+       |  FROM avi, LATERAL (SELECT unnest(range(0, nf)) AS f) fv
+       |  WHERE nf >= 3),
+       |sums AS (
+       |  SELECT doc_id, f,
+       |    CAST(list_sum(list_transform(range(0, fsz),
+       |      j -> (seed + 31 * j + 7 * f) % 256)) AS BIGINT) AS s
+       |  FROM fr),
+       |sh AS (
+       |  SELECT a.doc_id, (a.s * 65536 + b.s) * 65536 + c.s AS shingle
+       |  FROM sums a
+       |  JOIN sums b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |  JOIN sums c ON c.doc_id = a.doc_id AND c.f = a.f + 2),
+       |keys0 AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |keys AS (
+       |  SELECT doc_id, shingle,
+       |    count(*) OVER (PARTITION BY doc_id) AS nw,
+       |    count(*) OVER (PARTITION BY shingle) AS df
+       |  FROM keys0),
+       |p AS (
+       |  SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+       |    CAST(count(*) AS BIGINT) AS shared,
+       |    max(a.nw) AS wa, max(b.nw) AS wb
+       |  FROM keys a JOIN keys b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE a.df <= $AudioDfCut AND b.df <= $AudioDfCut
+       |  GROUP BY 1, 2)
+       |SELECT asset_a, asset_b, shared,
+       |  floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
+       |    / 1e6 AS jaccard
+       |FROM p
+       |WHERE floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
+       |    / 1e6 >= $AudioJaccThresh""".stripMargin
+
   /** Audio near-dup cluster resolution — the keep/drop decision over
     * whole dup FAMILIES: connected components over the
     * [[audioNeardup]] pair graph (the same level-synchronous
@@ -2297,6 +2370,7 @@ object Multimodal {
     "mm_speech_caption_align" -> (speechCaptionAlign _),
     "mm_audio_containment" -> (audioContainment _),
     "mm_audio_clusters" -> (audioClusters _),
+    "mm_video_neardup" -> (videoNeardup _),
     "mm_audio_neardup" -> (audioNeardup _),
     "mm_frame_sample" -> (frameSample _),
     "mm_image_entropy" -> (imageEntropy _),
@@ -2319,6 +2393,7 @@ object Multimodal {
     "mm_speech_caption_align" -> speechCaptionAlignSql,
     "mm_audio_containment" -> audioContainmentSql,
     "mm_audio_clusters" -> audioClustersSql,
+    "mm_video_neardup" -> videoNeardupSql,
     "mm_audio_neardup" -> audioNeardupSql,
     "mm_image_entropy" -> imageEntropySql,
     "mm_audio_vad" -> audioVadSql,

@@ -121,6 +121,28 @@ class MultimodalSpec extends AnyFunSuite {
       r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
   }
 
+  test("video neardup: re-cut clip matches its source via frame-trigram signatures") {
+    import spark.implicits._
+    def shingles(id: Long, bytes: Array[Byte]): Seq[(Long, Long)] = {
+      val Some((_, _, _, fr)) = Multimodal.decodeAviFrames(bytes)
+      val sums = fr.sortBy(_._1).map(_._4)
+      (0 until sums.length - 2).map(i =>
+        (id, (sums(i) * 65536L + sums(i + 1)) * 65536L + sums(i + 2)))
+    }
+    // clip 2 is clip 1 re-cut to 5 frames (same seed/dims ⇒ identical
+    // leading frames); clip 3 is different content at the same shape
+    val rows = shingles(1L, Multimodal.encodeAvi(6, 8, 6, 42)) ++
+      shingles(2L, Multimodal.encodeAvi(5, 8, 6, 42)) ++
+      shingles(3L, Multimodal.encodeAvi(6, 8, 6, 43))
+    val out = Multimodal
+      .audioNeardupPairs(spark, rows.toDF("asset_id", "shingle")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 3L) // shared trigrams = min(nf) − 2
+    assert(r.getDouble(3) == 0.75) // 3 / (4 + 3 − 3)
+  }
+
   test("audio clusters: partition covers decodable assets, near-dup pairs co-clustered") {
     val clusters = Multimodal.audioClusters(spark, sf).collect()
     val decodable = Multimodal.assets(spark, sf)
