@@ -2100,20 +2100,37 @@ object Multimodal {
   def videoNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val shingles = aviAssets(s, dir)
-      .mapPartitions(_.grouped(64).flatMap(_.flatMap { a =>
-        decodeAviFrames(a.payload) match {
-          case Some((_, _, _, fr)) if fr.length >= 3 =>
-            val sums = fr.sortBy(_._1).map(_._4)
-            (0 until sums.length - 2).iterator.map { i =>
-              (a.asset_id,
-                (sums(i) * 65536L + sums(i + 1)) * 65536L + sums(i + 2))
-            }
-          case _ => Iterator.empty
-        }
-      }))
+      .mapPartitions(_.grouped(64).flatMap(
+        _.flatMap(a => videoShingleRows(a.asset_id, a.payload))))
       .toDF("asset_id", "shingle")
     neardupFinalize(audioSharedPairs(s, shingles))
   }
+
+  /** The generator's AVI payload for one document row — the same
+    * container + deterministic corruption [[aviAssets]] builds,
+    * exposed for the streaming arrival path.
+    */
+  private[graft] def videoAssetPayload(id: Long, text: String): Array[Byte] = {
+    val tb = text.getBytes("UTF-8")
+    val avi = encodeAvi(aviNf(tb.length), aviW(tb.length), aviH(tb.length),
+      aviSeed(id))
+    if (id % CorruptEveryAvi == 0) avi(0) = 'X'.toByte
+    avi
+  }
+
+  /** Packed frame-signature trigrams of one AVI payload via the
+    * genuine container walk — empty for corrupt or <3-frame clips.
+    */
+  private[graft] def videoShingleRows(
+      id: Long, payload: Array[Byte]): Iterator[(Long, Long)] =
+    decodeAviFrames(payload) match {
+      case Some((_, _, _, fr)) if fr.length >= 3 =>
+        val sums = fr.sortBy(_._1).map(_._4)
+        (0 until sums.length - 2).iterator.map { i =>
+          (id, (sums(i) * 65536L + sums(i + 1)) * 65536L + sums(i + 2))
+        }
+      case _ => Iterator.empty
+    }
 
   val videoNeardupSql: String =
     s"""WITH avi AS (

@@ -1406,7 +1406,37 @@ object StreamQueries {
         keys.select("asset_id", "shingle"))
     }
 
+  /** Streaming video near-dup — `mm_video_neardup` on the incremental
+    * engine, identical contract shape to [[streamAudioNeardup]]: AVI
+    * containers decoded per micro-batch (genuine walk via
+    * [[graft.operators.Multimodal.videoShingleRows]]), cross-trigger
+    * per-(asset, shingle) update-mode state is the streaming form of
+    * the batch DISTINCT, and the drained state runs the shared pair
+    * join — final answer equals the batch query under any trigger
+    * split; the oracle IS that query's SQL.
+    */
+  def streamVideoNeardup(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val path = s"$dir/documents.parquet"
+      val src = stageAsDirParts(s, path, 4)
+      val schema = s.read.parquet(src).schema
+      val sh = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          graft.operators.Multimodal.videoShingleRows(id,
+            graft.operators.Multimodal.videoAssetPayload(id, text))
+        })
+        .toDF("asset_id", "shingle")
+        .groupBy($"asset_id", $"shingle").agg(count(lit(1)).as("n_occ"))
+      val keys = runDeltaLog(sh, "update", Seq("asset_id", "shingle"))
+      graft.operators.Multimodal.audioNeardupPairs(s,
+        keys.select("asset_id", "shingle"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_video_neardup" -> (streamVideoNeardup _),
     "stream_audio_neardup" -> (streamAudioNeardup _),
     "stream_anomaly_mad" -> (streamAnomalyMad _),
     "stream_lttb" -> (streamLttb _),
@@ -1457,6 +1487,7 @@ object StreamQueries {
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
     "stream_audio_neardup" -> graft.operators.Multimodal.audioNeardupSql,
+    "stream_video_neardup" -> graft.operators.Multimodal.videoNeardupSql,
     "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
     "stream_value_drift" -> graft.operators.DataQuality.dqValueDriftSql,
     "stream_temperature_mix" -> graft.operators.Curation.temperatureMixSql,
