@@ -2097,14 +2097,37 @@ object Multimodal {
     * near-dup across all three modalities: image (`mm_phash_pairs`),
     * audio (`mm_audio_neardup`), video (this).
     */
-  def videoNeardup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val shingles = aviAssets(s, dir)
-      .mapPartitions(_.grouped(64).flatMap(
-        _.flatMap(a => videoShingleRows(a.asset_id, a.payload))))
-      .toDF("asset_id", "shingle")
-    neardupFinalize(audioSharedPairs(s, shingles))
-  }
+  def videoNeardup(s: SparkSession, dir: String): DataFrame =
+    neardupFinalize(videoSharedPairsFor(s, dir))
+
+  /** The video pair table memoized per (session, corpus fingerprint) —
+    * shared by `mm_video_neardup` and `mm_video_containment` exactly
+    * as [[audioPairsCache]] serves the audio measures.
+    */
+  private val videoPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def videoSharedPairsFor(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(videoPairsCache, s,
+      Similarity.dataKey(dir, "documents")) {
+      import s.implicits._
+      val shingles = aviAssets(s, dir)
+        .mapPartitions(_.grouped(64).flatMap(
+          _.flatMap(a => videoShingleRows(a.asset_id, a.payload))))
+        .toDF("asset_id", "shingle")
+      audioSharedPairs(s, shingles).localCheckpoint()
+    }
+
+  /** Asymmetric video containment — the sub-clip catcher on the video
+    * modality, where it is the CLASSIC case: a short clip lifted from
+    * a longer recording shares every one of its frame trigrams with
+    * the source (containment 1.0) while symmetric Jaccard reads
+    * min/(max) and misses the near-dup bar. Same
+    * frame-signature shingles as [[videoNeardup]], the
+    * [[containmentFinalize]] expression over the same pair counts.
+    */
+  def videoContainment(s: SparkSession, dir: String): DataFrame =
+    containmentFinalize(videoSharedPairsFor(s, dir))
 
   /** The generator's AVI payload for one document row — the same
     * container + deterministic corruption [[aviAssets]] builds,
@@ -2132,8 +2155,12 @@ object Multimodal {
       case _ => Iterator.empty
     }
 
-  val videoNeardupSql: String =
-    s"""WITH avi AS (
+  /** Shared video oracle CTEs (no WITH prefix): closed-form frame
+    * sums → packed trigram keys → per-asset/per-key counts → df-cut
+    * pair join.
+    */
+  private def videoPairCtes: String =
+    s"""avi AS (
        |  SELECT doc_id, 2 + strlen(text) % 5 AS nf,
        |    8 + strlen(text) % 9 AS w, 6 + strlen(text) % 7 AS h,
        |    CAST(doc_id % 233 AS BIGINT) AS seed
@@ -2165,13 +2192,25 @@ object Multimodal {
        |  FROM keys a JOIN keys b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  WHERE a.df <= $AudioDfCut AND b.df <= $AudioDfCut
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val videoNeardupSql: String =
+    s"""WITH $videoPairCtes
        |SELECT asset_a, asset_b, shared,
        |  floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
        |    / 1e6 AS jaccard
        |FROM p
        |WHERE floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
        |    / 1e6 >= $AudioJaccThresh""".stripMargin
+
+  val videoContainmentSql: String =
+    s"""WITH $videoPairCtes
+       |SELECT asset_a, asset_b,
+       |  round(CAST(shared AS DOUBLE) / wa, 6) AS contain_a_in_b,
+       |  round(CAST(shared AS DOUBLE) / wb, 6) AS contain_b_in_a
+       |FROM p
+       |WHERE round(CAST(shared AS DOUBLE) / wa, 6) >= $AudioContainThresh
+       |   OR round(CAST(shared AS DOUBLE) / wb, 6) >= $AudioContainThresh""".stripMargin
 
   /** Audio near-dup cluster resolution — the keep/drop decision over
     * whole dup FAMILIES: connected components over the
@@ -2388,6 +2427,7 @@ object Multimodal {
     "mm_audio_containment" -> (audioContainment _),
     "mm_audio_clusters" -> (audioClusters _),
     "mm_video_neardup" -> (videoNeardup _),
+    "mm_video_containment" -> (videoContainment _),
     "mm_audio_neardup" -> (audioNeardup _),
     "mm_frame_sample" -> (frameSample _),
     "mm_image_entropy" -> (imageEntropy _),
@@ -2411,6 +2451,7 @@ object Multimodal {
     "mm_audio_containment" -> audioContainmentSql,
     "mm_audio_clusters" -> audioClustersSql,
     "mm_video_neardup" -> videoNeardupSql,
+    "mm_video_containment" -> videoContainmentSql,
     "mm_audio_neardup" -> audioNeardupSql,
     "mm_image_entropy" -> imageEntropySql,
     "mm_audio_vad" -> audioVadSql,

@@ -40,6 +40,30 @@ class ScansSpec extends AnyFunSuite {
     assert(specs.nonEmpty && specs.forall(_.nonEmpty))
   }
 
+  test("shardByRange degenerate shapes: single row, constant key, key gaps") {
+    import spark.implicits._
+    // one row: width = (0 div 32) + 1 = 1, shard 0, cum = value
+    val one = Scans.segmentedCumSum(
+      Scans.shardByRange(Seq((0L, 5L)).toDF("id", "v"), $"id"),
+      "__shard", Seq($"id"), Seq(($"v", "cum"))).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("cum") == 5L)
+    // constant key: all rows one shard, order falls to the tiebreak col
+    val const = Seq((7L, 0L, 1L), (7L, 1L, 2L), (7L, 2L, 4L))
+      .toDF("k", "tie", "v")
+    val c = Scans.segmentedCumSum(Scans.shardByRange(const, $"k"),
+      "__shard", Seq($"tie"), Seq(($"v", "cum")))
+      .orderBy($"tie").collect().map(_.getAs[Long]("cum"))
+    assert(c.toSeq == Seq(1L, 3L, 7L))
+    // sparse keys with empty shard ranges in between: carries still sum
+    // exactly the populated shards
+    val sparse = Seq(0L, 1L, 1000000L, 1000001L).map(k => (k, 1L))
+      .toDF("id", "v")
+    val sp = Scans.segmentedCumSum(Scans.shardByRange(sparse, $"id"),
+      "__shard", Seq($"id"), Seq(($"v", "cum")))
+      .orderBy($"id").collect().map(_.getAs[Long]("cum"))
+    assert(sp.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("segmented row_number = global rank, order ties never split across shards") {
     import spark.implicits._
     // scores with heavy ties (only 5 distinct values over 400 rows);
