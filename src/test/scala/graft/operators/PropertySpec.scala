@@ -77,4 +77,59 @@ class PropertySpec extends AnyFunSuite {
       assert(got == truth, s"iteration $i: $got != $truth")
     }
   }
+
+  test("property: audio near-dup pairs match an in-memory set-Jaccard reference") {
+    import spark.implicits._
+    // tiny value pool ⇒ heavy window repeats within an asset AND hot
+    // keys across assets — exactly the shapes the distinct must absorb
+    val genTable = for {
+      nAssets <- Gen.chooseNum(4, 10)
+      rows <- Gen.listOfN(nAssets, for {
+        n <- Gen.chooseNum(1, 30)
+        shingles <- Gen.listOfN(n, Gen.chooseNum(0L, 9L))
+      } yield shingles)
+    } yield rows
+    val params = org.scalacheck.Gen.Parameters.default
+    (1 to 10).foreach { i =>
+      val assets = genTable.pureApply(params, Seed(2000L + i)).zipWithIndex
+        .map { case (sh, id) => (id.toLong, sh) }
+      val df = assets.flatMap { case (id, sh) => sh.map(s => (id, s)) }
+        .toDF("asset_id", "shingle")
+      val got = Multimodal.audioNeardupPairs(spark, df).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(3)))).toMap
+      val sets = assets.map { case (id, sh) => id -> sh.toSet }.toMap
+      val expected = (for {
+        a <- sets.keys.toSeq; b <- sets.keys.toSeq if a < b
+        shared = (sets(a) & sets(b)).size if shared > 0
+        j = math.floor(shared.toDouble /
+          (sets(a).size + sets(b).size - shared) * 1e6 + 0.5) / 1e6
+        if j >= Multimodal.AudioJaccThresh
+      } yield ((a, b), (shared.toLong, j))).toMap
+      assert(got == expected, s"iteration $i (seed ${2000 + i})")
+    }
+  }
+
+  test("property: segmented cumsum equals the sequential prefix sum under any shard width") {
+    import spark.implicits._
+    val genData = for {
+      n <- Gen.chooseNum(3, 80)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-100L, 100L))
+      w <- Gen.chooseNum(1L, 20L)
+    } yield (vals, w)
+    val params = org.scalacheck.Gen.Parameters.default
+    (1 to 10).foreach { i =>
+      val (vals, w) = genData.pureApply(params, Seed(3000L + i))
+      val rows = vals.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+      val df = rows.toDF("id", "v").withColumn("__shard",
+        org.apache.spark.sql.functions.expr(s"id div $w"))
+      val got = Scans.segmentedCumSum(df, "__shard",
+        Seq($"id"), Seq(($"v", "cum")))
+        .select($"id", $"cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = rows.map(_._2).scanLeft(0L)(_ + _).tail
+        .zipWithIndex.map { case (c, id) => id.toLong -> c }.toMap
+      assert(got == expected, s"iteration $i (seed ${3000 + i}, width $w)")
+    }
+  }
 }
