@@ -65,12 +65,23 @@ object Bench {
     }
 
     val wallT0 = System.nanoTime()
+    // Memoized-artifact build attribution: Memo.cached logs build
+    // seconds per family; draining after each query pins every build to
+    // the query whose rep 1 paid it, so a 0.02 s median on a memo-riding
+    // query is mechanically distinguishable from a genuinely cheap one.
+    Memo.drainBuildLog(): Unit // discard warm-up-attributed builds
+    val memoBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // All reps of a query run back-to-back: rep 1 absorbs any cold cache,
     // reps 2-3 measure steady state; the median of 3 discards the one
     // outlier either way.
     val allReps: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> (1 to reps).map(_ => run(name, fn))
+        val ts = (1 to reps).map(_ => run(name, fn))
+        Memo.drainBuildLog().foreach { case (fam, sec) =>
+          val k = s"$fam@$name"
+          memoBuilds.update(k, memoBuilds.getOrElse(k, 0.0) + sec)
+        }
+        name -> ts
       }
     val results = allReps.map { case (name, ts) =>
       val ok = ts.filter(_ >= 0).sorted
@@ -94,8 +105,13 @@ object Bench {
     def repsJson: String = allReps.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // family@firstPayingQuery -> build seconds (paid once per run; the
+    // per-query medians are steady-state, this is the amortized cost)
+    val memoJson = memoBuilds.toSeq.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall":${fmt(wall)},"reps":$reps,"failed":$failed,"nQueries":${results.size},"queries":${toJson(results)},"queryReps":$repsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall":${fmt(wall)},"reps":$reps,"failed":$failed,"nQueries":${results.size},"memo_build":$memoJson,"queries":${toJson(results)},"queryReps":$repsJson,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }

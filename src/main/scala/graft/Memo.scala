@@ -47,18 +47,37 @@ object Memo {
     * first single-cache sweep would make [[dead]] answer false
     * (unknown UUID) for all the OTHER caches, which would then hold
     * the dead session's DataFrames forever.
+    *
+    * Weakly referenced: the operator modules' caches are object
+    * singletons (reachable forever anyway), but ad-hoc/test-local maps
+    * passed to [[cached]] must not be pinned by this registry for the
+    * driver's lifetime — cleared references are pruned on every sweep.
     */
-  private val registered =
-    scala.collection.mutable.ArrayBuffer.empty[TrieMap[(String, String), Any]]
+  private val registered = scala.collection.mutable.ArrayBuffer
+    .empty[WeakReference[TrieMap[(String, String), Any]]]
 
   private def register(m: TrieMap[(String, String), Any]): Unit =
-    synchronized { if (!registered.exists(_ eq m)) registered += m }
+    synchronized {
+      if (!registered.exists(_.get eq m)) registered += new WeakReference(m)
+    }
+
+  /** Live registered caches, pruning entries whose map was collected. */
+  private def liveCaches(): List[TrieMap[(String, String), Any]] =
+    synchronized {
+      registered.filterInPlace(_.get ne null)
+      registered.iterator.flatMap(r => Option(r.get)).toList
+    }
 
   /** Test seam: register a UUID whose session has already been
     * collected (a cleared weak reference — the post-GC state).
     */
   private[graft] def registerCollected(u: String): Unit =
     live.put(u, new WeakReference[SparkSession](null))
+
+  /** Test seam: how many cache registrations are currently held
+    * (collected ones still pending a prune included).
+    */
+  private[graft] def registeredCount: Int = synchronized(registered.size)
 
   /** Max entries for a [[capped]] value cache. */
   val ValueCap = 64
@@ -91,23 +110,44 @@ object Memo {
   def sweepAll(): Unit = {
     val gone = live.keySet.filter(dead)
     if (gone.nonEmpty) {
-      val caches = synchronized(registered.toList)
-      caches.foreach { m =>
+      liveCaches().foreach { m =>
         m.keySet.foreach { k => if (gone(k._1)) m.remove(k) }
       }
       gone.foreach(live.remove)
-    }
+    } else liveCaches(): Unit // still prune collected cache refs
+  }
+
+  /** Seconds spent building memoized artifacts since the last
+    * [[drainBuildLog]], accumulated per caller-supplied family label.
+    * Bench drains this after each query so BENCH_FULL.json can
+    * attribute a memo-riding query's 0.02 s steady-state median to the
+    * build that rep 1 of its first consumer actually paid.
+    */
+  private val buildLog = TrieMap.empty[String, Double]
+
+  private[graft] def drainBuildLog(): Map[String, Double] = {
+    val snap = buildLog.toMap
+    snap.keys.foreach(buildLog.remove)
+    snap
   }
 
   /** getOrElseUpdate on a (sessionUUID, fingerprint)-keyed cache with
-    * a dead-session sweep across all registered caches first.
+    * a dead-session sweep across all registered caches first. `family`
+    * labels the artifact in the bench build ledger; a cache hit logs
+    * nothing.
     */
   def cached[V](m: TrieMap[(String, String), V], s: SparkSession,
-      fingerprint: String)(build: => V): V = {
+      fingerprint: String, family: String = "memo")(build: => V): V = {
     val u = sessionKey(s)
     register(m.asInstanceOf[TrieMap[(String, String), Any]])
     sweepAll()
-    m.getOrElseUpdate((u, fingerprint), build)
+    m.getOrElse((u, fingerprint), {
+      val t0 = System.nanoTime()
+      val v = m.getOrElseUpdate((u, fingerprint), build)
+      val dt = (System.nanoTime() - t0) / 1e9
+      buildLog.updateWith(family)(p => Some(p.getOrElse(0.0) + dt)): Unit
+      v
+    })
   }
 
   /** getOrElseUpdate on a fingerprint-keyed value cache with a hard

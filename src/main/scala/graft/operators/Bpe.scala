@@ -67,7 +67,7 @@ object Bpe {
 
   private def train(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) =
     graft.Memo.cached(trainCache, s,
-      Similarity.dataKey(dir, "documents"))(trainUncached(s, dir))
+      Similarity.dataKey(dir, "documents"), "tok_bpe_train")(trainUncached(s, dir))
 
   private def trainUncached(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     import s.implicits._

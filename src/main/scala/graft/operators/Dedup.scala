@@ -98,7 +98,7 @@ object Dedup {
     */
   private def sharedPairs(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(pairsCache, s,
-      Similarity.dataKey(dir, "documents")) {
+      Similarity.dataKey(dir, "documents"), "dedup_pairs") {
         import s.implicits._
         val sh = shingles(s, dir).cache()
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
@@ -743,7 +743,7 @@ object Dedup {
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(clusterCache, s,
-      Similarity.dataKey(dir, "documents"))(
+      Similarity.dataKey(dir, "documents"), "dedup_clusters")(
       dedupClustersUncached(s, dir).localCheckpoint())
 
   private def dedupClustersUncached(s: SparkSession, dir: String): DataFrame = {
@@ -1684,7 +1684,127 @@ object Dedup {
        |GROUP BY c.doc_id""".stripMargin
   }
 
+  // ------------------------------------------- exact-substring dedup
+
+  /** Gram width for [[exactSubstrSpans]] — also the minimum reportable
+    * span length in tokens (a shared span shorter than the gram never
+    * produces a posting hit).
+    */
+  val ExactSubstrK = 8
+
+  /** Posting-list occurrence cap per gram: a gram occurring more than
+    * this many times corpus-wide is boilerplate (licence headers, menu
+    * chrome — the hot suffix-array intervals real ExactSubstr stacks
+    * also skip) and is dropped from the index, bounding the candidate
+    * join's per-key fan-out at cut². Sizing: measured organic max
+    * occurrence is 4 at sf0.1 (~40 on the 10× replica, whose doc-id
+    * shift packs replicas onto identical text); 256 clears that with
+    * ~6× headroom. On a real corpus the knob is set off the measured
+    * occurrence histogram — one map-side-combinable aggregate. The
+    * mirror constant appears verbatim in the oracle.
+    */
+  val ExactSubstrOccCut = 256
+
+  /** Cross-document EXACT-SUBSTRING dedup — the ExactSubstr family of
+    * production LLM dedup stacks (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): report every maximal
+    * verbatim token span of ≥ [[ExactSubstrK]] tokens shared between
+    * two documents, with exact start positions in both.
+    *
+    * The reference stacks build a corpus suffix array; the
+    * Spark-native formulation is a hashed k-gram posting join + a
+    * per-diagonal island merge, all defined-partition relational ops:
+    *
+    *   1. one (doc_id, pos, gram-hash) row per token position — grams
+    *      are hashed row-locally to md5-60 (the kit's convention), so
+    *      only 3-longs-wide rows ever shuffle, never token text;
+    *   2. grams kept iff shared (df ≥ 2) and below the
+    *      [[ExactSubstrOccCut]] boilerplate cut;
+    *   3. posting equi-join on the hash (work is Σ_gram occ², never
+    *      |docs|²) → matching coordinates (doc_a, doc_b, pa, pb);
+    *   4. per (pair, diagonal pa−pb) gaps-and-islands merge — runs of
+    *      CONSECUTIVE positions on one diagonal are exactly the
+    *      maximal shared spans (a run of m consecutive matching
+    *      k-grams ⇔ a verbatim span of m+k−1 tokens); the window is
+    *      partitioned by (doc_a, doc_b, diag), never global.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, span_tokens), positions
+    * 1-based in the whitespace token stream, spans maximal over the
+    * cut-surviving grams. md5-60 collisions could in principle weld
+    * two unequal grams (probability ~2⁻⁶⁰ per pair); a production
+    * deployment appends a verify pass re-reading the two spans — the
+    * oracle runs the identical hash so the compare is exact either
+    * way.
+    */
+  def exactSubstr(s: SparkSession, dir: String): DataFrame =
+    exactSubstrSpans(s, Tables.documents(s, dir))
+
+  /** Core of [[exactSubstr]] over any (doc_id, text) frame — the seam
+    * the planted-span specs drive.
+    */
+  private[graft] def exactSubstrSpans(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = ExactSubstrK
+    val occ = docs
+      .selectExpr("doc_id",
+        "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
+      .where(s"size(toks) >= $k")
+      .selectExpr("doc_id",
+        s"""posexplode(transform(sequence(1, size(toks) - ${k - 1}),
+           |  i -> conv(substring(md5(concat_ws(' ', slice(toks, i, $k))),
+           |    1, 15), 16, 10))) AS (pos0, gh)""".stripMargin)
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"),
+        $"gh".cast("long").as("gh"))
+    val stats = occ.groupBy($"gh")
+      .agg(count(lit(1)).as("occn"), countDistinct($"doc_id").as("df"))
+      .where($"df" >= 2 && $"occn" <= ExactSubstrOccCut)
+      .select($"gh")
+    val idx = occ.join(stats, "gh")
+    val hits = idx.select($"gh", $"doc_id".as("doc_a"), $"pos".as("pa"))
+      .join(idx.select($"gh", $"doc_id".as("doc_b"), $"pos".as("pb")), "gh")
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"pa", $"pb", ($"pa" - $"pb").as("diag"))
+    val w = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
+    hits.withColumn("isl", $"pa" - row_number().over(w))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
+      .agg(min($"pa").as("start_a"), min($"pb").as("start_b"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("span_tokens"))
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+  }
+
+  val exactSubstrSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    CAST(('0x' || substring(md5(list_reduce(list_transform(
+       |      range(CAST(i AS INTEGER), CAST(i + $ExactSubstrK AS INTEGER)),
+       |      j -> t[j]), (a, b) -> a || ' ' || b)), 1, 15)) AS BIGINT) AS gh
+       |  FROM toks, LATERAL (
+       |    SELECT unnest(range(1, len(t) - ${ExactSubstrK - 2})) AS i) p
+       |  WHERE len(t) >= $ExactSubstrK),
+       |stats AS (
+       |  SELECT gh FROM occ GROUP BY gh
+       |  HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= $ExactSubstrOccCut),
+       |hits AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |  FROM occ a JOIN occ b ON a.gh = b.gh AND a.doc_id < b.doc_id
+       |  JOIN stats s ON s.gh = a.gh),
+       |isl AS (
+       |  SELECT *, pa - row_number() OVER (
+       |    PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS g
+       |  FROM hits)
+       |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
+       |  CAST(min(pb) AS BIGINT) AS start_b,
+       |  CAST(count(*) + ${ExactSubstrK - 1} AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_a, doc_b, pa - pb, g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_substr" -> (exactSubstr _),
     "dedup_cdc_chunks" -> (cdcChunks _),
     "dedup_winnow" -> (winnowPairs _),
     "doc_boilerplate_ratio" -> (boilerplateRatio _),
@@ -1718,6 +1838,7 @@ object Dedup {
         "oracle generation needs an active SparkSession"))
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
+      "dedup_exact_substr" -> exactSubstrSql,
       "dedup_cdc_chunks" -> cdcChunksSql,
       "dedup_winnow" -> winnowPairsSql,
       "doc_boilerplate_ratio" -> boilerplateRatioSql,

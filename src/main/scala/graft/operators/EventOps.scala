@@ -354,7 +354,8 @@ object EventOps {
     .empty[(String, String), DataFrame]
 
   def markovStationary(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(piCache, s, Similarity.dataKey(dir, "events"))(
+    graft.Memo.cached(piCache, s, Similarity.dataKey(dir, "events"),
+      "ev_markov_pi")(
       markovStationaryUncached(s, dir))
 
   private def markovStationaryUncached(s: SparkSession, dir: String): DataFrame = {

@@ -2011,20 +2011,24 @@ object Multimodal {
     */
   /** UNthresholded distinct-window pair counts (asset_a, asset_b,
     * shared, wa, wb) — ONE inverted-index join feeds every set-overlap
-    * measure over audio fingerprints (symmetric Jaccard in
-    * [[audioNeardupPairs]], asymmetric containment in
-    * [[audioContainment]]) — the [[Dedup.sharedPairs]] pattern carried
-    * to the audio modality.
+    * measure over content fingerprints of ANY modality (symmetric
+    * Jaccard in [[audioNeardupPairs]]/[[videoNeardupPairs]],
+    * asymmetric containment in [[audioContainment]]/
+    * [[videoContainment]]) — the [[Dedup.sharedPairs]] pattern carried
+    * to (asset, window-key) streams. `dfCut` is the per-modality
+    * stop-shingle document-frequency bound ([[AudioDfCut]] /
+    * [[VideoDfCut]] — each sized off its OWN measured df
+    * distribution).
     */
-  private[graft] def audioSharedPairs(
-      s: SparkSession, shingles: DataFrame): DataFrame = {
+  private[graft] def sharedWindowPairs(
+      s: SparkSession, shingles: DataFrame, dfCut: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val keys = shingles.select($"asset_id", $"shingle").distinct()
       .withColumn("nw", count(lit(1)).over(Window.partitionBy($"asset_id")))
     val idx = keys
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"shingle")))
-      .where($"df" <= AudioDfCut)
+      .where($"df" <= dfCut)
     val ka = idx.select($"asset_id".as("asset_a"), $"nw".as("wa"), $"shingle")
     val kb = idx.select($"asset_id".as("asset_b"), $"nw".as("wb"), $"shingle")
     ka.join(kb, "shingle")
@@ -2036,7 +2040,20 @@ object Multimodal {
 
   private[graft] def audioNeardupPairs(
       s: SparkSession, shingles: DataFrame): DataFrame =
-    neardupFinalize(audioSharedPairs(s, shingles))
+    neardupFinalize(sharedWindowPairs(s, shingles, AudioDfCut))
+
+  private[graft] def videoNeardupPairs(
+      s: SparkSession, shingles: DataFrame): DataFrame =
+    neardupFinalize(sharedWindowPairs(s, shingles, VideoDfCut))
+
+  /** Containment finalize over raw (asset_id, shingle) rows — the
+    * streaming arrival path's batch-equivalent closer, proving the
+    * cross-trigger window state generalizes past Jaccard: same state,
+    * different final expression.
+    */
+  private[graft] def audioContainmentPairs(
+      s: SparkSession, shingles: DataFrame): DataFrame =
+    containmentFinalize(sharedWindowPairs(s, shingles, AudioDfCut))
 
   /** The batch pair table memoized per (session, corpus fingerprint) —
     * the expensive inverted-index join is shared by `mm_audio_neardup`
@@ -2055,8 +2072,8 @@ object Multimodal {
 
   private def audioSharedPairsFor(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(audioPairsCache, s,
-      Similarity.dataKey(dir, "documents")) {
-      audioSharedPairs(s, audioShingles(s, dir)).localCheckpoint()
+      Similarity.dataKey(dir, "documents"), "mm_audio_pairs") {
+      sharedWindowPairs(s, audioShingles(s, dir), AudioDfCut).localCheckpoint()
     }
 
   /** Either-direction containment bar for [[audioContainment]]. */
@@ -2085,7 +2102,7 @@ object Multimodal {
 
   /** Video content near-dup — frame-SIGNATURE trigram shingles through
     * the SAME inverted-index pair kit as the audio path
-    * ([[audioSharedPairs]] + the Jaccard finalize): per-frame pixel
+    * ([[sharedWindowPairs]] + the Jaccard finalize): per-frame pixel
     * sums from the genuine AVI walk ([[decodeAviFrames]] — container
     * grammar, chunk padding, idx1 cross-check) are packed three
     * consecutive frames to a 48-bit key, so the fingerprint is
@@ -2107,16 +2124,32 @@ object Multimodal {
   private val videoPairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Video's stop-shingle df cut, sized off VIDEO's own measured df
+    * distribution (not audio's): organic max frame-trigram df is 26 at
+    * sf0.1 (4 at sf0.01), and the 10× replica packs replicas onto the
+    * same trigram values exactly as the audio corpus does (audio grew
+    * 47 → 261 there), so a few hundred is the expected 10× ceiling —
+    * 512 clears it with ~2× headroom while still dropping genuinely
+    * degenerate content (constant-signature slates, black frames). On
+    * a real corpus the knob is set off the measured df histogram — one
+    * map-side-combinable aggregate. The mirror constant appears
+    * verbatim in the video oracles.
+    */
+  val VideoDfCut = 512
+
   private def videoSharedPairsFor(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(videoPairsCache, s,
-      Similarity.dataKey(dir, "documents")) {
-      import s.implicits._
-      val shingles = aviAssets(s, dir)
-        .mapPartitions(_.grouped(64).flatMap(
-          _.flatMap(a => videoShingleRows(a.asset_id, a.payload))))
-        .toDF("asset_id", "shingle")
-      audioSharedPairs(s, shingles).localCheckpoint()
+      Similarity.dataKey(dir, "documents"), "mm_video_pairs") {
+      sharedWindowPairs(s, videoShingles(s, dir), VideoDfCut).localCheckpoint()
     }
+
+  private def videoShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    aviAssets(s, dir)
+      .mapPartitions(_.grouped(64).flatMap(
+        _.flatMap(a => videoShingleRows(a.asset_id, a.payload))))
+      .toDF("asset_id", "shingle")
+  }
 
   /** Asymmetric video containment — the sub-clip catcher on the video
     * modality, where it is the CLASSIC case: a short clip lifted from
@@ -2143,12 +2176,19 @@ object Multimodal {
 
   /** Packed frame-signature trigrams of one AVI payload via the
     * genuine container walk — empty for corrupt or <3-frame clips.
+    * Each per-frame pixel sum is masked to 16 bits BEFORE packing
+    * (the documented 16-bit-signature contract): [[decodeAviFrames]]
+    * accepts arbitrary w×h, and an unmasked sum ≥ 65536 (any frame
+    * over 257 max-brightness pixels) would silently alias across the
+    * 16-bit lanes, manufacturing spurious shared trigrams. A no-op on
+    * the generator corpus (w ≤ 16, h ≤ 12 → sums ≤ 48 960), so the
+    * closed-form oracles are unchanged.
     */
   private[graft] def videoShingleRows(
       id: Long, payload: Array[Byte]): Iterator[(Long, Long)] =
     decodeAviFrames(payload) match {
       case Some((_, _, _, fr)) if fr.length >= 3 =>
-        val sums = fr.sortBy(_._1).map(_._4)
+        val sums = fr.sortBy(_._1).map(_._4 & 0xFFFFL)
         (0 until sums.length - 2).iterator.map { i =>
           (id, (sums(i) * 65536L + sums(i + 1)) * 65536L + sums(i + 2))
         }
@@ -2191,7 +2231,7 @@ object Multimodal {
        |    max(a.nw) AS wa, max(b.nw) AS wb
        |  FROM keys a JOIN keys b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  WHERE a.df <= $AudioDfCut AND b.df <= $AudioDfCut
+       |  WHERE a.df <= $VideoDfCut AND b.df <= $VideoDfCut
        |  GROUP BY 1, 2)""".stripMargin
 
   val videoNeardupSql: String =
@@ -2422,7 +2462,213 @@ object Multimodal {
        |FROM vad v JOIN caps c ON v.doc_id = c.doc_id
        |GROUP BY c.source""".stripMargin
 
+  // --------------------------------------------------- A/V sync QA gate
+
+  /** Symmetric activity band for [[avSync]]: an audio/video pair is
+    * "in sync" when each side's active-frame count is within this
+    * factor of the other (integer comparisons only — no float reaches
+    * the threshold on either engine). Audio VAD frames (5 ms) and
+    * video frames (2–6/clip) land in comparable single-digit counts on
+    * this corpus, so a 4× band separates organic pairs from
+    * silent-vs-busy mismatches.
+    */
+  val AvSyncBand = 4L
+
+  /** A/V sync QA gate — [[speechCaptionAlign]]'s pattern applied to
+    * the audio↔video pair of the SAME document (audio docs are
+    * doc_id % 3 == 1 and every doc carries an AVI, so the equi-join is
+    * organically populated): audio activity = the genuine VAD framing
+    * over decoded PCM ([[audioVad]]), video activity = bright-frame
+    * count over the genuine AVI walk ([[aviFrames]] — a frame is
+    * active when its pixel sum exceeds the mid-gray mean, the integer
+    * test 2·px_sum > 255·frame_size). Per source: pair count,
+    * silent-side mismatches (one modality active, the other dead —
+    * the mislabeled-pair signal an A/V training pipeline gates on),
+    * pairs inside the symmetric [[AvSyncBand]] activity band, and the
+    * corpus activity rate as ONE exact ratio-of-integer-sums
+    * (6-dp-rounded — never an average of per-pair floats). Completes
+    * the cross-modal QA triangle: text↔audio
+    * (`mm_speech_caption_align`), audio↔video (this).
+    *
+    * Scale shape: both decodes are batched mapPartitions (payloads
+    * never shuffle — a handful of scalars per asset), the join is a
+    * doc_id equi-join, output is |sources| rows.
+    */
+  def avSync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aud = audioVad(s, dir).select($"asset_id", $"n_active".as("a_active"))
+    val vid = aviFrames(s, dir)
+      .groupBy($"asset_id")
+      .agg(sum(when(lit(2L) * $"px_sum" > lit(255L) * $"frame_size", 1L)
+        .otherwise(0L)).as("v_active"))
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    aud.join(vid, "asset_id")
+      .join(src, $"asset_id" === $"doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(($"a_active" === 0L) =!= ($"v_active" === 0L), 1L)
+          .otherwise(0L)).as("n_silent_mismatch"),
+        sum(when($"a_active" > 0L && $"v_active" > 0L &&
+          $"a_active" <= lit(AvSyncBand) * $"v_active" &&
+          $"v_active" <= lit(AvSyncBand) * $"a_active", 1L)
+          .otherwise(0L)).as("n_synced"),
+        sum($"a_active").as("audio_active"),
+        sum($"v_active").as("video_active"))
+      .selectExpr("source", "n_pairs",
+        "CAST(n_silent_mismatch AS BIGINT) AS n_silent_mismatch",
+        "CAST(n_synced AS BIGINT) AS n_synced",
+        "CAST(audio_active AS BIGINT) AS audio_active",
+        "CAST(video_active AS BIGINT) AS video_active",
+        """CASE WHEN video_active > 0 THEN
+          |  floor(CAST(audio_active AS DOUBLE) / video_active * 1e6 + 0.5)
+          |    / 1e6 END AS av_rate""".stripMargin)
+  }
+
+  val avSyncSql: String =
+    s"""WITH aud AS (
+       |  SELECT doc_id, 50 + strlen(text) % 211 AS n,
+       |    CAST(doc_id % 9973 AS INTEGER) AS seed
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id % $CorruptEveryAudio <> 0),
+       |frames AS (
+       |  SELECT doc_id, n, seed,
+       |    unnest(range(0, (n + $VadFrameSamples - 1) // $VadFrameSamples)) AS fi
+       |  FROM aud),
+       |fe AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(
+       |      range(CAST(fi * $VadFrameSamples AS INTEGER),
+       |            CAST(least(fi * $VadFrameSamples + $VadFrameSamples, n) AS INTEGER)),
+       |      i -> abs((seed + 31 * i) % 65536 - 32768))) > $VadThreshold AS active
+       |  FROM frames),
+       |vad AS (
+       |  SELECT doc_id, sum(CASE WHEN active THEN 1 ELSE 0 END) AS a_active
+       |  FROM fe GROUP BY doc_id),
+       |vavi AS (
+       |  SELECT doc_id, 2 + strlen(text) % 5 AS nf, 8 + strlen(text) % 9 AS w,
+       |    6 + strlen(text) % 7 AS h, CAST(doc_id % 233 AS BIGINT) AS seed
+       |  FROM documents WHERE doc_id % $CorruptEveryAvi <> 0),
+       |vfr AS (
+       |  SELECT doc_id, CAST(fv.f AS BIGINT) AS f, w * h AS fsz, seed
+       |  FROM vavi, LATERAL (SELECT unnest(range(0, nf)) AS f) fv),
+       |vsum AS (
+       |  SELECT doc_id, fsz,
+       |    CAST(list_sum(list_transform(range(0, fsz),
+       |      j -> (seed + 31 * j + 7 * f) % 256)) AS BIGINT) AS s
+       |  FROM vfr),
+       |vact AS (
+       |  SELECT doc_id, sum(CASE WHEN 2 * s > 255 * fsz THEN 1 ELSE 0 END)
+       |    AS v_active
+       |  FROM vsum GROUP BY doc_id)
+       |SELECT d.source, count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN (a.a_active = 0) <> (v.v_active = 0)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_silent_mismatch,
+       |  CAST(sum(CASE WHEN a.a_active > 0 AND v.v_active > 0
+       |    AND a.a_active <= $AvSyncBand * v.v_active
+       |    AND v.v_active <= $AvSyncBand * a.a_active
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_synced,
+       |  CAST(sum(a.a_active) AS BIGINT) AS audio_active,
+       |  CAST(sum(v.v_active) AS BIGINT) AS video_active,
+       |  CASE WHEN sum(v.v_active) > 0 THEN
+       |    floor(CAST(sum(a.a_active) AS DOUBLE) / sum(v.v_active) * 1e6 + 0.5)
+       |      / 1e6 END AS av_rate
+       |FROM vad a
+       |JOIN vact v ON v.doc_id = a.doc_id
+       |JOIN documents d ON d.doc_id = a.doc_id
+       |GROUP BY d.source""".stripMargin
+
+  // ------------------------------------------- image-in-video containment
+
+  /** Image-in-video containment — the cross-modal containment case the
+    * modality matrix stops short of: match each decodable still
+    * image's 16-bit pixel-sum signature against every video's
+    * per-frame signatures (the SAME masked 16-bit lane contract
+    * [[videoShingleRows]] packs — px_sum mod 2¹⁶ on both sides).
+    * Output: one row per (image, video) pair sharing ≥ 1 frame
+    * signature, with the matched-frame count and the fraction of the
+    * video's frames matched (a lifted still covers 100% of a slate
+    * clip, ~1/nf of a normal one).
+    *
+    * Scale shape: both signature streams come off batched
+    * mapPartitions decodes (payloads never shuffle — one long per
+    * image, ~nf longs per video); the match is a signature equi-join.
+    * The 16-bit sum is the generator's decodable stand-in for a real
+    * perceptual hash — at production scale the signature is the
+    * 64-bit pHash ([[ahashChunks]], as `mm_phash_pairs` uses), where
+    * the same equi-join is selective and the kit's hot-key df-cut
+    * applies; the cross-modal join plumbing proven here is identical.
+    */
+  def imageInVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = extractFeatures(assets(s, dir)).toDF()
+      .where($"ok" && $"media_type" === "image")
+      .select($"asset_id".as("image_id"), $"luma_sum")
+    val vf = aviFrames(s, dir)
+      .select($"asset_id".as("video_id"), $"px_sum")
+    imageInVideoPairs(imgs, vf)
+  }
+
+  /** Core of [[imageInVideo]] over raw (image_id, luma_sum) and
+    * (video_id, px_sum) frames — the seam the planted-frame specs
+    * drive. Masks both sums to the 16-bit signature lane before the
+    * join.
+    */
+  private[graft] def imageInVideoPairs(
+      imgs: DataFrame, frames: DataFrame): DataFrame = {
+    val i = imgs.select(col("image_id"),
+      pmod(col("luma_sum"), lit(65536L)).as("sig"))
+    val vf = frames.select(col("video_id"),
+      pmod(col("px_sum"), lit(65536L)).as("sig"))
+    val nf = vf.groupBy(col("video_id"))
+      .agg(count(lit(1)).as("n_video_frames"))
+    i.join(vf, "sig")
+      .groupBy(col("image_id"), col("video_id"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .join(nf, "video_id")
+      .selectExpr("image_id", "video_id",
+        "CAST(n_frames_matched AS BIGINT) AS n_frames_matched",
+        "CAST(n_video_frames AS BIGINT) AS n_video_frames",
+        """round(CAST(n_frames_matched AS DOUBLE) / n_video_frames, 6)
+          | AS frame_coverage""".stripMargin)
+  }
+
+  val imageInVideoSql: String =
+    s"""WITH geom AS (
+       |  SELECT doc_id, 4 + strlen(text) % 29 AS w, 4 + strlen(text) % 13 AS h,
+       |    CAST(doc_id % 251 AS INTEGER) AS seed
+       |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % $CorruptEvery <> 0),
+       |img AS (
+       |  SELECT doc_id AS image_id,
+       |    CAST(list_sum(list_transform(range(0, 3 * w * h),
+       |      j -> (seed + 31 * j) % 256)) AS BIGINT) % 65536 AS sig
+       |  FROM geom),
+       |avi AS (
+       |  SELECT doc_id, 2 + strlen(text) % 5 AS nf, 8 + strlen(text) % 9 AS w,
+       |    6 + strlen(text) % 7 AS h, CAST(doc_id % 233 AS BIGINT) AS seed
+       |  FROM documents WHERE doc_id % $CorruptEveryAvi <> 0),
+       |vfr AS (
+       |  SELECT doc_id, CAST(fv.f AS BIGINT) AS f, w * h AS fsz, seed
+       |  FROM avi, LATERAL (SELECT unnest(range(0, nf)) AS f) fv),
+       |vf AS (
+       |  SELECT doc_id AS video_id,
+       |    CAST(list_sum(list_transform(range(0, fsz),
+       |      j -> (seed + 31 * j + 7 * f) % 256)) AS BIGINT) % 65536 AS sig
+       |  FROM vfr),
+       |nfr AS (SELECT video_id, count(*) AS n_video_frames FROM vf
+       |  GROUP BY video_id),
+       |m AS (
+       |  SELECT i.image_id, v.video_id, count(*) AS n_frames_matched
+       |  FROM img i JOIN vf v ON v.sig = i.sig GROUP BY 1, 2)
+       |SELECT m.image_id, m.video_id,
+       |  CAST(m.n_frames_matched AS BIGINT) AS n_frames_matched,
+       |  CAST(nfr.n_video_frames AS BIGINT) AS n_video_frames,
+       |  round(CAST(m.n_frames_matched AS DOUBLE) / nfr.n_video_frames, 6)
+       |    AS frame_coverage
+       |FROM m JOIN nfr ON nfr.video_id = m.video_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_av_sync" -> (avSync _),
+    "mm_image_in_video" -> (imageInVideo _),
     "mm_speech_caption_align" -> (speechCaptionAlign _),
     "mm_audio_containment" -> (audioContainment _),
     "mm_audio_clusters" -> (audioClusters _),
@@ -2447,6 +2693,8 @@ object Multimodal {
     "mm_caption_pairs" -> (captionPairs _))
 
   def oracles: Map[String, String] = Map(
+    "mm_av_sync" -> avSyncSql,
+    "mm_image_in_video" -> imageInVideoSql,
     "mm_speech_caption_align" -> speechCaptionAlignSql,
     "mm_audio_containment" -> audioContainmentSql,
     "mm_audio_clusters" -> audioClustersSql,

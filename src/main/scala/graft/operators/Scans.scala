@@ -26,12 +26,14 @@ import org.apache.spark.sql.functions._
   * Every stage is shuffle-partitioned by the shard key except the
   * [[ScanShards]]-row carry window — the scan runs at full cluster
   * width on 100 TB. Results are bit-identical to the global window:
-  * integer sums are associative, and floating sums keep the exact
+  * integer sums are associative, floating sums keep the exact
   * left-to-right fold order within a shard while the carry adds the
-  * (exactly-summed, for integral types) prefix — the three registered
-  * consumers (`curate_pps_sample`, `ev_peak_concurrency`,
-  * `curate_el2n`) all scan integral values, so their DuckDB oracles
-  * are unchanged.
+  * (exactly-summed, for integral types) prefix, and NULL values follow
+  * SQL's null-skipping window semantics exactly (a row whose entire
+  * global prefix is NULL gets NULL, anything else sums the non-null
+  * prefix) — the four registered consumers (`curate_pps_sample`,
+  * `ev_peak_concurrency`, `curate_el2n`, `q_weighted_median`) all scan
+  * non-null integral values, so their DuckDB oracles are unchanged.
   */
 object Scans {
 
@@ -41,24 +43,38 @@ object Scans {
     */
   val ScanShards = 32
 
-  /** Adds a `__shard` range-bucket of the given non-negative,
-    * order-monotone LONG key: floor(key / width) with width sized off
-    * the key's max so ~[[ScanShards]] buckets result. The 1-row bounds
-    * frame rides the approved broadcast-cross pattern.
+  /** Adds a `__shard` range-bucket of the given order-monotone LONG
+    * key: floor((key − min) / width) with width sized off the key's
+    * span so ~[[ScanShards]] buckets result. Offsetting by the min
+    * (also in the 1-row bounds frame, which rides the approved
+    * broadcast-cross pattern) makes the `div` a true floor division
+    * for ANY signed key — a negative key (pre-1970 timestamp, signed
+    * id) would otherwise truncate toward zero and break shard
+    * monotonicity around zero.
     */
   def shardByRange(df: DataFrame, key: Column): DataFrame = {
-    val bounds = df.agg(max(key).cast("long").as("__scan_mx"))
+    val bounds = df.agg(max(key).cast("long").as("__scan_mx"),
+      min(key).cast("long").as("__scan_mn"))
     df.withColumn("__scan_k", key.cast("long"))
       .crossJoin(broadcast(bounds))
       .withColumn("__shard",
-        expr(s"__scan_k div ((__scan_mx div $ScanShards) + 1)"))
-      .drop("__scan_k", "__scan_mx")
+        expr(s"(__scan_k - __scan_mn) div " +
+          s"(((__scan_mx - __scan_mn) div $ScanShards) + 1)"))
+      .drop("__scan_k", "__scan_mx", "__scan_mn")
   }
 
   /** Running `sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING
     * .. CURRENT ROW)` for each (value → outName) pair, segmented by
     * `shardCol` (a column of `df`, monotone non-decreasing in the
     * order). The shard column is kept; callers drop it.
+    *
+    * NULL semantics match the global window exactly: the carry keeps
+    * SQL's null-skipping nullness (NULL iff every earlier shard's
+    * total is NULL, i.e. every earlier value is NULL), and a row whose
+    * shard-local prefix is all-NULL inherits the carry rather than
+    * poisoning the sum — so the output is NULL iff the row's ENTIRE
+    * global prefix is NULL, exactly as `sum(...) OVER (ORDER BY ...)`
+    * behaves.
     */
   def segmentedCumSum(df: DataFrame, shardCol: String, order: Seq[Column],
       values: Seq[(Column, String)]): DataFrame = {
@@ -74,16 +90,23 @@ object Scans {
     // (no all-data-to-one-partition warning; PlanLint asserts it)
     val wCarry = Window.partitionBy(pmod(sh, lit(1))).orderBy(sh)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // carry stays NULLABLE (sum skips nulls; an empty/all-null earlier
+    // prefix is NULL) — coalescing it to 0 here would turn the global
+    // window's all-null-prefix NULL into 0 for nullable value columns
     val carries = totals.select(
       sh +: values.indices.map(i =>
-        coalesce(sum(col(s"__scan_t$i")).over(wCarry), lit(0L))
-          .as(s"__scan_c$i")): _*)
+        sum(col(s"__scan_t$i")).over(wCarry).as(s"__scan_c$i")): _*)
     val wLocal = Window.partitionBy(sh).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = tagged.join(broadcast(carries), shardCol)
     val withOuts = values.zipWithIndex.foldLeft(joined) {
-      case (d, ((_, out), i)) => d.withColumn(out,
-        sum(col(s"__scan_v$i")).over(wLocal) + col(s"__scan_c$i"))
+      case (d, ((_, out), i)) =>
+        val local = sum(col(s"__scan_v$i")).over(wLocal)
+        val carry = col(s"__scan_c$i")
+        d.withColumn(out,
+          when(local.isNull, carry)
+            .when(carry.isNull, local)
+            .otherwise(local + carry))
     }
     values.indices.foldLeft(withOuts)(
       (d, i) => d.drop(s"__scan_v$i", s"__scan_c$i"))

@@ -324,7 +324,7 @@ object SemDedup {
   private[operators] def searchGraph(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
     graft.Memo.cached(graphCache, s,
-      Similarity.dataKey(dir, "embeddings")) {
+      Similarity.dataKey(dir, "embeddings"), "sim_graph_index") {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val cents = KMeans.trainedCentroids(s, dir)

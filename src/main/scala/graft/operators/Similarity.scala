@@ -979,7 +979,8 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def ivfPqListsDir(s: SparkSession, dir: String): String =
-    graft.Memo.cached(listsDirCache, s, dataKey(dir, "embeddings")) {
+    graft.Memo.cached(listsDirCache, s, dataKey(dir, "embeddings"),
+        "sim_ivf_lists") {
         import s.implicits._
         val icents = ivfCentroids(s, dir)
         val cbs = pqCodebooks(s, dir)

@@ -171,7 +171,7 @@ object Unigram {
   private def train(s: SparkSession, dir: String)
       : (DataFrame, Map[String, Double], Int) =
     graft.Memo.cached(trainCache, s,
-      Similarity.dataKey(dir, "documents")) {
+      Similarity.dataKey(dir, "documents"), "tok_unigram_train") {
       val L = maxLen(s, dir)
       val w = words(s, dir).localCheckpoint()
       val seedPc = seed(s, dir).localCheckpoint()

@@ -1406,6 +1406,37 @@ object StreamQueries {
         keys.select("asset_id", "shingle"))
     }
 
+  /** Streaming audio containment — `mm_audio_containment` on the
+    * incremental engine: the SAME cross-trigger per-(asset, shingle)
+    * update-mode state [[streamAudioNeardup]] maintains (arrival-order
+    * insensitive, the streaming form of the batch DISTINCT), closed by
+    * the CONTAINMENT finalize instead of the Jaccard one — proof that
+    * the streaming window state generalizes across every set-overlap
+    * measure, not just the one it was built for. Final state equals the
+    * batch `mm_audio_containment` under any trigger split; the oracle
+    * IS that query's SQL.
+    */
+  def streamAudioContainment(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val path = s"$dir/documents.parquet"
+      val src = stageAsDirParts(s, path, 4)
+      val schema = s.read.parquet(src).schema
+      val sh = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .where("doc_id % 3 = 1")
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          graft.operators.Multimodal.audioShingleRows(id,
+            graft.operators.Multimodal.audioAssetPayload(id, text))
+        })
+        .toDF("asset_id", "shingle")
+        .groupBy($"asset_id", $"shingle").agg(count(lit(1)).as("n_occ"))
+      val keys = runDeltaLog(sh, "update", Seq("asset_id", "shingle"))
+      graft.operators.Multimodal.audioContainmentPairs(s,
+        keys.select("asset_id", "shingle"))
+    }
+
   /** Streaming video near-dup — `mm_video_neardup` on the incremental
     * engine, identical contract shape to [[streamAudioNeardup]]: AVI
     * containers decoded per micro-batch (genuine walk via
@@ -1431,13 +1462,14 @@ object StreamQueries {
         .toDF("asset_id", "shingle")
         .groupBy($"asset_id", $"shingle").agg(count(lit(1)).as("n_occ"))
       val keys = runDeltaLog(sh, "update", Seq("asset_id", "shingle"))
-      graft.operators.Multimodal.audioNeardupPairs(s,
+      graft.operators.Multimodal.videoNeardupPairs(s,
         keys.select("asset_id", "shingle"))
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_video_neardup" -> (streamVideoNeardup _),
     "stream_audio_neardup" -> (streamAudioNeardup _),
+    "stream_audio_containment" -> (streamAudioContainment _),
     "stream_anomaly_mad" -> (streamAnomalyMad _),
     "stream_lttb" -> (streamLttb _),
     "stream_cdc_chunks" -> (streamCdcChunks _),
@@ -1487,6 +1519,7 @@ object StreamQueries {
   private def baseOracles: Map[String, String] = Map(
     // final streaming state must equal the batch answers
     "stream_audio_neardup" -> graft.operators.Multimodal.audioNeardupSql,
+    "stream_audio_containment" -> graft.operators.Multimodal.audioContainmentSql,
     "stream_video_neardup" -> graft.operators.Multimodal.videoNeardupSql,
     "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
     "stream_value_drift" -> graft.operators.DataQuality.dqValueDriftSql,

@@ -36,6 +36,39 @@ class MemoSpec extends AnyFunSuite {
     assert(m2((u, "memospec-fp")) == "live2")
   }
 
+  test("registry holds caches weakly: a dropped test-local cache is pruned") {
+    // register a cache that nothing else references…
+    var m: TrieMap[(String, String), String] =
+      TrieMap.empty[(String, String), String]
+    assert(Memo.cached(m, spark, "memospec-weak-fp")("v") == "v")
+    val before = Memo.registeredCount
+    val probe = new java.lang.ref.WeakReference(m)
+    m = null // …drop the only strong reference
+    // coax the collector until the probe clears (bounded — the maps are
+    // small and unreachable, so this converges in a few cycles)
+    var tries = 0
+    while (probe.get != null && tries < 50) {
+      System.gc(); Thread.sleep(10); tries += 1
+    }
+    assume(probe.get == null, "JVM declined to collect the probe map")
+    Memo.sweepAll() // prunes cleared refs even with no dead sessions
+    assert(Memo.registeredCount < before,
+      "collected cache still pinned by the registry (the strong-ref leak)")
+  }
+
+  test("cached build seconds accrue to the family label and drain once") {
+    Memo.drainBuildLog(): Unit
+    val m = TrieMap.empty[(String, String), String]
+    assert(Memo.cached(m, spark, "memospec-log-fp", "memospec_fam") {
+      Thread.sleep(5); "built"
+    } == "built")
+    // a hit logs nothing
+    assert(Memo.cached(m, spark, "memospec-log-fp", "memospec_fam")("x") == "built")
+    val log = Memo.drainBuildLog()
+    assert(log.contains("memospec_fam") && log("memospec_fam") > 0.0)
+    assert(!Memo.drainBuildLog().contains("memospec_fam"), "drain must reset")
+  }
+
   test("capped cache clears on overflow and rebuilds exactly") {
     val m = TrieMap.empty[Int, Int]
     (0 until Memo.ValueCap).foreach(i => Memo.capped(m)(i, i * 10))

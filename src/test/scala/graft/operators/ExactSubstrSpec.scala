@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The ExactSubstr contract: every MAXIMAL verbatim cross-document
+  * token span of ≥ K tokens is reported at its exact 1-based start
+  * positions in BOTH documents — no clipping, no extension, no
+  * splitting — and nothing below K tokens ever appears.
+  */
+class ExactSubstrSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val K = Dedup.ExactSubstrK
+
+  /** Unique filler tokens that can never collide across docs. */
+  private def filler(tag: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"zz${tag}u$i")
+
+  private def spans(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Dedup.exactSubstrSpans(spark, docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+  }
+
+  test("planted 60-token verbatim span found at exact boundaries") {
+    val span = (0 until 60).map(i => s"shared$i")
+    val docA = (filler("a", 10) ++ span ++ filler("b", 7)).mkString(" ")
+    val docB = (filler("c", 5) ++ span ++ filler("d", 3)).mkString(" ")
+    // span starts at token 11 of A (after 10 fillers) and token 6 of B
+    assert(spans(Seq((1L, docA), (2L, docB))) ==
+      Set((1L, 2L, 11L, 6L, 60L)))
+  }
+
+  test("two disjoint shared spans between one pair stay two maximal spans") {
+    val s1 = (0 until K).map(i => s"one$i")     // exactly K tokens
+    val s2 = (0 until K + 5).map(i => s"two$i") // K+5 tokens
+    val docA = (s1 ++ filler("a", 4) ++ s2).mkString(" ")
+    val docB = (filler("b", 3) ++ s1 ++ filler("c", 9) ++ s2).mkString(" ")
+    assert(spans(Seq((1L, docA), (2L, docB))) == Set(
+      (1L, 2L, 1L, 4L, K.toLong),
+      (1L, 2L, (K + 5).toLong, (K + 13).toLong, (K + 5).toLong)))
+  }
+
+  test("spans shorter than K tokens are never reported") {
+    val short = (0 until K - 1).map(i => s"sh$i") // K-1 shared tokens
+    val docA = (short ++ filler("a", 12)).mkString(" ")
+    val docB = (filler("b", 12) ++ short).mkString(" ")
+    assert(spans(Seq((1L, docA), (2L, docB))).isEmpty)
+  }
+
+  test("a span repeated at two offsets yields one maximal span per diagonal") {
+    val span = (0 until K + 2).map(i => s"rep$i")
+    // A carries the span once; B carries it TWICE at different offsets —
+    // two diagonals, two maximal spans, neither merged nor extended
+    val docA = (filler("a", 2) ++ span ++ filler("b", 2)).mkString(" ")
+    val docB = (span ++ filler("c", 5) ++ span).mkString(" ")
+    assert(spans(Seq((1L, docA), (2L, docB))) == Set(
+      (1L, 2L, 3L, 1L, (K + 2).toLong),
+      (1L, 2L, 3L, (K + 2 + 5 + 1).toLong, (K + 2).toLong)))
+  }
+
+  test("three-document span reports every pair; tokenization is the kit's") {
+    val span = (0 until K).map(i => s"tri$i")
+    // mixed case + repeated whitespace: the split-lower-filter pipeline
+    // must normalize identically on every doc
+    val docA = ("PAD0 pad1  " + span.mkString("  ").toUpperCase).trim
+    val docB = (span ++ filler("b", 5)).mkString(" ")
+    val docC = (filler("c", 1) ++ span).mkString(" ")
+    assert(spans(Seq((1L, docA), (2L, docB), (3L, docC))) == Set(
+      (1L, 2L, 3L, 1L, K.toLong),
+      (1L, 3L, 3L, 2L, K.toLong),
+      (2L, 3L, 1L, 2L, K.toLong)))
+  }
+}

@@ -74,6 +74,101 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("image-in-video: planted frame match found through the 16-bit lane mask") {
+    import spark.implicits._
+    // image luma 65536+42 and frame sum 42 share a 16-bit signature
+    // (the lane contract); the 65536+43 image matches nothing
+    val imgs = Seq((100L, 65536L + 42L), (200L, 65536L + 43L))
+      .toDF("image_id", "luma_sum")
+    val frames = Seq((7L, 42L), (7L, 9L), (7L, 11L), (8L, 5L))
+      .toDF("video_id", "px_sum")
+    val out = Multimodal.imageInVideoPairs(imgs, frames).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 7L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == math.round(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("image-in-video: corpus pairs recompute from independent decodes") {
+    val byType = Multimodal.assets(spark, sf).collect()
+      .groupBy(_.media_type)
+    val imgSigs = byType.getOrElse("image", Array.empty)
+      .flatMap(a => Multimodal.decodeBmp(a.payload)
+        .map { case (_, _, luma, _) => a.asset_id -> (luma % 65536L) })
+    val frameSigs = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val avi = Multimodal.videoAssetPayload(id, r.getString(1))
+        Multimodal.decodeAviFrames(avi).toSeq.flatMap(_._4.map {
+          case (_, _, _, px) => id -> (px % 65536L)
+        })
+      }
+    val nf = frameSigs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = (for {
+      (iid, isig) <- imgSigs
+      (vid, vsig) <- frameSigs if vsig == isig
+    } yield (iid, vid)).groupBy(identity).map { case ((iid, vid), hits) =>
+      (iid, vid, hits.length.toLong, nf(vid),
+        math.round(hits.length.toDouble / nf(vid) * 1e6) / 1e6)
+    }.toSet
+    val got = Multimodal.imageInVideo(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expected)
+  }
+
+  test("a/v sync: totals recompute from independent decodes of both modalities") {
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // independent audio side: decodable WAVs' VAD active counts
+    val aActive = docs.filter(_._1 % 3 == 1).flatMap { case (id, text, _) =>
+      val wav = Multimodal.audioAssetPayload(id, text)
+      Multimodal.decodeWav(wav).map { case (n, _) =>
+        val buf = java.nio.ByteBuffer.wrap(wav)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val k = Multimodal.VadFrameSamples
+        val act = (0 until (n + k - 1) / k).count { f =>
+          val end = math.min(f * k + k, n)
+          (f * k until end).map(i =>
+            math.abs(buf.getShort(44 + 2 * i).toLong)).sum >
+            Multimodal.VadThreshold
+        }
+        id -> act.toLong
+      }
+    }.toMap
+    // independent video side: bright-frame counts over the AVI walk
+    val vActive = docs.flatMap { case (id, text, _) =>
+      Multimodal.decodeAviFrames(Multimodal.videoAssetPayload(id, text))
+        .map { case (_, _, _, fr) =>
+          id -> fr.count { case (_, _, fsz, px) => 2 * px > 255L * fsz }.toLong
+        }
+    }.toMap
+    val srcOf = docs.map(d => d._1 -> d._3).toMap
+    val pairs = aActive.keySet intersect vActive.keySet
+    val expected = pairs.groupBy(srcOf).map { case (src, ids) =>
+      val a = ids.toSeq.map(aActive).sum
+      val v = ids.toSeq.map(vActive).sum
+      (src, ids.size.toLong,
+        ids.count(id => (aActive(id) == 0L) != (vActive(id) == 0L)).toLong,
+        ids.count { id =>
+          val (x, y) = (aActive(id), vActive(id))
+          x > 0 && y > 0 && x <= Multimodal.AvSyncBand * y &&
+            y <= Multimodal.AvSyncBand * x
+        }.toLong,
+        a, v,
+        if (v > 0) Some(math.floor(a.toDouble / v * 1e6 + 0.5) / 1e6)
+        else None)
+    }.toSet
+    val got = Multimodal.avSync(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("audio neardup: repeated windows count once — exact dup scores 1.0") {
     import spark.implicits._
     // two identical clips, each a 4-window loop repeated 25× (100
@@ -101,7 +196,8 @@ class MultimodalSpec extends AnyFunSuite {
     val shingles = rows.toDF("asset_id", "shingle")
     assert(Multimodal.audioNeardupPairs(spark, shingles).collect().isEmpty)
     val out = Multimodal
-      .containmentFinalize(Multimodal.audioSharedPairs(spark, shingles))
+      .containmentFinalize(Multimodal.sharedWindowPairs(spark, shingles,
+        Multimodal.AudioDfCut))
       .collect()
     assert(out.length == 1)
     val r = out.head

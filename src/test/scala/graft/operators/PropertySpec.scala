@@ -110,6 +110,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: video shingles from the real AVI walk match the closed-form fill") {
+    // random clip geometries including the degenerates (0/1/2 frames →
+    // no trigram) and frames big enough that the per-frame pixel sum
+    // EXCEEDS 16 bits (w·h·255 ≥ 65536 from ~257 px) — exercising both
+    // the container walk and the 16-bit lane mask against an
+    // in-memory reference computed straight from the generator fill
+    val gen = for {
+      nf <- Gen.chooseNum(0, 8)
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 24)
+      seed <- Gen.chooseNum(0, 232)
+    } yield (nf, w, h, seed)
+    val params = Gen.Parameters.default
+    var bigFrameSeen = false
+    // iteration 0 pins a geometry whose frame sums are guaranteed past
+    // 16 bits (30×30 px, mean fill ≈ 127.5·900 ≈ 114 750); 1–15 roam
+    val cases = (30, 30, 30, 123) +:
+      (1 to 15).map(i => gen.pureApply(params, Seed(4000L + i)))
+    cases.zipWithIndex.foreach { case ((nf, w, h, seed), i) =>
+      val avi = Multimodal.encodeAvi(nf, w, h, seed)
+      val got = Multimodal.videoShingleRows(7L, avi).toList
+      val sums = (0 until nf).map { f =>
+        var s = 0L
+        var j = 0
+        while (j < w * h) { s += (seed + 31 * j + 7 * f) % 256; j += 1 }
+        if (s > 0xFFFFL) bigFrameSeen = true
+        s & 0xFFFFL
+      }
+      val want =
+        if (nf < 3) Nil
+        else (0 until nf - 2).map(f =>
+          (7L, (sums(f) * 65536L + sums(f + 1)) * 65536L + sums(f + 2))).toList
+      assert(got == want, s"iteration $i (seed ${4000 + i}: nf=$nf w=$w h=$h)")
+      // a corrupted magic must yield zero rows, never garbage trigrams
+      val bad = avi.clone(); bad(0) = 'X'.toByte
+      assert(Multimodal.videoShingleRows(7L, bad).isEmpty)
+    }
+    assert(bigFrameSeen, "generator never exercised a >16-bit frame sum")
+  }
+
   test("property: segmented cumsum equals the sequential prefix sum under any shard width") {
     import spark.implicits._
     val genData = for {

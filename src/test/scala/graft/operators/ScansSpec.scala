@@ -64,6 +64,51 @@ class ScansSpec extends AnyFunSuite {
     assert(sp.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("negative keys shard floor-correctly and match the global window") {
+    import spark.implicits._
+    // signed keys straddling zero: `div` truncation toward zero would
+    // fold keys in (-width, 0) into shard 0 with the non-negatives and
+    // break monotonicity; the min-offset makes bucketing a true floor
+    val df = (-500L until 500L).map(i => (i, i * 37 % 11)).toDF("id", "a")
+    val out = Scans.segmentedCumSum(Scans.shardByRange(df, $"id"),
+      "__shard", Seq($"id"), Seq(($"a", "ca")))
+    val w = Window.orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("ca", sum($"a").over(w))
+      .select($"id", $"ca").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.select($"id", $"ca").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // shard ids stay monotone in the key
+    val shardByKey = out.select($"id", $"__shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    assert(shardByKey.zip(shardByKey.tail).forall { case (a, b) => a <= b })
+    assert(out.select($"__shard").distinct().count() >= Scans.ScanShards / 2)
+  }
+
+  test("nullable values keep SQL null-skipping semantics of the global window") {
+    import spark.implicits._
+    // leading all-NULL prefix (rows 0-99 NULL: global window gives NULL
+    // there, NOT 0) plus interior nulls; java.lang.Long encodes nulls
+    val df = (0L until 1000L).map { i =>
+      val v: java.lang.Long =
+        if (i < 100 || i % 7 == 3) null else java.lang.Long.valueOf(i % 13)
+      (i, v)
+    }.toDF("id", "a")
+    val out = Scans.segmentedCumSum(Scans.shardByRange(df, $"id"),
+      "__shard", Seq($"id"), Seq(($"a", "ca")))
+    val w = Window.orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    val want = df.withColumn("ca", sum($"a").over(w))
+      .select($"id", $"ca").collect().map(key).toSet
+    val got = out.select($"id", $"ca").collect().map(key).toSet
+    assert(got == want)
+    assert(want.exists(_._2.isEmpty), "fixture must exercise NULL outputs")
+  }
+
   test("segmented row_number = global rank, order ties never split across shards") {
     import spark.implicits._
     // scores with heavy ties (only 5 distinct values over 400 rows);
