@@ -1737,17 +1737,38 @@ object Dedup {
     * way.
     */
   def exactSubstr(s: SparkSession, dir: String): DataFrame =
-    exactSubstrSpans(s, Tables.documents(s, dir))
+    exactSubstrFor(s, dir)
+
+  /** The span table memoized per (session, corpus fingerprint) — the
+    * posting join + island merge is shared by `dedup_exact_substr` and
+    * `dedup_substr_savings` (the [[sharedPairs]] rationale).
+    */
+  private val substrCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def exactSubstrFor(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(substrCache, s,
+      Similarity.dataKey(dir, "documents"), "dedup_substr_spans") {
+      exactSubstrSpans(s, Tables.documents(s, dir)).localCheckpoint()
+    }
 
   /** Core of [[exactSubstr]] over any (doc_id, text) frame — the seam
     * the planted-span specs drive.
     */
   private[graft] def exactSubstrSpans(
+      s: SparkSession, docs: DataFrame): DataFrame =
+    spansFromOcc(s, exactSubstrOcc(s, docs))
+
+  /** The (doc_id, pos, gram-hash) posting rows — stateless row-local
+    * expressions only, so the STREAMING arrival path can run the same
+    * code per micro-batch (`stream_exact_substr` accumulates exactly
+    * these rows as its cross-trigger state).
+    */
+  private[graft] def exactSubstrOcc(
       s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val k = ExactSubstrK
-    val occ = docs
+    docs
       .selectExpr("doc_id",
         "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
       .where(s"size(toks) >= $k")
@@ -1757,6 +1778,16 @@ object Dedup {
            |    1, 15), 16, 10))) AS (pos0, gh)""".stripMargin)
       .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"),
         $"gh".cast("long").as("gh"))
+  }
+
+  /** Posting join + island merge over (doc_id, pos, gh) rows — the
+    * batch finalize, shared with the streaming drain.
+    */
+  private[graft] def spansFromOcc(
+      s: SparkSession, occ: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = ExactSubstrK
     val stats = occ.groupBy($"gh")
       .agg(count(lit(1)).as("occn"), countDistinct($"doc_id").as("df"))
       .where($"df" >= 2 && $"occn" <= ExactSubstrOccCut)
@@ -1774,8 +1805,13 @@ object Dedup {
       .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
   }
 
-  val exactSubstrSql: String =
-    s"""WITH toks AS (
+  /** Shared oracle CTEs (no WITH prefix) ending in `spans` — single
+    * source of truth for tokenization, gram width, the occurrence cut,
+    * and the island merge across the span oracle AND the savings
+    * oracle.
+    */
+  private def exactSubstrCtes: String =
+    s"""toks AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
        |  FROM documents),
@@ -1797,14 +1833,167 @@ object Dedup {
        |isl AS (
        |  SELECT *, pa - row_number() OVER (
        |    PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS g
-       |  FROM hits)
-       |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
-       |  CAST(min(pb) AS BIGINT) AS start_b,
-       |  CAST(count(*) + ${ExactSubstrK - 1} AS BIGINT) AS span_tokens
-       |FROM isl GROUP BY doc_a, doc_b, pa - pb, g""".stripMargin
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
+       |    CAST(min(pb) AS BIGINT) AS start_b,
+       |    CAST(count(*) + ${ExactSubstrK - 1} AS BIGINT) AS span_tokens
+       |  FROM isl GROUP BY doc_a, doc_b, pa - pb, g)""".stripMargin
+
+  val exactSubstrSql: String =
+    s"""WITH $exactSubstrCtes
+       |SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans""".stripMargin
+
+  /** Net duplicate-token measurement over the [[exactSubstr]] span
+    * table — the number every production ExactSubstr run reports
+    * (Lee et al. strike ~3% of C4 this way): per source, how many
+    * token positions sit inside at least one cross-document verbatim
+    * span. A doc's spans overlap freely (one span per partner pair,
+    * plus multiple diagonals), so the per-doc covered count is the
+    * measure of the UNION of its intervals — a second gaps-and-islands
+    * pass, this time over (start, end) intervals ordered by start with
+    * a running max-end carry, all windows partitioned by doc_id.
+    *
+    * Output per source: doc counts, affected docs, total tokens,
+    * covered (strikeable) tokens, and the duplication fraction as one
+    * 6-dp ratio-of-integer-sums.
+    */
+  def substrSavings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spans = exactSubstrFor(s, dir)
+    val iv = spans
+      .selectExpr("doc_a AS doc_id", "start_a AS st",
+        "start_a + span_tokens - 1 AS en")
+      .unionAll(spans.selectExpr("doc_b AS doc_id", "start_b AS st",
+        "start_b + span_tokens - 1 AS en"))
+    val cov = intervalUnionLen(iv)
+    val docs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "source",
+        "size(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS n_toks")
+    docs.join(cov, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"covered".isNotNull, 1L).otherwise(0L)).as("n_docs_affected"),
+        sum($"n_toks").as("total_tokens"),
+        sum(coalesce($"covered", lit(0L))).as("dup_tokens"))
+      .selectExpr("source",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_docs_affected AS BIGINT) AS n_docs_affected",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        "CAST(dup_tokens AS BIGINT) AS dup_tokens",
+        """floor(CAST(dup_tokens AS DOUBLE) / total_tokens * 1e6 + 0.5)
+          | / 1e6 AS dup_frac""".stripMargin)
+  }
+
+  /** Eval-shard predicate for [[decontaminateSpans]] — a
+    * scale-proportional 2% held-out split (the fixed 10-doc benchmark
+    * set `dedup_decontaminate` audits is too small to organically
+    * intersect the span table at every SF; a real decontamination run
+    * audits against eval sets that grow with the benchmark suite).
+    */
+  val DecontamSpanMod = 50
+  val DecontamSpanRes = 7
+
+  /** Position-level contamination audit — [[decontaminate]] upgraded
+    * from "this training doc shares ≥1 eval 5-gram" to "these EXACT
+    * token ranges of this training doc appear verbatim in that eval
+    * doc": the [[exactSubstr]] span table filtered to pairs with
+    * exactly one side in the held-out shard, reoriented as
+    * (train_doc, eval_doc, train_start, eval_start, span_tokens).
+    * This is the artifact a contamination report actually ships —
+    * the spans to strike or the rows to drop, with evidence — and it
+    * rides the memoized span table, so the audit is a filter, not a
+    * recompute.
+    */
+  def decontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(DecontamSpanMod.toLong)) === DecontamSpanRes.toLong
+    exactSubstrFor(s, dir)
+      .where(ev($"doc_a") =!= ev($"doc_b"))
+      .selectExpr(
+        s"CASE WHEN doc_a % $DecontamSpanMod = $DecontamSpanRes THEN doc_b ELSE doc_a END AS train_doc",
+        s"CASE WHEN doc_a % $DecontamSpanMod = $DecontamSpanRes THEN doc_a ELSE doc_b END AS eval_doc",
+        s"CASE WHEN doc_a % $DecontamSpanMod = $DecontamSpanRes THEN start_b ELSE start_a END AS train_start",
+        s"CASE WHEN doc_a % $DecontamSpanMod = $DecontamSpanRes THEN start_a ELSE start_b END AS eval_start",
+        "span_tokens")
+  }
+
+  val decontaminateSpansSql: String =
+    s"""WITH $exactSubstrCtes
+       |SELECT
+       |  CASE WHEN doc_a % $DecontamSpanMod = $DecontamSpanRes THEN doc_b ELSE doc_a END AS train_doc,
+       |  CASE WHEN doc_a % $DecontamSpanMod = $DecontamSpanRes THEN doc_a ELSE doc_b END AS eval_doc,
+       |  CASE WHEN doc_a % $DecontamSpanMod = $DecontamSpanRes THEN start_b ELSE start_a END AS train_start,
+       |  CASE WHEN doc_a % $DecontamSpanMod = $DecontamSpanRes THEN start_a ELSE start_b END AS eval_start,
+       |  span_tokens
+       |FROM spans
+       |WHERE (doc_a % $DecontamSpanMod = $DecontamSpanRes)
+       |  <> (doc_b % $DecontamSpanMod = $DecontamSpanRes)""".stripMargin
+
+  /** Union-of-intervals length per doc over (doc_id, st, en) rows —
+    * inclusive integer intervals, overlapping/nested/adjacent all
+    * collapse: order by start, carry the running max end, a new island
+    * starts where the next start clears every end seen so far. All
+    * windows partition by doc_id. The seam the interval specs drive.
+    */
+  private[graft] def intervalUnionLen(iv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("pm", max(col("en")).over(wPrev))
+      .withColumn("nw",
+        when(col("pm").isNull || col("st") > col("pm"), 1L).otherwise(0L))
+      .withColumn("g", sum(col("nw")).over(wRun))
+      .groupBy(col("doc_id"), col("g"))
+      .agg((max(col("en")) - min(col("st")) + 1L).as("len"))
+      .groupBy(col("doc_id")).agg(sum(col("len")).as("covered"))
+  }
+
+  val substrSavingsSql: String =
+    s"""WITH $exactSubstrCtes,
+       |iv AS (
+       |  SELECT doc_a AS doc_id, start_a AS st,
+       |    start_a + span_tokens - 1 AS en FROM spans
+       |  UNION ALL
+       |  SELECT doc_b, start_b, start_b + span_tokens - 1 FROM spans),
+       |mk AS (
+       |  SELECT doc_id, st, en,
+       |    max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM iv),
+       |grp AS (
+       |  SELECT doc_id, st, en,
+       |    sum(CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY st, en
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM mk),
+       |cov AS (
+       |  SELECT doc_id, sum(len) AS covered FROM (
+       |    SELECT doc_id, g, max(en) - min(st) + 1 AS len
+       |    FROM grp GROUP BY doc_id, g)
+       |  GROUP BY doc_id),
+       |dt AS (
+       |  SELECT d.doc_id, d.source, len(t.t) AS n_toks
+       |  FROM documents d JOIN toks t ON t.doc_id = d.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN c.covered IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_affected,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  CAST(sum(coalesce(c.covered, 0)) AS BIGINT) AS dup_tokens,
+       |  floor(CAST(sum(coalesce(c.covered, 0)) AS DOUBLE)
+       |    / sum(n_toks) * 1e6 + 0.5) / 1e6 AS dup_frac
+       |FROM dt LEFT JOIN cov c ON c.doc_id = dt.doc_id
+       |GROUP BY source""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_substr" -> (exactSubstr _),
+    "dedup_substr_savings" -> (substrSavings _),
+    "dedup_decontaminate_spans" -> (decontaminateSpans _),
     "dedup_cdc_chunks" -> (cdcChunks _),
     "dedup_winnow" -> (winnowPairs _),
     "doc_boilerplate_ratio" -> (boilerplateRatio _),
@@ -1839,6 +2028,8 @@ object Dedup {
     val (bits, nChunks) = simhashParams(s, dir)
     Map(
       "dedup_exact_substr" -> exactSubstrSql,
+      "dedup_substr_savings" -> substrSavingsSql,
+      "dedup_decontaminate_spans" -> decontaminateSpansSql,
       "dedup_cdc_chunks" -> cdcChunksSql,
       "dedup_winnow" -> winnowPairsSql,
       "doc_boilerplate_ratio" -> boilerplateRatioSql,

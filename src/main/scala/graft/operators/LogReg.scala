@@ -168,6 +168,33 @@ object LogReg {
         $"w".as("weight"), $"train_correct")
   }
 
+  /** Reliability diagram of the trained classifier — the calibration
+    * readout a quality-scoring pipeline checks before TRUSTING the
+    * scores as sampling weights (a miscalibrated classifier skews
+    * every downstream quality-binned mixture): predictions bucketed
+    * into 10 confidence bins (p = 1.0 folds into the top bin), each
+    * bin reporting its size, mean predicted probability, and observed
+    * positive rate. Means are ratios of EXACT decimal sums — p is the
+    * 6-dp-stabilized sigmoid, so summing as DECIMAL(8,6) is
+    * order-independent and engine-exact; a double sum would wobble in
+    * the last ulp under Spark's partition-order nondeterminism. Same
+    * training pass as [[lrClassifier]]; |bins| rows out.
+    */
+  def lrCalibration(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, p) = fit(s, dir)
+    p.selectExpr("least(CAST(floor(p * 10) AS INT), 9) AS bin", "p", "y")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast("decimal(8,6)")).as("psum"),
+        sum(col("y").cast("decimal(8,6)")).as("ysum"))
+      .selectExpr("bin", "CAST(n AS BIGINT) AS n",
+        "floor(CAST(psum AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS avg_p",
+        "floor(CAST(ysum AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS frac_pos",
+        """floor(abs(floor(CAST(psum AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+          |  - floor(CAST(ysum AS DOUBLE) / n * 1e6 + 0.5) / 1e6)
+          |  * 1e6 + 0.5) / 1e6 AS gap""".stripMargin)
+  }
+
   // ------------------------------------------------------- EL2N selection
 
   /** Early-checkpoint iteration count and keep fraction for [[el2nSelect]]. */
@@ -341,11 +368,41 @@ object LogReg {
        |  FROM scored) s CROSS JOIN nn""".stripMargin
   }
 
+  /** Oracle: the shared CTEs + full-iteration forward, then the same
+    * decimal-sum binning.
+    */
+  val lrCalibrationSql: String = {
+    val iters = (1 to Iters).map(sqlIter).mkString(",\n")
+    s"""$sqlBase,
+       |$iters,
+       |pfin AS MATERIALIZED (
+       |  SELECT x.doc_id, x.y,
+       |    floor((1.0 / (1.0 + exp(-CAST(sum(CAST(round(x.x * w.w, 9)
+       |      AS DECIMAL(28,12))) AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS p
+       |  FROM xy x JOIN w$Iters w ON x.j = w.j
+       |  GROUP BY x.doc_id, x.y),
+       |binned AS (
+       |  SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y FROM pfin)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  floor(CAST(sum(CAST(p AS DECIMAL(8,6))) AS DOUBLE) / count(*)
+       |    * 1e6 + 0.5) / 1e6 AS avg_p,
+       |  floor(CAST(sum(CAST(y AS DECIMAL(8,6))) AS DOUBLE) / count(*)
+       |    * 1e6 + 0.5) / 1e6 AS frac_pos,
+       |  floor(abs(
+       |    floor(CAST(sum(CAST(p AS DECIMAL(8,6))) AS DOUBLE) / count(*)
+       |      * 1e6 + 0.5) / 1e6
+       |    - floor(CAST(sum(CAST(y AS DECIMAL(8,6))) AS DOUBLE) / count(*)
+       |      * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6 AS gap
+       |FROM binned GROUP BY bin""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_lr_classifier" -> (lrClassifier _),
+    "doc_lr_calibration" -> (lrCalibration _),
     "curate_el2n" -> (el2nSelect _))
 
   def oracles: Map[String, String] = Map(
     "doc_lr_classifier" -> lrClassifierSql,
+    "doc_lr_calibration" -> lrCalibrationSql,
     "curate_el2n" -> el2nSelectSql)
 }

@@ -2055,6 +2055,10 @@ object Multimodal {
       s: SparkSession, shingles: DataFrame): DataFrame =
     containmentFinalize(sharedWindowPairs(s, shingles, AudioDfCut))
 
+  private[graft] def videoContainmentPairs(
+      s: SparkSession, shingles: DataFrame): DataFrame =
+    containmentFinalize(sharedWindowPairs(s, shingles, VideoDfCut))
+
   /** The batch pair table memoized per (session, corpus fingerprint) —
     * the expensive inverted-index join is shared by `mm_audio_neardup`
     * and `mm_audio_containment` (the [[Dedup.sharedPairs]] rationale).
@@ -2263,10 +2267,30 @@ object Multimodal {
     * keep_asset_id per family, singletons included — the last step of
     * the audio dedup pipeline (pairs → families → keep set).
     */
-  def audioClusters(s: SparkSession, dir: String): DataFrame = {
+  def audioClusters(s: SparkSession, dir: String): DataFrame =
+    contentClusters(s, audioNeardup(s, dir), audioShingles(s, dir))
+
+  /** Video near-dup cluster resolution — [[audioClusters]]' pairs →
+    * families → keep-set pipeline on the frame-trigram modality:
+    * connected components over the [[videoNeardup]] pair graph, one
+    * canonical keeper per family = the clip with the LARGEST
+    * distinct-trigram fingerprint (the master recording; shorter
+    * re-cuts drop), asset-id tie-break, singletons included (every
+    * shingled asset, i.e. every decodable ≥3-frame clip).
+    */
+  def videoClusters(s: SparkSession, dir: String): DataFrame =
+    contentClusters(s, videoNeardup(s, dir), videoShingles(s, dir))
+
+  /** Shared cluster resolution over any modality's thresholded pair
+    * graph + raw (asset_id, shingle) rows: the `dedup_clusters`
+    * level-synchronous propagation sized off the subgraph's edge
+    * count, then the largest-fingerprint keep rule.
+    */
+  private def contentClusters(s: SparkSession, pairsThresholded: DataFrame,
+      shingles: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = audioNeardup(s, dir).select($"asset_a", $"asset_b")
+    val pairs = pairsThresholded.select($"asset_a", $"asset_b")
     val staged = pairs.union(pairs.select($"asset_b", $"asset_a"))
       .toDF("src", "dst").localCheckpoint()
     val nEdges = staged.count()
@@ -2278,7 +2302,7 @@ object Multimodal {
       2L * graft.functions.Hashing.log2ceil(math.max(2L, 2L * nEdges)) + 8L
     val (labels, _) =
       Dedup.connectedComponents(edges, nParts, maxIters, 2L * nEdges + 2L)
-    val nw = audioShingles(s, dir).distinct()
+    val nw = shingles.distinct()
       .groupBy($"asset_id").agg(count(lit(1)).as("nw"))
     val lbl = nw
       .join(labels.withColumnRenamed("doc_id", "asset_id"),
@@ -2342,6 +2366,31 @@ object Multimodal {
        |FROM p
        |WHERE round(CAST(shared AS DOUBLE) / wa, 6) >= $AudioContainThresh
        |   OR round(CAST(shared AS DOUBLE) / wb, 6) >= $AudioContainThresh""".stripMargin
+
+  val videoClustersSql: String =
+    s"""WITH RECURSIVE $videoPairCtes,
+       |nd AS (
+       |  SELECT asset_a, asset_b FROM p
+       |  WHERE floor(CAST(shared AS DOUBLE) / (wa + wb - shared) * 1e6 + 0.5)
+       |      / 1e6 >= $AudioJaccThresh),
+       |anw AS (SELECT DISTINCT doc_id, nw FROM keys),
+       |edges AS (
+       |  SELECT asset_a AS src, asset_b AS dst FROM nd
+       |  UNION ALL SELECT asset_b, asset_a FROM nd),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM anw
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |clusters AS (
+       |  SELECT a AS asset_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.asset_id,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY w.nw DESC, c.asset_id) AS rn
+       |  FROM clusters c JOIN anw w ON w.doc_id = c.asset_id)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  max(CASE WHEN rn = 1 THEN asset_id END) AS keep_asset_id
+       |FROM ranked GROUP BY cluster_id""".stripMargin
 
   val audioClustersSql: String =
     s"""WITH RECURSIVE $audioPairCtes,
@@ -2672,6 +2721,7 @@ object Multimodal {
     "mm_speech_caption_align" -> (speechCaptionAlign _),
     "mm_audio_containment" -> (audioContainment _),
     "mm_audio_clusters" -> (audioClusters _),
+    "mm_video_clusters" -> (videoClusters _),
     "mm_video_neardup" -> (videoNeardup _),
     "mm_video_containment" -> (videoContainment _),
     "mm_audio_neardup" -> (audioNeardup _),
@@ -2698,6 +2748,7 @@ object Multimodal {
     "mm_speech_caption_align" -> speechCaptionAlignSql,
     "mm_audio_containment" -> audioContainmentSql,
     "mm_audio_clusters" -> audioClustersSql,
+    "mm_video_clusters" -> videoClustersSql,
     "mm_video_neardup" -> videoNeardupSql,
     "mm_video_containment" -> videoContainmentSql,
     "mm_audio_neardup" -> audioNeardupSql,

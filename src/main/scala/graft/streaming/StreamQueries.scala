@@ -1406,6 +1406,34 @@ object StreamQueries {
         keys.select("asset_id", "shingle"))
     }
 
+  /** Streaming ExactSubstr — `dedup_exact_substr` on the incremental
+    * engine: documents arrive across triggers, each micro-batch runs
+    * the SAME stateless row-local posting expressions
+    * ([[graft.operators.Dedup.exactSubstrOcc]] — tokenize, k-gram,
+    * md5-60 hash), and the cross-trigger state is the per-(gh, doc,
+    * pos) update-mode aggregation (arrival-order-insensitive; the
+    * streaming form of the batch posting table). The drained state IS
+    * the posting table, and the finalize runs the SAME df-filtered
+    * join + per-diagonal island merge
+    * ([[graft.operators.Dedup.spansFromOcc]]), so the result equals
+    * the batch answer under any trigger split; the oracle IS that
+    * query's SQL.
+    */
+  def streamExactSubstr(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val occ = graft.operators.Dedup.exactSubstrOcc(s,
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .select($"doc_id", $"text"))
+        .groupBy($"gh", $"doc_id", $"pos").agg(count(lit(1)).as("n_occ"))
+      val keys = runDeltaLog(occ, "update", Seq("gh", "doc_id", "pos"))
+      graft.operators.Dedup.spansFromOcc(s,
+        keys.select("doc_id", "pos", "gh"))
+    }
+
   /** Streaming audio containment — `mm_audio_containment` on the
     * incremental engine: the SAME cross-trigger per-(asset, shingle)
     * update-mode state [[streamAudioNeardup]] maintains (arrival-order
@@ -1434,6 +1462,31 @@ object StreamQueries {
         .groupBy($"asset_id", $"shingle").agg(count(lit(1)).as("n_occ"))
       val keys = runDeltaLog(sh, "update", Seq("asset_id", "shingle"))
       graft.operators.Multimodal.audioContainmentPairs(s,
+        keys.select("asset_id", "shingle"))
+    }
+
+  /** Streaming video containment — the video twin of
+    * [[streamAudioContainment]]: the cross-trigger (asset, shingle)
+    * frame-trigram state of [[streamVideoNeardup]], closed by the
+    * containment finalize. Equals the batch `mm_video_containment`
+    * under any trigger split; the oracle IS that query's SQL.
+    */
+  def streamVideoContainment(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val sh = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          graft.operators.Multimodal.videoShingleRows(id,
+            graft.operators.Multimodal.videoAssetPayload(id, text))
+        })
+        .toDF("asset_id", "shingle")
+        .groupBy($"asset_id", $"shingle").agg(count(lit(1)).as("n_occ"))
+      val keys = runDeltaLog(sh, "update", Seq("asset_id", "shingle"))
+      graft.operators.Multimodal.videoContainmentPairs(s,
         keys.select("asset_id", "shingle"))
     }
 
@@ -1470,6 +1523,8 @@ object StreamQueries {
     "stream_video_neardup" -> (streamVideoNeardup _),
     "stream_audio_neardup" -> (streamAudioNeardup _),
     "stream_audio_containment" -> (streamAudioContainment _),
+    "stream_exact_substr" -> (streamExactSubstr _),
+    "stream_video_containment" -> (streamVideoContainment _),
     "stream_anomaly_mad" -> (streamAnomalyMad _),
     "stream_lttb" -> (streamLttb _),
     "stream_cdc_chunks" -> (streamCdcChunks _),
@@ -1520,6 +1575,8 @@ object StreamQueries {
     // final streaming state must equal the batch answers
     "stream_audio_neardup" -> graft.operators.Multimodal.audioNeardupSql,
     "stream_audio_containment" -> graft.operators.Multimodal.audioContainmentSql,
+    "stream_exact_substr" -> graft.operators.Dedup.exactSubstrSql,
+    "stream_video_containment" -> graft.operators.Multimodal.videoContainmentSql,
     "stream_video_neardup" -> graft.operators.Multimodal.videoNeardupSql,
     "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
     "stream_value_drift" -> graft.operators.DataQuality.dqValueDriftSql,

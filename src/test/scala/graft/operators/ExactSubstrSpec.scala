@@ -63,6 +63,23 @@ class ExactSubstrSpec extends AnyFunSuite {
       (1L, 2L, 3L, (K + 2 + 5 + 1).toLong, (K + 2).toLong)))
   }
 
+  test("interval union: overlapping, nested, adjacent, disjoint all collapse exactly") {
+    import spark.implicits._
+    val iv = Seq(
+      // doc 1: [1,5] ∪ [3,8] overlap → [1,8]; [10,12] disjoint → 8+3
+      (1L, 1L, 5L), (1L, 3L, 8L), (1L, 10L, 12L),
+      // doc 2: [2,20] nests [5,7] and touches [21,25] (adjacent) → [2,25]
+      (2L, 2L, 20L), (2L, 5L, 7L), (2L, 21L, 25L),
+      // doc 3: exact duplicate intervals count once
+      (3L, 4L, 9L), (3L, 4L, 9L),
+      // doc 4: same start, different ends → [1,3] ∪ [1,7] = [1,7]
+      (4L, 1L, 3L), (4L, 1L, 7L)
+    ).toDF("doc_id", "st", "en")
+    val got = Dedup.intervalUnionLen(iv).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 11L, 2L -> 24L, 3L -> 6L, 4L -> 7L))
+  }
+
   test("three-document span reports every pair; tokenization is the kit's") {
     val span = (0 until K).map(i => s"tri$i")
     // mixed case + repeated whitespace: the split-lower-filter pipeline
