@@ -601,7 +601,60 @@ object DataQuality {
       |    AS rn
       |FROM scored ORDER BY maha_sq DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Re-identification bar for [[dqKAnonymity]]: an equivalence class
+    * smaller than this is a privacy risk (the conventional k = 5).
+    */
+  val KAnonRiskK = 5L
+
+  /** K-anonymity census over the customer table — the privacy-risk
+    * audit a data-governance gate runs before records feed a training
+    * corpus: generalize the quasi-identifiers (nation, market segment,
+    * account-balance band of width 1000 — floor'd, so negative
+    * balances band correctly), group into equivalence classes, and
+    * report per segment the class count, the smallest class (min k),
+    * the rows in classes below [[KAnonRiskK]], and that risk mass as a
+    * 6-dp fraction. Two aggregation passes (class sizes, then the
+    * census), both map-side-combinable; |segments| rows out.
+    */
+  def dqKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.customer(s, dir)
+      .selectExpr("c_mktsegment", "c_nationkey",
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band")
+      .groupBy($"c_mktsegment", $"c_nationkey", $"bal_band")
+      .agg(count(lit(1)).as("k"))
+    classes.groupBy($"c_mktsegment".as("segment"))
+      .agg(sum($"k").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min($"k").as("min_k"),
+        sum(when($"k" < KAnonRiskK, $"k").otherwise(0L)).as("risk_rows"))
+      .selectExpr("segment",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(n_classes AS BIGINT) AS n_classes",
+        "CAST(min_k AS BIGINT) AS min_k",
+        "CAST(risk_rows AS BIGINT) AS risk_rows",
+        """floor(CAST(risk_rows AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6
+          | AS risk_frac""".stripMargin)
+  }
+
+  val dqKAnonymitySql: String =
+    s"""WITH classes AS (
+       |  SELECT c_mktsegment, c_nationkey,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |    count(*) AS k
+       |  FROM customer GROUP BY 1, 2, 3)
+       |SELECT c_mktsegment AS segment,
+       |  CAST(sum(k) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(k) AS BIGINT) AS min_k,
+       |  CAST(sum(CASE WHEN k < $KAnonRiskK THEN k ELSE 0 END) AS BIGINT)
+       |    AS risk_rows,
+       |  floor(CAST(sum(CASE WHEN k < $KAnonRiskK THEN k ELSE 0 END)
+       |    AS DOUBLE) / sum(k) * 1e6 + 0.5) / 1e6 AS risk_frac
+       |FROM classes GROUP BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_kanonymity" -> (dqKAnonymity _),
     "dq_embedding_outliers" -> (dqEmbeddingOutliers _),
     "dq_benford" -> (dqBenford _),
     "dq_value_drift" -> (dqValueDrift _),
@@ -613,6 +666,7 @@ object DataQuality {
     "dq_documents" -> (dqDocuments _))
 
   def oracles: Map[String, String] = Map(
+    "dq_kanonymity" -> dqKAnonymitySql,
     "dq_embedding_outliers" -> dqEmbeddingOutliersSql,
     "dq_benford" -> dqBenfordSql,
     "dq_value_drift" -> dqValueDriftSql,

@@ -710,7 +710,7 @@ object Dedup {
           least($"label", coalesce($"nl", $"label")).as("lbl"))
       val parents = relaxed.select($"doc_id".as("p_id"), $"lbl".as("p_lbl"))
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
-      val next = relaxed.join(parents, relaxed("lbl") === parents("p_id"), "left_outer")
+      val cp = relaxed.join(parents, relaxed("lbl") === parents("p_id"), "left_outer")
         .select($"doc_id", $"old",
           least($"lbl", coalesce($"p_lbl", $"lbl")).as("label"))
         .observe(obs,
@@ -718,8 +718,24 @@ object Dedup {
         .select($"doc_id", $"label")
         .localCheckpoint()
       converged = Option(obs.get("changed")).forall(_ == 0L)
-      labels = next
+      // STATS RESET — load-bearing, not cosmetic. localCheckpoint's
+      // LogicalRDD keeps the ORIGIN plan's statistics, and this loop's
+      // two label self-joins MULTIPLY sizeInBytes estimates, so the
+      // carried stat SQUARES every round: by round ~16 it is a
+      // ~10^5-digit BigInteger and every subsequent plan compile
+      // grinds minutes inside BigInteger.multiply (observed on the 10×
+      // video dup graph, whose chain-y components need ~24 rounds —
+      // clique-shaped audio graphs converge in ~5 and never hit it).
+      // Rebuilding the frame over the SAME checkpointed RDD drops the
+      // inherited stats to the flat default; the loop's joins are
+      // shard-partitioned equi-joins that never rely on stats-based
+      // broadcast planning.
+      labels = org.apache.spark.sql.graft.ColumnBridge.fromInternalRows(
+        s, cp.queryExecution.toRdd, cp.schema)
       i += 1
+      if (i % 8 == 0 || converged)
+        System.err.println(s"[graft] connectedComponents: round $i " +
+          s"changed=${obs.get("changed")} converged=$converged")
     }
     if (!converged)
       // FAIL LOUDLY: silently returning partial labels would split
@@ -1936,7 +1952,19 @@ object Dedup {
     * inclusive integer intervals, overlapping/nested/adjacent all
     * collapse: order by start, carry the running max end, a new island
     * starts where the next start clears every end seen so far. All
-    * windows partition by doc_id. The seam the interval specs drive.
+    * windows partition by doc_id.
+    *
+    * Intervals are DISTINCT'd first — load-bearing twice over. Union
+    * is a set measure, so duplicates (rampant when replica families
+    * share one span against many partners) are pure join-width; and
+    * with duplicates present the (st, en) ORDER BY is not a total
+    * order, so an engine free to order ties differently in the
+    * max-end window and the running-sum window can hand the island
+    * OPEN flag and the island id to DIFFERENT copies of a tied row,
+    * double-counting that island (observed as dup_frac > 1 in DuckDB
+    * at the 10× replica). After the distinct the order is total and
+    * both windows agree on every engine. The seam the interval specs
+    * drive.
     */
   private[graft] def intervalUnionLen(iv: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1944,7 +1972,7 @@ object Dedup {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    iv
+    iv.distinct()
       .withColumn("pm", max(col("en")).over(wPrev))
       .withColumn("nw",
         when(col("pm").isNull || col("st") > col("pm"), 1L).otherwise(0L))
@@ -1957,10 +1985,11 @@ object Dedup {
   val substrSavingsSql: String =
     s"""WITH $exactSubstrCtes,
        |iv AS (
-       |  SELECT doc_a AS doc_id, start_a AS st,
-       |    start_a + span_tokens - 1 AS en FROM spans
-       |  UNION ALL
-       |  SELECT doc_b, start_b, start_b + span_tokens - 1 FROM spans),
+       |  SELECT DISTINCT doc_id, st, en FROM (
+       |    SELECT doc_a AS doc_id, start_a AS st,
+       |      start_a + span_tokens - 1 AS en FROM spans
+       |    UNION ALL
+       |    SELECT doc_b, start_b, start_b + span_tokens - 1 FROM spans)),
        |mk AS (
        |  SELECT doc_id, st, en,
        |    max(en) OVER (PARTITION BY doc_id ORDER BY st, en

@@ -1465,6 +1465,51 @@ object StreamQueries {
         keys.select("asset_id", "shingle"))
     }
 
+  /** Streaming image-in-video containment — `mm_image_in_video` on the
+    * incremental engine, and the first CROSS-MODAL streaming state:
+    * each arriving document contributes its still-image signature
+    * (when it carries a decodable BMP) AND its per-frame video
+    * signatures (genuine AVI walk), tagged by modality into ONE
+    * update-mode state keyed (kind, asset, frame) — one row per frame
+    * so repeated in-clip signatures keep their multiplicity, which the
+    * matched-frame COUNT semantics require. The drained state splits
+    * by modality and runs the SAME masked-lane signature join
+    * ([[graft.operators.Multimodal.imageInVideoPairs]]); final answer
+    * equals the batch query under any trigger split; the oracle IS
+    * that query's SQL.
+    */
+  def streamImageInVideo(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val sigs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val img: Iterator[(Int, Long, Long, Long)] =
+            if (id % 3 == 0)
+              graft.operators.Multimodal
+                .decodeBmp(graft.operators.Multimodal.imageAssetPayload(id, text))
+                .iterator.map { case (_, _, luma, _) => (0, id, 0L, luma) }
+            else Iterator.empty
+          val frames = graft.operators.Multimodal
+            .decodeAviFrames(graft.operators.Multimodal.videoAssetPayload(id, text))
+            .iterator.flatMap(_._4.map { case (fi, _, _, px) =>
+              (1, id, fi.toLong, px)
+            })
+          img ++ frames
+        })
+        .toDF("kind", "asset_id", "frame_idx", "sig")
+        .groupBy($"kind", $"asset_id", $"frame_idx").agg(max($"sig").as("sig"))
+      val keys = runDeltaLog(sigs, "update", Seq("kind", "asset_id", "frame_idx"))
+      graft.operators.Multimodal.imageInVideoPairs(
+        keys.where($"kind" === 0)
+          .selectExpr("asset_id AS image_id", "sig AS luma_sum"),
+        keys.where($"kind" === 1)
+          .selectExpr("asset_id AS video_id", "sig AS px_sum"))
+    }
+
   /** Streaming video containment — the video twin of
     * [[streamAudioContainment]]: the cross-trigger (asset, shingle)
     * frame-trigram state of [[streamVideoNeardup]], closed by the
@@ -1525,6 +1570,7 @@ object StreamQueries {
     "stream_audio_containment" -> (streamAudioContainment _),
     "stream_exact_substr" -> (streamExactSubstr _),
     "stream_video_containment" -> (streamVideoContainment _),
+    "stream_image_in_video" -> (streamImageInVideo _),
     "stream_anomaly_mad" -> (streamAnomalyMad _),
     "stream_lttb" -> (streamLttb _),
     "stream_cdc_chunks" -> (streamCdcChunks _),
@@ -1577,6 +1623,7 @@ object StreamQueries {
     "stream_audio_containment" -> graft.operators.Multimodal.audioContainmentSql,
     "stream_exact_substr" -> graft.operators.Dedup.exactSubstrSql,
     "stream_video_containment" -> graft.operators.Multimodal.videoContainmentSql,
+    "stream_image_in_video" -> graft.operators.Multimodal.imageInVideoSql,
     "stream_video_neardup" -> graft.operators.Multimodal.videoNeardupSql,
     "stream_hist_quantiles" -> graft.operators.Sketches.histEstimateSql,
     "stream_value_drift" -> graft.operators.DataQuality.dqValueDriftSql,

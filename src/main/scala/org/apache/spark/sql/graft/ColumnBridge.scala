@@ -28,6 +28,20 @@ object ColumnBridge {
   def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 
+  /** Rebuild a DataFrame over an already-computed InternalRow RDD with
+    * FRESH (default) statistics — `internalCreateDataFrame` is
+    * private[sql]. Iterative loops need this after `localCheckpoint`:
+    * the checkpoint's LogicalRDD keeps the origin plan's stats, and a
+    * loop whose body self-joins the carried frame SQUARES the
+    * sizeInBytes estimate each round until plan compilation drowns in
+    * BigInteger arithmetic.
+    */
+  def fromInternalRows(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Apply a SparkSessionExtensions' injected functions to a registry
     * (the session-bootstrap step, exposed for tests).
     */

@@ -192,8 +192,12 @@ class PlanLintSpec extends AnyFunSuite {
     * pmod-partitioned ScanShards-row carry.)
     */
   test("segmented-scan consumers plan no undefined-partition window") {
+    // the last two ride per-(pair, diagonal) / per-doc windows of the
+    // ExactSubstr kit (island merge, interval union) — same assertion:
+    // no window in their plans may funnel all rows to one partition
     val converted = Seq("curate_pps_sample", "ev_peak_concurrency",
-      "curate_el2n", "q_weighted_median")
+      "curate_el2n", "q_weighted_median",
+      "dedup_exact_substr", "dedup_substr_savings")
     val bad = converted.flatMap { name =>
       val undef = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.collect {

@@ -63,6 +63,57 @@ class ExactSubstrSpec extends AnyFunSuite {
       (1L, 2L, 3L, (K + 2 + 5 + 1).toLong, (K + 2).toLong)))
   }
 
+  test("property: spans match a brute-force diagonal-scan reference on tiny-vocab docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 2-token vocabulary forces heavy verbatim overlap (a K-token match
+    // at a fixed alignment has probability 2^-K, so random docs share
+    // runs organically), repeated grams within docs, and multi-diagonal
+    // matches — total gram occurrences stay far below the
+    // ExactSubstrOccCut so the cut never intersects the reference
+    val genDocs = for {
+      n <- Gen.chooseNum(2, 5)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(K, 30)
+        toks <- Gen.listOfN(len, Gen.oneOf("ga", "gb"))
+      } yield toks)
+    } yield docs
+    val params = Gen.Parameters.default
+    var spansSeen = 0
+    (1 to 8).foreach { it =>
+      val docs = genDocs.pureApply(params, Seed(5000L + it))
+        .zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }
+      // brute-force reference: every diagonal of every pair, maximal
+      // equality runs of ≥ K tokens
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        d <- -(tb.length - 1) to (ta.length - 1)
+        // walk the diagonal: positions (p, p - d) 0-based
+        run <- {
+          val lo = math.max(0, d)
+          val hi = math.min(ta.length - 1, tb.length - 1 + d)
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var p = lo
+          while (p <= hi) {
+            if (ta(p) == tb(p - d)) {
+              val st = p
+              while (p <= hi && ta(p) == tb(p - d)) p += 1
+              if (p - st >= K) runs += ((st, p - st))
+            } else p += 1
+          }
+          runs
+        }
+      } yield {
+        val (st0, len) = run
+        (ia, ib, st0 + 1L, st0 - d + 1L, len.toLong)
+      }).toSet
+      val got = spans(docs.map { case (id, t) => (id, t.mkString(" ")) })
+      assert(got == expected, s"iteration $it (seed ${5000 + it})")
+      spansSeen += expected.size
+    }
+    assert(spansSeen > 0, "generator never produced a shared span")
+  }
+
   test("interval union: overlapping, nested, adjacent, disjoint all collapse exactly") {
     import spark.implicits._
     val iv = Seq(

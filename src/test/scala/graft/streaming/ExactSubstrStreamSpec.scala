@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The round-10 streaming arrivals must equal their batch queries
+  * exactly under the multi-trigger split: ExactSubstr's cross-trigger
+  * posting state, and the cross-modal image↔frame signature state.
+  */
+class ExactSubstrStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("streaming ExactSubstr spans equal the batch span table") {
+    val streamed = StreamQueries.streamExactSubstr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = graft.operators.Dedup.exactSubstr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must contain at least one shared span")
+  }
+
+  test("streaming image-in-video pairs equal the batch cross-modal join") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val streamed = StreamQueries.streamImageInVideo(spark, sf)
+      .collect().map(key).toSet
+    val batch = graft.operators.Multimodal.imageInVideo(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must contain at least one sig match")
+  }
+}
