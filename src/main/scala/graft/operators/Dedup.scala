@@ -1874,10 +1874,16 @@ object Dedup {
     * covered (strikeable) tokens, and the duplication fraction as one
     * 6-dp ratio-of-integer-sums.
     */
-  def substrSavings(s: SparkSession, dir: String): DataFrame = {
+  def substrSavings(s: SparkSession, dir: String): DataFrame =
+    substrSavingsFromSpans(s, dir, exactSubstrFor(s, dir))
+
+  /** The savings finalize over ANY span table (the memoized batch one
+    * or a streaming drain's) — intervals both ways, per-doc union,
+    * per-source ratio-of-sums against the statically-read corpus.
+    */
+  private[graft] def substrSavingsFromSpans(
+      s: SparkSession, dir: String, spans: DataFrame): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val spans = exactSubstrFor(s, dir)
     val iv = spans
       .selectExpr("doc_a AS doc_id", "start_a AS st",
         "start_a + span_tokens - 1 AS en")

@@ -1434,6 +1434,31 @@ object StreamQueries {
         keys.select("doc_id", "pos", "gh"))
     }
 
+  /** Streaming duplicate-token measurement — `dedup_substr_savings`
+    * at INGEST: the SAME cross-trigger posting state as
+    * [[streamExactSubstr]], closed by the savings finalize (island
+    * spans → per-doc interval union → per-source ratio against the
+    * statically-read corpus — the stream-static enrichment shape).
+    * The removal-fraction dashboard a continuous-ingest dedup stack
+    * serves; equals the batch query under any trigger split; the
+    * oracle IS that query's SQL.
+    */
+  def streamSubstrSavings(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val occ = graft.operators.Dedup.exactSubstrOcc(s,
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .select($"doc_id", $"text"))
+        .groupBy($"gh", $"doc_id", $"pos").agg(count(lit(1)).as("n_occ"))
+      val keys = runDeltaLog(occ, "update", Seq("gh", "doc_id", "pos"))
+      graft.operators.Dedup.substrSavingsFromSpans(s, dir,
+        graft.operators.Dedup.spansFromOcc(s,
+          keys.select("doc_id", "pos", "gh")))
+    }
+
   /** Streaming audio containment — `mm_audio_containment` on the
     * incremental engine: the SAME cross-trigger per-(asset, shingle)
     * update-mode state [[streamAudioNeardup]] maintains (arrival-order
@@ -1569,6 +1594,7 @@ object StreamQueries {
     "stream_audio_neardup" -> (streamAudioNeardup _),
     "stream_audio_containment" -> (streamAudioContainment _),
     "stream_exact_substr" -> (streamExactSubstr _),
+    "stream_substr_savings" -> (streamSubstrSavings _),
     "stream_video_containment" -> (streamVideoContainment _),
     "stream_image_in_video" -> (streamImageInVideo _),
     "stream_anomaly_mad" -> (streamAnomalyMad _),
@@ -1622,6 +1648,7 @@ object StreamQueries {
     "stream_audio_neardup" -> graft.operators.Multimodal.audioNeardupSql,
     "stream_audio_containment" -> graft.operators.Multimodal.audioContainmentSql,
     "stream_exact_substr" -> graft.operators.Dedup.exactSubstrSql,
+    "stream_substr_savings" -> graft.operators.Dedup.substrSavingsSql,
     "stream_video_containment" -> graft.operators.Multimodal.videoContainmentSql,
     "stream_image_in_video" -> graft.operators.Multimodal.imageInVideoSql,
     "stream_video_neardup" -> graft.operators.Multimodal.videoNeardupSql,
