@@ -24,7 +24,8 @@ object SparkEntry {
       TextOps.queries ++ Bpe.queries ++ Unigram.queries ++ LogReg.queries ++
       DocCluster.queries ++ Nmf.queries ++
       EventOps.queries ++ TimeSeries.queries ++ TimeSeries2.queries ++
-      Pipeline.queries ++ Dedup.queries ++ Similarity.queries ++
+      Pipeline.queries ++ Dedup.queries ++ InvertedIndex.queries ++
+      Similarity.queries ++
       KMeans.queries ++ Jl.queries ++ SemDedup.queries ++ NnDescent.queries ++
       Curation.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
@@ -48,7 +49,8 @@ object SparkEntry {
       TextOps.oracles(dir) ++ Bpe.oracles ++ Unigram.oracles(dir) ++ LogReg.oracles ++
       DocCluster.oracles ++ Nmf.oracles ++
       EventOps.oracles ++ TimeSeries.oracles ++ TimeSeries2.oracles ++
-      Pipeline.oracles ++ Dedup.oracles(dir) ++ Similarity.oracles(dir) ++
+      Pipeline.oracles ++ Dedup.oracles(dir) ++ InvertedIndex.oracles ++
+      Similarity.oracles(dir) ++
       KMeans.oracles ++ Jl.oracles ++ SemDedup.oracles ++ NnDescent.oracles ++
       Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++

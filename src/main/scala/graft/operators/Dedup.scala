@@ -449,32 +449,43 @@ object Dedup {
     * radius-1 multiprobe (see [[simhashChunkBits]]), then exact Hamming
     * verification ≤ 16 via the codegen xor-popcount expression.
     */
+  /** Candidate table memoized per (session, corpus fingerprint) — the
+    * [[sharedPairs]] materialize-once rationale: the chunk explode ×
+    * radius-1 probe join is the expensive stage of BOTH consumers
+    * (`dedup_simhash`, `dedup_simhash_scurve`), and at 10× it was the
+    * registry's single largest recomputation (≈40 s rebuilt twice).
+    */
+  private val simhashCandCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   /** The chunk-LSH candidate stage of [[simhashPairs]], shared with the
     * banding s-curve audit: (doc_a, doc_b) pairs colliding on some
     * chunk under radius-1 multiprobe, BEFORE Hamming verification.
     */
-  private def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val (bits, nChunks) = simhashParams(s, dir)
-    val mask = (1L << bits) - 1
-    // cache registers the canonicalized signature plan once; the
-    // verification/audit joins over the same frame hit it via the
-    // cache manager's plan matching
-    val sigs = simhashSignatures(s, dir).cache()
-    val chunkVals = array((0 until nChunks).map(c =>
-      shiftrightunsigned($"simhash", c * bits).bitwiseAND(lit(mask))): _*)
-    val chunks = sigs.select($"doc_id",
-      posexplode(chunkVals).as(Seq("chunk", "val")))
-    val probes = chunks.select($"doc_id", $"chunk",
-      explode(array((col("val") +:
-        (0 until bits).map(b => col("val").bitwiseXOR(lit(1L << b)))): _*)).as("pval"))
-    probes.as("a")
-      .join(chunks.as("b"),
-        $"a.chunk" === $"b.chunk" && $"a.pval" === $"b.val" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-  }
+  private def simhashCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(simhashCandCache, s,
+      Similarity.dataKey(dir, "documents"), "simhash_cand") {
+        import s.implicits._
+        val (bits, nChunks) = simhashParams(s, dir)
+        val mask = (1L << bits) - 1
+        val sigs = simhashSignatures(s, dir).cache()
+        val chunkVals = array((0 until nChunks).map(c =>
+          shiftrightunsigned($"simhash", c * bits).bitwiseAND(lit(mask))): _*)
+        val chunks = sigs.select($"doc_id",
+          posexplode(chunkVals).as(Seq("chunk", "val")))
+        val probes = chunks.select($"doc_id", $"chunk",
+          explode(array((col("val") +:
+            (0 until bits).map(b => col("val").bitwiseXOR(lit(1L << b)))): _*)).as("pval"))
+        val r = probes.as("a")
+          .join(chunks.as("b"),
+            $"a.chunk" === $"b.chunk" && $"a.pval" === $"b.val" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct()
+          .localCheckpoint()
+        sigs.unpersist()
+        r
+      }
 
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

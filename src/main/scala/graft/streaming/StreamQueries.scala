@@ -1589,7 +1589,37 @@ object StreamQueries {
         keys.select("asset_id", "shingle"))
     }
 
+  /** Streaming PPJoin — `dedup_ppjoin` at INGEST: documents arrive
+    * across triggers, each micro-batch runs the SAME row-local distinct
+    * trigram shingling ([[graft.operators.InvertedIndex.ShingleSetExpr]]),
+    * and the cross-trigger state is the per-(doc_id, shingle)
+    * update-mode aggregation — arrival-order-insensitive, the streaming
+    * form of the batch shingle-set table. The drained state closes
+    * through the SAME prefix-filtered exact join
+    * ([[graft.operators.InvertedIndex.ppjoinFromTokens]] — df ordering,
+    * prefix cut, positional bound, and both integer thresholds all
+    * re-derived from the final state), so the EXACT set-similarity
+    * answer — not an LSH estimate — equals the batch pass under any
+    * trigger split; the oracle IS that query's brute-force SQL.
+    */
+  def streamPpjoin(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val tok = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("doc_id", graft.operators.InvertedIndex.ToksExpr)
+        .where("size(toks) >= 3")
+        .selectExpr("doc_id", graft.operators.InvertedIndex.ShingleSetExpr)
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("n_occ"))
+      val keys = runDeltaLog(tok, "update", Seq("doc_id", "token"))
+      graft.operators.InvertedIndex.ppjoinFromTokens(s,
+        keys.select("doc_id", "token"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ppjoin" -> (streamPpjoin _),
     "stream_video_neardup" -> (streamVideoNeardup _),
     "stream_audio_neardup" -> (streamAudioNeardup _),
     "stream_audio_containment" -> (streamAudioContainment _),
@@ -1648,6 +1678,7 @@ object StreamQueries {
     "stream_audio_neardup" -> graft.operators.Multimodal.audioNeardupSql,
     "stream_audio_containment" -> graft.operators.Multimodal.audioContainmentSql,
     "stream_exact_substr" -> graft.operators.Dedup.exactSubstrSql,
+    "stream_ppjoin" -> graft.operators.InvertedIndex.ppjoinSql,
     "stream_substr_savings" -> graft.operators.Dedup.substrSavingsSql,
     "stream_video_containment" -> graft.operators.Multimodal.videoContainmentSql,
     "stream_image_in_video" -> graft.operators.Multimodal.imageInVideoSql,

@@ -34,6 +34,18 @@ class ExactSubstrStreamSpec extends AnyFunSuite {
     assert(batch.exists(_._4 > 0L), "fixture must contain duplicate tokens")
   }
 
+  test("streaming ppjoin equals the batch prefix-filtered exact join") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    val streamed = StreamQueries.streamPpjoin(spark, sf)
+      .collect().map(key).toSet
+    val batch = graft.operators.InvertedIndex.ppjoin(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must contain at least one exact near-dup pair")
+  }
+
   test("streaming image-in-video pairs equal the batch cross-modal join") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
