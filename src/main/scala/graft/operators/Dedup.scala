@@ -155,6 +155,108 @@ object Dedup {
   val ngramJaccardSql: String =
     s"WITH $pairCteSql\nSELECT doc_a, doc_b, jaccard FROM pairs"
 
+  // ---------------------------------------------------- weighted jaccard
+
+  /** Weighted (multiset) trigram rows — one row per (doc_id, shingle,
+    * cnt) with cnt the trigram's occurrence count WITHIN the doc: the
+    * non-distinct counterpart of [[shingles]]. The (doc_id, shingle)
+    * groupBy collapses repeats in the map-side partial aggregate, so a
+    * doc that repeats one banner a thousand times ships each gram once
+    * (with its count as payload), exactly like the distinct pipeline.
+    */
+  /** Tokenize + non-distinct trigram explode select-exprs — one source
+    * of truth for the batch form and the streaming ingest form.
+    */
+  private[graft] val WeightedToksExpr: String =
+    "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks"
+  private[graft] val WeightedShingleExplodeExpr: String =
+    """explode(transform(sequence(1, size(toks) - 2),
+      |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) AS shingle""".stripMargin
+
+  private def weightedShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", WeightedToksExpr)
+      .where("size(toks) >= 3")
+      .selectExpr("doc_id", WeightedShingleExplodeExpr)
+      .groupBy("doc_id", "shingle")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Weighted-Jaccard pair threshold — mirrored verbatim in the oracle. */
+  val WeightedJaccThresh = 0.2
+
+  /** Generalized (weighted / multiset) Jaccard near-dup pairs:
+    * J_w(A,B) = Σ_g min(c_A(g), c_B(g)) / Σ_g max(c_A(g), c_B(g)) over
+    * per-doc trigram occurrence counts — the overlap measure that SEES
+    * repetition, where set Jaccard ([[ngramJaccard]]) is blind to it:
+    * a doc holding 10 pasted copies of a banner scores set-J near 1.0
+    * against one clean copy (same distinct grams) but J_w ≈ 1/10 (the
+    * nine extra copies sit only in the denominator), so spam-repetition
+    * inflation and genuine full-text duplication separate cleanly.
+    *
+    * Exact and distributed in one inverted-index equi-join on the
+    * weighted gram rows: Σmin is the join's sum(least(c_a, c_b)) — work
+    * is Σ_g df(g)² over DISTINCT (doc, gram) rows, identical to the set
+    * pipeline's profile, because in-doc repetition rides as a count
+    * payload and adds no join rows. Σmax needs no second pass:
+    * Σ max = n_A + n_B − Σ min with n the multiset sizes (total trigram
+    * counts). The boundary compare runs on the micro-rounded value so
+    * the float division can never disagree with the DuckDB oracle at
+    * the threshold.
+    */
+  def weightedJaccard(s: SparkSession, dir: String): DataFrame =
+    weightedJaccardFromCounts(s, weightedShingles(s, dir))
+
+  /** Finalize over any (doc_id, shingle, cnt) count table — shared by
+    * the batch form (row-local counting) and the streaming form (the
+    * drained per-(doc, shingle) update-mode state), so both close
+    * through the SAME pair join and threshold.
+    */
+  private[graft] def weightedJaccardFromCounts(
+      s: SparkSession, sh: DataFrame): DataFrame = {
+    import s.implicits._
+    val sizes = sh.groupBy($"doc_id").agg(sum($"cnt").as("n"))
+    val pairs = sh.as("a").join(sh.as("b"), $"a.shingle" === $"b.shingle")
+      .where($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(sum(least($"a.cnt", $"b.cnt")).as("shared_min"))
+    pairs
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "shared_min",
+        """floor(CAST(shared_min AS DOUBLE) / (n_a + n_b - shared_min)
+          |  * 1e6 + 0.5) / 1e6 AS wjaccard""".stripMargin)
+      .where($"wjaccard" >= WeightedJaccThresh)
+  }
+
+  val weightedJaccardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+       |  FROM documents),
+       |wsh AS (
+       |  SELECT doc_id, shingle, count(*) AS cnt FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |    FROM toks WHERE len(t) >= 3)
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, sum(cnt) AS n FROM wsh GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS shared_min
+       |  FROM wsh a JOIN wsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared_min,
+       |  floor(CAST(shared_min AS DOUBLE)
+       |      / (CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE) - shared_min)
+       |      * 1e6 + 0.5) / 1e6 AS wjaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE floor(CAST(shared_min AS DOUBLE)
+       |      / (CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE) - shared_min)
+       |      * 1e6 + 0.5) / 1e6 >= $WeightedJaccThresh""".stripMargin
+
   // --------------------------------------------------------- minhash+lsh
 
   /** MinHash signatures computed ROW-LOCALLY: a document's shingles are
@@ -2059,6 +2161,7 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_weighted_jaccard" -> (weightedJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (simhashPairs _))
@@ -2095,6 +2198,7 @@ object Dedup {
       "dedup_clusters" -> dedupClustersSql,
       "dedup_exact" -> exactDedupSql,
       "dedup_ngram_jaccard" -> ngramJaccardSql,
+      "dedup_weighted_jaccard" -> weightedJaccardSql,
       "dedup_minhash_lsh" -> minhashLshSql,
       "dedup_incremental" -> dedupIncrementalSql,
       "dedup_simhash" -> simhashPairsSql(bits, nChunks))

@@ -1262,8 +1262,13 @@ object Multimodal {
       .where($"hamming" <= 3)
   }
 
-  val phashPairsSql: String =
-    s"""WITH geom AS (
+  /** Shared oracle CTE chain for the pHash modality (no WITH prefix —
+    * callers prepend plain or RECURSIVE): closed-form geometry → 64
+    * luma samples → aHash chunk bits → multi-index candidates → exact
+    * hamming pairs at the ≤3 bar (`hp`).
+    */
+  private val phashPairCtes: String =
+    s"""geom AS (
        |  $duckGeom),
        |lum AS (
        |  SELECT doc_id,
@@ -1293,15 +1298,20 @@ object Multimodal {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM ch a JOIN ch b
-       |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
-       |SELECT c.doc_a, c.doc_b,
-       |  CAST(bit_count(xor(ca.c0, cb.c0)) + bit_count(xor(ca.c1, cb.c1))
-       |  + bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3)) AS BIGINT) AS hamming
-       |FROM cand c
-       |JOIN chunks ca ON ca.doc_id = c.doc_a
-       |JOIN chunks cb ON cb.doc_id = c.doc_b
-       |WHERE bit_count(xor(ca.c0, cb.c0)) + bit_count(xor(ca.c1, cb.c1))
-       |  + bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3)) <= 3""".stripMargin
+       |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id),
+       |hp AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(bit_count(xor(ca.c0, cb.c0)) + bit_count(xor(ca.c1, cb.c1))
+       |    + bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3)) AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN chunks ca ON ca.doc_id = c.doc_a
+       |  JOIN chunks cb ON cb.doc_id = c.doc_b
+       |  WHERE bit_count(xor(ca.c0, cb.c0)) + bit_count(xor(ca.c1, cb.c1))
+       |    + bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3)) <= 3)""".stripMargin
+
+  val phashPairsSql: String =
+    s"""WITH $phashPairCtes
+       |SELECT doc_a, doc_b, hamming FROM hp""".stripMargin
 
   // ------------------------------------------------- video scene cuts
 
@@ -2292,8 +2302,8 @@ object Multimodal {
   def audioClusters(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(audioClustersCache, s,
       Similarity.dataKey(dir, "documents"), "mm_audio_clusters") {
-      contentClusters(s, audioNeardup(s, dir), audioShingles(s, dir))
-        .localCheckpoint()
+      contentClusters(s, audioNeardup(s, dir),
+        distinctCountWeights(audioShingles(s, dir))).localCheckpoint()
     }
 
   /** Video near-dup cluster resolution — [[audioClusters]]' pairs →
@@ -2307,17 +2317,53 @@ object Multimodal {
   def videoClusters(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(videoClustersCache, s,
       Similarity.dataKey(dir, "documents"), "mm_video_clusters") {
-      contentClusters(s, videoNeardup(s, dir), videoShingles(s, dir))
-        .localCheckpoint()
+      contentClusters(s, videoNeardup(s, dir),
+        distinctCountWeights(videoShingles(s, dir))).localCheckpoint()
     }
 
-  /** Shared cluster resolution over any modality's thresholded pair
-    * graph + raw (asset_id, shingle) rows: the `dedup_clusters`
-    * level-synchronous propagation sized off the subgraph's edge
-    * count, then the largest-fingerprint keep rule.
+  private val imageClustersCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Image near-dup cluster resolution — completes the cluster matrix
+    * across all three modalities: connected components over the
+    * [[phashPairs]] hamming-≤3 graph (same level-synchronous
+    * [[Dedup.connectedComponents]] propagation as audio/video), one
+    * canonical keeper per family = the HIGHEST-RESOLUTION member
+    * (pixel count w·h — the master copy; thumbnails and re-encodes
+    * drop), asset-id tie-break, singletons included (every decodable
+    * image). The keep weight differs from audio/video on purpose:
+    * images have no per-asset fingerprint SIZE to rank on (every hash
+    * is 64 bits), so the master-copy signal is resolution.
     */
-  private def contentClusters(s: SparkSession, pairsThresholded: DataFrame,
-      shingles: DataFrame): DataFrame = {
+  def imageClusters(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(imageClustersCache, s,
+      Similarity.dataKey(dir, "documents"), "mm_image_clusters") {
+      import s.implicits._
+      val px = assets(s, dir).filter(_.media_type == "image")
+        .flatMap(a => decodeBmp(a.payload).map { case (w, h, _, _) =>
+          (a.asset_id, w.toLong * h) })
+        .toDF("asset_id", "nw")
+      val pairs = phashPairs(s, dir)
+        .select($"doc_a".as("asset_a"), $"doc_b".as("asset_b"))
+      contentClusters(s, pairs, px).localCheckpoint()
+    }
+
+  /** Distinct-fingerprint sizes from raw (asset_id, shingle) rows —
+    * the keep weight the audio/video families rank on.
+    */
+  private def distinctCountWeights(shingles: DataFrame): DataFrame =
+    shingles.distinct()
+      .groupBy(col("asset_id")).agg(count(lit(1)).as("nw"))
+
+  /** Shared cluster resolution over any modality's thresholded pair
+    * graph + per-asset keep weights (asset_id, nw): the
+    * `dedup_clusters` level-synchronous propagation sized off the
+    * subgraph's edge count, then the largest-weight keep rule
+    * (asset-id tie-break). Membership = every asset in the weight
+    * table; assets off the pair graph come out as singletons.
+    */
+  private[operators] def contentClusters(s: SparkSession,
+      pairsThresholded: DataFrame, weights: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val pairs = pairsThresholded.select($"asset_a", $"asset_b")
@@ -2332,9 +2378,7 @@ object Multimodal {
       2L * graft.functions.Hashing.log2ceil(math.max(2L, 2L * nEdges)) + 8L
     val (labels, _) =
       Dedup.connectedComponents(edges, nParts, maxIters, 2L * nEdges + 2L)
-    val nw = shingles.distinct()
-      .groupBy($"asset_id").agg(count(lit(1)).as("nw"))
-    val lbl = nw
+    val lbl = weights
       .join(labels.withColumnRenamed("doc_id", "asset_id"),
         Seq("asset_id"), "left")
       .select($"asset_id", $"nw",
@@ -2434,6 +2478,29 @@ object Multimodal {
        |  UNION ALL SELECT asset_b, asset_a FROM nd),
        |reach(a, b) AS (
        |  SELECT doc_id, doc_id FROM aud
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |clusters AS (
+       |  SELECT a AS asset_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.asset_id,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY w.nw DESC, c.asset_id) AS rn
+       |  FROM clusters c JOIN anw w ON w.doc_id = c.asset_id)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  max(CASE WHEN rn = 1 THEN asset_id END) AS keep_asset_id
+       |FROM ranked GROUP BY cluster_id""".stripMargin
+
+  val imageClustersSql: String =
+    s"""WITH RECURSIVE $phashPairCtes,
+       |anw AS (
+       |  SELECT doc_id, CAST(w AS BIGINT) * h AS nw
+       |  FROM geom WHERE NOT corrupt),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM hp
+       |  UNION ALL SELECT doc_b, doc_a FROM hp),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM anw
        |  UNION
        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
        |clusters AS (
@@ -2752,6 +2819,7 @@ object Multimodal {
     "mm_audio_containment" -> (audioContainment _),
     "mm_audio_clusters" -> (audioClusters _),
     "mm_video_clusters" -> (videoClusters _),
+    "mm_image_clusters" -> (imageClusters _),
     "mm_video_neardup" -> (videoNeardup _),
     "mm_video_containment" -> (videoContainment _),
     "mm_audio_neardup" -> (audioNeardup _),
@@ -2779,6 +2847,7 @@ object Multimodal {
     "mm_audio_containment" -> audioContainmentSql,
     "mm_audio_clusters" -> audioClustersSql,
     "mm_video_clusters" -> videoClustersSql,
+    "mm_image_clusters" -> imageClustersSql,
     "mm_video_neardup" -> videoNeardupSql,
     "mm_video_containment" -> videoContainmentSql,
     "mm_audio_neardup" -> audioNeardupSql,

@@ -500,9 +500,90 @@ object Relational3 {
       |JOIN pc c2 ON c2.l_partkey = p2
       |CROSS JOIN nb""".stripMargin
 
+  /** Association-rule confidence floor — mirrored in the oracle. */
+  val AssocMinConf = 0.5
+
+  /** Association rules over the co-purchase baskets — the DIRECTED form
+    * of [[qCopurchasePairs]]: each frequent pair {A,B} yields rules
+    * A→B and B→A with confidence = support(A,B)/support(A), kept at
+    * confidence ≥ [[AssocMinConf]]; lift rides along (direction-free).
+    * Confidence is what a recommender acts on (P(B|A) ≠ P(A|B) when
+    * the antecedent is rare), which the symmetric pair table can't
+    * express.
+    *
+    * Scale shape: same basket self-join as the pair table (bounded by
+    * Σ basket_size² after the distinct), then equi-joins against the
+    * per-item counts and ONE 1-row broadcast for the basket total —
+    * the direction fan-out doubles rows AFTER aggregation, never the
+    * join input. Confidence compare runs on the micro-rounded value so
+    * the boundary can't disagree cross-engine.
+    */
+  def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val pairs = items.select($"l_orderkey", $"l_partkey".as("p1"))
+      .join(items.select($"l_orderkey", $"l_partkey".as("p2")), "l_orderkey")
+      .where($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("support"))
+      .where($"support" >= 2)
+    val directed = pairs
+      .select($"p1".as("antecedent"), $"p2".as("consequent"), $"support")
+      .unionByName(pairs
+        .select($"p2".as("antecedent"), $"p1".as("consequent"), $"support"))
+    val partCnt = items.groupBy($"l_partkey").agg(count(lit(1)).as("pc"))
+    val nb = items.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    directed
+      .join(partCnt.select($"l_partkey".as("antecedent"), $"pc".as("pc_a")),
+        "antecedent")
+      .join(partCnt.select($"l_partkey".as("consequent"), $"pc".as("pc_c")),
+        "consequent")
+      .crossJoin(broadcast(nb))
+      .select($"antecedent", $"consequent", $"support",
+        (floor($"support".cast("double") / $"pc_a" * 1e6 + 0.5) / 1e6)
+          .as("confidence"),
+        round($"support".cast("double") * $"n_baskets" / ($"pc_a" * $"pc_c"), 6)
+          .as("lift"))
+      .where($"confidence" >= AssocMinConf)
+  }
+
+  val qAssocRulesSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       |    CAST(count(*) AS BIGINT) AS support
+       |  FROM items a
+       |  JOIN items b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2),
+       |directed AS (
+       |  SELECT p1 AS antecedent, p2 AS consequent, support FROM pairs
+       |  UNION ALL
+       |  SELECT p2, p1, support FROM pairs),
+       |pc AS (
+       |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS pc
+       |  FROM items GROUP BY 1),
+       |nb AS (
+       |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+       |  FROM items)
+       |SELECT antecedent, consequent, support,
+       |  floor(CAST(support AS DOUBLE) / ca.pc * 1e6 + 0.5) / 1e6
+       |    AS confidence,
+       |  round(CAST(support AS DOUBLE) * n_baskets / (ca.pc * cc.pc), 6)
+       |    AS lift
+       |FROM directed
+       |JOIN pc ca ON ca.l_partkey = antecedent
+       |JOIN pc cc ON cc.l_partkey = consequent
+       |CROSS JOIN nb
+       |WHERE floor(CAST(support AS DOUBLE) / ca.pc * 1e6 + 0.5) / 1e6
+       |  >= $AssocMinConf""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_itemcf_topk" -> (qItemcfTopk _),
     "q_copurchase_pairs" -> (qCopurchasePairs _),
+    "q_assoc_rules" -> (qAssocRules _),
     "q_latest_per_key" -> (qLatestPerKey _),
     "q_scd2_customer" -> (qScd2Customer _),
     "q_unpivot" -> (qUnpivot _),
@@ -519,6 +600,7 @@ object Relational3 {
   def oracles: Map[String, String] = Map(
     "q_itemcf_topk" -> qItemcfTopkSql,
     "q_copurchase_pairs" -> qCopurchaseSql,
+    "q_assoc_rules" -> qAssocRulesSql,
     "q_latest_per_key" -> qLatestPerKeySql,
     "q_scd2_customer" -> qScd2Sql,
     "q_unpivot" -> qUnpivotSql,

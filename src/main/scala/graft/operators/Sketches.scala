@@ -227,6 +227,107 @@ object Sketches {
        |FROM est_direct d JOIN est_merged m USING (event_type)""".stripMargin
   }
 
+  /** HLL set-INTERSECTION estimate by inclusion–exclusion — the second
+    * composition law a register sketch supports: registers max-merge
+    * into the UNION's sketch ([[hllMerged]]), so
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) with no per-key state beyond
+    * the two fixed register tables. This is how audience-overlap /
+    * cohort-intersection dashboards run at 100 TB: per-segment
+    * sketches are tiny (4096 registers), ship to one place, and every
+    * pairwise overlap is arithmetic over merged registers — the raw
+    * user set never co-shuffles. Pairs come from the exact-overlap
+    * equi-join (distinct (type, user) self-join on user), which also
+    * carries the ground truth `exact_inter` the contract exhibits next
+    * to the estimate; inclusion–exclusion error compounds three
+    * estimates, so unlike the union the intersection is NOT exact —
+    * the oracle checks the arithmetic bit-for-bit, the spec checks the
+    * error band.
+    *
+    * Scale shape: one distinct shuffle for `tu`, one register groupBy
+    * per side, equi-joins only (the OR-shaped "register belongs to
+    * pair" fan-out is two equi-joins unioned — never a nested loop).
+    */
+  def hllIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (idx, mv) = hllRowSignals($"user_id")
+    val regs = Tables.events(s, dir)
+      .select($"event_type", idx.as("idx"), mv.as("mv"))
+      .groupBy($"event_type", $"idx")
+      .agg(max($"mv").as("m_val"))
+      .localCheckpoint() // T·4096 rows max; feeds three consumers below
+    val tu = Tables.events(s, dir)
+      .select($"event_type", $"user_id").distinct()
+    val ex = tu.as("x").join(tu.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("type_a"), $"y.event_type".as("type_b"))
+      .agg(countDistinct($"x.user_id").as("exact_inter"))
+    val pairList = ex.select($"type_a", $"type_b")
+    val unionRegs = pairList
+      .join(regs.withColumnRenamed("event_type", "type_a"), "type_a")
+      .unionByName(pairList
+        .join(regs.withColumnRenamed("event_type", "type_b"), "type_b"))
+      .groupBy($"type_a", $"type_b", $"idx")
+      .agg(max($"m_val").as("m_val"))
+    val estU = hllFinalize(unionRegs, Seq("type_a", "type_b"))
+      .select($"type_a", $"type_b", $"hll_est".as("hll_union"))
+    val estT = hllFinalize(regs, Seq("event_type"))
+      .select($"event_type", $"hll_est")
+    ex.join(estT.toDF("type_a", "hll_a"), "type_a")
+      .join(estT.toDF("type_b", "hll_b"), "type_b")
+      .join(estU, Seq("type_a", "type_b"))
+      .select($"type_a", $"type_b", $"exact_inter", $"hll_union",
+        round($"hll_a" + $"hll_b" - $"hll_union", 4).as("hll_inter"))
+  }
+
+  val hllIntersectSql: String = {
+    val alpha = HllAlpha.toString
+    def estSql(regsCte: String, keys: String): String =
+      s"""SELECT $keys,
+         |  round(CASE WHEN raw_est <= 2.5 * $HllM AND zeros > 0
+         |    THEN CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / zeros)
+         |    ELSE raw_est END, 4) AS est
+         |FROM (
+         |  SELECT $keys,
+         |    CAST($alpha AS DOUBLE) * $HllM * $HllM /
+         |      (CAST(sum(CAST(round(pow(2.0, -m_val), 18) AS DECIMAL(38,18)))
+         |         AS DOUBLE) + ($HllM - count(*))) AS raw_est,
+         |    $HllM - count(*) AS zeros
+         |  FROM $regsCte GROUP BY $keys)""".stripMargin
+    s"""WITH h AS (
+       |  SELECT event_type, user_id,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      AS hv
+       |  FROM events),
+       |regs AS (
+       |  SELECT event_type, hv // $HllRemMod AS idx,
+       |    max(CASE WHEN hv % $HllRemMod = 0 THEN 49
+       |      ELSE ${HllRemBits + 1} - length(bin(hv % $HllRemMod)) END) AS m_val
+       |  FROM h GROUP BY 1, 2),
+       |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+       |ex AS (
+       |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |    CAST(count(DISTINCT x.user_id) AS BIGINT) AS exact_inter
+       |  FROM tu x JOIN tu y
+       |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+       |  GROUP BY 1, 2),
+       |union_regs AS (
+       |  SELECT type_a, type_b, idx, max(m_val) AS m_val FROM (
+       |    SELECT p.type_a, p.type_b, r.idx, r.m_val
+       |    FROM ex p JOIN regs r ON r.event_type = p.type_a
+       |    UNION ALL
+       |    SELECT p.type_a, p.type_b, r.idx, r.m_val
+       |    FROM ex p JOIN regs r ON r.event_type = p.type_b)
+       |  GROUP BY 1, 2, 3),
+       |est_t AS (${estSql("regs", "event_type")}),
+       |est_u AS (${estSql("union_regs", "type_a, type_b")})
+       |SELECT e.type_a, e.type_b, e.exact_inter, u.est AS hll_union,
+       |  round(a.est + b.est - u.est, 4) AS hll_inter
+       |FROM ex e
+       |JOIN est_t a ON a.event_type = e.type_a
+       |JOIN est_t b ON b.event_type = e.type_b
+       |JOIN est_u u ON u.type_a = e.type_a AND u.type_b = e.type_b""".stripMargin
+  }
+
   // ---------------------------------------------------------- Count-Min
 
   /** CMS geometry: 4 hash rows × 1024 counters. Collision overestimate
@@ -1302,7 +1403,8 @@ object Sketches {
     "sketch_bloom_prune" -> (bloomPrune _),
     "sketch_hist_quantiles" -> (histQuantiles _),
     "sketch_group_quantiles" -> (groupQuantiles _),
-    "sketch_hll_merged" -> (hllMerged _))
+    "sketch_hll_merged" -> (hllMerged _),
+    "sketch_hll_intersect" -> (hllIntersect _))
 
   def oracles: Map[String, String] = Map(
     "sketch_bitmap_dau" -> bitmapDauSql,
@@ -1316,5 +1418,6 @@ object Sketches {
     "sketch_bloom_prune" -> bloomPruneSql,
     "sketch_hist_quantiles" -> histQuantilesSql,
     "sketch_group_quantiles" -> groupQuantilesSql,
-    "sketch_hll_merged" -> hllMergedSql)
+    "sketch_hll_merged" -> hllMergedSql,
+    "sketch_hll_intersect" -> hllIntersectSql)
 }

@@ -1618,7 +1618,34 @@ object StreamQueries {
         keys.select("doc_id", "token"))
     }
 
+  /** Streaming weighted Jaccard — `dedup_weighted_jaccard` at INGEST:
+    * documents arrive across triggers, each micro-batch explodes its
+    * NON-distinct trigrams, and the cross-trigger state is the
+    * per-(doc_id, shingle) OCCURRENCE COUNT (update-mode aggregation —
+    * arrival-order-insensitive, the streaming form of the batch count
+    * table). The drained state closes through the SAME multiset pair
+    * join ([[graft.operators.Dedup.weightedJaccardFromCounts]]), so
+    * the final answer equals the batch query under any trigger split;
+    * the oracle IS that query's SQL.
+    */
+  def streamWeightedJaccard(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val sh = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("doc_id", graft.operators.Dedup.WeightedToksExpr)
+        .where("size(toks) >= 3")
+        .selectExpr("doc_id", graft.operators.Dedup.WeightedShingleExplodeExpr)
+        .groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("cnt"))
+      val keys = runDeltaLog(sh, "update", Seq("doc_id", "shingle"))
+      graft.operators.Dedup.weightedJaccardFromCounts(s,
+        keys.select("doc_id", "shingle", "cnt"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_weighted_jaccard" -> (streamWeightedJaccard _),
     "stream_ppjoin" -> (streamPpjoin _),
     "stream_video_neardup" -> (streamVideoNeardup _),
     "stream_audio_neardup" -> (streamAudioNeardup _),
@@ -1679,6 +1706,7 @@ object StreamQueries {
     "stream_audio_containment" -> graft.operators.Multimodal.audioContainmentSql,
     "stream_exact_substr" -> graft.operators.Dedup.exactSubstrSql,
     "stream_ppjoin" -> graft.operators.InvertedIndex.ppjoinSql,
+    "stream_weighted_jaccard" -> graft.operators.Dedup.weightedJaccardSql,
     "stream_substr_savings" -> graft.operators.Dedup.substrSavingsSql,
     "stream_video_containment" -> graft.operators.Multimodal.videoContainmentSql,
     "stream_image_in_video" -> graft.operators.Multimodal.imageInVideoSql,

@@ -116,6 +116,8 @@ class PlanLintSpec extends AnyFunSuite {
     "dq_value_drift", "q_weighted_median", "ev_ab_cuped",
     "curate_sample_ks", "curate_upsample_plan",
     "ev_seasonality_dow", "q11_important_stock", "q_copurchase_pairs",
+    // q_copurchase_pairs' exact shape: 1-row basket-total broadcast
+    "q_assoc_rules",
     "ev_ewma", "sketch_hll_sliding", "q_relational_division",
     // two 1-row scalar totals (all-period bitmap popcount + exact total)
     "sketch_bitmap_dau",

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** q_assoc_rules — directed confidence over the co-purchase baskets.
+  * The planted corpus pins the property the symmetric pair table can't
+  * express: A→B and B→A keep/drop INDEPENDENTLY when the antecedent
+  * frequencies differ.
+  */
+class AssocRulesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("directionality: rare→common keeps, common→rare drops; values exact") {
+    import spark.implicits._
+    // baskets: 1{A,B} 2{A,B} 3{A} 4{A} 5{A}  (A=101, B=202)
+    // A in 5 baskets, B in 2, support(A,B)=2, n_baskets=5
+    // A→B conf 2/5 = 0.4 < 0.5 → dropped
+    // B→A conf 2/2 = 1.0       → kept, lift = 2·5/(5·2) = 1.0
+    val rows = Seq(
+      (1L, 101L), (1L, 202L),
+      (2L, 101L), (2L, 202L),
+      (3L, 101L), (4L, 101L), (5L, 101L),
+      // duplicate line in a basket must not inflate support (distinct)
+      (2L, 101L))
+    val tmp = java.nio.file.Files.createTempDirectory("assoc").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational3.qAssocRules(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set((202L, 101L)), s"rules: $out")
+    assert(out((202L, 101L)) == (2L, 1.0, 1.0), s"${out((202L, 101L))}")
+  }
+
+  test("symmetric frequencies keep both directions with equal confidence") {
+    import spark.implicits._
+    // 1{A,B} 2{A,B} 3{A} 4{B}: A=3, B=3, support=2, n=4
+    // conf both ways 2/3 → 0.666667; lift 2·4/9 = 0.888889
+    val rows = Seq((1L, 7L), (1L, 8L), (2L, 7L), (2L, 8L), (3L, 7L), (4L, 8L))
+    val tmp = java.nio.file.Files.createTempDirectory("assoc2").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational3.qAssocRules(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set((7L, 8L), (8L, 7L)), s"rules: $out")
+    assert(out((7L, 8L)) == (2L, 0.666667, 0.888889))
+    assert(out((8L, 7L)) == (2L, 0.666667, 0.888889))
+  }
+}
