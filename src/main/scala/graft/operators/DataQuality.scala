@@ -653,7 +653,69 @@ object DataQuality {
        |    AS DOUBLE) / sum(k) * 1e6 + 0.5) / 1e6 AS risk_frac
        |FROM classes GROUP BY c_mktsegment""".stripMargin
 
+  /** l-diversity floor: an equivalence class whose sensitive attribute
+    * takes fewer than this many distinct values is flagged — mirrored
+    * verbatim in the oracle.
+    */
+  val LDivThresh = 3
+
+  /** l-diversity audit — the k-anonymity companion a governance
+    * pipeline runs next: k bounds RE-IDENTIFICATION (how many rows
+    * share my quasi-identifiers), but a class can be large and still
+    * leak the SENSITIVE attribute when every member shares one value
+    * (homogeneity attack). Same quasi-identifier classes as
+    * [[dqKAnonymity]] (segment, nation, banded balance); the sensitive
+    * attribute is the EXACT account balance the band generalizes away.
+    * Per segment: class count, the minimum per-class distinct-value
+    * count l, and the row mass sitting in classes under
+    * [[LDivThresh]] — the population a homogeneity attack could strip.
+    *
+    * Scale shape: one hash groupBy to the classes (countDistinct adds
+    * its expand-shuffle, still key-partitioned), one re-aggregation to
+    * |segments| rows. No joins, no windows.
+    */
+  def dqLDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.customer(s, dir)
+      .selectExpr("c_mktsegment", "c_nationkey",
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band", "c_acctbal")
+      .groupBy($"c_mktsegment", $"c_nationkey", $"bal_band")
+      .agg(count(lit(1)).as("k"), countDistinct($"c_acctbal").as("l"))
+    classes.groupBy($"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("n_classes"),
+        min($"l").as("min_l"),
+        sum(when($"l" < LDivThresh, 1L).otherwise(0L)).as("risk_classes"),
+        sum($"k").as("n_rows"),
+        sum(when($"l" < LDivThresh, $"k").otherwise(0L)).as("risk_rows"))
+      .selectExpr("segment",
+        "CAST(n_classes AS BIGINT) AS n_classes",
+        "CAST(min_l AS BIGINT) AS min_l",
+        "CAST(risk_classes AS BIGINT) AS risk_classes",
+        "CAST(risk_rows AS BIGINT) AS risk_rows",
+        """floor(CAST(risk_rows AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6
+          | AS risk_frac""".stripMargin)
+  }
+
+  val dqLDiversitySql: String =
+    s"""WITH classes AS (
+       |  SELECT c_mktsegment, c_nationkey,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |    count(*) AS k,
+       |    count(DISTINCT c_acctbal) AS l
+       |  FROM customer GROUP BY 1, 2, 3)
+       |SELECT c_mktsegment AS segment,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(l) AS BIGINT) AS min_l,
+       |  CAST(sum(CASE WHEN l < $LDivThresh THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS risk_classes,
+       |  CAST(sum(CASE WHEN l < $LDivThresh THEN k ELSE 0 END) AS BIGINT)
+       |    AS risk_rows,
+       |  floor(CAST(sum(CASE WHEN l < $LDivThresh THEN k ELSE 0 END)
+       |    AS DOUBLE) / sum(k) * 1e6 + 0.5) / 1e6 AS risk_frac
+       |FROM classes GROUP BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_ldiversity" -> (dqLDiversity _),
     "dq_kanonymity" -> (dqKAnonymity _),
     "dq_embedding_outliers" -> (dqEmbeddingOutliers _),
     "dq_benford" -> (dqBenford _),
@@ -666,6 +728,7 @@ object DataQuality {
     "dq_documents" -> (dqDocuments _))
 
   def oracles: Map[String, String] = Map(
+    "dq_ldiversity" -> dqLDiversitySql,
     "dq_kanonymity" -> dqKAnonymitySql,
     "dq_embedding_outliers" -> dqEmbeddingOutliersSql,
     "dq_benford" -> dqBenfordSql,

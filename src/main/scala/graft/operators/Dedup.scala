@@ -214,6 +214,21 @@ object Dedup {
   private[graft] def weightedJaccardFromCounts(
       s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
+    weightedSharedPairs(s, sh)
+      .selectExpr("doc_a", "doc_b", "shared_min",
+        """floor(CAST(shared_min AS DOUBLE) / (n_a + n_b - shared_min)
+          |  * 1e6 + 0.5) / 1e6 AS wjaccard""".stripMargin)
+      .where($"wjaccard" >= WeightedJaccThresh)
+  }
+
+  /** UNthresholded multiset pair table (doc_a, doc_b, shared_min, n_a,
+    * n_b) — the weighted counterpart of [[sharedPairs]]; the near-dup
+    * query and the sketch calibration are different final expressions
+    * over the same counts.
+    */
+  private[graft] def weightedSharedPairs(
+      s: SparkSession, sh: DataFrame): DataFrame = {
+    import s.implicits._
     val sizes = sh.groupBy($"doc_id").agg(sum($"cnt").as("n"))
     val pairs = sh.as("a").join(sh.as("b"), $"a.shingle" === $"b.shingle")
       .where($"a.doc_id" < $"b.doc_id")
@@ -222,30 +237,33 @@ object Dedup {
     pairs
       .join(sizes.toDF("doc_a", "n_a"), "doc_a")
       .join(sizes.toDF("doc_b", "n_b"), "doc_b")
-      .selectExpr("doc_a", "doc_b", "shared_min",
-        """floor(CAST(shared_min AS DOUBLE) / (n_a + n_b - shared_min)
-          |  * 1e6 + 0.5) / 1e6 AS wjaccard""".stripMargin)
-      .where($"wjaccard" >= WeightedJaccThresh)
   }
 
+  /** Shared weighted-pair CTE chain (toks → multiset gram counts →
+    * sizes → Σmin pair table) — composed by the near-dup oracle AND
+    * the weighted-MinHash calibration oracle.
+    */
+  private val weightedPairCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+      |  FROM documents),
+      |wsh AS (
+      |  SELECT doc_id, shingle, count(*) AS cnt FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |    FROM toks WHERE len(t) >= 3)
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, sum(cnt) AS n FROM wsh GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS shared_min
+      |  FROM wsh a JOIN wsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   val weightedJaccardSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
-       |  FROM documents),
-       |wsh AS (
-       |  SELECT doc_id, shingle, count(*) AS cnt FROM (
-       |    SELECT doc_id,
-       |      unnest(list_transform(range(1, len(t) - 1),
-       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-       |    FROM toks WHERE len(t) >= 3)
-       |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, sum(cnt) AS n FROM wsh GROUP BY 1),
-       |shared AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS shared_min
-       |  FROM wsh a JOIN wsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+    s"""WITH $weightedPairCtes
        |SELECT doc_a, doc_b, shared_min,
        |  floor(CAST(shared_min AS DOUBLE)
        |      / (CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE) - shared_min)
@@ -256,6 +274,116 @@ object Dedup {
        |WHERE floor(CAST(shared_min AS DOUBLE)
        |      / (CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE) - shared_min)
        |      * 1e6 + 0.5) / 1e6 >= $WeightedJaccThresh""".stripMargin
+
+  // ---------------------------------------------------- weighted minhash
+
+  /** Weighted-MinHash signatures by multiset EXPANSION: occurrence #k
+    * of gram g becomes the distinct element "g#k", so the expansions'
+    * SET Jaccard equals the generalized Jaccard exactly
+    * (|E(A)∩E(B)| = Σ min(c_A, c_B), |E(A)∪E(B)| = Σ max) and the plain
+    * MinHash over expanded elements is an unbiased estimator of the
+    * weighted measure — the integer-exact alternative to ICWS, whose
+    * exp/ln draws could disagree cross-engine in the last ulp. Cost is
+    * one row per gram OCCURRENCE (≈ token count — the same volume
+    * tokenization already touched), folded to [[Hashing.MinhashK]]
+    * mins per doc in a map-side-combinable aggregate; signatures then
+    * ship as constant-width rows exactly like the set-side kit.
+    */
+  private def weightedMinhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = conv(substring(md5(concat_ws("#", $"shingle", $"occ")), 1, 15),
+      16, 10).cast("long") % Hashing.ModP
+    val mins = (0 until Hashing.MinhashK).map(i =>
+      min((lit(Hashing.minhashA60(i)) * $"x" + Hashing.minhashB60(i))
+        % Hashing.ModP).as(s"m$i"))
+    weightedShingles(s, dir)
+      .select($"doc_id", $"shingle", explode(sequence(lit(0L), $"cnt" - 1)).as("occ"))
+      .select($"doc_id", x.as("x"))
+      .groupBy($"doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select($"doc_id",
+        array((0 until Hashing.MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Weighted-MinHash estimator calibration — the [[minhashCalibration]]
+    * sibling for the MULTISET measure: per true weighted-Jaccard decile
+    * of the unthresholded pair table, the mean/max gap between the
+    * K-component signature agreement rate and the exact Σmin/Σmax
+    * value. Sums run in micro-units (exact integers) so the
+    * cross-engine fold order can't wobble a float.
+    */
+  def wminhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = weightedSharedPairs(s, weightedShingles(s, dir))
+      .selectExpr("doc_a", "doc_b",
+        "CAST(shared_min AS DOUBLE) / (n_a + n_b - shared_min) AS wj")
+    val sigs = weightedMinhashSigs(s, dir)
+    truth
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "wj",
+        s"""CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),
+           |  v -> v)) AS DOUBLE) / ${Hashing.MinhashK} AS est""".stripMargin)
+      .selectExpr(
+        "least(CAST(floor(wj * 10) AS INT), 9) AS bucket",
+        "CAST(floor(est * 1e6 + 0.5) AS BIGINT) AS est_micro",
+        "CAST(floor(wj * 1e6 + 0.5) AS BIGINT) AS true_micro",
+        "CAST(floor(abs(est - wj) * 1e6 + 0.5) AS BIGINT) AS err_micro")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"est_micro").as("se"), sum($"true_micro").as("st"),
+        sum($"err_micro").as("serr"), max($"err_micro").as("max_err_micro"))
+      .selectExpr("bucket", "n_pairs",
+        "floor(CAST(se AS DOUBLE) / n_pairs + 0.5) / 1e6 AS mean_est",
+        "floor(CAST(st AS DOUBLE) / n_pairs + 0.5) / 1e6 AS mean_true",
+        "floor(CAST(serr AS DOUBLE) / n_pairs + 0.5) / 1e6 AS mean_abs_err",
+        "CAST(max_err_micro AS DOUBLE) / 1e6 AS max_abs_err")
+  }
+
+  // lazy: composes minhashPermsCte, declared later in this object —
+  // eager init would capture it as null
+  lazy val wminhashCalibrationSql: String = {
+    val k = Hashing.MinhashK
+    s"""WITH $weightedPairCtes,
+       |$minhashPermsCte,
+       |expd AS (
+       |  SELECT doc_id, shingle, unnest(range(0, cnt)) AS occ FROM wsh),
+       |elems AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(shingle || '#' || CAST(occ AS VARCHAR)),
+       |      1, 15) AS BIGINT) % ${Hashing.ModP} AS x
+       |  FROM expd),
+       |wsigs AS (
+       |  SELECT doc_id, list(m ORDER BY i) AS sig FROM (
+       |    SELECT doc_id, i, min((a * x + bb) % ${Hashing.ModP}) AS m
+       |    FROM elems CROSS JOIN perms GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |truth AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(shared_min AS DOUBLE)
+       |      / (CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE) - shared_min) AS wj
+       |  FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b),
+       |cells AS (
+       |  SELECT least(CAST(floor(t.wj * 10) AS INTEGER), 9) AS bucket,
+       |    CAST(floor(CAST(len(list_filter(range(1, $k + 1),
+       |      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $k * 1e6 + 0.5) AS BIGINT)
+       |      AS est_micro,
+       |    CAST(floor(t.wj * 1e6 + 0.5) AS BIGINT) AS true_micro,
+       |    CAST(floor(abs(CAST(len(list_filter(range(1, $k + 1),
+       |      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $k - t.wj) * 1e6 + 0.5)
+       |      AS BIGINT) AS err_micro
+       |  FROM truth t
+       |  JOIN wsigs a ON a.doc_id = t.doc_a
+       |  JOIN wsigs b ON b.doc_id = t.doc_b)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  floor(CAST(sum(est_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_est,
+       |  floor(CAST(sum(true_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_true,
+       |  floor(CAST(sum(err_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_abs_err,
+       |  CAST(max(err_micro) AS DOUBLE) / 1e6 AS max_abs_err
+       |FROM cells GROUP BY bucket""".stripMargin
+  }
 
   // --------------------------------------------------------- minhash+lsh
 
@@ -2162,6 +2290,7 @@ object Dedup {
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_weighted_jaccard" -> (weightedJaccard _),
+    "dedup_wminhash_calibration" -> (wminhashCalibration _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (simhashPairs _))
@@ -2199,6 +2328,7 @@ object Dedup {
       "dedup_exact" -> exactDedupSql,
       "dedup_ngram_jaccard" -> ngramJaccardSql,
       "dedup_weighted_jaccard" -> weightedJaccardSql,
+      "dedup_wminhash_calibration" -> wminhashCalibrationSql,
       "dedup_minhash_lsh" -> minhashLshSql,
       "dedup_incremental" -> dedupIncrementalSql,
       "dedup_simhash" -> simhashPairsSql(bits, nChunks))

@@ -1245,6 +1245,16 @@ object Multimodal {
         (a.asset_id, c(0), c(1), c(2), c(3))))
       .toDF("asset_id", "c0", "c1", "c2", "c3")
       .localCheckpoint()
+    phashPairsFromChunks(s, imgs)
+  }
+
+  /** Finalize over any (asset_id, c0..c3) chunk table — shared by the
+    * batch form and the streaming ingest form, so both close through
+    * the SAME multi-index candidate join and exact popcount verify.
+    */
+  private[graft] def phashPairsFromChunks(
+      s: SparkSession, imgs: DataFrame): DataFrame = {
+    import s.implicits._
     val chunks = imgs.selectExpr("asset_id",
       "posexplode(array(c0, c1, c2, c3)) AS (ci, cv)")
     val cand = chunks.as("a")

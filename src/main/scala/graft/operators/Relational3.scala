@@ -580,7 +580,51 @@ object Relational3 {
        |WHERE floor(CAST(support AS DOUBLE) / ca.pc * 1e6 + 0.5) / 1e6
        |  >= $AssocMinConf""".stripMargin
 
+  /** Frequent triples — Apriori level 3 over the co-purchase baskets:
+    * candidate (p1 < p2 < p3) itemsets counted only where the (p1, p2)
+    * SUB-PAIR is already frequent (the Apriori prune: any triple at
+    * support ≥ 2 has every sub-pair at support ≥ 2, so the left-anchor
+    * semi-join drops no answers while cutting the 3-way join's input
+    * to baskets that can still produce one — at 100 TB the level-2
+    * result gates level-3's shuffle exactly like a production FP-mining
+    * pass). The oracle is the UNpruned 3-way self-join, so the prune's
+    * losslessness is hash-checked, not assumed.
+    */
+  def qFrequentTriples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val freqPairs = items.select($"l_orderkey", $"l_partkey".as("p1"))
+      .join(items.select($"l_orderkey", $"l_partkey".as("p2")), "l_orderkey")
+      .where($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("sup2"))
+      .where($"sup2" >= 2)
+      .select($"p1", $"p2")
+    val pairBaskets = items.select($"l_orderkey", $"l_partkey".as("p1"))
+      .join(items.select($"l_orderkey", $"l_partkey".as("p2")), "l_orderkey")
+      .where($"p1" < $"p2")
+      .join(freqPairs, Seq("p1", "p2"), "left_semi")
+    pairBaskets
+      .join(items.select($"l_orderkey", $"l_partkey".as("p3")), "l_orderkey")
+      .where($"p3" > $"p2")
+      .groupBy($"p1", $"p2", $"p3").agg(count(lit(1)).as("support"))
+      .where($"support" >= 2)
+  }
+
+  val qFrequentTriplesSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+      |  CAST(count(*) AS BIGINT) AS support
+      |FROM items a
+      |JOIN items b ON b.l_orderkey = a.l_orderkey
+      |  AND a.l_partkey < b.l_partkey
+      |JOIN items c ON c.l_orderkey = a.l_orderkey
+      |  AND c.l_partkey > b.l_partkey
+      |GROUP BY 1, 2, 3
+      |HAVING count(*) >= 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frequent_triples" -> (qFrequentTriples _),
     "q_itemcf_topk" -> (qItemcfTopk _),
     "q_copurchase_pairs" -> (qCopurchasePairs _),
     "q_assoc_rules" -> (qAssocRules _),
@@ -601,6 +645,7 @@ object Relational3 {
     "q_itemcf_topk" -> qItemcfTopkSql,
     "q_copurchase_pairs" -> qCopurchaseSql,
     "q_assoc_rules" -> qAssocRulesSql,
+    "q_frequent_triples" -> qFrequentTriplesSql,
     "q_latest_per_key" -> qLatestPerKeySql,
     "q_scd2_customer" -> qScd2Sql,
     "q_unpivot" -> qUnpivotSql,

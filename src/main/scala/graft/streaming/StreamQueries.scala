@@ -1644,7 +1644,43 @@ object StreamQueries {
         keys.select("doc_id", "shingle", "cnt"))
     }
 
+  /** Streaming image near-dup — `mm_phash_pairs` at INGEST, completing
+    * the streaming near-dup arrival form across all three modalities:
+    * images arrive across triggers, each micro-batch decodes its BMPs
+    * to the 4×16-bit aHash chunks
+    * ([[graft.operators.Multimodal.ahashChunks]] over the regenerated
+    * payload), cross-trigger state is one row per asset (update-mode
+    * max over the constant chunk values — arrival-order-insensitive),
+    * and the drained state closes through the SAME multi-index hamming
+    * join ([[graft.operators.Multimodal.phashPairsFromChunks]]) — the
+    * final answer equals the batch pairs under any trigger split; the
+    * oracle IS that query's SQL.
+    */
+  def streamImageNeardup(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val chunks = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (id % 3 != 0) Iterator.empty
+          else graft.operators.Multimodal
+            .ahashChunks(graft.operators.Multimodal.imageAssetPayload(id, text))
+            .iterator.map(c => (id, c(0), c(1), c(2), c(3)))
+        })
+        .toDF("asset_id", "c0", "c1", "c2", "c3")
+        .groupBy($"asset_id")
+        .agg(max($"c0").as("c0"), max($"c1").as("c1"),
+          max($"c2").as("c2"), max($"c3").as("c3"))
+      val keys = runDeltaLog(chunks, "update", Seq("asset_id"))
+      graft.operators.Multimodal.phashPairsFromChunks(s,
+        keys.select("asset_id", "c0", "c1", "c2", "c3"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_image_neardup" -> (streamImageNeardup _),
     "stream_weighted_jaccard" -> (streamWeightedJaccard _),
     "stream_ppjoin" -> (streamPpjoin _),
     "stream_video_neardup" -> (streamVideoNeardup _),
@@ -1707,6 +1743,7 @@ object StreamQueries {
     "stream_exact_substr" -> graft.operators.Dedup.exactSubstrSql,
     "stream_ppjoin" -> graft.operators.InvertedIndex.ppjoinSql,
     "stream_weighted_jaccard" -> graft.operators.Dedup.weightedJaccardSql,
+    "stream_image_neardup" -> graft.operators.Multimodal.phashPairsSql,
     "stream_substr_savings" -> graft.operators.Dedup.substrSavingsSql,
     "stream_video_containment" -> graft.operators.Multimodal.videoContainmentSql,
     "stream_image_in_video" -> graft.operators.Multimodal.imageInVideoSql,

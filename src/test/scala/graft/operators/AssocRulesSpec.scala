@@ -33,6 +33,24 @@ class AssocRulesSpec extends AnyFunSuite {
     assert(out((202L, 101L)) == (2L, 1.0, 1.0), s"${out((202L, 101L))}")
   }
 
+  test("frequent triples: Apriori prune finds exactly the repeated triple") {
+    import spark.implicits._
+    // baskets 1,2 both hold {3,5,9} → triple (3,5,9) support 2;
+    // basket 3 holds {3,5,7}: pairs (3,5) frequent but triple (3,5,7)
+    // appears once → dropped; item 11 rides one basket only
+    val rows = Seq(
+      (1L, 3L), (1L, 5L), (1L, 9L), (1L, 11L),
+      (2L, 3L), (2L, 5L), (2L, 9L),
+      (3L, 3L), (3L, 5L), (3L, 7L))
+    val tmp = java.nio.file.Files.createTempDirectory("tri").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational3.qFrequentTriples(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(out == Map((3L, 5L, 9L) -> 2L), s"triples: $out")
+  }
+
   test("symmetric frequencies keep both directions with equal confidence") {
     import spark.implicits._
     // 1{A,B} 2{A,B} 3{A} 4{B}: A=3, B=3, support=2, n=4

@@ -87,6 +87,30 @@ class WeightedJaccardSpec extends AnyFunSuite {
     assert(got((1L, 2L)) == (2L, 0.666667), s"$got")
   }
 
+  test("expansion minhash: exact on identical multisets, in-band on partial overlap") {
+    import spark.implicits._
+    // d1 == d2 (weighted J = 1.0, bucket 9): identical expansions give
+    // IDENTICAL signatures, so the estimator must be exactly 1.0 there.
+    // d3 shares the first 30 tokens with d1: Σmin = 28 shared grams,
+    // n = 58 each → wj = 28/88 ≈ 0.318 (bucket 3); a 64-component
+    // estimator has σ ≈ 0.058 at that J, so 0.25 is a >4σ band.
+    val a = (0 until 60).map(i => s"w$i").mkString(" ")
+    val b = ((0 until 30).map(i => s"w$i") ++
+      (0 until 30).map(i => s"v$i")).mkString(" ")
+    val docs = Seq(1L -> a, 2L -> a, 3L -> b)
+    val tmp = java.nio.file.Files.createTempDirectory("wmh").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.wminhashCalibration(spark, tmp).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet == Set(3, 9), s"buckets: $out")
+    assert(out(9) == (1L, 0.0, 0.0), s"identical pair: ${out(9)}")
+    val (n3, _, maxErr3) = out(3)
+    assert(n3 == 2L)
+    assert(maxErr3 <= 0.25, s"bucket-3 max err $maxErr3")
+  }
+
   test("property: operator equals brute-force multiset Jaccard on random corpora") {
     val rnd = new scala.util.Random(20260816L)
     for (trial <- 0 until 6) {
