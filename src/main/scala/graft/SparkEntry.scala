@@ -30,6 +30,7 @@ object SparkEntry {
       Curation.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       Skew.queries ++ DataQuality.queries ++ Sketches.queries ++
+      EntityRes.queries ++
       Graph.queries ++ Layout.queries ++ Pca.queries ++
       graft.plans.TopKPerKey.queries ++ graft.plans.AsOfMergeJoin.queries ++
       graft.sources.FileSources.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       Curation.oracles ++
       Multimodal.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       Skew.oracles ++ DataQuality.oracles ++ Sketches.oracles ++
+      EntityRes.oracles ++
       Graph.oracles ++ Layout.oracles ++ Pca.oracles ++
       graft.plans.TopKPerKey.oracles ++ graft.plans.AsOfMergeJoin.oracles ++
       graft.sources.FileSources.oracles ++

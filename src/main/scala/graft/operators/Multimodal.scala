@@ -2349,14 +2349,29 @@ object Multimodal {
     graft.Memo.cached(imageClustersCache, s,
       Similarity.dataKey(dir, "documents"), "mm_image_clusters") {
       import s.implicits._
-      val px = assets(s, dir).filter(_.media_type == "image")
-        .flatMap(a => decodeBmp(a.payload).map { case (w, h, _, _) =>
-          (a.asset_id, w.toLong * h) })
-        .toDF("asset_id", "nw")
-      val pairs = phashPairs(s, dir)
-        .select($"doc_a".as("asset_a"), $"doc_b".as("asset_b"))
-      contentClusters(s, pairs, px).localCheckpoint()
+      val st = assets(s, dir).filter(_.media_type == "image")
+        .flatMap(a => for {
+          c <- ahashChunks(a.payload)
+          (w, h, _, _) <- decodeBmp(a.payload)
+        } yield (a.asset_id, c(0), c(1), c(2), c(3), w.toLong * h))
+        .toDF("asset_id", "c0", "c1", "c2", "c3", "nw")
+        .localCheckpoint()
+      imageClustersFromChunks(s, st)
     }
+
+  /** Finalize over any (asset_id, c0..c3, nw) table — shared by the
+    * batch form (one decode pass) and the streaming ingest form (the
+    * drained per-asset state): hamming pair join, then the shared
+    * cluster resolution with the resolution keep-weight.
+    */
+  private[graft] def imageClustersFromChunks(
+      s: SparkSession, st: DataFrame): DataFrame = {
+    import s.implicits._
+    val pairs = phashPairsFromChunks(s,
+        st.select("asset_id", "c0", "c1", "c2", "c3"))
+      .select($"doc_a".as("asset_a"), $"doc_b".as("asset_b"))
+    contentClusters(s, pairs, st.select($"asset_id", $"nw")).localCheckpoint()
+  }
 
   /** Distinct-fingerprint sizes from raw (asset_id, shingle) rows —
     * the keep weight the audio/video families rank on.

@@ -1679,7 +1679,45 @@ object StreamQueries {
         keys.select("asset_id", "c0", "c1", "c2", "c3"))
     }
 
+  /** Streaming image cluster maintenance — `mm_image_clusters` at
+    * INGEST: the same per-asset chunk state as [[streamImageNeardup]]
+    * plus the resolution keep-weight, drained through the SAME
+    * pairs → connected components → keeper finalize
+    * ([[graft.operators.Multimodal.imageClustersFromChunks]]). The
+    * production shape: the stream maintains the cheap per-asset
+    * fingerprints continuously; family resolution runs as a periodic
+    * batch finalize over the state snapshot. Equals the batch clusters
+    * under any trigger split; the oracle IS that query's SQL.
+    */
+  def streamImageClusters(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val chunks = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (id % 3 != 0) Iterator.empty
+          else {
+            val payload = graft.operators.Multimodal.imageAssetPayload(id, text)
+            (for {
+              c <- graft.operators.Multimodal.ahashChunks(payload)
+              (w, h, _, _) <- graft.operators.Multimodal.decodeBmp(payload)
+            } yield (id, c(0), c(1), c(2), c(3), w.toLong * h)).iterator
+          }
+        })
+        .toDF("asset_id", "c0", "c1", "c2", "c3", "nw")
+        .groupBy($"asset_id")
+        .agg(max($"c0").as("c0"), max($"c1").as("c1"),
+          max($"c2").as("c2"), max($"c3").as("c3"), max($"nw").as("nw"))
+      val keys = runDeltaLog(chunks, "update", Seq("asset_id"))
+      graft.operators.Multimodal.imageClustersFromChunks(s,
+        keys.select("asset_id", "c0", "c1", "c2", "c3", "nw"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_image_clusters" -> (streamImageClusters _),
     "stream_image_neardup" -> (streamImageNeardup _),
     "stream_weighted_jaccard" -> (streamWeightedJaccard _),
     "stream_ppjoin" -> (streamPpjoin _),
@@ -1744,6 +1782,7 @@ object StreamQueries {
     "stream_ppjoin" -> graft.operators.InvertedIndex.ppjoinSql,
     "stream_weighted_jaccard" -> graft.operators.Dedup.weightedJaccardSql,
     "stream_image_neardup" -> graft.operators.Multimodal.phashPairsSql,
+    "stream_image_clusters" -> graft.operators.Multimodal.imageClustersSql,
     "stream_substr_savings" -> graft.operators.Dedup.substrSavingsSql,
     "stream_video_containment" -> graft.operators.Multimodal.videoContainmentSql,
     "stream_image_in_video" -> graft.operators.Multimodal.imageInVideoSql,

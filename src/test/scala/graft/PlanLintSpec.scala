@@ -118,6 +118,9 @@ class PlanLintSpec extends AnyFunSuite {
     "ev_seasonality_dow", "q11_important_stock", "q_copurchase_pairs",
     // q_copurchase_pairs' exact shape: 1-row basket-total broadcast
     "q_assoc_rules",
+    // Scans.shardByRange's 1-row bounds broadcast (the segmented-scan
+    // scaffold curate_pps_sample also rides)
+    "er_sorted_neighborhood",
     "ev_ewma", "sketch_hll_sliding", "q_relational_division",
     // two 1-row scalar totals (all-period bitmap popcount + exact total)
     "sketch_bitmap_dau",

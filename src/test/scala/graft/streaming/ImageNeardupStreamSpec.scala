@@ -23,4 +23,15 @@ class ImageNeardupStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty, "fixture must contain at least one image near-dup")
   }
+
+  test("cluster maintenance: state snapshot finalizes to the batch families") {
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))
+    val streamed = StreamQueries.streamImageClusters(spark, sf)
+      .collect().map(key).toMap
+    val batch = graft.operators.Multimodal.imageClusters(spark, sf)
+      .collect().map(key).toMap
+    assert(streamed == batch)
+    assert(batch.exists(_._2._1 > 1L), "fixture must contain a multi-member family")
+  }
 }
