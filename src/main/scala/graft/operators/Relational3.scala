@@ -500,23 +500,28 @@ object Relational3 {
       |JOIN pc c2 ON c2.l_partkey = p2
       |CROSS JOIN nb""".stripMargin
 
-  /** Association-rule confidence floor — mirrored in the oracle. */
-  val AssocMinConf = 0.5
+  /** Rule-list size — mirrored in the oracle. */
+  val AssocTopK = 20
 
   /** Association rules over the co-purchase baskets — the DIRECTED form
     * of [[qCopurchasePairs]]: each frequent pair {A,B} yields rules
-    * A→B and B→A with confidence = support(A,B)/support(A), kept at
-    * confidence ≥ [[AssocMinConf]]; lift rides along (direction-free).
-    * Confidence is what a recommender acts on (P(B|A) ≠ P(A|B) when
-    * the antecedent is rare), which the symmetric pair table can't
-    * express.
+    * A→B and B→A with confidence = support(A,B)/support(A); lift rides
+    * along (direction-free). Confidence is what a recommender acts on
+    * (P(B|A) ≠ P(A|B) when the antecedent is rare), which the
+    * symmetric pair table can't express. The contract is the TOP
+    * [[AssocTopK]] rules by confidence — a fixed absolute floor is
+    * data-fragile (this corpus's parts are frequent enough that no
+    * rule clears 0.5 even at sf0.01), while the head of the
+    * confidence ranking is what the dashboard shows at any SF. The
+    * rank orders by the micro-rounded confidence then both keys — a
+    * total order, so the cut is engine-independent; `rk` makes the
+    * ordering part of the hashed contract.
     *
     * Scale shape: same basket self-join as the pair table (bounded by
     * Σ basket_size² after the distinct), then equi-joins against the
     * per-item counts and ONE 1-row broadcast for the basket total —
     * the direction fan-out doubles rows AFTER aggregation, never the
-    * join input. Confidence compare runs on the micro-rounded value so
-    * the boundary can't disagree cross-engine.
+    * join input; the global top-K is a K-row ordered cut.
     */
   def qAssocRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -534,7 +539,7 @@ object Relational3 {
     val partCnt = items.groupBy($"l_partkey").agg(count(lit(1)).as("pc"))
     val nb = items.select($"l_orderkey").distinct()
       .agg(count(lit(1)).as("n_baskets"))
-    directed
+    val scored = directed
       .join(partCnt.select($"l_partkey".as("antecedent"), $"pc".as("pc_a")),
         "antecedent")
       .join(partCnt.select($"l_partkey".as("consequent"), $"pc".as("pc_c")),
@@ -545,7 +550,13 @@ object Relational3 {
           .as("confidence"),
         round($"support".cast("double") * $"n_baskets" / ($"pc_a" * $"pc_c"), 6)
           .as("lift"))
-      .where($"confidence" >= AssocMinConf)
+      .orderBy($"confidence".desc, $"antecedent", $"consequent")
+      .limit(AssocTopK)
+    import org.apache.spark.sql.expressions.Window
+    // K-row frame: the unpartitioned rank window is value-bounded
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy($"confidence".desc, $"antecedent", $"consequent"))
+      .cast("long"))
   }
 
   val qAssocRulesSql: String =
@@ -567,18 +578,22 @@ object Relational3 {
        |  FROM items GROUP BY 1),
        |nb AS (
        |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
-       |  FROM items)
-       |SELECT antecedent, consequent, support,
-       |  floor(CAST(support AS DOUBLE) / ca.pc * 1e6 + 0.5) / 1e6
-       |    AS confidence,
-       |  round(CAST(support AS DOUBLE) * n_baskets / (ca.pc * cc.pc), 6)
-       |    AS lift
-       |FROM directed
-       |JOIN pc ca ON ca.l_partkey = antecedent
-       |JOIN pc cc ON cc.l_partkey = consequent
-       |CROSS JOIN nb
-       |WHERE floor(CAST(support AS DOUBLE) / ca.pc * 1e6 + 0.5) / 1e6
-       |  >= $AssocMinConf""".stripMargin
+       |  FROM items),
+       |scored AS (
+       |  SELECT antecedent, consequent, support,
+       |    floor(CAST(support AS DOUBLE) / ca.pc * 1e6 + 0.5) / 1e6
+       |      AS confidence,
+       |    round(CAST(support AS DOUBLE) * n_baskets / (ca.pc * cc.pc), 6)
+       |      AS lift
+       |  FROM directed
+       |  JOIN pc ca ON ca.l_partkey = antecedent
+       |  JOIN pc cc ON cc.l_partkey = consequent
+       |  CROSS JOIN nb)
+       |SELECT antecedent, consequent, support, confidence, lift,
+       |  CAST(row_number() OVER (ORDER BY confidence DESC,
+       |    antecedent, consequent) AS BIGINT) AS rk
+       |FROM scored
+       |QUALIFY rk <= $AssocTopK""".stripMargin
 
   /** Frequent triples — Apriori level 3 over the co-purchase baskets:
     * candidate (p1 < p2 < p3) itemsets counted only where the (p1, p2)
@@ -589,6 +604,12 @@ object Relational3 {
     * result gates level-3's shuffle exactly like a production FP-mining
     * pass). The oracle is the UNpruned 3-way self-join, so the prune's
     * losslessness is hash-checked, not assumed.
+    *
+    * Data note: sf0.01 yields 12 frequent triples; sf0.1's larger
+    * part space dilutes co-occurrence below support 2 (measured: max
+    * PAIR support there is 3, triples 0) — the empty result at the
+    * bench SF is the true mining answer, and the prune makes it cheap
+    * (the level-3 join input is gated to near-nothing).
     */
   def qFrequentTriples(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -11,12 +11,12 @@ import graft.TestSpark
 class AssocRulesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("directionality: rare→common keeps, common→rare drops; values exact") {
+  test("directionality: the rare antecedent's rule outranks the common one's") {
     import spark.implicits._
     // baskets: 1{A,B} 2{A,B} 3{A} 4{A} 5{A}  (A=101, B=202)
     // A in 5 baskets, B in 2, support(A,B)=2, n_baskets=5
-    // A→B conf 2/5 = 0.4 < 0.5 → dropped
-    // B→A conf 2/2 = 1.0       → kept, lift = 2·5/(5·2) = 1.0
+    // B→A conf 2/2 = 1.0 → rank 1;  A→B conf 2/5 = 0.4 → rank 2
+    // lift (direction-free) = 2·5/(5·2) = 1.0
     val rows = Seq(
       (1L, 101L), (1L, 202L),
       (2L, 101L), (2L, 202L),
@@ -28,9 +28,10 @@ class AssocRulesSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
     val out = Relational3.qAssocRules(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
-    assert(out.keySet == Set((202L, 101L)), s"rules: $out")
-    assert(out((202L, 101L)) == (2L, 1.0, 1.0), s"${out((202L, 101L))}")
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(out.keySet == Set((202L, 101L), (101L, 202L)), s"rules: $out")
+    assert(out((202L, 101L)) == (2L, 1.0, 1.0, 1L), s"${out((202L, 101L))}")
+    assert(out((101L, 202L)) == (2L, 0.4, 1.0, 2L), s"${out((101L, 202L))}")
   }
 
   test("frequent triples: Apriori prune finds exactly the repeated triple") {
@@ -51,7 +52,7 @@ class AssocRulesSpec extends AnyFunSuite {
     assert(out == Map((3L, 5L, 9L) -> 2L), s"triples: $out")
   }
 
-  test("symmetric frequencies keep both directions with equal confidence") {
+  test("symmetric frequencies tie on confidence; rank breaks by antecedent") {
     import spark.implicits._
     // 1{A,B} 2{A,B} 3{A} 4{B}: A=3, B=3, support=2, n=4
     // conf both ways 2/3 → 0.666667; lift 2·4/9 = 0.888889
@@ -61,9 +62,9 @@ class AssocRulesSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
     val out = Relational3.qAssocRules(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
     assert(out.keySet == Set((7L, 8L), (8L, 7L)), s"rules: $out")
-    assert(out((7L, 8L)) == (2L, 0.666667, 0.888889))
-    assert(out((8L, 7L)) == (2L, 0.666667, 0.888889))
+    assert(out((7L, 8L)) == (2L, 0.666667, 0.888889, 1L))
+    assert(out((8L, 7L)) == (2L, 0.666667, 0.888889, 2L))
   }
 }
