@@ -30,6 +30,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Opt-in for large scale factors (the 10× replica): evict the memo
+    // caches + force a cleaner pass between query FAMILIES, so one
+    // family's checkpoint blocks never stay pinned through every later
+    // family. Off by default — at sf0.1 the memoized steady-state
+    // medians are the point. With this on, a full 10× registry pass
+    // fits the default heap in ONE session (the r10 refresh needed a
+    // two-session composite at 8g); without it, give sbt -mem 65536.
+    val evictBetweenFamilies = sys.env.get("SPARK_GRAFT_BENCH_EVICT").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,9 +46,29 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // localCheckpoint blocks from finished queries are reclaimed by
+      // the ContextCleaner only after a driver GC notices the RDD is
+      // unreachable; the default periodic-GC interval (30 min) lets
+      // hundreds of queries' blocks pile up in a single-JVM sweep
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Machine-load fingerprint (verdict r10 item 7): benches on this
+    // box swing with concurrent load (a +36% uniform shift under a
+    // parallel DuckDB 10× oracle pass was adjudicated by hand in r10);
+    // recording loadavg + process count at start/end makes future
+    // anchor comparisons mechanically adjudicable.
+    def loadFingerprint(): String = {
+      val la = try {
+        val s = new String(Files.readAllBytes(Paths.get("/proc/loadavg"))).trim
+        val p = s.split("\\s+") // 1m 5m 15m running/total lastpid
+        s"""\"load1\":${p(0)},\"load5\":${p(1)},\"load15\":${p(2)},\"procs\":\"${p(3)}\""""
+      } catch { case _: Throwable => "\"load1\":-1" }
+      la
+    }
+    val loadStart = loadFingerprint()
 
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -74,8 +102,15 @@ object Bench {
     // All reps of a query run back-to-back: rep 1 absorbs any cold cache,
     // reps 2-3 measure steady state; the median of 3 discards the one
     // outlier either way.
+    def family(n: String): String = n.takeWhile(_ != '_')
+    var prevFamily = ""
     val allReps: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        if (evictBetweenFamilies && family(name) != prevFamily) {
+          Memo.evictAll()
+          System.gc() // let the ContextCleaner reclaim the evicted blocks
+        }
+        prevFamily = family(name)
         val ts = (1 to reps).map(_ => run(name, fn))
         Memo.drainBuildLog().foreach { case (fam, sec) =>
           val k = s"$fam@$name"
@@ -110,8 +145,10 @@ object Bench {
     val memoJson = memoBuilds.toSeq.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v)
     }.mkString("{", ",", "}")
+    val loadEnd = loadFingerprint()
+    val loadJson = s"""{"start":{$loadStart},"end":{$loadEnd},"evict":${evictBetweenFamilies}}"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall":${fmt(wall)},"reps":$reps,"failed":$failed,"nQueries":${results.size},"memo_build":$memoJson,"queries":${toJson(results)},"queryReps":$repsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall":${fmt(wall)},"reps":$reps,"failed":$failed,"nQueries":${results.size},"load":$loadJson,"memo_build":$memoJson,"queries":${toJson(results)},"queryReps":$repsJson,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
@@ -122,14 +159,13 @@ object Bench {
     // the tail window; full numbers are in BENCH_FULL.json.
     val ok = results.filter(_._2 >= 0)
     val slowest = ok.sortBy(-_._2).take(24)
-    def family(n: String): String = n.takeWhile(_ != '_')
     val fams = ok.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1).map {
       case (f, rs) =>
         val ts = rs.map(_._2).sorted
         ("fam_" + f, ts(ts.size / 2))
     }
     val headline = (slowest ++ fams).distinct
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall":${fmt(wall)},"reps":$reps,"failed":$failed,"nQueries":${results.size},"full":"BENCH_FULL.json","queries":${toJson(headline)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall":${fmt(wall)},"reps":$reps,"failed":$failed,"nQueries":${results.size},"load":$loadJson,"full":"BENCH_FULL.json","queries":${toJson(headline)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

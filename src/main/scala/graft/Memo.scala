@@ -117,6 +117,20 @@ object Memo {
     } else liveCaches(): Unit // still prune collected cache refs
   }
 
+  /** Evict every entry of every registered session-keyed cache, live
+    * sessions included. The values are rebuildable-by-construction
+    * (pure functions of the fingerprinted corpus), so this is always
+    * safe — the next consumer re-pays the build. Used by Bench between
+    * query families on large scale factors: the memoized
+    * `localCheckpoint` blocks of one family otherwise stay pinned
+    * through every later family, and at 10× data the accumulated
+    * blocks are what pushed a full-registry pass over the default
+    * heap. Dropping the references is enough — the caller follows with
+    * a `System.gc()` so the ContextCleaner reclaims the blocks
+    * promptly rather than at its periodic interval.
+    */
+  def evictAll(): Unit = liveCaches().foreach(_.clear())
+
   /** Seconds spent building memoized artifacts since the last
     * [[drainBuildLog]], accumulated per caller-supplied family label.
     * Bench drains this after each query so BENCH_FULL.json can

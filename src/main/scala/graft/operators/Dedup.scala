@@ -289,14 +289,14 @@ object Dedup {
     * mins per doc in a map-side-combinable aggregate; signatures then
     * ship as constant-width rows exactly like the set-side kit.
     */
-  private def weightedMinhashSigs(s: SparkSession, dir: String): DataFrame = {
+  private def weightedMinhashSigs(s: SparkSession, wsh: DataFrame): DataFrame = {
     import s.implicits._
     val x = conv(substring(md5(concat_ws("#", $"shingle", $"occ")), 1, 15),
       16, 10).cast("long") % Hashing.ModP
     val mins = (0 until Hashing.MinhashK).map(i =>
       min((lit(Hashing.minhashA60(i)) * $"x" + Hashing.minhashB60(i))
         % Hashing.ModP).as(s"m$i"))
-    weightedShingles(s, dir)
+    wsh
       .select($"doc_id", $"shingle", explode(sequence(lit(0L), $"cnt" - 1)).as("occ"))
       .select($"doc_id", x.as("x"))
       .groupBy($"doc_id")
@@ -314,10 +314,13 @@ object Dedup {
     */
   def wminhashCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val truth = weightedSharedPairs(s, weightedShingles(s, dir))
+    // one tokenize/explode/count pass feeds BOTH the exact truth pairs
+    // and the signature expansion — pinned so neither branch recomputes
+    val wsh = weightedShingles(s, dir).localCheckpoint()
+    val truth = weightedSharedPairs(s, wsh)
       .selectExpr("doc_a", "doc_b",
         "CAST(shared_min AS DOUBLE) / (n_a + n_b - shared_min) AS wj")
-    val sigs = weightedMinhashSigs(s, dir)
+    val sigs = weightedMinhashSigs(s, wsh)
     truth
       .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
       .join(sigs.toDF("doc_b", "sig_b"), "doc_b")

@@ -1321,13 +1321,15 @@ object Graph {
     */
   def singleLinkage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val und = undirectedWeighted(s, dir).localCheckpoint()
     val mst = maxSpanningForestOnEdges(und).localCheckpoint()
-    val kept = mst
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"w".asc, $"src", $"dst")))
-      .where($"rk" > SingleLinkCuts)
+    // cut set by distributed TakeOrdered (per-partition top-K under the
+    // strict total order, never all forest edges through one window
+    // partition), removed by anti-join on the forest's unique (src, dst)
+    val cut = mst.orderBy($"w".asc, $"src", $"dst").limit(SingleLinkCuts)
+      .select($"src".as("c_src"), $"dst".as("c_dst"))
+    val kept = mst.join(cut,
+      $"src" === $"c_src" && $"dst" === $"c_dst", "left_anti")
     val labels = ufLabels(kept.select($"src".as("s"), $"dst".as("d")))
     und.select(explode(array($"a", $"b")).as("token")).distinct()
       .join(labels, $"token" === $"member", "left")
@@ -1532,8 +1534,23 @@ object Graph {
     val edges = rawEdges.select($"src", $"dst").localCheckpoint()
     val nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst")).distinct().localCheckpoint()
-    var frontier = nodes
-      .select($"node".as("s"), $"node".as("v"), lit(1L).as("sigma"))
+    val deltas = brandesDeltas(edges, nodes.select($"node".as("s")), maxDepth)
+    nodes.join(deltas, $"node" === $"v", "left_outer")
+      .select($"node", coalesce($"b", lit(0.0)).as("betweenness"))
+  }
+
+  /** Brandes forward + backward passes from an arbitrary SOURCE frame
+    * (one column `s`) — the seam [[betweennessOnEdges]] (all sources,
+    * exact) and [[betweennessApproxOnEdges]] (k sampled sources) share.
+    * Returns per-node dependency totals (v, b) with b = Σ_{s≠v} δ(s,v)
+    * over the given sources, 9-dp decimal-summed (engine-exact).
+    */
+  private def brandesDeltas(edges: DataFrame, sources: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var frontier = sources
+      .select($"s", $"s".as("v"), lit(1L).as("sigma"))
       .localCheckpoint()
     var seen = frontier.select($"s", $"v").localCheckpoint()
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
@@ -1572,12 +1589,54 @@ object Graph {
       deps += dep
     }
     val allDeps = deps.reduce(_ union _).where($"v" =!= $"s")
-    nodes.join(
-      allDeps.groupBy($"v")
-        .agg(sum(expr("CAST(delta AS DECIMAL(18,9))")).cast("double")
-          .as("b")),
-      $"node" === $"v", "left_outer")
-      .select($"node", coalesce($"b", lit(0.0)).as("betweenness"))
+    allDeps.groupBy($"v")
+      .agg(sum(expr("CAST(delta AS DECIMAL(18,9))")).cast("double").as("b"))
+  }
+
+  /** Seed count for the SAMPLED betweenness estimator. */
+  val BetwApproxSeeds = 12
+
+  def betweennessApprox(s: SparkSession, dir: String): DataFrame =
+    betweennessApproxOnEdges(tokenEdges(s, dir))
+
+  /** Sampled Brandes betweenness — the production form of
+    * [[betweennessOnEdges]] at 100 TB: the exact algorithm runs the
+    * forward/backward passes from ALL |V| sources simultaneously, so
+    * frontier state is O(|V|·frontier) — the one cost a 100× token
+    * graph would feel. The standard estimator (Brandes & Pich 2007:
+    * centrality estimation from k pivots) runs the SAME passes from k
+    * pivot sources and extrapolates B̂(v) = (n/k)·Σ_{s∈S} δ(s,v);
+    * state shrinks linearly to O(k·|V|) and cost to O(k·E) per level,
+    * with the plan — equi-joins on (source, node), checkpoint pins —
+    * unchanged. Pivots are the [[ClosenessSeeds]] discipline: the k
+    * highest-out-mass nodes under a total order (out-mass DESC, token
+    * ASC), engine-stable, so both engines pick the identical seed set
+    * and the estimate is exactly reproducible (hub pivots, not uniform
+    * draws — deterministic AND they cover the most shortest-path mass,
+    * the Brandes-Pich "high-centrality pivots" variant).
+    *
+    * Output: every node with its scaled estimate (9-dp decimal delta
+    * sums, one micro-floored double at the end — oracle-exact).
+    */
+  def betweennessApproxOnEdges(rawEdges: DataFrame,
+      k: Int = BetwApproxSeeds, maxDepth: Int = BetwMaxDepth): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val edges = rawEdges.select($"src", $"dst").localCheckpoint()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst")).distinct().localCheckpoint()
+    val seeds = rawEdges.groupBy($"src").agg(sum($"cnt").as("m"))
+      .orderBy(desc("m"), $"src").limit(k)
+      .select($"src".as("s")).localCheckpoint()
+    val deltas = brandesDeltas(edges, seeds, maxDepth)
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    val nSeeds = seeds.agg(count(lit(1)).as("n_seeds"))
+    nodes.join(deltas, $"node" === $"v", "left_outer")
+      .crossJoin(broadcast(nNodes))
+      .crossJoin(broadcast(nSeeds))
+      .select($"node",
+        expr("""floor(coalesce(b, CAST(0 AS DOUBLE)) * n_nodes / n_seeds
+               |  * 1e6 + 0.5) / 1e6""".stripMargin).as("betweenness_est"))
   }
 
   /** DuckDB restatement: forward levels f0..fD (σ as BIGINT sums,
@@ -1585,33 +1644,40 @@ object Graph {
     * dependency CTEs with the identical 9-dp floor terms, decimal
     * rollup per node.
     */
-  val betweennessSql: String = {
-    val fwd = (1 to BetwMaxDepth).map { l =>
-      s"""f$l AS MATERIALIZED (
-         |  SELECT f.s, e.dst AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
-         |  FROM f${l - 1} f JOIN edges e ON e.src = f.v
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM seen${l - 1} x WHERE x.s = f.s AND x.v = e.dst)
-         |  GROUP BY f.s, e.dst),
-         |seen$l AS MATERIALIZED (
-         |  SELECT s, v FROM seen${l - 1} UNION SELECT s, v FROM f$l)"""
-        .stripMargin
-    }.mkString(",\n")
-    val bwd = ((BetwMaxDepth - 1) to 1 by -1).map { l =>
-      val prevDep = if (l == BetwMaxDepth - 1) "bD" else s"b${l + 1}"
-      s"""b$l AS MATERIALIZED (
-         |  SELECT fl.s, fl.v,
-         |    CAST(sum(CAST(floor(CAST(fl.sigma AS DOUBLE) / fw.sigma
-         |      * (1 + coalesce(bw.delta, CAST(0 AS DOUBLE))) * 1e9 + 0.5)
-         |      / 1e9 AS DECIMAL(18,9))) AS DOUBLE) AS delta
-         |  FROM f$l fl
-         |  JOIN edges e ON e.src = fl.v
-         |  JOIN f${l + 1} fw ON fw.s = fl.s AND fw.v = e.dst
-         |  LEFT JOIN $prevDep bw ON bw.s = fl.s AND bw.v = e.dst
-         |  GROUP BY fl.s, fl.v)""".stripMargin
-    }.mkString(",\n")
-    val depUnion = ((BetwMaxDepth - 1) to 1 by -1)
-      .map(l => s"SELECT s, v, delta FROM b$l").mkString(" UNION ALL ")
+  /** Forward-level / backward-dependency CTE chains shared by the
+    * exact and sampled betweenness oracles — both reference the f0 /
+    * seen0 / edges CTEs their caller assembles.
+    */
+  private lazy val betwFwdSql: String = (1 to BetwMaxDepth).map { l =>
+    s"""f$l AS MATERIALIZED (
+       |  SELECT f.s, e.dst AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+       |  FROM f${l - 1} f JOIN edges e ON e.src = f.v
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM seen${l - 1} x WHERE x.s = f.s AND x.v = e.dst)
+       |  GROUP BY f.s, e.dst),
+       |seen$l AS MATERIALIZED (
+       |  SELECT s, v FROM seen${l - 1} UNION SELECT s, v FROM f$l)"""
+      .stripMargin
+  }.mkString(",\n")
+
+  private lazy val betwBwdSql: String = ((BetwMaxDepth - 1) to 1 by -1).map { l =>
+    val prevDep = if (l == BetwMaxDepth - 1) "bD" else s"b${l + 1}"
+    s"""b$l AS MATERIALIZED (
+       |  SELECT fl.s, fl.v,
+       |    CAST(sum(CAST(floor(CAST(fl.sigma AS DOUBLE) / fw.sigma
+       |      * (1 + coalesce(bw.delta, CAST(0 AS DOUBLE))) * 1e9 + 0.5)
+       |      / 1e9 AS DECIMAL(18,9))) AS DOUBLE) AS delta
+       |  FROM f$l fl
+       |  JOIN edges e ON e.src = fl.v
+       |  JOIN f${l + 1} fw ON fw.s = fl.s AND fw.v = e.dst
+       |  LEFT JOIN $prevDep bw ON bw.s = fl.s AND bw.v = e.dst
+       |  GROUP BY fl.s, fl.v)""".stripMargin
+  }.mkString(",\n")
+
+  private lazy val betwDepUnionSql: String = ((BetwMaxDepth - 1) to 1 by -1)
+    .map(l => s"SELECT s, v, delta FROM b$l").mkString(" UNION ALL ")
+
+  val betweennessSql: String =
     s"""WITH toks AS (
        |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
        |edges AS MATERIALIZED (
@@ -1624,17 +1690,52 @@ object Graph {
        |f0 AS (SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sigma
        |  FROM nodes),
        |seen0 AS (SELECT s, v FROM f0),
-       |$fwd,
+       |$betwFwdSql,
        |bD AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta
        |  FROM f$BetwMaxDepth WHERE 1 = 0),
-       |$bwd
+       |$betwBwdSql
        |SELECT n.node,
        |  coalesce(bc.b, CAST(0 AS DOUBLE)) AS betweenness
        |FROM nodes n LEFT JOIN (
        |  SELECT v, CAST(sum(CAST(delta AS DECIMAL(18,9))) AS DOUBLE) AS b
-       |  FROM ($depUnion) u WHERE v <> s GROUP BY v) bc
+       |  FROM ($betwDepUnionSql) u WHERE v <> s GROUP BY v) bc
        |  ON bc.v = n.node""".stripMargin
-  }
+
+  /** Sampled-betweenness oracle: identical chain CTEs, f0 restricted to
+    * the k highest-out-mass seeds (same total order as the engine),
+    * scaled n/k with the identical left-assoc double expression.
+    */
+  val betweennessApproxSql: String =
+    s"""WITH toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |wedges AS MATERIALIZED (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)
+       |  GROUP BY src, dst),
+       |edges AS MATERIALIZED (SELECT src, dst FROM wedges),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |seeds AS (
+       |  SELECT src AS s FROM (
+       |    SELECT src, sum(cnt) AS m FROM wedges GROUP BY src
+       |    ORDER BY m DESC, src LIMIT $BetwApproxSeeds)),
+       |f0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |seen0 AS (SELECT s, v FROM f0),
+       |$betwFwdSql,
+       |bD AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta
+       |  FROM f$BetwMaxDepth WHERE 1 = 0),
+       |$betwBwdSql
+       |SELECT n.node,
+       |  floor(coalesce(bc.b, CAST(0 AS DOUBLE))
+       |      * (SELECT count(*) FROM nodes)
+       |      / (SELECT count(*) FROM seeds) * 1e6 + 0.5) / 1e6
+       |    AS betweenness_est
+       |FROM nodes n LEFT JOIN (
+       |  SELECT v, CAST(sum(CAST(delta AS DECIMAL(18,9))) AS DOUBLE) AS b
+       |  FROM ($betwDepUnionSql) u WHERE v <> s GROUP BY v) bc
+       |  ON bc.v = n.node""".stripMargin
 
   // ------------------------------------------------------- closeness
 
@@ -2015,6 +2116,7 @@ object Graph {
     "graph_node2vec" -> (node2vec _),
     "graph_ppr" -> (personalizedPagerank _),
     "graph_betweenness" -> (betweenness _),
+    "graph_betweenness_approx" -> (betweennessApprox _),
     "graph_random_walks" -> (randomWalks _),
     "graph_mst" -> (maxSpanningTree _),
     "graph_single_linkage" -> (singleLinkage _),
@@ -2035,6 +2137,7 @@ object Graph {
     "graph_node2vec" -> node2vecSql,
     "graph_ppr" -> pprSql,
     "graph_betweenness" -> betweennessSql,
+    "graph_betweenness_approx" -> betweennessApproxSql,
     "graph_random_walks" -> randomWalksSql,
     "graph_mst" -> maxSpanningTreeSql,
     "graph_single_linkage" -> singleLinkageSql,

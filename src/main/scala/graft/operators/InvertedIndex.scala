@@ -132,6 +132,77 @@ object InvertedIndex {
         "CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard")
   }
 
+  /** INCREMENTAL PPJoin step — the streaming finalize's per-trigger
+    * unit (`stream_ppjoin`): exact thresholded pairs with at least one
+    * side among `newIds`, over the CURRENT full token frame
+    * (accumulated ∪ this trigger's arrivals).
+    *
+    * Correctness: a document's shingle set is trigger-complete (the
+    * shingling is row-local), so sets never mutate after arrival and a
+    * pair's qualification depends only on the two immutable sets —
+    * never on when the df order was snapshotted. Both sides' prefixes
+    * here derive from THIS frame's df order (one consistent total
+    * order per trigger), so the prefix pigeonhole stays lossless; a
+    * pair of two OLD docs was generated losslessly at the later doc's
+    * own trigger. Each qualifying pair is therefore emitted EXACTLY
+    * once — at max(trigger_a, trigger_b) — and the union of per-trigger
+    * outputs equals the batch [[ppjoinFromTokens]] under any split
+    * (the `ExactSubstrStreamSpec` contract).
+    *
+    * Scale: the candidate join probes only NEW docs' prefixes against
+    * the full prefix index, so per-trigger PAIR work tracks arrivals
+    * (new-prefix posting mass), not accumulated pair volume — the
+    * difference from re-running the full finalize per close. The df /
+    * rank / verify passes remain one linear scan of accumulated state
+    * (shuffle-light aggregations), the honest floor for an exact
+    * global-df algorithm; a production variant would accrete df counts
+    * in the state store instead of rescanning.
+    */
+  private[graft] def ppjoinNewPairs(s: SparkSession, tok0: DataFrame,
+      newIds: DataFrame): DataFrame = {
+    import s.implicits._
+    val tok = tok0.select($"doc_id", $"token")
+    val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val dfs = tok.groupBy($"token").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfs, "token").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"token")))
+      .where($"rn" <= $"n" - expr(s"($TauNum * n + ${TauDen - 1}) div $TauDen") + 1)
+      .select($"doc_id", $"token", $"n", $"rn")
+      .localCheckpoint() // probed twice: new side + full index side
+    val newPre = ranked.join(newIds.select($"doc_id"), "doc_id")
+    // ub is symmetric under side swap, so the both-new duplicate rows
+    // (each such pair arrives as (a,b) AND (b,a)) agree on every ub and
+    // collapse in the min-aggregate
+    val cand = newPre.as("a")
+      .join(ranked.as("b"),
+        $"a.token" === $"b.token" && $"a.doc_id" =!= $"b.doc_id" &&
+          $"a.n" * TauNum <= $"b.n" * TauDen &&
+          $"b.n" * TauNum <= $"a.n" * TauDen)
+      .select(
+        least($"a.doc_id", $"b.doc_id").as("doc_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"),
+        when($"a.doc_id" < $"b.doc_id", $"a.n").otherwise($"b.n").as("n_a"),
+        when($"a.doc_id" < $"b.doc_id", $"b.n").otherwise($"a.n").as("n_b"),
+        (least($"a.rn", $"b.rn") +
+          least($"a.n" - $"a.rn", $"b.n" - $"b.rn")).as("ub"))
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+      .agg(min($"ub").as("ub"))
+      .where(expr(s"ub >= ($TauNum * (n_a + n_b) + ${TauNum + TauDen - 1}) " +
+        s"div ${TauNum + TauDen}"))
+      .select($"doc_a", $"doc_b")
+    val shared = cand
+      .join(tok.toDF("doc_a", "token"), "doc_a")
+      .join(tok.toDF("doc_b", "token"), Seq("doc_b", "token"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .where($"shared" * (TauNum + TauDen) >= ($"n_a" + $"n_b") * TauNum)
+      .selectExpr("doc_a", "doc_b", "shared", "n_a", "n_b",
+        "CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard")
+  }
+
   /** Prefix-filtered candidate stage with PPJoin's POSITIONAL filter
     * (post size-filter, pre verification) — shared by the full join
     * and the spec, which uses it to assert the filter's completeness

@@ -1192,7 +1192,15 @@ object Multimodal {
     * packed into four 16-bit chunks for the banded hamming join.
     * Returns None for non-BMP payloads.
     */
-  def ahashChunks(bytes: Array[Byte]): Option[Array[Int]] = {
+  def ahashChunks(bytes: Array[Byte]): Option[Array[Int]] =
+    ahashChunksDims(bytes).map(_._1)
+
+  /** [[ahashChunks]] plus the header's (width, height) — the cluster
+    * consumers rank keepers on pixel count, and reading the dims from
+    * the already-parsed header avoids a second full decodeBmp pixel
+    * walk per asset just for two header fields.
+    */
+  def ahashChunksDims(bytes: Array[Byte]): Option[(Array[Int], Int, Int)] = {
     if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
       return None
     val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -1225,7 +1233,7 @@ object Multimodal {
       if (lum(i) * 64 >= tot) chunks(i / 16) |= 1 << (i % 16)
       i += 1
     }
-    Some(chunks)
+    Some((chunks, w, h))
   }
 
   /** Image near-duplicate pairs by perceptual hash — the DEDUP move
@@ -2350,10 +2358,9 @@ object Multimodal {
       Similarity.dataKey(dir, "documents"), "mm_image_clusters") {
       import s.implicits._
       val st = assets(s, dir).filter(_.media_type == "image")
-        .flatMap(a => for {
-          c <- ahashChunks(a.payload)
-          (w, h, _, _) <- decodeBmp(a.payload)
-        } yield (a.asset_id, c(0), c(1), c(2), c(3), w.toLong * h))
+        .flatMap(a => ahashChunksDims(a.payload).map { case (c, w, h) =>
+          (a.asset_id, c(0), c(1), c(2), c(3), w.toLong * h)
+        })
         .toDF("asset_id", "c0", "c1", "c2", "c3", "nw")
         .localCheckpoint()
       imageClustersFromChunks(s, st)

@@ -216,8 +216,7 @@ object SemDedup {
   def oodKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy($"ood_score".desc, $"vec_id")
-    knnGraph(s, dir)
+    val top = knnGraph(s, dir)
       .select($"vec_id",
         expr("CAST(floor(cosine * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9))")
           .as("c9"))
@@ -226,8 +225,15 @@ object SemDedup {
       .selectExpr("vec_id", "n_nbrs",
         "floor((1 - CAST(csum AS DOUBLE) / n_nbrs) * 1e6 + 0.5) / 1e6" +
           " AS ood_score")
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" <= OodTopN)
+      // distributed TakeOrdered cut FIRST (the q_assoc_rules pattern:
+      // per-partition top-K, never all |V| score rows through one
+      // window partition), THEN rank the K-row frame — the ordering is
+      // total (vec_id unique), so limit-then-rank equals rank-then-filter
+      .orderBy($"ood_score".desc, $"vec_id")
+      .limit(OodTopN)
+    // K-row frame: the unpartitioned rank window is value-bounded
+    top.withColumn("rn", row_number().over(
+      Window.orderBy($"ood_score".desc, $"vec_id")))
   }
 
   /** Oracle: the full k-NN-graph statement as a nested-WITH CTE, the

@@ -260,7 +260,9 @@ object Sketches {
     val ex = tu.as("x").join(tu.as("y"),
         $"x.user_id" === $"y.user_id" && $"x.event_type" < $"y.event_type")
       .groupBy($"x.event_type".as("type_a"), $"y.event_type".as("type_b"))
-      .agg(countDistinct($"x.user_id").as("exact_inter"))
+      // tu is distinct on (event_type, user_id), so each joined row is a
+      // distinct shared user — plain count, no distinct-expand shuffle
+      .agg(count(lit(1)).as("exact_inter"))
     val pairList = ex.select($"type_a", $"type_b")
     val unionRegs = pairList
       .join(regs.withColumnRenamed("event_type", "type_a"), "type_a")

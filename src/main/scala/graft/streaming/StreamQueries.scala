@@ -1589,33 +1589,76 @@ object StreamQueries {
         keys.select("asset_id", "shingle"))
     }
 
-  /** Streaming PPJoin — `dedup_ppjoin` at INGEST: documents arrive
-    * across triggers, each micro-batch runs the SAME row-local distinct
-    * trigram shingling ([[graft.operators.InvertedIndex.ShingleSetExpr]]),
-    * and the cross-trigger state is the per-(doc_id, shingle)
-    * update-mode aggregation — arrival-order-insensitive, the streaming
-    * form of the batch shingle-set table. The drained state closes
-    * through the SAME prefix-filtered exact join
-    * ([[graft.operators.InvertedIndex.ppjoinFromTokens]] — df ordering,
-    * prefix cut, positional bound, and both integer thresholds all
-    * re-derived from the final state), so the EXACT set-similarity
-    * answer — not an LSH estimate — equals the batch pass under any
-    * trigger split; the oracle IS that query's brute-force SQL.
+  /** Per-trigger cost ledger for [[streamPpjoin]]'s incremental
+    * finalize: (batch_id, new token rows, accumulated token rows,
+    * seconds). Cleared at query start; read by the scaling notes /
+    * specs to show per-trigger cost tracks ARRIVALS, not state size.
+    */
+  private[graft] val ppjoinTriggerLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]
+
+  /** Streaming PPJoin — `dedup_ppjoin` at INGEST, with an INCREMENTAL
+    * per-trigger finalize (round-11: the close no longer re-joins the
+    * full accumulated state): documents arrive across triggers, each
+    * micro-batch runs the SAME row-local distinct trigram shingling
+    * ([[graft.operators.InvertedIndex.ShingleSetExpr]]); the
+    * cross-trigger state is a batch-id-partitioned token delta log (the
+    * accumulated inverted index), and EACH trigger emits exactly the
+    * qualifying pairs involving its new documents by probing only the
+    * new docs' prefixes against the full prefix index
+    * ([[graft.operators.InvertedIndex.ppjoinNewPairs]] — df ordering,
+    * prefix cut, positional bound and both integer thresholds
+    * re-derived per trigger, which keeps the pigeonhole lossless).
+    * Pair accretion is append-only and replay-idempotent (each batch
+    * overwrites its own partition; the accumulated-index read excludes
+    * batch ids ≥ the current one, so a replayed batch recomputes the
+    * identical pairs). The unioned pair log provably equals the batch
+    * pass under any trigger split (`ExactSubstrStreamSpec`); the
+    * oracle IS that query's brute-force SQL.
     */
   def streamPpjoin(s: SparkSession, dir: String): DataFrame =
     withStatePartitions(s, 8) {
       import s.implicits._
+      import org.apache.spark.sql.types.{StructType, LongType, StringType, DoubleType}
       val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
       val schema = s.read.parquet(src).schema
+      val tokLog = graft.TempDirs.scoped("graft_ppjoin_toklog")
+      val pairLog = graft.TempDirs.scoped("graft_ppjoin_pairlog")
+      val tokSchema = new StructType()
+        .add("doc_id", LongType).add("token", StringType)
+        .add("batch_id", LongType)
+      val pairSchema = new StructType()
+        .add("doc_a", LongType).add("doc_b", LongType)
+        .add("shared", LongType).add("n_a", LongType).add("n_b", LongType)
+        .add("jaccard", DoubleType).add("batch_id", LongType)
+      ppjoinTriggerLog.clear()
       val tok = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .selectExpr("doc_id", graft.operators.InvertedIndex.ToksExpr)
         .where("size(toks) >= 3")
         .selectExpr("doc_id", graft.operators.InvertedIndex.ShingleSetExpr)
-        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("n_occ"))
-      val keys = runDeltaLog(tok, "update", Seq("doc_id", "token"))
-      graft.operators.InvertedIndex.ppjoinFromTokens(s,
-        keys.select("doc_id", "token"))
+      val q = tok.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val t0 = System.nanoTime()
+          val newTok = batch.select("doc_id", "token").localCheckpoint()
+          // replay-proof accumulated index: a failed batch's own partial
+          // token partition (write landed, checkpoint commit didn't) is
+          // excluded, so the recompute sees the exact pre-batch state
+          val acc = s.read.schema(tokSchema).parquet(tokLog)
+            .where(col("batch_id") < id).select("doc_id", "token")
+          val newPairs = graft.operators.InvertedIndex.ppjoinNewPairs(
+            s, acc.unionByName(newTok), newTok.select("doc_id").distinct())
+          appendDeltaBatch(newPairs, id, pairLog)
+          appendDeltaBatch(newTok, id, tokLog)
+          ppjoinTriggerLog.add((id, newTok.count(),
+            acc.count(), (System.nanoTime() - t0) / 1e9)): Unit
+        }
+        .option("checkpointLocation", ckpt())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(pairSchema).parquet(pairLog).drop("batch_id")
     }
 
   /** Streaming weighted Jaccard — `dedup_weighted_jaccard` at INGEST:
@@ -1701,10 +1744,10 @@ object StreamQueries {
           if (id % 3 != 0) Iterator.empty
           else {
             val payload = graft.operators.Multimodal.imageAssetPayload(id, text)
-            (for {
-              c <- graft.operators.Multimodal.ahashChunks(payload)
-              (w, h, _, _) <- graft.operators.Multimodal.decodeBmp(payload)
-            } yield (id, c(0), c(1), c(2), c(3), w.toLong * h)).iterator
+            graft.operators.Multimodal.ahashChunksDims(payload)
+              .map { case (c, w, h) =>
+                (id, c(0), c(1), c(2), c(3), w.toLong * h)
+              }.iterator
           }
         })
         .toDF("asset_id", "c0", "c1", "c2", "c3", "nw")

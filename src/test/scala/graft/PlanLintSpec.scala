@@ -76,7 +76,7 @@ class PlanLintSpec extends AnyFunSuite {
     // pins; the k² gram frames are 1-row broadcast crosses
     "doc_nmf_topics",
     // level-synchronous multi-source BFS with checkpoint pins
-    "graph_betweenness", "graph_closeness",
+    "graph_betweenness", "graph_betweenness_approx", "graph_closeness",
     // collects the 65-double centroid artifact on construction; the
     // decile-edge / median / totals frames are 1-row broadcasts
     "dq_embedding_drift",
@@ -174,13 +174,55 @@ class PlanLintSpec extends AnyFunSuite {
     // ev_holt_forecast's exact shape: 1-row max(day) anchor broadcast
     "ev_kalman_level", "ev_theta_forecast")
 
-  test("no registered batch query plans a cartesian product or stray nested-loop join") {
+  /** Undefined-partition WindowExec frames that are VALUE-BOUNDED by
+    * construction — the only unpartitioned windows a registered batch
+    * query may plan. Every name here ranks a frame whose row count is
+    * bounded independent of corpus size: a post-`limit(K)` cut (the
+    * q_assoc_rules TakeOrdered-then-rank pattern), a calendar-day /
+    * bucket / fixed-k model frame, or a ≤|types|² enumeration. Anything
+    * NOT on this list that plans an unpartitioned window fails the gate
+    * — the all-rows-to-one-partition shape at corpus scale. Justify
+    * every addition with the bound.
+    */
+  private val boundedGlobalWindow: Set[String] = Set(
+    // post-limit(K) rank frames (the TakeOrdered-then-rank pattern)
+    "q_assoc_rules", "doc_zipf_fit", "doc_bm25_topk", "doc_rrf_fusion",
+    // calendar-day frames: the window input is the gap-filled day
+    // scaffold (or a per-day count table) — bounded by the date span
+    "ev_cumulative_users", "ev_moving_corr", "ev_decompose",
+    "ev_poisson_burst", "ev_ar_forecast", "ev_ljung_box", "ev_survival_km",
+    // value-bounded histogram/bucket-count frames (prefix sums over
+    // per-bucket counts: distinct lengths, quantile buckets, 10k money
+    // bands / discrete recency-freq values via shardRank)
+    "curate_sample_ks", "sketch_hist_quantiles", "q_rfm_segments",
+    // fixed-cardinality model frames: B bootstrap replica means,
+    // |sources| epochs, ≤50 distinct part sizes, vocab/piece-sized EM
+    // frame, |folds|-sized classifier eval frame
+    "q_bootstrap_ci", "curate_curriculum", "q_skyline_parts",
+    "tok_unigram_em", "doc_lr_classifier")
+
+  /** One planning pass per registered batch query (streaming and
+    * construction-running queries excluded — the latter execute work on
+    * construction; their plans are asserted by their own specs), shared
+    * by both plan-shape gates below so the registry is planned once.
+    */
+  private lazy val planInfo: Seq[(String, String, Int)] = {
     val targets = SparkEntry.queries.filterNot { case (n, _) =>
       n.startsWith("stream_") || constructionRuns(n)
     }
-    val violations = targets.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode)
+    targets.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val qe = fn(spark, sf).queryExecution
+      val undef = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.size
+      (name, qe.explainString(org.apache.spark.sql.execution.SimpleMode),
+        undef)
+    }
+  }
+
+  test("no registered batch query plans a cartesian product or stray nested-loop join") {
+    val violations = planInfo.flatMap { case (name, plan, _) =>
       val cart = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") && !oneRowCross(name)
       if (cart) Some(s"$name: CartesianProduct")
@@ -190,27 +232,19 @@ class PlanLintSpec extends AnyFunSuite {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
-  /** The segmented-scan consumers (Scans.segmentedCumSum/RowNumber)
-    * must not plan ANY partition-undefined WindowExec — the
-    * all-rows-to-one-partition shape the scan module exists to retire.
-    * (Their remaining windows are shard-partitioned or the
-    * pmod-partitioned ScanShards-row carry.)
+  /** REGISTRY-WIDE undefined-partition window gate (round-11 verdict
+    * item 1): no registered batch query may plan a WindowExec with an
+    * empty partitionSpec unless its frame is on the value-bounded
+    * allowlist above. This subsumes the former six-name segmented-scan
+    * assertion (curate_pps_sample, ev_peak_concurrency, curate_el2n,
+    * q_weighted_median, dedup_exact_substr, dedup_substr_savings — none
+    * of which may ever join the allowlist) and is the mechanical form
+    * of the manual sweep that caught sim_ood_knn / graph_single_linkage.
     */
-  test("segmented-scan consumers plan no undefined-partition window") {
-    // the last two ride per-(pair, diagonal) / per-doc windows of the
-    // ExactSubstr kit (island merge, interval union) — same assertion:
-    // no window in their plans may funnel all rows to one partition
-    val converted = Seq("curate_pps_sample", "ev_peak_concurrency",
-      "curate_el2n", "q_weighted_median",
-      "dedup_exact_substr", "dedup_substr_savings")
-    val bad = converted.flatMap { name =>
-      val undef = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.sparkPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
-        }
-      if (undef.nonEmpty)
-        Some(s"$name: ${undef.size} undefined-partition WindowExec") else None
+  test("no registered batch query plans an unbounded undefined-partition window") {
+    val bad = planInfo.flatMap { case (name, _, undef) =>
+      if (undef > 0 && !boundedGlobalWindow(name))
+        Some(s"$name: $undef undefined-partition WindowExec") else None
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }

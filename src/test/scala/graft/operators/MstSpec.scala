@@ -87,7 +87,17 @@ class MstSpec extends AnyFunSuite {
     val want = nodes.groupBy(find).flatMap { case (_, ms) =>
       val lbl = ms.min; ms.map(_ -> lbl)
     }
-    val got = Graph.singleLinkage(spark, sf).collect()
+    val slDf = Graph.singleLinkage(spark, sf)
+    // plan gate (construction-run query, exempt from PlanLintSpec's
+    // registry sweep): the cut must be TakeOrdered + anti-join — no
+    // global rank window over the forest
+    val undef = slDf.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(undef.isEmpty,
+      "singleLinkage plans an undefined-partition window")
+    val got = slDf.collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == want)
     // cutting k forest edges adds exactly k components

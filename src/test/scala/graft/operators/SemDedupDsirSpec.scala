@@ -188,8 +188,22 @@ class SemDedupDsirSpec extends AnyFunSuite {
     }.toSeq.sortBy { case (id, _, sc) => (-sc, id) }
       .take(SemDedup.OodTopN).zipWithIndex
       .map { case ((id, n, sc), i) => (id, n, sc, i + 1) }.toSet
-    val got = SemDedup.oodKnn(spark, sf)
-      .as[(Long, Long, Double, Int)].collect().toSet
+    val df = SemDedup.oodKnn(spark, sf)
+    // plan gate (construction-run query, exempt from PlanLintSpec's
+    // registry sweep): the only unpartitioned window must rank the
+    // post-limit K-row frame — every undefined-partition WindowExec
+    // needs a limit/TakeOrdered below it, never all |V| score rows
+    val undefUnbounded = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty && w.find {
+            case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+            case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+            case _ => false
+          }.isEmpty => w
+    }
+    assert(undefUnbounded.isEmpty,
+      "oodKnn plans an unpartitioned window with no limit below it")
+    val got = df.as[(Long, Long, Double, Int)].collect().toSet
     assert(got == want)
     // the reported outliers really are the least-similar neighborhoods
     val maxKept = got.map(_._3).min

@@ -44,6 +44,16 @@ class ExactSubstrStreamSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(streamed == batch)
     assert(batch.nonEmpty, "fixture must contain at least one exact near-dup pair")
+    // incremental finalize ledger: one entry per trigger, and the
+    // arrivals across triggers sum to the final accumulated index —
+    // i.e. each trigger processed only its own arrivals against the
+    // accumulated state, never a full re-finalize of a stale union
+    import scala.jdk.CollectionConverters._
+    val ledger = StreamQueries.ppjoinTriggerLog.asScala.toSeq.sortBy(_._1)
+    assert(ledger.size >= 2, "multi-trigger drain expected")
+    val last = ledger.last
+    assert(ledger.map(_._2).sum == last._2 + last._3,
+      "per-trigger arrivals must sum to the accumulated token index")
   }
 
   test("streaming image-in-video pairs equal the batch cross-modal join") {
