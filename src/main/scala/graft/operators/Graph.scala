@@ -2110,8 +2110,115 @@ object Graph {
     s"$base,\n$steps\n$rows"
   }
 
+  // ------------------------------------------- neighborhood function
+
+  /** Propagation rounds for [[anf]] — must exceed the graph diameter
+    * (≤ 6 on every fixture vintage; [[BetwMaxDepth]]'s spec bound
+    * covers the same graph), so the last rounds are no-op fixpoints.
+    */
+  val AnfRounds = 8
+
+  def anf(s: SparkSession, dir: String): DataFrame =
+    anfOnEdges(tokenEdges(s, dir))
+
+  /** Approximate neighborhood function by HLL-register propagation —
+    * HyperANF (Boldi, Rosa & Vigna, WWW'11): per node, the HLL sketch
+    * of ball(v, t) = {u : d(v,u) ≤ t}; one round max-merges each
+    * node's registers with its out-neighbors' (register max is
+    * exactly set union, the property that makes the sketch
+    * composable), so after t rounds the registers ARE the t-ball's
+    * sketch. N(t) = Σ_v est(v, t) is the neighborhood function whose
+    * saturation point is the effective diameter — at 100 TB this is
+    * THE way reach/diameter is measured (exact all-pairs BFS state is
+    * |V|² and off the table; per-node register state here is O(V·m)
+    * and every round is one equi-join + one max-aggregate, the
+    * Pregel-with-mergeable-state shape).
+    *
+    * Engine-exactness: registers are the md5-60 integer kit
+    * ([[Sketches.hllRowSignals]] — DuckDB reproduces every register
+    * bit), per-node estimates round to 4 dp, and N(t) sums them as
+    * DECIMAL(18,4) — order-free, so the curve compares exactly.
+    */
+  private[graft] def anfOnEdges(rawEdges: DataFrame,
+      rounds: Int = AnfRounds): DataFrame = {
+    val s = rawEdges.sparkSession
+    import s.implicits._
+    val edges = rawEdges.select($"src", $"dst").localCheckpoint()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst")).distinct().localCheckpoint()
+    val (idx, mv) = Sketches.hllRowSignals($"node")
+    var regs = nodes.select($"node", idx.as("idx"), mv.as("m_val"))
+      .localCheckpoint()
+    def nfAt(t: Int, r: DataFrame): DataFrame =
+      Sketches.hllFinalize(r, Seq("node"))
+        .agg(sum($"hll_est".cast("decimal(18,4)")).cast("double").as("nf_est"))
+        .select(lit(t.toLong).as("t"), $"nf_est")
+    val curve = scala.collection.mutable.ArrayBuffer(nfAt(0, regs))
+    for (t <- 1 to rounds) {
+      regs = regs
+        .unionByName(edges
+          .join(regs.withColumnRenamed("node", "nbr"), $"dst" === $"nbr")
+          .select($"src".as("node"), $"idx", $"m_val"))
+        .groupBy($"node", $"idx").agg(max($"m_val").as("m_val"))
+      if (t % 2 == 0) regs = regs.localCheckpoint()
+      curve += nfAt(t, regs)
+    }
+    curve.reduce(_ unionByName _)
+  }
+
+  /** DuckDB restatement: register tables r0..rT unrolled as
+    * MATERIALIZED CTEs (self ∪ out-neighbor max-merge per round), the
+    * [[Sketches]] estimator per node, DECIMAL(18,4) rollup per t.
+    */
+  val anfSql: String = {
+    import Sketches.{HllM, HllAlpha, HllRemMod, HllRemBits}
+    val roundsSql = (1 to AnfRounds).map { t =>
+      s"""r$t AS MATERIALIZED (
+         |  SELECT node, idx, max(m_val) AS m_val FROM (
+         |    SELECT node, idx, m_val FROM r${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS node, r.idx, r.m_val
+         |    FROM edges e JOIN r${t - 1} r ON r.node = e.dst)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    def estAt(t: Int): String =
+      s"""SELECT CAST($t AS BIGINT) AS t,
+         |  CAST(sum(CAST(round(CASE WHEN raw_est <= 2.5 * $HllM AND zeros > 0
+         |    THEN CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / zeros)
+         |    ELSE raw_est END, 4) AS DECIMAL(18,4))) AS DOUBLE) AS nf_est
+         |FROM (
+         |  SELECT node, $HllM - count(*) AS zeros,
+         |    CAST($HllAlpha AS DOUBLE) * $HllM * $HllM /
+         |      (CAST(sum(CAST(round(pow(2.0, -m_val), 18) AS DECIMAL(38,18)))
+         |         AS DOUBLE) + ($HllM - count(*))) AS raw_est
+         |  FROM r$t GROUP BY node)""".stripMargin
+    val curve = (0 to AnfRounds).map(estAt).mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT ${TextOps.duckTokensExpr} AS t FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT
+       |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS src,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS dst
+       |    FROM toks WHERE len(t) >= 2)),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, hv // $HllRemMod AS idx,
+       |    max(CASE WHEN hv % $HllRemMod = 0 THEN 49
+       |        ELSE ${HllRemBits + 1} - length(bin(hv % $HllRemMod)) END)
+       |      AS m_val
+       |  FROM (
+       |    SELECT node,
+       |      CAST('0x' || substr(md5(node), 1, 15) AS BIGINT) AS hv
+       |    FROM nodes)
+       |  GROUP BY 1, 2),
+       |$roundsSql
+       |$curve""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_textrank" -> (textrank _),
+    "graph_anf" -> (anf _),
     "graph_closeness" -> (closeness _),
     "graph_node2vec" -> (node2vec _),
     "graph_ppr" -> (personalizedPagerank _),
@@ -2134,6 +2241,7 @@ object Graph {
     "graph_hits" -> (hits _))
 
   def oracles: Map[String, String] = Map(
+    "graph_anf" -> anfSql,
     "graph_node2vec" -> node2vecSql,
     "graph_ppr" -> pprSql,
     "graph_betweenness" -> betweennessSql,

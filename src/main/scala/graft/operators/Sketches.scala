@@ -35,8 +35,8 @@ object Sketches {
     */
   val HllP = 12
   val HllM = 4096
-  private val HllRemBits = 48
-  private val HllRemMod = 1L << HllRemBits
+  private[graft] val HllRemBits = 48
+  private[graft] val HllRemMod = 1L << HllRemBits
   /** α₄₀₉₆ = 0.7213 / (1 + 1.079/m) — embedded as the same double
     * literal in the generated SQL.
     */

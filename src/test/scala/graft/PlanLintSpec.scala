@@ -77,6 +77,8 @@ class PlanLintSpec extends AnyFunSuite {
     "doc_nmf_topics",
     // level-synchronous multi-source BFS with checkpoint pins
     "graph_betweenness", "graph_betweenness_approx", "graph_closeness",
+    // HyperANF register-propagation loop with checkpoint pins
+    "graph_anf",
     // collects the 65-double centroid artifact on construction; the
     // decile-edge / median / totals frames are 1-row broadcasts
     "dq_embedding_drift",
