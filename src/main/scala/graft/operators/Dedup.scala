@@ -221,6 +221,48 @@ object Dedup {
       .where($"wjaccard" >= WeightedJaccThresh)
   }
 
+  /** INCREMENTAL weighted-Jaccard step — `stream_weighted_jaccard`'s
+    * per-trigger unit, the [[graft.operators.InvertedIndex.ppjoinNewPairs]]
+    * move on the MULTISET measure (simpler: no df-order dependence, so
+    * no per-trigger re-snapshot subtlety at all): thresholded pairs
+    * with at least one side among `newIds`, over the current full
+    * count frame. Docs are trigger-complete (occurrence counting is
+    * row-local), so a pair's Σmin/Σmax depends only on the two
+    * immutable count vectors and each qualifying pair lands exactly
+    * once — at the later doc's trigger. A both-new pair is generated
+    * once structurally (the `!is_new || a < b` join condition), never
+    * deduped after the fact — a double-counted row would corrupt the
+    * Σmin sum, unlike ppjoin's idempotent min(ub).
+    */
+  private[graft] def weightedJaccardNewPairs(s: SparkSession,
+      sh: DataFrame, newIds: DataFrame): DataFrame = {
+    import s.implicits._
+    val sizes = sh.groupBy($"doc_id").agg(sum($"cnt").as("n"))
+    val flagged = sh
+      .join(newIds.select($"doc_id", lit(true).as("is_new")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", $"shingle", $"cnt",
+        coalesce($"is_new", lit(false)).as("is_new"))
+      .localCheckpoint() // probed twice: new side + full index side
+    val newSide = flagged.where($"is_new")
+      .select($"doc_id", $"shingle", $"cnt")
+    val pairs = newSide.as("a")
+      .join(flagged.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" =!= $"b.doc_id" &&
+          (!$"b.is_new" || $"a.doc_id" < $"b.doc_id"))
+      .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"),
+        least($"a.cnt", $"b.cnt").as("m"))
+      .groupBy($"doc_a", $"doc_b").agg(sum($"m").as("shared_min"))
+    pairs
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "shared_min",
+        """floor(CAST(shared_min AS DOUBLE) / (n_a + n_b - shared_min)
+          |  * 1e6 + 0.5) / 1e6 AS wjaccard""".stripMargin)
+      .where($"wjaccard" >= WeightedJaccThresh)
+  }
+
   /** UNthresholded multiset pair table (doc_a, doc_b, shared_min, n_a,
     * n_b) — the weighted counterpart of [[sharedPairs]]; the near-dup
     * query and the sketch calibration are different final expressions

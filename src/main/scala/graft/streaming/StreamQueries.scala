@@ -1591,11 +1591,13 @@ object StreamQueries {
 
   /** Per-trigger cost ledger for [[streamPpjoin]]'s incremental
     * finalize: (batch_id, new token rows, accumulated token rows,
-    * seconds). Cleared at query start; read by the scaling notes /
-    * specs to show per-trigger cost tracks ARRIVALS, not state size.
+    * pairs emitted this trigger, seconds). Cleared at query start;
+    * read by the scaling notes / specs to show per-trigger cost tracks
+    * ARRIVALS × emitted pairs (the exact-enumeration lower bound), not
+    * a re-finalize of accumulated pair volume.
     */
   private[graft] val ppjoinTriggerLog =
-    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long, Double)]
 
   /** Streaming PPJoin — `dedup_ppjoin` at INGEST, with an INCREMENTAL
     * per-trigger finalize (round-11: the close no longer re-joins the
@@ -1651,8 +1653,12 @@ object StreamQueries {
             s, acc.unionByName(newTok), newTok.select("doc_id").distinct())
           appendDeltaBatch(newPairs, id, pairLog)
           appendDeltaBatch(newTok, id, tokLog)
+          // ledger counts read back from the just-written partitions
+          // (footer-cheap), never re-running the pair join
+          val nPairs = s.read.schema(pairSchema).parquet(pairLog)
+            .where(col("batch_id") === id).count()
           ppjoinTriggerLog.add((id, newTok.count(),
-            acc.count(), (System.nanoTime() - t0) / 1e9)): Unit
+            acc.count(), nPairs, (System.nanoTime() - t0) / 1e9)): Unit
         }
         .option("checkpointLocation", ckpt())
         .trigger(Trigger.AvailableNow())
@@ -1674,17 +1680,44 @@ object StreamQueries {
   def streamWeightedJaccard(s: SparkSession, dir: String): DataFrame =
     withStatePartitions(s, 8) {
       import s.implicits._
+      import org.apache.spark.sql.types.{StructType, LongType, StringType, DoubleType}
       val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
       val schema = s.read.parquet(src).schema
+      val cntLog = graft.TempDirs.scoped("graft_wjacc_cntlog")
+      val pairLog = graft.TempDirs.scoped("graft_wjacc_pairlog")
+      val cntSchema = new StructType()
+        .add("doc_id", LongType).add("shingle", StringType)
+        .add("cnt", LongType).add("batch_id", LongType)
+      val pairSchema = new StructType()
+        .add("doc_a", LongType).add("doc_b", LongType)
+        .add("shared_min", LongType).add("wjaccard", DoubleType)
+        .add("batch_id", LongType)
+      // stateless stream: occurrence counting happens per batch inside
+      // foreachBatch (docs are trigger-complete), so the ONLY state is
+      // the count delta log — no redundant state-store copy
       val sh = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .selectExpr("doc_id", graft.operators.Dedup.WeightedToksExpr)
         .where("size(toks) >= 3")
         .selectExpr("doc_id", graft.operators.Dedup.WeightedShingleExplodeExpr)
-        .groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("cnt"))
-      val keys = runDeltaLog(sh, "update", Seq("doc_id", "shingle"))
-      graft.operators.Dedup.weightedJaccardFromCounts(s,
-        keys.select("doc_id", "shingle", "cnt"))
+      val q = sh.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val newCnt = batch
+            .groupBy(col("doc_id"), col("shingle"))
+            .agg(count(lit(1)).as("cnt")).localCheckpoint()
+          val acc = s.read.schema(cntSchema).parquet(cntLog)
+            .where(col("batch_id") < id).select("doc_id", "shingle", "cnt")
+          val newPairs = graft.operators.Dedup.weightedJaccardNewPairs(
+            s, acc.unionByName(newCnt), newCnt.select("doc_id").distinct())
+          appendDeltaBatch(newPairs, id, pairLog)
+          appendDeltaBatch(newCnt, id, cntLog)
+        }
+        .option("checkpointLocation", ckpt())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(pairSchema).parquet(pairLog).drop("batch_id")
     }
 
   /** Streaming image near-dup — `mm_phash_pairs` at INGEST, completing

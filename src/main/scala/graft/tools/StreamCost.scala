@@ -29,8 +29,9 @@ object StreamCost {
     val rows = graft.streaming.StreamQueries.ppjoinTriggerLog
       .asScala.toSeq.sortBy(_._1)
     println(f"stream_ppjoin @ $dir%s total=${total}%.1fs")
-    rows.foreach { case (id, nNew, nAcc, secs) =>
-      println(f"trigger=$id%d new_tokens=$nNew%d acc_tokens=$nAcc%d secs=$secs%.2f")
+    rows.foreach { case (id, nNew, nAcc, nPairs, secs) =>
+      println(f"trigger=$id%d new_tokens=$nNew%d acc_tokens=$nAcc%d" +
+        f" pairs_emitted=$nPairs%d secs=$secs%.2f")
     }
     spark.stop()
   }

@@ -54,6 +54,8 @@ class ExactSubstrStreamSpec extends AnyFunSuite {
     val last = ledger.last
     assert(ledger.map(_._2).sum == last._2 + last._3,
       "per-trigger arrivals must sum to the accumulated token index")
+    assert(ledger.map(_._4).sum == streamed.size.toLong,
+      "per-trigger emitted pairs must sum to the final pair table")
   }
 
   test("streaming image-in-video pairs equal the batch cross-modal join") {
