@@ -108,7 +108,17 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         if (evictBetweenFamilies && family(name) != prevFamily) {
           Memo.evictAll()
-          System.gc() // let the ContextCleaner reclaim the evicted blocks
+          // SYNCHRONOUS reclamation: dropping references and waiting on
+          // the async ContextCleaner leaves the old family's checkpoint
+          // blocks resident exactly while the next family's artifact
+          // rebuild allocates — the transient 2x spike that OOM'd a 10x
+          // sweep even at 60g. At a family boundary no query is running
+          // and every cross-query frame holder (the memo caches) was
+          // just cleared, so every persistent RDD is garbage by
+          // construction — unpersist them all, blocking.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          System.gc()
         }
         prevFamily = family(name)
         val ts = (1 to reps).map(_ => run(name, fn))
