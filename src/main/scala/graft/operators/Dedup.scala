@@ -2086,25 +2086,160 @@ object Dedup {
     * batch finalize, shared with the streaming drain.
     */
   private[graft] def spansFromOcc(
-      s: SparkSession, occ: DataFrame): DataFrame = {
+      s: SparkSession, occ: DataFrame,
+      cut: Long = ExactSubstrOccCut): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val k = ExactSubstrK
     val stats = occ.groupBy($"gh")
       .agg(count(lit(1)).as("occn"), countDistinct($"doc_id").as("df"))
-      .where($"df" >= 2 && $"occn" <= ExactSubstrOccCut)
+      .where($"df" >= 2 && $"occn" <= cut)
       .select($"gh")
     val idx = occ.join(stats, "gh")
     val hits = idx.select($"gh", $"doc_id".as("doc_a"), $"pos".as("pa"))
       .join(idx.select($"gh", $"doc_id".as("doc_b"), $"pos".as("pb")), "gh")
       .where($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"pa", $"pb", ($"pa" - $"pb").as("diag"))
+      .select($"doc_a", $"doc_b", $"pa", $"pb")
+    spansFromHits(s, hits)
+  }
+
+  /** Island merge over matching-coordinate rows (doc_a, doc_b, pa, pb)
+    * — the span-forming tail of [[spansFromOcc]], factored so the
+    * INCREMENTAL streaming trigger ([[substrTriggerDelta]]) can close
+    * its per-trigger hit delta through the identical code. The window
+    * is partitioned by (pair, diagonal), never global. Hit rows are
+    * unique per (pair, pa) by construction (one gram per position), so
+    * the consecutive-run count is exact.
+    */
+  private[graft] def spansFromHits(
+      s: SparkSession, hits0: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = ExactSubstrK
+    val hits = hits0.withColumn("diag", $"pa" - $"pb")
     val w = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
     hits.withColumn("isl", $"pa" - row_number().over(w))
       .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
       .agg(min($"pa").as("start_a"), min($"pb").as("start_b"),
         (count(lit(1)) + lit(k - 1).cast("long")).as("span_tokens"))
       .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+  }
+
+  /** ONE incremental ExactSubstr trigger — the per-arrival delta that
+    * lets `stream_exact_substr` / `stream_substr_savings` close each
+    * micro-batch with work proportional to the batch's arrivals (plus
+    * a rare, bounded repair term) instead of re-running the full
+    * posting join over all accumulated state (the round-10 verdict's
+    * remaining item-4 family member after `stream_ppjoin` and
+    * `stream_weighted_jaccard`).
+    *
+    * Inputs: the accumulated posting rows `oldOcc` (every prior
+    * trigger's (doc_id, pos, gh)), this trigger's `newOcc`. Documents
+    * are trigger-complete (a doc's postings land wholly in one batch),
+    * which makes per-gram df ADDITIVE across the old/new split and is
+    * what the whole delta argument rests on.
+    *
+    * Why the delta is exactly sufficient — eligibility (df ≥ 2 ∧
+    * occn ≤ cut) can change per gram in only two monotone ways:
+    *
+    *   - GAINED (df 1→2+): the 2nd distinct doc arrives — every new
+    *     hit via a gained gram involves this trigger's docs, so it is
+    *     covered by the new-side probe;
+    *   - LOST (occn crosses the cut upward; df never decreases): hits
+    *     between two OLD docs via that gram silently vanish from the
+    *     batch answer — the only way an old pair's span set can
+    *     change. Those pairs are enumerable from the old postings of
+    *     the crossing grams (≤ cut² pairs per gram, and a gram crosses
+    *     at most ONCE ever, so total repair work over the stream's
+    *     lifetime is bounded by the boilerplate mass, not the stream
+    *     length).
+    *
+    * The trigger therefore emits (a) spans for every pair involving a
+    * new doc — new-side postings probed against the full eligible
+    * index, both-new duplicates collapsed by the orientation
+    * normalization + distinct (hit rows are unique per (pair, pa, pb),
+    * so distinct is exact); and (b) a FULL recompute of the dirty old
+    * pairs over the current eligible index. The returned `touched`
+    * pair list includes dirty pairs whose recompute came back EMPTY —
+    * the caller's latest-touch-wins ledger turns those into
+    * tombstones, which a spans-only log could not express.
+    *
+    * Per-trigger cost shape: one map-side-combinable stats aggregate +
+    * a constant number of linear scans of the accumulated log (the
+    * same accepted shape as `stream_ppjoin`'s re-snapshotted df
+    * order), and join work ∝ arrivals' posting mass × gram occurrence
+    * (bounded by the cut) + the one-shot crossing repair.
+    */
+  private[graft] def substrTriggerDelta(
+      s: SparkSession, oldOcc0: DataFrame, newOcc0: DataFrame,
+      cut: Long = ExactSubstrOccCut): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val oldOcc = oldOcc0.select($"doc_id", $"pos", $"gh")
+    val newOcc = newOcc0.select($"doc_id", $"pos", $"gh")
+    // per-gram stats: old side scanned once; df additive across the
+    // split because docs are trigger-complete
+    val oldStats = oldOcc.groupBy($"gh")
+      .agg(count(lit(1)).as("o_occ"), countDistinct($"doc_id").as("o_df"))
+    val newStats = newOcc.groupBy($"gh")
+      .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_df"))
+    val stats = oldStats.join(newStats, Seq("gh"), "full_outer")
+      .select($"gh",
+        coalesce($"o_occ", lit(0L)).as("o_occ"),
+        coalesce($"o_df", lit(0L)).as("o_df"),
+        (coalesce($"o_occ", lit(0L)) + coalesce($"n_occ", lit(0L))).as("t_occ"),
+        (coalesce($"o_df", lit(0L)) + coalesce($"n_df", lit(0L))).as("t_df"))
+      .localCheckpoint() // small (one row per gram); read 2–3× below
+    val eligNew = stats.where($"t_df" >= 2 && $"t_occ" <= cut).select($"gh")
+    // grams LEAVING eligibility this trigger: df is monotone, so the
+    // only exit is the occurrence cut crossing upward
+    val crossed = stats
+      .where($"o_df" >= 2 && $"o_occ" <= cut && $"t_occ" > cut)
+      .select($"gh")
+    val newIds = newOcc.select($"doc_id").distinct()
+    val all = oldOcc.unionByName(newOcc)
+    val idxAll = all.join(eligNew, "gh")
+    val idxNew = idxAll.join(newIds, Seq("doc_id"), "left_semi")
+    val hitsNew = idxNew.select($"gh", $"doc_id".as("da"), $"pos".as("xa"))
+      .join(idxAll.select($"gh", $"doc_id".as("db"), $"pos".as("xb")), "gh")
+      .where($"da" =!= $"db")
+      .select(least($"da", $"db").as("doc_a"),
+        greatest($"da", $"db").as("doc_b"),
+        when($"da" < $"db", $"xa").otherwise($"xb").as("pa"),
+        when($"da" < $"db", $"xb").otherwise($"xa").as("pb"))
+      .distinct()
+    // the repair branch only exists on triggers where a gram actually
+    // crossed (rare by construction — each gram crosses once ever);
+    // the count is a filter over the checkpointed stats, and skipping
+    // the branch saves two accumulated-log scans on every other trigger
+    val anyCrossed = crossed.limit(1).count() > 0
+    val (hits, dirtyOld) =
+      if (!anyCrossed) (hitsNew, hitsNew.limit(0).select($"doc_a", $"doc_b"))
+      else {
+        // old-old pairs that HAD hits via a crossing gram (enumerated
+        // from the old postings of exactly those grams — ≤ cut² each)
+        val occCross = oldOcc.join(crossed, "gh")
+        val dirty = occCross.select($"gh", $"doc_id".as("doc_a"))
+          .join(occCross.select($"gh", $"doc_id".as("doc_b")), "gh")
+          .where($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b").distinct()
+          .localCheckpoint() // tiny; read 3× below
+        val dirtyDocs = dirty.select($"doc_a".as("doc_id"))
+          .unionByName(dirty.select($"doc_b".as("doc_id"))).distinct()
+        val idxDirty = idxAll.join(dirtyDocs, Seq("doc_id"), "left_semi")
+        val hitsOld = idxDirty
+          .select($"gh", $"doc_id".as("doc_a"), $"pos".as("pa"))
+          .join(idxDirty.select($"gh", $"doc_id".as("doc_b"), $"pos".as("pb")),
+            "gh")
+          .where($"doc_a" < $"doc_b")
+          .join(dirty, Seq("doc_a", "doc_b"), "left_semi")
+          .select($"doc_a", $"doc_b", $"pa", $"pb")
+        (hitsNew.unionByName(hitsOld), dirty)
+      }
+    // one materialization of the hit delta — both returned frames (the
+    // span write and the touched-pair ledger write) derive from it
+    val hitsCk = hits.localCheckpoint()
+    val spans = spansFromHits(s, hitsCk)
+    val touched = hitsCk.select($"doc_a", $"doc_b").distinct()
+      .unionByName(dirtyOld).distinct()
+    (touched, spans)
   }
 
   /** Shared oracle CTEs (no WITH prefix) ending in `spans` — single

@@ -20,6 +20,75 @@ class ExactSubstrStreamSpec extends AnyFunSuite {
         r.getLong(4))).toSet
     assert(streamed == batch)
     assert(batch.nonEmpty, "fixture must contain at least one shared span")
+    // incremental finalize ledger: one entry per trigger, and arrivals
+    // across triggers sum to the final accumulated posting index —
+    // each trigger processed only its own arrivals' delta against the
+    // accumulated state, never a full re-finalize
+    import scala.jdk.CollectionConverters._
+    val ledger = StreamQueries.substrTriggerLog.asScala.toSeq.sortBy(_._1)
+    assert(ledger.size >= 2, "multi-trigger drain expected")
+    val last = ledger.last
+    assert(ledger.map(_._2).sum == last._2 + last._3,
+      "per-trigger arrivals must sum to the accumulated posting index")
+    // no gram crosses the occurrence cut on the organic corpus (max
+    // occ ~4 at sf0.01 vs cut 256), so every touched pair involves a
+    // new doc and the span log needs no tombstones: touched pairs
+    // accumulated == final distinct pair count
+    val finalPairs = streamed.map(t => (t._1, t._2)).size.toLong
+    assert(ledger.map(_._4).sum == finalPairs,
+      "per-trigger touched pairs must sum to the final pair table")
+  }
+
+  /** Forced occurrence-cut crossing at cut=3, driven batch-by-batch
+    * through the trigger delta: a boilerplate gram shared by docs
+    * 1–2 crosses the cut when docs 3–4 arrive, so the pair (1,2) must
+    * be RECOMPUTED — its boilerplate span retracted, its organic span
+    * retained — and the latest-touch-wins reconstruction must equal
+    * the batch pass over the full corpus at the same cut.
+    */
+  test("incremental delta retracts spans when a gram crosses the occurrence cut") {
+    import spark.implicits._
+    val c = "c1 c2 c3 c4 c5 c6 c7 c8"           // the gram that will cross
+    val d = "d1 d2 d3 d4 d5 d6 d7 d8"           // the organic span that survives
+    val t1 = Seq(
+      (1L, s"a1 a2 $c a3 a4 $d"),
+      (2L, s"b1 $c b2 b3 b4 b5 $d")).toDF("doc_id", "text")
+    val t2 = Seq(
+      (3L, s"e1 e2 e3 $c e4 e5 e6 e7"),
+      (4L, s"f1 f2 $c f3 f4 f5 f6 f7")).toDF("doc_id", "text")
+    val D = graft.operators.Dedup
+    val occ1 = D.exactSubstrOcc(spark, t1).localCheckpoint()
+    val occ2 = D.exactSubstrOcc(spark, t2).localCheckpoint()
+    val empty = occ1.limit(0)
+    val key5 = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val pairOf = (t: (Long, Long, Long, Long, Long)) => (t._1, t._2)
+
+    val (touch1, spans1) = D.substrTriggerDelta(spark, empty, occ1, cut = 3)
+    val s1 = spans1.collect().map(key5).toSet
+    // trigger 1: both the boilerplate span and the organic span exist
+    assert(s1 == D.spansFromOcc(spark, occ1, cut = 3).collect().map(key5).toSet)
+    assert(s1.size == 2 && s1.forall(t => pairOf(t) == (1L, 2L)))
+
+    val (touch2, spans2) = D.substrTriggerDelta(spark, occ1, occ2, cut = 3)
+    val s2 = spans2.collect().map(key5).toSet
+    val touched2 = touch2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the crossing dirtied the OLD pair: recomputed with only the
+    // organic span left; no new-doc pair shares an eligible gram
+    assert(touched2 == Set((1L, 2L)), "crossing must dirty exactly the old pair")
+    assert(s2.size == 1 && s2.forall(_._5 == 8L))
+
+    // latest-touch-wins reconstruction equals the batch pass at cut=3
+    val latest = (Map.empty[(Long, Long), Set[(Long, Long, Long, Long, Long)]]
+      ++ touch1.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        s1.filter(t => pairOf(t) == (r.getLong(0), r.getLong(1)))))
+      ++ touch2.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        s2.filter(t => pairOf(t) == (r.getLong(0), r.getLong(1))))))
+      .values.flatten.toSet
+    val batch = D.spansFromOcc(spark, occ1.unionByName(occ2), cut = 3)
+      .collect().map(key5).toSet
+    assert(latest == batch)
+    assert(batch.size == 1, "boilerplate span must be gone from the batch answer")
   }
 
   test("streaming savings equal the batch per-source duplication report") {
