@@ -79,6 +79,21 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // One GC-then-retry per failed rep: the only failure ever observed in
+    // a full sweep was a TASK-level aggregate OOM on the transient
+    // allocation spike right after a family's memo-artifact rebuild (r10
+    // 10× refresh, rep 3 of the same query clean) — recoverable machine
+    // state, not a query defect. A genuine failure fails twice and still
+    // reports -1; the retry is a fresh honest measurement and is logged.
+    def runRetrying(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t = run(name, fn)
+      if (t >= 0) t
+      else {
+        System.err.println(s"[bench] $name: GC + one retry after failed rep")
+        System.gc()
+        run(name, fn)
+      }
+    }
 
     // JVM + codegen warm-up (not reported per-query), plus one touch per
     // bench-SF input table (file listing + parquet footer caches) so the
@@ -121,7 +136,7 @@ object Bench {
           System.gc()
         }
         prevFamily = family(name)
-        val ts = (1 to reps).map(_ => run(name, fn))
+        val ts = (1 to reps).map(_ => runRetrying(name, fn))
         Memo.drainBuildLog().foreach { case (fam, sec) =>
           val k = s"$fam@$name"
           memoBuilds.update(k, memoBuilds.getOrElse(k, 0.0) + sec)

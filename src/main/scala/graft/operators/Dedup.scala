@@ -2162,22 +2162,40 @@ object Dedup {
     * the caller's latest-touch-wins ledger turns those into
     * tombstones, which a spans-only log could not express.
     *
-    * Per-trigger cost shape: one map-side-combinable stats aggregate +
-    * a constant number of linear scans of the accumulated log (the
-    * same accepted shape as `stream_ppjoin`'s re-snapshotted df
-    * order), and join work ∝ arrivals' posting mass × gram occurrence
-    * (bounded by the cut) + the one-shot crossing repair.
+    * Per-trigger cost shape: one map-side-combinable stats aggregate
+    * over the ARRIVALS plus the accumulated-stats read (see below), and
+    * join work ∝ arrivals' posting mass × gram occurrence (bounded by
+    * the cut) + the one-shot crossing repair.
+    *
+    * ACCRETED STATS (the production form): per-gram (occ, df) is
+    * exactly maintainable as a running sum because docs are
+    * trigger-complete — a doc's postings land wholly in one batch, so
+    * this batch's `countDistinct(doc_id)` per gram counts docs no prior
+    * batch has counted, making df (and trivially occ) ADDITIVE across
+    * batches. The function therefore RETURNS this trigger's per-gram
+    * stats delta as its third element; a caller that logs those deltas
+    * can hand the summed accumulation back via `oldStats0` and the old
+    * posting log is never re-aggregated — the stats read shrinks from
+    * O(accumulated postings) rows to O(accumulated distinct grams)
+    * pre-aggregated rows. When `oldStats0` is absent the old side is
+    * aggregated directly (the batch/spec path); both paths compute the
+    * same (o_occ, o_df) by the additivity argument, which
+    * `ExactSubstrStreamSpec` pins on the forced-crossing fixture where
+    * stats alone decide eligibility and the repair.
     */
   private[graft] def substrTriggerDelta(
       s: SparkSession, oldOcc0: DataFrame, newOcc0: DataFrame,
-      cut: Long = ExactSubstrOccCut): (DataFrame, DataFrame) = {
+      cut: Long = ExactSubstrOccCut,
+      oldStats0: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val oldOcc = oldOcc0.select($"doc_id", $"pos", $"gh")
     val newOcc = newOcc0.select($"doc_id", $"pos", $"gh")
-    // per-gram stats: old side scanned once; df additive across the
-    // split because docs are trigger-complete
-    val oldStats = oldOcc.groupBy($"gh")
-      .agg(count(lit(1)).as("o_occ"), countDistinct($"doc_id").as("o_df"))
+    // per-gram stats: accreted (occ, df) sums when the caller keeps a
+    // stats log, else one direct scan of the old side; df additive
+    // across the split because docs are trigger-complete
+    val oldStats = oldStats0.map(_.select($"gh", $"o_occ", $"o_df"))
+      .getOrElse(oldOcc.groupBy($"gh")
+        .agg(count(lit(1)).as("o_occ"), countDistinct($"doc_id").as("o_df")))
     val newStats = newOcc.groupBy($"gh")
       .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_df"))
     val stats = oldStats.join(newStats, Seq("gh"), "full_outer")
@@ -2239,7 +2257,12 @@ object Dedup {
     val spans = spansFromHits(s, hitsCk)
     val touched = hitsCk.select($"doc_a", $"doc_b").distinct()
       .unionByName(dirtyOld).distinct()
-    (touched, spans)
+    // this trigger's additive per-gram stats contribution — the caller's
+    // stats log accretes these so the NEXT trigger's oldStats0 is a sum
+    // over pre-aggregated gram rows, not a re-scan of all old postings
+    val statsDelta = newStats
+      .select($"gh", $"n_occ".as("occ_d"), $"n_df".as("df_d"))
+    (touched, spans, statsDelta)
   }
 
   /** Shared oracle CTEs (no WITH prefix) ending in `spans` — single

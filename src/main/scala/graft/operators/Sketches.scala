@@ -1393,7 +1393,259 @@ object Sketches {
        |SELECT e.event_type, e.f2_exact, f.f2_est
        |FROM exact e JOIN est f USING (event_type)""".stripMargin
 
+  // ------------------------------------- dyadic range-count CMS sketch
+
+  /** Dyadic range-count geometry: 20 levels of minute-bucket dyadic
+    * cells (level-l cell = bucket >> l; 2^19 minutes ≈ 1 year per
+    * top-level cell), each level sketched by a d=4 × w=4096 Count-Min
+    * row set. A range estimate touches ≤ 2 cells per level (the
+    * canonical minimal cover), so ANY interval is answered from
+    * ≤ 2·20·4 counter reads — the classic dyadic-decomposition trick
+    * (Cormode & Muthukrishnan '05, §4.2) that turns a point sketch
+    * into a range oracle.
+    */
+  val DyadicLevels = 20
+  val DyadicD = 4
+  val DyadicW = 4096
+  private val DyadicMinuteNs = 60000000000L
+  private val DyadicPows: Seq[Long] =
+    Seq.tabulate(DyadicLevels + 1)(l => 1L << l)
+
+  /** CMS slot for (hash row j, level, dyadic cell) — the one hash both
+    * engines share; same md5-60 kit as [[cmsCell]].
+    */
+  private def dyadicSlot(j: Column, level: Column, cell: Column): Column =
+    md5_60(concat_ws(":", j.cast("string"), level.cast("string"),
+      cell.cast("string"))) % DyadicW
+
+  /** Per-minute event counts — the sketch's input rows. Aggregated
+    * FIRST so every downstream explode (levels × hash rows) runs per
+    * DISTINCT minute, not per event (the [[cmsHeavy]] move: hash the
+    * keyspace, not the corpus).
+    */
+  private[graft] def dyadicBucketCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .selectExpr(s"ts_ns DIV $DyadicMinuteNs AS b")
+      .groupBy($"b").agg(count(lit(1)).as("n"))
+  }
+
+  /** 15 deterministic query ranges from the corpus' own (bmin, bmax):
+    * 8 adjacent eighths, 4 quarters, 2 halves, and the full span —
+    * closed-form integer arithmetic over the 1-row bounds frame, so
+    * both engines derive the identical intervals (the least/greatest
+    * guards only matter for degenerate spans < 8 minutes).
+    */
+  private[graft] def dyadicRanges(bcnt: DataFrame): DataFrame =
+    bcnt.agg(min(col("b")).as("bmin"), max(col("b")).as("bmax"))
+      .select(explode(sequence(lit(0), lit(14))).as("r"),
+        col("bmin"), col("bmax"))
+      .selectExpr("r", "bmin", "bmax",
+        "greatest((bmax - bmin + 1) DIV 8, 1L) AS w8")
+      .selectExpr("CAST(r AS BIGINT) AS range_id", "bmax",
+        """CASE WHEN r < 8  THEN bmin + r * w8
+          |     WHEN r < 12 THEN bmin + (r - 8) * 2 * w8
+          |     WHEN r < 14 THEN bmin + (r - 12) * 4 * w8
+          |     ELSE bmin END AS a0""".stripMargin,
+        """CASE WHEN r < 8  THEN
+          |       CASE WHEN r = 7  THEN bmax ELSE bmin + (r + 1) * w8 - 1 END
+          |     WHEN r < 12 THEN
+          |       CASE WHEN r = 11 THEN bmax ELSE bmin + (r - 7) * 2 * w8 - 1 END
+          |     WHEN r < 14 THEN
+          |       CASE WHEN r = 13 THEN bmax ELSE bmin + 4 * w8 - 1 END
+          |     ELSE bmax END AS b0""".stripMargin)
+      .selectExpr("range_id", "least(a0, bmax) AS ra",
+        "least(greatest(b0, a0), bmax) AS rb")
+
+  /** Canonical minimal dyadic cover of each [ra, rb]: at level l the
+    * cover keeps the fully-inside cells whose PARENT is not fully
+    * inside — two closed-form boundary slices of ≤ 1 cell each (≤ 2
+    * when no parent is inside), no recursion. Every bucket in the
+    * range lands in exactly ONE cover cell (its maximal fully-inside
+    * ancestor), which is the disjoint-partition identity
+    * `DyadicRangeSpec` pins against adversarial spans. The top level
+    * forces "no parent" so the construction stays exact even for
+    * spans exceeding 2^[[DyadicLevels]] minutes (more top cells, never
+    * a miss).
+    */
+  private[graft] def dyadicCover(ranges: DataFrame): DataFrame = {
+    val s = ranges.sparkSession
+    import s.implicits._
+    ranges
+      .select($"range_id", $"ra", $"rb",
+        explode(sequence(lit(0), lit(DyadicLevels - 1))).as("level"))
+      .withColumn("pw", element_at(typedlit(DyadicPows), $"level" + 1))
+      .withColumn("pw2", element_at(typedlit(DyadicPows), $"level" + 2))
+      .selectExpr("range_id", "level",
+        "(ra + pw - 1) DIV pw AS ca", "(rb + 1) DIV pw AS cb",
+        "(ra + pw2 - 1) DIV pw2 AS ca1", "(rb + 1) DIV pw2 AS cb1")
+      .selectExpr("range_id", "level", "ca", "cb",
+        s"""CASE WHEN level < ${DyadicLevels - 1} AND cb1 > ca1
+           |     THEN 2 * ca1 ELSE cb END AS chlo""".stripMargin,
+        s"""CASE WHEN level < ${DyadicLevels - 1} AND cb1 > ca1
+           |     THEN 2 * cb1 ELSE cb END AS chhi""".stripMargin)
+      .selectExpr("range_id", "level",
+        """CASE WHEN least(cb, chlo) > ca
+          |     THEN sequence(ca, least(cb, chlo) - 1)
+          |     ELSE CAST(array() AS ARRAY<BIGINT>) END AS seg1""".stripMargin,
+        """CASE WHEN cb > greatest(ca, chhi)
+          |     THEN sequence(greatest(ca, chhi), cb - 1)
+          |     ELSE CAST(array() AS ARRAY<BIGINT>) END AS seg2""".stripMargin)
+      .select($"range_id", $"level",
+        explode(concat($"seg1", $"seg2")).as("cell"))
+  }
+
+  /** Range-count queries over a dyadic Count-Min sketch: per query
+    * interval, the CMS estimate (min over d rows of the summed cover
+    * cells) next to the exact count and the overcount — the
+    * sketch-accuracy contract, exhibited per range length.
+    *
+    * Why this is the 100 TB shape: the sketch is one narrow explode
+    * (levels × d per DISTINCT minute) into a map-side-combinable sum —
+    * fixed ≤ levels·d·w counter state regardless of event count, and
+    * counter tables from different days/sources MERGE BY ADDITION
+    * (order-independent, like every sketch in this family). Answering
+    * an arbitrary time range then reads ≤ 2·levels·d counters instead
+    * of re-scanning the event log — the dashboard / ad-hoc-audit
+    * primitive on an append-only 100 TB event store. The exact side
+    * (the ground truth the contract exhibits) rides a 15-row broadcast
+    * range join over per-minute counts; estimate ≥ exact always (CMS
+    * one-sided error summed over disjoint cover cells), which the spec
+    * asserts on top of the oracle's exact equality.
+    */
+  /** Weighted counter-row fan-out for (b, n) minute-bucket counts —
+    * the shared narrow map both the batch build and the streaming
+    * ingest ([[graft.streaming.StreamQueries]] `stream_dyadic_range`)
+    * apply before their counter aggregates, so the two counter tables
+    * are the same sketch: levels × d rows of (j, level, slot, n).
+    */
+  private[graft] def dyadicCounterRows(df: DataFrame): DataFrame =
+    df.select(col("b"), col("n"),
+      explode(sequence(lit(0), lit(DyadicLevels - 1))).as("level"))
+      .withColumn("pw", element_at(typedlit(DyadicPows), col("level") + 1))
+      .selectExpr("level", "b DIV pw AS cell", "n")
+      .select(col("level"), col("cell"), col("n"),
+        explode(sequence(lit(0), lit(DyadicD - 1))).as("j"))
+      .select(col("j"), col("level"), col("n"),
+        dyadicSlot(col("j"), col("level"), col("cell")).as("slot"))
+
+  /** Closing stage shared by the batch and streaming counter builds
+    * (the [[cmsFinalize]] shape): decompose the corpus-derived query
+    * ranges into their dyadic covers, probe the (j, level, slot)
+    * counter table, estimate = min over the d rows of the summed
+    * cover cells, exact count rides along.
+    */
+  private[graft] def dyadicFinalize(s: SparkSession, dir: String,
+      counters: DataFrame): DataFrame = {
+    import s.implicits._
+    val bcnt = dyadicBucketCounts(s, dir)
+    val ranges = dyadicRanges(bcnt)
+    val probes = dyadicCover(ranges)
+      .select($"range_id", $"level", $"cell",
+        explode(sequence(lit(0), lit(DyadicD - 1))).as("j"))
+      .select($"range_id", $"j", $"level",
+        dyadicSlot($"j", $"level", $"cell").as("slot"))
+    val est = probes
+      .join(counters, Seq("j", "level", "slot"), "left_outer")
+      .groupBy($"range_id", $"j")
+      .agg(sum(coalesce($"cnt", lit(0L))).as("est_j"))
+      .groupBy($"range_id").agg(min($"est_j").as("cms_est"))
+    val exact = bcnt
+      .join(broadcast(ranges), $"b".between($"ra", $"rb"))
+      .groupBy($"range_id").agg(sum($"n").as("exact_cnt"))
+    ranges.join(exact, "range_id").join(est, "range_id")
+      .select($"range_id", $"ra", $"rb", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"))
+  }
+
+  def dyadicRangeCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counters = dyadicCounterRows(dyadicBucketCounts(s, dir))
+      .groupBy($"j", $"level", $"slot").agg(sum($"n").as("cnt"))
+    dyadicFinalize(s, dir, counters)
+  }
+
+  val dyadicRangeCountSql: String = {
+    val L = DyadicLevels
+    def slot(cellExpr: String) =
+      s"""CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+         |      CAST(level AS VARCHAR) || ':' || CAST($cellExpr AS VARCHAR)),
+         |      1, 15) AS BIGINT) % $DyadicW""".stripMargin
+    s"""WITH bcnt AS (
+       |  SELECT epoch_ns(ts) // $DyadicMinuteNs AS b, count(*) AS n
+       |  FROM events GROUP BY 1),
+       |bounds AS (SELECT min(b) AS bmin, max(b) AS bmax FROM bcnt),
+       |rng AS (
+       |  SELECT r, bmin, bmax, greatest((bmax - bmin + 1) // 8, 1) AS w8
+       |  FROM bounds CROSS JOIN (SELECT unnest(range(0, 15)) AS r) rr),
+       |ranges AS (
+       |  SELECT CAST(r AS BIGINT) AS range_id,
+       |    least(a0, bmax) AS ra,
+       |    least(greatest(b0, a0), bmax) AS rb
+       |  FROM (
+       |    SELECT r, bmax,
+       |      CASE WHEN r < 8  THEN bmin + r * w8
+       |           WHEN r < 12 THEN bmin + (r - 8) * 2 * w8
+       |           WHEN r < 14 THEN bmin + (r - 12) * 4 * w8
+       |           ELSE bmin END AS a0,
+       |      CASE WHEN r < 8  THEN
+       |             CASE WHEN r = 7  THEN bmax ELSE bmin + (r + 1) * w8 - 1 END
+       |           WHEN r < 12 THEN
+       |             CASE WHEN r = 11 THEN bmax ELSE bmin + (r - 7) * 2 * w8 - 1 END
+       |           WHEN r < 14 THEN
+       |             CASE WHEN r = 13 THEN bmax ELSE bmin + 4 * w8 - 1 END
+       |           ELSE bmax END AS b0
+       |    FROM rng)),
+       |lv AS (SELECT unnest(range(0, $L)) AS level),
+       |counters AS (
+       |  SELECT j, level, slot, sum(n) AS cnt FROM (
+       |    SELECT j.j, level,
+       |      ${slot("b // (1 << level)")} AS slot, n
+       |    FROM bcnt CROSS JOIN lv
+       |    CROSS JOIN (SELECT unnest(range(0, $DyadicD)) AS j) j)
+       |  GROUP BY 1, 2, 3),
+       |dec1 AS (
+       |  SELECT range_id, level, ca, cb,
+       |    CASE WHEN level < ${L - 1} AND cb1 > ca1
+       |         THEN 2 * ca1 ELSE cb END AS chlo,
+       |    CASE WHEN level < ${L - 1} AND cb1 > ca1
+       |         THEN 2 * cb1 ELSE cb END AS chhi
+       |  FROM (
+       |    SELECT range_id, level,
+       |      (ra + (1 << level) - 1) // (1 << level) AS ca,
+       |      (rb + 1) // (1 << level) AS cb,
+       |      (ra + (1 << (level + 1)) - 1) // (1 << (level + 1)) AS ca1,
+       |      (rb + 1) // (1 << (level + 1)) AS cb1
+       |    FROM ranges CROSS JOIN lv)),
+       |cover AS (
+       |  SELECT range_id, level, unnest(list_concat(
+       |    CASE WHEN least(cb, chlo) > ca
+       |         THEN range(ca, least(cb, chlo)) ELSE range(0, 0) END,
+       |    CASE WHEN cb > greatest(ca, chhi)
+       |         THEN range(greatest(ca, chhi), cb) ELSE range(0, 0) END)) AS cell
+       |  FROM dec1),
+       |probes AS (
+       |  SELECT range_id, j.j, level,
+       |    ${slot("cell")} AS slot
+       |  FROM cover CROSS JOIN (SELECT unnest(range(0, $DyadicD)) AS j) j),
+       |estj AS (
+       |  SELECT range_id, p.j, sum(coalesce(c.cnt, 0)) AS est_j
+       |  FROM probes p LEFT JOIN counters c
+       |    ON c.j = p.j AND c.level = p.level AND c.slot = p.slot
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT range_id, CAST(min(est_j) AS BIGINT) AS cms_est
+       |  FROM estj GROUP BY 1),
+       |exact AS (
+       |  SELECT range_id, CAST(sum(n) AS BIGINT) AS exact_cnt
+       |  FROM ranges JOIN bcnt ON b BETWEEN ra AND rb GROUP BY 1)
+       |SELECT r.range_id, r.ra, r.rb, x.exact_cnt, e.cms_est,
+       |  e.cms_est - x.exact_cnt AS overcount
+       |FROM ranges r JOIN exact x USING (range_id) JOIN est e USING (range_id)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_dyadic_range" -> (dyadicRangeCount _),
     "sketch_bitmap_dau" -> (bitmapDau _),
     "sketch_ams_f2" -> (amsF2 _),
     "sketch_hll_sliding" -> (hllSliding _),
@@ -1409,6 +1661,7 @@ object Sketches {
     "sketch_hll_intersect" -> (hllIntersect _))
 
   def oracles: Map[String, String] = Map(
+    "sketch_dyadic_range" -> dyadicRangeCountSql,
     "sketch_bitmap_dau" -> bitmapDauSql,
     "sketch_ams_f2" -> amsF2Sql,
     "sketch_hll_sliding" -> hllSlidingSql,

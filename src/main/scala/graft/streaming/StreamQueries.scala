@@ -964,6 +964,36 @@ object StreamQueries {
       graft.operators.Sketches.cmsFinalize(s, dir, table)
     }
 
+  /** Streaming dyadic range-count sketch — `sketch_dyadic_range`'s
+    * counter table maintained AT INGEST: each arriving event fans out
+    * to its levels × d (j, level, slot) cells (the same shared narrow
+    * map as the batch build, weight 1 per event) and a running-count
+    * update-mode aggregate holds the counters — purely ADDITIVE state,
+    * so the drained table equals the batch counter table exactly under
+    * any trigger split (sums commute), which is the whole reason the
+    * dyadic-CMS family is the 100 TB dashboard shape: the ingest never
+    * touches history, and ANY time range is answerable from ≤
+    * 2·levels·d counter reads the moment the trigger commits. Closed by
+    * the same probe finalize as the batch query; the oracle IS that
+    * query's SQL.
+    */
+  def streamDyadicRange(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, 8) {
+      import s.implicits._
+      val Sk = graft.operators.Sketches
+      val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
+      val schema = s.read.parquet(src).schema
+      val perEvent = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("ts DIV 60000000000 AS b", "1L AS n")
+      val counters = Sk.dyadicCounterRows(perEvent)
+        .groupBy($"j", $"level", $"slot")
+        .agg(sum($"n").as("cnt"))
+      val table = runDeltaLog(counters, "update", Seq("j", "level", "slot"))
+        .select($"j", $"level", $"slot", $"cnt")
+      Sk.dyadicFinalize(s, dir, table)
+    }
+
   /** Streaming incremental near-dup admission — the STREAMING form of
     * [[graft.operators.Dedup.dedupIncremental]], closing the
     * batch/stream pair for the growing-corpus shape: an already-admitted
@@ -1423,11 +1453,16 @@ object StreamQueries {
     * posting join over all drained state; EACH trigger emits exactly
     * the span delta its arrivals cause.
     *
-    * Three batch-id-partitioned delta logs (idempotent replay: each
+    * Four batch-id-partitioned delta logs (idempotent replay: each
     * batch overwrites its own partition, accumulated reads exclude
     * batch ids ≥ current, so a replayed batch recomputes the identical
     * delta): the posting log (the accumulated index), the span log,
-    * and the TOUCHED-PAIR ledger. The ledger is what makes retraction
+    * the TOUCHED-PAIR ledger, and the per-gram STATS log — each batch's
+    * additive (occ, df) contribution, summed at read so the eligibility
+    * stats never re-aggregate the full posting log (the production
+    * state-store accretion SCALING.md's round-11 notes trail; exactly
+    * maintainable because docs are trigger-complete, so df is additive).
+    * The touched ledger is what makes retraction
     * expressible — ExactSubstr's corpus-wide occurrence cut
     * ([[graft.operators.Dedup.ExactSubstrOccCut]]) is monotone-
     * CROSSING, so a boilerplate gram appearing in later arrivals can
@@ -1448,8 +1483,12 @@ object StreamQueries {
     val occLog = graft.TempDirs.scoped("graft_substr_occlog")
     val spanLog = graft.TempDirs.scoped("graft_substr_spanlog")
     val touchLog = graft.TempDirs.scoped("graft_substr_touchlog")
+    val statsLog = graft.TempDirs.scoped("graft_substr_statslog")
     val occSchema = new StructType()
       .add("doc_id", LongType).add("pos", LongType).add("gh", LongType)
+      .add("batch_id", LongType)
+    val statsSchema = new StructType()
+      .add("gh", LongType).add("occ_d", LongType).add("df_d", LongType)
       .add("batch_id", LongType)
     val spanSchema = new StructType()
       .add("doc_a", LongType).add("doc_b", LongType)
@@ -1472,10 +1511,21 @@ object StreamQueries {
         // excluded, so the recompute sees the exact pre-batch state
         val oldOcc = s.read.schema(occSchema).parquet(occLog)
           .where(col("batch_id") < id).select("doc_id", "pos", "gh")
-        val (touched, spans) =
-          graft.operators.Dedup.substrTriggerDelta(s, oldOcc, newOcc)
+        // accreted per-gram (occ, df): the prior batches' stats DELTAS
+        // summed — O(distinct grams) pre-aggregated rows instead of
+        // re-aggregating every accumulated posting row each trigger
+        // (df is additive because docs are trigger-complete; the delta
+        // function documents the sufficiency argument)
+        val oldStats = s.read.schema(statsSchema).parquet(statsLog)
+          .where(col("batch_id") < id)
+          .groupBy(col("gh"))
+          .agg(sum(col("occ_d")).as("o_occ"), sum(col("df_d")).as("o_df"))
+        val (touched, spans, statsDelta) =
+          graft.operators.Dedup.substrTriggerDelta(s, oldOcc, newOcc,
+            oldStats0 = Some(oldStats))
         appendDeltaBatch(spans, id, spanLog)
         appendDeltaBatch(touched, id, touchLog)
+        appendDeltaBatch(statsDelta, id, statsLog)
         appendDeltaBatch(newOcc, id, occLog)
         // ledger counts read back from the just-written partitions
         // (footer-cheap), never re-running the delta
@@ -1907,6 +1957,7 @@ object StreamQueries {
     "stream_hourly_counts" -> (streamHourlyCounts _),
     "stream_static_enrich" -> (streamStaticEnrich _),
     "stream_dropdup_watermark" -> (streamDropdupWatermark _),
+    "stream_dyadic_range" -> (streamDyadicRange _),
     "stream_topk_users" -> (streamTopkUsers _))
 
   def oracles(dir: String): Map[String, String] = {
@@ -1950,6 +2001,7 @@ object StreamQueries {
     "stream_dedup_incremental" -> graft.operators.Dedup.dedupIncrementalSql,
     "stream_funnel" -> graft.operators.EventOps.funnelSql,
     "stream_cms_heavy" -> graft.operators.Sketches.cmsHeavySql,
+    "stream_dyadic_range" -> graft.operators.Sketches.dyadicRangeCountSql,
     "stream_bot_flags" -> graft.operators.EventOps.botFlagsSql,
     "stream_wordcount" -> graft.operators.TextOps.wordCountSql,
     "stream_kmeans_assign" -> graft.operators.KMeans.streamAssignSql,

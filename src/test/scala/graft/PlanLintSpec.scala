@@ -174,7 +174,11 @@ class PlanLintSpec extends AnyFunSuite {
     // enumeration (|types|²/2 rows, series bounded by calendar span)
     "ev_dtw",
     // ev_holt_forecast's exact shape: 1-row max(day) anchor broadcast
-    "ev_kalman_level", "ev_theta_forecast")
+    "ev_kalman_level", "ev_theta_forecast",
+    // round-11 continuation: the exact ground-truth side range-joins the
+    // 15-row query-interval frame (itself derived from a 1-row bounds
+    // aggregate) against per-minute counts — a ≤15-row broadcast
+    "sketch_dyadic_range")
 
   /** Undefined-partition WindowExec frames that are VALUE-BOUNDED by
     * construction — the only unpartitioned windows a registered batch

@@ -199,4 +199,50 @@ class SketchesSpec extends AnyFunSuite {
       assert(ex - est <= 2 * width + 1e-9, s"$g q=$q: est=$est exact=$ex width=$width")
     }
   }
+
+  test("dyadic cover partitions every range exactly with at most 2 cells per level") {
+    import spark.implicits._
+    // adversarial spans: single bucket, span < 8 (w8 floor), odd offsets,
+    // a power-of-two-straddling span, and the real fixture's epoch range
+    val spans = Seq((5L, 5L), (0L, 6L), (3L, 10L), (17L, 59L),
+      (1L, 2001L), (28401120L, 28444317L))
+    spans.foreach { case (lo, hi) =>
+      val bcnt = (lo to hi).map(b => (b, 1L)).toDF("b", "n")
+      val ranges = Sketches.dyadicRanges(bcnt).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(ranges.length == 15)
+      val cover = Sketches.dyadicCover(Sketches.dyadicRanges(bcnt))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      cover.groupBy(t => (t._1, t._2)).foreach { case (k, cs) =>
+        assert(cs.size <= 2, s"span ($lo,$hi) range/level $k: ${cs.size} cells")
+      }
+      ranges.foreach { case (rid, ra, rb) =>
+        assert(lo <= ra && ra <= rb && rb <= hi, s"range $rid out of span")
+        // every cover cell fully inside its range; sizes summing to the
+        // range length proves the cells are a disjoint exact partition
+        val sizes = cover.filter(_._1 == rid).map { case (_, l, c) =>
+          val cellLo = c << l
+          val cellHi = ((c + 1L) << l) - 1
+          assert(cellLo >= ra && cellHi <= rb,
+            s"span ($lo,$hi) range $rid: cell $c@$l [$cellLo,$cellHi] leaks")
+          cellHi - cellLo + 1
+        }
+        assert(sizes.sum == rb - ra + 1,
+          s"span ($lo,$hi) range $rid: cover mass ${sizes.sum} != ${rb - ra + 1}")
+      }
+    }
+  }
+
+  test("dyadic CMS range estimates dominate exact counts; full span is the corpus") {
+    val rows = Sketches.dyadicRangeCount(spark, sf).collect()
+    assert(rows.length == 15)
+    val total = graft.Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      val (rid, exact, est, over) =
+        (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(est >= exact, s"range $rid: est $est < exact $exact")
+      assert(over == est - exact)
+      if (rid == 14L) assert(exact == total, "full-span range must count everything")
+    }
+  }
 }

@@ -20,4 +20,16 @@ class CmsStreamSpec extends AnyFunSuite {
     val batch = graft.operators.Sketches.cmsHeavy(spark, sf).collect().map(key).toSet
     assert(stream == batch)
   }
+
+  test("streaming dyadic range counters drain to the batch range answers") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val stream = StreamQueries.streamDyadicRange(spark, sf)
+      .collect().map(key).toSet
+    val batch = graft.operators.Sketches.dyadicRangeCount(spark, sf)
+      .collect().map(key).toSet
+    assert(stream == batch)
+    assert(batch.size == 15)
+  }
 }

@@ -64,19 +64,33 @@ class ExactSubstrStreamSpec extends AnyFunSuite {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
     val pairOf = (t: (Long, Long, Long, Long, Long)) => (t._1, t._2)
 
-    val (touch1, spans1) = D.substrTriggerDelta(spark, empty, occ1, cut = 3)
+    val (touch1, spans1, stats1) = D.substrTriggerDelta(spark, empty, occ1, cut = 3)
     val s1 = spans1.collect().map(key5).toSet
     // trigger 1: both the boilerplate span and the organic span exist
     assert(s1 == D.spansFromOcc(spark, occ1, cut = 3).collect().map(key5).toSet)
     assert(s1.size == 2 && s1.forall(t => pairOf(t) == (1L, 2L)))
 
-    val (touch2, spans2) = D.substrTriggerDelta(spark, occ1, occ2, cut = 3)
+    val (touch2, spans2, _) = D.substrTriggerDelta(spark, occ1, occ2, cut = 3)
     val s2 = spans2.collect().map(key5).toSet
     val touched2 = touch2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the crossing dirtied the OLD pair: recomputed with only the
     // organic span left; no new-doc pair shares an eligible gram
     assert(touched2 == Set((1L, 2L)), "crossing must dirty exactly the old pair")
     assert(s2.size == 1 && s2.forall(_._5 == 8L))
+
+    // ACCRETED-STATS path: feeding trigger 1's returned per-gram stats
+    // delta back as the accumulated (o_occ, o_df) must produce the
+    // identical trigger-2 delta — including the crossing detection and
+    // the repair, which are decided from stats ALONE. This is the
+    // additivity contract the streaming engine's stats log rides.
+    val acc1 = stats1.selectExpr("gh", "occ_d AS o_occ", "df_d AS o_df")
+    val (touch2b, spans2b, _) =
+      D.substrTriggerDelta(spark, occ1, occ2, cut = 3, oldStats0 = Some(acc1))
+    assert(spans2b.collect().map(key5).toSet == s2,
+      "accreted-stats spans must equal the direct-aggregate spans")
+    assert(touch2b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == touched2,
+      "accreted-stats touched pairs must equal the direct-aggregate ones")
 
     // latest-touch-wins reconstruction equals the batch pass at cut=3
     val latest = (Map.empty[(Long, Long), Set[(Long, Long, Long, Long, Long)]]
