@@ -200,36 +200,63 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
-  test("dyadic cover partitions every range exactly with at most 2 cells per level") {
+  /** The cover-correctness argument, checkable from (lo, hi) alone:
+    * all 15 ranges sit inside the span, every cover cell sits fully
+    * inside its range, per-level cell counts stay ≤ 2 within the level
+    * budget, and cover-cell sizes sum to the exact range length —
+    * fully-inside + sum-to-length together prove the cells are a
+    * disjoint exact partition of the range.
+    */
+  private def checkDyadicCover(lo: Long, hi: Long): Unit = {
     import spark.implicits._
+    // dyadicRanges only reads min/max of b, so two endpoint rows suffice
+    val bcnt = Seq((lo, 1L), (hi, 1L)).toDF("b", "n")
+    val ranges = Sketches.dyadicRanges(bcnt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ranges.length == 15)
+    val cover = Sketches.dyadicCover(Sketches.dyadicRanges(bcnt))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    cover.groupBy(t => (t._1, t._2)).foreach { case ((rid, l), cs) =>
+      // beyond the level budget the top level legitimately holds the
+      // whole remainder; within it the boundary-slice bound is ≤ 2
+      if (l < Sketches.DyadicLevels - 1)
+        assert(cs.size <= 2, s"span ($lo,$hi) range $rid level $l: ${cs.size} cells")
+    }
+    ranges.foreach { case (rid, ra, rb) =>
+      assert(lo <= ra && ra <= rb && rb <= hi, s"range $rid out of span")
+      val sizes = cover.filter(_._1 == rid).map { case (_, l, c) =>
+        val cellLo = c << l
+        val cellHi = ((c + 1L) << l) - 1
+        assert(cellLo >= ra && cellHi <= rb,
+          s"span ($lo,$hi) range $rid: cell $c@$l [$cellLo,$cellHi] leaks")
+        cellHi - cellLo + 1
+      }
+      assert(sizes.sum == rb - ra + 1,
+        s"span ($lo,$hi) range $rid: cover mass ${sizes.sum} != ${rb - ra + 1}")
+    }
+  }
+
+  test("dyadic cover partitions every range exactly with at most 2 cells per level") {
     // adversarial spans: single bucket, span < 8 (w8 floor), odd offsets,
     // a power-of-two-straddling span, and the real fixture's epoch range
-    val spans = Seq((5L, 5L), (0L, 6L), (3L, 10L), (17L, 59L),
+    Seq((5L, 5L), (0L, 6L), (3L, 10L), (17L, 59L),
       (1L, 2001L), (28401120L, 28444317L))
-    spans.foreach { case (lo, hi) =>
-      val bcnt = (lo to hi).map(b => (b, 1L)).toDF("b", "n")
-      val ranges = Sketches.dyadicRanges(bcnt).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      assert(ranges.length == 15)
-      val cover = Sketches.dyadicCover(Sketches.dyadicRanges(bcnt))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-      cover.groupBy(t => (t._1, t._2)).foreach { case (k, cs) =>
-        assert(cs.size <= 2, s"span ($lo,$hi) range/level $k: ${cs.size} cells")
-      }
-      ranges.foreach { case (rid, ra, rb) =>
-        assert(lo <= ra && ra <= rb && rb <= hi, s"range $rid out of span")
-        // every cover cell fully inside its range; sizes summing to the
-        // range length proves the cells are a disjoint exact partition
-        val sizes = cover.filter(_._1 == rid).map { case (_, l, c) =>
-          val cellLo = c << l
-          val cellHi = ((c + 1L) << l) - 1
-          assert(cellLo >= ra && cellHi <= rb,
-            s"span ($lo,$hi) range $rid: cell $c@$l [$cellLo,$cellHi] leaks")
-          cellHi - cellLo + 1
-        }
-        assert(sizes.sum == rb - ra + 1,
-          s"span ($lo,$hi) range $rid: cover mass ${sizes.sum} != ${rb - ra + 1}")
-      }
+      .foreach { case (lo, hi) => checkDyadicCover(lo, hi) }
+  }
+
+  test("property: dyadic cover partition holds on random spans, incl. beyond the level budget") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      lo <- Gen.chooseNum(0L, 40000000L)
+      // two regimes: short audit windows, and spans past the 2^19-minute
+      // level budget that exercise the forced top-level cover
+      len <- Gen.oneOf(Gen.chooseNum(1L, 300L), Gen.chooseNum(1L, 5000000L))
+    } yield (lo, lo + len - 1)
+    val params = Gen.Parameters.default
+    (1 to 8).foreach { i =>
+      val (lo, hi) = gen.pureApply(params, Seed(4200L + i))
+      checkDyadicCover(lo, hi)
     }
   }
 
