@@ -51,6 +51,16 @@ object Bench {
       // unreachable; the default periodic-GC interval (30 min) lets
       // hundreds of queries' blocks pile up in a single-JVM sweep
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // local-mode liveness: the "executor" IS this JVM, so the
+      // heartbeat check can only FALSE-positive — a long stop-the-world
+      // GC (or a host stall; this box has measured multi-minute freezes
+      // under memory pressure) exceeds the 120 s default and shuts the
+      // context down mid-sweep (observed once at 10×: 148.9 s without
+      // heartbeats → executor removed → every later query dead). On a
+      // real cluster these guards matter; in one process they are pure
+      // downside — give them sweep-sized headroom.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
