@@ -124,83 +124,121 @@ object Bench {
     // query is mechanically distinguishable from a genuinely cheap one.
     Memo.drainBuildLog(): Unit // discard warm-up-attributed builds
     val memoBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    // All reps of a query run back-to-back: rep 1 absorbs any cold cache,
-    // reps 2-3 measure steady state; the median of 3 discards the one
-    // outlier either way.
     def family(n: String): String = n.takeWhile(_ != '_')
-    var prevFamily = ""
-    val allReps: Seq[(String, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        if (evictBetweenFamilies && family(name) != prevFamily) {
-          Memo.evictAll()
-          // SYNCHRONOUS reclamation: dropping references and waiting on
-          // the async ContextCleaner leaves the old family's checkpoint
-          // blocks resident exactly while the next family's artifact
-          // rebuild allocates — the transient 2x spike that OOM'd a 10x
-          // sweep even at 60g. At a family boundary no query is running
-          // and every cross-query frame holder (the memo caches) was
-          // just cleared, so every persistent RDD is garbage by
-          // construction — unpersist them all, blocking.
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
-          System.gc()
-        }
-        prevFamily = family(name)
-        val ts = (1 to reps).map(_ => runRetrying(name, fn))
-        Memo.drainBuildLog().foreach { case (fam, sec) =>
-          val k = s"$fam@$name"
-          memoBuilds.update(k, memoBuilds.getOrElse(k, 0.0) + sec)
-        }
-        name -> ts
-      }
-    val results = allReps.map { case (name, ts) =>
-      val ok = ts.filter(_ >= 0).sorted
-      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
-    }
-    val wall = (System.nanoTime() - wallT0) / 1e9
+
     // Locale-pinned formatting: f"$v%.3f" follows the JVM default locale
     // and would emit "0,833" (invalid JSON) under comma-decimal locales.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // failed count is surfaced in the headline line — a broken query must
-    // never read as a speedup (its -1 is excluded from the total)
-    val failed = results.count(_._2 < 0)
 
-    // Full per-query map goes to a repo file: the driver's stdout capture
-    // keeps only a ~2KB tail, so a single line with the whole registry
-    // (~6KB at 100+ queries) never survives to BENCH_r{N}.json ("parsed":
-    // null in rounds 1-3). The headline line stays under that window.
-    def repsJson: String = allReps.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    // family@firstPayingQuery -> build seconds (paid once per run; the
-    // per-query medians are steady-state, this is the amortized cost)
-    val memoJson = memoBuilds.toSeq.map { case (k, v) =>
-      "\"" + k + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
-    val loadEnd = loadFingerprint()
-    val loadJson = s"""{"start":{$loadStart},"end":{$loadEnd},"evict":${evictBetweenFamilies}}"""
-    val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall":${fmt(wall)},"reps":$reps,"failed":$failed,"nQueries":${results.size},"load":$loadJson,"memo_build":$memoJson,"queries":${toJson(results)},"queryReps":$repsJson,"sf":"$sfDir"}"""
-    try Files.writeString(Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")), fullJson + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
+    // Completed (query -> reps) accumulate here as the sweep runs, so a
+    // wall-budget kill can still report everything measured so far
+    // (round-12 item 1b: BENCH_r11.json was rc=124/"parsed": null with
+    // ~300 queries already measured). Plain Seq snapshots under `lock`.
+    val lock = new Object
+    val completed = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
 
-    // Headline subset for the one-line contract output: slowest queries
-    // dominate the total, so report the top cost centers plus the
-    // per-family medians — enough for round-over-round comparison inside
-    // the tail window; full numbers are in BENCH_FULL.json.
-    val ok = results.filter(_._2 >= 0)
-    val slowest = ok.sortBy(-_._2).take(24)
-    val fams = ok.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1).map {
-      case (f, rs) =>
-        val ts = rs.map(_._2).sorted
-        ("fam_" + f, ts(ts.size / 2))
+    /** Format + emit the contract outputs from whatever has completed:
+      * the full per-query dump to BENCH_FULL and the ONE-line headline
+      * JSON to stdout. Pure in-memory formatting — safe to call from a
+      * shutdown hook while the SparkContext is going down.
+      */
+    def emitAll(partial: Boolean): Unit = {
+      val allReps = lock.synchronized(completed.toList)
+      val memoSnap = lock.synchronized(memoBuilds.toSeq)
+      val results = allReps.map { case (name, ts) =>
+        val ok = ts.filter(_ >= 0).sorted
+        name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+      }
+      val wall = (System.nanoTime() - wallT0) / 1e9
+      val total = results.map(_._2).filter(_ >= 0).sum
+      // failed count is surfaced in the headline line — a broken query
+      // must never read as a speedup (its -1 is excluded from the total)
+      val failed = results.count(_._2 < 0)
+      // Full per-query map goes to a repo file: the driver's stdout
+      // capture keeps only a ~2KB tail, so a single line with the whole
+      // registry never survives to BENCH_r{N}.json ("parsed": null in
+      // rounds 1-3). The headline line stays under that window.
+      def repsJson: String = allReps.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      // family@firstPayingQuery -> build seconds (paid once per run; the
+      // per-query medians are steady-state, this is the amortized cost)
+      val memoJson = memoSnap.map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      val loadEnd = loadFingerprint()
+      val loadJson = s"""{"start":{$loadStart},"end":{$loadEnd},"evict":${evictBetweenFamilies}}"""
+      val fullJson =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall":${fmt(wall)},"reps":$reps,"failed":$failed,"partial":$partial,"nQueries":${results.size},"load":$loadJson,"memo_build":$memoJson,"queries":${toJson(results)},"queryReps":$repsJson,"sf":"$sfDir"}"""
+      try Files.writeString(Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")), fullJson + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
+
+      // Headline subset for the one-line contract output: slowest queries
+      // dominate the total, so report the top cost centers plus the
+      // per-family medians — enough for round-over-round comparison inside
+      // the tail window; full numbers are in BENCH_FULL.json.
+      val ok = results.filter(_._2 >= 0)
+      val slowest = ok.sortBy(-_._2).take(24)
+      val fams = ok.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1).map {
+        case (f, rs) =>
+          val ts = rs.map(_._2).sorted
+          ("fam_" + f, ts(ts.size / 2))
+      }
+      val headline = (slowest ++ fams).distinct
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall":${fmt(wall)},"reps":$reps,"failed":$failed,"partial":$partial,"nQueries":${results.size},"load":$loadJson,"full":"BENCH_FULL.json","queries":${toJson(headline)},"sf":"$sfDir"}""")
     }
-    val headline = (slowest ++ fams).distinct
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","wall":${fmt(wall)},"reps":$reps,"failed":$failed,"nQueries":${results.size},"load":$loadJson,"full":"BENCH_FULL.json","queries":${toJson(headline)},"sf":"$sfDir"}""")
+
+    // The graceful-degradation hook (round-12 item 1b): a driver-side
+    // `timeout` SIGTERM still runs JVM shutdown hooks, so the contract
+    // JSON line for every completed query is emitted even when the sweep
+    // exceeds the wall budget — rc=124 must parse, never "parsed": null.
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hook = new Thread(() => if (!done.get()) {
+      try emitAll(partial = true)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] partial emit failed: ${e.getMessage}")
+      }
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    // All reps of a query run back-to-back: rep 1 absorbs any cold cache,
+    // reps 2-3 measure steady state; the median of 3 discards the one
+    // outlier either way.
+    var prevFamily = ""
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (evictBetweenFamilies && family(name) != prevFamily) {
+        Memo.evictAll()
+        // SYNCHRONOUS reclamation: dropping references and waiting on
+        // the async ContextCleaner leaves the old family's checkpoint
+        // blocks resident exactly while the next family's artifact
+        // rebuild allocates — the transient 2x spike that OOM'd a 10x
+        // sweep even at 60g. At a family boundary no query is running
+        // and every cross-query frame holder (the memo caches) was
+        // just cleared, so every persistent RDD is garbage by
+        // construction — unpersist them all, blocking.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
+      prevFamily = family(name)
+      spark.sparkContext.setJobDescription(s"bench: $name")
+      val ts = (1 to reps).map(_ => runRetrying(name, fn))
+      spark.sparkContext.setJobDescription(null)
+      lock.synchronized {
+        Memo.drainBuildLog().foreach { case (fam, sec) =>
+          val k = s"$fam@$name"
+          memoBuilds.update(k, memoBuilds.getOrElse(k, 0.0) + sec)
+        }
+        completed += (name -> ts)
+      }
+    }
+    emitAll(partial = false)
+    done.set(true)
+    try Runtime.getRuntime.removeShutdownHook(hook)
+    catch { case _: IllegalStateException => () } // already shutting down
     spark.stop()
   }
 }

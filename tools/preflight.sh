@@ -26,8 +26,23 @@ fi
 
 echo "== preflight: Verify dump @ $SF_DIR =="
 rm -rf "$OUT_DIR"
+VERIFY_T0=$(date +%s)
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
+VERIFY_WALL=$(( $(date +%s) - VERIFY_T0 ))
+
+# Wall-budget guard (round-12 item 2): the registry grew 73 -> 393
+# queries across 11 rounds and round 11's driver sweep timed out, which
+# zeroed every correctness/bench signal despite a green tree. Preflight
+# therefore gates WALL, not just green-ness: the full Verify sweep must
+# fit the budget (default 2400 s — r11's serial sf0.01 run was ~2040 s
+# at 8 CPUs; regressions past this level are what eat driver rounds).
+VERIFY_BUDGET="${PREFLIGHT_VERIFY_BUDGET:-2400}"
+echo "== preflight: Verify wall = ${VERIFY_WALL}s (budget ${VERIFY_BUDGET}s) =="
+if [ "$VERIFY_WALL" -gt "$VERIFY_BUDGET" ]; then
+  echo "== preflight: FAIL — Verify wall ${VERIFY_WALL}s exceeds budget ${VERIFY_BUDGET}s ==" >&2
+  exit 1
+fi
 
 echo "== preflight: DuckDB oracle compare =="
 python3 tools/oracle_check.py "$SF_DIR" "$OUT_DIR"
