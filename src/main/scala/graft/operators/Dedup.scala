@@ -2186,7 +2186,8 @@ object Dedup {
   private[graft] def substrTriggerDelta(
       s: SparkSession, oldOcc0: DataFrame, newOcc0: DataFrame,
       cut: Long = ExactSubstrOccCut,
-      oldStats0: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
+      oldStats0: Option[DataFrame] = None,
+      fullOld0: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val oldOcc = oldOcc0.select($"doc_id", $"pos", $"gh")
     val newOcc = newOcc0.select($"doc_id", $"pos", $"gh")
@@ -2198,13 +2199,23 @@ object Dedup {
         .agg(count(lit(1)).as("o_occ"), countDistinct($"doc_id").as("o_df")))
     val newStats = newOcc.groupBy($"gh")
       .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_df"))
-    val stats = oldStats.join(newStats, Seq("gh"), "full_outer")
+    // Restricted to THIS batch's grams (round 12: left join, was
+    // full_outer): every per-trigger decision concerns only grams the
+    // arrivals touch — a new doc's postings carry only new-batch grams,
+    // and a gram can cross the cut only when n_occ ≥ 1 — so old-only
+    // grams never contribute to the new-side probe or the crossing
+    // test. This is what lets the caller hand in BUCKET-PRUNED old
+    // views (oldOcc0/oldStats0 restricted to the arrivals' gram-hash
+    // buckets); the one consumer that genuinely needs ALL grams — the
+    // dirty-pair recompute — rebuilds full eligibility from `fullOld0`
+    // inside the (rare, bounded) repair branch below.
+    val stats = newStats.join(oldStats, Seq("gh"), "left_outer")
       .select($"gh",
         coalesce($"o_occ", lit(0L)).as("o_occ"),
         coalesce($"o_df", lit(0L)).as("o_df"),
-        (coalesce($"o_occ", lit(0L)) + coalesce($"n_occ", lit(0L))).as("t_occ"),
-        (coalesce($"o_df", lit(0L)) + coalesce($"n_df", lit(0L))).as("t_df"))
-      .localCheckpoint() // small (one row per gram); read 2–3× below
+        (coalesce($"o_occ", lit(0L)) + $"n_occ").as("t_occ"),
+        (coalesce($"o_df", lit(0L)) + $"n_df").as("t_df"))
+      .localCheckpoint() // small (one row per new-batch gram); read 2–3× below
     val eligNew = stats.where($"t_df" >= 2 && $"t_occ" <= cut).select($"gh")
     // grams LEAVING eligibility this trigger: df is monotone, so the
     // only exit is the occurrence cut crossing upward
@@ -2232,7 +2243,9 @@ object Dedup {
       if (!anyCrossed) (hitsNew, hitsNew.limit(0).select($"doc_a", $"doc_b"))
       else {
         // old-old pairs that HAD hits via a crossing gram (enumerated
-        // from the old postings of exactly those grams — ≤ cut² each)
+        // from the old postings of exactly those grams — ≤ cut² each;
+        // crossed ⊆ new-batch grams, so the possibly-pruned oldOcc view
+        // is sufficient here)
         val occCross = oldOcc.join(crossed, "gh")
         val dirty = occCross.select($"gh", $"doc_id".as("doc_a"))
           .join(occCross.select($"gh", $"doc_id".as("doc_b")), "gh")
@@ -2241,7 +2254,22 @@ object Dedup {
           .localCheckpoint() // tiny; read 3× below
         val dirtyDocs = dirty.select($"doc_a".as("doc_id"))
           .unionByName(dirty.select($"doc_b".as("doc_id"))).distinct()
-        val idxDirty = idxAll.join(dirtyDocs, Seq("doc_id"), "left_semi")
+        // FULL index + FULL eligibility for the dirty-pair recompute: a
+        // dirty pair's span set must be rebuilt over every currently-
+        // eligible gram the two docs share, including grams absent from
+        // this batch — the one place a bucket-pruned view is not
+        // sufficient. Lazy frames: a non-crossing trigger never reads
+        // them. Default = the caller's own (unpruned) old views, which
+        // keeps the direct-call/spec path byte-identical.
+        val (fullOldOcc0, fullOldStats0) = fullOld0.getOrElse((oldOcc, oldStats))
+        val fullOldOcc = fullOldOcc0.select($"doc_id", $"pos", $"gh")
+        val fullOldStats = fullOldStats0.select($"gh", $"o_occ", $"o_df")
+        val eligAll = fullOldStats.join(newStats, Seq("gh"), "full_outer")
+          .where(coalesce($"o_df", lit(0L)) + coalesce($"n_df", lit(0L)) >= 2 &&
+            coalesce($"o_occ", lit(0L)) + coalesce($"n_occ", lit(0L)) <= cut)
+          .select($"gh")
+        val idxAllFull = fullOldOcc.unionByName(newOcc).join(eligAll, "gh")
+        val idxDirty = idxAllFull.join(dirtyDocs, Seq("doc_id"), "left_semi")
         val hitsOld = idxDirty
           .select($"gh", $"doc_id".as("doc_a"), $"pos".as("pa"))
           .join(idxDirty.select($"gh", $"doc_id".as("doc_b"), $"pos".as("pb")),

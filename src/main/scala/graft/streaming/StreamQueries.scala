@@ -965,32 +965,59 @@ object StreamQueries {
     }
 
   /** Streaming dyadic range-count sketch — `sketch_dyadic_range`'s
-    * counter table maintained AT INGEST: each arriving event fans out
-    * to its levels × d (j, level, slot) cells (the same shared narrow
-    * map as the batch build, weight 1 per event) and a running-count
-    * update-mode aggregate holds the counters — purely ADDITIVE state,
-    * so the drained table equals the batch counter table exactly under
-    * any trigger split (sums commute), which is the whole reason the
-    * dyadic-CMS family is the 100 TB dashboard shape: the ingest never
-    * touches history, and ANY time range is answerable from ≤
-    * 2·levels·d counter reads the moment the trigger commits. Closed by
-    * the same probe finalize as the batch query; the oracle IS that
-    * query's SQL.
+    * counter table maintained AT INGEST: each micro-batch aggregates
+    * its events PER MINUTE FIRST (round 12 — the batch build's "hash
+    * the keyspace, not the corpus" move, which the streaming twin had
+    * skipped: the levels × d fan-out now runs per DISTINCT minute in
+    * the batch, ~80× fewer exploded rows than per event), fans the
+    * minute counts out through the SAME shared narrow map as the batch
+    * build, and appends the batch's (j, level, slot) counter DELTA to
+    * the idempotent delta log. CMS merge IS cell-wise addition, so the
+    * summed log equals the batch counter table exactly under any
+    * trigger split (sums commute — the same additive-state argument as
+    * before; the per-batch pre-aggregation is legal for exactly the
+    * same reason). This keeps the 100 TB dashboard shape: the ingest
+    * never touches history, counter state stays ≤ levels·d·w cells,
+    * and ANY time range is answerable from ≤ 2·levels·d counter reads
+    * once the trigger's delta is merged. Closed by the same probe
+    * finalize as the batch query; the oracle IS that query's SQL.
+    *
+    * (The two-stage aggregate — per-minute, then per-cell — is why
+    * this runs in `foreachBatch` over a stateless stream rather than
+    * as one update-mode aggregate: chained stateful aggregations are
+    * not allowed in a streaming query, and the per-batch delta log is
+    * the same replay-safe state the weighted-Jaccard engine documents.)
     */
   def streamDyadicRange(s: SparkSession, dir: String): DataFrame =
     withStatePartitions(s, 8) {
       import s.implicits._
+      import org.apache.spark.sql.types.{StructType, LongType}
       val Sk = graft.operators.Sketches
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val src = stageAsDirParts(s, s"$dir/events.parquet", 4)
       val schema = s.read.parquet(src).schema
+      val cntLog = graft.TempDirs.scoped("graft_dyadic_cntlog")
+      val cntSchema = new StructType()
+        .add("j", LongType).add("level", LongType).add("slot", LongType)
+        .add("cnt", LongType).add("batch_id", LongType)
       val perEvent = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-        .selectExpr("ts DIV 60000000000 AS b", "1L AS n")
-      val counters = Sk.dyadicCounterRows(perEvent)
-        .groupBy($"j", $"level", $"slot")
-        .agg(sum($"n").as("cnt"))
-      val table = runDeltaLog(counters, "update", Seq("j", "level", "slot"))
-        .select($"j", $"level", $"slot", $"cnt")
+        .selectExpr(s"ts DIV ${Sk.DyadicMinuteNs} AS b")
+      val q = perEvent.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val bcnt = batch.groupBy(col("b")).agg(count(lit(1)).as("n"))
+          val delta = Sk.dyadicCounterRows(bcnt)
+            .groupBy(col("j"), col("level"), col("slot"))
+            .agg(sum(col("n")).as("cnt"))
+          appendDeltaBatch(delta, id, cntLog)
+        }
+        .option("checkpointLocation", ckpt())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val table = s.read.schema(cntSchema).parquet(cntLog)
+        .groupBy($"j", $"level", $"slot").agg(sum($"cnt").as("cnt"))
       Sk.dyadicFinalize(s, dir, table)
     }
 
@@ -1446,6 +1473,34 @@ object StreamQueries {
   private[graft] val substrTriggerLog =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Double)]
 
+  /** Bytes-read ledger for the BUCKETED posting log (round-12 item 3):
+    * (batch_id, pruned posting-log bytes — only the gram-hash buckets
+    * this trigger's arrivals touch, total accumulated posting-log
+    * bytes). Proves per-trigger input is bounded by touched buckets,
+    * not the full accumulated log.
+    */
+  private[graft] val substrBytesLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+
+  /** Gram-hash bucket count for the ExactSubstr delta logs
+    * (`SPARK_GRAFT_SUBSTR_BUCKETS`, default 8). Partitioning the
+    * posting/stats logs by `pmod(gh, B)` lets each trigger's
+    * accumulated-log reads PRUNE to the buckets its arrivals touch —
+    * O(touched buckets), not O(accumulated log). At contract SF every
+    * trigger carries thousands of distinct grams, so 8 buckets keeps
+    * the per-batch file count small while the partition layout (and
+    * the pruning machinery) is exactly the production shape; at real
+    * ingest scale B is sized so arrivals touch a small fraction
+    * (10⁴–10⁵ buckets for a 100 TB corpus index). Tests override via
+    * [[substrLogBucketsOverride]] to demonstrate pruning locally.
+    */
+  private[streaming] def substrLogBuckets: Int =
+    substrLogBucketsOverride.getOrElse(
+      sys.env.get("SPARK_GRAFT_SUBSTR_BUCKETS")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(8))
+
+  private[graft] var substrLogBucketsOverride: Option[Int] = None
+
   /** The incremental ExactSubstr streaming engine shared by
     * [[streamExactSubstr]] and [[streamSubstrSavings]] — round 11
     * completes the verdict's item-4 family (after `stream_ppjoin` and
@@ -1453,15 +1508,21 @@ object StreamQueries {
     * posting join over all drained state; EACH trigger emits exactly
     * the span delta its arrivals cause.
     *
-    * Four batch-id-partitioned delta logs (idempotent replay: each
-    * batch overwrites its own partition, accumulated reads exclude
-    * batch ids ≥ current, so a replayed batch recomputes the identical
-    * delta): the posting log (the accumulated index), the span log,
-    * the TOUCHED-PAIR ledger, and the per-gram STATS log — each batch's
-    * additive (occ, df) contribution, summed at read so the eligibility
-    * stats never re-aggregate the full posting log (the production
-    * state-store accretion SCALING.md's round-11 notes trail; exactly
-    * maintainable because docs are trigger-complete, so df is additive).
+    * ONE kinded delta log partitioned (batch_id, kind, ghb) — round 12
+    * folded the former four logs into a single write action per
+    * trigger and BUCKETED the gram-keyed kinds by `pmod(gh, B)`
+    * (idempotent replay: each batch overwrites its own partitions,
+    * accumulated reads exclude batch ids ≥ current, so a replayed
+    * batch recomputes the identical delta). kind 0 is the posting log
+    * (the accumulated index), kind 2 the span log, kind 3 the
+    * TOUCHED-PAIR ledger, and kind 1 the per-gram STATS log — each
+    * batch's additive (occ, df) contribution, summed at read so the
+    * eligibility stats never re-aggregate the full posting log (the
+    * production state-store accretion SCALING.md's round-11 notes
+    * trail; exactly maintainable because docs are trigger-complete, so
+    * df is additive). Accumulated reads PRUNE to the arrivals' buckets
+    * ([[substrLogBuckets]]); [[substrBytesLog]] records the pruned vs
+    * total posting-log bytes per trigger.
     * The touched ledger is what makes retraction
     * expressible — ExactSubstr's corpus-wide occurrence cut
     * ([[graft.operators.Dedup.ExactSubstrOccCut]]) is monotone-
@@ -1475,28 +1536,54 @@ object StreamQueries {
     * split (`ExactSubstrStreamSpec`, including a forced-crossing
     * fixture at a tiny cut).
     */
+  /** File-size sum of the accumulated posting partitions (kind=0,
+    * batch_id < beforeId) a read restricted to `buckets` touches —
+    * i.e. exactly the input a bucket-pruned scan lists. `None` = all
+    * buckets (the unpruned total). Driver-side directory walk, no
+    * Spark job.
+    */
+  private def substrOccBytes(log: String, beforeId: Long,
+      buckets: Option[Set[Long]]): Long = {
+    val root = new java.io.File(log)
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("batch_id="))
+      .filter(_.getName.drop(9).toLongOption.exists(_ < beforeId))
+      .flatMap(b => Option(new java.io.File(b, "kind=0").listFiles())
+        .getOrElse(Array.empty[java.io.File]))
+      .filter(g => g.getName.startsWith("ghb=") &&
+        buckets.forall(bs => g.getName.drop(4).toLongOption.exists(bs)))
+      .flatMap(g => Option(g.listFiles()).getOrElse(Array.empty[java.io.File]))
+      .map(_.length()).sum
+  }
+
   private def substrSpanLogRun(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.{StructType, LongType}
     val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
     val schema = s.read.parquet(src).schema
-    val occLog = graft.TempDirs.scoped("graft_substr_occlog")
-    val spanLog = graft.TempDirs.scoped("graft_substr_spanlog")
-    val touchLog = graft.TempDirs.scoped("graft_substr_touchlog")
-    val statsLog = graft.TempDirs.scoped("graft_substr_statslog")
-    val occSchema = new StructType()
-      .add("doc_id", LongType).add("pos", LongType).add("gh", LongType)
-      .add("batch_id", LongType)
-    val statsSchema = new StructType()
-      .add("gh", LongType).add("occ_d", LongType).add("df_d", LongType)
-      .add("batch_id", LongType)
-    val spanSchema = new StructType()
-      .add("doc_a", LongType).add("doc_b", LongType)
-      .add("start_a", LongType).add("start_b", LongType)
-      .add("span_tokens", LongType).add("batch_id", LongType)
-    val touchSchema = new StructType()
-      .add("doc_a", LongType).add("doc_b", LongType).add("batch_id", LongType)
+    // ONE kinded, bucketed delta log (round 12; was four separate logs
+    // = four write actions per trigger): rows are tagged by `kind` and
+    // partitioned (batch_id, kind, ghb) so each trigger commits every
+    // delta — postings, stats, spans, touched pairs — in a SINGLE
+    // write action, and accumulated reads prune by kind AND by the
+    // gram-hash buckets the arrivals touch (ghb = pmod(gh, B); spans/
+    // touched are pair-keyed, not gram-keyed, and ride bucket 0).
+    //   kind 0 occ:   c1=doc_id, c2=pos,   c3=gh
+    //   kind 1 stats: c1=gh,     c2=occ_d, c3=df_d
+    //   kind 2 span:  c1=doc_a,  c2=doc_b, c3=start_a, c4=start_b,
+    //                 c5=span_tokens
+    //   kind 3 touch: c1=doc_a,  c2=doc_b
+    val log = graft.TempDirs.scoped("graft_substr_log")
+    val B = substrLogBuckets
+    val logSchema = new StructType()
+      .add("c1", LongType).add("c2", LongType).add("c3", LongType)
+      .add("c4", LongType).add("c5", LongType)
+      .add("batch_id", LongType).add("kind", LongType).add("ghb", LongType)
     substrTriggerLog.clear()
+    substrBytesLog.clear()
+    // accumulated posting-row count for the ledger as a driver-side
+    // running sum (was an O(accumulated) count() action every trigger)
+    var accRows = 0L
     val occ = graft.operators.Dedup.exactSubstrOcc(s,
       s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -1506,35 +1593,83 @@ object StreamQueries {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val t0 = System.nanoTime()
         val newOcc = batch.localCheckpoint()
-        // replay-proof accumulated index: a failed batch's own partial
-        // partition (write landed, checkpoint commit didn't) is
-        // excluded, so the recompute sees the exact pre-batch state
-        val oldOcc = s.read.schema(occSchema).parquet(occLog)
-          .where(col("batch_id") < id).select("doc_id", "pos", "gh")
-        // accreted per-gram (occ, df): the prior batches' stats DELTAS
-        // summed — O(distinct grams) pre-aggregated rows instead of
-        // re-aggregating every accumulated posting row each trigger
-        // (df is additive because docs are trigger-complete; the delta
-        // function documents the sufficiency argument)
-        val oldStats = s.read.schema(statsSchema).parquet(statsLog)
+        // the arrivals' gram-hash buckets + row count, one cheap job
+        // over the checkpointed batch (≤ B rows to the driver)
+        val bstats = newOcc
+          .groupBy(pmod(col("gh"), lit(B.toLong)).as("ghb"))
+          .agg(count(lit(1)).as("n")).collect()
+        val nNew = bstats.map(_.getLong(1)).sum
+        val buckets = bstats.map(_.getLong(0)).toSet
+        val acc = s.read.schema(logSchema).parquet(log)
           .where(col("batch_id") < id)
-          .groupBy(col("gh"))
-          .agg(sum(col("occ_d")).as("o_occ"), sum(col("df_d")).as("o_df"))
+        // replay-proof accumulated views: a failed batch's own partial
+        // partitions (write landed, checkpoint commit didn't) are
+        // excluded, so the recompute sees the exact pre-batch state.
+        // BUCKET-PRUNED (partition pruning on ghb): only the buckets
+        // this trigger's arrivals touch are listed/read — the delta
+        // function needs old postings/stats only for new-batch grams
+        // outside the rare repair branch.
+        val oldOccPruned = acc
+          .where(col("kind") === 0 && col("ghb").isin(buckets.toSeq: _*))
+          .select(col("c1").as("doc_id"), col("c2").as("pos"),
+            col("c3").as("gh"))
+        // accreted per-gram (occ, df): the prior batches' stats DELTAS
+        // summed — O(distinct grams in touched buckets) pre-aggregated
+        // rows (df is additive because docs are trigger-complete; the
+        // delta function documents the sufficiency argument)
+        val oldStatsPruned = acc
+          .where(col("kind") === 1 && col("ghb").isin(buckets.toSeq: _*))
+          .groupBy(col("c1").as("gh"))
+          .agg(sum(col("c2")).as("o_occ"), sum(col("c3")).as("o_df"))
+        // UNpruned views for the repair branch only — lazy, so a
+        // non-crossing trigger never reads them
+        val oldOccFull = acc.where(col("kind") === 0)
+          .select(col("c1").as("doc_id"), col("c2").as("pos"),
+            col("c3").as("gh"))
+        val oldStatsFull = acc.where(col("kind") === 1)
+          .groupBy(col("c1").as("gh"))
+          .agg(sum(col("c2")).as("o_occ"), sum(col("c3")).as("o_df"))
         val (touched, spans, statsDelta) =
-          graft.operators.Dedup.substrTriggerDelta(s, oldOcc, newOcc,
-            oldStats0 = Some(oldStats))
-        appendDeltaBatch(spans, id, spanLog)
-        appendDeltaBatch(touched, id, touchLog)
-        appendDeltaBatch(statsDelta, id, statsLog)
-        appendDeltaBatch(newOcc, id, occLog)
-        // ledger counts read back from the just-written partitions
-        // (footer-cheap), never re-running the delta
-        val nSpans = s.read.schema(spanSchema).parquet(spanLog)
-          .where(col("batch_id") === id).count()
-        val nTouch = s.read.schema(touchSchema).parquet(touchLog)
-          .where(col("batch_id") === id).count()
-        substrTriggerLog.add((id, newOcc.count(), oldOcc.count(), nTouch,
-          nSpans, (System.nanoTime() - t0) / 1e9)): Unit
+          graft.operators.Dedup.substrTriggerDelta(s, oldOccPruned, newOcc,
+            oldStats0 = Some(oldStatsPruned),
+            fullOld0 = Some((oldOccFull, oldStatsFull)))
+        // ONE write action commits all four deltas (was four separate
+        // jobs): tag, pad to the 5-column superset, union, repartition
+        // by (kind, ghb) so each partition dir gets one file
+        def tag(df: DataFrame, kind: Int, cols: Seq[String],
+            ghbCol: org.apache.spark.sql.Column): DataFrame =
+          df.select(
+            (cols.map(col).padTo(5, lit(null).cast("long"))
+              .zipWithIndex.map { case (c, i) => c.as(s"c${i + 1}") }) ++
+              Seq(lit(kind.toLong).as("kind"), ghbCol.as("ghb")): _*)
+        val unified =
+          tag(newOcc, 0, Seq("doc_id", "pos", "gh"),
+            pmod(col("gh"), lit(B.toLong)))
+          .unionByName(tag(statsDelta, 1, Seq("gh", "occ_d", "df_d"),
+            pmod(col("gh"), lit(B.toLong))))
+          .unionByName(tag(spans, 2, Seq("doc_a", "doc_b", "start_a",
+            "start_b", "span_tokens"), lit(0L)))
+          .unionByName(tag(touched, 3, Seq("doc_a", "doc_b"), lit(0L)))
+        unified.withColumn("batch_id", lit(id))
+          .repartition(col("kind"), col("ghb"))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "kind", "ghb")
+          .mode("overwrite")
+          .parquet(log)
+        // ledger counts read back from the just-written partition in
+        // ONE footer-cheap job (was two), never re-running the delta
+        val written = s.read.schema(logSchema).parquet(log)
+          .where(col("batch_id") === id)
+          .groupBy(col("kind")).agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        substrTriggerLog.add((id, nNew, accRows,
+          written.getOrElse(3L, 0L), written.getOrElse(2L, 0L),
+          (System.nanoTime() - t0) / 1e9)): Unit
+        substrBytesLog.add((id,
+          substrOccBytes(log, id, Some(buckets)),
+          substrOccBytes(log, id, None))): Unit
+        accRows += nNew
       }
       .option("checkpointLocation", ckpt())
       .trigger(Trigger.AvailableNow())
@@ -1543,10 +1678,14 @@ object StreamQueries {
     // latest-touch-wins reconstruction: a pair's spans come from the
     // last batch that touched it; a dirty recompute that came back
     // empty left ledger rows but no span rows — the tombstone
-    val lastTouch = s.read.schema(touchSchema).parquet(touchLog)
-      .groupBy(col("doc_a"), col("doc_b"))
+    val done = s.read.schema(logSchema).parquet(log)
+    val lastTouch = done.where(col("kind") === 3)
+      .groupBy(col("c1").as("doc_a"), col("c2").as("doc_b"))
       .agg(max(col("batch_id")).as("batch_id"))
-    s.read.schema(spanSchema).parquet(spanLog)
+    done.where(col("kind") === 2)
+      .select(col("c1").as("doc_a"), col("c2").as("doc_b"),
+        col("c3").as("start_a"), col("c4").as("start_b"),
+        col("c5").as("span_tokens"), col("batch_id"))
       .join(lastTouch, Seq("doc_a", "doc_b", "batch_id"), "left_semi")
       .drop("batch_id")
   }
@@ -1761,6 +1900,12 @@ object StreamQueries {
         .selectExpr("doc_id", graft.operators.InvertedIndex.ToksExpr)
         .where("size(toks) >= 3")
         .selectExpr("doc_id", graft.operators.InvertedIndex.ShingleSetExpr)
+      // accumulated-index row count carried as a driver-side running sum
+      // (batches of one AvailableNow run arrive in order, each once):
+      // the ledger's former `acc.count()` re-scanned the FULL token log
+      // every trigger — an O(accumulated) action spent on a diagnostic
+      // (guide §1: don't let the measurement become the cost)
+      var accRows = 0L
       val q = tok.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1775,12 +1920,14 @@ object StreamQueries {
             s, acc.unionByName(newTok), newTok.select("doc_id").distinct())
           appendDeltaBatch(newPairs, id, pairLog)
           appendDeltaBatch(newTok, id, tokLog)
-          // ledger counts read back from the just-written partitions
+          // ledger counts read back from the just-written partition
           // (footer-cheap), never re-running the pair join
           val nPairs = s.read.schema(pairSchema).parquet(pairLog)
             .where(col("batch_id") === id).count()
-          ppjoinTriggerLog.add((id, newTok.count(),
-            acc.count(), nPairs, (System.nanoTime() - t0) / 1e9)): Unit
+          val nNew = newTok.count()
+          ppjoinTriggerLog.add((id, nNew,
+            accRows, nPairs, (System.nanoTime() - t0) / 1e9)): Unit
+          accRows += nNew
         }
         .option("checkpointLocation", ckpt())
         .trigger(Trigger.AvailableNow())

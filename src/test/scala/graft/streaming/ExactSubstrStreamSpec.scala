@@ -105,6 +105,59 @@ class ExactSubstrStreamSpec extends AnyFunSuite {
     assert(batch.size == 1, "boilerplate span must be gone from the batch answer")
   }
 
+  /** The bucketed-log engine end-to-end (round-12 item 3), on a crafted
+    * corpus that (a) keeps gram-hash buckets SPARSE so partition
+    * pruning is demonstrable, and (b) forces an occurrence-cut crossing
+    * at the LAST trigger through the real streaming caller (not the
+    * direct delta call above): 300 docs = "u{i} c1..c8" — one unique
+    * gram per doc (df=1, never eligible) plus one shared gram whose
+    * occurrence count passes the 256 cut when the 4th trigger lands,
+    * dirtying every old pair and retracting every emitted span. The
+    * final reconstruction must equal the batch pass (empty), and the
+    * bytes ledger must show per-trigger pruned reads strictly below the
+    * full accumulated posting log.
+    */
+  test("bucketed posting log: pruned reads, crossing repair and tombstones through the real engine") {
+    import spark.implicits._
+    val dir = graft.TempDirs.scoped("graft_substr_bucket_fixture")
+    (1 to 300).map(i => (i.toLong,
+        s"u$i c1 c2 c3 c4 c5 c6 c7 c8", "fix"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val prev = StreamQueries.substrLogBucketsOverride
+    StreamQueries.substrLogBucketsOverride = Some(4096)
+    val streamed =
+      try StreamQueries.streamExactSubstr(spark, dir).collect()
+      finally StreamQueries.substrLogBucketsOverride = prev
+    // batch ground truth: the shared gram's 300 occurrences exceed the
+    // cut and the per-doc grams have df=1 — the span table is EMPTY
+    val D = graft.operators.Dedup
+    val batch = D.spansFromOcc(spark,
+      D.exactSubstrOcc(spark,
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select($"doc_id", $"text"))).collect()
+    assert(batch.isEmpty, "fixture must cut the shared gram in batch")
+    assert(streamed.isEmpty,
+      "crossing repair must retract every previously-emitted span")
+    import scala.jdk.CollectionConverters._
+    val ledger = StreamQueries.substrTriggerLog.asScala.toSeq.sortBy(_._1)
+    assert(ledger.size >= 4, "multi-trigger drain expected")
+    // spans were emitted while the gram was still under the cut, and
+    // the crossing trigger touched (tombstoned) old pairs without
+    // emitting spans
+    assert(ledger.init.exists(_._5 > 0), "pre-crossing spans expected")
+    val crossingTrigger = ledger.last
+    assert(crossingTrigger._5 == 0 && crossingTrigger._4 > 0,
+      "crossing trigger must tombstone old pairs with no surviving spans")
+    // bucket pruning: each trigger after the first reads strictly fewer
+    // posting-log bytes than the full accumulated log (sparse buckets)
+    val bytes = StreamQueries.substrBytesLog.asScala.toSeq.sortBy(_._1)
+    assert(bytes.size == ledger.size)
+    assert(bytes.forall { case (_, pruned, total) => pruned <= total })
+    assert(bytes.tail.forall { case (_, pruned, total) => pruned < total },
+      s"pruned reads must stay below the accumulated log: $bytes")
+  }
+
   test("streaming savings equal the batch per-source duplication report") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
