@@ -14,77 +14,14 @@ class PlanLintSpec extends AnyFunSuite {
   val sf = TestSpark.sf
 
   /** Queries that EXECUTE work on construction (streaming runs, writes,
-    * iterative loops) — their plans are asserted by their own specs; a
-    * lint pass over the final frame would re-run them.
+    * iterative loops) — a lint pass over the final frame would re-run
+    * them here, so they are exempt from THIS spec's planning pass and
+    * instead gated by [[ConstructionPlanSpec]], which executes each one
+    * with a listener linting every plan it actually runs (round-12
+    * item 5: the exemption list is no longer a manual promise).
     */
-  private val constructionRuns: Set[String] = Set(
-    "dedup_clusters", "dedup_canonical", "curate_soft_dedup",
-    "curate_full_pipeline",
-    "graph_pagerank", "doc_textrank", "graph_triangles",
-    "graph_neighbor_jaccard",
-    "graph_hits", "graph_bfs", "graph_sssp", "graph_mst",
-    "graph_single_linkage",
-    "sim_mmr_rerank",
-    "sim_kmeans",
-    "tok_bpe_merges", "tok_bpe_compression", "tok_bpe_fertility",
-    "ev_markov_stationary", "ev_markov_hitting", "ev_markov_entropy",
-    "q_bucketed_join", "q_merge_upsert",
-    "src_csv_roundtrip", "src_json_roundtrip", "src_json_extract",
-    "src_orc_roundtrip", "src_partitioned_layout",
-    "src_text_roundtrip", "src_binaryfile_scan",
-    "src_parquet_zstd_roundtrip", "src_schema_evolution",
-    "src_csv_badrecords",
-    // writes the cell-partitioned inverted-file layout on construction
-    "layout_ivfpq_lists",
-    // collects the bounded query-cell ranking + truth count on construction
-    "sim_ivfpq_probe_curve",
-    // collects the bounded query-cell ranking + radius truth count
-    "sim_range_probe_curve",
-    // iterative frontier loop with per-4-step lineage truncation; the
-    // walk-multiplicity scaffold is a 3-row broadcast cross hidden
-    // behind the initial checkpoint, every step join is an equi-join
-    "graph_random_walks",
-    // seeded iterative refinement (count + per-round checkpoints on
-    // construction); every expansion/scoring join is an equi-join
-    "sim_nndescent",
-    // beam-search hops checkpoint on construction; the 10-query × 8-entry
-    // seed scoring is the bounded-broadcast exception, hops are equi-joins
-    "sim_graph_search",
-    // ADC-scored beam hops checkpoint on construction; the 10-row query
-    // x entry seed is the bounded-broadcast exception, hops equi-joins
-    "sim_graph_pq_search",
-    // the beam sweep runs three checkpointed hop loops on construction
-    "sim_graph_recall_curve",
-    // insert path: base-graph build + hop loop checkpoint on construction
-    "sim_graph_insert",
-    // canonical-graph consumers: the shared searchGraph artifact
-    // checkpoints on construction; all downstream joins are equi-joins
-    "sim_knn_graph", "sim_ood_knn",
-    // graph_random_walks' loop shape with the biased per-step window;
-    // same hidden 2-row walk scaffold, equi-joins throughout
-    "graph_node2vec",
-    // greedy selection loop: one 1-row top-1 collect per round, the
-    // min-distance state is narrow re-projections (no joins at all)
-    "curate_kcenter_coreset",
-    // chunk-metadata / frame-index frames are checkpointed on
-    // construction; downstream is fp-keyed / (asset, frame)-keyed
-    // equi-joins only
-    "dedup_cdc_chunks", "mm_frame_sample",
-    // pagerank's iteration shape with a 1-row seed collect
-    "graph_ppr",
-    // ALS-shaped iterative factorization: per-half-step localCheckpoint
-    // pins; the k² gram frames are 1-row broadcast crosses
-    "doc_nmf_topics",
-    // level-synchronous multi-source BFS with checkpoint pins
-    "graph_betweenness", "graph_betweenness_approx", "graph_closeness",
-    // HyperANF register-propagation loop with checkpoint pins
-    "graph_anf",
-    // collects the 65-double centroid artifact on construction; the
-    // decile-edge / median / totals frames are 1-row broadcasts
-    "dq_embedding_drift",
-    // collects the 2·|dims| moment artifact on construction; the score
-    // pass is one scan + top-k
-    "dq_embedding_outliers")
+  private val constructionRuns: Set[String] = PlanLintSpec.constructionRuns
+
 
   /** 1-row aggregate broadcast cross joins (corpus totals/normalizers):
     * the build side is a single row by construction, so the nested-loop
@@ -254,4 +191,79 @@ class PlanLintSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+}
+
+object PlanLintSpec {
+  /** The construction-running exemption list, shared with
+    * [[ConstructionPlanSpec]] — adding a name here automatically
+    * subjects it to the executed-plan gate (round-12 item 5).
+    */
+  private[graft] val constructionRuns: Set[String] = Set(
+    "dedup_clusters", "dedup_canonical", "curate_soft_dedup",
+    "curate_full_pipeline",
+    "graph_pagerank", "doc_textrank", "graph_triangles",
+    "graph_neighbor_jaccard",
+    "graph_hits", "graph_bfs", "graph_sssp", "graph_mst",
+    "graph_single_linkage",
+    "sim_mmr_rerank",
+    "sim_kmeans",
+    "tok_bpe_merges", "tok_bpe_compression", "tok_bpe_fertility",
+    "ev_markov_stationary", "ev_markov_hitting", "ev_markov_entropy",
+    "q_bucketed_join", "q_merge_upsert",
+    "src_csv_roundtrip", "src_json_roundtrip", "src_json_extract",
+    "src_orc_roundtrip", "src_partitioned_layout",
+    "src_text_roundtrip", "src_binaryfile_scan",
+    "src_parquet_zstd_roundtrip", "src_schema_evolution",
+    "src_csv_badrecords",
+    // writes the cell-partitioned inverted-file layout on construction
+    "layout_ivfpq_lists",
+    // collects the bounded query-cell ranking + truth count on construction
+    "sim_ivfpq_probe_curve",
+    // collects the bounded query-cell ranking + radius truth count
+    "sim_range_probe_curve",
+    // iterative frontier loop with per-4-step lineage truncation; the
+    // walk-multiplicity scaffold is a 3-row broadcast cross hidden
+    // behind the initial checkpoint, every step join is an equi-join
+    "graph_random_walks",
+    // seeded iterative refinement (count + per-round checkpoints on
+    // construction); every expansion/scoring join is an equi-join
+    "sim_nndescent",
+    // beam-search hops checkpoint on construction; the 10-query × 8-entry
+    // seed scoring is the bounded-broadcast exception, hops are equi-joins
+    "sim_graph_search",
+    // ADC-scored beam hops checkpoint on construction; the 10-row query
+    // x entry seed is the bounded-broadcast exception, hops equi-joins
+    "sim_graph_pq_search",
+    // the beam sweep runs three checkpointed hop loops on construction
+    "sim_graph_recall_curve",
+    // insert path: base-graph build + hop loop checkpoint on construction
+    "sim_graph_insert",
+    // canonical-graph consumers: the shared searchGraph artifact
+    // checkpoints on construction; all downstream joins are equi-joins
+    "sim_knn_graph", "sim_ood_knn",
+    // graph_random_walks' loop shape with the biased per-step window;
+    // same hidden 2-row walk scaffold, equi-joins throughout
+    "graph_node2vec",
+    // greedy selection loop: one 1-row top-1 collect per round, the
+    // min-distance state is narrow re-projections (no joins at all)
+    "curate_kcenter_coreset",
+    // chunk-metadata / frame-index frames are checkpointed on
+    // construction; downstream is fp-keyed / (asset, frame)-keyed
+    // equi-joins only
+    "dedup_cdc_chunks", "mm_frame_sample",
+    // pagerank's iteration shape with a 1-row seed collect
+    "graph_ppr",
+    // ALS-shaped iterative factorization: per-half-step localCheckpoint
+    // pins; the k² gram frames are 1-row broadcast crosses
+    "doc_nmf_topics",
+    // level-synchronous multi-source BFS with checkpoint pins
+    "graph_betweenness", "graph_betweenness_approx", "graph_closeness",
+    // HyperANF register-propagation loop with checkpoint pins
+    "graph_anf",
+    // collects the 65-double centroid artifact on construction; the
+    // decile-edge / median / totals frames are 1-row broadcasts
+    "dq_embedding_drift",
+    // collects the 2·|dims| moment artifact on construction; the score
+    // pass is one scan + top-k
+    "dq_embedding_outliers")
 }
