@@ -117,7 +117,13 @@ object InvertedIndex {
   private[graft] def ppjoinFromTokens(
       s: SparkSession, tok0: DataFrame): DataFrame = {
     import s.implicits._
-    val tok = tok0.select($"doc_id", $"token")
+    // The shingle expansion feeds FIVE consumers (sizes, dfs, the
+    // ranked prefix build, and both sides of the verification join);
+    // without a checkpoint each re-runs the documents scan + trigram
+    // explode — the single most expensive subtree of the query (guide
+    // §1.2: don't recompute what you already have). One materialization,
+    // same rows, same algebra.
+    val tok = tok0.select($"doc_id", $"token").localCheckpoint()
     val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val cand = candidatesFromTokens(s, tok, sizes)
     val shared = cand

@@ -69,7 +69,12 @@ object LogReg {
   private def featureRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = TextOps.tokens(Tables.documents(s, dir))
+    // The token explode feeds FOUR aggregates (feats, docLen, tf, the
+    // label's length stats); each would otherwise re-run the documents
+    // scan + split/explode inside the one featureRows evaluation —
+    // aggregates share no exchange, so nothing dedupes the subtree.
+    // One materialization (guide §1.2), identical rows.
+    val toks = TextOps.tokens(Tables.documents(s, dir)).localCheckpoint()
     val feats = toks.groupBy($"word").agg(count(lit(1)).as("cnt"))
       .withColumn("j", row_number().over(
         Window.partitionBy(lit(1)).orderBy($"cnt".desc, $"word")))

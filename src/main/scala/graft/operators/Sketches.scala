@@ -1561,9 +1561,15 @@ object Sketches {
     val exact = bcnt
       .join(broadcast(ranges), $"b".between($"ra", $"rb"))
       .groupBy($"range_id").agg(sum($"n").as("exact_cnt"))
-    ranges.join(exact, "range_id").join(est, "range_id")
-      .select($"range_id", $"ra", $"rb", $"exact_cnt", $"cms_est",
-        ($"cms_est" - $"exact_cnt").as("overcount"))
+    // LEFT join + coalesce(exact, 0): a query range containing zero
+    // event-minutes must still report exact_cnt = 0 (r11 ADVICE — an
+    // inner join silently drops the range on a sparse corpus; identical
+    // rows on any corpus without minute-gaps spanning a whole range,
+    // which the oracle compare re-proves). Same fix mirrored in the SQL.
+    ranges.join(exact, Seq("range_id"), "left_outer").join(est, "range_id")
+      .select($"range_id", $"ra", $"rb",
+        coalesce($"exact_cnt", lit(0L)).as("exact_cnt"), $"cms_est",
+        ($"cms_est" - coalesce($"exact_cnt", lit(0L))).as("overcount"))
   }
 
   def dyadicRangeCount(s: SparkSession, dir: String): DataFrame = {
@@ -1651,9 +1657,10 @@ object Sketches {
        |exact AS (
        |  SELECT range_id, CAST(sum(n) AS BIGINT) AS exact_cnt
        |  FROM ranges JOIN bcnt ON b BETWEEN ra AND rb GROUP BY 1)
-       |SELECT r.range_id, r.ra, r.rb, x.exact_cnt, e.cms_est,
-       |  e.cms_est - x.exact_cnt AS overcount
-       |FROM ranges r JOIN exact x USING (range_id) JOIN est e USING (range_id)""".stripMargin
+       |SELECT r.range_id, r.ra, r.rb,
+       |  CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt, e.cms_est,
+       |  e.cms_est - CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS overcount
+       |FROM ranges r LEFT JOIN exact x USING (range_id) JOIN est e USING (range_id)""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
