@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, sum}
 import graft.TestSpark
 
 /** Invariants of the deterministic sketch family — the oracle gate
@@ -257,6 +258,30 @@ class SketchesSpec extends AnyFunSuite {
     (1 to 8).foreach { i =>
       val (lo, hi) = gen.pureApply(params, Seed(4200L + i))
       checkDyadicCover(lo, hi)
+    }
+  }
+
+  test("dyadic finalize emits every range on a sparse corpus — empty ranges report exact_cnt 0") {
+    import spark.implicits._
+    // two event-minutes a thousand buckets apart: the six interior
+    // eighths contain no minutes at all. Before the round-12 left-join
+    // fix the inner exact join silently DROPPED those ranges; the
+    // 15-row contract must hold with exact_cnt = 0 instead.
+    val bcnt = Seq((0L, 3L), (1000L, 2L)).toDF("b", "n")
+    val counters = Sketches.dyadicCounterRows(bcnt)
+      .groupBy(col("j"), col("level"), col("slot"))
+      .agg(sum(col("n")).as("cnt"))
+    val rows = Sketches.dyadicFinalize(spark, sf, counters, Some(bcnt))
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 15, s"sparse corpus must still emit 15 ranges, got ${rows.length}")
+    val empties = rows.filter(_.getLong(3) == 0L)
+    assert(empties.nonEmpty, "fixture must contain at least one empty range")
+    rows.foreach { r =>
+      val (rid, exact, est, over) =
+        (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(est >= exact, s"range $rid: est $est < exact $exact")
+      assert(over == est - exact)
+      if (rid == 14L) assert(exact == 5L, "full span must count both minutes' events")
     }
   }
 
