@@ -27,4 +27,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 concurrent local-mode tasks hammer JNI critical sections
+  // (parquet/zstd buffers) hard enough that G1's GC locker starves
+  // small allocations — the JDK17 default retries an allocation only
+  // TWICE through GCLocker churn before throwing a SPURIOUS
+  // java.lang.OutOfMemoryError (observed at the 10x sweep: "Retried
+  // waiting for GCLocker too often allocating 5 words" with tens of
+  // GiB free; the uncaught executor-thread OOM then shuts the whole
+  // SparkContext down). Same local-single-JVM-harness class as the
+  // heartbeat headroom in Bench; a real cluster sizes executors so
+  // this pressure profile doesn't arise.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )
