@@ -81,6 +81,36 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Scale-adaptive scan fan-out (optimization guide §2.5 "repartition
+    * immediately after the read" for low-parallelism sources): the
+    * fixture tables are SINGLE-ROW-GROUP parquet files, so a scan —
+    * and with it every per-row map stage before the first exchange
+    * (tokenize, k-gram, md5, payload decode) — plans as ONE task no
+    * matter how many cores the session has; byte-range splitting can't
+    * help because a parquet split only yields the row groups whose
+    * midpoint it contains. When the planned scan parallelism is below
+    * the session default, redistribute rows by a DETERMINISTIC hash of
+    * the row key before the heavy map work (deterministic, not
+    * round-robin, per guide §2.5's retry-duplication warning); at
+    * production split counts (row groups ≫ cores) the condition is
+    * false and this is the identity — no extra exchange. On a
+    * STREAMING frame partition counts aren't knowable at plan time, so
+    * the fan-out is unconditional: each micro-batch pays one hash
+    * shuffle of its raw arrival rows (at the session's state-sized
+    * shuffle partitioning) so the gram/decode fan-out that follows —
+    * which dwarfs the raw bytes — runs on every core instead of one
+    * task per source file.
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (df.isStreaming) df.repartition(col(key))
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df
+      else df.repartition(target, col(key))
+    }
+  }
+
   /** Cheap content fingerprint of `$dir/$name.parquet` (file or
     * directory tree): folds every file's path, size, and mtime. Used to
     * key the per-dir parameter memos (LSH plane counts, IVF centroids,

@@ -174,7 +174,7 @@ object Dedup {
       |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) AS shingle""".stripMargin
 
   private def weightedShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    graft.Tables.spread(Tables.documents(s, dir), "doc_id")
       .selectExpr("doc_id", WeightedToksExpr)
       .where("size(toks) >= 3")
       .selectExpr("doc_id", WeightedShingleExplodeExpr)
@@ -2070,7 +2070,7 @@ object Dedup {
       s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val k = ExactSubstrK
-    docs
+    graft.Tables.spread(docs, "doc_id")
       .selectExpr("doc_id",
         "filter(split(lower(text), '\\\\s+'), t -> t <> '') AS toks")
       .where(s"size(toks) >= $k")

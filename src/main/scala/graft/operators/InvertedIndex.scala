@@ -74,7 +74,7 @@ object InvertedIndex {
       |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))) AS token""".stripMargin
 
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir), "doc_id")
       .selectExpr("doc_id", ToksExpr)
       .where("size(toks) >= 3")
       .selectExpr("doc_id", ShingleSetExpr)

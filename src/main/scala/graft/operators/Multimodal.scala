@@ -214,7 +214,7 @@ object Multimodal {
     */
   def assets(s: SparkSession, dir: String): Dataset[Asset] = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir), "doc_id")
       .selectExpr("doc_id",
         "element_at(array('image', 'audio', 'video'), CAST(doc_id % 3 AS INT) + 1) AS media_type",
         "text")
@@ -498,7 +498,7 @@ object Multimodal {
     */
   def pngAssets(s: SparkSession, dir: String): Dataset[Asset] = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir), "doc_id")
       .selectExpr("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8")
@@ -782,7 +782,7 @@ object Multimodal {
 
   def gifAssets(s: SparkSession, dir: String): Dataset[Asset] = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir), "doc_id")
       .selectExpr("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8")
@@ -954,7 +954,7 @@ object Multimodal {
 
   def jpegAssets(s: SparkSession, dir: String): Dataset[Asset] = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir), "doc_id")
       .selectExpr("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8")
@@ -1716,7 +1716,7 @@ object Multimodal {
 
   def aviAssets(s: SparkSession, dir: String): Dataset[Asset] = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir), "doc_id")
       .selectExpr("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8")

@@ -462,18 +462,34 @@ object SemDedup {
       .select($"q_id".as("tq"), $"n_id".as("tn")).localCheckpoint()
     val truthN = truth.agg(count(lit(1)).as("truth_n"))
     val al = alias.toDF("al_cid", "al_vid")
-    val frames = GrBeams.map { b =>
-      val beam = beamLoop(s, q, entries, knn, v, b)
-      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"nid")
-      beam.join(al, $"node" === $"al_cid")
-        .select($"q_id", $"al_vid".as("nid"), $"cosine")
-        .where($"q_id" =!= $"nid")
-        .withColumn("rn", row_number().over(w))
-        .where($"rn" <= GsTopK)
-        .join(truth, $"q_id" === $"tq" && $"nid" === $"tn", "left_outer")
-        .agg(count($"tn").as("hits"))
-        .select(lit(b.toLong).as("cell_beam"), $"hits")
-    }
+    // The three quota sweeps are INDEPENDENT hop loops over the same
+    // shared read-only index, and each loop is a chain of small
+    // checkpoint actions that leaves most executor slots idle — submit
+    // them from a thread pool so one loop's jobs back-fill another's
+    // scheduling gaps (guide §2.6 "overlap independent jobs"). Results
+    // are DataFrames over checkpointed state; evaluation order does not
+    // affect any value.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(GrBeams.size)
+    val frames = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = GrBeams.map { b =>
+        scala.concurrent.Future {
+          val beam = beamLoop(s, q, entries, knn, v, b)
+          val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"nid")
+          beam.join(al, $"node" === $"al_cid")
+            .select($"q_id", $"al_vid".as("nid"), $"cosine")
+            .where($"q_id" =!= $"nid")
+            .withColumn("rn", row_number().over(w))
+            .where($"rn" <= GsTopK)
+            .join(truth, $"q_id" === $"tq" && $"nid" === $"tn", "left_outer")
+            .agg(count($"tn").as("hits"))
+            .select(lit(b.toLong).as("cell_beam"), $"hits")
+        }
+      }
+      futs.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     frames.reduce(_ unionByName _)
       .crossJoin(broadcast(truthN))
       .select($"cell_beam", $"hits", $"truth_n",

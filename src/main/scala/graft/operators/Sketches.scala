@@ -1524,6 +1524,16 @@ object Sketches {
       explode(sequence(lit(0), lit(DyadicLevels - 1))).as("level"))
       .withColumn("pw", element_at(typedlit(DyadicPows), col("level") + 1))
       .selectExpr("level", "b DIV pw AS cell", "n")
+      // Aggregate per (level, cell) BEFORE the d-row fan-out and the
+      // md5 slot hash (round 13, guide §2.3 "aggregate before you
+      // shuffle"): a level-l cell absorbs up to 2^l minutes, so hashing
+      // per minute-row re-evaluated the identical md5 once per minute
+      // in the cell — Σ_l M/2^l ≈ 2M cells vs M·L minute-rows is a
+      // ~L/2 (10×) cut in hash work and in rows entering the counter
+      // shuffle. The counter table is unchanged: sum is associative and
+      // the slot depends only on (j, level, cell), so summing per cell
+      // first then per slot computes the same cnt.
+      .groupBy(col("level"), col("cell")).agg(sum(col("n")).as("n"))
       .select(col("level"), col("cell"), col("n"),
         explode(sequence(lit(0), lit(DyadicD - 1))).as("j"))
       .select(col("j"), col("level"), col("n"),

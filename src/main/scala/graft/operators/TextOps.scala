@@ -23,7 +23,7 @@ object TextOps {
     * op the capability set needs (SURVEY.md §2.7).
     */
   def tokens(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
+    Tables.spread(df, "doc_id").select(col("doc_id"),
       explode(split(lower(col("text")), "\\W+")).as("word"))
       .filter(length(col("word")) > 0)
 
@@ -1204,7 +1204,7 @@ object TextOps {
     * registered query and its spec reference.
     */
   private[operators] def ngramTerms(docs: DataFrame, g: Int): DataFrame =
-    docs.selectExpr("doc_id", s"$tokensExpr AS toks")
+    Tables.spread(docs, "doc_id").selectExpr("doc_id", s"$tokensExpr AS toks")
       .where(s"size(toks) >= $g")
       .selectExpr("doc_id",
         s"""explode(transform(sequence(1, size(toks) - ${g - 1}),

@@ -949,8 +949,8 @@ object StreamQueries {
       import s.implicits._
       val src = stageAsDirParts(s, s"$dir/documents.parquet", 4)
       val schema = s.read.parquet(src).schema
-      val counters = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
+      val counters = graft.Tables.spread(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src), "doc_id")
         .select(explode(split(lower($"text"), "\\s+")).as("tok"))
         .where($"tok" =!= "")
         .select($"tok",
@@ -1451,7 +1451,12 @@ object StreamQueries {
       val sh = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .where("doc_id % 3 = 1")
-        .select($"doc_id", $"text").as[(Long, String)]
+        .select($"doc_id", $"text")
+        // per-batch decode fan-out: one staged file per trigger = ONE
+        // scan task; hash-spread arrivals so the payload decode that
+        // follows runs on every core (Tables.spread, guide §2.5)
+        .transform(df => graft.Tables.spread(df, "doc_id"))
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           graft.operators.Multimodal.audioShingleRows(id,
             graft.operators.Multimodal.audioAssetPayload(id, text))
@@ -1650,21 +1655,24 @@ object StreamQueries {
           .unionByName(tag(spans, 2, Seq("doc_a", "doc_b", "start_a",
             "start_b", "span_tokens"), lit(0L)))
           .unionByName(tag(touched, 3, Seq("doc_a", "doc_b"), lit(0L)))
+        // ledger counts ride the write action itself as observed
+        // metrics (round 13; was a read-back job over the just-written
+        // partition — guide §1: the measurement must not be a job)
+        val obs = new org.apache.spark.sql.Observation
         unified.withColumn("batch_id", lit(id))
+          .observe(obs,
+            count(when(col("kind") === 2, 1L)).as("n_span"),
+            count(when(col("kind") === 3, 1L)).as("n_touch"))
           .repartition(col("kind"), col("ghb"))
           .write
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id", "kind", "ghb")
           .mode("overwrite")
           .parquet(log)
-        // ledger counts read back from the just-written partition in
-        // ONE footer-cheap job (was two), never re-running the delta
-        val written = s.read.schema(logSchema).parquet(log)
-          .where(col("batch_id") === id)
-          .groupBy(col("kind")).agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val written = obs.get
         substrTriggerLog.add((id, nNew, accRows,
-          written.getOrElse(3L, 0L), written.getOrElse(2L, 0L),
+          written("n_touch").asInstanceOf[Long],
+          written("n_span").asInstanceOf[Long],
           (System.nanoTime() - t0) / 1e9)): Unit
         substrBytesLog.add((id,
           substrOccBytes(log, id, Some(buckets)),
@@ -1739,7 +1747,12 @@ object StreamQueries {
       val sh = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .where("doc_id % 3 = 1")
-        .select($"doc_id", $"text").as[(Long, String)]
+        .select($"doc_id", $"text")
+        // per-batch decode fan-out: one staged file per trigger = ONE
+        // scan task; hash-spread arrivals so the payload decode that
+        // follows runs on every core (Tables.spread, guide §2.5)
+        .transform(df => graft.Tables.spread(df, "doc_id"))
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           graft.operators.Multimodal.audioShingleRows(id,
             graft.operators.Multimodal.audioAssetPayload(id, text))
@@ -1771,7 +1784,12 @@ object StreamQueries {
       val schema = s.read.parquet(src).schema
       val sigs = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-        .select($"doc_id", $"text").as[(Long, String)]
+        .select($"doc_id", $"text")
+        // per-batch decode fan-out: one staged file per trigger = ONE
+        // scan task; hash-spread arrivals so the payload decode that
+        // follows runs on every core (Tables.spread, guide §2.5)
+        .transform(df => graft.Tables.spread(df, "doc_id"))
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val img: Iterator[(Int, Long, Long, Long)] =
             if (id % 3 == 0)
@@ -1809,7 +1827,12 @@ object StreamQueries {
       val schema = s.read.parquet(src).schema
       val sh = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-        .select($"doc_id", $"text").as[(Long, String)]
+        .select($"doc_id", $"text")
+        // per-batch decode fan-out: one staged file per trigger = ONE
+        // scan task; hash-spread arrivals so the payload decode that
+        // follows runs on every core (Tables.spread, guide §2.5)
+        .transform(df => graft.Tables.spread(df, "doc_id"))
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           graft.operators.Multimodal.videoShingleRows(id,
             graft.operators.Multimodal.videoAssetPayload(id, text))
@@ -1838,7 +1861,12 @@ object StreamQueries {
       val schema = s.read.parquet(src).schema
       val sh = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-        .select($"doc_id", $"text").as[(Long, String)]
+        .select($"doc_id", $"text")
+        // per-batch decode fan-out: one staged file per trigger = ONE
+        // scan task; hash-spread arrivals so the payload decode that
+        // follows runs on every core (Tables.spread, guide §2.5)
+        .transform(df => graft.Tables.spread(df, "doc_id"))
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           graft.operators.Multimodal.videoShingleRows(id,
             graft.operators.Multimodal.videoAssetPayload(id, text))
@@ -1895,8 +1923,8 @@ object StreamQueries {
         .add("shared", LongType).add("n_a", LongType).add("n_b", LongType)
         .add("jaccard", DoubleType).add("batch_id", LongType)
       ppjoinTriggerLog.clear()
-      val tok = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
+      val tok = graft.Tables.spread(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src), "doc_id")
         .selectExpr("doc_id", graft.operators.InvertedIndex.ToksExpr)
         .where("size(toks) >= 3")
         .selectExpr("doc_id", graft.operators.InvertedIndex.ShingleSetExpr)
@@ -1918,13 +1946,17 @@ object StreamQueries {
             .where(col("batch_id") < id).select("doc_id", "token")
           val newPairs = graft.operators.InvertedIndex.ppjoinNewPairs(
             s, acc.unionByName(newTok), newTok.select("doc_id").distinct())
-          appendDeltaBatch(newPairs, id, pairLog)
-          appendDeltaBatch(newTok, id, tokLog)
-          // ledger counts read back from the just-written partition
-          // (footer-cheap), never re-running the pair join
-          val nPairs = s.read.schema(pairSchema).parquet(pairLog)
-            .where(col("batch_id") === id).count()
-          val nNew = newTok.count()
+          // ledger counts ride the two delta writes as observed metrics
+          // (round 13; was one read-back count job + one count job per
+          // trigger — guide §1: the measurement must not be a job)
+          val obsP = new org.apache.spark.sql.Observation
+          val obsT = new org.apache.spark.sql.Observation
+          appendDeltaBatch(newPairs.observe(obsP,
+            count(lit(1)).as("n")), id, pairLog)
+          appendDeltaBatch(newTok.observe(obsT,
+            count(lit(1)).as("n")), id, tokLog)
+          val nPairs = obsP.get("n").asInstanceOf[Long]
+          val nNew = obsT.get("n").asInstanceOf[Long]
           ppjoinTriggerLog.add((id, nNew,
             accRows, nPairs, (System.nanoTime() - t0) / 1e9)): Unit
           accRows += nNew
@@ -1964,8 +1996,8 @@ object StreamQueries {
       // stateless stream: occurrence counting happens per batch inside
       // foreachBatch (docs are trigger-complete), so the ONLY state is
       // the count delta log — no redundant state-store copy
-      val sh = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
+      val sh = graft.Tables.spread(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src), "doc_id")
         .selectExpr("doc_id", graft.operators.Dedup.WeightedToksExpr)
         .where("size(toks) >= 3")
         .selectExpr("doc_id", graft.operators.Dedup.WeightedShingleExplodeExpr)
@@ -2008,7 +2040,12 @@ object StreamQueries {
       val schema = s.read.parquet(src).schema
       val chunks = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-        .select($"doc_id", $"text").as[(Long, String)]
+        .select($"doc_id", $"text")
+        // per-batch decode fan-out: one staged file per trigger = ONE
+        // scan task; hash-spread arrivals so the payload decode that
+        // follows runs on every core (Tables.spread, guide §2.5)
+        .transform(df => graft.Tables.spread(df, "doc_id"))
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           if (id % 3 != 0) Iterator.empty
           else graft.operators.Multimodal
@@ -2041,7 +2078,12 @@ object StreamQueries {
       val schema = s.read.parquet(src).schema
       val chunks = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-        .select($"doc_id", $"text").as[(Long, String)]
+        .select($"doc_id", $"text")
+        // per-batch decode fan-out: one staged file per trigger = ONE
+        // scan task; hash-spread arrivals so the payload decode that
+        // follows runs on every core (Tables.spread, guide §2.5)
+        .transform(df => graft.Tables.spread(df, "doc_id"))
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           if (id % 3 != 0) Iterator.empty
           else {
