@@ -173,13 +173,25 @@ object Dedup {
     """explode(transform(sequence(1, size(toks) - 2),
       |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) AS shingle""".stripMargin
 
+  /** The weighted count table memoized per (session, corpus
+    * fingerprint) — the tokenize + trigram explode + count is shared
+    * by `dedup_weighted_jaccard` and `dedup_wminhash_calibration`
+    * (the [[sharedPairs]] rationale; round 13).
+    */
+  private val wshCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   private def weightedShingles(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.spread(Tables.documents(s, dir), "doc_id")
-      .selectExpr("doc_id", WeightedToksExpr)
-      .where("size(toks) >= 3")
-      .selectExpr("doc_id", WeightedShingleExplodeExpr)
-      .groupBy("doc_id", "shingle")
-      .agg(count(lit(1)).as("cnt"))
+    graft.Memo.cached(wshCache, s,
+      Similarity.dataKey(dir, "documents"), "dedup_wsh") {
+      graft.Tables.spread(Tables.documents(s, dir), "doc_id")
+        .selectExpr("doc_id", WeightedToksExpr)
+        .where("size(toks) >= 3")
+        .selectExpr("doc_id", WeightedShingleExplodeExpr)
+        .groupBy("doc_id", "shingle")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+    }
 
   /** Weighted-Jaccard pair threshold — mirrored verbatim in the oracle. */
   val WeightedJaccThresh = 0.2
@@ -357,8 +369,9 @@ object Dedup {
   def wminhashCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one tokenize/explode/count pass feeds BOTH the exact truth pairs
-    // and the signature expansion — pinned so neither branch recomputes
-    val wsh = weightedShingles(s, dir).localCheckpoint()
+    // and the signature expansion — the memoized table is already
+    // checkpoint-pinned, so neither branch recomputes
+    val wsh = weightedShingles(s, dir)
     val truth = weightedSharedPairs(s, wsh)
       .selectExpr("doc_a", "doc_b",
         "CAST(shared_min AS DOUBLE) / (n_a + n_b - shared_min) AS wj")
